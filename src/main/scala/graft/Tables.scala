@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Schema-typed loaders for the driver-generated tables (TESTDATA.md).
+  *
+  * All operators read through here so the scan is a plain parquet
+  * relation Catalyst can push filters/projections into. No caching at
+  * this layer: at 100 TB the tables don't fit, and re-reading a pruned
+  * parquet scan is cheaper than spilling a cache.
+  */
+object Tables {
+  private def p(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = p(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = p(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = p(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = p(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = p(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = p(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = p(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = p(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = p(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = p(s, d, "embeddings")
+}

@@ -1,0 +1,393 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational core: the reference's warehouse/REST query surface
+  * (projection+filter, ILIKE search, DISTINCT, pagination with
+  * `COUNT(*) OVER()`, regex tag classification, audit windows —
+  * reference `eni_uat_backend_code/app.py:1209-1292, 4826-5200,
+  * 5072-5078, 5194, 783-838`) re-expressed as declarative DataFrame
+  * plans, plus the TPC-H-shaped aggregation/join set that exercises
+  * the same machinery at scale.
+  *
+  * Numeric discipline for oracle parity: money-like doubles are summed
+  * as DECIMAL(18,2) (exact, order-independent — a double sum would be
+  * nondeterministic across partition orders) and cast back to double;
+  * averages are exact-decimal-sum / count in IEEE double, which is
+  * bit-deterministic in both Spark and DuckDB.
+  */
+object Relational {
+
+  /** Exact order-independent sum of a 2-decimal money column. */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  // q1: TPC-H Q1 shape — grouped agg with derived expressions.
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // q2: filter + projection, both pushed into the parquet scan.
+  def q2FilterProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-01-01").cast("timestamp") &&
+              col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              col("l_shipdate").cast("date").as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // q3: fact ⋈ fact ⋈ dim with the dim broadcast.
+  def q3JoinAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("c_mktsegment")
+
+  // q4: EXISTS as left-semi (no row multiplication, no distinct needed).
+  def q4SemiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+              .select("l_orderkey"),
+            col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+
+  // q5: NOT EXISTS as left-anti (reference: tags absent from registry).
+  def q5AntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+              .select("o_custkey"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  // q6: global top-k — Spark plans TakeOrderedAndProject (per-partition
+  // heaps, no full sort), which is the right plan at 100 TB.
+  def q6TopK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  // q7: top-N per group (reference "latest modification per tag").
+  def q7WindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"),
+              col("o_orderdate").cast("date").as("order_date"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  // q8: reference pagination (`COUNT(*) OVER() … LIMIT/OFFSET`,
+  // app.py:5072). The naive global window forces everything into one
+  // partition; instead the total is a scalar aggregate cross-joined in,
+  // which scales.
+  def q8Pagination(s: SparkSession, d: String): DataFrame = {
+    val open = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+    val total = open.agg(count(lit(1)).as("total_count"))
+    open.select(col("o_orderkey"), col("o_custkey"),
+                col("o_orderdate").cast("date").as("order_date"))
+      .orderBy(col("order_date"), col("o_orderkey"))
+      .offset(100).limit(20)
+      .crossJoin(broadcast(total))
+  }
+
+  // q9: multi-column DISTINCT (reference app.py:4526).
+  def q9Distinct(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_nationkey"))
+      .distinct()
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  // q10: case-insensitive substring search (reference ILIKE, app.py:5194).
+  def q10SearchIlike(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(lower(col("p_name")).contains("red"))
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy("p_partkey")
+
+  // q11: regex CASE classification (reference classify_tag_type,
+  // app.py:783-838). Plain rlike stays inside whole-stage codegen.
+  def q11ClassifyRegex(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"), col("p_type"),
+        when(col("p_type").rlike("^(ECONOMY|STANDARD)"), "basic")
+          .when(col("p_type").rlike("^(LARGE|MEDIUM|SMALL)"), "sized")
+          .when(col("p_name").rlike("(widget|gizmo)$"), "gadget")
+          .otherwise("other").as("category"))
+      .orderBy("p_partkey")
+
+  // q12: GROUP BY … HAVING.
+  def q12Having(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+      .filter(col("n_orders") >= 12)
+      .orderBy("o_custkey")
+
+  // q13: pivot as conditional aggregation (Master_data.csv monthly
+  // demand report shape). COUNT(CASE…) keeps both engines in BIGINT.
+  def q13Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_orderstatus") === "O", lit(1))).as("cnt_open"),
+        count(when(col("o_orderstatus") === "F", lit(1))).as("cnt_finished"),
+        count(when(col("o_orderstatus") === "P", lit(1))).as("cnt_pending"))
+      .orderBy("o_orderpriority")
+
+  // q14: ROLLUP subtotal hierarchy.
+  def q14Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("n"), col("revenue"))
+      .orderBy("status", "priority")
+
+  // q15: monthly revenue trend.
+  def q15DateAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("month")
+
+  // q16: 5-way star join (TPC-H Q5 shape). nation/region are true dims
+  // and broadcast; customer is small enough here that AQE broadcasts
+  // it, at 100 TB it shuffles on the join key like the facts.
+  def q16StarJoin(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+
+  // q17: rows above their group average via window (exact decimal avg).
+  def q17WindowAvgCompare(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+    Tables.part(s, d)
+      .withColumn("brand_avg",
+        sum(dec(col("p_retailprice"))).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .filter(col("p_retailprice") > col("brand_avg"))
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"), col("brand_avg"))
+      .orderBy("p_partkey")
+  }
+
+  // q18: UNION ALL of heterogeneous entities with a type tag.
+  def q18Union(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+              lit("customer").as("kind"))
+      .unionAll(
+        Tables.supplier(s, d)
+          .select(col("s_name").as("name"), col("s_acctbal").as("acctbal"),
+                  lit("supplier").as("kind")))
+      .orderBy("kind", "name")
+
+  // q19: string function suite (length cast to long for oracle parity).
+  def q19StringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+              upper(col("p_name")).as("name_upper"),
+              substring(col("p_name"), 1, 4).as("name_prefix"),
+              length(col("p_name")).cast("long").as("name_len"),
+              concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  // q20: exact median per group. l_quantity is integral so the p=0.5
+  // interpolation is exact in binary; at 100 TB the documented switch
+  // is approx_percentile.
+  def q20Percentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+           count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  // q25: bare COUNT(*) table stats (reference app.py:1242).
+  def q25CountStar(s: SparkSession, d: String): DataFrame = {
+    def one(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("tbl"), col("n"))
+    one("customer", Tables.customer(s, d))
+      .unionAll(one("lineitem", Tables.lineitem(s, d)))
+      .unionAll(one("orders", Tables.orders(s, d)))
+      .orderBy("tbl")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_filter_project" -> (q2FilterProject _),
+    "q3_join_agg" -> (q3JoinAgg _),
+    "q4_semi_join" -> (q4SemiJoin _),
+    "q5_anti_join" -> (q5AntiJoin _),
+    "q6_topk" -> (q6TopK _),
+    "q7_window_rank" -> (q7WindowRank _),
+    "q8_pagination" -> (q8Pagination _),
+    "q9_distinct" -> (q9Distinct _),
+    "q10_search_ilike" -> (q10SearchIlike _),
+    "q11_classify_regex" -> (q11ClassifyRegex _),
+    "q12_having" -> (q12Having _),
+    "q13_pivot" -> (q13Pivot _),
+    "q14_rollup" -> (q14Rollup _),
+    "q15_date_agg" -> (q15DateAgg _),
+    "q16_star_join" -> (q16StarJoin _),
+    "q17_window_avg_compare" -> (q17WindowAvgCompare _),
+    "q18_union" -> (q18Union _),
+    "q19_string_funcs" -> (q19StringFuncs _),
+    "q20_percentile" -> (q20Percentile _),
+    "q25_count_star" -> (q25CountStar _),
+  )
+
+  private val SumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+  private val Revenue =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  $SumQty AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  $Revenue AS sum_disc_price,
+         |  $SumQty / COUNT(*) AS avg_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_join_agg" ->
+      s"""SELECT c_mktsegment, $Revenue AS revenue, COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q5_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q6_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q7_window_rank" ->
+      """SELECT o_custkey, o_orderkey, order_date, rn FROM (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "q8_pagination" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  COUNT(*) OVER () AS total_count
+        |FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY order_date, o_orderkey LIMIT 20 OFFSET 100""".stripMargin,
+    "q9_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "q10_search_ilike" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_name ILIKE '%red%' ORDER BY p_partkey""".stripMargin,
+    "q11_classify_regex" ->
+      """SELECT p_partkey, p_name, p_type,
+        |  CASE WHEN regexp_matches(p_type, '^(ECONOMY|STANDARD)') THEN 'basic'
+        |       WHEN regexp_matches(p_type, '^(LARGE|MEDIUM|SMALL)') THEN 'sized'
+        |       WHEN regexp_matches(p_name, '(widget|gizmo)$') THEN 'gadget'
+        |       ELSE 'other' END AS category
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q12_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |FROM orders GROUP BY o_custkey
+        |HAVING COUNT(*) >= 12 ORDER BY o_custkey""".stripMargin,
+    "q13_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS cnt_open,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS cnt_finished,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS cnt_pending
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q14_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q15_date_agg" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "q16_star_join" ->
+      s"""SELECT r_name, n_name, $Revenue AS revenue, COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q17_window_avg_compare" ->
+      """SELECT p_partkey, p_brand, p_retailprice, brand_avg FROM (
+        |  SELECT p_partkey, p_brand, p_retailprice,
+        |    CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+        |           OVER (PARTITION BY p_brand) AS DOUBLE)
+        |      / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
+        |  FROM part) t
+        |WHERE p_retailprice > brand_avg ORDER BY p_partkey""".stripMargin,
+    "q18_union" ->
+      """SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier
+        |ORDER BY kind, name""".stripMargin,
+    "q19_string_funcs" ->
+      """SELECT p_partkey, UPPER(p_name) AS name_upper,
+        |  SUBSTRING(p_name, 1, 4) AS name_prefix,
+        |  LENGTH(p_name) AS name_len,
+        |  CONCAT(p_brand, ':', p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q20_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q25_count_star" ->
+      """SELECT 'customer' AS tbl, COUNT(*) AS n FROM customer
+        |UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        |UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        |ORDER BY tbl""".stripMargin,
+  )
+}
