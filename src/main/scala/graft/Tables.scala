@@ -20,7 +20,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = p(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = p(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = p(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = p(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read as a timestamp; read it as raw nanos (LongType) instead and
+    * let operators derive seconds/micros exactly.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    p(s, d, "events")
+  }
   def documents(s: SparkSession, d: String): DataFrame  = p(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = p(s, d, "embeddings")
 }

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event/time-series operators: the reference's components/lines JSON
+  * handling (`app.py:2219-2289`) and its union-find connectivity pass
+  * (`app.py:1467-1543`) re-expressed as distributed plans, plus the
+  * sessionization/window/funnel set any event pipeline needs.
+  *
+  * Timestamps are floored to epoch seconds (`unix_timestamp`) before
+  * arithmetic so results are integer-exact and independent of the
+  * parquet ns- vs micro-precision gap between engines.
+  */
+object Events {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** events with `ts` (raw nanos, see Tables.events) floored to epoch
+    * seconds (`ts_s`) and truncated to a micros timestamp (`ts_us`).
+    */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      col("props"), expr("ts div 1000000000").as("ts_s"),
+      expr("timestamp_micros(ts div 1000)").as("ts_us"))
+
+  // q21: gap-based sessionization (30-min inactivity). One shuffle on
+  // user_id; lag + running sum stay within the partition.
+  def q21Sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    ev(s, d)
+      .withColumn("prev", lag("ts_s", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("ts_s") - col("prev") > 1800, 1)
+          .otherwise(0))
+      .withColumn("sess_id",
+        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id")
+      .agg(max("sess_id").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  // q22: tumbling-hour aggregation (batch twin of streaming s1).
+  def q22EventWindow(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(date_format(col("ts_us"), "yyyy-MM-dd HH:00").as("hour"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy("hour", "event_type")
+
+  // q23: JSON prop extraction + bucketed aggregation (reference
+  // extract_components_from_json re-expressed).
+  def q23JsonExtract(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+           (sum(dec(col("value"))).cast("double") / count(lit(1)))
+             .as("avg_value"))
+      .orderBy("k_bucket")
+
+  // q24: signup→purchase funnel via conditional-min — one aggregation,
+  // no self-join.
+  def q24Funnel(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts_s"))).as("first_signup"),
+        min(when(col("event_type") === "purchase", col("ts_s"))).as("first_purchase"))
+      .filter(col("first_signup").isNotNull && col("first_purchase").isNotNull &&
+              col("first_signup") < col("first_purchase"))
+      .orderBy("user_id")
+
+  /** User ↔ prop-bucket bipartite membership, the g1 graph. */
+  private def membership(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .select(col("user_id"),
+              (get_json_object(col("props"), "$.k").cast("long") % 25).as("g"))
+      .distinct()
+
+  // g1: connected components — the reference's union-find
+  // (`app.py:1467-1543`) as alternating min-label propagation over the
+  // user↔bucket bipartite graph. O(diameter) joins, each a keyed
+  // shuffle; converges in ~log(n) rounds (the two-sided min hop is the
+  // small-star/large-star step). Deterministic: labels are min user_id.
+  def g1ConnectedComponents(s: SparkSession, d: String): DataFrame = {
+    val m = membership(s, d).cache()
+    var labels = m.select(col("user_id")).distinct()
+      .withColumn("comp", col("user_id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      // bucket label = min member label; user label = min over buckets
+      val gLab = m.join(labels, "user_id")
+        .groupBy("g").agg(min("comp").as("gcomp"))
+      val next = m.join(gLab, "g")
+        .groupBy("user_id").agg(min("gcomp").as("newcomp"))
+        .join(labels, "user_id")
+        .select(col("user_id"), least(col("comp"), col("newcomp")).as("comp"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), "user_id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    m.unpersist()
+    labels.select(col("user_id"), col("comp").as("component"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_sessionize" -> (q21Sessionize _),
+    "q22_event_window" -> (q22EventWindow _),
+    "q23_json_extract" -> (q23JsonExtract _),
+    "q24_funnel" -> (q24Funnel _),
+    "g1_connected_components" -> (g1ConnectedComponents _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q21_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, ts_s,
+        |    CASE WHEN lag(ts_s) OVER w IS NULL
+        |           OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |sessions AS (
+        |  SELECT user_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM marked)
+        |SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q22_event_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q23_json_extract" ->
+      """SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "q24_funnel" ->
+      """SELECT user_id,
+        |  MIN(CASE WHEN event_type = 'signup'
+        |           THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_signup,
+        |  MIN(CASE WHEN event_type = 'purchase'
+        |           THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_purchase
+        |FROM events GROUP BY user_id
+        |HAVING first_signup IS NOT NULL AND first_purchase IS NOT NULL
+        |   AND first_signup < first_purchase
+        |ORDER BY user_id""".stripMargin,
+    "g1_connected_components" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT user_id AS u, CAST(props->>'k' AS BIGINT) % 25 AS g
+        |  FROM events),
+        |edges AS (
+        |  SELECT a.u AS x, b.u AS y FROM pairs a JOIN pairs b ON a.g = b.g),
+        |reach(x, y) AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
+        |SELECT x AS user_id, MIN(y) AS component
+        |FROM reach GROUP BY x ORDER BY user_id""".stripMargin,
+  )
+}
