@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Similarity search + multimodal plumbing (SURVEY.md §2.4/§2.8).
+  *
+  * Oracle-checked paths quantize floats to integers
+  * (floor(x·1000) — exact, rounding-mode-free) so every dot product
+  * and norm is exact 64-bit arithmetic and the final IEEE divisions
+  * are bit-identical across engines. The un-quantized float path is
+  * the custom codegen'd `CosineSim` expression (e2, bench).
+  */
+object Similarity {
+
+  /** embeddings + quantized vector `q` and its squared norm. */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("q", expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))"))
+      .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+
+  // e1: brute-force cosine top-k for a query set — the exactness
+  // baseline. Queries broadcast; corpus scanned once; O(Q·N) fused
+  // higher-order expressions, no explode.
+  def e1KnnBrute(s: SparkSession, d: String): DataFrame = {
+    val emb = quantized(s, d)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    emb.select(col("vec_id").as("nid"), col("q"), col("nrm"))
+      .crossJoin(broadcast(qs))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(q, qq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          (sqrt(col("nrm").cast("double")) * sqrt(col("qn").cast("double"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("nid"), col("cosine"), col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  // e2: LSH-bucketed ANN — the 100 TB path: random-hyperplane signs
+  // (hash-derived ±1 weights, no RNG state) bucket the corpus; probes
+  // touch one bucket instead of N. Uses the codegen'd CosineSim.
+  // Rows-only check; recall vs e1 asserted in SimilaritySpec.
+  def e2KnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).withColumn("bucket", expr(
+      "aggregate(transform(sequence(0, 3), k -> " +
+        "if(aggregate(sequence(0, size(embedding) - 1), cast(0.0 as double), " +
+        "   (acc, j) -> acc + cast(element_at(embedding, j + 1) as double) * " +
+        "               if((xxhash64(j, k) & 1) = 1, 1.0, -1.0)) >= 0.0, 1, 0)), " +
+        "0, (acc, b) -> acc * 2 + b)"))
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    emb.select(col("vec_id").as("nid"), col("embedding"), col("bucket"))
+      .join(broadcast(qs), Seq("bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cosine", GraftFunctions.cosine_sim(col("embedding"), col("qe")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("nid"), col("cosine"), col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  // e3: per-label centroids — element-wise mean over quantized values;
+  // partial aggregation does the heavy lifting before the shuffle.
+  def e3Centroids(s: SparkSession, d: String): DataFrame =
+    quantized(s, d)
+      .select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("i"))
+      .agg((sum(col("v")).cast("double") / count(lit(1)) / 1000.0).as("centroid"))
+      .orderBy("label", "i")
+
+  // m1: multimodal plumbing — documents as opaque binary blobs with
+  // typed metadata. The byte-level work (digest, stubbed decode) runs
+  // in mapPartitions over batched rows, the shape a real image/audio
+  // decoder needs; the "decode" is a deterministic stub (container has
+  // no codec libs — SURVEY.md §2.8) whose arithmetic the oracle
+  // reproduces.
+  def m1BinaryMeta(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("sha_hex", StringType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val bin = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    val out = bin.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      rows.map { r =>
+        val id = r.getLong(0)
+        val blob = r.getAs[Array[Byte]](1)
+        md.reset()
+        val hex = md.digest(blob).map("%02x".format(_)).mkString
+        val n = blob.length.toLong
+        // decode stub: a real decoder would parse the container header;
+        // the fake dimensions keep the pipeline shape + oracle parity.
+        Row(id, n, hex, n % 64 + 16, n % 48 + 12)
+      }
+    }(enc)
+    out.orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_knn_brute" -> (e1KnnBrute _),
+    "e2_knn_lsh" -> (e2KnnLsh _),
+    "e3_centroids" -> (e3Centroids _),
+    "m1_binary_meta" -> (m1BinaryMeta _),
+  )
+
+  /** e2 intentionally omitted (hash-derived hyperplanes aren't
+    * SQL-expressible); rows-only check + recall spec.
+    */
+  val oracles: Map[String, String] = Map(
+    "e1_knn_brute" ->
+      """WITH v AS (
+        |  SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings, range(1, 65) t(i) WHERE i <= len(embedding)),
+        |n AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nrm FROM v GROUP BY 1),
+        |d AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+        |  FROM v a JOIN v b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT qid, nid,
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cosine
+        |  FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = nid)
+        |SELECT qid, nid, cosine, rnk FROM (
+        |  SELECT qid, nid, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+        |  FROM c) t
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "e3_centroids" ->
+      """WITH v AS (
+        |  SELECT label, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings, range(1, 65) t(i) WHERE i <= len(embedding))
+        |SELECT label, i,
+        |  CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / COUNT(*) / 1000.0 AS centroid
+        |FROM v GROUP BY label, i ORDER BY label, i""".stripMargin,
+    "m1_binary_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha_hex,
+        |  CAST(strlen(text) % 64 + 16 AS BIGINT) AS width,
+        |  CAST(strlen(text) % 48 + 12 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Text-analysis + deduplication suite over `documents` (SURVEY.md
+  * §2.3/§2.5): the LLM-training-data operators, re-expressing the
+  * reference's dedup/merge passes (`app.py:243-303, 1612-1737`) for
+  * text corpora. Everything stays in whole-stage codegen: tokenization
+  * and shingling are higher-order array functions, hashing is
+  * `xxhash64`, fingerprints a custom codegen'd expression.
+  */
+object TextOps {
+
+  /** documents + non-empty token array (split on single space). */
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+
+  /** distinct word-3-gram shingles per doc (docs with >= 3 tokens). */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(
+        "array_distinct(transform(sequence(0, size(toks)-3), " +
+          "i -> concat_ws(' ', slice(toks, i+1, 3))))"))
+      .withColumn("sz", size(col("shingles")).cast("long"))
+
+  // d1: exact dedup by content — keep the min doc_id per text. Shuffles
+  // on the text value here; at 100 TB key by xxhash64(text) instead so
+  // shuffle rows are 8 bytes (collision-check the survivors).
+  def d1DedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy("keep_id")
+
+  // d2: n-gram Jaccard near-dup pairs via shared-shingle candidate
+  // join. This is the exact (quadratic-in-collisions) baseline; d6 is
+  // the LSH scale path. The join fans out by shingle, so candidate
+  // cost is sum of squared bucket sizes, not corpus².
+  def d2NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+      .select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sz").as("sa"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sz").as("sb"), col("sh"))
+    a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"), max(col("sa")).as("sa"), max(col("sb")).as("sb"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("sa") + col("sb") - col("shared")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // d3: per-doc quality stats (token count, stopword ratio, score).
+  def d3TextStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop", expr(
+        "cast(size(filter(toks, x -> x IN ('the', 'a', 'data', 'row'))) as bigint)"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        (when(col("n_tokens").between(12, 80), 1).otherwise(0) +
+         when(col("stop_ratio") < 0.3, 1).otherwise(0) +
+         when(col("n_chars") >= 200, 1).otherwise(0)).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+              col("stop_ratio"), col("quality"))
+      .orderBy("doc_id")
+
+  // d4: marker-word language-ID heuristic (n-gram profile degenerates
+  // to marker counting on this synthetic corpus), scored against the
+  // labeled lang column.
+  def d4LangId(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("n_en", expr(
+        "cast(size(filter(toks, x -> x IN ('the', 'a'))) as bigint)"))
+      .withColumn("predicted",
+        when(col("n_en") >= 2, "en").otherwise("unk"))
+      .select(col("doc_id"), col("lang"), col("predicted"),
+              (col("lang") === "en" && col("predicted") === "en").as("hit"))
+      .orderBy("doc_id")
+
+  // d5: rolling-hash fingerprint via the custom codegen'd expression;
+  // oracle reproduces the recurrence with DuckDB list_reduce.
+  def d5Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+              GraftFunctions.rolling_hash(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  // d6: MinHash (64 perms via seeded xxhash64) + 16×4 banded LSH.
+  // Linear fan-out: 16 bucket rows per doc; candidates only within
+  // equal (band, bucket-hash); est jaccard = matching signature
+  // fraction. Rows-only check (hash family not SQL-expressible);
+  // d2's oracle covers the semantics on the same corpus.
+  def d6MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sig = shingled(s, d)
+      .withColumn("sig", expr(
+        "transform(sequence(0, 63), j -> array_min(transform(shingles, s -> xxhash64(s, j))))"))
+      .select(col("doc_id"), col("sig"))
+      .cache()
+    val buckets = sig.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 15), b -> struct(b as band, " +
+          "xxhash64(element_at(sig, 4*b+1), element_at(sig, 4*b+2), " +
+          "element_at(sig, 4*b+3), element_at(sig, 4*b+4)) as bkey))")).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    val cand = buckets.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(buckets.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+            Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("est_jaccard", expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v) / 64.0"))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // d7: 64-bit SimHash + near-dup pairs within Hamming distance 7,
+  // candidates via 8×8-bit block LSH (pigeonhole: ham<=7 over 8 blocks
+  // guarantees one equal block). Rows-only check.
+  def d7Simhash(s: SparkSession, d: String): DataFrame = {
+    val sh = docs(s, d)
+      .filter(size(col("toks")) >= 1)
+      .withColumn("simhash", expr(
+        "aggregate(transform(sequence(0, 63), k -> " +
+          "if(aggregate(toks, 0L, (acc, t) -> acc + if((shiftright(xxhash64(t), k) & 1) = 1, 1L, -1L)) >= 0L, 1L, 0L)), " +
+          "0L, (acc, b) -> shiftleft(acc, 1) | b)"))
+      .select(col("doc_id"), col("simhash"))
+      .cache()
+    val blocks = sh.select(col("doc_id"), col("simhash"), explode(expr(
+        "transform(sequence(0, 7), b -> struct(b as blk, shiftright(simhash, b*8) & 255 as bval))")).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.blk"), col("bb.bval"))
+    blocks.select(col("blk"), col("bval"), col("doc_id").as("doc_a"), col("simhash").as("ha"))
+      .join(blocks.select(col("blk"), col("bval"), col("doc_id").as("doc_b"), col("simhash").as("hb")),
+            Seq("blk", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 7)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact" -> (d1DedupExact _),
+    "d2_dedup_ngram_jaccard" -> (d2NgramJaccard _),
+    "d3_text_stats" -> (d3TextStats _),
+    "d4_langid" -> (d4LangId _),
+    "d5_fingerprint" -> (d5Fingerprint _),
+    "d6_minhash_lsh" -> (d6MinhashLsh _),
+    "d7_simhash" -> (d7Simhash _),
+  )
+
+  /** d6/d7 intentionally omitted: hash-family results aren't
+    * SQL-expressible; the driver records rows-only checks for them.
+    */
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "d2_dedup_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(0, len(w)-2),
+        |      i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), x -> x != '') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3),
+        |s AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS sz FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared,
+        |    MAX(a.sz) AS sa, MAX(b.sz) AS sb
+        |  FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(shared AS DOUBLE) / (sa + sb - shared) AS jaccard
+        |FROM p WHERE CAST(shared AS DOUBLE) / (sa + sb - shared) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d3_text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, n_chars, CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(w, x -> x IN ('the', 'a', 'data', 'row')))
+        |         AS BIGINT) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_stop,
+        |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        |  CAST((CASE WHEN n_tokens BETWEEN 12 AND 80 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens < 0.3 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS quality
+        |FROM u ORDER BY doc_id""".stripMargin,
+    "d4_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(list_filter(string_split(text, ' '),
+        |      x -> x != ''), x -> x IN ('the', 'a'))) AS BIGINT) AS n_en
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN n_en >= 2 THEN 'en' ELSE 'unk' END AS predicted,
+        |  (lang = 'en' AND n_en >= 2) AS hit
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "d5_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |                     i -> CAST(unicode(text[i]) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** One-off probe: run the custom expressions with codegen fallback
+  * disabled so a doGenCode bug fails loudly instead of silently
+  * interpreting. Not part of the driver contract.
+  */
+object CodegenProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.001"
+    val rh = Tables.documents(spark, d)
+      .select(GraftFunctions.rolling_hash(col("text")).as("h"))
+      .agg(sum("h")).head.getLong(0)
+    val e = Tables.embeddings(spark, d)
+    val cs = e.crossJoin(e.select(col("embedding").as("e2")).limit(1))
+      .select(GraftFunctions.cosine_sim(col("embedding"), col("e2")).as("c"))
+      .agg(sum("c")).head.getDouble(0)
+    println(s"CODEGEN_OK rolling_hash_sum=$rh cosine_sum=$cs")
+    spark.stop()
+  }
+}

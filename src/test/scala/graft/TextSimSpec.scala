@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, TextOps}
+import graft.functions.GraftFunctions
+
+class TextSimSpec extends SparkSpec {
+
+  test("text/similarity queries return rows") {
+    (TextOps.queries ++ Similarity.queries).foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("minhash LSH finds the high-jaccard pairs the exact join finds") {
+    val exact = TextOps.d2NgramJaccard(spark, sf).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.9)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val lsh = TextOps.d6MinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(exact.nonEmpty, "corpus has no near-dup pairs to test against")
+    val missed = exact -- lsh
+    assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
+  }
+
+  test("rolling_hash matches the reference recurrence and registers for SQL") {
+    def ref(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
+    GraftFunctions.register(spark)
+    val got = spark.sql("SELECT rolling_hash('spark graft') AS h").head.getLong(0)
+    assert(got == ref("spark graft"))
+    val viaCol = Tables.documents(spark, sf).limit(5)
+      .select(col("text"), GraftFunctions.rolling_hash(col("text")).as("h"))
+      .collect()
+    viaCol.foreach(r => assert(r.getLong(1) == ref(r.getString(0))))
+  }
+
+  test("cosine_sim matches a hand-computed cosine") {
+    val rows = Tables.embeddings(spark, sf).filter(col("vec_id") < 2)
+      .orderBy("vec_id").collect()
+    val a = rows(0).getAs[Seq[Float]]("embedding").toArray
+    val b = rows(1).getAs[Seq[Float]]("embedding").toArray
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    val expected = dot / (na * nb)
+    val got = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .crossJoin(Tables.embeddings(spark, sf).filter(col("vec_id") === 1)
+        .select(col("embedding").as("e2")))
+      .select(GraftFunctions.cosine_sim(col("embedding"), col("e2")).as("c"))
+      .head.getDouble(0)
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("e2 LSH ANN cosines agree with e1 brute force on shared pairs") {
+    val brute = Similarity.e1KnnBrute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) -> r.getAs[Double]("cosine"))
+      .toMap
+    val lsh = Similarity.e2KnnLsh(spark, sf).collect()
+    val shared = lsh.flatMap { r =>
+      brute.get((r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+        .map(c => (c, r.getAs[Double]("cosine")))
+    }
+    assert(shared.nonEmpty, "no overlap between LSH and brute-force top-k")
+    // e1 quantizes embeddings to 3 decimals for oracle exactness, so
+    // its cosines differ from e2's full-precision floats by O(1e-3).
+    shared.foreach { case (c1, c2) => assert(math.abs(c1 - c2) < 5e-3) }
+  }
+
+  test("m1 digest matches MessageDigest on the raw text") {
+    val r = Similarity.m1BinaryMeta(spark, sf).limit(1).collect().head
+    val text = Tables.documents(spark, sf)
+      .filter(col("doc_id") === r.getAs[Long]("doc_id")).head.getAs[String]("text")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getAs[String]("sha_hex") == hex)
+    assert(r.getAs[Long]("n_bytes") == text.getBytes("UTF-8").length.toLong)
+  }
+}
