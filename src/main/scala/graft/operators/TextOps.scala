@@ -19,13 +19,14 @@ object TextOps {
     Tables.documents(s, d)
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
 
-  /** distinct word-3-gram shingles per doc (docs with >= 3 tokens). */
+  /** distinct word-3-gram shingle HASHES per doc (docs with >= 3
+    * tokens) — the fused ShingleHashes expression; no shingle strings
+    * are ever materialized (see Expressions.scala).
+    */
   private def shingled(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", expr(
-        "array_distinct(transform(sequence(0, size(toks)-3), " +
-          "i -> concat_ws(' ', slice(toks, i+1, 3))))"))
+      .withColumn("shingles", GraftFunctions.shingle_hashes(col("toks"), 3))
       .withColumn("sz", size(col("shingles")).cast("long"))
 
   // d1: exact dedup by content — keep the min doc_id per text. Shuffles
@@ -43,14 +44,17 @@ object TextOps {
   // the LSH scale path. The join fans out by shingle, so candidate
   // cost is sum of squared bucket sizes, not corpus².
   def d2NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    // the join key is the shingle's 64-bit hash, never the string: the
+    // shuffle moves 8-byte keys (collisions at 2^-64 are noise next to
+    // the 0.8 threshold). Identical branches on both sides of the
+    // self-join let Spark reuse one exchange instead of shingling twice.
     val sh = shingled(s, d)
-      .select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sz").as("sa"), col("sh"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sz").as("sb"), col("sh"))
-    a.join(b, Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared"), max(col("sa")).as("sa"), max(col("sb")).as("sb"))
+      .select(col("doc_id"), col("sz"), explode(col("shingles")).as("shh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"),
+           max(col("a.sz")).as("sa"), max(col("b.sz")).as("sb"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("sa") + col("sb") - col("shared")))
       .filter(col("jaccard") >= 0.8)
@@ -102,8 +106,7 @@ object TextOps {
   // d2's oracle covers the semantics on the same corpus.
   def d6MinhashLsh(s: SparkSession, d: String): DataFrame = {
     val sig = shingled(s, d)
-      .withColumn("sig", expr(
-        "transform(sequence(0, 63), j -> array_min(transform(shingles, s -> xxhash64(s, j))))"))
+      .withColumn("sig", GraftFunctions.minhash_sig_long(col("shingles"), 64))
       .select(col("doc_id"), col("sig"))
       .cache()
     val buckets = sig.select(col("doc_id"), explode(expr(
@@ -132,10 +135,7 @@ object TextOps {
   def d7Simhash(s: SparkSession, d: String): DataFrame = {
     val sh = docs(s, d)
       .filter(size(col("toks")) >= 1)
-      .withColumn("simhash", expr(
-        "aggregate(transform(sequence(0, 63), k -> " +
-          "if(aggregate(toks, 0L, (acc, t) -> acc + if((shiftright(xxhash64(t), k) & 1) = 1, 1L, -1L)) >= 0L, 1L, 0L)), " +
-          "0L, (acc, b) -> shiftleft(acc, 1) | b)"))
+      .withColumn("simhash", GraftFunctions.simhash64(col("toks")))
       .select(col("doc_id"), col("simhash"))
       .cache()
     val blocks = sh.select(col("doc_id"), col("simhash"), explode(expr(

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sources/sinks (SURVEY.md §2.9). The reference ingests CSV
+  * (`Files/Master_data.csv`), Excel uploads and JSON documents
+  * (`app.py:6063`, `app.py:2219`); Spark-side that maps to schema-
+  * enforced csv/json readers (no runtime inference at 100 TB — a
+  * schema mismatch should fail the job, not silently null out) and a
+  * partitioned parquet writer for the lake layout.
+  */
+object Readers {
+
+  /** CSV with explicit schema; malformed rows fail loudly
+    * (FAILFAST), matching warehouse-load semantics.
+    */
+  def csv(s: SparkSession, path: String, schema: StructType,
+          header: Boolean = true, delimiter: String = ","): DataFrame =
+    s.read.schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  /** Newline-delimited JSON with explicit schema. */
+  def jsonLines(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  /** Parquet (the lake's native format). */
+  def parquet(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  /** Partitioned parquet writer: `partitionBy` columns become the
+    * directory layout so downstream scans partition-prune. At scale,
+    * pick low-cardinality partition keys (date, region) — never
+    * high-cardinality ids, which would create millions of dirs.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+}

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Structured Streaming operators (SURVEY.md §2.6). Each `queries`
+  * entry runs a genuine streaming execution — file source over the
+  * events parquet, watermarked stateful aggregation, memory sink —
+  * driven to completion with processAllAvailable, then returns the
+  * sink as a DataFrame. Results equal their batch twins, so the
+  * driver's DuckDB oracles apply unchanged (q22/q21 semantics).
+  *
+  * On a cluster the same plans run unbounded: the file source becomes
+  * kafka/delta, the memory sink a real sink, and the watermark bounds
+  * state size; `processAllAvailable` is only the finite-test driver.
+  */
+object EventStream {
+
+  /** events schema under nanosAsLong (ts = raw nanos, LongType). */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private val nameSeq = new AtomicInteger(0)
+
+  private def readEvents(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts_s", expr("ts div 1000000000"))
+  }
+
+  /** Run a finite streaming query into a memory sink, return the sink. */
+  private def runToMemory(s: SparkSession, agg: DataFrame,
+                          mode: String): DataFrame = {
+    val name = s"graft_sink_${nameSeq.incrementAndGet()}"
+    val q = agg.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  // s1: watermarked tumbling-hour aggregation — the streaming twin of
+  // batch q22 (same oracle).
+  def s1StreamWindow(s: SparkSession, d: String): DataFrame = {
+    val agg = readEvents(s, d)
+      .withWatermark("ts_us", "1 hour")
+      .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    runToMemory(s, agg, "complete")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
+              col("event_type"), col("n"), col("total_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  // s2: streaming dedup by key within the watermark (append mode — a
+  // second stateful op can't chain after it in complete mode), then a
+  // batch per-type count over the deduped sink.
+  def s2StreamDedup(s: SparkSession, d: String): DataFrame = {
+    val deduped = readEvents(s, d)
+      .withWatermark("ts_us", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    runToMemory(s, deduped, "append")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+      .orderBy("event_type")
+  }
+
+  // s3: session windows per user — the streaming twin of batch q21's
+  // sessionization. session_window merges an event iff its time <=
+  // lastEvent + gap (inclusive end, observed empirically), so gap =
+  // 30 min over whole-second timestamps is exactly q21's
+  // "`diff > 1800` splits".
+  def s3StreamSession(s: SparkSession, d: String): DataFrame = {
+    val sess = readEvents(s, d)
+      .withColumn("ts_sec", expr("timestamp_seconds(ts_s)"))
+      .withWatermark("ts_sec", "1 hour")
+      .groupBy(session_window(col("ts_sec"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runToMemory(s, sess, "complete")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_stream_window" -> (s1StreamWindow _),
+    "s2_stream_dedup" -> (s2StreamDedup _),
+    "s3_stream_session" -> (s3StreamSession _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // identical to q22's oracle: the streaming window agg must converge
+    // to the batch answer.
+    "s1_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "s2_stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q21's sessionization semantics: > 1800 s gap starts a session.
+    "s3_stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, ts_s,
+        |    CASE WHEN lag(ts_s) OVER w IS NULL
+        |           OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |sessions AS (
+        |  SELECT user_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM marked)
+        |SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

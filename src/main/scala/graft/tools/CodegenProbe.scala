@@ -25,7 +25,16 @@ object CodegenProbe {
     val cs = e.crossJoin(e.select(col("embedding").as("e2")).limit(1))
       .select(GraftFunctions.cosine_sim(col("embedding"), col("e2")).as("c"))
       .agg(sum("c")).head.getDouble(0)
-    println(s"CODEGEN_OK rolling_hash_sum=$rh cosine_sum=$cs")
+    val toks = Tables.documents(spark, d)
+      .select(expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+    val mh = toks
+      .select(GraftFunctions.minhash_sig_long(
+        GraftFunctions.shingle_hashes(col("toks"), 3), 64).as("sig"))
+      .select(expr("aggregate(sig, 0L, (a, v) -> a ^ v)").as("x"))
+      .agg(expr("bit_xor(x)")).head.getLong(0)
+    val sh = toks.select(GraftFunctions.simhash64(col("toks")).as("h"))
+      .agg(expr("bit_xor(h)")).head.getLong(0)
+    println(s"CODEGEN_OK rolling_hash_sum=$rh cosine_sum=$cs minhash_xor=$mh simhash_sum=$sh")
     spark.stop()
   }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.EventStream
+import graft.operators.Events
+import graft.sources.Readers
+import java.nio.file.Files
+
+class StreamSourcesSpec extends SparkSpec {
+
+  test("streaming window agg converges to the batch q22 answer") {
+    val stream = EventStream.s1StreamWindow(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("total_value"))).toMap
+    val batch = Events.q22EventWindow(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("total_value"))).toMap
+    assert(stream == batch)
+  }
+
+  test("streaming sessionization matches batch q21 session counts") {
+    val stream = EventStream.s3StreamSession(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_sessions")).toMap
+    val batch = Events.q21Sessionize(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_sessions")).toMap
+    assert(stream == batch)
+  }
+
+  test("csv reader round-trips through a partitioned parquet write") {
+    val dir = Files.createTempDirectory("graft_src").toFile
+    val csvPath = new java.io.File(dir, "in.csv").getAbsolutePath
+    Files.writeString(java.nio.file.Paths.get(csvPath),
+      "country,sku,quant,yearmonth\nAustria,SKU01,779,202304\nSpain,SKU02,113,202305\n")
+    val schema = StructType(Seq(
+      StructField("country", StringType), StructField("sku", StringType),
+      StructField("quant", LongType), StructField("yearmonth", IntegerType)))
+    val df = Readers.csv(spark, csvPath, schema)
+    assert(df.count() == 2)
+    val outPath = new java.io.File(dir, "out").getAbsolutePath
+    Readers.writePartitioned(df, outPath, Seq("yearmonth"))
+    val back = Readers.parquet(spark, outPath)
+    assert(back.count() == 2)
+    // partition pruning: filter on the partition column scans one dir
+    val plan = back.filter(col("yearmonth") === 202304)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(yearmonth"),
+      s"no partition filter in:\n$plan")
+  }
+}
