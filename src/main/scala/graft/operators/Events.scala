@@ -113,7 +113,36 @@ object Events {
       .orderBy("user_id")
   }
 
+  // q26: as-of join — for each purchase, the user's most recent click
+  // at-or-before it. Spark has no ASOF JOIN; rather than a custom
+  // SparkPlan, the union+window composition gives the same semantics
+  // with ONE shuffle on user_id (a range-join would shuffle both
+  // sides too, then pay an O(n·m) in-partition scan).
+  def q26AsofJoin(s: SparkSession, d: String): DataFrame = {
+    // time key in epoch MICROS: DuckDB's TIMESTAMP is µs-precision, so
+    // the oracle can't see sub-µs nanos; both sides key on µs longs.
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              expr("ts div 1000").as("ts_us"))
+    val tagged = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), lit(0).as("kind"), col("event_id"))
+      .unionAll(e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), lit(1).as("kind"), col("event_id")))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("click_id",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when(col("kind") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("click_id").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("ts_us").as("purchase_ts"), col("click_id"), col("click_ts"))
+      .orderBy("purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_asof_join" -> (q26AsofJoin _),
     "q21_sessionize" -> (q21Sessionize _),
     "q22_event_window" -> (q22EventWindow _),
     "q23_json_extract" -> (q23JsonExtract _),
@@ -122,6 +151,18 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q26_asof_join" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, p.ts_us AS purchase_ts,
+        |  c.click_id, c.ts_us AS click_ts
+        |FROM p ASOF JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+        |ORDER BY purchase_id""".stripMargin,
     "q21_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Geometry operators: the reference's imperative P&ID post-processing
+  * (point-in-box / nearest-box association `app.py:2016-2130,
+  * 329-583`; duplicate-line envelope merge `app.py:243-303`)
+  * re-expressed as declarative joins/aggregations.
+  *
+  * The driver tables carry no coordinates, so points/boxes/lines are
+  * synthesized DETERMINISTICALLY from events/part/lineitem with pure
+  * integer arithmetic — both engines derive identical geometry, so
+  * every operator is oracle-checked.
+  *
+  * Scale design: containment/nearest use a grid-cell equi-join
+  * (explode each box/probe into covered cells, hash-join on cell,
+  * exact predicate after) — the O(n·m) nested-loop the reference runs
+  * per image becomes a keyed shuffle that scales linearly; cell size
+  * bounds the fan-out (<= 4 cells/box, 9 cells/probe).
+  */
+object Geometry {
+
+  /** points: px,py in [0,100) derived from event ids. */
+  private def points(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      ((col("event_id") % 1000) / lit(10)).as("px"),
+      (((col("event_id") * 7919) % 1000) / lit(10)).as("py"))
+
+  /** boxes: [x1,x2]×[y1,y2] with side 2..12 derived from part. */
+  private def boxes(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      (((col("p_partkey") * 131) % 900) / lit(10)).as("x1"),
+      (((col("p_partkey") * 241) % 900) / lit(10)).as("y1"),
+      (col("p_size") % 10 + 2).cast("double").as("w"),
+      ((col("p_size") * 3) % 10 + 2).cast("double").as("h"))
+      .withColumn("x2", col("x1") + col("w"))
+      .withColumn("y2", col("y1") + col("h"))
+
+  /** axis-aligned segments derived from lineitem (parity → direction). */
+  private def lines(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      ((col("l_orderkey") % 500) / lit(5)).as("ax"),
+      ((col("l_partkey") % 500) / lit(5)).as("ay"),
+      (col("l_linenumber") % 2 === 0).as("horiz"),
+      col("l_quantity").as("len"))
+
+  private val Cell = 16.0
+
+  // g2: point-in-box containment as a grid-bucketed equi-join. Each
+  // box lands in every cell it overlaps; each point in exactly one
+  // cell, so no post-join dedup is needed.
+  def g2PointInBox(s: SparkSession, d: String): DataFrame = {
+    val b = boxes(s, d)
+      .withColumn("cx", explode(expr(
+        s"sequence(cast(floor(x1 / $Cell) as int), cast(floor(x2 / $Cell) as int))")))
+      .withColumn("cy", explode(expr(
+        s"sequence(cast(floor(y1 / $Cell) as int), cast(floor(y2 / $Cell) as int))")))
+    val p = points(s, d)
+      .withColumn("cx", expr(s"cast(floor(px / $Cell) as int)"))
+      .withColumn("cy", expr(s"cast(floor(py / $Cell) as int)"))
+    p.join(b, Seq("cx", "cy"))
+      .filter(col("px") >= col("x1") && col("px") <= col("x2") &&
+              col("py") >= col("y1") && col("py") <= col("y2"))
+      .select(col("event_id"), col("p_partkey"))
+      .orderBy("event_id", "p_partkey")
+  }
+
+  // g3: nearest box center within radius 15 (reference find_nearest_box
+  // with max_distance) — probe the 3×3 neighborhood of the point's
+  // cell (cell 16 > radius 15 guarantees coverage), exact distance +
+  // deterministic argmin after.
+  def g3NearestBox(s: SparkSession, d: String): DataFrame = {
+    val b = boxes(s, d)
+      .withColumn("bx", (col("x1") + col("x2")) * 0.5)
+      .withColumn("by", (col("y1") + col("y2")) * 0.5)
+      .withColumn("cx", expr(s"cast(floor(bx / $Cell) as int)"))
+      .withColumn("cy", expr(s"cast(floor(by / $Cell) as int)"))
+      .select("p_partkey", "bx", "by", "cx", "cy")
+    val p = points(s, d)
+      .withColumn("dx", explode(expr("sequence(-1, 1)")))
+      .withColumn("dy", explode(expr("sequence(-1, 1)")))
+      .withColumn("cx", expr(s"cast(floor(px / $Cell) as int) + dx"))
+      .withColumn("cy", expr(s"cast(floor(py / $Cell) as int) + dy"))
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("dist"), col("p_partkey"))
+    p.join(b, Seq("cx", "cy"))
+      .withColumn("dist", sqrt(
+        (col("px") - col("bx")) * (col("px") - col("bx")) +
+        (col("py") - col("by")) * (col("py") - col("by"))))
+      .filter(col("dist") <= 15.0)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("p_partkey"), col("dist"))
+      .orderBy("event_id")
+  }
+
+  // g4: duplicate/collinear segment merge (reference
+  // remove_duplicate_lines → envelope): same-orientation segments on
+  // the same coordinate merge to their envelope — a grouped agg, one
+  // shuffle, in place of the reference's O(n²) pairwise scan.
+  def g4LineDedup(s: SparkSession, d: String): DataFrame =
+    lines(s, d)
+      .withColumn("coord", when(col("horiz"), col("ay")).otherwise(col("ax")))
+      .withColumn("lo", when(col("horiz"), col("ax")).otherwise(col("ay")))
+      .groupBy(col("horiz"), col("coord"))
+      .agg(min(col("lo")).as("span_min"),
+           max(col("lo") + col("len")).as("span_max"),
+           count(lit(1)).as("n_merged"))
+      .orderBy("horiz", "coord")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g2_point_in_box" -> (g2PointInBox _),
+    "g3_nearest_box" -> (g3NearestBox _),
+    "g4_line_dedup" -> (g4LineDedup _),
+  )
+
+  private val PointsSql =
+    """SELECT event_id, (event_id % 1000) / 10 AS px,
+      |  ((event_id * 7919) % 1000) / 10 AS py FROM events""".stripMargin
+  private val BoxesSql =
+    """SELECT p_partkey,
+      |  ((p_partkey * 131) % 900) / 10 AS x1,
+      |  ((p_partkey * 241) % 900) / 10 AS y1,
+      |  ((p_partkey * 131) % 900) / 10 + CAST(p_size % 10 + 2 AS DOUBLE) AS x2,
+      |  ((p_partkey * 241) % 900) / 10 + CAST((p_size * 3) % 10 + 2 AS DOUBLE) AS y2
+      |FROM part""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "g2_point_in_box" ->
+      s"""WITH p AS ($PointsSql), b AS ($BoxesSql)
+         |SELECT event_id, p_partkey FROM p JOIN b
+         |  ON px >= x1 AND px <= x2 AND py >= y1 AND py <= y2
+         |ORDER BY event_id, p_partkey""".stripMargin,
+    "g3_nearest_box" ->
+      s"""WITH p AS ($PointsSql), b AS ($BoxesSql),
+         |c AS (SELECT p_partkey, (x1 + x2) * 0.5 AS bx, (y1 + y2) * 0.5 AS by FROM b),
+         |d AS (
+         |  SELECT event_id, p_partkey,
+         |    sqrt((px - bx) * (px - bx) + (py - by) * (py - by)) AS dist
+         |  FROM p CROSS JOIN c),
+         |r AS (
+         |  SELECT event_id, p_partkey, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY event_id
+         |                       ORDER BY dist, p_partkey) AS rn
+         |  FROM d WHERE dist <= 15.0)
+         |SELECT event_id, p_partkey, dist FROM r WHERE rn = 1
+         |ORDER BY event_id""".stripMargin,
+    "g4_line_dedup" ->
+      """WITH l AS (
+        |  SELECT (l_linenumber % 2 = 0) AS horiz,
+        |    CASE WHEN l_linenumber % 2 = 0
+        |         THEN ((l_partkey % 500) / 5) ELSE ((l_orderkey % 500) / 5)
+        |    END AS coord,
+        |    CASE WHEN l_linenumber % 2 = 0
+        |         THEN ((l_orderkey % 500) / 5) ELSE ((l_partkey % 500) / 5)
+        |    END AS lo,
+        |    l_quantity AS len
+        |  FROM lineitem)
+        |SELECT horiz, coord, MIN(lo) AS span_min, MAX(lo + len) AS span_max,
+        |  COUNT(*) AS n_merged
+        |FROM l GROUP BY horiz, coord ORDER BY horiz, coord""".stripMargin,
+  )
+}

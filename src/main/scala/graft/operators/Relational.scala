@@ -232,6 +232,49 @@ object Relational {
            count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  // q27: multi-column COUNT(DISTINCT) (reference dashboard stats).
+  // Exact here; at 100 TB the documented switch is
+  // approx_count_distinct (HLL) when +-2% is acceptable.
+  def q27CountDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+           countDistinct(col("l_partkey")).as("n_parts"),
+           count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  // q28: lag/lead month-over-month revenue delta.
+  def q28LagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy("month")
+    Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+      .withColumn("prev_revenue", lag("revenue", 1).over(w))
+      .withColumn("delta", col("revenue") - col("prev_revenue"))
+      .orderBy("month")
+  }
+
+  // q29: upsert/MERGE (reference Excel-upload upsert, app.py:6063):
+  // staged updates (balance bump on every 10th customer) + inserts
+  // (new synthetic keys) merged via full-outer join + coalesce — the
+  // MERGE plan shape on plain parquet; key-partitioned shuffle both
+  // sides.
+  def q29Upsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+    val updates = base.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("u_key"), (col("c_acctbal") + 100.0).as("u_bal"))
+      .unionAll(base.filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + 1000000).as("u_key"), lit(1.0).as("u_bal")))
+    base.join(updates, col("c_custkey") === col("u_key"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("u_key")).as("custkey"),
+        coalesce(col("c_name"), lit("NEW")).as("name"),
+        coalesce(col("u_bal"), col("c_acctbal")).as("acctbal"),
+        coalesce(col("c_mktsegment"), lit("STAGED")).as("mktsegment"))
+      .orderBy("custkey")
+  }
+
   // q25: bare COUNT(*) table stats (reference app.py:1242).
   def q25CountStar(s: SparkSession, d: String): DataFrame = {
     def one(name: String, df: DataFrame) =
@@ -264,6 +307,9 @@ object Relational {
     "q19_string_funcs" -> (q19StringFuncs _),
     "q20_percentile" -> (q20Percentile _),
     "q25_count_star" -> (q25CountStar _),
+    "q27_count_distinct" -> (q27CountDistinct _),
+    "q28_lag_lead" -> (q28LagLead _),
+    "q29_upsert" -> (q29Upsert _),
   )
 
   private val SumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -389,5 +435,33 @@ object Relational {
         |UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
         |UNION ALL SELECT 'orders', COUNT(*) FROM orders
         |ORDER BY tbl""".stripMargin,
+    "q27_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q28_lag_lead" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT month, revenue,
+        |  lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+        |  revenue - lag(revenue) OVER (ORDER BY month) AS delta
+        |FROM m ORDER BY month""".stripMargin,
+    "q29_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+        |updates AS (
+        |  SELECT c_custkey AS u_key, c_acctbal + 100.0 AS u_bal
+        |  FROM base WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS u_key, 1.0 AS u_bal
+        |  FROM base WHERE c_custkey % 100 = 0)
+        |SELECT COALESCE(c_custkey, u_key) AS custkey,
+        |  COALESCE(c_name, 'NEW') AS name,
+        |  COALESCE(u_bal, c_acctbal) AS acctbal,
+        |  COALESCE(c_mktsegment, 'STAGED') AS mktsegment
+        |FROM base FULL OUTER JOIN updates ON c_custkey = u_key
+        |ORDER BY custkey""".stripMargin,
   )
 }

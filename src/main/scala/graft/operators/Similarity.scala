@@ -50,13 +50,19 @@ object Similarity {
   // (hash-derived ±1 weights, no RNG state) bucket the corpus; probes
   // touch one bucket instead of N. Uses the codegen'd CosineSim.
   // Rows-only check; recall vs e1 asserted in SimilaritySpec.
-  def e2KnnLsh(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d).withColumn("bucket", expr(
+  /** embeddings + 4-bit random-hyperplane LSH bucket (hash-derived
+    * ±1 weights — deterministic, no RNG state to distribute).
+    */
+  private def bucketed(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).withColumn("bucket", expr(
       "aggregate(transform(sequence(0, 3), k -> " +
         "if(aggregate(sequence(0, size(embedding) - 1), cast(0.0 as double), " +
         "   (acc, j) -> acc + cast(element_at(embedding, j + 1) as double) * " +
         "               if((xxhash64(j, k) & 1) = 1, 1.0, -1.0)) >= 0.0, 1, 0)), " +
         "0, (acc, b) -> acc * 2 + b)"))
+
+  def e2KnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = bucketed(s, d)
     val qs = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
@@ -111,7 +117,58 @@ object Similarity {
     out.orderBy("doc_id")
   }
 
+  // d8: embedding-cosine near-dup pairs — candidates from the e2
+  // hyperplane buckets (pairs must share a bucket), exact CosineSim
+  // after. The corpus has no true near-dups (max pairwise cosine
+  // ~0.51), so tau = 0.4 keeps the operator observable; at 100 TB the
+  // bucket join is the whole point (no corpus x corpus pass).
+  // Rows-only (hash-derived hyperplanes aren't SQL-expressible).
+  def d8EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val emb = bucketed(s, d)
+    emb.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      .join(emb.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b")),
+            Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", GraftFunctions.cosine_sim(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  // m2: multimodal frame sampler — each 64-byte chunk of the blob becomes
+  // a "frame" row with its digest, emitted from mapPartitions (the
+  // batched shape a video frame-sampler needs; decode itself is the
+  // documented stub).
+  def m2FrameSample(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("frame_sha", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val bin = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    bin.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val blob = r.getAs[Array[Byte]](1)
+        val nFrames = (blob.length + 63) / 64
+        (0 until nFrames).iterator.map { i =>
+          val from = i * 64
+          val until = math.min(from + 64, blob.length)
+          md.reset()
+          val hex = md.digest(java.util.Arrays.copyOfRange(blob, from, until))
+            .map("%02x".format(_)).mkString
+          Row(id, i.toLong, hex)
+        }
+      }
+    }(enc).orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d8_embedding_neardup" -> (d8EmbeddingNearDup _),
+    "m2_frame_sample" -> (m2FrameSample _),
     "e1_knn_brute" -> (e1KnnBrute _),
     "e2_knn_lsh" -> (e2KnnLsh _),
     "e3_centroids" -> (e3Centroids _),
@@ -150,6 +207,12 @@ object Similarity {
         |SELECT label, i,
         |  CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / COUNT(*) / 1000.0 AS centroid
         |FROM v GROUP BY label, i ORDER BY label, i""".stripMargin,
+    "m2_frame_sample" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  sha256(substr(text, i * 64 + 1, 64)) AS frame_sha
+        |FROM documents, range(0, 32) t(i)
+        |WHERE i < (strlen(text) + 63) // 64
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "m1_binary_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha_hex,
