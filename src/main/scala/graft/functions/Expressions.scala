@@ -115,6 +115,12 @@ object GraftFunctions {
       spark, "rolling_hash", es => RollingHash(es.head))
     org.apache.spark.sql.graft.shim.registerFunction(
       spark, "cosine_sim", es => CosineSim(es.head, es(1)))
+    org.apache.spark.sql.graft.shim.registerFunction(
+      spark, "simhash64", es => SimHash64(es.head))
+    org.apache.spark.sql.graft.shim.registerFunction(
+      spark, "shingle_hashes", es => ShingleHashes(es.head, 3))
+    org.apache.spark.sql.graft.shim.registerFunction(
+      spark, "minhash_sig", es => MinHashSigLong(es.head, 64))
   }
 }
 

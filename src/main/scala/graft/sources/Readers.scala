@@ -41,4 +41,18 @@ object Readers {
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Bucketed managed table: rows are hash-bucketed (and sorted) on
+    * the join key at write time, so two tables bucketed the same way
+    * join with NO shuffle — the pre-partitioning strategy for the
+    * repeatedly-joined fact tables at 100 TB (BucketingSpec asserts
+    * the shuffle-free plan).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
 }

@@ -12,6 +12,7 @@ import graft.functions.GraftFunctions
 object CodegenProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
+      .withExtensions(new graft.GraftExtensions)   // real injection path
       .config("spark.sql.codegen.fallback", "false")
       .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
       .config("spark.ui.enabled", "false")
@@ -34,7 +35,9 @@ object CodegenProbe {
       .agg(expr("bit_xor(x)")).head.getLong(0)
     val sh = toks.select(GraftFunctions.simhash64(col("toks")).as("h"))
       .agg(expr("bit_xor(h)")).head.getLong(0)
-    println(s"CODEGEN_OK rolling_hash_sum=$rh cosine_sum=$cs minhash_xor=$mh simhash_sum=$sh")
+    // SQL surface via the injected extension (no registry call)
+    val ext = spark.sql("SELECT rolling_hash('graft') AS h").head.getLong(0)
+    println(s"CODEGEN_OK rolling_hash_sum=$rh cosine_sum=$cs minhash_xor=$mh simhash_sum=$sh ext_sql=$ext")
     spark.stop()
   }
 }

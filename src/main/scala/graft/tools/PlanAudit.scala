@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+/** Plan audit (SURVEY.md §5): prints condensed physical-plan
+  * diagnostics for every query — shuffle count, broadcast joins,
+  * whole-stage-codegen coverage, pushed filters, scanned columns —
+  * the checklist the 100 TB design is graded on.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "false")  // show final WSCG stages statically
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        def n(pat: String) = pat.r.findAllIn(plan).length
+        val shuffles = n("Exchange hashpartitioning") + n("Exchange rangepartitioning")
+        val bhj = n("BroadcastHashJoin")
+        val smj = n("SortMergeJoin")
+        val wsc = n("\\*\\(\\d+\\)")  // WholeStageCodegen stage markers
+        val pushed = n("PushedFilters: \\[[^\\]]*IsNotNull") + n("PushedFilters: \\[[^\\]]*(GreaterThan|LessThan|EqualTo)")
+        val scans = n("FileScan parquet")
+        println(f"$name%-26s shuffles=$shuffles%-3d bhj=$bhj%-2d smj=$smj%-2d wscg=$wsc%-3d scans=$scans%-2d pushedFilterScans=$pushed")
+      } catch { case e: Throwable =>
+        println(f"$name%-26s AUDIT-SKIP (${e.getClass.getSimpleName}: streaming or side-effecting)")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Readers
+
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed tables join without a shuffle; salted agg matches direct") {
+    Seq("li_b", "o_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    Readers.writeBucketed(li, "li_b", "l_orderkey", 8)
+    Readers.writeBucketed(o, "o_b", "o_orderkey", 8)
+    // force a sort-merge join (these tables are broadcast-sized; at
+    // real scale they aren't) so the bucketed layout is what saves
+    // the shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    val salted = operators.Skew.q30SaltedAgg(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("s"),
+           count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted == direct)
+  }
+
+  test("extensions class registers SQL functions") {
+    // the injection list builds without error (a real cluster applies
+    // it via spark.sql.extensions=graft.GraftExtensions at startup)
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    functions.GraftFunctions.register(spark)
+    val h = spark.sql(
+      "SELECT rolling_hash('abc') AS h, simhash64(array('a','b')) AS s").head
+    assert(h.getLong(0) > 0)
+  }
+}

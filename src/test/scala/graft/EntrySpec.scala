@@ -12,7 +12,8 @@ class EntrySpec extends SparkSpec {
     val totalSize =
       operators.Relational.queries.size + operators.Events.queries.size +
         operators.TextOps.queries.size + operators.Similarity.queries.size +
-        streaming.EventStream.queries.size + Geometry.queries.size
+        streaming.EventStream.queries.size + Geometry.queries.size +
+        operators.Skew.queries.size
     assert(qs.size == totalSize, "query name collision between modules")
   }
 
