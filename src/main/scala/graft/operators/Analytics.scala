@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Second-ring analytics surface: range-frame windows, CUBE, array
+  * aggregation, null semantics, calendar parts, fuzzy matching (the
+  * reference matches OCR'd tag text against the registry —
+  * `check_regex_match`/ILIKE `app.py:1972, 5194` — levenshtein is the
+  * same capability done right), approximate sketches for the 100 TB
+  * path.
+  */
+object Analytics {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  // q32: 7-day rolling revenue per returnflag — a RANGE frame over an
+  // epoch-day key (ROWS frames were covered in q21/q26).
+  def q32RollingWindow(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"),
+               datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+                 .cast("long").as("day"))
+      .agg(sum(dec(col("l_extendedprice"))).as("rev"))
+    val w = Window.partitionBy("l_returnflag").orderBy("day").rangeBetween(-6, 0)
+    daily
+      .withColumn("rolling_rev_7d", sum(col("rev")).over(w).cast("double"))
+      .select(col("l_returnflag"), col("day"), col("rev").cast("double").as("rev"),
+              col("rolling_rev_7d"))
+      .orderBy("l_returnflag", "day")
+  }
+
+  // q33: CUBE over two dimensions (rollup's big sibling).
+  def q33Cube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("n"))
+      .orderBy("status", "priority")
+
+  // q34: array aggregation — per-customer sorted order list (sorted:
+  // collect_list order is nondeterministic across partitions).
+  def q34Collect(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(array_sort(collect_list(col("o_orderkey"))).as("orderkeys"),
+           count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+
+  // q35: null semantics — NULLIF / COALESCE / null-safe counts (the
+  // source tables are null-free, so nulls are manufactured).
+  def q35NullHandling(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("status_or_null", expr("nullif(o_orderstatus, 'P')"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_total"),
+           count(col("status_or_null")).as("n_not_p"),
+           count(when(col("status_or_null").isNull, lit(1))).as("n_p"),
+           coalesce(max(col("status_or_null")), lit("NONE")).as("max_status"))
+      .orderBy("o_orderpriority")
+
+  // q36: calendar parts — revenue by year × day-of-week. DuckDB dow()
+  // is 0=Sunday, Spark dayofweek() 1=Sunday; the oracle aligns them.
+  def q36DateParts(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+               dayofweek(col("o_orderdate")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy("yr", "dow")
+
+  // q37: fuzzy match — edit distance to a probe string (reference
+  // OCR-tag matching). Scale note: for corpus×corpus fuzzy join, band
+  // by length and prefix to bound candidates; a scalar probe scans once.
+  def q37Fuzzy(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .withColumn("dist", levenshtein(col("p_name"), lit("red widget")).cast("long"))
+      .filter(col("dist") <= 4)
+      .select(col("p_partkey"), col("p_name"), col("dist"))
+      .orderBy("p_partkey")
+
+  // q38: sketches — approx distinct + approx quantiles, the documented
+  // 100 TB variants of q27/q20. Rows-only: HLL/KLL internals differ
+  // across engines by design; SketchSpec asserts the error bound
+  // against the exact answers instead.
+  def q38Sketches(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+           expr("approx_percentile(l_extendedprice, 0.5)").as("approx_median_price"),
+           count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_rolling_window" -> (q32RollingWindow _),
+    "q33_cube" -> (q33Cube _),
+    "q34_collect" -> (q34Collect _),
+    "q35_null_handling" -> (q35NullHandling _),
+    "q36_date_parts" -> (q36DateParts _),
+    "q37_fuzzy" -> (q37Fuzzy _),
+    "q38_sketches" -> (q38Sketches _),
+  )
+
+  /** q38 intentionally rows-only (sketch internals differ by engine). */
+  val oracles: Map[String, String] = Map(
+    "q32_rolling_window" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, day, CAST(rev AS DOUBLE) AS rev,
+        |  CAST(SUM(rev) OVER (PARTITION BY l_returnflag ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS rolling_rev_7d
+        |FROM daily ORDER BY l_returnflag, day""".stripMargin,
+    "q33_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q34_collect" ->
+      """SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q35_null_handling" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_total,
+        |  COUNT(NULLIF(o_orderstatus, 'P')) AS n_not_p,
+        |  COUNT(CASE WHEN NULLIF(o_orderstatus, 'P') IS NULL THEN 1 END) AS n_p,
+        |  COALESCE(MAX(NULLIF(o_orderstatus, 'P')), 'NONE') AS max_status
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q36_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(date_part('dow', CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, dow""".stripMargin,
+    "q37_fuzzy" ->
+      """SELECT p_partkey, p_name,
+        |  CAST(levenshtein(p_name, 'red widget') AS BIGINT) AS dist
+        |FROM part WHERE levenshtein(p_name, 'red widget') <= 4
+        |ORDER BY p_partkey""".stripMargin,
+  )
+}

@@ -31,6 +31,11 @@ object Readers {
   def parquet(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
 
+  /** ORC read/write (second columnar format the lake may carry). */
+  def orc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Partitioned parquet writer: `partitionBy` columns become the
     * directory layout so downstream scans partition-prune. At scale,
     * pick low-cardinality partition keys (date, region) — never

@@ -27,6 +27,15 @@ class StreamSourcesSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("orc round-trips lineitem with schema intact") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val li = Tables.lineitem(spark, sf).limit(100)
+    Readers.writeOrc(li, dir)
+    val back = Readers.orc(spark, dir)
+    assert(back.count() == 100)
+    assert(back.schema == li.schema)
+  }
+
   test("csv reader round-trips through a partitioned parquet write") {
     val dir = Files.createTempDirectory("graft_src").toFile
     val csvPath = new java.io.File(dir, "in.csv").getAbsolutePath
