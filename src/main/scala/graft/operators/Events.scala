@@ -75,9 +75,14 @@ object Events {
               col("first_signup") < col("first_purchase"))
       .orderBy("user_id")
 
-  /** User ↔ prop-bucket bipartite membership, the g1 graph. */
+  /** User ↔ prop-bucket bipartite membership, the g1 graph. Bounded
+    * to user_id < 200 so the DuckDB oracle's transitive closure stays
+    * tractable at every SF (the Spark side scales fine without the
+    * bound; the closure is quadratic in component size).
+    */
   private def membership(s: SparkSession, d: String): DataFrame =
     ev(s, d)
+      .filter(col("user_id") < 200)
       .select(col("user_id"),
               (get_json_object(col("props"), "$.k").cast("long") % 25).as("g"))
       .distinct()
@@ -202,7 +207,7 @@ object Events {
     "g1_connected_components" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT DISTINCT user_id AS u, CAST(props->>'k' AS BIGINT) % 25 AS g
-        |  FROM events),
+        |  FROM events WHERE user_id < 200),
         |edges AS (
         |  SELECT a.u AS x, b.u AS y FROM pairs a JOIN pairs b ON a.g = b.g),
         |reach(x, y) AS (
