@@ -108,6 +108,9 @@ object GraftFunctions {
   def minhash_sig_long(c: Column, numHashes: Int = 64): Column =
     column(MinHashSigLong(expression(c), numHashes))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def kmv_distinct(c: Column, k: Int = 256): Column =
+    column(KmvDistinct(expression(c), k)
+      .toAggregateExpression(isDistinct = false))
 
   /** Register for SQL use: `SELECT rolling_hash(text) …`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -360,4 +363,92 @@ case class MinHashSigLong(child: Expression, numHashes: Int)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigLong =
     copy(child = newChild)
+}
+
+/** KMV (bottom-k) distinct-count sketch as a TypedImperativeAggregate:
+  * keeps the k smallest unsigned xxhash64 values; estimate is
+  * (k-1) / fraction-of-hash-space covered by the kth minimum.
+  * Deterministic (hash-based, no RNG), mergeable across partitions —
+  * the custom-aggregate analog of approx_count_distinct with a
+  * tunable, explainable sketch.
+  */
+case class KmvDistinct(
+    child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  // hashes are stored biased by Long.MinValue so the natural signed
+  // ordering equals unsigned hash order (keeps the buffer a plain
+  // TreeSet — a custom Comparator would have to be Serializable).
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+    buf.add(h ^ Long.MinValue)
+    if (buf.size > k) buf.remove(buf.last())
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    // double-hash: a single hashLong over small sequential ints left a
+    // consistent +10-17% bias in the kth-minimum (poor low-order
+    // mixing); the second round brings error within the ~6% rsd bound
+    if (v != null) add(buf, XXH64.hashLong(XXH64.hashLong(v.asInstanceOf[Long], 42L), 7L))
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+                     b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    // b2 already holds biased values; insert without re-biasing
+    while (it.hasNext) {
+      b1.add(it.next())
+      if (b1.size > k) b1.remove(b1.last())
+    }
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val n = buf.size
+    if (n < k) n.toLong // fewer distinct values than k: sketch is exact
+    else {
+      // kth-minimum as a fraction of the unsigned 64-bit space; the
+      // stored value is biased (u - 2^63), so frac = b/2^64 + 1/2
+      val b = buf.last().longValue()
+      val frac = b.toDouble / 1.8446744073709552e19 + 0.5
+      math.round((k - 1) / frac)
+    }
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong) ; i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(o: Int): KmvDistinct =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvDistinct =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): KmvDistinct = copy(child = c.head)
+  override def prettyName: String = "kmv_distinct"
 }

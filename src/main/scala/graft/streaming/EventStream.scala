@@ -89,13 +89,43 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  // s4: arbitrary stateful processing — per-user running state
+  // (event count + max value) via mapGroupsWithState, the API for
+  // state machines watermarks can't express. One batch here, so the
+  // emitted update equals the batch aggregate (the oracle).
+  def s4StreamCustomState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ev = readEvents(s, d)
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+    val updated = ev.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          var (n, m) = state.getOption.getOrElse((0L, Double.MinValue))
+          rows.foreach { r => n += 1; if (r._2 > m) m = r._2 }
+          state.update((n, m))
+          (uid, n, m)
+      }
+      .toDF("user_id", "n_events", "max_value")
+    val name = s"graft_sink_${nameSeq.incrementAndGet()}"
+    val q = updated.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s4_stream_custom_state" -> (s4StreamCustomState _),
     "s1_stream_window" -> (s1StreamWindow _),
     "s2_stream_dedup" -> (s2StreamDedup _),
     "s3_stream_session" -> (s3StreamSession _),
   )
 
   val oracles: Map[String, String] = Map(
+    "s4_stream_custom_state" ->
+      """SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // identical to q22's oracle: the streaming window agg must converge
     // to the batch answer.
     "s1_stream_window" ->

@@ -13,7 +13,8 @@ class EntrySpec extends SparkSpec {
       operators.Relational.queries.size + operators.Events.queries.size +
         operators.TextOps.queries.size + operators.Similarity.queries.size +
         streaming.EventStream.queries.size + Geometry.queries.size +
-        operators.Skew.queries.size + operators.Analytics.queries.size
+        operators.Skew.queries.size + operators.Analytics.queries.size +
+        operators.Typed.queries.size
     assert(qs.size == totalSize, "query name collision between modules")
   }
 
