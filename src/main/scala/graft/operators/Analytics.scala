@@ -95,7 +95,50 @@ object Analytics {
            count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  // q41: SCD2 history versioning (reference audit history / MODIFIED_
+  // DATE tracking, app.py:4826): each order becomes a customer-state
+  // version valid until the next one — lead() builds the validity
+  // interval in one window pass, no self-join.
+  def q41Scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("valid_from", col("o_orderdate").cast("date"))
+      .withColumn("valid_to", lead(col("o_orderdate").cast("date"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("valid_from"),
+              col("valid_to"), col("o_totalprice"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // q42: distribution windows — quartile bucket + percent_rank.
+  def q42Ntile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy("o_totalprice", "o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("quartile"), col("pr"))
+      .orderBy("o_orderkey")
+  }
+
+  // q43: cohort retention — users bucketed by first-seen DAY, counted
+  // per day offset (the events corpus spans one month, so month
+  // granularity would be a single degenerate cell). Epoch-day longs
+  // keep the offset arithmetic integer-exact.
+  def q43Retention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_scd2" -> (q41Scd2 _),
+    "q42_ntile" -> (q42Ntile _),
+    "q43_retention" -> (q43Retention _),
     "q32_rolling_window" -> (q32RollingWindow _),
     "q33_cube" -> (q33Cube _),
     "q34_collect" -> (q34Collect _),
@@ -107,6 +150,29 @@ object Analytics {
 
   /** q38 intentionally rows-only (sketch internals differ by engine). */
   val oracles: Map[String, String] = Map(
+    "q41_scd2" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS valid_from,
+        |  LEAD(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  o_totalprice
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q42_ntile" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pr
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q43_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+        |  FROM events),
+        |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  COUNT(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     "q32_rolling_window" ->
       """WITH daily AS (
         |  SELECT l_returnflag,
