@@ -43,11 +43,14 @@ object Analytics {
       .orderBy("status", "priority")
 
   // q34: array aggregation — per-customer sorted order list (sorted:
-  // collect_list order is nondeterministic across partitions).
+  // collect_list order is nondeterministic across partitions), emitted
+  // as a canonical joined string so the oracle compare never depends
+  // on list-typed hashing.
   def q34Collect(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(col("o_custkey"))
-      .agg(array_sort(collect_list(col("o_orderkey"))).as("orderkeys"),
+      .agg(concat_ws(",", array_sort(collect_list(col("o_orderkey"))))
+             .as("orderkeys"),
            count(lit(1)).as("n"))
       .orderBy("o_custkey")
 
@@ -190,7 +193,8 @@ object Analytics {
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
     "q34_collect" ->
-      """SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys,
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q35_null_handling" ->

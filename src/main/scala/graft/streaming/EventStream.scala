@@ -115,7 +115,33 @@ object EventStream {
     s.table(name).orderBy("user_id")
   }
 
+  // s5: watermarked stream-stream interval join — each purchase
+  // matched to the same user's clicks within the preceding hour.
+  // Watermarks bound both join-state buffers; the time-interval
+  // condition lets Spark expire state, which is what makes the join
+  // runnable unbounded.
+  def s5StreamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val clicks = readEvents(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts_us").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = readEvents(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+              col("user_id").as("p_user"), col("ts_us").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+    runToMemory(s, joined, "append")
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+      .orderBy("purchase_id", "click_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s5_stream_stream_join" -> (s5StreamStreamJoin _),
     "s4_stream_custom_state" -> (s4StreamCustomState _),
     "s1_stream_window" -> (s1StreamWindow _),
     "s2_stream_dedup" -> (s2StreamDedup _),
@@ -123,6 +149,14 @@ object EventStream {
   )
 
   val oracles: Map[String, String] = Map(
+    "s5_stream_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, c.user_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "s4_stream_custom_state" ->
       """SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
