@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** The composed training-data pipeline (SURVEY.md §2.3/§2.5 put
+  * together): exact-dedup → quality gate → fingerprint — the
+  * clean-corpus pass an LLM data pipeline runs before tokenization.
+  * One query end-to-end so the whole chain is oracle-checked; each
+  * stage is also available standalone (d1/d3/d5).
+  *
+  * Scale shape: dedup is one shuffle on the content key, the quality
+  * gate is a pure map, the fingerprint a codegen'd expression — the
+  * pipeline adds nothing beyond d1's shuffle.
+  */
+object Pipeline {
+
+  /** Survivors of exact dedup: the min doc_id per text value. */
+  def dedupKeepFirst(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("text").orderBy("doc_id")
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Token/quality annotation (same formula as d3). */
+  def annotate(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("stop_ratio",
+        expr("cast(size(filter(toks, x -> x IN ('the', 'a', 'data', 'row'))) as bigint)")
+          .cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        (when(col("n_tokens").between(12, 80), 1).otherwise(0) +
+         when(col("stop_ratio") < 0.3, 1).otherwise(0) +
+         when(col("n_chars") >= 200, 1).otherwise(0)).cast("long"))
+
+  // p1: the full pass — dedup, keep quality >= 2, fingerprint.
+  def p1CleanCorpus(s: SparkSession, d: String): DataFrame =
+    annotate(dedupKeepFirst(Tables.documents(s, d)))
+      .filter(col("quality") >= 2)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"),
+              GraftFunctions.rolling_hash(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_clean_corpus" -> (p1CleanCorpus _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p1_clean_corpus" ->
+      """WITH kept AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM documents) t WHERE rn = 1),
+        |ann AS (
+        |  SELECT doc_id, lang, text, n_chars,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+        |         AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(list_filter(string_split(text, ' '),
+        |           x -> x != ''), x -> x IN ('the', 'a', 'data', 'row')))
+        |         AS BIGINT) AS n_stop
+        |  FROM kept),
+        |scored AS (
+        |  SELECT doc_id, lang, text, n_tokens,
+        |    CAST((CASE WHEN n_tokens BETWEEN 12 AND 80 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens < 0.3
+        |               THEN 1 ELSE 0 END) +
+        |         (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS quality
+        |  FROM ann)
+        |SELECT doc_id, lang, n_tokens, quality,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |                     i -> CAST(unicode(text[i]) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
+        |FROM scored WHERE quality >= 2 ORDER BY doc_id""".stripMargin,
+  )
+}
