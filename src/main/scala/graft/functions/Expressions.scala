@@ -108,6 +108,8 @@ object GraftFunctions {
   def minhash_sig_long(c: Column, numHashes: Int = 64): Column =
     column(MinHashSigLong(expression(c), numHashes))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def long_dot(a: Column, b: Column): Column =
+    column(LongDot(expression(a), expression(b)))
   def kmv_distinct(c: Column, k: Int = 256): Column =
     column(KmvDistinct(expression(c), k)
       .toAggregateExpression(isDistinct = false))
@@ -451,4 +453,41 @@ case class KmvDistinct(
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): KmvDistinct = copy(child = c.head)
   override def prettyName: String = "kmv_distinct"
+}
+
+/** Exact dot product of two quantized (array<long>) vectors in one
+  * fused loop — replaces `aggregate(zip_with(a, b, *), 0L, +)` in the
+  * ANN hot path, which allocates the zipped array per pair. Long
+  * arithmetic is exact, so results are bit-identical to the HOF form.
+  */
+case class LongDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += x.getLong(i) * y.getLong(i); i += 1 }
+    java.lang.Long.valueOf(dot)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.freshName("ld")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |int ${p}n = java.lang.Math.min($a.numElements(), $b.numElements());
+      |long ${p}dot = 0L;
+      |for (int ${p}i = 0; ${p}i < ${p}n; ${p}i++) {
+      |  ${p}dot += $a.getLong(${p}i) * $b.getLong(${p}i);
+      |}
+      |${ev.value} = ${p}dot;
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDot =
+    copy(left = newLeft, right = newRight)
 }

@@ -35,8 +35,7 @@ object Similarity {
     emb.select(col("vec_id").as("nid"), col("q"), col("nrm"))
       .crossJoin(broadcast(qs))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(q, qq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dot", GraftFunctions.long_dot(col("q"), col("qq")))
       .withColumn("cosine",
         col("dot").cast("double") /
           (sqrt(col("nrm").cast("double")) * sqrt(col("qn").cast("double"))))
