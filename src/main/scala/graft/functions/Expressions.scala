@@ -32,15 +32,19 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     h
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // fresh-name prefix per call site: two rolling_hash calls in one
+    // codegen scope must not redeclare the same locals
+    val p = ctx.freshName("rh")
     nullSafeCodeGen(ctx, ev, c => s"""
-      |String $$s = $c.toString();
-      |long $$h = 0L;
-      |for (int $$i = 0; $$i < $$s.length(); $$i++) {
-      |  $$h = ($$h * 31L + (long) $$s.charAt($$i)) % 1000000007L;
+      |String ${p}s = $c.toString();
+      |long ${p}h = 0L;
+      |for (int ${p}i = 0; ${p}i < ${p}s.length(); ${p}i++) {
+      |  ${p}h = (${p}h * 31L + (long) ${p}s.charAt(${p}i)) % 1000000007L;
       |}
-      |${ev.value} = $$h;
-      |""".stripMargin.replace("$$", ctx.freshName("rh")))
+      |${ev.value} = ${p}h;
+      |""".stripMargin)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): RollingHash =
     copy(child = newChild)
@@ -112,6 +116,9 @@ object GraftFunctions {
     column(LongDot(expression(a), expression(b)))
   def kmv_distinct(c: Column, k: Int = 256): Column =
     column(KmvDistinct(expression(c), k)
+      .toAggregateExpression(isDistinct = false))
+  def top_k(score: Column, id: Column, k: Int): Column =
+    column(TopKByScore(expression(score), expression(id), k)
       .toAggregateExpression(isDistinct = false))
 
   /** Register for SQL use: `SELECT rolling_hash(text) …`. */
@@ -379,6 +386,16 @@ case class KmvDistinct(
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
 
+  // misuse (non-long column) must fail at analysis, not as a runtime
+  // ClassCastException in update() (AbstractDataType is private[sql],
+  // so checkInputDataTypes instead of ExpectsInputTypes)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kmv_distinct requires a BIGINT column, got ${child.dataType.catalogString}")
+
   import org.apache.spark.sql.catalyst.expressions.XXH64
   import org.apache.spark.sql.catalyst.InternalRow
 
@@ -453,6 +470,103 @@ case class KmvDistinct(
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): KmvDistinct = copy(child = c.head)
   override def prettyName: String = "kmv_distinct"
+}
+
+/** Bounded top-k by score: keeps the k best (score DESC, id ASC)
+  * pairs, emitted as a rank-ordered array<struct<score,id>>.
+  *
+  * This is the scale-safe replacement for `row_number() OVER
+  * (PARTITION BY qid ORDER BY score DESC) <= k`: with Q distinct
+  * query ids, the window form shuffles every scored row onto Q
+  * partitions (each reducer receives the full corpus at 100 TB),
+  * while this aggregate is partially applied map-side — each input
+  * partition forwards at most k rows per qid, so the exchange moves
+  * O(partitions · Q · k) buffers regardless of corpus size. Same
+  * shape as Spark's own `TakeOrderedAndProject`, but per group.
+  *
+  * Deterministic: total order (score DESC, id ASC); null scores are
+  * skipped. Mergeable, so it also composes under AQE re-plans.
+  */
+case class TopKByScore(
+    score: Expression, id: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(Double, Long)]] {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private type Buf = scala.collection.mutable.ArrayBuffer[(Double, Long)]
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"topk_by_score requires (DOUBLE score, BIGINT id), got " +
+          s"(${score.dataType.catalogString}, ${id.dataType.catalogString})")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(score, id)
+
+  override def createAggregationBuffer(): Buf = new Buf
+
+  /** keep the k best; amortized O(1) per row via lazy compaction. */
+  private def compact(b: Buf): Buf = {
+    if (b.length > k) {
+      val kept = b.sortBy(t => (-t._1, t._2)).take(k)
+      b.clear()
+      b ++= kept
+    }
+    b
+  }
+
+  override def update(b: Buf, input: InternalRow): Buf = {
+    val sv = score.eval(input)
+    val iv = id.eval(input)
+    if (sv != null && iv != null) {
+      b += ((sv.asInstanceOf[Double], iv.asInstanceOf[Long]))
+      if (b.length >= 4 * k) compact(b)
+    }
+    b
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = { a ++= b; compact(a) }
+
+  override def eval(b: Buf): Any = {
+    val kept = b.sortBy(t => (-t._1, t._2)).take(k)
+    new GenericArrayData(kept.map { case (s, i) =>
+      new GenericInternalRow(Array[Any](s, i)): InternalRow
+    }.toArray)
+  }
+
+  override def serialize(b: Buf): Array[Byte] = {
+    compact(b) // never ship more than k pairs
+    val bb = java.nio.ByteBuffer.allocate(4 + b.length * 16)
+    bb.putInt(b.length)
+    b.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = createAggregationBuffer()
+    var i = 0
+    while (i < n) { b += ((bb.getDouble, bb.getLong)); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKByScore =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKByScore =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): TopKByScore =
+    copy(score = c(0), id = c(1))
+  override def prettyName: String = "topk_by_score"
 }
 
 /** Exact dot product of two quantized (array<long>) vectors in one

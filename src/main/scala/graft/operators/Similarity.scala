@@ -24,25 +24,37 @@ object Similarity {
         "transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))"))
       .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
 
+  /** scored (qid, nid, cosine) → rank-ordered top-k rows per qid via
+    * the bounded TopKByScore aggregate. Partial aggregation keeps <= k
+    * rows per qid per map partition, so the exchange moves
+    * O(partitions · Q · k) — never the scored corpus (the window form
+    * it replaces funneled all N·Q rows onto Q reducer partitions).
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("qid"))
+      .agg(GraftFunctions.top_k(col("cosine"), col("nid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t.id").as("nid"), col("t.score").as("cosine"),
+              (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+
   // e1: brute-force cosine top-k for a query set — the exactness
   // baseline. Queries broadcast; corpus scanned once; O(Q·N) fused
-  // higher-order expressions, no explode.
+  // higher-order expressions, no explode; final top-k is a mergeable
+  // bounded aggregate (no full-corpus shuffle).
   def e1KnnBrute(s: SparkSession, d: String): DataFrame = {
     val emb = quantized(s, d)
     val qs = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
-    emb.select(col("vec_id").as("nid"), col("q"), col("nrm"))
+    val scored = emb.select(col("vec_id").as("nid"), col("q"), col("nrm"))
       .crossJoin(broadcast(qs))
       .filter(col("nid") =!= col("qid"))
       .withColumn("dot", GraftFunctions.long_dot(col("q"), col("qq")))
       .withColumn("cosine",
         col("dot").cast("double") /
           (sqrt(col("nrm").cast("double")) * sqrt(col("qn").cast("double"))))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .select(col("qid"), col("nid"), col("cosine"), col("rnk").cast("long").as("rnk"))
-      .orderBy("qid", "rnk")
+    topKPerQuery(scored, 5)
   }
 
   // e2: LSH-bucketed ANN — the 100 TB path: random-hyperplane signs
@@ -64,15 +76,11 @@ object Similarity {
     val emb = bucketed(s, d)
     val qs = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
-    emb.select(col("vec_id").as("nid"), col("embedding"), col("bucket"))
+    val scored = emb.select(col("vec_id").as("nid"), col("embedding"), col("bucket"))
       .join(broadcast(qs), Seq("bucket"))
       .filter(col("nid") =!= col("qid"))
       .withColumn("cosine", GraftFunctions.cosine_sim(col("embedding"), col("qe")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .select(col("qid"), col("nid"), col("cosine"), col("rnk").cast("long").as("rnk"))
-      .orderBy("qid", "rnk")
+    topKPerQuery(scored, 5)
   }
 
   // e3: per-label centroids — element-wise mean over quantized values;
