@@ -113,7 +113,61 @@ object Analytics {
   }
 
   // q42: distribution windows — quartile bucket + percent_rank.
+  //
+  // Scale-safe two-pass design. o_orderstatus has ~3 values, so
+  // `ntile(4) OVER (PARTITION BY o_orderstatus …)` funnels a third of
+  // the table through one window task — correct at sf0.1, dead at
+  // 100×. Instead the exact per-row rank is computed hierarchically:
+  //   1. equi-depth price boundaries per status (approx_percentile,
+  //      tiny result, broadcast) split each status into B buckets;
+  //      bucket = #boundaries strictly below the price, so tied
+  //      prices always share a bucket and ranks stay exact no matter
+  //      where the (possibly imprecise) boundaries fall — boundary
+  //      quality affects balance, never correctness.
+  //   2. per-(status, bucket) counts → cumulative offsets (window
+  //      over ≤B rows per status — bounded, not data-sized).
+  //   3. row_number within (status, bucket) — partitions are ~n/B.
+  // rank = offset + local row_number; ntile/percent_rank are then
+  // closed-form integer arithmetic over (rank, n). Output is
+  // bit-identical to the window form (q42NtileWindow below, kept as
+  // the small-SF cross-check — AnalyticsSpec asserts equality).
   def q42Ntile(s: SparkSession, d: String): DataFrame = {
+    val buckets = 64
+    val pcts = (1 until buckets).map(i => i.toDouble / buckets).mkString(",")
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val bounds = o.groupBy("o_orderstatus")
+      .agg(expr(s"approx_percentile(o_totalprice, array($pcts), 10000)").as("bnds"),
+           count(lit(1)).as("n_status"))
+    val bucketed = o.join(broadcast(bounds), "o_orderstatus")
+      .withColumn("bkt",
+        expr("aggregate(bnds, 0, (acc, b) -> acc + if(o_totalprice > b, 1, 0))"))
+      .drop("bnds")
+    val offs = bucketed.groupBy("o_orderstatus", "bkt")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        sum("cnt").over(Window.partitionBy("o_orderstatus").orderBy("bkt")) - col("cnt"))
+      .drop("cnt")
+    val wB = Window.partitionBy("o_orderstatus", "bkt")
+      .orderBy("o_totalprice", "o_orderkey")
+    bucketed.join(broadcast(offs), Seq("o_orderstatus", "bkt"))
+      .withColumn("rnk", col("off") + row_number().over(wB))
+      .withColumn("quartile", expr(
+        """CAST(IF(rnk <= (n_status % 4) * (n_status DIV 4 + 1),
+          |        (rnk - 1) DIV (n_status DIV 4 + 1),
+          |        n_status % 4 + (rnk - (n_status % 4) * (n_status DIV 4 + 1) - 1)
+          |                         DIV (n_status DIV 4)) + 1 AS BIGINT)""".stripMargin))
+      .withColumn("pr", expr(
+        "IF(n_status = 1, CAST(0 AS DOUBLE), CAST(rnk - 1 AS DOUBLE) / CAST(n_status - 1 AS DOUBLE))"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("quartile"), col("pr"))
+      .orderBy("o_orderkey")
+  }
+
+  /** The single-pass window form of q42 — the small-SF oracle twin the
+    * two-pass plan is checked against (never run it at scale: the
+    * 3-value partition key is the flagged anti-pattern).
+    */
+  def q42NtileWindow(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_orderstatus")
       .orderBy("o_totalprice", "o_orderkey")
     Tables.orders(s, d)

@@ -75,14 +75,11 @@ object Events {
               col("first_signup") < col("first_purchase"))
       .orderBy("user_id")
 
-  /** User ↔ prop-bucket bipartite membership, the g1 graph. Bounded
-    * to user_id < 200 so the DuckDB oracle's transitive closure stays
-    * tractable at every SF (the Spark side scales fine without the
-    * bound; the closure is quadratic in component size).
+  /** User ↔ prop-bucket bipartite membership, the g1 graph — the
+    * full, unbounded graph (`user_id`, `g` bucket).
     */
-  private def membership(s: SparkSession, d: String): DataFrame =
+  def membership(s: SparkSession, d: String): DataFrame =
     ev(s, d)
-      .filter(col("user_id") < 200)
       .select(col("user_id"),
               (get_json_object(col("props"), "$.k").cast("long") % 25).as("g"))
       .distinct()
@@ -92,10 +89,23 @@ object Events {
   // user↔bucket bipartite graph. O(diameter) joins, each a keyed
   // shuffle; converges in ~log(n) rounds (the two-sided min hop is the
   // small-star/large-star step). Deterministic: labels are min user_id.
-  def g1ConnectedComponents(s: SparkSession, d: String): DataFrame = {
-    val m = membership(s, d).cache()
+  //
+  // Takes the graph as a parameter: oracle-tractability bounds (the
+  // DuckDB transitive closure is quadratic in component size) belong
+  // to the test harness, not the operator.
+  //
+  // Iteration hygiene for long chains: each round's labels are
+  // `localCheckpoint`ed (eager) — lineage is truncated so the plan
+  // stays O(1)-sized across iterations instead of nesting 20 joins —
+  // and the superseded round's blocks are unpersisted as soon as the
+  // convergence count has consumed them. The final labels DF remains
+  // checkpoint-backed for the consumer; its blocks are released by
+  // the ContextCleaner when the DF is collected and dropped.
+  def g1ConnectedComponents(graph: DataFrame): DataFrame = {
+    val m = graph.cache()
     var labels = m.select(col("user_id")).distinct()
       .withColumn("comp", col("user_id"))
+    var prev: DataFrame = null
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
@@ -106,13 +116,16 @@ object Events {
         .groupBy("user_id").agg(min("gcomp").as("newcomp"))
         .join(labels, "user_id")
         .select(col("user_id"), least(col("comp"), col("newcomp")).as("comp"))
-        .cache()
+        .localCheckpoint() // eager: materializes + truncates lineage
       val changed = next.join(labels.withColumnRenamed("comp", "old"), "user_id")
         .filter(col("comp") =!= col("old")).count()
+      if (prev != null) prev.unpersist()
+      prev = labels
       labels = next
       converged = changed == 0
       iter += 1
     }
+    if (prev != null && !(prev eq labels)) prev.unpersist()
     m.unpersist()
     labels.select(col("user_id"), col("comp").as("component"))
       .orderBy("user_id")
@@ -133,7 +146,11 @@ object Events {
       .select(col("user_id"), col("ts_us"), lit(0).as("kind"), col("event_id"))
       .unionAll(e.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts_us"), lit(1).as("kind"), col("event_id")))
-    val w = Window.partitionBy("user_id").orderBy("ts_us", "kind")
+    // event_id in the ordering: two clicks in the same microsecond
+    // would otherwise make `last()` partition-order-dependent; with it,
+    // the match is deterministically max(click_id) among ties (the
+    // oracle pre-collapses ties the same way).
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "kind", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("click_id",
@@ -152,14 +169,18 @@ object Events {
     "q22_event_window" -> (q22EventWindow _),
     "q23_json_extract" -> (q23JsonExtract _),
     "q24_funnel" -> (q24Funnel _),
-    "g1_connected_components" -> (g1ConnectedComponents _),
+    // user_id < 200 is an ORACLE-tractability bound (DuckDB's recursive
+    // closure is quadratic in component size) — it lives here in the
+    // harness binding, not in the operator.
+    "g1_connected_components" -> ((s: SparkSession, d: String) =>
+      g1ConnectedComponents(membership(s, d).filter(col("user_id") < 200))),
   )
 
   val oracles: Map[String, String] = Map(
     "q26_asof_join" ->
       """WITH c AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id AS click_id
-        |  FROM events WHERE event_type = 'click'),
+        |  SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
         |p AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id AS purchase_id
         |  FROM events WHERE event_type = 'purchase')

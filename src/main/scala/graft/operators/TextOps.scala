@@ -43,13 +43,38 @@ object TextOps {
   // join. This is the exact (quadratic-in-collisions) baseline; d6 is
   // the LSH scale path. The join fans out by shingle, so candidate
   // cost is sum of squared bucket sizes, not corpus².
-  def d2NgramJaccard(s: SparkSession, d: String): DataFrame = {
+  def d2NgramJaccard(s: SparkSession, d: String): DataFrame =
+    d2NgramJaccardCapped(s, d, dfCap = 1000L)
+
+  /** `dfCap` is the scale governor: candidate cost is Σ(df²) over
+    * shingles, so one boilerplate 3-gram appearing in B documents
+    * alone creates B² candidate pairs — at corpus scale that single
+    * term dwarfs everything else. Shingles with document frequency
+    * above the cap are dropped from the candidate index BEFORE the
+    * self-join, bounding per-shingle cost at cap². Correctness
+    * argument: a shingle shared by >cap documents carries no
+    * discriminative signal for a 0.8-Jaccard pair decision (it
+    * "matches" essentially everything), so dropping it only
+    * underestimates similarity for pairs whose overlap is mostly
+    * corpus-wide boilerplate — precisely the pairs a near-dup pass
+    * should not merge. At test SFs the cap is provably unhit (max df
+    * is 25 at sf0.1, TextSimSpec asserts capped == uncapped), so the
+    * DuckDB oracle — which does not model the cap — stays bit-exact.
+    */
+  def d2NgramJaccardCapped(s: SparkSession, d: String, dfCap: Long): DataFrame = {
     // the join key is the shingle's 64-bit hash, never the string: the
     // shuffle moves 8-byte keys (collisions at 2^-64 are noise next to
     // the 0.8 threshold). Identical branches on both sides of the
     // self-join let Spark reuse one exchange instead of shingling twice.
-    val sh = shingled(s, d)
+    val exploded = shingled(s, d)
       .select(col("doc_id"), col("sz"), explode(col("shingles")).as("shh"))
+    // df stop-list: hash-partitioned on shh like the self-join itself,
+    // so the filter rides the exchange the join needs anyway
+    val keep = exploded.groupBy("shh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("shh")
+    val sh = exploded.join(keep, "shh")
     sh.as("a").join(sh.as("b"),
         col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -130,20 +155,38 @@ object TextOps {
   }
 
   // d7: 64-bit SimHash + near-dup pairs within Hamming distance 7,
-  // candidates via 8×8-bit block LSH (pigeonhole: ham<=7 over 8 blocks
-  // guarantees one equal block). Rows-only check.
+  // candidates via a two-block-combination multi-index (Manku-style).
+  //
+  // Why not single blocks: k+1=8 blocks of 8 bits satisfies the
+  // pigeonhole for ham<=7 but yields only 8·256 = 2,048 buckets TOTAL
+  // — a key space that does not grow with the corpus, so intra-bucket
+  // candidate cost is ~N²/2048 (all-pairs with a constant discount).
+  // Instead: 9 blocks (widths 8,7,…,7), keys = all C(9,2)=36 ordered
+  // block PAIRS. Generalized pigeonhole: ham<=7 dirties at most 7 of
+  // the 9 blocks, leaving >=2 clean, so some pair of blocks matches
+  // exactly — recall for ham<=7 stays guaranteed, while each pair key
+  // spans 14-15 bits (36·~2^15 ≈ 1.2M buckets, growing with key
+  // width). Fan-out is 36 rows/doc (linear); a 64-bit-hash bucket
+  // collision can only add a spurious candidate, which the exact
+  // hamming filter then rejects. Rows-only check; TextSimSpec proves
+  // the pair set equals brute-force ham<=7 on the test corpus.
   def d7Simhash(s: SparkSession, d: String): DataFrame = {
+    val offsets = Array(0, 8, 15, 22, 29, 36, 43, 50, 57)
+    val widths = Array(8, 7, 7, 7, 7, 7, 7, 7, 7)
+    def blk(i: Int) =
+      s"(shiftright(simhash, ${offsets(i)}) & ${(1L << widths(i)) - 1}L)"
+    val pairKeys = (for { i <- 0 until 9; j <- i + 1 until 9 } yield
+      s"xxhash64(${i * 9 + j}, ${blk(i)}, ${blk(j)})").mkString(", ")
     val sh = docs(s, d)
       .filter(size(col("toks")) >= 1)
       .withColumn("simhash", GraftFunctions.simhash64(col("toks")))
       .select(col("doc_id"), col("simhash"))
       .cache()
-    val blocks = sh.select(col("doc_id"), col("simhash"), explode(expr(
-        "transform(sequence(0, 7), b -> struct(b as blk, shiftright(simhash, b*8) & 255 as bval))")).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.blk"), col("bb.bval"))
-    blocks.select(col("blk"), col("bval"), col("doc_id").as("doc_a"), col("simhash").as("ha"))
-      .join(blocks.select(col("blk"), col("bval"), col("doc_id").as("doc_b"), col("simhash").as("hb")),
-            Seq("blk", "bval"))
+    val keys = sh.select(col("doc_id"), col("simhash"),
+        explode(expr(s"array($pairKeys)")).as("bkey"))
+    keys.select(col("bkey"), col("doc_id").as("doc_a"), col("simhash").as("ha"))
+      .join(keys.select(col("bkey"), col("doc_id").as("doc_b"), col("simhash").as("hb")),
+            Seq("bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
               expr("bit_count(ha ^ hb)").cast("long").as("hamming"))

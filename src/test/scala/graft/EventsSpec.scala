@@ -18,7 +18,8 @@ class EventsSpec extends SparkSpec {
   }
 
   test("g1 components are canonical min labels") {
-    val rows = Events.g1ConnectedComponents(spark, sf).collect()
+    // operator takes the graph unbounded — run it on the full membership
+    val rows = Events.g1ConnectedComponents(Events.membership(spark, sf)).collect()
     // every component label is itself a member of the component
     val members = rows.map(_.getAs[Long]("user_id")).toSet
     val labels = rows.map(_.getAs[Long]("component")).toSet

@@ -23,6 +23,32 @@ class TextSimSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
   }
 
+  test("d2 df-cap is unhit at test SF: capped pair set == uncapped") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+                 r.getAs[Double]("jaccard"))).toSet
+    val capped = pairs(TextOps.d2NgramJaccard(spark, sf))
+    val uncapped = pairs(TextOps.d2NgramJaccardCapped(spark, sf, Long.MaxValue))
+    assert(capped == uncapped,
+      s"df cap dropped pairs at test SF: ${uncapped -- capped}")
+  }
+
+  test("d7 multi-index finds exactly the brute-force ham<=7 pairs") {
+    val sh = Tables.documents(spark, sf)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), GraftFunctions.simhash64(col("toks")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, ha) <- sh; (idb, hb) <- sh
+      if ida < idb && java.lang.Long.bitCount(ha ^ hb) <= 7
+    } yield (ida, idb)).toSet
+    val lsh = TextOps.d7Simhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(lsh == brute,
+      s"missed: ${brute -- lsh}; spurious: ${lsh -- brute}")
+  }
+
   test("rolling_hash matches the reference recurrence and registers for SQL") {
     def ref(s: String): Long =
       s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
