@@ -120,6 +120,9 @@ object GraftFunctions {
   def top_k(score: Column, id: Column, k: Int): Column =
     column(TopKByScore(expression(score), expression(id), k)
       .toAggregateExpression(isDistinct = false))
+  def capped_collect_pairs(id: Column, sz: Column, cap: Int): Column =
+    column(CappedCollectPairs(expression(id), expression(sz), cap)
+      .toAggregateExpression(isDistinct = false))
 
   /** Register for SQL use: `SELECT rolling_hash(text) …`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -567,6 +570,93 @@ case class TopKByScore(
       c: IndexedSeq[Expression]): TopKByScore =
     copy(score = c(0), id = c(1))
   override def prettyName: String = "topk_by_score"
+}
+
+/** Size-capped posting-list collector: gathers (id, sz) pairs per
+  * group but STOPS BUFFERING at cap+1 entries and evaluates to null
+  * for any group that exceeded the cap. This is what makes a
+  * document-frequency stop-list memory-safe: a boilerplate shingle
+  * shared by 10⁸ documents costs a cap+1-entry buffer here, where
+  * `collect_list` + post-filter would materialize all 10⁸ entries in
+  * one aggregation buffer before the filter could drop them.
+  *
+  * Overflow state survives serialize/merge (an overflowed buffer
+  * ships as cap+1 entries, keeping merged sizes > cap), so partial
+  * aggregation stays correct. Output order is insertion order —
+  * consumers must not depend on it (d2 re-aggregates per pair).
+  */
+case class CappedCollectPairs(
+    id: Expression, sz: Expression, cap: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(Long, Long)]] {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private type Buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (id.dataType == LongType && sz.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"capped_collect_pairs requires (BIGINT, BIGINT), got " +
+          s"(${id.dataType.catalogString}, ${sz.dataType.catalogString})")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sz", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(id, sz)
+
+  override def createAggregationBuffer(): Buf = new Buf
+
+  override def update(b: Buf, input: InternalRow): Buf = {
+    val iv = id.eval(input)
+    val sv = sz.eval(input)
+    // past cap+1 the group is already doomed — stop accumulating
+    if (iv != null && sv != null && b.length <= cap)
+      b += ((iv.asInstanceOf[Long], sv.asInstanceOf[Long]))
+    b
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    val room = (cap + 1) - a.length
+    if (room > 0) a ++= b.take(room)
+    a
+  }
+
+  override def eval(b: Buf): Any =
+    if (b.length > cap) null
+    else new GenericArrayData(b.map { case (i, s) =>
+      new GenericInternalRow(Array[Any](i, s)): InternalRow
+    }.toArray)
+
+  override def serialize(b: Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + b.length * 16)
+    bb.putInt(b.length)
+    b.foreach { case (i, s) => bb.putLong(i); bb.putLong(s) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = createAggregationBuffer()
+    var i = 0
+    while (i < n) { b += ((bb.getLong, bb.getLong)); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CappedCollectPairs =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CappedCollectPairs =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): CappedCollectPairs =
+    copy(id = c(0), sz = c(1))
+  override def prettyName: String = "capped_collect_pairs"
 }
 
 /** Exact dot product of two quantized (array<long>) vectors in one

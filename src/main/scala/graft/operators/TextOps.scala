@@ -62,21 +62,26 @@ object TextOps {
     * DuckDB oracle — which does not model the cap — stays bit-exact.
     */
   def d2NgramJaccardCapped(s: SparkSession, d: String, dfCap: Long): DataFrame = {
-    // the join key is the shingle's 64-bit hash, never the string: the
-    // shuffle moves 8-byte keys (collisions at 2^-64 are noise next to
-    // the 0.8 threshold). Identical branches on both sides of the
-    // self-join let Spark reuse one exchange instead of shingling twice.
-    val exploded = shingled(s, d)
+    // group-by-shingle-then-emit-pairs, not a self-join: ONE exchange
+    // on the shingle's 64-bit hash (8-byte shuffle keys; collisions at
+    // 2^-64 are noise next to the 0.8 threshold) collects each
+    // shingle's posting list, the df cap drops oversized lists, and
+    // candidate pairs are generated in-place with codegen'd array
+    // functions. The cap bounds BOTH the collect_list buffer (<= cap
+    // entries per key) and the per-shingle pair fan-out (<= cap²) —
+    // the two quantities that blow up on boilerplate shingles.
+    val postings = shingled(s, d)
       .select(col("doc_id"), col("sz"), explode(col("shingles")).as("shh"))
-    // df stop-list: hash-partitioned on shh like the self-join itself,
-    // so the filter rides the exchange the join needs anyway
-    val keep = exploded.groupBy("shh")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap)
-      .select("shh")
-    val sh = exploded.join(keep, "shh")
-    sh.as("a").join(sh.as("b"),
-        col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy("shh")
+      // capped collector: overflowing groups evaluate to null without
+      // ever buffering more than cap+1 entries (see Expressions.scala)
+      .agg(GraftFunctions.capped_collect_pairs(
+             col("doc_id"), col("sz"),
+             math.min(dfCap, (Int.MaxValue - 1).toLong).toInt).as("members"))
+      .filter(col("members").isNotNull)
+    postings
+      .withColumn("a", explode(col("members")))
+      .withColumn("b", explode(expr("filter(members, m -> m.doc_id > a.doc_id)")))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"),
            max(col("a.sz")).as("sa"), max(col("b.sz")).as("sb"))

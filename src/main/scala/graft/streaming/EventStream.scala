@@ -90,22 +90,45 @@ object EventStream {
   }
 
   // s4: arbitrary stateful processing — per-user running state
-  // (event count + max value) via mapGroupsWithState, the API for
-  // state machines watermarks can't express. One batch here, so the
-  // emitted update equals the batch aggregate (the oracle).
+  // (event count + max value) via flatMapGroupsWithState with an
+  // EVENT-TIME TIMEOUT: updates are emitted on data, and a user's
+  // state is dropped one event-hour after their last activity (the
+  // timeout path emits nothing — it is pure state expiry). Unbounded
+  // keyspace therefore means bounded state: the store holds only
+  // users active within the trailing hour of event time. A user who
+  // reappears after expiry restarts from zero — the inherent contract
+  // of watermark-bounded state (an unexpirable global count is
+  // exactly the s4-round-1 anti-pattern this replaces). One batch in
+  // the finite test, so the emitted updates equal the batch aggregate
+  // (the oracle).
   def s4StreamCustomState(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val ev = readEvents(s, d)
-      .select(col("user_id"), col("value")).as[(Long, Double)]
+      .withWatermark("ts_us", "1 hour")
+      .select(col("user_id"), col("value"), col("ts_us"))
+      .as[(Long, Double, java.sql.Timestamp)]
     val updated = ev.groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[(Long, Double)],
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
          state: GroupState[(Long, Double)]) =>
-          var (n, m) = state.getOption.getOrElse((0L, Double.MinValue))
-          rows.foreach { r => n += 1; if (r._2 > m) m = r._2 }
-          state.update((n, m))
-          (uid, n, m)
+          if (state.hasTimedOut) {
+            state.remove() // expiry only — emissions happened on data
+            Iterator.empty
+          } else {
+            var (n, m) = state.getOption.getOrElse((0L, Double.MinValue))
+            var lastMs = 0L
+            rows.foreach { r =>
+              n += 1; if (r._2 > m) m = r._2
+              if (r._3.getTime > lastMs) lastMs = r._3.getTime
+            }
+            state.update((n, m))
+            // expire 1 event-hour after last activity; clamp above the
+            // current watermark (setTimeoutTimestamp rejects the past)
+            state.setTimeoutTimestamp(
+              math.max(lastMs + 3600000L, state.getCurrentWatermarkMs() + 1))
+            Iterator.single((uid, n, m))
+          }
       }
       .toDF("user_id", "n_events", "max_value")
     val name = s"graft_sink_${nameSeq.incrementAndGet()}"
