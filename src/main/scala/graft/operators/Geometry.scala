@@ -114,10 +114,66 @@ object Geometry {
            count(lit(1)).as("n_merged"))
       .orderBy("horiz", "coord")
 
+  private val Tol = 5.0
+
+  // g5: snap/extend segments to boxes (reference `app.py:329-583`:
+  // extend each detected line endpoint to the nearest component box
+  // within tolerance, so lines "connect" to the symbols they touch).
+  // For each segment endpoint (start and end), the candidate boxes are
+  // those whose FACING edge lies strictly beyond the endpoint along
+  // the segment's axis, within Tol, and whose perpendicular span
+  // contains the endpoint; the snap target is the nearest such edge
+  // (ties broken by p_partkey). Same grid-cell equi-join machinery as
+  // g2/g3: boxes explode into covered cells, endpoints probe the ≤4
+  // cells within Tol, exact predicate after the hash join — the
+  // per-image nested loop becomes one keyed shuffle. The final argmin
+  // window partitions by (line, endpoint) — bounded candidate groups,
+  // not a low-cardinality key.
+  def g5LineSnap(s: SparkSession, d: String): DataFrame = {
+    val b = boxes(s, d)
+      .withColumn("cx", explode(expr(
+        s"sequence(cast(floor(x1 / $Cell) as int), cast(floor(x2 / $Cell) as int))")))
+      .withColumn("cy", explode(expr(
+        s"sequence(cast(floor(y1 / $Cell) as int), cast(floor(y2 / $Cell) as int))")))
+    val ep = lines(s, d)
+      .withColumn("endpt", explode(expr("sequence(0, 1)")))
+      .withColumn("ex", when(col("horiz"),
+          when(col("endpt") === 1, col("ax") + col("len")).otherwise(col("ax")))
+        .otherwise(col("ax")))
+      .withColumn("ey", when(col("horiz"), col("ay"))
+        .otherwise(when(col("endpt") === 1, col("ay") + col("len")).otherwise(col("ay"))))
+      .withColumn("cx", explode(expr(
+        s"sequence(cast(floor((ex - $Tol) / $Cell) as int), cast(floor((ex + $Tol) / $Cell) as int))")))
+      .withColumn("cy", explode(expr(
+        s"sequence(cast(floor((ey - $Tol) / $Cell) as int), cast(floor((ey + $Tol) / $Cell) as int))")))
+    val cand = ep.join(b, Seq("cx", "cy"))
+      .filter(when(col("horiz"),
+          col("ey") >= col("y1") && col("ey") <= col("y2"))
+        .otherwise(col("ex") >= col("x1") && col("ex") <= col("x2")))
+      .withColumn("snapped", when(col("horiz"),
+          when(col("endpt") === 1, col("x1")).otherwise(col("x2")))
+        .otherwise(when(col("endpt") === 1, col("y1")).otherwise(col("y2"))))
+      .withColumn("ext", when(col("endpt") === 1,
+          when(col("horiz"), col("x1") - col("ex")).otherwise(col("y1") - col("ey")))
+        .otherwise(when(col("horiz"), col("ex") - col("x2")).otherwise(col("ey") - col("y2"))))
+      .filter(col("ext") > 0 && col("ext") <= Tol)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              col("endpt").cast("long").as("endpt"), col("p_partkey"),
+              col("snapped"), col("ext"))
+      .distinct() // a box spanning two probed cells would pair twice
+    val w = Window.partitionBy("l_orderkey", "l_linenumber", "endpt")
+      .orderBy("ext", "p_partkey")
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy("l_orderkey", "l_linenumber", "endpt")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g2_point_in_box" -> (g2PointInBox _),
     "g3_nearest_box" -> (g3NearestBox _),
     "g4_line_dedup" -> (g4LineDedup _),
+    "g5_line_snap" -> (g5LineSnap _),
   )
 
   private val PointsSql =
@@ -151,6 +207,38 @@ object Geometry {
          |  FROM d WHERE dist <= 15.0)
          |SELECT event_id, p_partkey, dist FROM r WHERE rn = 1
          |ORDER BY event_id""".stripMargin,
+    "g5_line_snap" ->
+      s"""WITH b AS ($BoxesSql),
+         |l AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    ((l_orderkey % 500) / 5) AS ax,
+         |    ((l_partkey % 500) / 5) AS ay,
+         |    (l_linenumber % 2 = 0) AS horiz,
+         |    l_quantity AS len
+         |  FROM lineitem),
+         |pt AS (
+         |  SELECT l.*, CAST(e.endpt AS BIGINT) AS endpt,
+         |    CASE WHEN horiz AND e.endpt = 1 THEN ax + len ELSE ax END AS ex,
+         |    CASE WHEN NOT horiz AND e.endpt = 1 THEN ay + len ELSE ay END AS ey
+         |  FROM l CROSS JOIN (SELECT unnest([0, 1]) AS endpt) e),
+         |cand AS (
+         |  SELECT pt.l_orderkey, pt.l_linenumber, pt.endpt, b.p_partkey,
+         |    CASE WHEN horiz THEN (CASE WHEN endpt = 1 THEN x1 ELSE x2 END)
+         |         ELSE (CASE WHEN endpt = 1 THEN y1 ELSE y2 END) END AS snapped,
+         |    CASE WHEN endpt = 1
+         |         THEN (CASE WHEN horiz THEN x1 - ex ELSE y1 - ey END)
+         |         ELSE (CASE WHEN horiz THEN ex - x2 ELSE ey - y2 END) END AS ext
+         |  FROM pt CROSS JOIN b
+         |  WHERE (CASE WHEN horiz THEN ey >= y1 AND ey <= y2
+         |              ELSE ex >= x1 AND ex <= x2 END)),
+         |hit AS (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY l_orderkey, l_linenumber, endpt
+         |    ORDER BY ext, p_partkey) AS rn
+         |  FROM cand WHERE ext > 0 AND ext <= 5)
+         |SELECT l_orderkey, l_linenumber, endpt, p_partkey, snapped, ext
+         |FROM hit WHERE rn = 1
+         |ORDER BY l_orderkey, l_linenumber, endpt""".stripMargin,
     "g4_line_dedup" ->
       """WITH l AS (
         |  SELECT (l_linenumber % 2 = 0) AS horiz,

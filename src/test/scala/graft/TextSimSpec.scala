@@ -93,6 +93,21 @@ class TextSimSpec extends SparkSpec {
     shared.foreach { case (c1, c2) => assert(math.abs(c1 - c2) < 5e-3) }
   }
 
+  test("oracle range() caps hold: docs <= 2048 bytes, embedding dim == 64") {
+    // the m2 oracle enumerates frames with range(0, 32) and the
+    // e1/e3 oracles enumerate components with range(1, 65); if the
+    // data generator ever outgrew these bounds the compare would fail
+    // with silent row-count mismatches blamed on the engine — assert
+    // the assumptions here instead.
+    val maxChars = Tables.documents(spark, sf)
+      .agg(max(length(col("text")))).head.getInt(0)
+    assert(maxChars <= 32 * 64, s"doc of $maxChars bytes exceeds the m2 oracle's 32-frame cap")
+    val dims = Tables.embeddings(spark, sf)
+      .select(size(col("embedding")).as("dim")).distinct().collect().map(_.getInt(0))
+    assert(dims.sameElements(Array(64)),
+      s"embedding dims ${dims.mkString(",")} != 64 (e1/e3 oracle range cap)")
+  }
+
   test("m1 digest matches MessageDigest on the raw text") {
     val r = Similarity.m1BinaryMeta(spark, sf).limit(1).collect().head
     val text = Tables.documents(spark, sf)
