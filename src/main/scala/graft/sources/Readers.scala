@@ -36,6 +36,17 @@ object Readers {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** Avro read/write — the row-oriented interchange format. Spark 4
+    * ships the implementation inside spark-sql but does not list it
+    * in DataSourceRegister (the "avro" shortname errors), so the
+    * format is addressed by its implementing class.
+    */
+  private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+  def avro(s: SparkSession, path: String): DataFrame =
+    s.read.format(AvroFormat).load(path)
+  def writeAvro(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format(AvroFormat).save(path)
+
   /** Partitioned parquet writer: `partitionBy` columns become the
     * directory layout so downstream scans partition-prune. At scale,
     * pick low-cardinality partition keys (date, region) — never

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{ExcelReader, Readers}
+
+class ExcelAvroSpec extends SparkSpec {
+
+  /** Write a genuine minimal xlsx (zip of XML) like any spreadsheet
+    * tool would: shared strings, one worksheet, typed cells, a gap.
+    */
+  private def writeXlsx(path: String): Unit = {
+    val sharedStrings =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">
+        |<si><t>tag</t></si><si><t>qty</t></si><si><t>note</t></si>
+        |<si><r><t>val</t></r><r><t>ve-A</t></r></si>
+        |</sst>""".stripMargin
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>3</v></c><c r="B2"><v>42</v></c><c r="C2" t="inlineStr"><is><t>hello</t></is></c></row>
+        |<row r="3"><c r="A3" t="str"><v>formula-out</v></c><c r="C3"><v>2.5</v></c></row>
+        |</sheetData>
+        |</worksheet>""".stripMargin
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(path))
+    try {
+      def put(name: String, content: String): Unit = {
+        zos.putNextEntry(new java.util.zip.ZipEntry(name))
+        zos.write(content.getBytes("UTF-8"))
+        zos.closeEntry()
+      }
+      put("xl/sharedStrings.xml", sharedStrings)
+      put("xl/worksheets/sheet1.xml", sheet)
+    } finally zos.close()
+  }
+
+  test("xlsx ingestion parses shared/inline/formula strings, numbers, gaps") {
+    val path = java.nio.file.Files.createTempDirectory("graft_xlsx")
+      .resolve("upload.xlsx").toString
+    writeXlsx(path)
+    val df = ExcelReader.excel(spark, path)
+    assert(df.columns.sameElements(Array("tag", "qty", "note")))
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "valve-A") // rich-text runs concatenated
+    assert(rows(0).getString(1) == "42")
+    assert(rows(0).getString(2) == "hello")
+    assert(rows(1).getString(0) == "formula-out")
+    assert(rows(1).getString(1) == null) // B3 absent -> gap
+    assert(rows(1).getString(2) == "2.5")
+    // the ingested sheet feeds distributed ops like any DataFrame
+    assert(df.filter(col("qty").cast("int") > 10).count() == 1)
+  }
+
+  test("avro round-trips through the bundled DataSource") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro").toString
+    val src = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    Readers.writeAvro(src, dir)
+    val back = Readers.avro(spark, dir)
+    assert(back.count() == src.count())
+    val a = src.agg(sum(col("o_orderkey"))).head.getLong(0)
+    val b = back.agg(sum(col("o_orderkey"))).head.getLong(0)
+    assert(a == b)
+  }
+}
