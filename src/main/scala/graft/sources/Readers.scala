@@ -47,6 +47,40 @@ object Readers {
   def writeAvro(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).format(AvroFormat).save(path)
 
+  /** JDBC passthrough — the reference's entire tag-registry REST
+    * surface is warehouse SQL over JDBC (`app.py:1209-1292`,
+    * `4826-5200`, `7094-7260`). Exercised offline against Derby
+    * embedded (shipped with Spark for the Hive metastore); any other
+    * warehouse is the same call with its url/driver.
+    *
+    * `jdbcPartitioned` is the 100 TB shape: numPartitions parallel
+    * range-bounded reads instead of one connection streaming the
+    * whole table through a single task. Spark pushes filters and
+    * column pruning into the remote SQL for both forms.
+    */
+  def jdbc(s: SparkSession, url: String, table: String,
+           driver: String): DataFrame =
+    s.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("driver", driver).load()
+
+  def jdbcPartitioned(s: SparkSession, url: String, table: String,
+                      driver: String, partitionColumn: String,
+                      lowerBound: Long, upperBound: Long,
+                      numPartitions: Int): DataFrame =
+    s.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("driver", driver)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound).option("upperBound", upperBound)
+      .option("numPartitions", numPartitions).load()
+
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                driver: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("driver", driver).save()
+
   /** Partitioned parquet writer: `partitionBy` columns become the
     * directory layout so downstream scans partition-prune. At scale,
     * pick low-cardinality partition keys (date, region) — never
