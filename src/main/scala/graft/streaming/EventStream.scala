@@ -163,7 +163,26 @@ object EventStream {
       .orderBy("purchase_id", "click_id")
   }
 
+  // s6: stream-static join — the enrichment pattern: each streamed
+  // event joins a STATIC dimension (per-user first-seen cohort day,
+  // batch-computed) broadcast into every micro-batch, then aggregates
+  // per (cohort_day, event_type). On a cluster the static side is any
+  // slowly-changing dim table; broadcast means zero stream-side
+  // shuffle for the join itself.
+  def s6StreamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    val cohort = graft.Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(expr("ts div 86400000000000")).as("cohort_day"))
+    val agg = readEvents(s, d)
+      .join(broadcast(cohort), Seq("user_id"))
+      .groupBy(col("cohort_day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(s, agg, "complete")
+      .orderBy("cohort_day", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s6_stream_static_join" -> (s6StreamStaticJoin _),
     "s5_stream_stream_join" -> (s5StreamStreamJoin _),
     "s4_stream_custom_state" -> (s4StreamCustomState _),
     "s1_stream_window" -> (s1StreamWindow _),
@@ -172,6 +191,14 @@ object EventStream {
   )
 
   val oracles: Map[String, String] = Map(
+    "s6_stream_static_join" ->
+      """WITH c AS (
+        |  SELECT user_id,
+        |    MIN(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS cohort_day
+        |  FROM events GROUP BY user_id)
+        |SELECT c.cohort_day, e.event_type, COUNT(*) AS n
+        |FROM events e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, event_type""".stripMargin,
     "s5_stream_stream_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, c.user_id
         |FROM events p JOIN events c

@@ -108,6 +108,22 @@ class TextSimSpec extends SparkSpec {
       s"embedding dims ${dims.mkString(",")} != 64 (e1/e3 oracle range cap)")
   }
 
+  test("e4 IVF recalls half of e1's neighbors with bit-equal cosines") {
+    val brute = Similarity.e1KnnBrute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) -> r.getAs[Double]("cosine"))
+      .toMap
+    val ivf = Similarity.e4KnnIvf(spark, sf).collect()
+    val shared = ivf.flatMap { r =>
+      brute.get((r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+        .map(c => (c, r.getAs[Double]("cosine")))
+    }
+    // both paths score with the same quantized LongDot arithmetic, so
+    // overlapping pairs must agree to the bit
+    shared.foreach { case (c1, c2) => assert(c1 == c2) }
+    val recall = shared.length.toDouble / brute.size
+    assert(recall >= 0.4, f"IVF recall $recall%.2f below floor (nProbe=4)")
+  }
+
   test("m1 digest matches MessageDigest on the raw text") {
     val r = Similarity.m1BinaryMeta(spark, sf).limit(1).collect().head
     val text = Tables.documents(spark, sf)
