@@ -200,7 +200,25 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  // d9: token counting beyond whitespace (the LLM-pipeline mandate's
+  // "BPE-ish regex" counter). Pieces = regex lexer runs (letter runs,
+  // digit runs, single punctuation) and each run contributes
+  // ceil(len/4) subword units — the "~4 chars per token" BPE rule of
+  // thumb — so long words count as multiple tokens the way a trained
+  // tokenizer would split them. Pattern stays in the RE2 ∩ Java-regex
+  // dialect so the DuckDB oracle runs the identical lexer.
+  def d9TokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ws_tokens",
+        expr("cast(size(filter(split(text, ' '), x -> x != '')) as bigint)"))
+      .withColumn("bpe_tokens", expr(
+        "aggregate(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0), " +
+          "0L, (acc, m) -> acc + (length(m) + 3) div 4)"))
+      .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d9_token_count" -> (d9TokenCount _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_dedup_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_text_stats" -> (d3TextStats _),
@@ -214,6 +232,15 @@ object TextOps {
     * SQL-expressible; the driver records rows-only checks for them.
     */
   val oracles: Map[String, String] = Map(
+    "d9_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+        |       AS BIGINT) AS ws_tokens,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
+        |                   m -> CAST((length(m) + 3) // 4 AS BIGINT))),
+        |    (a, b) -> a + b) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

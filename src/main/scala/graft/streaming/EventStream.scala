@@ -163,6 +163,27 @@ object EventStream {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** Checkpointed streaming file sink — the production shape the
+    * memory-sink test harness stands in for: watermarked dedup stream
+    * appended to parquet with a checkpoint directory, so a restart
+    * resumes exactly-once from the last committed batch. Returns the
+    * sink path's DataFrame for verification.
+    */
+  def streamDedupToParquet(s: SparkSession, d: String,
+                           outDir: String, checkpointDir: String): DataFrame = {
+    val deduped = readEvents(s, d)
+      .withWatermark("ts_us", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "user_id", "event_type", "value", "ts_us")
+    val q = deduped.writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outDir)
+  }
+
   // s6: stream-static join — the enrichment pattern: each streamed
   // event joins a STATIC dimension (per-user first-seen cohort day,
   // batch-computed) broadcast into every micro-batch, then aggregates

@@ -27,6 +27,17 @@ class StreamSourcesSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("checkpointed streaming parquet sink lands the deduped stream") {
+    val base = Files.createTempDirectory("graft_fsink")
+    val out = EventStream.streamDedupToParquet(spark, sf,
+      s"$base/out", s"$base/ckpt")
+    val expected = Tables.events(spark, sf)
+      .select(countDistinct(col("event_id"))).head.getLong(0)
+    assert(out.count() == expected)
+    // the checkpoint recorded the committed batch
+    assert(new java.io.File(s"$base/ckpt/commits").list().nonEmpty)
+  }
+
   test("orc round-trips lineitem with schema intact") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val li = Tables.lineitem(spark, sf).limit(100)
