@@ -46,11 +46,68 @@ object Pipeline {
               GraftFunctions.rolling_hash(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  // p2: the fuller pretrain-data pass — dedup, language gate (d4's
+  // marker heuristic), quality gate, BPE-ish token budget (d9's
+  // counter; drops fragments and over-long docs), fingerprint. Every
+  // stage after the single dedup shuffle is a pure map, so the whole
+  // pipeline costs one shuffle end-to-end.
+  def p2PretrainCorpus(s: SparkSession, d: String): DataFrame =
+    annotate(dedupKeepFirst(Tables.documents(s, d)))
+      .withColumn("n_en",
+        expr("cast(size(filter(toks, x -> x IN ('the', 'a'))) as bigint)"))
+      .filter(col("n_en") >= 2) // predicted 'en' (d4)
+      .filter(col("quality") >= 2)
+      .withColumn("bpe_tokens", expr(
+        "aggregate(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0), " +
+          "0L, (acc, m) -> acc + (length(m) + 3) div 4)"))
+      .filter(col("bpe_tokens").between(20, 90)) // token budget
+      .select(col("doc_id"), col("n_tokens"), col("bpe_tokens"), col("quality"),
+              GraftFunctions.rolling_hash(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_clean_corpus" -> (p1CleanCorpus _),
+    "p2_pretrain_corpus" -> (p2PretrainCorpus _),
   )
 
   val oracles: Map[String, String] = Map(
+    "p2_pretrain_corpus" ->
+      """WITH kept AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM documents) t WHERE rn = 1),
+        |ann AS (
+        |  SELECT doc_id, text, n_chars,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+        |         AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(list_filter(string_split(text, ' '),
+        |           x -> x != ''), x -> x IN ('the', 'a', 'data', 'row')))
+        |         AS BIGINT) AS n_stop,
+        |    CAST(len(list_filter(list_filter(string_split(text, ' '),
+        |           x -> x != ''), x -> x IN ('the', 'a')))
+        |         AS BIGINT) AS n_en,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
+        |                     m -> CAST((length(m) + 3) // 4 AS BIGINT))),
+        |      (a, b) -> a + b) AS BIGINT) AS bpe_tokens
+        |  FROM kept),
+        |scored AS (
+        |  SELECT doc_id, text, n_tokens, n_en, bpe_tokens,
+        |    CAST((CASE WHEN n_tokens BETWEEN 12 AND 80 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens < 0.3
+        |               THEN 1 ELSE 0 END) +
+        |         (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS quality
+        |  FROM ann)
+        |SELECT doc_id, n_tokens, bpe_tokens, quality,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |                     i -> CAST(unicode(text[i]) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
+        |FROM scored
+        |WHERE n_en >= 2 AND quality >= 2 AND bpe_tokens BETWEEN 20 AND 90
+        |ORDER BY doc_id""".stripMargin,
     "p1_clean_corpus" ->
       """WITH kept AS (
         |  SELECT * FROM (

@@ -55,6 +55,44 @@ class ExcelAvroSpec extends SparkSpec {
     assert(df.filter(col("qty").cast("int") > 10).count() == 1)
   }
 
+  test("the reference upsert flow end-to-end: xlsx upload -> MERGE") {
+    // workbook of registry updates: one matched key (price change),
+    // one new key (insert) — the app.py:6063 flow
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert")
+    val path = dir.resolve("updates.xlsx").toString
+    val shared =
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<si><t>o_orderkey</t></si><si><t>o_totalprice</t></si>
+        |</sst>""".stripMargin
+    val sheet =
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>999.5</v></c></row>
+        |<row r="3"><c r="A3"><v>900000001</v></c><c r="B3"><v>1.5</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    try {
+      def put(n: String, c: String): Unit = {
+        zos.putNextEntry(new java.util.zip.ZipEntry(n))
+        zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+      }
+      put("xl/sharedStrings.xml", shared)
+      put("xl/worksheets/sheet1.xml", sheet)
+    } finally zos.close()
+
+    val updates = ExcelReader.excel(spark, path)
+      .select(col("o_orderkey").cast("long"),
+              col("o_totalprice").cast("double"))
+    val base = Tables.orders(spark, sf)
+    val merged = graft.operators.Upsert.merge(base, updates, "o_orderkey")
+    assert(merged.count() == base.count() + 1) // one insert
+    assert(merged.filter(col("o_orderkey") === 1)
+      .head.getAs[Double]("o_totalprice") == 999.5) // update won
+    val inserted = merged.filter(col("o_orderkey") === 900000001L).head
+    assert(inserted.getAs[Double]("o_totalprice") == 1.5)
+    assert(inserted.isNullAt(inserted.fieldIndex("o_orderstatus"))) // base-only col
+  }
+
   test("avro round-trips through the bundled DataSource") {
     val dir = java.nio.file.Files.createTempDirectory("graft_avro").toString
     val src = Tables.orders(spark, sf)
