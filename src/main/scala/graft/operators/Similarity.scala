@@ -111,28 +111,40 @@ object Similarity {
              .as("cvec"))
       .withColumn("cn", sqrt(expr(
         "aggregate(cvec, cast(0.0 as double), (acc, v) -> acc + v * v)")))
-    // rank every vector's cells by centroid-normalized dot (dividing
-    // by |q| is rank-invariant per vector, so it's skipped)
-    val ranked = emb.crossJoin(broadcast(cents))
-      .withColumn("score", expr(
-        "aggregate(zip_with(q, cvec, (a, b) -> cast(a as double) * b), " +
-          "cast(0.0 as double), (acc, v) -> acc + v)") / col("cn"))
+    // numeric cell id so the argmax tie-break is orderable either way
+    val cellCents = cents.withColumn("cid", xxhash64(col("cell")))
+    def scored(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(cellCents))
+        // centroid-normalized dot; dividing by |q| is rank-invariant
+        // per vector, so it's skipped
+        .withColumn("score", expr(
+          "aggregate(zip_with(q, cvec, (a, b) -> cast(a as double) * b), " +
+            "cast(0.0 as double), (acc, v) -> acc + v)") / col("cn"))
+    // assignment as an argmax AGGREGATE, not a window: the crossJoin
+    // is map-local (centroids broadcast), so partial max_by collapses
+    // to one row per vector before the exchange — the shuffle moves N
+    // rows, not N·C sorted ones. Tie-break: lowest cell id.
+    val lists = scored(emb)
+      .groupBy(col("vec_id").as("nid"))
+      .agg(expr("max_by(struct(cid, q, nrm), struct(score, -cid))").as("m"))
+      .select(col("nid"), col("m.cid").as("cid"),
+              col("m.q").as("q"), col("m.nrm").as("nrm"))
+    // probes: tiny query set — the ranking window touches Q·C rows
+    val probes = scored(emb.filter(col("vec_id") < 10))
       .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell"))))
-    val lists = ranked.filter(col("rn") === 1) // inverted lists: nearest cell
-      .select(col("vec_id").as("nid"), col("q"), col("nrm"), col("cell"))
-    val probes = ranked.filter(col("vec_id") < 10 && col("rn") <= nProbe)
-      .select(col("vec_id").as("qid"), col("cell"))
+        Window.partitionBy("vec_id").orderBy(col("score").desc, col("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("qid"), col("cid"))
     val qvecs = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
-    val scored = lists.join(broadcast(probes), Seq("cell"))
+    val candidates = lists.join(broadcast(probes), Seq("cid"))
       .filter(col("nid") =!= col("qid"))
       .join(broadcast(qvecs), Seq("qid"))
       .withColumn("dot", GraftFunctions.long_dot(col("q"), col("qq")))
       .withColumn("cosine",
         col("dot").cast("double") /
           (sqrt(col("nrm").cast("double")) * sqrt(col("qn").cast("double"))))
-    topKPerQuery(scored, 5)
+    topKPerQuery(candidates, 5)
   }
 
   // e3: per-label centroids — element-wise mean over quantized values;
