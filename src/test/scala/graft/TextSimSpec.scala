@@ -91,6 +91,9 @@ class TextSimSpec extends SparkSpec {
     // e1 quantizes embeddings to 3 decimals for oracle exactness, so
     // its cosines differ from e2's full-precision floats by O(1e-3).
     shared.foreach { case (c1, c2) => assert(math.abs(c1 - c2) < 5e-3) }
+    // multi-probe (1-flip neighbors) recall floor: 0.60 measured here
+    val recall = shared.length.toDouble / brute.size
+    assert(recall >= 0.4, f"multi-probe LSH recall $recall%.2f below floor")
   }
 
   test("oracle range() caps hold: docs <= 2048 bytes, embedding dim == 64") {
