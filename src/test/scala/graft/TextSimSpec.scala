@@ -111,6 +111,28 @@ class TextSimSpec extends SparkSpec {
       s"embedding dims ${dims.mkString(",")} != 64 (e1/e3 oracle range cap)")
   }
 
+  test("d8 multi-probe near-dup recalls most brute-force pairs") {
+    val embs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = (for { (ia, ea) <- embs; (ib, eb) <- embs
+      if ia < ib && cos(ea, eb) >= 0.4 } yield (ia, ib)).toSet
+    val got = Similarity.d8EmbeddingNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), s"false positives: ${got -- truth}")
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.5, f"d8 recall $recall%.2f below floor")
+  }
+
   test("e4 IVF recalls half of e1's neighbors with bit-equal cosines") {
     val brute = Similarity.e1KnnBrute(spark, sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) -> r.getAs[Double]("cosine"))
