@@ -256,7 +256,69 @@ object Similarity {
     }(enc).orderBy("doc_id", "frame_idx")
   }
 
+  // m3: multimodal feature extraction — a 16-bin code-point histogram
+  // per blob, the fixed-length feature-vector shape a real extractor
+  // (CLIP embedding, color histogram) produces. Runs in mapPartitions
+  // like m1/m2 (batched decoder shape); emitted as (doc_id, bin, n)
+  // rows so downstream joins/aggs stay columnar. Deterministic, so
+  // the oracle reproduces it with unicode() arithmetic.
+  def m3FeatureExtract(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("bin", LongType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val hist = new Array[Long](16)
+          r.getString(1).foreach { ch =>
+            val b = math.min(ch.toInt / 8, 15); hist(b) += 1
+          }
+          hist.iterator.zipWithIndex.collect {
+            case (c, b) if c > 0 => Row(id, b.toLong, c)
+          }
+        }
+      }(enc).orderBy("doc_id", "bin")
+  }
+
+  // m4: multimodal resize — scale the stub-decoded (width, height) to
+  // fit a 32×32 box preserving aspect (integer arithmetic), plus a
+  // "thumbnail" digest: every k-th code point (k = ceil(len/64))
+  // rolling-hashed — the sample-then-summarize shape of a real
+  // thumbnailer, with arithmetic the oracle replays exactly.
+  def m4Resize(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("out_w", LongType, nullable = false),
+      StructField("out_h", LongType, nullable = false),
+      StructField("thumb_hash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val text = r.getString(1)
+          val n = text.length.toLong
+          val w = n % 64 + 16 // m1's stub-decoded dimensions
+          val h = n % 48 + 12
+          val side = math.max(w, h)
+          val k = ((n + 63) / 64).toInt // sample stride
+          var hash = 0L
+          var i = 0
+          while (i < text.length) {
+            hash = (hash * 31 + text.charAt(i).toLong) % 1000000007L
+            i += k
+          }
+          Row(id, w * 32 / side, h * 32 / side, hash)
+        }
+      }(enc).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m3_feature_extract" -> (m3FeatureExtract _),
+    "m4_resize" -> (m4Resize _),
     "d8_embedding_neardup" -> (d8EmbeddingNearDup _),
     "m2_frame_sample" -> (m2FrameSample _),
     "e1_knn_brute" -> (e1KnnBrute _),
@@ -270,6 +332,30 @@ object Similarity {
     * SQL-expressible); rows-only check + recall spec.
     */
   val oracles: Map[String, String] = Map(
+    "m3_feature_extract" ->
+      """WITH cp AS (
+        |  SELECT doc_id, unicode(text[i]) AS c
+        |  FROM documents, range(1, 2049) t(i)
+        |  WHERE i <= length(text))
+        |SELECT doc_id,
+        |  CAST(LEAST(c // 8, 15) AS BIGINT) AS bin, COUNT(*) AS n
+        |FROM cp GROUP BY 1, 2 ORDER BY doc_id, bin""".stripMargin,
+    "m4_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+        |    CAST(length(text) % 64 + 16 AS BIGINT) AS w,
+        |    CAST(length(text) % 48 + 12 AS BIGINT) AS h,
+        |    CAST((length(text) + 63) // 64 AS BIGINT) AS k
+        |  FROM documents)
+        |SELECT doc_id,
+        |  w * 32 // GREATEST(w, h) AS out_w,
+        |  h * 32 // GREATEST(w, h) AS out_h,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, CAST((n + k - 1) // k AS INTEGER)),
+        |                     i -> CAST(unicode(text[CAST(i * k + 1 AS INTEGER)]) AS BIGINT))),
+        |    (a, c) -> (a * 31 + c) % 1000000007) AS thumb_hash
+        |FROM dims ORDER BY doc_id""".stripMargin,
     "e1_knn_brute" ->
       """WITH v AS (
         |  SELECT vec_id, i,
