@@ -32,5 +32,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(shingle_hashes) - 64-perm MinHash"),
       (es: Seq[Expression]) => MinHashSigLong(es.head, 64)))
+    // aggregates (an AggregateExpression is an Expression)
+    e.injectFunction((FunctionIdentifier("kmv_distinct"),
+      info("kmv_distinct", "kmv_distinct(col) - KMV distinct-count sketch (k=256)"),
+      (es: Seq[Expression]) =>
+        KmvDistinct(es.head, 256).toAggregateExpression(isDistinct = false)))
+    e.injectFunction((FunctionIdentifier("topk_by_score"),
+      info("topk_by_score", "topk_by_score(score, id) - top-5 (score,id) pairs per group"),
+      (es: Seq[Expression]) =>
+        TopKByScore(es.head, es(1), 5).toAggregateExpression(isDistinct = false)))
   }
 }

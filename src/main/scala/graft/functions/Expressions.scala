@@ -136,6 +136,14 @@ object GraftFunctions {
       spark, "shingle_hashes", es => ShingleHashes(es.head, 3))
     org.apache.spark.sql.graft.shim.registerFunction(
       spark, "minhash_sig", es => MinHashSigLong(es.head, 64))
+    // aggregates register too: an AggregateExpression IS an Expression,
+    // so SQL users get `SELECT kmv_distinct(k) … GROUP BY …`
+    org.apache.spark.sql.graft.shim.registerFunction(
+      spark, "kmv_distinct",
+      es => KmvDistinct(es.head, 256).toAggregateExpression(isDistinct = false))
+    org.apache.spark.sql.graft.shim.registerFunction(
+      spark, "topk_by_score",
+      es => TopKByScore(es.head, es(1), 5).toAggregateExpression(isDistinct = false))
   }
 }
 

@@ -12,6 +12,24 @@ import graft.functions.GraftFunctions
   */
 class CodegenSpec extends SparkSpec {
 
+  test("custom aggregates work from pure SQL after registration") {
+    GraftFunctions.register(spark)
+    Tables.lineitem(spark, sf).createOrReplaceTempView("li_sql")
+    val row = spark.sql(
+      """SELECT l_returnflag, kmv_distinct(l_partkey) AS approx,
+        |  topk_by_score(CAST(l_quantity AS DOUBLE), l_orderkey) AS top
+        |FROM li_sql GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      .collect()
+    assert(row.length == 3)
+    row.foreach { r =>
+      assert(r.getLong(1) > 0)
+      val top = r.getSeq[org.apache.spark.sql.Row](2)
+      assert(top.length == 5)
+      // rank-ordered: scores non-increasing
+      assert(top.map(_.getDouble(0)).sliding(2).forall(p => p(0) >= p(1)))
+    }
+  }
+
   test("two rolling_hash calls share a codegen scope under CODEGEN_ONLY") {
     val key = "spark.sql.codegen.factoryMode"
     val prev = spark.conf.getOption(key)
