@@ -222,8 +222,41 @@ object TextOps {
       .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"))
       .orderBy("doc_id")
 
+  // d10: corpus vocabulary — top-100 tokens by frequency with a total
+  // order (count desc, token asc). orderBy+limit plans as
+  // TakeOrderedAndProject: each partition keeps its own top-100, the
+  // driver merges — no global sort, the tokenizer-training shape that
+  // still works when the vocab candidate space is billions of types.
+  def d10VocabTopK(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(100)
+
+  // d11: benchmark-contamination detection — the decontamination pass
+  // every training pipeline runs before a data release: flag training
+  // documents sharing any 3-gram shingle with the held-out set (here
+  // a deterministic 2% sample stands in for the benchmark). Join is
+  // keyed on 64-bit shingle hashes like d2; at 100 TB the benchmark
+  // side is small enough to broadcast, making this a map-only pass.
+  def d11Contamination(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+      .select(col("doc_id"), explode(col("shingles")).as("shh"))
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .select(col("shh"), col("doc_id").as("bench_id"))
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .join(bench, Seq("shh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shh")).as("n_shared_shingles"),
+           min(col("bench_id")).as("first_bench_hit"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d9_token_count" -> (d9TokenCount _),
+    "d10_vocab_topk" -> (d10VocabTopK _),
+    "d11_contamination" -> (d11Contamination _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_dedup_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_text_stats" -> (d3TextStats _),
@@ -237,6 +270,28 @@ object TextOps {
     * SQL-expressible; the driver records rows-only checks for them.
     */
   val oracles: Map[String, String] = Map(
+    "d10_vocab_topk" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+        |    AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "d11_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(0, len(w)-2),
+        |      i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), x -> x != '') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3),
+        |s AS (SELECT doc_id, unnest(sh) AS g FROM t),
+        |b AS (SELECT g, doc_id AS bench_id FROM s WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, g FROM s WHERE doc_id % 50 <> 0)
+        |SELECT tr.doc_id, COUNT(DISTINCT tr.g) AS n_shared_shingles,
+        |  MIN(bench_id) AS first_bench_hit
+        |FROM tr JOIN b ON tr.g = b.g
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "d9_token_count" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
