@@ -123,6 +123,11 @@ object GraftFunctions {
   def capped_collect_pairs(id: Column, sz: Column, cap: Int): Column =
     column(CappedCollectPairs(expression(id), expression(sz), cap)
       .toAggregateExpression(isDistinct = false))
+  def bloom_agg(c: Column, numBits: Int = 1 << 20, numHashes: Int = 5): Column =
+    column(BloomBuildAgg(expression(c), numBits, numHashes)
+      .toAggregateExpression(isDistinct = false))
+  def bloom_contains(bits: Column, v: Column, numHashes: Int = 5): Column =
+    column(BloomContains(expression(bits), expression(v), numHashes))
 
   /** Register for SQL use: `SELECT rolling_hash(text) …`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -144,6 +149,11 @@ object GraftFunctions {
     org.apache.spark.sql.graft.shim.registerFunction(
       spark, "topk_by_score",
       es => TopKByScore(es.head, es(1), 5).toAggregateExpression(isDistinct = false))
+    org.apache.spark.sql.graft.shim.registerFunction(
+      spark, "bloom_agg",
+      es => BloomBuildAgg(es.head, 1 << 20, 5).toAggregateExpression(isDistinct = false))
+    org.apache.spark.sql.graft.shim.registerFunction(
+      spark, "bloom_contains", es => BloomContains(es.head, es(1), 5))
   }
 }
 
@@ -665,6 +675,169 @@ case class CappedCollectPairs(
       c: IndexedSeq[Expression]): CappedCollectPairs =
     copy(id = c(0), sz = c(1))
   override def prettyName: String = "capped_collect_pairs"
+}
+
+/** Bloom-filter builder over a BIGINT column: the aggregation buffer
+  * is the filter's bit array (`numBits` bits as long words), bits are
+  * set via Kirsch-Mitzenmacher double hashing (pos_j = h1 + j·h2 for
+  * j < numHashes, both halves xxhash64), and partial buffers merge by
+  * bitwise OR — so the build is one map-side pass plus an
+  * O(numBits/64)-word reduce, independent of row count.
+  *
+  * This is the decontamination-at-scale primitive: build the filter
+  * over the SMALL side (a held-out benchmark's shingle hashes),
+  * broadcast the finished bit array (one row), and probe it with
+  * [[BloomContains]] in a map-only pass over the 100 TB side — no
+  * shuffle of the corpus, unlike the equi-join form (d11). One-sided
+  * error: membership may false-positive (rate set by numBits/n and
+  * numHashes) but NEVER false-negatives, so no contaminated document
+  * escapes. Deterministic (seeded hashes, no RNG).
+  */
+case class BloomBuildAgg(
+    child: Expression, numBits: Int, numHashes: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]] {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  require(numBits > 0 && numBits % 64 == 0, "numBits must be a positive multiple of 64")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_agg requires a BIGINT column, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](numBits / 64)
+
+  override def update(words: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      // MUST stay formula-identical with BloomContains (and its codegen)
+      val x = v.asInstanceOf[Long]
+      val h1 = BloomHash.h1(x)
+      val h2 = BloomHash.h2(x)
+      var j = 0
+      while (j < numHashes) {
+        val pos = ((h1 + j * h2) & Long.MaxValue) % numBits
+        words((pos >>> 6).toInt) |= 1L << (pos & 63L)
+        j += 1
+      }
+    }
+    words
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def eval(words: Array[Long]): Any = new GenericArrayData(words)
+
+  override def serialize(words: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+    var i = 0
+    while (i < words.length) { bb.putLong(words(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val words = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < words.length) { words(i) = bb.getLong; i += 1 }
+    words
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BloomBuildAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomBuildAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): BloomBuildAgg = copy(child = c.head)
+  override def prettyName: String = "bloom_agg"
+}
+
+/** Shared double-hash halves for [[BloomBuildAgg]] / [[BloomContains]]
+  * — one place so builder and prober can never drift apart. The
+  * codegen in BloomContains calls these statics directly.
+  */
+object BloomHash {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  def h1(v: Long): Long = XXH64.hashLong(v, 0x9E3779B9L)
+  // force odd so h2 is invertible mod 2^64 (all positions reachable)
+  def h2(v: Long): Long = XXH64.hashLong(v, 0x85EBCA77L) | 1L
+}
+
+/** Bloom-filter membership probe: `bloom_contains(bits, v)` where
+  * `bits` is [[BloomBuildAgg]]'s array<long> (usually a broadcast
+  * one-row cross join). numBits is derived from the array length, so
+  * builder and prober cannot disagree on sizing; `numHashes` must
+  * match the builder's. Codegen'd — the probe sits in the map-side
+  * hot path over the full corpus.
+  */
+case class BloomContains(bits: Expression, value: Expression, numHashes: Int)
+    extends BinaryExpression {
+  override def left: Expression = bits
+  override def right: Expression = value
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_contains"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (bits.dataType == ArrayType(LongType, containsNull = false) &&
+        value.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_contains requires (ARRAY<BIGINT>, BIGINT), got " +
+          s"(${bits.dataType.catalogString}, ${value.dataType.catalogString})")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val words = a.asInstanceOf[ArrayData]
+    val v = b.asInstanceOf[Long]
+    val numBits = words.numElements().toLong * 64L
+    val h1 = BloomHash.h1(v)
+    val h2 = BloomHash.h2(v)
+    var j = 0
+    while (j < numHashes) {
+      val pos = ((h1 + j * h2) & Long.MaxValue) % numBits
+      if ((words.getLong((pos >>> 6).toInt) & (1L << (pos & 63L))) == 0L)
+        return java.lang.Boolean.FALSE
+      j += 1
+    }
+    java.lang.Boolean.TRUE
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.freshName("bf")
+    // same XXH64 seeds as BloomHash.h1/h2 — XXH64 is a Java class, so
+    // its statics are directly callable from generated code
+    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |long ${p}m = (long) $a.numElements() * 64L;
+      |long ${p}h1 = $xxh.hashLong($b, 0x9E3779B9L);
+      |long ${p}h2 = $xxh.hashLong($b, 0x85EBCA77L) | 1L;
+      |boolean ${p}hit = true;
+      |for (int ${p}j = 0; ${p}j < $numHashes; ${p}j++) {
+      |  long ${p}pos = ((${p}h1 + ${p}j * ${p}h2) & Long.MAX_VALUE) % ${p}m;
+      |  if (($a.getLong((int) (${p}pos >>> 6)) & (1L << (${p}pos & 63L))) == 0L) {
+      |    ${p}hit = false; break;
+      |  }
+      |}
+      |${ev.value} = ${p}hit;
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomContains =
+    copy(bits = newLeft, value = newRight)
 }
 
 /** Exact dot product of two quantized (array<long>) vectors in one

@@ -253,7 +253,120 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // d12: PII detection + redaction — the scrubbing pass every
+  // training-data release runs (emails, phone numbers) as codegen'd
+  // regexp_replace/extract_all, patterns kept in the RE2 ∩ Java
+  // dialect so the DuckDB oracle runs the identical scrubber. The
+  // synthetic corpus contains no PII, so the query first derives a
+  // contact line from doc_id (deterministic, in-query — no data is
+  // synthesized outside the tables); the redaction itself is generic.
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePat = "\\+1-[0-9]{3}-[0-9]{4}"
+  def d12PiiRedact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ct", concat(col("text"),
+        lit(" reach user"), col("doc_id"), lit("@example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("ct"), lit(emailPat), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("ct"), lit(phonePat), lit(0)))
+          .cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(col("ct"), lit(emailPat), lit("<EMAIL>")),
+          lit(phonePat), lit("<PHONE>")).as("redacted"))
+      .orderBy("doc_id")
+
+  // d13: context-window chunking — split each document into 32-token
+  // chunks on a 24-token stride (8-token overlap), the RAG/pretraining
+  // windowing pass. Map-only (no shuffle before the output sort): the
+  // chunk list is built per-row with codegen'd array functions and
+  // posexploded, so at 100 TB this is a pure scan→scan pipeline whose
+  // output is ~1.3× the corpus.
+  def d13ChunkTokens(s: SparkSession, d: String): DataFrame =
+    docs(s, d).filter(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, (size(toks)-1) div 24), " +
+            "i -> array_join(slice(toks, 24*i+1, 32), ' '))")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk_text"),
+        expr("cast(size(filter(split(col, ' '), x -> x != '')) as bigint)")
+          .as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+
+  // d14: deterministic per-stratum quota sampling — the mixture
+  // reweighting step of a pretraining data recipe: downsample the
+  // over-represented stratum (en) to 2/5, keep others at 4/5, and
+  // emit the inverse-rate loss weight. Keyed on doc_id mod so the
+  // oracle is exact; at 100 TB key on xxhash64(doc_id) for
+  // uniformity — same plan, still a map-only filter.
+  def d14QuotaSample(s: SparkSession, d: String): DataFrame = {
+    val rate = when(col("lang") === "en", lit(2)).otherwise(lit(4))
+    Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(5)) < rate)
+      .select(col("doc_id"), col("lang"), col("source"),
+        (lit(5).cast("double") / rate).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  // d15: repetition scoring (the Gopher/MassiveText repetition rules):
+  // duplicate-token fraction, duplicate-2-gram fraction — both via the
+  // fused distinct-shingle-hash expression, no n-gram strings — and
+  // top-token fraction via a (doc, token) partial agg; a doc is
+  // `repetitive` past either threshold. Two corpus-wide aggs, both
+  // map-side combined.
+  def d15Repetition(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).filter(size(col("toks")) >= 2)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("dtok",
+        size(GraftFunctions.shingle_hashes(col("toks"), 1)).cast("long"))
+      .withColumn("d2g",
+        size(GraftFunctions.shingle_hashes(col("toks"), 2)).cast("long"))
+      .select("doc_id", "n", "dtok", "d2g", "toks")
+    val top = base.select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_cnt"))
+    val fracDup2g = lit(1.0) - col("d2g").cast("double") / (col("n") - 1)
+    val topFrac = col("top_cnt").cast("double") / col("n")
+    base.join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        (lit(1.0) - col("dtok").cast("double") / col("n")).as("frac_dup_tokens"),
+        fracDup2g.as("frac_dup_2grams"),
+        topFrac.as("top_token_frac"),
+        (topFrac > 0.15 || fracDup2g > 0.2).as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  // d16: Bloom-filter decontamination — d11's semantics re-shaped for
+  // 100 TB: instead of JOINING the corpus' shingles against the
+  // held-out set (a corpus-wide shuffle), build a Bloom filter over
+  // the held-out shingles (small side; one bit-array reduce),
+  // broadcast the finished bits as a one-row cross join, and probe
+  // membership in a map-only pass — zero shuffle of the training
+  // corpus before the final per-doc count. One-sided error: may
+  // overcount shared shingles (FP rate ~(n·k/m)^k ≈ 1e-11 here) but
+  // never misses one, so no contaminated doc escapes — TextSimSpec
+  // proves d16 ⊇ d11 per-doc. Rows-only (bit-array internals aren't
+  // SQL-expressible); d11 is the oracled equi-join twin.
+  def d16BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+      .select(col("doc_id"), explode(col("shingles")).as("shh"))
+    val bloom = sh.filter(col("doc_id") % 50 === 0)
+      .agg(GraftFunctions.bloom_agg(col("shh"), 1 << 20, 5).as("bits"))
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .crossJoin(broadcast(bloom))
+      .filter(GraftFunctions.bloom_contains(col("bits"), col("shh"), 5))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("shh")).as("n_flagged_shingles"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_pii_redact" -> (d12PiiRedact _),
+    "d13_chunk_tokens" -> (d13ChunkTokens _),
+    "d14_quota_sample" -> (d14QuotaSample _),
+    "d15_repetition" -> (d15Repetition _),
+    "d16_bloom_decontaminate" -> (d16BloomDecontaminate _),
     "d9_token_count" -> (d9TokenCount _),
     "d10_vocab_topk" -> (d10VocabTopK _),
     "d11_contamination" -> (d11Contamination _),
@@ -266,10 +379,66 @@ object TextOps {
     "d7_simhash" -> (d7Simhash _),
   )
 
-  /** d6/d7 intentionally omitted: hash-family results aren't
-    * SQL-expressible; the driver records rows-only checks for them.
+  /** d6/d7/d16 intentionally omitted: hash-family / bit-array results
+    * aren't SQL-expressible; the driver records rows-only checks for
+    * them (d16's containment vs d11 is spec-proven instead).
     */
   val oracles: Map[String, String] = Map(
+    "d12_pii_redact" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || ' reach user' || doc_id || '@example.com or +1-555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS ct
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(ct,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(ct,
+        |    '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(ct,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "d13_chunk_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  array_to_string(w[24*i+1 : 24*i+32], ' ') AS chunk_text,
+        |  CAST(len(w[24*i+1 : 24*i+32]) AS BIGINT) AS n_chunk_tokens
+        |FROM t, unnest(range(0, (len(w)-1)//24 + 1)) AS u(i)
+        |WHERE len(w) >= 1
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "d14_quota_sample" ->
+      """SELECT doc_id, lang, source,
+        |  CAST(5 AS DOUBLE) / (CASE WHEN lang = 'en' THEN 2 ELSE 4 END)
+        |    AS weight
+        |FROM documents
+        |WHERE doc_id % 5 < (CASE WHEN lang = 'en' THEN 2 ELSE 4 END)
+        |ORDER BY doc_id""".stripMargin,
+    "d15_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+        |    CAST(len(list_distinct(w)) AS BIGINT) AS dtok,
+        |    CAST(len(list_distinct(list_transform(range(0, len(w)-1),
+        |      i -> array_to_string(w[i+1:i+2], ' ')))) AS BIGINT) AS d2g,
+        |    w
+        |  FROM t WHERE len(w) >= 2),
+        |c AS (
+        |  SELECT doc_id, token, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(w) AS token FROM u) GROUP BY 1, 2),
+        |m AS (SELECT doc_id, MAX(c) AS top_cnt FROM c GROUP BY 1)
+        |SELECT u.doc_id, n AS n_tokens,
+        |  1 - CAST(dtok AS DOUBLE)/n AS frac_dup_tokens,
+        |  1 - CAST(d2g AS DOUBLE)/(n-1) AS frac_dup_2grams,
+        |  CAST(top_cnt AS DOUBLE)/n AS top_token_frac,
+        |  (CAST(top_cnt AS DOUBLE)/n > 0.15 OR
+        |   1 - CAST(d2g AS DOUBLE)/(n-1) > 0.2) AS repetitive
+        |FROM u JOIN m ON u.doc_id = m.doc_id ORDER BY u.doc_id""".stripMargin,
     "d10_vocab_topk" ->
       """SELECT token, COUNT(*) AS n FROM (
         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))

@@ -30,6 +30,33 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("bloom_contains is exact-on-members under CODEGEN_ONLY") {
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      GraftFunctions.register(spark)
+      // build a filter over part keys 0..99, probe with 0..199: every
+      // member MUST hit (no false negatives, the Bloom guarantee);
+      // non-members may rarely FP but at 2^20 bits/100 entries ~never
+      spark.range(0, 100).createOrReplaceTempView("bloom_in")
+      spark.range(0, 200).createOrReplaceTempView("bloom_probe")
+      val hits = spark.sql(
+        """SELECT p.id, bloom_contains(b.bits, p.id) AS hit
+          |FROM bloom_probe p CROSS JOIN
+          |  (SELECT bloom_agg(id) AS bits FROM bloom_in) b""".stripMargin)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      (0L until 100L).foreach(i => assert(hits(i), s"false negative on $i"))
+      val fps = (100L until 200L).count(hits)
+      assert(fps <= 2, s"$fps false positives of 100 at 2^20 bits")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("two rolling_hash calls share a codegen scope under CODEGEN_ONLY") {
     val key = "spark.sql.codegen.factoryMode"
     val prev = spark.conf.getOption(key)

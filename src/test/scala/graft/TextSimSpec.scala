@@ -149,6 +149,30 @@ class TextSimSpec extends SparkSpec {
     assert(recall >= 0.4, f"IVF recall $recall%.2f below floor (nProbe=4)")
   }
 
+  test("d16 bloom decontamination never misses a d11-contaminated doc") {
+    // Bloom membership is one-sided: false positives allowed, false
+    // negatives impossible — so d16's flag set must contain d11's
+    // (the oracled equi-join twin), with per-doc counts >= the true
+    // shared-shingle counts.
+    val joined = TextOps.d11Contamination(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_shingles"))
+      .toMap
+    val bloomed = TextOps.d16BloomDecontaminate(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_flagged_shingles"))
+      .toMap
+    assert(joined.nonEmpty, "corpus has no contaminated docs to test against")
+    joined.foreach { case (id, n) =>
+      assert(bloomed.contains(id), s"bloom missed contaminated doc $id")
+      assert(bloomed(id) >= n, s"bloom undercounted shingles for doc $id")
+    }
+    // deterministic hashing + 2^20 bits over ~1e3-1e4 held-out shingles:
+    // expected FP docs ≈ 0; tolerate a sliver so a generator change
+    // doesn't flake the suite
+    val fps = bloomed.keySet -- joined.keySet
+    assert(fps.size <= math.max(1, joined.size / 20),
+      s"bloom FP doc rate too high: ${fps.size} of ${bloomed.size}")
+  }
+
   test("m1 digest matches MessageDigest on the raw text") {
     val r = Similarity.m1BinaryMeta(spark, sf).limit(1).collect().head
     val text = Tables.documents(spark, sf)
