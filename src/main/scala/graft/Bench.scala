@@ -4,20 +4,32 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times the headline queries (SURVEY.md §6) on
   * SPARK_GRAFT_SF_DIR and prints one JSON line.
+  *
+  * Timing discipline: each query runs `iters` times (default 3) and
+  * reports the MINIMUM. A single-iteration sample conflates the query
+  * with whatever else the machine was doing that second (the round-3
+  * bench showed a uniform ~1.9× "regression" on untouched queries —
+  * machine contention, not plans); min-of-N is the standard way to
+  * estimate the noise floor of a deterministic workload. The iteration
+  * count is recorded in the JSON so the artifact says what it measured.
   */
 object Bench {
   /** Headline set: the scale-critical operators — wide agg, fact-fact
-    * join, 5-way star, sessionization window, shingle join, MinHash
-    * LSH, brute-force ANN — not the long tail of small lookups.
+    * join, 5-way star, sessionization window, tumbling window, exact
+    * dedup, shingle join, MinHash LSH, brute-force ANN — plus one per
+    * remaining family: geometry (g2 grid join), streaming (s1), Bloom
+    * decontamination (d16) — not the long tail of small lookups.
     */
   private val headline = Seq(
     "q1_agg", "q3_join_agg", "q16_star_join", "q21_sessionize",
     "q22_event_window", "d1_dedup_exact", "d2_dedup_ngram_jaccard",
-    "d6_minhash_lsh", "e1_knn_brute")
+    "d6_minhash_lsh", "e1_knn_brute", "g2_point_in_box",
+    "s1_stream_window", "d16_bloom_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -37,14 +49,17 @@ object Bench {
     try run("q1_agg")
     catch { case _: Throwable => () }
     val results = headline.map { name =>
-      val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val best = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try run(name) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters}""")
     spark.stop()
   }
 }

@@ -18,11 +18,34 @@ import graft.functions.GraftFunctions
   */
 object Pipeline {
 
-  /** Survivors of exact dedup: the min doc_id per text value. */
-  def dedupKeepFirst(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("text").orderBy("doc_id")
-    docs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+  /** Survivors of exact dedup: the min doc_id per text value, keyed by
+    * xxhash64(text) like d1 so no corpus-wide exchange carries (or is
+    * keyed on) document text. Unique-hash docs — at a realistic dup
+    * rate, almost all of the corpus — pass through with ZERO shuffle
+    * (anti join against the small duplicated-hash set, broadcast by
+    * AQE); only duplicate-hash docs co-locate by h for the full-text
+    * survivor pick. A hash collision lands both texts in the resolve
+    * branch where the per-text first-row filter keeps one survivor
+    * per DISTINCT text — exact, as the collision-forcing spec proves.
+    */
+  def dedupKeepFirst(docs: DataFrame): DataFrame =
+    dedupKeepFirstHashed(docs, xxhash64(col("text")))
+
+  private[graft] def dedupKeepFirstHashed(
+      docs: DataFrame, hash: org.apache.spark.sql.Column): DataFrame = {
+    val withH = docs.withColumn("h", hash)
+    val dupH = withH.select(col("h"), col("doc_id"))
+      .groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("h")
+    val uniques = withH.join(dupH, Seq("h"), "left_anti")
+    // within the h-partition, rows sorted by (text, doc_id): the first
+    // row of each distinct-text run is the min-doc_id survivor
+    val w = Window.partitionBy("h").orderBy("text", "doc_id")
+    val dupWinners = withH.join(dupH, Seq("h"), "left_semi")
+      .withColumn("prev_text", lag("text", 1).over(w))
+      .filter(col("prev_text").isNull || col("prev_text") =!= col("text"))
+      .drop("prev_text")
+    uniques.unionByName(dupWinners).drop("h")
   }
 
   /** Token/quality annotation (same formula as d3). */

@@ -29,15 +29,47 @@ object TextOps {
       .withColumn("shingles", GraftFunctions.shingle_hashes(col("toks"), 3))
       .withColumn("sz", size(col("shingles")).cast("long"))
 
-  // d1: exact dedup by content — keep the min doc_id per text. Shuffles
-  // on the text value here; at 100 TB key by xxhash64(text) instead so
-  // shuffle rows are 8 bytes (collision-check the survivors).
+  // d1: exact dedup by content — keep the min doc_id per text, keyed
+  // by xxhash64(text) so the corpus-wide exchange moves 16-byte
+  // (hash, doc_id) rows instead of full document text (~1000× less
+  // shuffle volume at 100 TB). Exactness is preserved by a survivor
+  // collision check: only hash groups with >1 member can hide a
+  // collision, and those few docs — the actual duplicates plus any
+  // 2^-64 collisions — are re-resolved by FULL TEXT within their
+  // hash partition (dense_rank over text inside the h-partition, so
+  // no exchange is ever keyed on text; PlanInvariants enforces this
+  // for every query). `hash` is injectable so the spec can force
+  // collisions (hash ≡ const) and prove the resolve path is exact.
   def d1DedupExact(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .groupBy(col("text"))
+    d1DedupExactHashed(s, d, xxhash64(col("text")))
+
+  private[graft] def d1DedupExactHashed(
+      s: SparkSession, d: String,
+      hash: org.apache.spark.sql.Column): DataFrame = {
+    val docs = Tables.documents(s, d).withColumn("h", hash)
+    // corpus-wide pass: 16-byte shuffle rows, map-side combined
+    val groups = docs.select(col("h"), col("doc_id"))
+      .groupBy("h")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .select(col("keep_id"), col("n_copies"))
-      .orderBy("keep_id")
+    val multiH = groups.filter(col("n_copies") > 1).select("h")
+    // unique-hash groups are exact already (one text ⇒ one survivor);
+    // anti join vs the (small) duplicated-hash set is map-only once
+    // AQE broadcasts it
+    val single = groups.join(multiH, Seq("h"), "left_anti")
+      .select("keep_id", "n_copies")
+    // duplicate-hash docs: co-locate by h (text moves ONLY for these
+    // rows), number distinct texts within the partition, re-aggregate
+    // on the 16-byte (h, grp) key
+    val grpW = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy("text")
+    val collided = docs.join(multiH, Seq("h"), "left_semi")
+      .select(col("h"), col("text"), col("doc_id"))
+      .withColumn("grp", dense_rank().over(grpW))
+      .groupBy("h", "grp")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+    single.unionByName(collided).orderBy("keep_id")
+  }
 
   // d2: n-gram Jaccard near-dup pairs via shared-shingle candidate
   // join. This is the exact (quadratic-in-collisions) baseline; d6 is

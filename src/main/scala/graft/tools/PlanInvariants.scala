@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Sort, Window}
 
 /** Hard plan invariants — the scale-killer shapes round-1 review
   * flagged, encoded as checks so a future operator that reintroduces
@@ -51,7 +51,31 @@ object PlanInvariants {
         else None
     }.flatten
 
+  /** 3. No shuffle KEYED on raw document text. Aggregate grouping,
+    * window partitioning, join conditions, and global sorts are the
+    * places a logical plan forces a hash/range exchange; a `text` key
+    * moves the corpus' text bytes through that exchange (and hashes/
+    * compares kilobyte keys). Dedup must key on xxhash64(text) and
+    * resolve collisions inside the hash partition (d1/p1/p2 do; this
+    * rule keeps it that way for every future operator).
+    */
+  def textKeyedShuffles(df: DataFrame): Seq[String] = {
+    def onText(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      e.references.exists(_.name == "text")
+    df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.groupingExpressions.exists(onText) =>
+        "aggregate grouped on text"
+      case w: Window if w.partitionSpec.exists(onText) =>
+        "window partitioned on text"
+      case j: Join if j.condition.exists(onText) =>
+        "join keyed on text"
+      case s: Sort if s.global && s.order.exists(onText) =>
+        "global sort on text"
+    }
+  }
+
   def violations(df: DataFrame): Seq[String] =
     unhintedCartesians(df).map("cartesian: " + _) ++
-      unboundedWindows(df).map("unbounded " + _)
+      unboundedWindows(df).map("unbounded " + _) ++
+      textKeyedShuffles(df).map("text-keyed shuffle: " + _)
 }

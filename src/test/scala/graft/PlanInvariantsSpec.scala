@@ -29,5 +29,12 @@ class PlanInvariantsSpec extends SparkSpec {
     val b = Tables.part(spark, sf).select("p_partkey")
     assert(PlanInvariants.unhintedCartesians(a.crossJoin(b)).nonEmpty,
       "unhinted cross join should be flagged")
+    // d1's retired groupBy(text) IS the text-keyed shuffle
+    import org.apache.spark.sql.functions.{col, count, lit, min}
+    val textGrouped = Tables.documents(spark, sf)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    assert(PlanInvariants.textKeyedShuffles(textGrouped).nonEmpty,
+      "groupBy(text) should be flagged as a text-keyed shuffle")
   }
 }

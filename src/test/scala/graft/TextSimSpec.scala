@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Similarity, TextOps}
+import graft.operators.{Pipeline, Similarity, TextOps}
 import graft.functions.GraftFunctions
 
 class TextSimSpec extends SparkSpec {
@@ -171,6 +171,45 @@ class TextSimSpec extends SparkSpec {
     val fps = bloomed.keySet -- joined.keySet
     assert(fps.size <= math.max(1, joined.size / 20),
       s"bloom FP doc rate too high: ${fps.size} of ${bloomed.size}")
+  }
+
+  test("d1 hash-keyed dedup is exact under forced hash collisions") {
+    // ground truth: the oracle's shape — group by FULL text
+    val truth = Tables.documents(spark, sf)
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+      .toSet
+    // the real hash, a 4-bucket hash (distinct texts MUST collide),
+    // and a constant (EVERY text collides): the survivor resolve
+    // branch must reproduce exact per-text dedup in all three
+    val hashes = Seq(
+      xxhash64(col("text")),
+      pmod(xxhash64(col("text")), lit(4L)),
+      lit(7L))
+    hashes.foreach { h =>
+      val got = TextOps.d1DedupExactHashed(spark, sf, h).collect()
+        .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSet
+      assert(got == truth, s"hash-keyed dedup diverged under hash $h")
+    }
+  }
+
+  test("pipeline dedup keeps min-doc_id per distinct text under collisions") {
+    val docs = Tables.documents(spark, sf)
+    // duplicate every text under a higher doc_id so the duplicate
+    // branch (not just the unique-hash fast path) carries real load
+    val doubled = docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val expect = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val hashes = Seq(
+      xxhash64(col("text")),
+      pmod(xxhash64(col("text")), lit(4L)),
+      lit(7L))
+    hashes.foreach { h =>
+      val kept = Pipeline.dedupKeepFirstHashed(doubled, h)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == expect, s"pipeline dedup diverged under hash $h")
+    }
   }
 
   test("m1 digest matches MessageDigest on the raw text") {
