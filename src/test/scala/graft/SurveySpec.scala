@@ -2,9 +2,11 @@ package graft
 
 import scala.io.Source
 
-/** Keeps SURVEY.md §2 honest: every checklist item marked done
-  * ([x]/[~]) must exist in SparkEntry.queries, and [x] items must
-  * have an oracle.
+/** Keeps SURVEY.md §2 honest in BOTH directions: every checklist item
+  * marked done ([x]/[~]) must exist in SparkEntry.queries, [x] items
+  * must have an oracle, and every SparkEntry.queries key must have a
+  * checklist entry — so the coverage contract can neither over- nor
+  * under-state the implemented surface.
   */
 class SurveySpec extends SparkSpec {
   test("SURVEY §2 statuses match the implemented surface") {
@@ -19,5 +21,8 @@ class SurveySpec extends SparkSpec {
     assert(missing.isEmpty, s"SURVEY claims done but not implemented: $missing")
     val unoracled = items.filter { case (n, st) => st == "x" && !oracles.contains(n) }
     assert(unoracled.isEmpty, s"SURVEY claims [x] but no oracle: $unoracled")
+    val unlisted = qs -- items.map(_._1).toSet
+    assert(unlisted.isEmpty,
+      s"implemented but missing from SURVEY §2 (add checklist entries): $unlisted")
   }
 }
