@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** Minimal `.xlsx` export — the reference's most-used download path
+  * (`eni_uat_backend_code/app.py:7379-7486`, `ExportToExcel`: query
+  * results → openpyxl workbook → browser download). Mirror of
+  * ExcelReader: no POI/spark-excel jar exists offline, but xlsx is a
+  * zip of XML, so this emits the minimal valid OOXML container with
+  * `java.util.zip` — [Content_Types].xml, the package/workbook rels,
+  * one worksheet — nothing else.
+  *
+  * Deliberately DRIVER-SIDE, like the reader: an exported report is
+  * KBs–MBs of operator OUTPUT (the reference streams it to a browser),
+  * not lake data — rows stream through `toLocalIterator` so only one
+  * partition is resident, and the cap guards against someone pointing
+  * a corpus-sized DataFrame at a spreadsheet (Excel itself stops at
+  * 1,048,576 rows). Lake-scale exports are the parquet/ORC/Avro
+  * writers.
+  *
+  * Cell typing: numeric columns become untyped `<v>` cells (what
+  * spreadsheet tools write for numbers), everything else inline
+  * strings (`t="inlineStr"`, XML-escaped), nulls become gap cells
+  * (coordinate skipped) — exactly the forms ExcelReader parses, so
+  * write → read round-trips losslessly as strings.
+  */
+object ExcelWriter {
+
+  val ExcelMaxRows: Int = 1048576 // hard sheet limit in the format
+
+  def writeExcel(df: DataFrame, path: String,
+                 maxRows: Int = ExcelMaxRows - 1): Unit = {
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    try {
+      def put(name: String, content: String): Unit = {
+        zos.putNextEntry(new ZipEntry(name))
+        zos.write(content.getBytes("UTF-8"))
+        zos.closeEntry()
+      }
+      put("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+          |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+          |<Default Extension="xml" ContentType="application/xml"/>
+          |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+          |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+          |</Types>""".stripMargin)
+      put("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+          |</Relationships>""".stripMargin)
+      put("xl/workbook.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
+          |</workbook>""".stripMargin)
+      put("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin)
+
+      zos.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+      def w(sxml: String): Unit = zos.write(sxml.getBytes("UTF-8"))
+      w("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      w("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+
+      val numeric = df.schema.fields.map(f => f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case _ => false
+      })
+      // header row: column names as inline strings
+      w(rowXml(1, df.columns.zipWithIndex.map {
+        case (name, ci) => inlineCell(ci, 1, name)
+      }))
+      var rn = 1
+      val it = df.toLocalIterator()
+      while (it.hasNext && rn - 1 < maxRows) {
+        val row = it.next(); rn += 1
+        val cells = (0 until row.length).flatMap { ci =>
+          if (row.isNullAt(ci)) None // gap cell
+          else if (numeric(ci)) Some(s"""<c r="${ref(ci, rn)}"><v>${row.get(ci)}</v></c>""")
+          else Some(inlineCell(ci, rn, String.valueOf(row.get(ci))))
+        }
+        w(rowXml(rn, cells))
+      }
+      require(!it.hasNext,
+        s"$path: DataFrame exceeds $maxRows rows — xlsx is a report " +
+          "format; use the parquet/ORC/Avro writers for lake-scale data")
+      w("</sheetData></worksheet>")
+      zos.closeEntry()
+    } finally zos.close()
+  }
+
+  private def rowXml(rn: Int, cells: Seq[String]): String =
+    cells.mkString(s"""<row r="$rn">""", "", "</row>")
+
+  private def inlineCell(ci: Int, rn: Int, v: String): String =
+    s"""<c r="${ref(ci, rn)}" t="inlineStr"><is><t>${escape(v)}</t></is></c>"""
+
+  /** 0-based column 54, row 7 → "BC7" (inverse of ExcelReader.colIndex). */
+  private def ref(ci: Int, rn: Int): String = {
+    var n = ci + 1
+    val sb = new StringBuilder
+    while (n > 0) {
+      val rem = (n - 1) % 26
+      sb.insert(0, ('A' + rem).toChar)
+      n = (n - 1) / 26
+    }
+    sb.append(rn).toString
+  }
+
+  private def escape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '&' => sb.append("&amp;")
+      case '<' => sb.append("&lt;")
+      case '>' => sb.append("&gt;")
+      case '"' => sb.append("&quot;")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.sources.{ExcelReader, Readers}
+import graft.sources.{ExcelReader, ExcelWriter, Readers}
 
 class ExcelAvroSpec extends SparkSpec {
 
@@ -91,6 +91,66 @@ class ExcelAvroSpec extends SparkSpec {
     val inserted = merged.filter(col("o_orderkey") === 900000001L).head
     assert(inserted.getAs[Double]("o_totalprice") == 1.5)
     assert(inserted.isNullAt(inserted.fieldIndex("o_orderstatus"))) // base-only col
+  }
+
+  test("xlsx export round-trips through ExcelReader: types, gaps, escaping") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_xlsx_out")
+      .resolve("report.xlsx").toString
+    // strings with XML specials, longs, doubles, nulls in every column
+    val src = Seq(
+      (1L, Some("a <&> \"quoted\""), Some(2.5)),
+      (2L, None, Some(-0.125)),
+      (3L, Some("plain"), None)
+    ).toDF("id", "note", "score")
+    ExcelWriter.writeExcel(src, path)
+    val back = ExcelReader.excel(spark, path)
+    assert(back.columns.sameElements(Array("id", "note", "score")))
+    val rows = back.orderBy(col("id").cast("long")).collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(0) == "1")
+    assert(rows(0).getString(1) == "a <&> \"quoted\"") // escaped then unescaped
+    assert(rows(0).getString(2) == "2.5")
+    assert(rows(1).getString(1) == null) // null -> gap cell -> null
+    assert(rows(1).getString(2) == "-0.125")
+    assert(rows(2).getString(2) == null)
+    // the workbook is a well-formed OOXML package, not just our dialect
+    val zip = new java.util.zip.ZipFile(path)
+    try {
+      val names = {
+        import scala.jdk.CollectionConverters._
+        zip.entries().asScala.map(_.getName).toSet
+      }
+      assert(Set("[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+        "xl/_rels/workbook.xml.rels", "xl/worksheets/sheet1.xml")
+        .subsetOf(names))
+    } finally zip.close()
+  }
+
+  test("xlsx export refuses corpus-sized DataFrames (report-format cap)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_xlsx_cap")
+      .resolve("big.xlsx").toString
+    val big = Tables.orders(spark, sf).select("o_orderkey")
+    val ex = intercept[IllegalArgumentException] {
+      ExcelWriter.writeExcel(big, path, maxRows = 10)
+    }
+    assert(ex.getMessage.contains("exceeds"))
+  }
+
+  test("the reference export flow: query result -> xlsx download") {
+    // the ExportToExcel shape: a registry report (grouped counts)
+    // written to a workbook a spreadsheet tool can open
+    val path = java.nio.file.Files.createTempDirectory("graft_export")
+      .resolve("registry_report.xlsx").toString
+    val report = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("revenue"))
+      .orderBy("o_orderstatus")
+    ExcelWriter.writeExcel(report, path)
+    val back = ExcelReader.excel(spark, path)
+    assert(back.count() == report.count())
+    val n = back.agg(sum(col("n_orders").cast("long"))).head.getLong(0)
+    assert(n == Tables.orders(spark, sf).count())
   }
 
   test("avro round-trips through the bundled DataSource") {
