@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Reusable MERGE on plain parquet DataFrames — the engine behind the
   * reference's Excel-upload upsert flow (`app.py:6063-6300`: read the
@@ -10,28 +11,103 @@ import org.apache.spark.sql.functions._
   * it so any (base, updates) pair merges: a full-outer join on the
   * key, update columns winning where present.
   *
+  * Conflict handling is per-column (the reference's real merge is
+  * not last-write-wins everywhere: `merge_semicolon_values`,
+  * `app.py:5911-5928`, UNIONS semicolon-delimited cell values when
+  * both sides have one — a tag can belong to several P&IDs and the
+  * upload must not drop the old memberships):
+  *   - [[Upsert.UpdateWins]] (default): coalesce(update, base).
+  *   - [[Upsert.DelimitedSetUnion]]: split both sides on the
+  *     delimiter, union as a set, sort, re-join — deterministic
+  *     regardless of which side listed a value first.
+  *
   * Scale shape: one key-partitioned shuffle on each side (or zero if
   * both are bucketed on the key — see Readers.writeBucketed); updates
-  * are usually tiny and broadcast automatically under AQE.
+  * are usually tiny and broadcast automatically under AQE. The set
+  * union is a per-row expression — no extra shuffle.
   */
 object Upsert {
 
-  /** Merge `updates` into `base` by `key`. Columns present in both:
-    * the update value wins on matched keys (null update fields keep
-    * the base value). Columns only in base keep their value (null for
-    * inserted rows). Update-only columns are ignored.
+  sealed trait MergeStrategy
+  /** Update value wins on matched keys; null update fields keep base. */
+  case object UpdateWins extends MergeStrategy
+  /** Union of delimiter-separated sets when both sides are present
+    * (sorted for determinism); coalesce otherwise.
     */
-  def merge(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+  final case class DelimitedSetUnion(delim: String = ";") extends MergeStrategy
+
+  /** Merge `updates` into `base` by `key`. Columns present in both
+    * resolve via their strategy (default [[UpdateWins]]). Columns only
+    * in base keep their value (null for inserted rows). Update-only
+    * columns are ignored.
+    */
+  def merge(base: DataFrame, updates: DataFrame, key: String,
+            strategies: Map[String, MergeStrategy] = Map.empty): DataFrame = {
     val updCols = updates.columns.toSet
     val u = updates.columns.foldLeft(updates) { (df, c) =>
       df.withColumnRenamed(c, s"__u_$c")
     }
     val joined = base.join(u, base(key) === u(s"__u_$key"), "full_outer")
+    def resolve(c: String): Column =
+      strategies.getOrElse(c, UpdateWins) match {
+        case UpdateWins => coalesce(u(s"__u_$c"), base(c))
+        case DelimitedSetUnion(d) =>
+          val both = array_join(
+            array_sort(array_distinct(concat(
+              split(u(s"__u_$c"), java.util.regex.Pattern.quote(d)),
+              split(base(c), java.util.regex.Pattern.quote(d))))), d)
+          when(u(s"__u_$c").isNotNull && base(c).isNotNull, both)
+            .otherwise(coalesce(u(s"__u_$c"), base(c)))
+      }
     val out = base.columns.map { c =>
       if (c == key) coalesce(base(key), u(s"__u_$key")).as(key)
-      else if (updCols.contains(c)) coalesce(u(s"__u_$c"), base(c)).as(c)
+      else if (updCols.contains(c)) resolve(c).as(c)
       else base(c).as(c)
     }
     joined.select(out.toIndexedSeq: _*)
   }
+
+  // q44: the reference's semicolon-set merge as an oracled query.
+  // Base and update registries are derived in-query from `orders`
+  // (deterministic, no synthesized data): matched keys union their
+  // flag sets, base-only keys keep theirs, update-only keys insert.
+  def q44MergeSemicolon(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val base = orders.filter(pmod(col("o_orderkey"), lit(4)) === 0)
+      .select(col("o_orderkey"),
+        concat_ws(";", col("o_orderstatus"), col("o_orderpriority")).as("flags"),
+        col("o_totalprice"))
+    val updates = orders
+      .filter(pmod(col("o_orderkey"), lit(8)) === 0 ||
+              pmod(col("o_orderkey"), lit(4)) === 1)
+      .select(col("o_orderkey"),
+        concat_ws(";", col("o_orderpriority"),
+          concat(lit("C"), pmod(col("o_custkey"), lit(10)))).as("flags"))
+    merge(base, updates, "o_orderkey", Map("flags" -> DelimitedSetUnion(";")))
+      .orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_merge_semicolon" -> (q44MergeSemicolon _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q44_merge_semicolon" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    o_orderstatus || ';' || o_orderpriority AS flags, o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 = 0),
+        |upd AS (
+        |  SELECT o_orderkey,
+        |    o_orderpriority || ';C' || CAST(o_custkey % 10 AS VARCHAR) AS flags
+        |  FROM orders WHERE o_orderkey % 8 = 0 OR o_orderkey % 4 = 1)
+        |SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+        |  CASE WHEN b.flags IS NOT NULL AND u.flags IS NOT NULL THEN
+        |    array_to_string(list_sort(list_distinct(list_concat(
+        |      string_split(u.flags, ';'), string_split(b.flags, ';')))), ';')
+        |  ELSE COALESCE(u.flags, b.flags) END AS flags,
+        |  b.o_totalprice AS o_totalprice
+        |FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+  )
 }

@@ -14,7 +14,8 @@ class EntrySpec extends SparkSpec {
         operators.TextOps.queries.size + operators.Similarity.queries.size +
         streaming.EventStream.queries.size + Geometry.queries.size +
         operators.Skew.queries.size + operators.Analytics.queries.size +
-        operators.Typed.queries.size + operators.Pipeline.queries.size
+        operators.Typed.queries.size + operators.Pipeline.queries.size +
+        operators.Upsert.queries.size
     assert(qs.size == totalSize, "query name collision between modules")
   }
 
