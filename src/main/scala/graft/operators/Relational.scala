@@ -137,6 +137,36 @@ object Relational {
           .otherwise("other").as("category"))
       .orderBy("p_partkey")
 
+  // q45: tag-detail parsing to typed columns (reference
+  // parse_tag_details, app.py:5552-5637, and build_tag_no_by_formula,
+  // app.py:5929-5998): decompose "unit-TYPEKEY-seq[suffix]" tag
+  // strings into (unit, type key, sequence, suffix) fields. q11
+  // CLASSIFIES tags; this PARSES them to columns. Tags are derived
+  // in-query from `part` (deterministic, variable-width fields,
+  // optional suffix) and the extraction regex stays in the RE2 ∩ Java
+  // dialect so the DuckDB oracle runs the identical parser. Map-only.
+  def q45ParseTag(s: SparkSession, d: String): DataFrame = {
+    val pat = "^([0-9]+)-([A-Z]+)-([0-9]+)([A-Z]?)$"
+    Tables.part(s, d)
+      .withColumn("tag_no", concat(
+        (pmod(col("p_partkey"), lit(90)) + 10).cast("string"), lit("-"),
+        when(pmod(col("p_partkey"), lit(5)) === 0, "PT")
+          .when(pmod(col("p_partkey"), lit(5)) === 1, "FT")
+          .when(pmod(col("p_partkey"), lit(5)) === 2, "TI")
+          .when(pmod(col("p_partkey"), lit(5)) === 3, "PIC")
+          .otherwise("LV"), lit("-"),
+        (pmod(col("p_partkey"), lit(9000)) + 100).cast("string"),
+        when(pmod(col("p_partkey"), lit(3)) === 1, "A")
+          .when(pmod(col("p_partkey"), lit(3)) === 2, "B")
+          .otherwise("")))
+      .select(col("p_partkey"), col("tag_no"),
+        regexp_extract(col("tag_no"), pat, 1).cast("long").as("unit"),
+        regexp_extract(col("tag_no"), pat, 2).as("type_key"),
+        regexp_extract(col("tag_no"), pat, 3).cast("long").as("seq"),
+        regexp_extract(col("tag_no"), pat, 4).as("suffix"))
+      .orderBy("p_partkey")
+  }
+
   // q12: GROUP BY … HAVING.
   def q12Having(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -310,6 +340,7 @@ object Relational {
     "q27_count_distinct" -> (q27CountDistinct _),
     "q28_lag_lead" -> (q28LagLead _),
     "q29_upsert" -> (q29Upsert _),
+    "q45_parse_tag" -> (q45ParseTag _),
   )
 
   private val SumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -317,6 +348,22 @@ object Relational {
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q45_parse_tag" ->
+      """WITH t AS (
+        |  SELECT p_partkey,
+        |    CAST(p_partkey % 90 + 10 AS VARCHAR) || '-' ||
+        |    (CASE p_partkey % 5 WHEN 0 THEN 'PT' WHEN 1 THEN 'FT'
+        |      WHEN 2 THEN 'TI' WHEN 3 THEN 'PIC' ELSE 'LV' END) || '-' ||
+        |    CAST(p_partkey % 9000 + 100 AS VARCHAR) ||
+        |    (CASE p_partkey % 3 WHEN 1 THEN 'A' WHEN 2 THEN 'B' ELSE '' END)
+        |      AS tag_no
+        |  FROM part)
+        |SELECT p_partkey, tag_no,
+        |  CAST(regexp_extract(tag_no, '^([0-9]+)-([A-Z]+)-([0-9]+)([A-Z]?)$', 1) AS BIGINT) AS unit,
+        |  regexp_extract(tag_no, '^([0-9]+)-([A-Z]+)-([0-9]+)([A-Z]?)$', 2) AS type_key,
+        |  CAST(regexp_extract(tag_no, '^([0-9]+)-([A-Z]+)-([0-9]+)([A-Z]?)$', 3) AS BIGINT) AS seq,
+        |  regexp_extract(tag_no, '^([0-9]+)-([A-Z]+)-([0-9]+)([A-Z]?)$', 4) AS suffix
+        |FROM t ORDER BY p_partkey""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  $SumQty AS sum_qty,
