@@ -131,6 +131,34 @@ object Events {
       .orderBy("user_id")
   }
 
+  // g6: linked-objects neighborhood (reference GetLinkedObjects,
+  // app.py:7078-7167: the objects connected to a given tag, n hops
+  // out). g1 labels WHOLE components; this answers the per-seed
+  // neighborhood question: all users reachable from each seed within
+  // 2 hops of the shared-bucket graph, with the minimum hop count.
+  // Two self-joins keyed on (g) and (user_id) — each a bounded-fanout
+  // equi-join (bucket sizes bounded by the bucket domain; AQE splits
+  // a hot bucket), never a components-wide traversal.
+  def g6LinkedObjects(graph: DataFrame, seeds: DataFrame): DataFrame = {
+    val m = graph
+    // hop 1: users sharing any bucket with the seed (incl. the seed)
+    val h1 = seeds.join(m, "user_id")
+      .select(col("user_id").as("seed"), col("g")).distinct()
+      .join(m, "g")
+      .select(col("seed"), col("user_id").as("linked")).distinct()
+    // hop 2: users sharing any bucket with a hop-1 user
+    val h2 = h1.withColumnRenamed("linked", "user_id")
+      .join(m, "user_id")
+      .select(col("seed"), col("g")).distinct()
+      .join(m, "g")
+      .select(col("seed"), col("user_id").as("linked")).distinct()
+    h1.withColumn("hops", lit(1L))
+      .unionByName(h2.withColumn("hops", lit(2L)))
+      .groupBy("seed", "linked").agg(min("hops").as("hops"))
+      .filter(col("seed") =!= col("linked"))
+      .orderBy("seed", "linked")
+  }
+
   // q26: as-of join — for each purchase, the user's most recent click
   // at-or-before it. Spark has no ASOF JOIN; rather than a custom
   // SparkPlan, the union+window composition gives the same semantics
@@ -174,6 +202,13 @@ object Events {
     // harness binding, not in the operator.
     "g1_connected_components" -> ((s: SparkSession, d: String) =>
       g1ConnectedComponents(membership(s, d).filter(col("user_id") < 200))),
+    // same user_id < 200 oracle-tractability bound as g1; seeds are
+    // the first 20 users (the reference API takes one tag — a seed
+    // SET is the batch generalization)
+    "g6_linked_objects" -> ((s: SparkSession, d: String) => {
+      val m = membership(s, d).filter(col("user_id") < 200)
+      g6LinkedObjects(m, m.select("user_id").distinct().filter(col("user_id") < 20))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -225,6 +260,22 @@ object Events {
         |HAVING first_signup IS NOT NULL AND first_purchase IS NOT NULL
         |   AND first_signup < first_purchase
         |ORDER BY user_id""".stripMargin,
+    "g6_linked_objects" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT user_id AS u, CAST(props->>'k' AS BIGINT) % 25 AS g
+        |  FROM events WHERE user_id < 200),
+        |edges AS (
+        |  SELECT DISTINCT a.u AS x, b.u AS y FROM pairs a JOIN pairs b ON a.g = b.g),
+        |h1 AS (SELECT x AS seed, y AS linked FROM edges WHERE x < 20),
+        |h2 AS (
+        |  SELECT DISTINCT h1.seed, e.y AS linked
+        |  FROM h1 JOIN edges e ON h1.linked = e.x)
+        |SELECT seed, linked, MIN(hops) AS hops FROM (
+        |  SELECT seed, linked, CAST(1 AS BIGINT) AS hops FROM h1
+        |  UNION ALL
+        |  SELECT seed, linked, CAST(2 AS BIGINT) AS hops FROM h2) t
+        |WHERE seed <> linked
+        |GROUP BY seed, linked ORDER BY seed, linked""".stripMargin,
     "g1_connected_components" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT DISTINCT user_id AS u, CAST(props->>'k' AS BIGINT) % 25 AS g
