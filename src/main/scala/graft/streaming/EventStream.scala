@@ -59,6 +59,28 @@ object EventStream {
       .orderBy("hour", "event_type")
   }
 
+  // s1b: the same windowed aggregation in APPEND mode — the shape that
+  // actually runs unbounded. Complete mode (s1) re-emits every window
+  // each batch and never evicts state; append emits a window ONCE,
+  // when the watermark passes its end, and the state store drops it —
+  // bounded state under an unbounded stream. On the finite test file
+  // the sink therefore holds exactly the CLOSED windows: those whose
+  // end <= final watermark = floor(max event-time ms) - 1h (Spark
+  // tracks event-time stats in milliseconds). The oracle is q22
+  // restricted to that subset; the spec proves the emitted set equals
+  // the batch rows under the same predicate.
+  def s1bStreamWindowAppend(s: SparkSession, d: String): DataFrame = {
+    val agg = readEvents(s, d)
+      .withWatermark("ts_us", "1 hour")
+      .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    runToMemory(s, agg, "append")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
+              col("event_type"), col("n"), col("total_value"))
+      .orderBy("hour", "event_type")
+  }
+
   // s2: streaming dedup by key within the watermark (append mode — a
   // second stateful op can't chain after it in complete mode), then a
   // batch per-type count over the deduped sink.
@@ -207,6 +229,7 @@ object EventStream {
     "s5_stream_stream_join" -> (s5StreamStreamJoin _),
     "s4_stream_custom_state" -> (s4StreamCustomState _),
     "s1_stream_window" -> (s1StreamWindow _),
+    "s1b_stream_window_append" -> (s1bStreamWindowAppend _),
     "s2_stream_dedup" -> (s2StreamDedup _),
     "s3_stream_session" -> (s3StreamSession _),
   )
@@ -238,6 +261,18 @@ object EventStream {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // q22 restricted to CLOSED windows: append mode emits a window
+    // only once the watermark (floor-to-ms max event time minus the
+    // 1h delay) passes its end.
+    "s1b_stream_window_append" ->
+      """WITH mx AS (
+        |  SELECT MAX(epoch_us(ts) // 1000) AS mt_ms FROM events)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events, mx
+        |WHERE epoch_ms(date_trunc('hour', ts)) + 3600000 <= mt_ms - 3600000
+        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "s2_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

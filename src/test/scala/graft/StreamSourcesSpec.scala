@@ -19,6 +19,34 @@ class StreamSourcesSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("append-mode window emits exactly the closed-window subset of q22") {
+    // final watermark = floor(max event-time ms) - 1h; a window is
+    // emitted (and its state evicted) iff its END <= that watermark.
+    // This pins the boundary the DuckDB oracle encodes.
+    val maxUs = Tables.events(spark, sf)
+      .agg(max(expr("ts div 1000"))).head.getLong(0)
+    val watermarkMs = maxUs / 1000 - 3600000L
+    val closed = Events.q22EventWindow(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("total_value")))
+      .filter { case ((hour, _), _) =>
+        val endMs = java.time.LocalDateTime
+          .parse(hour.replace(" ", "T") + ":00")
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli + 3600000L
+        endMs <= watermarkMs
+      }.toMap
+    val emitted = EventStream.s1bStreamWindowAppend(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("total_value"))).toMap
+    assert(closed.nonEmpty, "no closed windows at test SF — widen the data")
+    assert(emitted == closed,
+      s"append emitted ${emitted.keySet} but closed set is ${closed.keySet}")
+    // and it must be a strict subset of the complete-mode answer
+    // (open windows withheld), or the watermark did nothing
+    val all = Events.q22EventWindow(spark, sf).count()
+    assert(emitted.size < all, "append mode emitted every window — no state bound")
+  }
+
   test("streaming sessionization matches batch q21 session counts") {
     val stream = EventStream.s3StreamSession(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_sessions")).toMap
