@@ -126,8 +126,8 @@ object GraftFunctions {
   def bloom_agg(c: Column, numBits: Int = 1 << 20, numHashes: Int = 5): Column =
     column(BloomBuildAgg(expression(c), numBits, numHashes)
       .toAggregateExpression(isDistinct = false))
-  def bloom_contains(bits: Column, v: Column, numHashes: Int = 5): Column =
-    column(BloomContains(expression(bits), expression(v), numHashes))
+  def bloom_contains(bits: Column, v: Column): Column =
+    column(BloomContains(expression(bits), expression(v)))
 
   /** Register for SQL use: `SELECT rolling_hash(text) …`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -153,7 +153,7 @@ object GraftFunctions {
       spark, "bloom_agg",
       es => BloomBuildAgg(es.head, 1 << 20, 5).toAggregateExpression(isDistinct = false))
     org.apache.spark.sql.graft.shim.registerFunction(
-      spark, "bloom_contains", es => BloomContains(es.head, es(1), 5))
+      spark, "bloom_contains", es => BloomContains(es.head, es(1)))
   }
 }
 
@@ -684,6 +684,13 @@ case class CappedCollectPairs(
   * bitwise OR — so the build is one map-side pass plus an
   * O(numBits/64)-word reduce, independent of row count.
   *
+  * The emitted value is SELF-DESCRIBING: word 0 is `numHashes`, the
+  * bit words follow. [[BloomContains]] reads k from the data, so a
+  * prober can never run with a different hash count than the build
+  * used — the mismatch that silently voids the no-false-negative
+  * guarantee (probing with MORE hashes than were set can miss real
+  * members).
+  *
   * This is the decontamination-at-scale primitive: build the filter
   * over the SMALL side (a held-out benchmark's shingle hashes),
   * broadcast the finished bit array (one row), and probe it with
@@ -739,7 +746,12 @@ case class BloomBuildAgg(
     a
   }
 
-  override def eval(words: Array[Long]): Any = new GenericArrayData(words)
+  override def eval(words: Array[Long]): Any = {
+    val out = new Array[Long](words.length + 1)
+    out(0) = numHashes.toLong // header word: the probe reads k from here
+    System.arraycopy(words, 0, out, 1, words.length)
+    new GenericArrayData(out)
+  }
 
   override def serialize(words: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(words.length * 8)
@@ -778,12 +790,15 @@ object BloomHash {
 
 /** Bloom-filter membership probe: `bloom_contains(bits, v)` where
   * `bits` is [[BloomBuildAgg]]'s array<long> (usually a broadcast
-  * one-row cross join). numBits is derived from the array length, so
-  * builder and prober cannot disagree on sizing; `numHashes` must
-  * match the builder's. Codegen'd — the probe sits in the map-side
-  * hot path over the full corpus.
+  * one-row cross join). Both parameters come from the DATA, not the
+  * caller: numBits is derived from the array length and numHashes is
+  * read from the header word the builder emitted — builder and prober
+  * cannot disagree on sizing or hash count. An empty or header-only
+  * array (no bit words — e.g. a slice) contains nothing: false, never
+  * a division by zero. Codegen'd — the probe sits in the map-side hot
+  * path over the full corpus.
   */
-case class BloomContains(bits: Expression, value: Expression, numHashes: Int)
+case class BloomContains(bits: Expression, value: Expression)
     extends BinaryExpression {
   override def left: Expression = bits
   override def right: Expression = value
@@ -801,14 +816,16 @@ case class BloomContains(bits: Expression, value: Expression, numHashes: Int)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val words = a.asInstanceOf[ArrayData]
+    if (words.numElements() <= 1) return java.lang.Boolean.FALSE
     val v = b.asInstanceOf[Long]
-    val numBits = words.numElements().toLong * 64L
+    val k = words.getLong(0) // header word written by BloomBuildAgg
+    val numBits = (words.numElements() - 1).toLong * 64L
     val h1 = BloomHash.h1(v)
     val h2 = BloomHash.h2(v)
-    var j = 0
-    while (j < numHashes) {
+    var j = 0L
+    while (j < k) {
       val pos = ((h1 + j * h2) & Long.MaxValue) % numBits
-      if ((words.getLong((pos >>> 6).toInt) & (1L << (pos & 63L))) == 0L)
+      if ((words.getLong((pos >>> 6).toInt + 1) & (1L << (pos & 63L))) == 0L)
         return java.lang.Boolean.FALSE
       j += 1
     }
@@ -821,14 +838,18 @@ case class BloomContains(bits: Expression, value: Expression, numHashes: Int)
     // its statics are directly callable from generated code
     val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |long ${p}m = (long) $a.numElements() * 64L;
-      |long ${p}h1 = $xxh.hashLong($b, 0x9E3779B9L);
-      |long ${p}h2 = $xxh.hashLong($b, 0x85EBCA77L) | 1L;
-      |boolean ${p}hit = true;
-      |for (int ${p}j = 0; ${p}j < $numHashes; ${p}j++) {
-      |  long ${p}pos = ((${p}h1 + ${p}j * ${p}h2) & Long.MAX_VALUE) % ${p}m;
-      |  if (($a.getLong((int) (${p}pos >>> 6)) & (1L << (${p}pos & 63L))) == 0L) {
-      |    ${p}hit = false; break;
+      |boolean ${p}hit = false;
+      |if ($a.numElements() > 1) {
+      |  long ${p}k = $a.getLong(0);
+      |  long ${p}m = (long) ($a.numElements() - 1) * 64L;
+      |  long ${p}h1 = $xxh.hashLong($b, 0x9E3779B9L);
+      |  long ${p}h2 = $xxh.hashLong($b, 0x85EBCA77L) | 1L;
+      |  ${p}hit = true;
+      |  for (long ${p}j = 0; ${p}j < ${p}k; ${p}j++) {
+      |    long ${p}pos = ((${p}h1 + ${p}j * ${p}h2) & Long.MAX_VALUE) % ${p}m;
+      |    if (($a.getLong((int) (${p}pos >>> 6) + 1) & (1L << (${p}pos & 63L))) == 0L) {
+      |      ${p}hit = false; break;
+      |    }
       |  }
       |}
       |${ev.value} = ${p}hit;

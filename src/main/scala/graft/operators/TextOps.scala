@@ -346,7 +346,10 @@ object TextOps {
   // fused distinct-shingle-hash expression, no n-gram strings — and
   // top-token fraction via a (doc, token) partial agg; a doc is
   // `repetitive` past either threshold. Two corpus-wide aggs, both
-  // map-side combined.
+  // map-side combined. Oracle contract: dtok/d2g count distinct 64-bit
+  // shingle HASHES while the DuckDB oracle counts distinct strings —
+  // same 2^-64 in-document collision tradeoff as d2, noise next to the
+  // 0.15/0.2 thresholds and unhit at any tested SF.
   def d15Repetition(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).filter(size(col("toks")) >= 2)
       .withColumn("n", size(col("toks")).cast("long"))
@@ -387,7 +390,7 @@ object TextOps {
       .agg(GraftFunctions.bloom_agg(col("shh"), 1 << 20, 5).as("bits"))
     sh.filter(col("doc_id") % 50 =!= 0)
       .crossJoin(broadcast(bloom))
-      .filter(GraftFunctions.bloom_contains(col("bits"), col("shh"), 5))
+      .filter(GraftFunctions.bloom_contains(col("bits"), col("shh")))
       .groupBy("doc_id")
       .agg(countDistinct(col("shh")).as("n_flagged_shingles"))
       .orderBy("doc_id")

@@ -49,6 +49,17 @@ class CodegenSpec extends SparkSpec {
       (0L until 100L).foreach(i => assert(hits(i), s"false negative on $i"))
       val fps = (100L until 200L).count(hits)
       assert(fps <= 2, s"$fps false positives of 100 at 2^20 bits")
+      // the filter is self-describing (word 0 = numHashes, so a probe
+      // can never run a different k than the build), and degenerate
+      // arrays probe false instead of dividing by zero
+      val hdr = spark.sql(
+        """SELECT element_at(bits, 1) AS k,
+          |  bloom_contains(slice(bits, 1, 0), CAST(7 AS BIGINT)) AS empty_hit,
+          |  bloom_contains(slice(bits, 1, 1), CAST(7 AS BIGINT)) AS hdr_only_hit
+          |FROM (SELECT bloom_agg(id) AS bits FROM bloom_in)""".stripMargin).head
+      assert(hdr.getLong(0) == 5L, "header word should carry numHashes")
+      assert(!hdr.getBoolean(1), "empty array must probe false, not divide by zero")
+      assert(!hdr.getBoolean(2), "header-only array must probe false")
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
