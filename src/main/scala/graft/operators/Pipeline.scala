@@ -88,12 +88,36 @@ object Pipeline {
               GraftFunctions.rolling_hash(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  // p3: near-dup REMOVAL end-to-end — the fuzzy-dedup pass (pairs →
+  // clusters → keep the canonical min-doc_id member) applied to the
+  // corpus: d18's cluster labels decide, non-canonical members drop
+  // via an anti join (broadcastable: the drop set is |near-dup docs| -
+  // |clusters|, tiny relative to the corpus). p1/p2 remove EXACT
+  // dups; this removes the near-dups they can't see.
+  def p3NeardupCorpus(s: SparkSession, d: String): DataFrame = {
+    val drop = TextOps.d18DupClusters(s, d)
+      .filter(col("doc_id") =!= col("cluster")).select("doc_id")
+    Tables.documents(s, d)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_clean_corpus" -> (p1CleanCorpus _),
     "p2_pretrain_corpus" -> (p2PretrainCorpus _),
+    "p3_neardup_corpus" -> (p3NeardupCorpus _),
   )
 
   val oracles: Map[String, String] = Map(
+    "p3_neardup_corpus" ->
+      s"""WITH RECURSIVE ${TextOps.D2PairsCte},
+         |cl AS (
+         |  SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster
+         |  FROM reach GROUP BY x)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster)
+         |ORDER BY doc_id""".stripMargin,
     "p2_pretrain_corpus" ->
       """WITH kept AS (
         |  SELECT * FROM (

@@ -396,7 +396,58 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // d17: text normalization — the canonicalization pass that runs
+  // before dedup/tokenization in every corpus pipeline: lowercase,
+  // strip non-alphanumerics, collapse whitespace runs, trim. Pure
+  // map; regexes in the RE2 ∩ Java dialect and replacements global in
+  // both engines (DuckDB needs the explicit 'g' flag the oracle sets).
+  def d17Normalize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("norm_text",
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          lit("[^a-z0-9 ]"), lit("")), lit(" +"), lit(" "))))
+      .select(col("doc_id"), col("norm_text"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(col("norm_text")).cast("long").as("n_chars_norm"))
+      .orderBy("doc_id")
+
+  // d18: near-dup CLUSTERING — pairs are not an actionable dedup
+  // decision; clusters are. The d2 pair set (oracled) becomes a graph
+  // (each pair an edge-bucket) and g1's distributed min-label
+  // propagation labels each member with its component's min doc_id —
+  // the canonical survivor. This is the MinHash→LSH→components shape
+  // every corpus fuzzy-dedup runs (at 100 TB feed d6's pairs in; same
+  // plan). Oracled by a recursive-CTE closure over the identical d2
+  // pair SQL — component sizes are small by construction (near-dup
+  // groups), so the quadratic closure is oracle-tractable.
+  def d18DupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = d2NgramJaccard(s, d).select("doc_a", "doc_b")
+    val pid = xxhash64(col("doc_a"), col("doc_b"))
+    val memb = pairs.select(col("doc_a").as("user_id"), pid.as("g"))
+      .unionByName(pairs.select(col("doc_b").as("user_id"), pid.as("g")))
+    Events.g1ConnectedComponents(memb)
+      .select(col("user_id").as("doc_id"), col("component").as("cluster"))
+      .orderBy("doc_id")
+  }
+
+  // d19: deterministic train/val/test split — 80/10/10 by a keyed
+  // multiplicative hash (pure integer arithmetic so the oracle is
+  // bit-exact; swap in xxhash64(content) at 100 TB for content-stable
+  // assignment — same map-only plan). The split must be a pure
+  // function of the key, never RNG, or re-runs leak val into train.
+  def d19Split(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+        when(bucket < 800, "train").when(bucket < 900, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_normalize" -> (d17Normalize _),
+    "d18_dup_clusters" -> (d18DupClusters _),
+    "d19_split" -> (d19Split _),
     "d12_pii_redact" -> (d12PiiRedact _),
     "d13_chunk_tokens" -> (d13ChunkTokens _),
     "d14_quota_sample" -> (d14QuotaSample _),
@@ -418,7 +469,54 @@ object TextOps {
     * aren't SQL-expressible; the driver records rows-only checks for
     * them (d16's containment vs d11 is spec-proven instead).
     */
+  /** The d2-pair CTE block shared by the d18/p3 oracles (identical to
+    * d2's own oracle up to the pair projection).
+    */
+  private[graft] val D2PairsCte: String =
+    """t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(0, len(w)-2),
+      |      i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text, ' '), x -> x != '') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3),
+      |s AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS sz FROM t),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared,
+      |    MAX(a.sz) AS sa, MAX(b.sz) AS sb
+      |  FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT doc_a, doc_b FROM p
+      |  WHERE CAST(shared AS DOUBLE) / (sa + sb - shared) >= 0.8),
+      |e AS (SELECT doc_a AS x, doc_b AS y FROM pr
+      |      UNION SELECT doc_b, doc_a FROM pr),
+      |reach(x, y) AS (
+      |  SELECT x, y FROM e
+      |  UNION
+      |  SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d17_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text,
+        |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d18_dup_clusters" ->
+      s"""WITH RECURSIVE $D2PairsCte
+         |SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster
+         |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+    "d19_split" ->
+      """SELECT doc_id, lang,
+        |  (doc_id * 2654435761) % 1000 AS bucket,
+        |  CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "d12_pii_redact" ->
       """WITH t AS (
         |  SELECT doc_id,
