@@ -444,7 +444,27 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // d20: TF-IDF term weighting — per-(doc, token) term frequency,
+  // per-token document frequency, and the raw inverse-frequency ratio
+  // tf·N/df (the log is left to the consumer: ln() is not bit-stable
+  // across engines, integer multiply + one IEEE division is). Two
+  // partial aggs + a token-keyed join (df side broadcastable when the
+  // vocab fits; AQE decides) + a broadcast 1-row N. The sparse
+  // (doc, token, weight) triple is the retrieval/feature shape.
+  def d20Tfidf(s: SparkSession, d: String): DataFrame = {
+    val w = docs(s, d).select(col("doc_id"), explode(col("toks")).as("token"))
+    val tf = w.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = w.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val n = w.select(countDistinct(col("doc_id")).as("n"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        ((col("tf") * col("n")).cast("double") / col("df")).as("tfidf_ratio"))
+      .orderBy("doc_id", "token")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d20_tfidf" -> (d20Tfidf _),
     "d17_normalize" -> (d17Normalize _),
     "d18_dup_clusters" -> (d18DupClusters _),
     "d19_split" -> (d19Split _),
@@ -498,6 +518,18 @@ object TextOps {
       |  SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d20_tfidf" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM w)
+        |SELECT tf.doc_id, tf.token AS token, tf.tf, df.df,
+        |  CAST(tf.tf * n.n AS DOUBLE) / df.df AS tfidf_ratio
+        |FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+        |ORDER BY tf.doc_id, tf.token""".stripMargin,
     "d17_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),
