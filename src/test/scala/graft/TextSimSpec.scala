@@ -214,6 +214,46 @@ class TextSimSpec extends SparkSpec {
     }
   }
 
+  test("d18 cluster labels are consistent fixpoints of the d2 pair set") {
+    val pairs = TextOps.d2NgramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val cl = TextOps.d18DupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(pairs.nonEmpty, "no near-dup pairs to cluster at test SF")
+    // every edge's endpoints share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(cl(a) == cl(b), s"pair ($a,$b) split across clusters")
+    }
+    // the canonical member is its own label, and labels are minima
+    cl.values.toSet.foreach { c: Long => assert(cl(c) == c) }
+    cl.foreach { case (d_, c) => assert(c <= d_) }
+  }
+
+  test("p3 removes exactly the non-canonical near-dup members") {
+    val docs = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val dropped = TextOps.d18DupClusters(spark, sf).collect()
+      .filter(r => r.getAs[Long]("doc_id") != r.getAs[Long]("cluster"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    val kept = graft.operators.Pipeline.p3NeardupCorpus(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "no near-dups to remove at test SF")
+    assert(kept == docs -- dropped)
+  }
+
+  test("d19 split partitions the corpus deterministically") {
+    val rows = TextOps.d19Split(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(Set("train", "val", "test").subsetOf(sizes.keySet),
+      s"missing splits: $sizes")
+    // deterministic: a second run assigns identically
+    val again = TextOps.d19Split(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+    assert(rows.sameElements(again))
+  }
+
   test("m1 digest matches MessageDigest on the raw text") {
     val r = Similarity.m1BinaryMeta(spark, sf).limit(1).collect().head
     val text = Tables.documents(spark, sf)
