@@ -174,7 +174,55 @@ object Geometry {
       .orderBy("l_orderkey", "l_linenumber", "endpt")
   }
 
+  // g7: box overlap-dedup / NMS (reference `deduplicate_boxes` +
+  // `non_max_suppression`: YOLO emits overlapping detections of the
+  // same symbol; keep the best). A box is dropped when a STRICTLY
+  // better-scored box (ties broken by key) overlaps it with IoU >
+  // 0.3. This is the parallel "overlap-dominated" variant — one
+  // bounded candidate join, deterministic — rather than greedy
+  // sequential NMS, which is order-serial within a cluster and
+  // cannot be expressed as a join (documented divergence: a dominated
+  // box here can still dominate others; at the reference's detection
+  // densities the two variants agree). Same grid-cell machinery as
+  // g2: overlapping boxes must share a covered cell, so candidates
+  // are a cell-keyed equi-join, never all-pairs. IoU arithmetic is
+  // the same IEEE expression tree in both engines, so the brute-force
+  // DuckDB oracle is bit-exact.
+  def g7BoxNms(s: SparkSession, d: String): DataFrame = {
+    val b = boxes(s, d)
+      .withColumn("score", ((col("p_partkey") * 7919) % 1000).cast("double"))
+    def cells(df: DataFrame): DataFrame = df
+      .withColumn("cx", explode(expr(
+        s"sequence(cast(floor(x1 / $Cell) as int), cast(floor(x2 / $Cell) as int))")))
+      .withColumn("cy", explode(expr(
+        s"sequence(cast(floor(y1 / $Cell) as int), cast(floor(y2 / $Cell) as int))")))
+    val loser = cells(b).select(col("cx"), col("cy"), col("p_partkey"),
+      col("x1"), col("x2"), col("y1"), col("y2"), col("score"))
+    val winner = cells(b).select(col("cx"), col("cy"),
+      col("p_partkey").as("ka"), col("x1").as("ax1"), col("x2").as("ax2"),
+      col("y1").as("ay1"), col("y2").as("ay2"), col("score").as("sa"))
+    val iw = greatest(lit(0.0),
+      least(col("ax2"), col("x2")) - greatest(col("ax1"), col("x1")))
+    val ih = greatest(lit(0.0),
+      least(col("ay2"), col("y2")) - greatest(col("ay1"), col("y1")))
+    val dominated = winner.join(loser, Seq("cx", "cy"))
+      .filter(col("ka") =!= col("p_partkey"))
+      .filter(col("sa") > col("score") ||
+              (col("sa") === col("score") && col("ka") < col("p_partkey")))
+      .withColumn("inter", iw * ih)
+      .withColumn("iou", col("inter") /
+        ((col("ax2") - col("ax1")) * (col("ay2") - col("ay1")) +
+         (col("x2") - col("x1")) * (col("y2") - col("y1")) - col("inter")))
+      .filter(col("iou") > 0.3)
+      .select("p_partkey").distinct()
+    b.join(dominated, Seq("p_partkey"), "left_anti")
+      .select(col("p_partkey"), col("x1"), col("y1"), col("x2"), col("y2"),
+              col("score"))
+      .orderBy("p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g7_box_nms" -> (g7BoxNms _),
     "g2_point_in_box" -> (g2PointInBox _),
     "g3_nearest_box" -> (g3NearestBox _),
     "g4_line_dedup" -> (g4LineDedup _),
@@ -193,6 +241,27 @@ object Geometry {
       |FROM part""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "g7_box_nms" ->
+      s"""WITH b AS (
+         |  SELECT p_partkey, x1, y1, x2, y2,
+         |    CAST((p_partkey * 7919) % 1000 AS DOUBLE) AS score
+         |  FROM ($BoxesSql)),
+         |dom AS (
+         |  SELECT DISTINCT l.p_partkey
+         |  FROM b l JOIN b a
+         |    ON a.p_partkey <> l.p_partkey
+         |   AND (a.score > l.score OR
+         |        (a.score = l.score AND a.p_partkey < l.p_partkey))
+         |  WHERE GREATEST(0.0, LEAST(a.x2, l.x2) - GREATEST(a.x1, l.x1)) *
+         |        GREATEST(0.0, LEAST(a.y2, l.y2) - GREATEST(a.y1, l.y1)) /
+         |        ((a.x2 - a.x1) * (a.y2 - a.y1) +
+         |         (l.x2 - l.x1) * (l.y2 - l.y1) -
+         |         GREATEST(0.0, LEAST(a.x2, l.x2) - GREATEST(a.x1, l.x1)) *
+         |         GREATEST(0.0, LEAST(a.y2, l.y2) - GREATEST(a.y1, l.y1)))
+         |        > 0.3)
+         |SELECT p_partkey, x1, y1, x2, y2, score FROM b
+         |WHERE p_partkey NOT IN (SELECT p_partkey FROM dom)
+         |ORDER BY p_partkey""".stripMargin,
     "g2_point_in_box" ->
       s"""WITH p AS ($PointsSql), b AS ($BoxesSql)
          |SELECT event_id, p_partkey FROM p JOIN b
