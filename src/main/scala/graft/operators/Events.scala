@@ -101,14 +101,14 @@ object Events {
   // convergence count has consumed them. The final labels DF remains
   // checkpoint-backed for the consumer; its blocks are released by
   // the ContextCleaner when the DF is collected and dropped.
-  def g1ConnectedComponents(graph: DataFrame): DataFrame = {
+  def g1ConnectedComponents(graph: DataFrame, maxIter: Int = 20): DataFrame = {
     val m = graph.cache()
     var labels = m.select(col("user_id")).distinct()
       .withColumn("comp", col("user_id"))
     var prev: DataFrame = null
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    while (!converged && iter < maxIter) {
       // bucket label = min member label; user label = min over buckets
       val gLab = m.join(labels, "user_id")
         .groupBy("g").agg(min("comp").as("gcomp"))

@@ -221,7 +221,37 @@ object Geometry {
       .orderBy("p_partkey")
   }
 
+  // g8: the object-connection graph END-TO-END — the reference's core
+  // output (`finding_relationships` / `create_objects_and_connections`,
+  // `app.py:2290-2687`): a line whose two endpoints snap to two
+  // different boxes CONNECTS those boxes; connected boxes form the
+  // equipment groups pushed to Neo4j. Composition of already-proven
+  // stages: g5's per-endpoint snap winners → distinct box↔box edges →
+  // g1's distributed min-label propagation (edge-bucket bipartite
+  // form). maxIter 60: the box graph's diameter is data-dependent,
+  // unlike g1's 25-bucket graph (propagation is O(diameter) rounds —
+  // each round is one bounded shuffle, and convergence stops early).
+  // Oracled end-to-end: g5's hit CTE → edges → recursive closure.
+  def g8ObjectGraph(s: SparkSession, d: String): DataFrame = {
+    val snaps = g5LineSnap(s, d)
+      .select("l_orderkey", "l_linenumber", "endpt", "p_partkey")
+    val e0 = snaps.filter(col("endpt") === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey").as("box_a"))
+    val e1 = snaps.filter(col("endpt") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey").as("box_b"))
+    val edges = e0.join(e1, Seq("l_orderkey", "l_linenumber"))
+      .filter(col("box_a") =!= col("box_b"))
+      .select("box_a", "box_b").distinct()
+    val eid = xxhash64(col("box_a"), col("box_b"))
+    val memb = edges.select(col("box_a").as("user_id"), eid.as("g"))
+      .unionByName(edges.select(col("box_b").as("user_id"), eid.as("g")))
+    Events.g1ConnectedComponents(memb, maxIter = 60)
+      .select(col("user_id").as("p_partkey"), col("component"))
+      .orderBy("p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g8_object_graph" -> (g8ObjectGraph _),
     "g7_box_nms" -> (g7BoxNms _),
     "g2_point_in_box" -> (g2PointInBox _),
     "g3_nearest_box" -> (g3NearestBox _),
@@ -239,6 +269,39 @@ object Geometry {
       |  ((p_partkey * 131) % 900) / 10 + CAST(p_size % 10 + 2 AS DOUBLE) AS x2,
       |  ((p_partkey * 241) % 900) / 10 + CAST((p_size * 3) % 10 + 2 AS DOUBLE) AS y2
       |FROM part""".stripMargin
+
+  /** The g5 snap-candidate CTE block (through `hit`), shared by the
+    * g5 and g8 oracles so the two can never drift apart.
+    */
+  private val G5HitCte: String =
+    s"""b AS ($BoxesSql),
+       |l AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    ((l_orderkey % 500) / 5) AS ax,
+       |    ((l_partkey % 500) / 5) AS ay,
+       |    (l_linenumber % 2 = 0) AS horiz,
+       |    l_quantity AS len
+       |  FROM lineitem),
+       |pt AS (
+       |  SELECT l.*, CAST(e.endpt AS BIGINT) AS endpt,
+       |    CASE WHEN horiz AND e.endpt = 1 THEN ax + len ELSE ax END AS ex,
+       |    CASE WHEN NOT horiz AND e.endpt = 1 THEN ay + len ELSE ay END AS ey
+       |  FROM l CROSS JOIN (SELECT unnest([0, 1]) AS endpt) e),
+       |cand AS (
+       |  SELECT pt.l_orderkey, pt.l_linenumber, pt.endpt, b.p_partkey,
+       |    CASE WHEN horiz THEN (CASE WHEN endpt = 1 THEN x1 ELSE x2 END)
+       |         ELSE (CASE WHEN endpt = 1 THEN y1 ELSE y2 END) END AS snapped,
+       |    CASE WHEN endpt = 1
+       |         THEN (CASE WHEN horiz THEN x1 - ex ELSE y1 - ey END)
+       |         ELSE (CASE WHEN horiz THEN ex - x2 ELSE ey - y2 END) END AS ext
+       |  FROM pt CROSS JOIN b
+       |  WHERE (CASE WHEN horiz THEN ey >= y1 AND ey <= y2
+       |              ELSE ex >= x1 AND ex <= x2 END)),
+       |hit AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY l_orderkey, l_linenumber, endpt
+       |    ORDER BY ext, p_partkey) AS rn
+       |  FROM cand WHERE ext > 0 AND ext <= 5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "g7_box_nms" ->
@@ -282,37 +345,28 @@ object Geometry {
          |SELECT event_id, p_partkey, dist FROM r WHERE rn = 1
          |ORDER BY event_id""".stripMargin,
     "g5_line_snap" ->
-      s"""WITH b AS ($BoxesSql),
-         |l AS (
-         |  SELECT l_orderkey, l_linenumber,
-         |    ((l_orderkey % 500) / 5) AS ax,
-         |    ((l_partkey % 500) / 5) AS ay,
-         |    (l_linenumber % 2 = 0) AS horiz,
-         |    l_quantity AS len
-         |  FROM lineitem),
-         |pt AS (
-         |  SELECT l.*, CAST(e.endpt AS BIGINT) AS endpt,
-         |    CASE WHEN horiz AND e.endpt = 1 THEN ax + len ELSE ax END AS ex,
-         |    CASE WHEN NOT horiz AND e.endpt = 1 THEN ay + len ELSE ay END AS ey
-         |  FROM l CROSS JOIN (SELECT unnest([0, 1]) AS endpt) e),
-         |cand AS (
-         |  SELECT pt.l_orderkey, pt.l_linenumber, pt.endpt, b.p_partkey,
-         |    CASE WHEN horiz THEN (CASE WHEN endpt = 1 THEN x1 ELSE x2 END)
-         |         ELSE (CASE WHEN endpt = 1 THEN y1 ELSE y2 END) END AS snapped,
-         |    CASE WHEN endpt = 1
-         |         THEN (CASE WHEN horiz THEN x1 - ex ELSE y1 - ey END)
-         |         ELSE (CASE WHEN horiz THEN ex - x2 ELSE ey - y2 END) END AS ext
-         |  FROM pt CROSS JOIN b
-         |  WHERE (CASE WHEN horiz THEN ey >= y1 AND ey <= y2
-         |              ELSE ex >= x1 AND ex <= x2 END)),
-         |hit AS (
-         |  SELECT *, ROW_NUMBER() OVER (
-         |    PARTITION BY l_orderkey, l_linenumber, endpt
-         |    ORDER BY ext, p_partkey) AS rn
-         |  FROM cand WHERE ext > 0 AND ext <= 5)
+      s"""WITH $G5HitCte
          |SELECT l_orderkey, l_linenumber, endpt, p_partkey, snapped, ext
          |FROM hit WHERE rn = 1
          |ORDER BY l_orderkey, l_linenumber, endpt""".stripMargin,
+    "g8_object_graph" ->
+      s"""WITH RECURSIVE $G5HitCte,
+         |sn AS (
+         |  SELECT l_orderkey, l_linenumber, endpt, p_partkey
+         |  FROM hit WHERE rn = 1),
+         |ed AS (
+         |  SELECT DISTINCT a.p_partkey AS x, b2.p_partkey AS y
+         |  FROM sn a JOIN sn b2
+         |    ON a.l_orderkey = b2.l_orderkey
+         |   AND a.l_linenumber = b2.l_linenumber
+         |  WHERE a.endpt = 0 AND b2.endpt = 1 AND a.p_partkey <> b2.p_partkey),
+         |es AS (SELECT x, y FROM ed UNION SELECT y, x FROM ed),
+         |reach(x, y) AS (
+         |  SELECT x, y FROM es
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN es e ON r.y = e.x)
+         |SELECT x AS p_partkey, LEAST(x, MIN(y)) AS component
+         |FROM reach GROUP BY x ORDER BY p_partkey""".stripMargin,
     "g4_line_dedup" ->
       """WITH l AS (
         |  SELECT (l_linenumber % 2 = 0) AS horiz,
