@@ -50,6 +50,10 @@ object Bench {
     catch { case _: Throwable => () }
     val results = headline.map { name =>
       val best = (1 to iters).map { _ =>
+        // drop any per-query persisted data (d6/d7 cache their
+        // signatures) so every iteration times the FULL computation —
+        // min-of-N estimates the noise floor, not a warm-cache replay
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try run(name) catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
