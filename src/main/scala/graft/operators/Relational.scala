@@ -167,6 +167,47 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  // q46: keyset pagination — the scale-correct deep-paging variant of
+  // q8 (reference pages with LIMIT/OFFSET, app.py:5072-5078; OFFSET n
+  // scans-and-discards n rows, so page 10,000 costs 10,000 pages).
+  // Keyset resumes from the last key seen: the predicate pushes into
+  // the parquet scan and the plan is TakeOrderedAndProject — per-
+  // partition top-k + driver merge, O(page) whatever the depth.
+  def q46KeysetPage(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") > 1000) // the caller's last-seen key
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+      .limit(10)
+
+  // q47: table profile — the reference's table-info endpoints
+  // (get_table_info_data_endpoint / get_table_PIDinfo_data_endpoint)
+  // as one profiling pass: per-column row/null/distinct counts and
+  // min/max, computed in a SINGLE wide aggregation over one scan
+  // (never one job per column), then unpivoted to the long
+  // (column, metric…) shape a catalog UI consumes.
+  def q47TableProfile(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    // doubles go through DECIMAL(18,2) before the string cast: raw
+    // double→string formatting is engine-specific; decimal isn't
+    def asStr(c: org.apache.spark.sql.Column, numeric: Boolean) =
+      (if (numeric) c.cast("decimal(18,2)") else c).cast("string")
+    def prof(cn: (String, Boolean)) = { val (c, num) = cn; Seq(
+      sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"nulls_$c"),
+      countDistinct(col(c)).as(s"dist_$c"),
+      asStr(min(col(c)), num).as(s"min_$c"),
+      asStr(max(col(c)), num).as(s"max_$c")) }
+    val cols = Seq("o_orderstatus" -> false, "o_orderpriority" -> false,
+      "o_totalprice" -> true)
+    val wide = o.agg(count(lit(1)).as("n_rows"),
+      cols.flatMap(prof): _*)
+    wide.select(col("n_rows"), expr(
+      "stack(3, " + cols.map { case (c, _) =>
+        s"'$c', nulls_$c, dist_$c, min_$c, max_$c" }.mkString(", ") +
+        ") AS (column_name, n_nulls, n_distinct, min_value, max_value)"))
+      .orderBy("column_name")
+  }
+
   // q12: GROUP BY … HAVING.
   def q12Having(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -341,6 +382,8 @@ object Relational {
     "q28_lag_lead" -> (q28LagLead _),
     "q29_upsert" -> (q29Upsert _),
     "q45_parse_tag" -> (q45ParseTag _),
+    "q46_keyset_page" -> (q46KeysetPage _),
+    "q47_table_profile" -> (q47TableProfile _),
   )
 
   private val SumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -348,6 +391,32 @@ object Relational {
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q46_keyset_page" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey > 1000
+        |ORDER BY o_orderkey LIMIT 10""".stripMargin,
+    "q47_table_profile" ->
+      """WITH w AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu1,
+        |    COUNT(DISTINCT o_orderstatus) AS di1,
+        |    CAST(MIN(o_orderstatus) AS VARCHAR) AS mi1,
+        |    CAST(MAX(o_orderstatus) AS VARCHAR) AS ma1,
+        |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu2,
+        |    COUNT(DISTINCT o_orderpriority) AS di2,
+        |    CAST(MIN(o_orderpriority) AS VARCHAR) AS mi2,
+        |    CAST(MAX(o_orderpriority) AS VARCHAR) AS ma2,
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu3,
+        |    COUNT(DISTINCT o_totalprice) AS di3,
+        |    CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mi3,
+        |    CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS ma3
+        |  FROM orders)
+        |SELECT n_rows, 'o_orderstatus' AS column_name,
+        |  nu1 AS n_nulls, di1 AS n_distinct, mi1 AS min_value, ma1 AS max_value
+        |FROM w
+        |UNION ALL SELECT n_rows, 'o_orderpriority', nu2, di2, mi2, ma2 FROM w
+        |UNION ALL SELECT n_rows, 'o_totalprice', nu3, di3, mi3, ma3 FROM w
+        |ORDER BY column_name""".stripMargin,
     "q45_parse_tag" ->
       """WITH t AS (
         |  SELECT p_partkey,
