@@ -128,6 +128,11 @@ object GraftFunctions {
       .toAggregateExpression(isDistinct = false))
   def bloom_contains(bits: Column, v: Column): Column =
     column(BloomContains(expression(bits), expression(v)))
+  def cms_agg(c: Column, depth: Int = 4, width: Int = 8192): Column =
+    column(CmsBuildAgg(expression(c), depth, width)
+      .toAggregateExpression(isDistinct = false))
+  def cms_estimate(counts: Column, v: Column): Column =
+    column(CmsEstimate(expression(counts), expression(v)))
 
   /** Register for SQL use: `SELECT rolling_hash(text) …`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -154,6 +159,11 @@ object GraftFunctions {
       es => BloomBuildAgg(es.head, 1 << 20, 5).toAggregateExpression(isDistinct = false))
     org.apache.spark.sql.graft.shim.registerFunction(
       spark, "bloom_contains", es => BloomContains(es.head, es(1)))
+    org.apache.spark.sql.graft.shim.registerFunction(
+      spark, "cms_agg",
+      es => CmsBuildAgg(es.head, 4, 8192).toAggregateExpression(isDistinct = false))
+    org.apache.spark.sql.graft.shim.registerFunction(
+      spark, "cms_estimate", es => CmsEstimate(es.head, es(1)))
   }
 }
 
@@ -896,4 +906,166 @@ case class LongDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): LongDot =
     copy(left = newLeft, right = newRight)
+}
+
+/** Count-Min sketch builder over a BIGINT column: the buffer is a
+  * depth×width counter matrix; row i's position for value x is
+  * Kirsch-Mitzenmacher (h1 + i·h2) mod width (same [[BloomHash]]
+  * halves as the Bloom pair), and partial buffers merge by element-
+  * wise ADD — one map-side pass plus an O(depth·width)-word reduce,
+  * independent of row count. Like [[BloomBuildAgg]], the emitted
+  * value is SELF-DESCRIBING: words 0/1 carry depth/width so the
+  * estimator reads its parameters from the data.
+  *
+  * This is the heavy-hitters-at-scale primitive: estimate any value's
+  * frequency with bounded memory and NO key-partitioned shuffle of
+  * the corpus (the exact d10 groupBy moves every distinct token
+  * through an exchange; a 100 TB vocab of billions of types makes
+  * that the dominant cost). One-sided error: estimates never
+  * UNDER-count (collisions only add), overshoot bounded by
+  * ~2N/width per row, min across depth rows.
+  */
+case class CmsBuildAgg(
+    child: Expression, depth: Int, width: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]] {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  require(depth > 0 && width > 0, "depth and width must be positive")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cms_agg requires a BIGINT column, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(counts: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      // MUST stay formula-identical with CmsEstimate (and its codegen)
+      val x = v.asInstanceOf[Long]
+      val h1 = BloomHash.h1(x)
+      val h2 = BloomHash.h2(x)
+      var i = 0
+      while (i < depth) {
+        val pos = (((h1 + i * h2) & Long.MaxValue) % width).toInt
+        counts(i * width + pos) += 1
+        i += 1
+      }
+    }
+    counts
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(counts: Array[Long]): Any = {
+    val out = new Array[Long](counts.length + 2)
+    out(0) = depth.toLong // header words: the estimator reads both
+    out(1) = width.toLong
+    System.arraycopy(counts, 0, out, 2, counts.length)
+    new GenericArrayData(out)
+  }
+
+  override def serialize(counts: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(counts.length * 8)
+    var i = 0
+    while (i < counts.length) { bb.putLong(counts(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val counts = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < counts.length) { counts(i) = bb.getLong; i += 1 }
+    counts
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CmsBuildAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsBuildAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): CmsBuildAgg = copy(child = c.head)
+  override def prettyName: String = "cms_agg"
+}
+
+/** Count-Min frequency estimate: `cms_estimate(counts, v)` over
+  * [[CmsBuildAgg]]'s array (usually a broadcast one-row cross join).
+  * depth/width come from the header words, so builder and estimator
+  * cannot disagree; a degenerate array estimates 0. Codegen'd — the
+  * probe sits in the map-side hot path.
+  */
+case class CmsEstimate(counts: Expression, value: Expression)
+    extends BinaryExpression {
+  override def left: Expression = counts
+  override def right: Expression = value
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (counts.dataType == ArrayType(LongType, containsNull = false) &&
+        value.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cms_estimate requires (ARRAY<BIGINT>, BIGINT), got " +
+          s"(${counts.dataType.catalogString}, ${value.dataType.catalogString})")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val words = a.asInstanceOf[ArrayData]
+    if (words.numElements() <= 2) return java.lang.Long.valueOf(0L)
+    val v = b.asInstanceOf[Long]
+    val depth = words.getLong(0)
+    val width = words.getLong(1)
+    val h1 = BloomHash.h1(v)
+    val h2 = BloomHash.h2(v)
+    var est = Long.MaxValue
+    var i = 0L
+    while (i < depth) {
+      val pos = ((h1 + i * h2) & Long.MaxValue) % width
+      val c = words.getLong((i * width + pos).toInt + 2)
+      if (c < est) est = c
+      i += 1
+    }
+    java.lang.Long.valueOf(est)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.freshName("cms")
+    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |long ${p}est = 0L;
+      |if ($a.numElements() > 2) {
+      |  long ${p}d = $a.getLong(0);
+      |  long ${p}w = $a.getLong(1);
+      |  long ${p}h1 = $xxh.hashLong($b, 0x9E3779B9L);
+      |  long ${p}h2 = $xxh.hashLong($b, 0x85EBCA77L) | 1L;
+      |  ${p}est = Long.MAX_VALUE;
+      |  for (long ${p}i = 0; ${p}i < ${p}d; ${p}i++) {
+      |    long ${p}pos = ((${p}h1 + ${p}i * ${p}h2) & Long.MAX_VALUE) % ${p}w;
+      |    long ${p}c = $a.getLong((int) (${p}i * ${p}w + ${p}pos) + 2);
+      |    if (${p}c < ${p}est) ${p}est = ${p}c;
+      |  }
+      |}
+      |${ev.value} = ${p}est;
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(counts = newLeft, value = newRight)
 }

@@ -463,7 +463,51 @@ object TextOps {
       .orderBy("doc_id", "token")
   }
 
+  // d21: Count-Min heavy hitters — d10's vocabulary question at the
+  // scale where the exact groupBy(token) stops being the right plan:
+  // a 100 TB corpus has billions of distinct types, and the exact
+  // top-k moves every one through a key-partitioned exchange. Here
+  // NOTHING shuffles on token: the CMS builds in one map-side pass
+  // (mergeable counter matrix, broadcast back as one row), candidates
+  // come from per-partition local top-m (bounded memory, no
+  // exchange), and each candidate's frequency is estimated map-side
+  // from the broadcast sketch. One-sided error: CMS never
+  // under-counts, so a true heavy hitter can only rank HIGHER —
+  // recall depends on the candidate pass (a token must be locally
+  // heavy somewhere; m = 10·k covers real corpus skew comfortably,
+  // and the spec asserts exact-top-10 coverage with est ≥ truth).
+  // Rows-only: sketch internals aren't SQL-expressible; d10 is the
+  // oracled exact twin.
+  def d21HeavyHitters(s: SparkSession, d: String,
+                      k: Int = 20, localM: Int = 200): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val toks = docs(s, d).select(explode(col("toks")).as("token"))
+      .withColumn("th", xxhash64(col("token")))
+    val schema = StructType(Seq(
+      StructField("token", StringType, nullable = false),
+      StructField("th", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val cand = toks.mapPartitions { rows =>
+      val counts = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+      rows.foreach { r =>
+        val t = r.getString(0); val th = r.getLong(1)
+        val prev = counts.getOrElse(t, (0L, th))
+        counts(t) = (prev._1 + 1, th)
+      }
+      counts.toSeq.sortBy { case (t, (c, _)) => (-c, t) }
+        .take(localM).iterator
+        .map { case (t, (_, th)) => org.apache.spark.sql.Row(t, th) }
+    }(enc).distinct()
+    val sketch = toks.agg(GraftFunctions.cms_agg(col("th"), 4, 8192).as("cms"))
+    cand.crossJoin(broadcast(sketch))
+      .select(col("token"),
+        GraftFunctions.cms_estimate(col("cms"), col("th")).as("est_count"))
+      .orderBy(col("est_count").desc, col("token"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_heavy_hitters" -> ((s: SparkSession, d: String) => d21HeavyHitters(s, d)),
     "d20_tfidf" -> (d20Tfidf _),
     "d17_normalize" -> (d17Normalize _),
     "d18_dup_clusters" -> (d18DupClusters _),
@@ -485,9 +529,10 @@ object TextOps {
     "d7_simhash" -> (d7Simhash _),
   )
 
-  /** d6/d7/d16 intentionally omitted: hash-family / bit-array results
-    * aren't SQL-expressible; the driver records rows-only checks for
-    * them (d16's containment vs d11 is spec-proven instead).
+  /** d6/d7/d16/d21 intentionally omitted: hash-family / bit-array /
+    * sketch results aren't SQL-expressible; the driver records
+    * rows-only checks for them (d16's containment vs d11 and d21's
+    * coverage of d10's exact top-10 are spec-proven instead).
     */
   /** The d2-pair CTE block shared by the d18/p3 oracles (identical to
     * d2's own oracle up to the pair projection).

@@ -60,6 +60,21 @@ class CodegenSpec extends SparkSpec {
       assert(hdr.getLong(0) == 5L, "header word should carry numHashes")
       assert(!hdr.getBoolean(1), "empty array must probe false, not divide by zero")
       assert(!hdr.getBoolean(2), "header-only array must probe false")
+      // CMS under the same codegen gate: 10 distinct values, 100 hits
+      // each, width 8192 >> 10 so every estimate is exact; degenerate
+      // arrays estimate 0
+      spark.range(0, 1000).selectExpr("id % 10 AS v")
+        .createOrReplaceTempView("cms_in")
+      val cms = spark.sql(
+        """SELECT p.v, cms_estimate(c.cms, p.v) AS est,
+          |  cms_estimate(slice(c.cms, 1, 0), p.v) AS empty_est
+          |FROM (SELECT DISTINCT id % 10 AS v FROM range(0, 10)) p
+          |CROSS JOIN (SELECT cms_agg(v) AS cms FROM cms_in) c""".stripMargin)
+        .collect()
+      cms.foreach { r =>
+        assert(r.getLong(1) == 100L, s"CMS estimate off for ${r.getLong(0)}")
+        assert(r.getLong(2) == 0L, "degenerate CMS array must estimate 0")
+      }
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)

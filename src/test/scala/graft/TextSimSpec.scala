@@ -254,6 +254,18 @@ class TextSimSpec extends SparkSpec {
     assert(rows.sameElements(again))
   }
 
+  test("d21 CMS heavy hitters cover d10's exact top-10, never undercounting") {
+    val exact = TextOps.d10VocabTopK(spark, sf).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("n"))
+    val hh = TextOps.d21HeavyHitters(spark, sf).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("est_count")).toMap
+    assert(exact.length >= 10, "corpus vocabulary too small to test")
+    exact.take(10).foreach { case (t, n) =>
+      assert(hh.contains(t), s"heavy hitter '$t' missing from CMS top-k")
+      assert(hh(t) >= n, s"CMS undercounted '$t': ${hh(t)} < $n")
+    }
+  }
+
   test("m1 digest matches MessageDigest on the raw text") {
     val r = Similarity.m1BinaryMeta(spark, sf).limit(1).collect().head
     val text = Tables.documents(spark, sf)
