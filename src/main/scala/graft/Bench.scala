@@ -42,23 +42,31 @@ object Bench {
     // un-consumed expression (q16's revenue sums aren't needed to
     // count groups), so count() under-measures real work. The noop
     // sink consumes every column of every row and writes nothing.
-    def run(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+    def run(name: String): Boolean =
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: $e"); false
+      }
     // one warm-up touch so JVM/codegen startup isn't billed to q1
-    try run("q1_agg")
-    catch { case _: Throwable => () }
+    run("q1_agg")
     val results = headline.map { name =>
-      val best = (1 to iters).map { _ =>
+      val samples = (1 to iters).flatMap { _ =>
         // drop any per-query persisted data (d6/d7 cache their
         // signatures) so every iteration times the FULL computation —
         // min-of-N estimates the noise floor, not a warm-cache replay
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try run(name) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> best
+        val ok = run(name)
+        // a failed iteration returns near-instantly — under min() it
+        // would WIN and report a phantom fast time; drop the sample
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      // -1 marks all-iterations-failed: unmistakably wrong in the
+      // artifact instead of silently fast
+      name -> (if (samples.nonEmpty) samples.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1031,6 +1031,12 @@ case class CmsEstimate(counts: Expression, value: Expression)
     val v = b.asInstanceOf[Long]
     val depth = words.getLong(0)
     val width = words.getLong(1)
+    // header must agree with the actual array length — a truncated or
+    // foreign array would otherwise read out of bounds (silent garbage
+    // under codegen's unchecked getLong)
+    if (depth <= 0 || width <= 0 ||
+        words.numElements().toLong != depth * width + 2)
+      return java.lang.Long.valueOf(0L)
     val h1 = BloomHash.h1(v)
     val h2 = BloomHash.h2(v)
     var est = Long.MaxValue
@@ -1049,7 +1055,9 @@ case class CmsEstimate(counts: Expression, value: Expression)
     val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
       |long ${p}est = 0L;
-      |if ($a.numElements() > 2) {
+      |if ($a.numElements() > 2
+      |    && $a.getLong(0) > 0 && $a.getLong(1) > 0
+      |    && (long) $a.numElements() == $a.getLong(0) * $a.getLong(1) + 2L) {
       |  long ${p}d = $a.getLong(0);
       |  long ${p}w = $a.getLong(1);
       |  long ${p}h1 = $xxh.hashLong($b, 0x9E3779B9L);

@@ -127,6 +127,12 @@ object Events {
     }
     if (prev != null && !(prev eq labels)) prev.unpersist()
     m.unpersist()
+    // propagation advances one hop per round: exhausting maxIter on a
+    // long-chain graph would return PARTIALLY-propagated labels —
+    // split components with no other symptom. Fail loudly instead.
+    require(converged,
+      s"connected components did not converge in $maxIter rounds — " +
+        "graph diameter exceeds the cap; raise maxIter")
     labels.select(col("user_id"), col("comp").as("component"))
       .orderBy("user_id")
   }

@@ -52,6 +52,18 @@ object Geometry {
 
   private val Cell = 16.0
 
+  /** Explode a box DF into every grid cell it overlaps (≤4 cells at
+    * this Cell size) — the shared candidate-generation step of
+    * g2/g5/g7. All three completeness arguments (a point inside a
+    * box, an endpoint within Tol, two overlapping boxes) assume THIS
+    * exact bucketing; keep it in one place.
+    */
+  private def boxCells(b: DataFrame): DataFrame = b
+    .withColumn("cx", explode(expr(
+      s"sequence(cast(floor(x1 / $Cell) as int), cast(floor(x2 / $Cell) as int))")))
+    .withColumn("cy", explode(expr(
+      s"sequence(cast(floor(y1 / $Cell) as int), cast(floor(y2 / $Cell) as int))")))
+
   // g2: point-in-box containment as a grid-bucketed equi-join. Each
   // box lands in every cell it overlaps; each point in exactly one
   // cell, so no post-join dedup is needed. No final orderBy: the
@@ -62,11 +74,7 @@ object Geometry {
   // keep their orderBy; this one's plan ends at the filter, the plan
   // you'd want at 100 TB.
   def g2PointInBox(s: SparkSession, d: String): DataFrame = {
-    val b = boxes(s, d)
-      .withColumn("cx", explode(expr(
-        s"sequence(cast(floor(x1 / $Cell) as int), cast(floor(x2 / $Cell) as int))")))
-      .withColumn("cy", explode(expr(
-        s"sequence(cast(floor(y1 / $Cell) as int), cast(floor(y2 / $Cell) as int))")))
+    val b = boxCells(boxes(s, d))
     val p = points(s, d)
       .withColumn("cx", expr(s"cast(floor(px / $Cell) as int)"))
       .withColumn("cy", expr(s"cast(floor(py / $Cell) as int)"))
@@ -135,11 +143,7 @@ object Geometry {
   // window partitions by (line, endpoint) — bounded candidate groups,
   // not a low-cardinality key.
   def g5LineSnap(s: SparkSession, d: String): DataFrame = {
-    val b = boxes(s, d)
-      .withColumn("cx", explode(expr(
-        s"sequence(cast(floor(x1 / $Cell) as int), cast(floor(x2 / $Cell) as int))")))
-      .withColumn("cy", explode(expr(
-        s"sequence(cast(floor(y1 / $Cell) as int), cast(floor(y2 / $Cell) as int))")))
+    val b = boxCells(boxes(s, d))
     val ep = lines(s, d)
       .withColumn("endpt", explode(expr("sequence(0, 1)")))
       .withColumn("ex", when(col("horiz"),
@@ -191,14 +195,9 @@ object Geometry {
   def g7BoxNms(s: SparkSession, d: String): DataFrame = {
     val b = boxes(s, d)
       .withColumn("score", ((col("p_partkey") * 7919) % 1000).cast("double"))
-    def cells(df: DataFrame): DataFrame = df
-      .withColumn("cx", explode(expr(
-        s"sequence(cast(floor(x1 / $Cell) as int), cast(floor(x2 / $Cell) as int))")))
-      .withColumn("cy", explode(expr(
-        s"sequence(cast(floor(y1 / $Cell) as int), cast(floor(y2 / $Cell) as int))")))
-    val loser = cells(b).select(col("cx"), col("cy"), col("p_partkey"),
+    val loser = boxCells(b).select(col("cx"), col("cy"), col("p_partkey"),
       col("x1"), col("x2"), col("y1"), col("y2"), col("score"))
-    val winner = cells(b).select(col("cx"), col("cy"),
+    val winner = boxCells(b).select(col("cx"), col("cy"),
       col("p_partkey").as("ka"), col("x1").as("ax1"), col("x2").as("ax2"),
       col("y1").as("ay1"), col("y2").as("ay2"), col("score").as("sa"))
     val iw = greatest(lit(0.0),

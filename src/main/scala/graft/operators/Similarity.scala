@@ -92,6 +92,16 @@ object Similarity {
     topKPerQuery(scored, 5)
   }
 
+  /** Centroid-normalized dot of the quantized vector `q` against the
+    * double centroid `cvec` — the ONE scoring expression both k-means
+    * assignment (training) and the e4 probe path use; they must stay
+    * formula-identical or the trained cells and the probed cells
+    * disagree.
+    */
+  private val CentroidDot =
+    "aggregate(zip_with(q, cvec, (a, b) -> cast(a as double) * b), " +
+      "cast(0.0 as double), (acc, v) -> acc + v)"
+
   /** Deterministic k-means coarse quantizer — the TRAINED IVF path.
     * Init: the k vectors with smallest xxhash64(vec_id) (a fixed
     * pseudo-random sample — no RNG state to distribute). Then `iters`
@@ -126,9 +136,7 @@ object Similarity {
         (i.toLong, r.getSeq[Long](1).map(_.toDouble).toArray) }
     (1 to iters).foreach { _ =>
       val sums = emb.crossJoin(broadcast(centDf(cents)))
-        .withColumn("score", expr(
-          "aggregate(zip_with(q, cvec, (a, b) -> cast(a as double) * b), " +
-            "cast(0.0 as double), (acc, v) -> acc + v)") / col("cn"))
+        .withColumn("score", expr(CentroidDot) / col("cn"))
         .groupBy(col("vec_id"))
         .agg(expr("max_by(struct(cid, q), struct(score, -cid))").as("m"))
         .select(col("m.cid").as("cid"), posexplode(col("m.q")).as(Seq("pos", "v")))
@@ -168,11 +176,9 @@ object Similarity {
     val cellCents = kmeansCentroids(s, emb, k, iters)
     def scored(df: DataFrame): DataFrame =
       df.crossJoin(broadcast(cellCents))
-        // centroid-normalized dot; dividing by |q| is rank-invariant
-        // per vector, so it's skipped
-        .withColumn("score", expr(
-          "aggregate(zip_with(q, cvec, (a, b) -> cast(a as double) * b), " +
-            "cast(0.0 as double), (acc, v) -> acc + v)") / col("cn"))
+        // centroid-normalized dot (shared with training); dividing by
+        // |q| is rank-invariant per vector, so it's skipped
+        .withColumn("score", expr(CentroidDot) / col("cn"))
     // assignment as an argmax AGGREGATE, not a window: the crossJoin
     // is map-local (centroids broadcast), so partial max_by collapses
     // to one row per vector before the exchange — the shuffle moves N

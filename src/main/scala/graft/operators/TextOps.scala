@@ -487,12 +487,30 @@ object TextOps {
       StructField("token", StringType, nullable = false),
       StructField("th", LongType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
+    // Misra-Gries summary, capacity 8·localM: BOUNDED memory per
+    // partition whatever the type count (an exact per-partition
+    // HashMap would hold every distinct token — the unbounded state
+    // this operator exists to avoid). Guarantee: any token with
+    // partition frequency > n/capacity survives the summary, so
+    // corpus heavy hitters are locally heavy somewhere and reach the
+    // candidate set; the CMS estimate then rescores them exactly
+    // (one-sided). Counts here are only for surviving the summary —
+    // never reported.
     val cand = toks.mapPartitions { rows =>
+      val capacity = 8 * localM
       val counts = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
       rows.foreach { r =>
         val t = r.getString(0); val th = r.getLong(1)
-        val prev = counts.getOrElse(t, (0L, th))
-        counts(t) = (prev._1 + 1, th)
+        counts.get(t) match {
+          case Some((c, _)) => counts(t) = (c + 1, th)
+          case None if counts.size < capacity => counts(t) = (1L, th)
+          case None => // full: decrement all, evict zeros (Misra-Gries)
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            counts.foreach { case (k, (c, h)) =>
+              if (c == 1L) dead += k else counts(k) = (c - 1, h)
+            }
+            dead.foreach(counts.remove)
+        }
       }
       counts.toSeq.sortBy { case (t, (c, _)) => (-c, t) }
         .take(localM).iterator

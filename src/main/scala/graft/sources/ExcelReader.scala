@@ -104,11 +104,23 @@ object ExcelReader {
       if (ns.getLength > 0) Some(ns.item(0).getTextContent) else None
     }
     c.getAttribute("t") match {
-      case "s" => firstText("v").map(v => shared(v.trim.toInt)).orNull
-      case "inlineStr" => firstText("t").orNull
-      case _ => firstText("v").orNull // "str", numerics, booleans
+      case "s" => firstText("v").map(v => decodeX(shared(v.trim.toInt))).orNull
+      case "inlineStr" => firstText("t").map(decodeX).orNull
+      case _ => firstText("v").map(decodeX).orNull // "str", numerics, booleans
     }
   }
+
+  private val XEnc = "_x([0-9A-Fa-f]{4})_".r
+
+  /** OOXML `_xHHHH_` decoding (writers — ours included — encode XML-
+    * illegal control chars this way; `_x005F_` is an escaped literal
+    * underscore). Left-to-right non-overlapping replacement makes
+    * `_x005F_x0041_` decode to the literal `_x0041_` correctly.
+    */
+  private def decodeX(s: String): String =
+    if (!s.contains("_x")) s
+    else XEnc.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+      Integer.parseInt(m.group(1), 16).toChar.toString))
 
   /** "BC7" → 0-based column 54; -1 when the cell has no coordinate. */
   private def colIndex(ref: String): Int = {

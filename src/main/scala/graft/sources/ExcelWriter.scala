@@ -32,6 +32,7 @@ object ExcelWriter {
   def writeExcel(df: DataFrame, path: String,
                  maxRows: Int = ExcelMaxRows - 1): Unit = {
     val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    var complete = false
     try {
       def put(name: String, content: String): Unit = {
         zos.putNextEntry(new ZipEntry(name))
@@ -91,7 +92,14 @@ object ExcelWriter {
           "format; use the parquet/ORC/Avro writers for lake-scale data")
       w("</sheetData></worksheet>")
       zos.closeEntry()
-    } finally zos.close()
+      complete = true
+    } finally {
+      zos.close()
+      // a failure mid-stream (row cap, IO error) would otherwise leave
+      // a VALID zip with a truncated sheet — a corrupt workbook a
+      // retrying caller could serve as if complete. Delete it.
+      if (!complete) new java.io.File(path).delete()
+    }
   }
 
   private def rowXml(rn: Int, cells: Seq[String]): String =
@@ -112,13 +120,26 @@ object ExcelWriter {
     sb.append(rn).toString
   }
 
+  private val XLike = "_x[0-9A-Fa-f]{4}_".r
+
   private def escape(s: String): String = {
-    val sb = new StringBuilder(s.length + 8)
-    s.foreach {
+    // control chars below 0x20 (except \t \n \r) are ILLEGAL in XML
+    // 1.0 even as entities — emitted raw they'd make the sheet
+    // unparseable by any reader. OOXML's convention encodes them as
+    // _xHHHH_; consequently a LITERAL _xHHHH_ in the data must first
+    // get its own underscore escaped (_x005F_xHHHH_) so the decoder
+    // (ExcelReader.decodeX) is unambiguous. Order matters: lookalikes
+    // first, then our own emissions can't be re-escaped.
+    val pre = XLike.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement("_x005F_" + m.matched.substring(1)))
+    val sb = new StringBuilder(pre.length + 8)
+    pre.foreach {
       case '&' => sb.append("&amp;")
       case '<' => sb.append("&lt;")
       case '>' => sb.append("&gt;")
       case '"' => sb.append("&quot;")
+      case c if c < 0x20 && c != '\t' && c != '\n' && c != '\r' =>
+        sb.append(f"_x${c.toInt}%04X_")
       case c => sb.append(c)
     }
     sb.toString

@@ -127,6 +127,36 @@ class ExcelAvroSpec extends SparkSpec {
     } finally zip.close()
   }
 
+  test("xlsx export round-trips XML-illegal control chars and _x lookalikes") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_xlsx_ctl")
+      .resolve("ctl.xlsx").toString
+    // U+0003 is illegal in XML 1.0 even as an entity; "_x0041_" is a
+    // literal lookalike of the OOXML escape and must survive verbatim
+    val src = Seq(
+      (1L, "ctl\u0003char"),
+      (2L, "literal _x0041_ text"),
+      (3L, "tab\tand\nnewline ok")
+    ).toDF("id", "s")
+    ExcelWriter.writeExcel(src, path)
+    val back = ExcelReader.excel(spark, path)
+      .orderBy(col("id").cast("long")).collect()
+    assert(back(0).getString(1) == "ctl\u0003char")
+    assert(back(1).getString(1) == "literal _x0041_ text")
+    assert(back(2).getString(1) == "tab\tand\nnewline ok")
+  }
+
+  test("xlsx export deletes the file when the row cap aborts the write") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_abort")
+    val path = dir.resolve("truncated.xlsx").toString
+    intercept[IllegalArgumentException] {
+      ExcelWriter.writeExcel(
+        Tables.orders(spark, sf).select("o_orderkey"), path, maxRows = 10)
+    }
+    // no truncated-but-valid-looking workbook left behind
+    assert(!new java.io.File(path).exists())
+  }
+
   test("xlsx export refuses corpus-sized DataFrames (report-format cap)") {
     val path = java.nio.file.Files.createTempDirectory("graft_xlsx_cap")
       .resolve("big.xlsx").toString
