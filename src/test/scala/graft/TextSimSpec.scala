@@ -266,6 +266,22 @@ class TextSimSpec extends SparkSpec {
     }
   }
 
+  test("d21 Misra-Gries eviction path still surfaces the heaviest tokens") {
+    // localM = 16 → capacity 128 ≪ per-partition vocab, so the
+    // decrement-all eviction actually runs (the default capacity 1600
+    // exceeds the test corpus vocabulary and never evicts); MG
+    // guarantees any token with partition frequency > n/128 survives,
+    // which the corpus' heaviest stop-words easily clear
+    val exact = TextOps.d10VocabTopK(spark, sf).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("n"))
+    val hh = TextOps.d21HeavyHitters(spark, sf, k = 10, localM = 16).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("est_count")).toMap
+    exact.take(3).foreach { case (t, n) =>
+      assert(hh.contains(t), s"top token '$t' lost by MG eviction")
+      assert(hh(t) >= n, s"CMS undercounted '$t' under eviction")
+    }
+  }
+
   test("m1 digest matches MessageDigest on the raw text") {
     val r = Similarity.m1BinaryMeta(spark, sf).limit(1).collect().head
     val text = Tables.documents(spark, sf)
