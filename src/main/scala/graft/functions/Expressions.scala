@@ -60,10 +60,25 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
+  // element type only — containsNull differs once a column round-trips
+  // through a table, and builder output never holds nulls anyway
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_sim requires two ARRAY<FLOAT> columns, got " +
+            s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // dimension mismatch is an upstream data bug — null, never a
+    // plausible-looking similarity over the common prefix
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -79,17 +94,21 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val p = ctx.freshName("cs")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |int ${p}n = java.lang.Math.min($a.numElements(), $b.numElements());
-      |double ${p}dot = 0.0; double ${p}nx = 0.0; double ${p}ny = 0.0;
-      |for (int ${p}i = 0; ${p}i < ${p}n; ${p}i++) {
-      |  double ${p}x = (double) $a.getFloat(${p}i);
-      |  double ${p}y = (double) $b.getFloat(${p}i);
-      |  ${p}dot += ${p}x * ${p}y; ${p}nx += ${p}x * ${p}x; ${p}ny += ${p}y * ${p}y;
-      |}
-      |if (${p}nx == 0.0 || ${p}ny == 0.0) {
+      |if ($a.numElements() != $b.numElements()) {
       |  ${ev.isNull} = true;
       |} else {
-      |  ${ev.value} = ${p}dot / (java.lang.Math.sqrt(${p}nx) * java.lang.Math.sqrt(${p}ny));
+      |  int ${p}n = $a.numElements();
+      |  double ${p}dot = 0.0; double ${p}nx = 0.0; double ${p}ny = 0.0;
+      |  for (int ${p}i = 0; ${p}i < ${p}n; ${p}i++) {
+      |    double ${p}x = (double) $a.getFloat(${p}i);
+      |    double ${p}y = (double) $b.getFloat(${p}i);
+      |    ${p}dot += ${p}x * ${p}y; ${p}nx += ${p}x * ${p}x; ${p}ny += ${p}y * ${p}y;
+      |  }
+      |  if (${p}nx == 0.0 || ${p}ny == 0.0) {
+      |    ${ev.isNull} = true;
+      |  } else {
+      |    ${ev.value} = ${p}dot / (java.lang.Math.sqrt(${p}nx) * java.lang.Math.sqrt(${p}ny));
+      |  }
       |}
       |""".stripMargin)
   }
@@ -134,37 +153,77 @@ object GraftFunctions {
   def cms_estimate(counts: Column, v: Column): Column =
     column(CmsEstimate(expression(counts), expression(v)))
 
-  /** Register for SQL use: `SELECT rolling_hash(text) …`. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    org.apache.spark.sql.graft.shim.registerFunction(
-      spark, "rolling_hash", es => RollingHash(es.head))
-    org.apache.spark.sql.graft.shim.registerFunction(
-      spark, "cosine_sim", es => CosineSim(es.head, es(1)))
-    org.apache.spark.sql.graft.shim.registerFunction(
-      spark, "simhash64", es => SimHash64(es.head))
-    org.apache.spark.sql.graft.shim.registerFunction(
-      spark, "shingle_hashes", es => ShingleHashes(es.head, 3))
-    org.apache.spark.sql.graft.shim.registerFunction(
-      spark, "minhash_sig", es => MinHashSigLong(es.head, 64))
-    // aggregates register too: an AggregateExpression IS an Expression,
-    // so SQL users get `SELECT kmv_distinct(k) … GROUP BY …`
-    org.apache.spark.sql.graft.shim.registerFunction(
-      spark, "kmv_distinct",
-      es => KmvDistinct(es.head, 256).toAggregateExpression(isDistinct = false))
-    org.apache.spark.sql.graft.shim.registerFunction(
-      spark, "topk_by_score",
-      es => TopKByScore(es.head, es(1), 5).toAggregateExpression(isDistinct = false))
-    org.apache.spark.sql.graft.shim.registerFunction(
-      spark, "bloom_agg",
-      es => BloomBuildAgg(es.head, 1 << 20, 5).toAggregateExpression(isDistinct = false))
-    org.apache.spark.sql.graft.shim.registerFunction(
-      spark, "bloom_contains", es => BloomContains(es.head, es(1)))
-    org.apache.spark.sql.graft.shim.registerFunction(
-      spark, "cms_agg",
-      es => CmsBuildAgg(es.head, 4, 8192).toAggregateExpression(isDistinct = false))
-    org.apache.spark.sql.graft.shim.registerFunction(
-      spark, "cms_estimate", es => CmsEstimate(es.head, es(1)))
+  // ---- SQL surface: ONE builder list for both registration paths
+  // (session-level register() and the GraftExtensions injection), so
+  // they cannot drift. Builders validate arity — a silently-dropped
+  // third argument (`topk_by_score(s, id, 10)` quietly returning
+  // top-5) is a wrong-results bug — and optional tuning parameters
+  // must be integer literals.
+
+  private def arity(name: String, es: Seq[Expression], allowed: Int*): Unit =
+    if (!allowed.contains(es.length))
+      throw new IllegalArgumentException(
+        s"$name expects ${allowed.mkString(" or ")} argument(s), got ${es.length}")
+
+  private def litInt(name: String, e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => v.toInt
+    case _ => throw new IllegalArgumentException(
+      s"$name: $what must be an integer literal")
   }
+
+  /** (name, usage, builder) — aggregates register too: an
+    * AggregateExpression IS an Expression, so SQL users get
+    * `SELECT kmv_distinct(k) … GROUP BY …`.
+    */
+  val sqlFunctions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("rolling_hash", "rolling_hash(str) - polynomial content fingerprint",
+      es => { arity("rolling_hash", es, 1); RollingHash(es.head) }),
+    ("cosine_sim", "cosine_sim(a, b) - cosine of two float arrays",
+      es => { arity("cosine_sim", es, 2); CosineSim(es.head, es(1)) }),
+    ("simhash64", "simhash64(tokens) - 64-bit SimHash",
+      es => { arity("simhash64", es, 1); SimHash64(es.head) }),
+    ("shingle_hashes", "shingle_hashes(tokens[, n]) - distinct n-gram hashes (default 3)",
+      es => { arity("shingle_hashes", es, 1, 2)
+        ShingleHashes(es.head,
+          if (es.length > 1) litInt("shingle_hashes", es(1), "n") else 3) }),
+    ("minhash_sig", "minhash_sig(shingle_hashes[, perms]) - MinHash signature (default 64)",
+      es => { arity("minhash_sig", es, 1, 2)
+        MinHashSigLong(es.head,
+          if (es.length > 1) litInt("minhash_sig", es(1), "perms") else 64) }),
+    ("kmv_distinct", "kmv_distinct(col[, k]) - KMV distinct-count sketch (default k=256)",
+      es => { arity("kmv_distinct", es, 1, 2)
+        KmvDistinct(es.head,
+          if (es.length > 1) litInt("kmv_distinct", es(1), "k") else 256)
+          .toAggregateExpression(isDistinct = false) }),
+    ("topk_by_score", "topk_by_score(score, id[, k]) - top-k (score,id) pairs per group (default 5)",
+      es => { arity("topk_by_score", es, 2, 3)
+        TopKByScore(es.head, es(1),
+          if (es.length > 2) litInt("topk_by_score", es(2), "k") else 5)
+          .toAggregateExpression(isDistinct = false) }),
+    ("bloom_agg", "bloom_agg(col[, numBits, numHashes]) - Bloom filter build (default 2^20, 5)",
+      es => { arity("bloom_agg", es, 1, 3)
+        BloomBuildAgg(es.head,
+          if (es.length > 1) litInt("bloom_agg", es(1), "numBits") else 1 << 20,
+          if (es.length > 2) litInt("bloom_agg", es(2), "numHashes") else 5)
+          .toAggregateExpression(isDistinct = false) }),
+    ("bloom_contains", "bloom_contains(bits, v) - Bloom membership probe",
+      es => { arity("bloom_contains", es, 2); BloomContains(es.head, es(1)) }),
+    ("cms_agg", "cms_agg(col[, depth, width]) - Count-Min sketch build (default 4, 8192)",
+      es => { arity("cms_agg", es, 1, 3)
+        CmsBuildAgg(es.head,
+          if (es.length > 1) litInt("cms_agg", es(1), "depth") else 4,
+          if (es.length > 2) litInt("cms_agg", es(2), "width") else 8192)
+          .toAggregateExpression(isDistinct = false) }),
+    ("cms_estimate", "cms_estimate(counts, v) - Count-Min frequency estimate",
+      es => { arity("cms_estimate", es, 2); CmsEstimate(es.head, es(1)) }),
+  )
+
+  /** Register for SQL use: `SELECT rolling_hash(text) …`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlFunctions.foreach { case (name, _, builder) =>
+      org.apache.spark.sql.graft.shim.registerFunction(spark, name, builder)
+    }
 }
 
 /** MinHash signature over a shingle array in one fused pass: each
@@ -179,8 +238,18 @@ case class MinHashSig(child: Expression, numHashes: Int)
   import org.apache.spark.sql.catalyst.expressions.XXH64
   import org.apache.spark.sql.catalyst.util.GenericArrayData
 
+  require(numHashes > 0, "numHashes must be positive")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig requires ARRAY<STRING>, got ${t.catalogString}")
+    }
+
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -188,7 +257,12 @@ case class MinHashSig(child: Expression, numHashes: Int)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val base = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      // null elements hash as the empty string in BOTH paths (a
+      // GenericArrayData eval would otherwise NPE while unsafe
+      // codegen read a zero-length slot — a silent divergence)
+      val u = arr.getUTF8String(i)
+      val base = XXH64.hashUTF8String(
+        if (u == null) UTF8String.EMPTY_UTF8 else u, 42L)
       var j = 0
       while (j < numHashes) {
         val h = XXH64.hashLong(base, j.toLong)
@@ -208,7 +282,9 @@ case class MinHashSig(child: Expression, numHashes: Int)
       |java.util.Arrays.fill(${p}sig, Long.MAX_VALUE);
       |int ${p}n = $c.numElements();
       |for (int ${p}i = 0; ${p}i < ${p}n; ${p}i++) {
-      |  long ${p}base = $xxh.hashUTF8String($c.getUTF8String(${p}i), 42L);
+      |  long ${p}base = $xxh.hashUTF8String($c.isNullAt(${p}i)
+      |    ? org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+      |    : $c.getUTF8String(${p}i), 42L);
       |  for (int ${p}j = 0; ${p}j < $numHashes; ${p}j++) {
       |    long ${p}h = $xxh.hashLong(${p}base, (long) ${p}j);
       |    if (${p}h < ${p}sig[${p}j]) ${p}sig[${p}j] = ${p}h;
@@ -233,13 +309,23 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash64 requires ARRAY<STRING>, got ${t.catalogString}")
+    }
+
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val votes = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      val u = arr.getUTF8String(i) // null element -> empty (see MinHashSig)
+      val h = XXH64.hashUTF8String(
+        if (u == null) UTF8String.EMPTY_UTF8 else u, 42L)
       var k = 0
       while (k < 64) {
         if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
@@ -260,7 +346,9 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       |int[] ${p}v = new int[64];
       |int ${p}n = $c.numElements();
       |for (int ${p}i = 0; ${p}i < ${p}n; ${p}i++) {
-      |  long ${p}h = $xxh.hashUTF8String($c.getUTF8String(${p}i), 42L);
+      |  long ${p}h = $xxh.hashUTF8String($c.isNullAt(${p}i)
+      |    ? org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+      |    : $c.getUTF8String(${p}i), 42L);
       |  for (int ${p}k = 0; ${p}k < 64; ${p}k++) {
       |    if (((${p}h >>> ${p}k) & 1L) == 1L) ${p}v[${p}k]++; else ${p}v[${p}k]--;
       |  }
@@ -289,8 +377,18 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   import org.apache.spark.sql.catalyst.expressions.XXH64
   import org.apache.spark.sql.catalyst.util.GenericArrayData
 
+  require(n > 0, "shingle width n must be positive")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle_hashes requires ARRAY<STRING>, got ${t.catalogString}")
+    }
+
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -298,7 +396,12 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     if (m < n) return new GenericArrayData(Array.emptyLongArray)
     val th = new Array[Long](m)
     var i = 0
-    while (i < m) { th(i) = XXH64.hashUTF8String(arr.getUTF8String(i), 42L); i += 1 }
+    while (i < m) { // null element -> empty (see MinHashSig)
+      val u = arr.getUTF8String(i)
+      th(i) = XXH64.hashUTF8String(
+        if (u == null) UTF8String.EMPTY_UTF8 else u, 42L)
+      i += 1
+    }
     val out = new Array[Long](m - n + 1)
     i = 0
     while (i <= m - n) {
@@ -329,7 +432,9 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
       |} else {
       |  long[] ${p}th = new long[${p}m];
       |  for (int ${p}i = 0; ${p}i < ${p}m; ${p}i++) {
-      |    ${p}th[${p}i] = $xxh.hashUTF8String($c.getUTF8String(${p}i), 42L);
+      |    ${p}th[${p}i] = $xxh.hashUTF8String($c.isNullAt(${p}i)
+      |      ? org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+      |      : $c.getUTF8String(${p}i), 42L);
       |  }
       |  long[] ${p}out = new long[${p}m - $n + 1];
       |  for (int ${p}i = 0; ${p}i <= ${p}m - $n; ${p}i++) {
@@ -362,6 +467,16 @@ case class MinHashSigLong(child: Expression, numHashes: Int)
   import org.apache.spark.sql.catalyst.expressions.XXH64
   import org.apache.spark.sql.catalyst.util.GenericArrayData
 
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig_long requires ARRAY<BIGINT>, got ${t.catalogString}")
+    }
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig_long"
 
@@ -371,7 +486,8 @@ case class MinHashSigLong(child: Expression, numHashes: Int)
     val m = arr.numElements()
     var i = 0
     while (i < m) {
-      val base = arr.getLong(i)
+      // null element -> 0L in both paths (see MinHashSig note)
+      val base = if (arr.isNullAt(i)) 0L else arr.getLong(i)
       var j = 0
       while (j < numHashes) {
         val h = XXH64.hashLong(base, j.toLong)
@@ -391,7 +507,7 @@ case class MinHashSigLong(child: Expression, numHashes: Int)
       |java.util.Arrays.fill(${p}sig, Long.MAX_VALUE);
       |int ${p}m = $c.numElements();
       |for (int ${p}i = 0; ${p}i < ${p}m; ${p}i++) {
-      |  long ${p}base = $c.getLong(${p}i);
+      |  long ${p}base = $c.isNullAt(${p}i) ? 0L : $c.getLong(${p}i);
       |  for (int ${p}j = 0; ${p}j < $numHashes; ${p}j++) {
       |    long ${p}h = $xxh.hashLong(${p}base, (long) ${p}j);
       |    if (${p}h < ${p}sig[${p}j]) ${p}sig[${p}j] = ${p}h;
@@ -416,6 +532,8 @@ case class KmvDistinct(
     child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k > 0, "k must be positive")
 
   // misuse (non-long column) must fail at analysis, not as a runtime
   // ClassCastException in update() (AbstractDataType is private[sql],
@@ -719,6 +837,7 @@ case class BloomBuildAgg(
   import org.apache.spark.sql.catalyst.util.GenericArrayData
 
   require(numBits > 0 && numBits % 64 == 0, "numBits must be a positive multiple of 64")
+  require(numHashes > 0 && numHashes <= 64, "numHashes must be in 1..64")
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == LongType)
@@ -815,20 +934,27 @@ case class BloomContains(bits: Expression, value: Expression)
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_contains"
 
+  // element type only: a filter persisted to a table reads back with
+  // containsNull=true even though builder output never holds nulls
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (bits.dataType == ArrayType(LongType, containsNull = false) &&
-        value.dataType == LongType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"bloom_contains requires (ARRAY<BIGINT>, BIGINT), got " +
-          s"(${bits.dataType.catalogString}, ${value.dataType.catalogString})")
+    (bits.dataType, value.dataType) match {
+      case (ArrayType(LongType, _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bloom_contains requires (ARRAY<BIGINT>, BIGINT), got " +
+            s"(${bits.dataType.catalogString}, ${value.dataType.catalogString})")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val words = a.asInstanceOf[ArrayData]
     if (words.numElements() <= 1) return java.lang.Boolean.FALSE
     val v = b.asInstanceOf[Long]
     val k = words.getLong(0) // header word written by BloomBuildAgg
+    // a foreign/corrupted array could carry k <= 0 (every probe would
+    // vacuously hit) or a huge k (the loop would effectively hang);
+    // the builder only ever writes 1..64
+    if (k <= 0 || k > 64) return java.lang.Boolean.FALSE
     val numBits = (words.numElements() - 1).toLong * 64L
     val h1 = BloomHash.h1(v)
     val h2 = BloomHash.h2(v)
@@ -849,7 +975,8 @@ case class BloomContains(bits: Expression, value: Expression)
     val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
       |boolean ${p}hit = false;
-      |if ($a.numElements() > 1) {
+      |if ($a.numElements() > 1
+      |    && $a.getLong(0) > 0L && $a.getLong(0) <= 64L) {
       |  long ${p}k = $a.getLong(0);
       |  long ${p}m = (long) ($a.numElements() - 1) * 64L;
       |  long ${p}h1 = $xxh.hashLong($b, 0x9E3779B9L);
@@ -879,12 +1006,25 @@ case class BloomContains(bits: Expression, value: Expression)
 case class LongDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "long_dot"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"long_dot requires two ARRAY<BIGINT> columns, got " +
+            s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // mismatched dims: null, not a truncated dot (see CosineSim)
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0L
     var i = 0
     while (i < n) { dot += x.getLong(i) * y.getLong(i); i += 1 }
@@ -894,12 +1034,15 @@ case class LongDot(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val p = ctx.freshName("ld")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |int ${p}n = java.lang.Math.min($a.numElements(), $b.numElements());
-      |long ${p}dot = 0L;
-      |for (int ${p}i = 0; ${p}i < ${p}n; ${p}i++) {
-      |  ${p}dot += $a.getLong(${p}i) * $b.getLong(${p}i);
+      |if ($a.numElements() != $b.numElements()) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  long ${p}dot = 0L;
+      |  for (int ${p}i = 0; ${p}i < $a.numElements(); ${p}i++) {
+      |    ${p}dot += $a.getLong(${p}i) * $b.getLong(${p}i);
+      |  }
+      |  ${ev.value} = ${p}dot;
       |}
-      |${ev.value} = ${p}dot;
       |""".stripMargin)
   }
 
@@ -933,7 +1076,9 @@ case class CmsBuildAgg(
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.util.GenericArrayData
 
-  require(depth > 0 && width > 0, "depth and width must be positive")
+  require(depth > 0 && depth <= 64, "depth must be in 1..64")
+  require(width > 0 && depth.toLong * width <= Int.MaxValue - 2,
+    "depth * width must fit an array")
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == LongType)
@@ -1016,14 +1161,16 @@ case class CmsEstimate(counts: Expression, value: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "cms_estimate"
 
+  // element type only — see BloomContains
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (counts.dataType == ArrayType(LongType, containsNull = false) &&
-        value.dataType == LongType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"cms_estimate requires (ARRAY<BIGINT>, BIGINT), got " +
-          s"(${counts.dataType.catalogString}, ${value.dataType.catalogString})")
+    (counts.dataType, value.dataType) match {
+      case (ArrayType(LongType, _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cms_estimate requires (ARRAY<BIGINT>, BIGINT), got " +
+            s"(${counts.dataType.catalogString}, ${value.dataType.catalogString})")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val words = a.asInstanceOf[ArrayData]
@@ -1033,8 +1180,9 @@ case class CmsEstimate(counts: Expression, value: Expression)
     val width = words.getLong(1)
     // header must agree with the actual array length — a truncated or
     // foreign array would otherwise read out of bounds (silent garbage
-    // under codegen's unchecked getLong)
-    if (depth <= 0 || width <= 0 ||
+    // under codegen's unchecked getLong). depth <= 64 also bounds the
+    // product so a crafted huge width cannot overflow the check itself
+    if (depth <= 0 || depth > 64 || width <= 0 || width > Int.MaxValue - 2 ||
         words.numElements().toLong != depth * width + 2)
       return java.lang.Long.valueOf(0L)
     val h1 = BloomHash.h1(v)
@@ -1056,7 +1204,8 @@ case class CmsEstimate(counts: Expression, value: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
       |long ${p}est = 0L;
       |if ($a.numElements() > 2
-      |    && $a.getLong(0) > 0 && $a.getLong(1) > 0
+      |    && $a.getLong(0) > 0 && $a.getLong(0) <= 64L
+      |    && $a.getLong(1) > 0 && $a.getLong(1) <= (long) (Integer.MAX_VALUE - 2)
       |    && (long) $a.numElements() == $a.getLong(0) * $a.getLong(1) + 2L) {
       |  long ${p}d = $a.getLong(0);
       |  long ${p}w = $a.getLong(1);

@@ -83,6 +83,33 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("SQL surface validates arity, literal params, and input types") {
+    GraftFunctions.register(spark)
+    // extra args must error, never be silently dropped (topk_by_score
+    // with an ignored k=10 would return top-5 — wrong results)
+    intercept[Exception] {
+      spark.sql("SELECT rolling_hash('a', 'b')").collect()
+    }
+    // wrong element type fails ANALYSIS, not silent garbage: a
+    // double-array fed to the float-array cosine used to read half of
+    // each slot under codegen
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim(array(0.1d, 0.2d), array(0.3d, 0.4d))")
+        .collect()
+    }
+    // the optional literal k is honored, not ignored
+    val topk = spark.sql(
+      """SELECT topk_by_score(CAST(id AS DOUBLE), id, 3) AS t
+        |FROM range(10)""".stripMargin)
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(topk.length == 3, s"topk_by_score(.., 3) returned ${topk.length}")
+    // mismatched embedding dims yield null, not a truncated cosine
+    val mismatch = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head
+    assert(mismatch.isNullAt(0), "dim mismatch must be null")
+  }
+
   test("two rolling_hash calls share a codegen scope under CODEGEN_ONLY") {
     val key = "spark.sql.codegen.factoryMode"
     val prev = spark.conf.getOption(key)
