@@ -96,13 +96,22 @@ object Events {
   //
   // Iteration hygiene for long chains: each round's labels are
   // `localCheckpoint`ed (eager) — lineage is truncated so the plan
-  // stays O(1)-sized across iterations instead of nesting 20 joins —
-  // and the superseded round's blocks are unpersisted as soon as the
-  // convergence count has consumed them. The final labels DF remains
-  // checkpoint-backed for the consumer; its blocks are released by
-  // the ContextCleaner when the DF is collected and dropped.
+  // stays O(1)-sized across iterations instead of nesting 20 joins.
+  // Superseded rounds' checkpoint blocks are NOT explicitly freeable
+  // (Dataset.unpersist only consults the CacheManager, which never
+  // registered a localCheckpoint's RDD); they are reclaimed by the
+  // ContextCleaner as each round's Dataset goes unreferenced — an
+  // acceptable lag because a round's labels are just (user_id, comp)
+  // pairs, tiny next to the data. The `prev.unpersist()` calls below
+  // free the round-0 CACHED labels and are harmless no-ops afterward.
   def g1ConnectedComponents(graph: DataFrame, maxIter: Int = 20): DataFrame = {
-    val m = graph.cache()
+    // cache the graph for the iteration ONLY if the caller hasn't: a
+    // blanket unpersist at the end would otherwise evict the CALLER's
+    // cache of the same plan (cache() is a no-op on an already-cached
+    // plan, but unpersist drops the shared entry)
+    val ownCache =
+      graph.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val m = if (ownCache) graph.cache() else graph
     var labels = m.select(col("user_id")).distinct()
       .withColumn("comp", col("user_id"))
     var prev: DataFrame = null
@@ -126,7 +135,7 @@ object Events {
       iter += 1
     }
     if (prev != null && !(prev eq labels)) prev.unpersist()
-    m.unpersist()
+    if (ownCache) m.unpersist()
     // propagation advances one hop per round: exhausting maxIter on a
     // long-chain graph would return PARTIALLY-propagated labels —
     // split components with no other symptom. Fail loudly instead.
@@ -146,7 +155,12 @@ object Events {
   // equi-join (bucket sizes bounded by the bucket domain; AQE splits
   // a hot bucket), never a components-wide traversal.
   def g6LinkedObjects(graph: DataFrame, seeds: DataFrame): DataFrame = {
-    val m = graph
+    // the graph feeds FOUR joins below; uncached, each re-runs the
+    // events scan + JSON extraction + distinct. Per-query persist,
+    // reclaimed by the ContextCleaner once the result is unreferenced
+    // (same argument as d6/d7's signature caches) — it cannot be
+    // unpersisted here because the returned DataFrame is lazy.
+    val m = graph.cache()
     // hop 1: users sharing any bucket with the seed (incl. the seed)
     val h1 = seeds.join(m, "user_id")
       .select(col("user_id").as("seed"), col("g")).distinct()

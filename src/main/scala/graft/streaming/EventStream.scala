@@ -35,29 +35,48 @@ object EventStream {
       .withColumn("ts_s", expr("ts div 1000000000"))
   }
 
-  /** Run a finite streaming query into a memory sink, return the sink. */
+  /** Run a finite streaming query into a memory sink and return its
+    * MATERIALIZED result. Materializing lets the temp view drop
+    * immediately — returning `s.table(name)` lazily would pin every
+    * invocation's full result in driver memory forever (nothing could
+    * drop the view while the caller might still read it; Bench's 3
+    * iterations alone would retain 3 copies). Streaming results here
+    * are bounded aggregates (thousands of rows), so a driver-side
+    * copy is the honest trade.
+    */
   private def runToMemory(s: SparkSession, agg: DataFrame,
                           mode: String): DataFrame = {
     val name = s"graft_sink_${nameSeq.incrementAndGet()}"
     val q = agg.writeStream.outputMode(mode)
       .format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    val sink = s.table(name)
+    val rows = java.util.Arrays.asList(sink.collect(): _*)
+    val out = s.createDataFrame(rows, sink.schema)
+    s.catalog.dropTempView(name)
+    out
   }
 
-  // s1: watermarked tumbling-hour aggregation — the streaming twin of
-  // batch q22 (same oracle).
-  def s1StreamWindow(s: SparkSession, d: String): DataFrame = {
+  /** The watermarked tumbling-hour aggregation s1 and s1b share —
+    * ONE pipeline so the complete/append twins (same q22 oracle
+    * family) cannot drift.
+    */
+  private def windowAggTo(s: SparkSession, d: String, mode: String): DataFrame = {
     val agg = readEvents(s, d)
       .withWatermark("ts_us", "1 hour")
       .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
            sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-    runToMemory(s, agg, "complete")
+    runToMemory(s, agg, mode)
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
               col("event_type"), col("n"), col("total_value"))
       .orderBy("hour", "event_type")
   }
+
+  // s1: watermarked tumbling-hour aggregation — the streaming twin of
+  // batch q22 (same oracle).
+  def s1StreamWindow(s: SparkSession, d: String): DataFrame =
+    windowAggTo(s, d, "complete")
 
   // s1b: the same windowed aggregation in APPEND mode — the shape that
   // actually runs unbounded. Complete mode (s1) re-emits every window
@@ -69,21 +88,20 @@ object EventStream {
   // tracks event-time stats in milliseconds). The oracle is q22
   // restricted to that subset; the spec proves the emitted set equals
   // the batch rows under the same predicate.
-  def s1bStreamWindowAppend(s: SparkSession, d: String): DataFrame = {
-    val agg = readEvents(s, d)
-      .withWatermark("ts_us", "1 hour")
-      .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-    runToMemory(s, agg, "append")
-      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
-              col("event_type"), col("n"), col("total_value"))
-      .orderBy("hour", "event_type")
-  }
+  def s1bStreamWindowAppend(s: SparkSession, d: String): DataFrame =
+    windowAggTo(s, d, "append")
 
   // s2: streaming dedup by key within the watermark (append mode — a
   // second stateful op can't chain after it in complete mode), then a
   // batch per-type count over the deduped sink.
+  //
+  // Contract note: the oracle is a GLOBAL count(distinct event_id) and
+  // matches only when duplicates arrive within the watermark of their
+  // first occurrence — a duplicate landing >1h of event time later
+  // re-counts (its dedup state was evicted; that bounded state is the
+  // whole point). The generator's ids are unique, so the oracle holds
+  // trivially here; StreamSourcesSpec feeds a DUPLICATED corpus
+  // through this same pipeline to exercise the dedup path for real.
   def s2StreamDedup(s: SparkSession, d: String): DataFrame = {
     val deduped = readEvents(s, d)
       .withWatermark("ts_us", "1 hour")
@@ -153,11 +171,7 @@ object EventStream {
           }
       }
       .toDF("user_id", "n_events", "max_value")
-    val name = s"graft_sink_${nameSeq.incrementAndGet()}"
-    val q = updated.writeStream.outputMode(OutputMode.Update)
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    s.table(name).orderBy("user_id")
+    runToMemory(s, updated, "update").orderBy("user_id")
   }
 
   // s5: watermarked stream-stream interval join — each purchase

@@ -55,6 +55,27 @@ class StreamSourcesSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming dedup actually dedups: doubled corpus collapses to true counts") {
+    // the generator's event_ids are unique, so s2's oracle holds
+    // trivially on the shipped data and a dedup regression would be
+    // invisible; feed a corpus with EVERY event duplicated (same id,
+    // same event time — within watermark by construction) and the
+    // stream must collapse back to the original per-type counts
+    val dir = Files.createTempDirectory("graft_dup_events")
+    val base = Tables.events(spark, sf)
+    val stage = dir.resolve("stage").toString
+    base.unionByName(base).coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, dir.resolve("events.parquet"))
+    val got = EventStream.s2StreamDedup(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_unique")).toMap
+    val want = base.groupBy("event_type")
+      .agg(countDistinct(col("event_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(got == want, s"dedup diverged: $got vs $want")
+  }
+
   test("checkpointed streaming parquet sink lands the deduped stream") {
     val base = Files.createTempDirectory("graft_fsink")
     val out = EventStream.streamDedupToParquet(spark, sf,
