@@ -23,6 +23,14 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
     * read as a timestamp; read it as raw nanos (LongType) instead and
     * let operators derive seconds/micros exactly.
+    *
+    * CAVEAT: `nanosAsLong` is a SESSION conf (parquet converters offer
+    * no per-read option), so this loader mutates shared session state
+    * — after the first events() call, any OTHER nanos-timestamp
+    * parquet in the session also reads as LongType instead of failing
+    * loudly. Acceptable here because events is the only nanos table
+    * and every graft session reads it; a multi-tenant session embedding
+    * this library should set the conf at build time instead.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -45,13 +45,22 @@ object ExcelReader {
       val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
         .map(e => parseSharedStrings(zip.getInputStream(e)))
         .getOrElse(Array.empty[String])
-      val sheetEntry = {
+      // the FIRST sheet is the first <sheet> in workbook.xml resolved
+      // through the rels map — NOT the lexicographically-first part
+      // name (after tab reorders/deletions Excel keeps original part
+      // names, so sheet2.xml can be the visible first tab, and
+      // sheet10.xml sorts before sheet2.xml). Fall back to name order
+      // only when the workbook parts are absent (our own minimal
+      // test fixtures).
+      val sheetName = firstSheetTarget(zip).getOrElse {
         import scala.jdk.CollectionConverters._
         zip.entries().asScala
           .filter(_.getName.matches("xl/worksheets/sheet\\d+\\.xml"))
-          .toSeq.sortBy(_.getName).headOption
+          .toSeq.sortBy(_.getName).headOption.map(_.getName)
           .getOrElse(throw new IllegalArgumentException(s"$path: no worksheet"))
       }
+      val sheetEntry = Option(zip.getEntry(sheetName))
+        .getOrElse(throw new IllegalArgumentException(s"$path: missing $sheetName"))
       parseSheet(zip.getInputStream(sheetEntry), shared)
     } finally zip.close()
   }
@@ -98,14 +107,49 @@ object ExcelReader {
     out.map(_.padTo(maxWidth, null)).toArray
   }
 
+  /** workbook.xml's first <sheet r:id> resolved through
+    * xl/_rels/workbook.xml.rels to a worksheet part name.
+    */
+  private def firstSheetTarget(zip: java.util.zip.ZipFile): Option[String] =
+    for {
+      wbEntry <- Option(zip.getEntry("xl/workbook.xml"))
+      relEntry <- Option(zip.getEntry("xl/_rels/workbook.xml.rels"))
+      wb = newDoc(zip.getInputStream(wbEntry))
+      sheets = wb.getElementsByTagName("sheet")
+      if sheets.getLength > 0
+      rid = sheets.item(0).asInstanceOf[org.w3c.dom.Element]
+        .getAttributeNS(
+          "http://schemas.openxmlformats.org/officeDocument/2006/relationships",
+          "id") match {
+          case "" => sheets.item(0).asInstanceOf[org.w3c.dom.Element]
+            .getAttribute("r:id") // non-namespace-aware writers
+          case v => v
+        }
+      rels = newDoc(zip.getInputStream(relEntry))
+      target <- {
+        val ns = rels.getElementsByTagName("Relationship")
+        (0 until ns.getLength).map(ns.item(_).asInstanceOf[org.w3c.dom.Element])
+          .find(_.getAttribute("Id") == rid)
+          .map(_.getAttribute("Target"))
+          .map(t => if (t.startsWith("/")) t.drop(1) else s"xl/$t")
+      }
+    } yield target
+
   private def cellValue(c: org.w3c.dom.Element, shared: Array[String]): String = {
     def firstText(tag: String): Option[String] = {
       val ns = c.getElementsByTagName(tag)
       if (ns.getLength > 0) Some(ns.item(0).getTextContent) else None
     }
+    // rich-text cells split the value over several <t> runs — concat
+    // them all (like parseSharedStrings), never just the first
+    def allText(tag: String): Option[String] = {
+      val ns = c.getElementsByTagName(tag)
+      if (ns.getLength == 0) None
+      else Some((0 until ns.getLength).map(ns.item(_).getTextContent).mkString)
+    }
     c.getAttribute("t") match {
       case "s" => firstText("v").map(v => decodeX(shared(v.trim.toInt))).orNull
-      case "inlineStr" => firstText("t").map(decodeX).orNull
+      case "inlineStr" => allText("t").map(decodeX).orNull
       case _ => firstText("v").map(decodeX).orNull // "str", numerics, booleans
     }
   }

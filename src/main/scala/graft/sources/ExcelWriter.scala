@@ -82,7 +82,18 @@ object ExcelWriter {
         val row = it.next(); rn += 1
         val cells = (0 until row.length).flatMap { ci =>
           if (row.isNullAt(ci)) None // gap cell
-          else if (numeric(ci)) Some(s"""<c r="${ref(ci, rn)}"><v>${row.get(ci)}</v></c>""")
+          else if (numeric(ci)) {
+            // NaN/Infinity are not legal xlsx numeric cells (Excel
+            // rejects the whole workbook); fall back to inline text
+            val v = row.get(ci)
+            val finite = v match {
+              case d: java.lang.Double => !d.isNaN && !d.isInfinite
+              case f: java.lang.Float => !f.isNaN && !f.isInfinite
+              case _ => true
+            }
+            if (finite) Some(s"""<c r="${ref(ci, rn)}"><v>$v</v></c>""")
+            else Some(inlineCell(ci, rn, String.valueOf(v)))
+          }
           else Some(inlineCell(ci, rn, String.valueOf(row.get(ci))))
         }
         w(rowXml(rn, cells))
@@ -120,27 +131,38 @@ object ExcelWriter {
     sb.append(rn).toString
   }
 
-  private val XLike = "_x[0-9A-Fa-f]{4}_".r
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
+
+  /** True when index i starts a literal `_xHHHH_` lookalike. */
+  private def isLookalike(s: String, i: Int): Boolean =
+    i + 6 < s.length && s.charAt(i) == '_' && s.charAt(i + 1) == 'x' &&
+      isHex(s.charAt(i + 2)) && isHex(s.charAt(i + 3)) &&
+      isHex(s.charAt(i + 4)) && isHex(s.charAt(i + 5)) && s.charAt(i + 6) == '_'
 
   private def escape(s: String): String = {
     // control chars below 0x20 (except \t \n \r) are ILLEGAL in XML
     // 1.0 even as entities — emitted raw they'd make the sheet
     // unparseable by any reader. OOXML's convention encodes them as
-    // _xHHHH_; consequently a LITERAL _xHHHH_ in the data must first
-    // get its own underscore escaped (_x005F_xHHHH_) so the decoder
-    // (ExcelReader.decodeX) is unambiguous. Order matters: lookalikes
-    // first, then our own emissions can't be re-escaped.
-    val pre = XLike.replaceAllIn(s, m =>
-      java.util.regex.Matcher.quoteReplacement("_x005F_" + m.matched.substring(1)))
-    val sb = new StringBuilder(pre.length + 8)
-    pre.foreach {
-      case '&' => sb.append("&amp;")
-      case '<' => sb.append("&lt;")
-      case '>' => sb.append("&gt;")
-      case '"' => sb.append("&quot;")
-      case c if c < 0x20 && c != '\t' && c != '\n' && c != '\r' =>
-        sb.append(f"_x${c.toInt}%04X_")
-      case c => sb.append(c)
+    // _xHHHH_; consequently a LITERAL _xHHHH_ in the data gets its
+    // leading underscore escaped (_x005F_x…) so the decoder
+    // (ExcelReader.decodeX) is unambiguous. One manual scan, not a
+    // regex pre-pass: overlapping lookalikes share an underscore
+    // ("_x0041_x0042_") and non-overlapping regex replacement would
+    // miss the second, corrupting the round-trip.
+    val sb = new StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') { sb.append("&amp;"); i += 1 }
+      else if (c == '<') { sb.append("&lt;"); i += 1 }
+      else if (c == '>') { sb.append("&gt;"); i += 1 }
+      else if (c == '"') { sb.append("&quot;"); i += 1 }
+      else if (c < 0x20 && c != '\t' && c != '\n' && c != '\r') {
+        sb.append(f"_x${c.toInt}%04X_"); i += 1
+      } else if (isLookalike(s, i)) {
+        sb.append("_x005F_x"); i += 2 // the escaped leading "_x"
+      } else { sb.append(c); i += 1 }
     }
     sb.toString
   }

@@ -146,6 +146,62 @@ class ExcelAvroSpec extends SparkSpec {
     assert(back(2).getString(1) == "tab\tand\nnewline ok")
   }
 
+  test("xlsx export handles overlapping _x lookalikes and non-finite numbers") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_xlsx_edge")
+      .resolve("edge.xlsx").toString
+    // "_x0041_x0042_" contains TWO lookalikes sharing an underscore —
+    // a non-overlapping regex escape pass corrupts it to "_x0041B";
+    // NaN/Infinity are not legal numeric cells and must fall back to
+    // inline strings instead of producing a workbook Excel rejects
+    val src = Seq(
+      (1L, "_x0041_x0042_", 1.5),
+      (2L, "_x005F_", Double.NaN),
+      (3L, "plain", Double.PositiveInfinity)
+    ).toDF("id", "s", "v")
+    ExcelWriter.writeExcel(src, path)
+    val back = ExcelReader.excel(spark, path)
+      .orderBy(col("id").cast("long")).collect()
+    assert(back(0).getString(1) == "_x0041_x0042_")
+    assert(back(0).getString(2) == "1.5")
+    assert(back(1).getString(1) == "_x005F_")
+    assert(back(1).getString(2) == "NaN")
+    assert(back(2).getString(2) == "Infinity")
+  }
+
+  test("xlsx reader follows workbook.xml sheet order, not part-name order") {
+    // visible first tab stored as sheet2.xml (tab reorder); sheet1.xml
+    // still present as a later tab — part-name order would read it
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_order")
+    val path = dir.resolve("reordered.xlsx").toString
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    try {
+      def put(n: String, c: String): Unit = {
+        zos.putNextEntry(new java.util.zip.ZipEntry(n))
+        zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+      }
+      put("xl/workbook.xml",
+        """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |<sheets><sheet name="Visible" sheetId="1" r:id="rId9"/><sheet name="Other" sheetId="2" r:id="rId1"/></sheets>
+          |</workbook>""".stripMargin)
+      put("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId9" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin)
+      def sheet(cell: String) =
+        s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+           |<row r="1"><c r="A1" t="inlineStr"><is><t>col</t></is></c></row>
+           |<row r="2"><c r="A2" t="inlineStr"><is><r><t>$cell</t></r><r><t>-rich</t></r></is></c></row>
+           |</sheetData></worksheet>""".stripMargin
+      put("xl/worksheets/sheet1.xml", sheet("WRONG"))
+      put("xl/worksheets/sheet2.xml", sheet("RIGHT"))
+    } finally zos.close()
+    val df = ExcelReader.excel(spark, path)
+    // also proves rich-text inline runs concatenate (was: first run only)
+    assert(df.head.getString(0) == "RIGHT-rich")
+  }
+
   test("xlsx export deletes the file when the row cap aborts the write") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_abort")
     val path = dir.resolve("truncated.xlsx").toString
