@@ -103,21 +103,34 @@ object Similarity {
       "cast(0.0 as double), (acc, v) -> acc + v)"
 
   /** Deterministic k-means coarse quantizer — the TRAINED IVF path.
-    * Init: the k vectors with smallest xxhash64(vec_id) (a fixed
-    * pseudo-random sample — no RNG state to distribute). Then `iters`
-    * fixed Lloyd rounds: assignment is a map-local broadcast argmax
-    * using the same centroid-normalized dot the probe path uses; the
-    * update sums QUANTIZED longs (exact, order-independent), so the
-    * learned centroids are bit-deterministic across partitionings —
-    * a float sum here would make every downstream recall measurement
-    * flaky. Only k×dim centroid sums reach the driver per round
-    * (k-means's standard control loop; the data never does). At
-    * 100 TB: identical loop over a fixed sample with k ≈ √N.
+    * Training runs on a FIXED SAMPLE, never the corpus: the
+    * `sampleSize` vectors with smallest xxhash64(vec_id) — a
+    * pseudo-random subset with no RNG state to distribute, selected
+    * by a bounded TakeOrderedAndProject (partial bottom-s per
+    * partition, one s-row merge; the corpus is never sorted). Init is
+    * the bottom-k of the same ordering, so init ⊆ sample by
+    * construction. Then `iters` fixed Lloyd rounds over the sample:
+    * assignment is a map-local broadcast argmax using the same
+    * centroid-normalized dot the probe path uses; the update sums
+    * QUANTIZED longs (exact, order-independent), so the learned
+    * centroids are bit-deterministic across partitionings — a float
+    * sum here would make every downstream recall measurement flaky.
+    * Only k×dim centroid sums reach the driver per round (k-means's
+    * standard control loop; the data never does). At test SFs
+    * (corpus ≤ s) the sample IS the corpus, so the spec'd recall
+    * numbers are unchanged; at 100 TB each Lloyd round scans s rows
+    * instead of N (grow s ≈ a few × k·dim alongside k ≈ √N).
     */
   private def kmeansCentroids(s: SparkSession, emb: DataFrame,
-                              k: Int, iters: Int): DataFrame = {
+                              k: Int, iters: Int,
+                              sampleSize: Int = 512): DataFrame = {
     import scala.jdk.CollectionConverters._
     val dim = emb.select(size(col("q"))).head.getInt(0)
+    val train = emb
+      .select(col("vec_id"), col("q"), xxhash64(col("vec_id")).as("hk"))
+      .orderBy("hk").limit(math.max(sampleSize, k))
+      .drop("hk")
+      .cache()
     def centDf(cs: Array[(Long, Array[Double])]): DataFrame = {
       val rows: java.util.List[Row] =
         cs.map { case (cid, v) => Row(cid, v.toSeq) }.toList.asJava
@@ -129,13 +142,13 @@ object Similarity {
         .withColumn("cn", sqrt(expr(
           "aggregate(cvec, cast(0.0 as double), (acc, v) -> acc + v * v)")))
     }
-    var cents: Array[(Long, Array[Double])] = emb
-      .select(col("vec_id"), col("q"), xxhash64(col("vec_id")).as("hk"))
+    var cents: Array[(Long, Array[Double])] = train
+      .withColumn("hk", xxhash64(col("vec_id")))
       .orderBy("hk").limit(k).collect()
       .zipWithIndex.map { case (r, i) =>
         (i.toLong, r.getSeq[Long](1).map(_.toDouble).toArray) }
     (1 to iters).foreach { _ =>
-      val sums = emb.crossJoin(broadcast(centDf(cents)))
+      val sums = train.crossJoin(broadcast(centDf(cents)))
         .withColumn("score", expr(CentroidDot) / col("cn"))
         .groupBy(col("vec_id"))
         .agg(expr("max_by(struct(cid, q), struct(score, -cid))").as("m"))
@@ -152,6 +165,7 @@ object Similarity {
           (cid, arr)
         }
     }
+    train.unpersist()
     centDf(cents)
   }
 
@@ -159,8 +173,10 @@ object Similarity {
   // small coarse quantizer partitions the corpus into inverted lists;
   // a query exactly scores only the nProbe nearest cells' lists. The
   // quantizer is a real trained one: deterministic seeded k-means
-  // (kmeansCentroids above; at 100 TB train √N centroids on a sample
-  // and the plan below is unchanged). Costs: assignment is one O(N·C)
+  // over a bounded hash-sample (kmeansCentroids above — training cost
+  // is O(s·C) per round, independent of corpus size; at 100 TB grow
+  // k ≈ √N and s with it, the plan below is unchanged). Costs:
+  // assignment is one O(N·C)
   // broadcast pass, C tiny; probing touches nProbe/C of the corpus;
   // final top-k is the bounded partial aggregate. Rows-only (centroid
   // ranking isn't SQL-oracle-friendly); TextSimSpec asserts recall vs
