@@ -208,6 +208,115 @@ object Relational {
       .orderBy("column_name")
   }
 
+  // q48: tag construction by formula (reference build_tag_no_by_formula,
+  // app.py:5929-5998) — the inverse of q45: assemble TAG_NO from typed
+  // fields with a per-tag-type formula. Required fields gate the whole
+  // tag (NULL when any is missing — the reference returns None);
+  // optional suffixes are skipped, not NULL-joined (concat_ws's
+  // skip-NULL is exactly the reference's
+  // `filter(lambda x: x not in (None,'','nan'))`). Typed fields are
+  // derived deterministically from `part` (as q45 derives tag_no),
+  // with NULL injections so every required-miss and optional-skip path
+  // is exercised. Map-only; DuckDB's concat_ws shares the skip-NULL
+  // semantics, so the oracle runs the identical formula.
+  def q48BuildTag(s: SparkSession, d: String): DataFrame = {
+    val k = col("p_partkey")
+    val nullStr = lit(null).cast("string")
+    val typed = Tables.part(s, d).select(
+      k,
+      when(pmod(k, lit(3)) === 0, "equipment")
+        .when(pmod(k, lit(3)) === 1, "line")
+        .otherwise("cable").as("tag_type"),
+      (pmod(k, lit(90)) + 10).cast("string").as("asset"),
+      when(pmod(k, lit(7)) === 0, nullStr)
+        .otherwise(concat(lit("F"), pmod(k, lit(4)).cast("string"))).as("func"),
+      (pmod(k, lit(9000)) + 100).cast("string").as("seq"),
+      when(pmod(k, lit(11)) === 0, nullStr)
+        .otherwise((pmod(k, lit(5)) * 50 + 50).cast("string")).as("diameter"),
+      concat(lit("C"), pmod(k, lit(6)).cast("string")).as("class_spec"),
+      concat(lit("FL"), pmod(k, lit(8)).cast("string")).as("fluid"),
+      concat(lit("P"), pmod(k, lit(3)).cast("string")).as("prefix"),
+      // 5 is coprime to the tag_type modulus, so every type sees both
+      // suffix-present and suffix-absent rows
+      when(pmod(k, lit(5)) === 1, "A").otherwise(nullStr).as("suffix1"),
+      when(pmod(k, lit(4)) === 2, "B").otherwise(nullStr).as("suffix2"))
+    typed.select(col("p_partkey"), col("tag_type"),
+      // asset/seq/class_spec/fluid/prefix are non-null by construction,
+      // so only func (equipment) and diameter (line) gate their formulas
+      when(col("tag_type") === "equipment",
+        when(col("func").isNotNull, concat_ws("-",
+          concat(col("asset"), lit("_"), col("func"), lit("-"), col("seq")),
+          col("suffix1"), col("suffix2"))))
+      .when(col("tag_type") === "line",
+        when(col("diameter").isNotNull, concat_ws("-",
+          concat(col("asset"), lit("_"), col("diameter")),
+          col("class_spec"), col("fluid"), col("seq"))))
+      .otherwise(concat_ws("-",
+        concat(col("asset"), lit("_"), col("prefix")),
+        col("seq"), col("suffix1"), col("suffix2")))
+      .as("tag_no"))
+      .orderBy("p_partkey")
+  }
+
+  // q49: incremental extract — the reference's scheduled sync
+  // (sync_tags, app.py:6631-6753) pulls "what changed since the last
+  // sync" as UNION ALL over entity tables filtered on
+  // COALESCE(MODIFIED_DATE, DATE_UPDATED) inside a date window. A raw
+  // COALESCE predicate defeats parquet pushdown and partition pruning,
+  // so the scale shape splits it: the correction stamp (modified) is
+  // bounded by updated + maxLate, hence changed_at ∈ [lo,hi) implies
+  // updated ∈ [lo−maxLate, hi) — a plain range on the PHYSICAL change
+  // column, pushed into every scan — and the exact COALESCE window
+  // runs as a residual filter on the few survivors. Watermarks are
+  // per-entity (each slice advances its own last-sync point — the
+  // production CDC pattern; the synthetic tables don't share a clock).
+  // Change stamps are epoch MICROS (exact integers end-to-end; no
+  // engine-specific timestamp formatting). events.ts arrives as raw
+  // nanos (Tables.events), so that slice filters and derives entirely
+  // in integer space.
+  def q49IncrementalSync(s: SparkSession, d: String): DataFrame = {
+    val usPerDay = 86400000000L
+    def us(iso: String): Long =
+      java.time.Instant.parse(iso + "T00:00:00Z").getEpochSecond * 1000000L
+    def slice(coarse: DataFrame, entity: String, key: Column,
+              updatedUs: Column, modifiedUs: Column,
+              lo: Long, hi: Long): DataFrame =
+      coarse
+        .withColumn("changed_at_us", coalesce(modifiedUs, updatedUs))
+        .filter(col("changed_at_us") >= lo && col("changed_at_us") < hi)
+        .select(lit(entity).as("entity"), key.cast("long").as("entity_key"),
+                col("changed_at_us"))
+    // parquet ms-timestamps surface as TIMESTAMP_NTZ; the session runs
+    // UTC, so NTZ micros == DuckDB's naive epoch_us, bit for bit
+    def ntzUs(c: Column): Column = unix_micros(c.cast("timestamp"))
+    val o = slice(
+      Tables.orders(s, d).filter( // coarse: lo − 3d, pushed to the scan
+        "o_orderdate >= TIMESTAMP_NTZ'1995-05-29' AND o_orderdate < TIMESTAMP_NTZ'1995-07-01'"),
+      "orders", col("o_orderkey"),
+      ntzUs(col("o_orderdate")),
+      when(pmod(col("o_orderkey"), lit(7)) === 0,
+        ntzUs(col("o_orderdate")) + 3 * usPerDay),
+      us("1995-06-01"), us("1995-07-01"))
+    val l = slice(
+      Tables.lineitem(s, d).filter( // coarse: lo − 5d
+        "l_shipdate >= TIMESTAMP_NTZ'1995-05-27' AND l_shipdate < TIMESTAMP_NTZ'1995-07-01'"),
+      "lineitem", col("l_orderkey") * 10 + col("l_linenumber"),
+      ntzUs(col("l_shipdate")),
+      when(pmod(col("l_orderkey") + col("l_linenumber"), lit(5)) === 0,
+        ntzUs(col("l_shipdate")) + 5 * usPerDay),
+      us("1995-06-01"), us("1995-07-01"))
+    val evLo = us("2024-01-10"); val evHi = us("2024-01-12")
+    val e = slice(
+      Tables.events(s, d).filter( // coarse: lo − 1d, nanos-space range
+        col("ts") >= (evLo - usPerDay) * 1000L && col("ts") < evHi * 1000L),
+      "events", col("event_id"),
+      expr("ts div 1000"),
+      when(pmod(col("event_id"), lit(11)) === 0,
+        expr("ts div 1000") + usPerDay),
+      evLo, evHi)
+    o.unionAll(l).unionAll(e).orderBy("entity", "entity_key")
+  }
+
   // q12: GROUP BY … HAVING.
   def q12Having(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -384,6 +493,8 @@ object Relational {
     "q45_parse_tag" -> (q45ParseTag _),
     "q46_keyset_page" -> (q46KeysetPage _),
     "q47_table_profile" -> (q47TableProfile _),
+    "q48_build_tag" -> (q48BuildTag _),
+    "q49_incremental_sync" -> (q49IncrementalSync _),
   )
 
   private val SumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
@@ -391,6 +502,61 @@ object Relational {
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q48_build_tag" ->
+      """WITH t AS (
+        |  SELECT p_partkey,
+        |    CASE p_partkey % 3 WHEN 0 THEN 'equipment'
+        |      WHEN 1 THEN 'line' ELSE 'cable' END AS tag_type,
+        |    CAST(p_partkey % 90 + 10 AS VARCHAR) AS asset,
+        |    CASE WHEN p_partkey % 7 = 0 THEN NULL
+        |      ELSE 'F' || CAST(p_partkey % 4 AS VARCHAR) END AS func,
+        |    CAST(p_partkey % 9000 + 100 AS VARCHAR) AS seq,
+        |    CASE WHEN p_partkey % 11 = 0 THEN NULL
+        |      ELSE CAST(p_partkey % 5 * 50 + 50 AS VARCHAR) END AS diameter,
+        |    'C' || CAST(p_partkey % 6 AS VARCHAR) AS class_spec,
+        |    'FL' || CAST(p_partkey % 8 AS VARCHAR) AS fluid,
+        |    'P' || CAST(p_partkey % 3 AS VARCHAR) AS prefix,
+        |    CASE WHEN p_partkey % 5 = 1 THEN 'A' END AS suffix1,
+        |    CASE WHEN p_partkey % 4 = 2 THEN 'B' END AS suffix2
+        |  FROM part)
+        |SELECT p_partkey, tag_type,
+        |  CASE tag_type
+        |    WHEN 'equipment' THEN CASE WHEN func IS NOT NULL THEN
+        |      concat_ws('-', asset || '_' || func || '-' || seq, suffix1, suffix2) END
+        |    WHEN 'line' THEN CASE WHEN diameter IS NOT NULL THEN
+        |      concat_ws('-', asset || '_' || diameter, class_spec, fluid, seq) END
+        |    ELSE concat_ws('-', asset || '_' || prefix, seq, suffix1, suffix2)
+        |  END AS tag_no
+        |FROM t ORDER BY p_partkey""".stripMargin,
+    "q49_incremental_sync" ->
+      """SELECT * FROM (
+        |  SELECT 'orders' AS entity, CAST(o_orderkey AS BIGINT) AS entity_key,
+        |    COALESCE(CASE WHEN o_orderkey % 7 = 0
+        |               THEN epoch_us(o_orderdate) + 259200000000 END,
+        |             epoch_us(o_orderdate)) AS changed_at_us
+        |  FROM orders)
+        |WHERE changed_at_us >= epoch_us(TIMESTAMP '1995-06-01')
+        |  AND changed_at_us <  epoch_us(TIMESTAMP '1995-07-01')
+        |UNION ALL
+        |SELECT * FROM (
+        |  SELECT 'lineitem' AS entity,
+        |    CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS entity_key,
+        |    COALESCE(CASE WHEN (l_orderkey + l_linenumber) % 5 = 0
+        |               THEN epoch_us(l_shipdate) + 432000000000 END,
+        |             epoch_us(l_shipdate)) AS changed_at_us
+        |  FROM lineitem)
+        |WHERE changed_at_us >= epoch_us(TIMESTAMP '1995-06-01')
+        |  AND changed_at_us <  epoch_us(TIMESTAMP '1995-07-01')
+        |UNION ALL
+        |SELECT * FROM (
+        |  SELECT 'events' AS entity, CAST(event_id AS BIGINT) AS entity_key,
+        |    COALESCE(CASE WHEN event_id % 11 = 0
+        |               THEN epoch_us(ts) + 86400000000 END,
+        |             epoch_us(ts)) AS changed_at_us
+        |  FROM events)
+        |WHERE changed_at_us >= epoch_us(TIMESTAMP '2024-01-10')
+        |  AND changed_at_us <  epoch_us(TIMESTAMP '2024-01-12')
+        |ORDER BY entity, entity_key""".stripMargin,
     "q46_keyset_page" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey > 1000

@@ -55,4 +55,44 @@ class RelationalSpec extends SparkSpec {
       .groupBy(_.getAs[Long]("o_custkey"))
     assert(byCust.values.forall(_.length <= 2))
   }
+
+  test("q48 gates required fields and skips optional suffixes") {
+    val rows = Relational.q48BuildTag(spark, sf).collect()
+    rows.foreach { r =>
+      val k = r.getAs[Long]("p_partkey")
+      val tag = r.getAs[String]("tag_no")
+      r.getAs[String]("tag_type") match {
+        case "equipment" => // func missing when k%7==0 → whole tag NULL
+          if (k % 7 == 0) assert(tag == null, s"k=$k expected NULL, got $tag")
+          else assert(tag.matches("^\\d+_F\\d-\\d+(-A)?(-B)?$"), s"k=$k: $tag")
+        case "line" =>
+          if (k % 11 == 0) assert(tag == null, s"k=$k expected NULL, got $tag")
+          else assert(tag.matches("^\\d+_\\d+-C\\d-FL\\d-\\d+$"), s"k=$k: $tag")
+        case "cable" => // all required fields derivable → never NULL
+          assert(tag != null && tag.matches("^\\d+_P\\d-\\d+(-A)?(-B)?$"),
+            s"k=$k: $tag")
+      }
+    }
+    // the optional-suffix skip path actually fires both ways
+    assert(rows.exists(r => r.getAs[String]("tag_no") != null &&
+      r.getAs[String]("tag_no").endsWith("-A-B")))
+    assert(rows.exists(r => r.getAs[String]("tag_type") == "cable" &&
+      !r.getAs[String]("tag_no").contains("-A")))
+  }
+
+  test("q49 pushes the coarse change-window into every entity scan") {
+    val plan = Relational.q49IncrementalSync(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).length
+    assert(scans == 3, s"expected 3 entity scans, got $scans:\n$plan")
+    assert(pushed == scans,
+      s"coarse window not pushed into all scans ($pushed/$scans):\n$plan")
+    // residual COALESCE filter is tighter than the coarse window: rows
+    // with updated in [lo-maxLate, lo) and no correction must be gone
+    val lo = 801964800000000L // 1995-06-01 UTC in epoch micros
+    Relational.q49IncrementalSync(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("changed_at_us") >= lo)
+    }
+  }
 }
