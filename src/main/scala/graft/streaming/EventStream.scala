@@ -178,8 +178,13 @@ object EventStream {
   // matched to the same user's clicks within the preceding hour.
   // Watermarks bound both join-state buffers; the time-interval
   // condition lets Spark expire state, which is what makes the join
-  // runnable unbounded.
-  def s5StreamStreamJoin(s: SparkSession, d: String): DataFrame = {
+  // runnable unbounded. ONE plan builder feeds both sinks: the
+  // memory-sink oracle harness (s5 below) and the checkpointed
+  // parquet path (streamJoinToParquet) — s5's output is
+  // corpus-proportional, the one streaming result here that is NOT a
+  // bounded aggregate, so its production landing is the file sink,
+  // never the driver.
+  private def s5Joined(s: SparkSession, d: String): DataFrame = {
     val clicks = readEvents(s, d)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
@@ -190,14 +195,25 @@ object EventStream {
       .select(col("event_id").as("purchase_id"),
               col("user_id").as("p_user"), col("ts_us").as("purchase_ts"))
       .withWatermark("purchase_ts", "2 hours")
-    val joined = purchases.join(clicks,
+    purchases.join(clicks,
       col("p_user") === col("user_id") &&
         col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
         col("click_ts") <= col("purchase_ts"))
-    runToMemory(s, joined, "append")
       .select(col("purchase_id"), col("click_id"), col("user_id"))
-      .orderBy("purchase_id", "click_id")
   }
+
+  def s5StreamStreamJoin(s: SparkSession, d: String): DataFrame =
+    runToMemory(s, s5Joined(s, d), "append")
+      .orderBy("purchase_id", "click_id")
+
+  /** s5's production shape: the stream-stream join appended to a
+    * checkpointed parquet sink — restart resumes exactly-once from
+    * the last committed batch and no join row ever crosses the
+    * driver. Returns the sink's DataFrame for verification.
+    */
+  def streamJoinToParquet(s: SparkSession, d: String,
+                          outDir: String, checkpointDir: String): DataFrame =
+    runToParquet(s, s5Joined(s, d), outDir, checkpointDir)
 
   /** Checkpointed streaming file sink — the production shape the
     * memory-sink test harness stands in for: watermarked dedup stream
@@ -211,7 +227,15 @@ object EventStream {
       .withWatermark("ts_us", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .select("event_id", "user_id", "event_type", "value", "ts_us")
-    val q = deduped.writeStream.outputMode("append")
+    runToParquet(s, deduped, outDir, checkpointDir)
+  }
+
+  /** Drive a finite stream into a checkpointed append-mode parquet
+    * sink and return the landed files as a DataFrame.
+    */
+  private def runToParquet(s: SparkSession, df: DataFrame,
+                           outDir: String, checkpointDir: String): DataFrame = {
+    val q = df.writeStream.outputMode("append")
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)

@@ -87,6 +87,34 @@ class StreamSourcesSpec extends SparkSpec {
     assert(new java.io.File(s"$base/ckpt/commits").list().nonEmpty)
   }
 
+  test("stream-stream join lands in the checkpointed parquet sink, not the driver") {
+    // s5's output is corpus-proportional — the production landing is
+    // the file sink; this exercises that path and proves it emits
+    // exactly the batch interval-join rows
+    val base = Files.createTempDirectory("graft_joinsink")
+    val out = EventStream.streamJoinToParquet(spark, sf,
+      s"$base/out", s"$base/ckpt")
+    val ev = Tables.events(spark, sf)
+      .withColumn("ts_us", expr("ts div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts_us").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+              col("user_id").as("p_user"), col("ts_us").as("purchase_ts"))
+    val batch = purchases.join(clicks,
+        col("p_user") === col("user_id") &&
+          col("click_ts") >= col("purchase_ts") - 3600000000L &&
+          col("click_ts") <= col("purchase_ts"))
+      .select("purchase_id", "click_id", "user_id")
+    val got = out.select("purchase_id", "click_id", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"file-sink join diverged: ${got.size} vs ${want.size} rows")
+    assert(new java.io.File(s"$base/ckpt/commits").list().nonEmpty)
+  }
+
   test("orc round-trips lineitem with schema intact") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val li = Tables.lineitem(spark, sf).limit(100)
