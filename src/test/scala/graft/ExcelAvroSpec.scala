@@ -93,6 +93,50 @@ class ExcelAvroSpec extends SparkSpec {
     assert(inserted.isNullAt(inserted.fieldIndex("o_orderstatus"))) // base-only col
   }
 
+  test("fuzzy header mapping: misspelled workbook -> map -> MERGE") {
+    // the map_excel_to_db_columns flow: headers arrive dressed-up
+    // ("Tag No."), decorated ("Modified  Date (UTC)"), and typo'd
+    // ("Descripton"); all must land on registry columns pre-merge
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_headers")
+    val path = dir.resolve("upload.xlsx").toString
+    val messy = StructType(Seq("Tag No.", "Descripton", "Modified  Date (UTC)",
+      "Ignore Me").map(StructField(_, StringType, nullable = true)))
+    val upload = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("10-PT-100", "pressure transmitter", "2024-01-05", "junk"),
+        Row("11-FT-200", "flow transmitter", "2024-01-06", "junk")),
+      messy)
+    ExcelWriter.writeExcel(upload, path)
+
+    val targets = Seq("TAG_NO", "DESCRIPTION", "MODIFIED_DATE", "STATUS")
+    val m = graft.sources.HeaderMapper.mapHeaders(
+      upload.columns.toSeq, targets, keyCol = Some("TAG_NO"))
+    assert(m == Map(
+      "Tag No." -> "TAG_NO",               // key alias
+      "Descripton" -> "DESCRIPTION",       // edit distance 1
+      "Modified  Date (UTC)" -> "MODIFIED_DATE")) // containment
+    assert(!m.contains("Ignore Me"))       // nothing plausible -> dropped
+
+    val mapped = graft.sources.HeaderMapper.remap(
+      ExcelReader.excel(spark, path), targets, keyCol = Some("TAG_NO"))
+    assert(mapped.columns.toSeq == Seq("TAG_NO", "DESCRIPTION", "MODIFIED_DATE"))
+
+    val base = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("10-PT-100", "old text", "2023-12-01", "LIVE"),
+        Row("99-LV-900", "level valve", "2023-11-15", "VOID")),
+      StructType(targets.map(StructField(_, StringType, nullable = true))))
+    val merged = graft.operators.Upsert.merge(base, mapped, "TAG_NO")
+    assert(merged.count() == 3) // 1 update + 1 untouched + 1 insert
+    val upd = merged.filter(col("TAG_NO") === "10-PT-100").head
+    assert(upd.getAs[String]("DESCRIPTION") == "pressure transmitter")
+    assert(upd.getAs[String]("STATUS") == "LIVE") // base-only col kept
+    val ins = merged.filter(col("TAG_NO") === "11-FT-200").head
+    assert(ins.getAs[String]("MODIFIED_DATE") == "2024-01-06")
+  }
+
   test("xlsx export round-trips through ExcelReader: types, gaps, escaping") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_xlsx_out")
