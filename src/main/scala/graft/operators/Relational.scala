@@ -208,6 +208,33 @@ object Relational {
       .orderBy("column_name")
   }
 
+  // q47b: the 100 TB twin of q47 — exact multi-countDistinct makes
+  // Catalyst plan an Expand that replicates the scanned rows once per
+  // distinct aggregate (×4 here: right answer for a registry-sized
+  // table, a 4× scan tax on a lake). The at-scale profiling pass
+  // swaps in approx_count_distinct (HLL++, 2% rsd): one scan, no
+  // Expand, partial-merge friendly. Rows-only by design (HLL
+  // estimates aren't SQL-oracle-stable); the spec pins the plan shape
+  // (no Expand) and the estimates against q47's exact counts.
+  def q47bTableProfileApprox(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def asStr(c: org.apache.spark.sql.Column, numeric: Boolean) =
+      (if (numeric) c.cast("decimal(18,2)") else c).cast("string")
+    def prof(cn: (String, Boolean)) = { val (c, num) = cn; Seq(
+      sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"nulls_$c"),
+      approx_count_distinct(col(c), 0.02).as(s"dist_$c"),
+      asStr(min(col(c)), num).as(s"min_$c"),
+      asStr(max(col(c)), num).as(s"max_$c")) }
+    val cols = Seq("o_orderstatus" -> false, "o_orderpriority" -> false,
+      "o_totalprice" -> true)
+    val wide = o.agg(count(lit(1)).as("n_rows"), cols.flatMap(prof): _*)
+    wide.select(col("n_rows"), expr(
+      "stack(3, " + cols.map { case (c, _) =>
+        s"'$c', nulls_$c, dist_$c, min_$c, max_$c" }.mkString(", ") +
+        ") AS (column_name, n_nulls, n_distinct, min_value, max_value)"))
+      .orderBy("column_name")
+  }
+
   // q48: tag construction by formula (reference build_tag_no_by_formula,
   // app.py:5929-5998) — the inverse of q45: assemble TAG_NO from typed
   // fields with a per-tag-type formula. Required fields gate the whole
@@ -493,6 +520,7 @@ object Relational {
     "q45_parse_tag" -> (q45ParseTag _),
     "q46_keyset_page" -> (q46KeysetPage _),
     "q47_table_profile" -> (q47TableProfile _),
+    "q47b_table_profile_approx" -> (q47bTableProfileApprox _),
     "q48_build_tag" -> (q48BuildTag _),
     "q49_incremental_sync" -> (q49IncrementalSync _),
   )

@@ -5,8 +5,12 @@ import graft.operators.Relational
 class RelationalSpec extends SparkSpec {
 
   test("every relational query has an oracle and returns rows") {
+    // rows-only by design: HLL estimates aren't SQL-oracle-stable;
+    // the dedicated q47b test below pins plan shape + error instead
+    val rowsOnly = Set("q47b_table_profile_approx")
     Relational.queries.foreach { case (name, fn) =>
-      assert(Relational.oracles.contains(name), s"$name missing oracle")
+      assert(rowsOnly.contains(name) || Relational.oracles.contains(name),
+        s"$name missing oracle")
       val df = fn(spark, sf)
       assert(df.count() > 0, s"$name returned no rows")
     }
@@ -78,6 +82,25 @@ class RelationalSpec extends SparkSpec {
       r.getAs[String]("tag_no").endsWith("-A-B")))
     assert(rows.exists(r => r.getAs[String]("tag_type") == "cable" &&
       !r.getAs[String]("tag_no").contains("-A")))
+  }
+
+  test("q47b profiles in one scan without Expand, within HLL error of exact") {
+    val plan = Relational.q47bTableProfileApprox(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx profile still expands:\n$plan")
+    val exactPlan = Relational.q47TableProfile(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      "q47 no longer expands — retire q47b's rationale comment")
+    val exact = Relational.q47TableProfile(spark, sf).collect()
+      .map(r => r.getAs[String]("column_name") -> r.getAs[Long]("n_distinct")).toMap
+    Relational.q47bTableProfileApprox(spark, sf).collect().foreach { r =>
+      val c = r.getAs[String]("column_name")
+      val est = r.getAs[Long]("n_distinct").toDouble
+      val truth = exact(c).toDouble
+      assert(math.abs(est - truth) / truth <= 0.10,
+        f"$c: approx $est%.0f vs exact $truth%.0f")
+    }
   }
 
   test("q49 pushes the coarse change-window into every entity scan") {
