@@ -42,24 +42,25 @@ object Bench {
     // un-consumed expression (q16's revenue sums aren't needed to
     // count groups), so count() under-measures real work. The noop
     // sink consumes every column of every row and writes nothing.
-    def run(name: String): Boolean =
+    def run(df: org.apache.spark.sql.DataFrame, name: String): Boolean =
       try {
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
+        df.write.format("noop").mode("overwrite").save()
         true
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: $e"); false
       }
+    def build(name: String) = SparkEntry.queries(name)(spark, sfDir)
     // one warm-up touch so JVM/codegen startup isn't billed to q1
-    run("q1_agg")
+    run(build("q1_agg"), "q1_agg")
     val results = headline.map { name =>
       val samples = (1 to iters).flatMap { _ =>
         // drop any per-query persisted data (d6/d7 cache their
         // signatures) so every iteration times the FULL computation —
         // min-of-N estimates the noise floor, not a warm-cache replay
         spark.catalog.clearCache()
+        val df = build(name)
         val t0 = System.nanoTime()
-        val ok = run(name)
+        val ok = run(df, name)
         // a failed iteration returns near-instantly — under min() it
         // would WIN and report a phantom fast time; drop the sample
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
@@ -71,7 +72,25 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters}""")
+    // plan fingerprints: {shuffles, bhj, wscg} per query, so a timing
+    // regression is self-diagnosing (same fingerprint → noise or data;
+    // changed fingerprint → the plan moved). Captured in an AQE-off
+    // sibling session, PlanAudit's convention: under AQE the noop
+    // write runs its own QueryExecution, so the timed frame's plan
+    // never finalizes and WSCG stages would read as zero. Streaming
+    // queries are skipped (building one executes it).
+    val fpSession = spark.newSession()
+    fpSession.conf.set("spark.sql.adaptive.enabled", "false")
+    val plans = headline.filterNot(_.startsWith("s")).flatMap { name =>
+      try {
+        val plan = SparkEntry.queries(name)(fpSession, sfDir)
+          .queryExecution.executedPlan.toString
+        def n(pat: String) = pat.r.findAllIn(plan).length
+        val shuffles = n("Exchange hashpartitioning") + n("Exchange rangepartitioning")
+        Some(s""""$name":{"shuffles":$shuffles,"bhj":${n("BroadcastHashJoin")},"wscg":${n("\\*\\(\\d+\\)")}}""")
+      } catch { case _: Throwable => None }
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plans,"sf":"$sfDir","iterations":$iters}""")
     spark.stop()
   }
 }

@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic N× scale-up of a testdata dir, for bench linearity
+  * runs only (never correctness — the DuckDB oracles run on the
+  * driver's own SFs). `sbt "runMain graft.tools.ScaleData <src> <out>
+  * <n>"` writes an n×-sized copy of the sf tables such that every
+  * headline query's WORKLOAD grows linearly, the property the bench
+  * is probing:
+  *
+  *   - fact-side tables (customer/orders/lineitem/events/documents/
+  *     embeddings) are replicated n times with all join/group keys
+  *     shifted by replica·10⁹ — replicas join within themselves, key
+  *     cardinality grows with the data (a same-key pileup would turn
+  *     joins/aggs quadratic by construction, saying nothing about the
+  *     plans);
+  *   - dimensions (region/nation/part/supplier) stay 1× — dims don't
+  *     grow 10× when a lake grows 10×, and g2's box side derives from
+  *     part, so fact-side growth alone keeps its grid-join output
+  *     linear instead of densifying the synthetic plane quadratically;
+  *   - document text is Caesar-rotated per replica (letters only,
+  *     replica 0 = identity): each replica is structurally ISOMORPHIC
+  *     to sf0.1 (same token counts, same shingle dfs, same duplicate
+  *     relations — the transform is a bijection applied uniformly)
+  *     while token/shingle spaces stay disjoint across replicas, so
+  *     dedup postings and LSH buckets grow linearly, never as
+  *     cross-replica pileups of identical shingles.
+  *
+  * events.ts reads under nanosAsLong (Tables.events) and re-lands as
+  * plain int64 nanos — exactly what every events operator consumes.
+  */
+object ScaleData {
+  private val Off = 1000000000L
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleData <srcDir> <outDir> <n>")
+    val (src, out, n) = (args(0), args(1), args(2).toInt)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = {
+      if (t == "events")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$src/$t.parquet")
+    }
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    def rep(t: String)(shift: (DataFrame, Int) => DataFrame): Unit =
+      write((0 until n).map(i => shift(read(t), i)).reduce(_ unionByName _), t)
+    def shiftKeys(df: DataFrame, i: Int, keys: String*): DataFrame =
+      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * Off)))
+    def rot(alphabet: String, i: Int): String =
+      alphabet.drop(i % 26) + alphabet.take(i % 26)
+
+    Seq("region", "nation", "part", "supplier")
+      .foreach(t => write(read(t), t))
+    rep("customer")((df, i) => shiftKeys(df, i, "c_custkey"))
+    rep("orders")((df, i) => shiftKeys(df, i, "o_orderkey", "o_custkey"))
+    // l_partkey/l_suppkey stay — they reference the 1× dims
+    rep("lineitem")((df, i) => shiftKeys(df, i, "l_orderkey"))
+    rep("events")((df, i) => shiftKeys(df, i, "event_id", "user_id"))
+    rep("documents") { (df, i) =>
+      shiftKeys(df, i, "doc_id")
+        .withColumn("text",
+          translate(col("text"), Lower + Upper, rot(Lower, i) + rot(Upper, i)))
+    }
+    rep("embeddings")((df, i) => shiftKeys(df, i, "vec_id"))
+    spark.stop()
+  }
+}
