@@ -52,8 +52,21 @@ object ScaleData {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$src/$t.parquet")
     }
+    // events must land as a single FILE named events.parquet — the
+    // streaming readers select it with pathGlobFilter=events.parquet,
+    // which never matches part-files inside a directory of that name
     def write(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      if (t == "events") {
+        val stage = s"$out/.events_stage"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val dir = new java.io.File(stage)
+        val part = dir.listFiles.find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file in $stage"))
+        val dest = java.nio.file.Paths.get(s"$out/events.parquet")
+        java.nio.file.Files.deleteIfExists(dest)
+        java.nio.file.Files.move(part.toPath, dest)
+        dir.listFiles.foreach(_.delete()); dir.delete()
+      } else df.write.mode("overwrite").parquet(s"$out/$t.parquet")
     def rep(t: String)(shift: (DataFrame, Int) => DataFrame): Unit =
       write((0 until n).map(i => shift(read(t), i)).reduce(_ unionByName _), t)
     def shiftKeys(df: DataFrame, i: Int, keys: String*): DataFrame =
