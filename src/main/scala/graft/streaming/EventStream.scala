@@ -19,7 +19,7 @@ import java.util.concurrent.atomic.AtomicInteger
 object EventStream {
 
   /** events schema under nanosAsLong (ts = raw nanos, LongType). */
-  private val eventsSchema = StructType(Seq(
+  private[graft] val eventsSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
@@ -244,6 +244,57 @@ object EventStream {
     s.read.parquet(outDir)
   }
 
+  // s7: streaming upsert — the reference's registry MERGE (q29/q44's
+  // engine) as a continuous pipeline: each micro-batch reduces to
+  // per-user partial state (count + argmax-by-event-time latest) and
+  // merges into a persistent registry via foreachBatch. The merge is
+  // ASSOCIATIVE state (counts add, latest is max_by on (ts, event_id))
+  // so any micro-batch slicing yields the same registry — the spec
+  // proves it by re-running with maxFilesPerTrigger=1. At 100 TB the
+  // versioned-parquet swap below becomes a MERGE into a transactional
+  // table (the registry is key-partitioned either way and each batch
+  // touches only its users); the checkpoint gives exactly-once batch
+  // replay on restart, with the latest committed version as the base.
+  def s7StreamUpsert(s: SparkSession, d: String): DataFrame =
+    upsertToRegistry(s, readEvents(s, d),
+      java.nio.file.Files.createTempDirectory("graft_s7").toString)
+
+  private[graft] def upsertToRegistry(s: SparkSession, stream: DataFrame,
+                                      root: String): DataFrame = {
+    @volatile var registry: Option[String] = None
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fresh = batch.groupBy("user_id").agg(
+          count(lit(1)).as("n_events"),
+          expr("max_by(struct(ts, event_id, event_type, value), " +
+            "struct(ts, event_id))").as("last"))
+        val merged = registry match {
+          case None => fresh
+          case Some(prev) => s.read.parquet(prev).unionByName(fresh)
+            .groupBy("user_id").agg(
+              sum("n_events").as("n_events"),
+              expr("max_by(last, struct(last.ts, last.event_id))").as("last"))
+        }
+        val v = s"$root/v$batchId"
+        merged.write.mode("overwrite").parquet(v)
+        registry = Some(v)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    registry match {
+      case Some(v) => s.read.parquet(v)
+        .select(col("user_id"), col("n_events"),
+          col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"))
+        .orderBy("user_id")
+      case None =>
+        import s.implicits._
+        Seq.empty[(Long, Long, String, Double)]
+          .toDF("user_id", "n_events", "last_type", "last_value")
+    }
+  }
+
   // s6: stream-static join — the enrichment pattern: each streamed
   // event joins a STATIC dimension (per-user first-seen cohort day,
   // batch-computed) broadcast into every micro-batch, then aggregates
@@ -270,9 +321,18 @@ object EventStream {
     "s1b_stream_window_append" -> (s1bStreamWindowAppend _),
     "s2_stream_dedup" -> (s2StreamDedup _),
     "s3_stream_session" -> (s3StreamSession _),
+    "s7_stream_upsert" -> (s7StreamUpsert _),
   )
 
   val oracles: Map[String, String] = Map(
+    // (user_id, ts) is unique at every shipped SF (checked), so
+    // arg_max on ts alone is deterministic here; the Spark side still
+    // tie-breaks on (ts, event_id) for safety on other data
+    "s7_stream_upsert" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  arg_max(event_type, ts) AS last_type,
+        |  arg_max("value", ts) AS last_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "s6_stream_static_join" ->
       """WITH c AS (
         |  SELECT user_id,

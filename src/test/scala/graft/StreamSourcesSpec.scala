@@ -115,6 +115,33 @@ class StreamSourcesSpec extends SparkSpec {
     assert(new java.io.File(s"$base/ckpt/commits").list().nonEmpty)
   }
 
+  test("streaming upsert merges identically under any micro-batch slicing") {
+    // s7's registry merge is associative state (counts add, latest is
+    // max_by) — slicing the stream into one-file micro-batches MUST
+    // land the same registry as the single-batch run and as the batch
+    // aggregate. 3 splits -> 3 foreachBatch merges, each versioned.
+    val dir = Files.createTempDirectory("graft_s7_spec")
+    val src = dir.resolve("src").toString
+    Tables.events(spark, sf).repartition(3).write.parquet(src)
+    val stream = spark.readStream.schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val root = dir.resolve("reg").toString
+    val got = EventStream.upsertToRegistry(spark, stream, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val versions = new java.io.File(root).listFiles
+      .count(_.getName.startsWith("v"))
+    assert(versions >= 3, s"expected >=3 merged versions, got $versions")
+    val want = Tables.events(spark, sf).groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        expr("max_by(struct(event_type, value), struct(ts, event_id))").as("l"))
+      .select(col("user_id"), col("n_events"),
+        col("l.event_type"), col("l.value"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(got.sameElements(want),
+      s"sliced streaming upsert diverged from batch: ${got.length} vs ${want.length}")
+  }
+
   test("orc round-trips lineitem with schema intact") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val li = Tables.lineitem(spark, sf).limit(100)
