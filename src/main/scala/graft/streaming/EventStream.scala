@@ -247,21 +247,33 @@ object EventStream {
   // s7: streaming upsert — the reference's registry MERGE (q29/q44's
   // engine) as a continuous pipeline: each micro-batch reduces to
   // per-user partial state (count + argmax-by-event-time latest) and
-  // merges into a persistent registry via foreachBatch. The merge is
-  // ASSOCIATIVE state (counts add, latest is max_by on (ts, event_id))
-  // so any micro-batch slicing yields the same registry — the spec
-  // proves it by re-running with maxFilesPerTrigger=1. At 100 TB the
-  // versioned-parquet swap below becomes a MERGE into a transactional
-  // table (the registry is key-partitioned either way and each batch
-  // touches only its users); the checkpoint gives exactly-once batch
-  // replay on restart, with the latest committed version as the base.
+  // merges into a BUCKET-PARTITIONED parquet registry via
+  // foreachBatch. The registry is hash-partitioned on
+  // pmod(user_id, nBuckets) and a batch reads and rewrites ONLY the
+  // buckets its users hash into — the untouched registry is never
+  // scanned or copied, which is what makes a per-batch merge viable
+  // when the registry is 100 TB and a micro-batch touches a sliver of
+  // it (a full-registry read-union-rewrite per batch would be
+  // O(registry) every few seconds). The per-bucket "latest committed
+  // version" map below is a transactional table's manifest in
+  // miniature; version paths are keyed by batchId and written with
+  // overwrite, so checkpointed batch replay after a crash is
+  // idempotent. The merge itself is ASSOCIATIVE state (counts add,
+  // latest is max_by on (ts, event_id)) so any micro-batch slicing
+  // yields the same registry — the spec proves it by re-running with
+  // maxFilesPerTrigger=1 and also asserts the bucket pruning (a
+  // single-user batch rewrites exactly one bucket).
   def s7StreamUpsert(s: SparkSession, d: String): DataFrame =
     upsertToRegistry(s, readEvents(s, d),
       java.nio.file.Files.createTempDirectory("graft_s7").toString)
 
   private[graft] def upsertToRegistry(s: SparkSession, stream: DataFrame,
-                                      root: String): DataFrame = {
-    @volatile var registry: Option[String] = None
+                                      root: String,
+                                      nBuckets: Int = 8): DataFrame = {
+    val bucket = pmod(col("user_id"), lit(nBuckets.toLong))
+    // bucket -> latest committed version dir (the manifest; driver
+    // state is one int->path entry per bucket, corpus-independent)
+    val latest = scala.collection.concurrent.TrieMap.empty[Long, String]
     val q = stream.writeStream
       .option("checkpointLocation", s"$root/ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -269,30 +281,36 @@ object EventStream {
           count(lit(1)).as("n_events"),
           expr("max_by(struct(ts, event_id, event_type, value), " +
             "struct(ts, event_id))").as("last"))
-        val merged = registry match {
-          case None => fresh
-          case Some(prev) => s.read.parquet(prev).unionByName(fresh)
+          .persist()
+        // <= nBuckets rows ever reach the driver here
+        val touched = fresh.select(bucket.as("b")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        val prevPaths = touched.flatMap(latest.get).distinct
+        val merged =
+          if (prevPaths.isEmpty) fresh
+          else s.read.parquet(prevPaths.toIndexedSeq: _*).unionByName(fresh)
             .groupBy("user_id").agg(
               sum("n_events").as("n_events"),
               expr("max_by(last, struct(last.ts, last.event_id))").as("last"))
-        }
-        val v = s"$root/v$batchId"
-        merged.write.mode("overwrite").parquet(v)
-        registry = Some(v)
+        merged.withColumn("bucket", bucket)
+          .write.partitionBy("bucket").mode("overwrite")
+          .parquet(s"$root/v$batchId")
+        touched.foreach(b => latest(b) = s"$root/v$batchId/bucket=$b")
+        fresh.unpersist()
+        ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    registry match {
-      case Some(v) => s.read.parquet(v)
+    if (latest.isEmpty) {
+      import s.implicits._
+      Seq.empty[(Long, Long, String, Double)]
+        .toDF("user_id", "n_events", "last_type", "last_value")
+    } else
+      s.read.parquet(latest.values.toSeq.distinct: _*)
         .select(col("user_id"), col("n_events"),
           col("last.event_type").as("last_type"),
           col("last.value").as("last_value"))
         .orderBy("user_id")
-      case None =>
-        import s.implicits._
-        Seq.empty[(Long, Long, String, Double)]
-          .toDF("user_id", "n_events", "last_type", "last_value")
-    }
   }
 
   // s6: stream-static join — the enrichment pattern: each streamed

@@ -142,6 +142,53 @@ class StreamSourcesSpec extends SparkSpec {
       s"sliced streaming upsert diverged from batch: ${got.length} vs ${want.length}")
   }
 
+  test("streaming upsert bucket-prunes: a single-user batch rewrites one bucket") {
+    // the registry is hash-partitioned on pmod(user_id, 8); a batch
+    // must read+rewrite ONLY the buckets its users hash into. Land
+    // two source files — every user but 7, then user 7 alone — as
+    // separate micro-batches: user 7's batch must produce a version
+    // holding exactly bucket=7 (the untouched registry is never
+    // copied), and the merged registry must still equal the batch
+    // aggregate over the full corpus.
+    val dir = Files.createTempDirectory("graft_s7_prune")
+    val srcDir = dir.resolve("src")
+    Files.createDirectory(srcDir)
+    val ev = Tables.events(spark, sf)
+    def land(df: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
+      val stage = dir.resolve(name + "_stage").toString
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(name + ".parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(ts)
+    }
+    land(ev.filter(col("user_id") =!= 7L), "bulk", 1000000L)
+    land(ev.filter(col("user_id") === 7L), "solo", 2000000L)
+    val stream = spark.readStream.schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val root = dir.resolve("reg").toString
+    val got = EventStream.upsertToRegistry(spark, stream, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val vDirs = new java.io.File(root).listFiles.filter(_.getName.startsWith("v"))
+    def buckets(v: java.io.File): Set[String] =
+      v.listFiles.map(_.getName).filter(_.startsWith("bucket=")).toSet
+    assert(vDirs.exists(v => buckets(v) == Set("bucket=7")),
+      s"no version rewrote only user 7's bucket: " +
+        vDirs.map(v => v.getName -> buckets(v)).toSeq.sortBy(_._1))
+    assert(vDirs.exists(v => buckets(v).size > 1),
+      "the multi-user batch should have touched several buckets")
+    val want = ev.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        expr("max_by(struct(event_type, value), struct(ts, event_id))").as("l"))
+      .select(col("user_id"), col("n_events"),
+        col("l.event_type"), col("l.value"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(got.sameElements(want),
+      s"bucket-pruned upsert diverged from batch: ${got.length} vs ${want.length}")
+  }
+
   test("orc round-trips lineitem with schema intact") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val li = Tables.lineitem(spark, sf).limit(100)
