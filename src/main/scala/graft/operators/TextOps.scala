@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.GraftFunctions
 
@@ -524,7 +525,123 @@ object TextOps {
       .limit(k)
   }
 
+  // d22: duplicated-SPAN detection — d1/d2 decide at document
+  // granularity; the span pass finds the boilerplate INSIDE otherwise
+  // distinct documents (headers, licence blocks, templated sentences)
+  // the way substring-level dedup (Lee et al., "Deduplicating
+  // Training Data Makes Language Models Better") does. A word-5-gram
+  // at position i is duplicated iff its hash occurs in >= 2 distinct
+  // documents; per document we report the duplicated-gram count and
+  // the exact number of token positions covered by at least one
+  // duplicated gram. 100 TB shape: postings are (doc_id, pos,
+  // 8-byte hash) — linear, one hash-keyed exchange for the df pass
+  // and one semi join back; coverage is a UNION-OF-INTERVALS sum via
+  // lag over the per-doc window (high-cardinality partition key), so
+  // the k-wide spans never explode into per-position rows. Hashing:
+  // Spark groups 5-grams by xxhash64 while the oracle groups the
+  // strings — bit-parity rests on the same 2^-64 no-collision
+  // argument d2/d15 document.
+  private[graft] def grams5(s: SparkSession, d: String): DataFrame =
+    docs(s, d).filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        posexplode(expr(
+          "transform(sequence(0, size(toks) - 5), " +
+            "i -> xxhash64(array_join(slice(toks, i + 1, 5), ' ')))")))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast("long").as("pos"), col("col").as("gh"))
+
+  def d22SpanDedup(s: SparkSession, d: String): DataFrame = {
+    val g = grams5(s, d)
+    val dup = g.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("gh")
+    val dg = g.join(dup, Seq("gh"), "left_semi")
+    // covered = Σ min(5, pos - prev_pos): exact union length of the
+    // equal-width intervals [pos, pos+4], no per-position fan-out
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val cov = dg.withColumn("gap", col("pos") - lag("pos", 1).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sum(when(col("gap").isNull || col("gap") > 5, lit(5L))
+          .otherwise(col("gap"))).as("covered_tokens"))
+    g.groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_grams"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Scale-safe EXCLUSIVE prefix sum of `valCol` in `keyCol` order
+    * (keys: non-negative longs), appended as `outCol`. A single
+    * `ORDER BY key` running-sum window funnels the corpus through one
+    * task; here every window partitions on `key div grp` — each holds
+    * <= grp rows of the level below — and the per-group totals
+    * (corpus/grp rows) recurse through the same construction until
+    * <= grp remain, where the base offsets come from a
+    * broadcast-hinted theta self-join over that bounded frame (a
+    * deliberate <= grp² nested loop; a GLOBAL window even there would
+    * trip the unbounded-window invariant). Depth is log_grp(N) — 3
+    * levels cover a trillion rows at grp=8192 — and level l touches
+    * corpus/grp^l rows, so the total work beyond the base scan is a
+    * geometric tail. The recursion re-derives parent frames rather
+    * than caching (each non-base level is corpus/grp^l rows; the
+    * recompute is the cheaper trade vs holding cached levels).
+    */
+  private[graft] def exclusivePrefixSum(df: DataFrame, keyCol: String,
+                                        valCol: String, outCol: String,
+                                        grp: Long): DataFrame = {
+    val within = df.withColumn("_g", expr(s"($keyCol) div $grp"))
+      .withColumn("_within", coalesce(
+        sum(col(valCol)).over(Window.partitionBy("_g").orderBy(keyCol)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val totals = within.groupBy("_g").agg(sum(col(valCol)).as("_tot"))
+    val offs =
+      if (totals.count() <= grp)
+        totals.join(
+            broadcast(totals.select(col("_g").as("_g2"), col("_tot").as("_tot2"))),
+            col("_g2") < col("_g"), "left")
+          .groupBy("_g")
+          .agg(coalesce(sum("_tot2"), lit(0L)).as("_goff"))
+      else
+        exclusivePrefixSum(
+            totals.select(col("_g").as("_k"), col("_tot").as("_v")),
+            "_k", "_v", "_goff", grp)
+          .select(col("_k").as("_g"), col("_goff"))
+    within.join(offs, "_g")
+      .withColumn(outCol, col("_within") + col("_goff"))
+      .drop("_g", "_within")
+  }
+
+  // d23: sequence packing — the pretraining batcher: documents are
+  // concatenated in doc_id order and cut into fixed 256-token context
+  // windows (GPT-style packing; a document whose tokens straddle a
+  // cut spans two packs). Each doc's placement is pure arithmetic on
+  // its EXCLUSIVE prefix token count, computed by the hierarchical
+  // prefix sum above — the one operator here whose naive form (a
+  // global ORDER BY running-sum window) is inherently
+  // single-partition. Oracle: DuckDB's global running sum IS that
+  // naive form, tractable at test SF.
+  def d23PackSequences(s: SparkSession, d: String,
+                       budget: Long = 256, grp: Long = 64): DataFrame = {
+    val t = docs(s, d)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+    exclusivePrefixSum(t, "doc_id", "n_tokens", "start_off", grp)
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        expr(s"start_off div $budget").as("pack_id"),
+        pmod(col("start_off"), lit(budget)).as("pack_pos"),
+        (expr(s"start_off div $budget") =!=
+          expr(s"(start_off + n_tokens - 1) div $budget")).as("spans_packs"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_span_dedup" -> (d22SpanDedup _),
+    "d23_pack_sequences" -> ((s: SparkSession, d: String) => d23PackSequences(s, d)),
     "d21_heavy_hitters" -> ((s: SparkSession, d: String) => d21HeavyHitters(s, d)),
     "d20_tfidf" -> (d20Tfidf _),
     "d17_normalize" -> (d17Normalize _),
@@ -581,6 +698,49 @@ object TextOps {
       |  SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d22_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(i AS BIGINT) AS pos, array_to_string(w[i+1:i+5], ' ') AS gm
+        |  FROM t, unnest(range(0, len(w) - 4)) AS u(i)
+        |  WHERE len(w) >= 5),
+        |dup AS (SELECT gm FROM g GROUP BY gm HAVING COUNT(DISTINCT doc_id) >= 2),
+        |c AS (
+        |  SELECT doc_id, pos,
+        |    pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+        |  FROM g WHERE gm IN (SELECT gm FROM dup)),
+        |cov AS (
+        |  SELECT doc_id, COUNT(*) AS n_dup_grams,
+        |    CAST(SUM(CASE WHEN gap IS NULL OR gap > 5 THEN 5 ELSE gap END)
+        |         AS BIGINT) AS covered_tokens
+        |  FROM c GROUP BY doc_id),
+        |base AS (SELECT doc_id, n_tokens, COUNT(*) AS n_grams FROM g GROUP BY 1, 2)
+        |SELECT b.doc_id, b.n_tokens, b.n_grams,
+        |  COALESCE(cov.n_dup_grams, 0) AS n_dup_grams,
+        |  COALESCE(cov.covered_tokens, 0) AS covered_tokens,
+        |  CAST(COALESCE(cov.covered_tokens, 0) AS DOUBLE) / b.n_tokens AS dup_frac
+        |FROM base b LEFT JOIN cov ON b.doc_id = cov.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+    "d23_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+        |         AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start_off
+        |  FROM t WHERE n_tokens >= 1)
+        |SELECT doc_id, n_tokens, start_off,
+        |  start_off // 256 AS pack_id,
+        |  start_off % 256 AS pack_pos,
+        |  (start_off // 256 <> (start_off + n_tokens - 1) // 256) AS spans_packs
+        |FROM p ORDER BY doc_id""".stripMargin,
     "d20_tfidf" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -49,6 +49,46 @@ class TextSimSpec extends SparkSpec {
       s"missed: ${brute -- lsh}; spurious: ${lsh -- brute}")
   }
 
+  test("d22 interval-merge coverage equals the per-position brute force") {
+    // the lag-window union-of-intervals sum exists to avoid exploding
+    // each 5-gram into 5 position rows; prove it computes the same
+    // covered-token count as that brute per-position distinct count
+    val g = TextOps.grams5(spark, sf)
+    val dup = g.groupBy("gh").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("gh")
+    val brute = g.join(dup, Seq("gh"), "left_semi")
+      .select(col("doc_id"), explode(expr("sequence(pos, pos + 4)")).as("cp"))
+      .groupBy("doc_id").agg(countDistinct(col("cp")).as("covered"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = TextOps.d22SpanDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("covered_tokens"))
+      .filter(_._2 > 0).toMap
+    assert(brute.nonEmpty, "corpus has no duplicated spans to test against")
+    assert(got == brute,
+      s"interval-merge diverged from brute coverage on ${(got.toSet diff brute.toSet).take(5)}")
+  }
+
+  test("hierarchical prefix sum is grp-invariant and equals the naive window") {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(spark, sf)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+    def offs(grp: Long): Map[Long, Long] =
+      TextOps.exclusivePrefixSum(t, "doc_id", "n_tokens", "off", grp)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("off")).toMap
+    // grp=4 forces >= 4 recursion levels at 500 docs; grp=1e9 is the
+    // single-level base case; both must equal the global-window form
+    val deep = offs(4)
+    val flat = offs(1000000000L)
+    val naive = t.withColumn("off", coalesce(
+        sum("n_tokens").over(Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("off")).toMap
+    assert(deep == naive, "deep recursion diverged from the naive window")
+    assert(flat == naive, "base case diverged from the naive window")
+  }
+
   test("rolling_hash matches the reference recurrence and registers for SQL") {
     def ref(s: String): Long =
       s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
