@@ -186,6 +186,21 @@ object Similarity {
   // probe fraction (labels barely structured the embedding space):
   // recall vs e1 over 10 cells, nProbe 2→0.50, 3→0.64, 4→0.72,
   // 5→0.80, 6→0.82 (label centroids sat at 0.38/0.52/0.64/0.72/0.80).
+  /** Map-local cell assignment — argmax as an AGGREGATE, not a
+    * window: the crossJoin is map-local (centroids broadcast), so
+    * partial max_by collapses to one row per vector before the
+    * exchange — the shuffle moves N rows, not N·C sorted ones.
+    * Tie-break: lowest cell id. Shared by e4's inverted lists and
+    * d24's semantic-dedup clusters.
+    */
+  private def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .withColumn("score", expr(CentroidDot) / col("cn"))
+      .groupBy(col("vec_id"))
+      .agg(expr("max_by(struct(cid, q, nrm), struct(score, -cid))").as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"),
+              col("m.q").as("q"), col("m.nrm").as("nrm"))
+
   def e4KnnIvf(s: SparkSession, d: String, nProbe: Int = 4,
                k: Int = 10, iters: Int = 5): DataFrame = {
     val emb = quantized(s, d)
@@ -195,15 +210,7 @@ object Similarity {
         // centroid-normalized dot (shared with training); dividing by
         // |q| is rank-invariant per vector, so it's skipped
         .withColumn("score", expr(CentroidDot) / col("cn"))
-    // assignment as an argmax AGGREGATE, not a window: the crossJoin
-    // is map-local (centroids broadcast), so partial max_by collapses
-    // to one row per vector before the exchange — the shuffle moves N
-    // rows, not N·C sorted ones. Tie-break: lowest cell id.
-    val lists = scored(emb)
-      .groupBy(col("vec_id").as("nid"))
-      .agg(expr("max_by(struct(cid, q, nrm), struct(score, -cid))").as("m"))
-      .select(col("nid"), col("m.cid").as("cid"),
-              col("m.q").as("q"), col("m.nrm").as("nrm"))
+    val lists = assignCells(emb, cellCents).withColumnRenamed("vec_id", "nid")
     // probes: tiny query set — the ranking window touches Q·C rows
     val probes = scored(emb.filter(col("vec_id") < 10))
       .withColumn("rn", row_number().over(
@@ -290,6 +297,44 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
       .distinct()
       .orderBy("id_a", "id_b")
+  }
+
+  // d24: semantic dedup — SemDeDup re-expressed: exact dedup (d1)
+  // and MinHash (d6) can't see paraphrases whose wording differs;
+  // the semantic pass drops embedding-space near-duplicates instead.
+  // Cluster with the e4 coarse quantizer (k-means trained on a
+  // bounded hash-sample), then WITHIN each cluster drop every vector
+  // whose cosine to a lower-id member is >= tau — the
+  // overlap-dominated parallel variant of SemDeDup's per-cluster
+  // sweep (greedy is order-serial; same documented divergence as
+  // g7's NMS). 100 TB: the pairwise pass is per-cell — with k ≈ √N
+  // centroids a cell holds ~√N vectors, so the quadratic work is
+  // Σ n_c² ≈ N^1.5 spread across cells, never a corpus×corpus join;
+  // the one corpus exchange is keyed on the 8-byte cell id. Scoring
+  // is the exact quantized long-dot arithmetic e1/e4 share, so the
+  // spec can brute-verify the dominated rule bit-exactly. Rows-only
+  // (k-means clustering isn't SQL-expressible).
+  def d24SemanticDedup(s: SparkSession, d: String, k: Int = 10,
+                       tau: Double = 0.4, iters: Int = 5): DataFrame = {
+    val emb = quantized(s, d)
+    val assigned = assignCells(emb, kmeansCentroids(s, emb, k, iters))
+    val pairs = assigned
+      .select(col("cid"), col("vec_id").as("id_a"),
+              col("q").as("qa"), col("nrm").as("na"))
+      .join(assigned.select(col("cid"), col("vec_id").as("id_b"),
+              col("q").as("qb"), col("nrm").as("nb")), Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        GraftFunctions.long_dot(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cosine") >= tau)
+    val dropped = pairs.groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("dup_of"), max(col("cosine")).as("max_cos"))
+    assigned.select("vec_id", "cid")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dup_of").isNull.as("kept"),
+              col("dup_of"), col("max_cos"))
+      .orderBy("vec_id")
   }
 
   // m2: multimodal frame sampler — each 64-byte chunk of the blob becomes
@@ -386,6 +431,7 @@ object Similarity {
     "m3_feature_extract" -> (m3FeatureExtract _),
     "m4_resize" -> (m4Resize _),
     "d8_embedding_neardup" -> (d8EmbeddingNearDup _),
+    "d24_semantic_dedup" -> ((s: SparkSession, d: String) => d24SemanticDedup(s, d)),
     "m2_frame_sample" -> (m2FrameSample _),
     "e1_knn_brute" -> (e1KnnBrute _),
     "e2_knn_lsh" -> (e2KnnLsh _),

@@ -89,6 +89,40 @@ class TextSimSpec extends SparkSpec {
     assert(flat == naive, "base case diverged from the naive window")
   }
 
+  test("d24 semantic dedup follows the dominated within-cluster rule exactly") {
+    val out = Similarity.d24SemanticDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"),
+        r.getAs[Boolean]("kept"),
+        Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)))
+    // re-derive the quantized vectors and brute-force every
+    // within-cluster pair with the identical integer-dot arithmetic;
+    // everything downstream of the clustering must match bit-exactly
+    val qv = Tables.embeddings(spark, sf)
+      .withColumn("q", expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))"))
+      .select("vec_id", "q").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val byCluster = out.groupBy(_._2)
+    var dropsSeen = 0
+    out.foreach { case (v, cid, kept, dupOf) =>
+      val dominating = byCluster(cid).map(_._1).filter(_ < v)
+        .filter(u => cos(qv(u), qv(v)) >= 0.4).sorted
+      assert(kept == dominating.isEmpty,
+        s"vec $v kept=$kept but dominating set is $dominating")
+      assert(dupOf == dominating.headOption,
+        s"vec $v dup_of=$dupOf but min dominating is ${dominating.headOption}")
+      if (!kept) dropsSeen += 1
+    }
+    assert(dropsSeen > 0, "no vector was dropped — tau too high to observe")
+  }
+
   test("rolling_hash matches the reference recurrence and registers for SQL") {
     def ref(s: String): Long =
       s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
