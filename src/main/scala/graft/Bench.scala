@@ -18,13 +18,15 @@ object Bench {
     * join, 5-way star, sessionization window, tumbling window, exact
     * dedup, shingle join, MinHash LSH, brute-force ANN — plus one per
     * remaining family: geometry (g2 grid join), streaming (s1), Bloom
-    * decontamination (d16) — not the long tail of small lookups.
+    * decontamination (d16), span-level dedup (d22 — the heaviest new
+    * round-5 surface: corpus-wide 5-gram df + semi join + coverage
+    * window) — not the long tail of small lookups.
     */
   private val headline = Seq(
     "q1_agg", "q3_join_agg", "q16_star_join", "q21_sessionize",
     "q22_event_window", "d1_dedup_exact", "d2_dedup_ngram_jaccard",
     "d6_minhash_lsh", "e1_knn_brute", "g2_point_in_box",
-    "s1_stream_window", "d16_bloom_decontaminate")
+    "s1_stream_window", "d16_bloom_decontaminate", "d22_span_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
