@@ -639,7 +639,48 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // e5: sparse retrieval (SURVEY §2.4) — the RAG / contamination-
+  // lookup shape: for each query document, the top-k corpus documents
+  // by number of shared word-3-gram shingles, restricted to
+  // DISCRIMINATIVE shingles (df·10 <= N, an integer-exact cut — the
+  // corpus' unigram vocabulary is ~31 types, so tokens can't
+  // discriminate; shingles do, which is the same reason d2/d11 key on
+  // them). The cut is provably unhit at test SF (every shingle
+  // survives — spec'd like d2's cap) but at 100 TB it is the Σ(df²)
+  // bound: a boilerplate shingle would otherwise connect every query
+  // to every document. Postings move as 8-byte shingle hashes; the
+  // query side is small by assumption and broadcast; the final top-k
+  // is the bounded TopKByScore partial aggregate, so nothing
+  // corpus-proportional crosses the last exchange. Scores are exact
+  // integer overlap counts — the cast to double inside the aggregate
+  // is lossless below 2^53 and ties break (score desc, nid asc) in
+  // both engines. Hash-vs-string grouping carries d2's 2^-64
+  // collision argument.
+  def e5SparseRetrieval(s: SparkSession, d: String, k: Int = 5,
+                        dfCutMul: Long = 10): DataFrame = {
+    val sh = shingled(s, d).select(col("doc_id"), explode(col("shingles")).as("g"))
+    val n = sh.select(countDistinct(col("doc_id")).as("n"))
+    val keep = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") * dfCutMul <= col("n")).select("g")
+    val t = sh.join(keep, Seq("g"), "left_semi")
+    val q = t.filter(col("doc_id") % 25 === 0)
+      .select(col("g"), col("doc_id").as("qid"))
+    val scored = t.join(broadcast(q), Seq("g"))
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id").as("nid"))
+      .agg(count(lit(1)).as("score"))
+    scored.groupBy("qid")
+      .agg(GraftFunctions.top_k(col("score").cast("double"), col("nid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t.id").as("nid"),
+        col("t.score").cast("long").as("score"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e5_sparse_retrieval" -> ((s: SparkSession, d: String) => e5SparseRetrieval(s, d)),
     "d22_span_dedup" -> (d22SpanDedup _),
     "d23_pack_sequences" -> ((s: SparkSession, d: String) => d23PackSequences(s, d)),
     "d21_heavy_hitters" -> ((s: SparkSession, d: String) => d21HeavyHitters(s, d)),
@@ -698,6 +739,30 @@ object TextOps {
       |  SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e5_sparse_retrieval" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(0, len(w)-2),
+        |    i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), x -> x != '') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3),
+        |s AS (SELECT doc_id, unnest(sh) AS g FROM t0),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM s),
+        |df AS (SELECT g, COUNT(*) AS df FROM s GROUP BY 1),
+        |keep AS (SELECT g FROM df CROSS JOIN n WHERE df.df * 10 <= n.n),
+        |t AS (SELECT * FROM s WHERE g IN (SELECT g FROM keep)),
+        |sc AS (
+        |  SELECT q.doc_id AS qid, c.doc_id AS nid, COUNT(*) AS score
+        |  FROM t q JOIN t c ON q.g = c.g
+        |  WHERE q.doc_id % 25 = 0 AND c.doc_id <> q.doc_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT qid, nid, score,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+        |  FROM sc)
+        |SELECT qid, nid, score, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "d22_span_dedup" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w

@@ -89,6 +89,17 @@ class TextSimSpec extends SparkSpec {
     assert(flat == naive, "base case diverged from the naive window")
   }
 
+  test("e5 shingle-df cut is unhit at test SF: cut == uncut top-k") {
+    // dfCutMul=0 keeps every shingle (df·0 <= N always); identical
+    // results prove the 100 TB posting-length bound drops nothing at
+    // this corpus size — d2's cap argument, restated for retrieval
+    def rows(m: Long) = TextOps.e5SparseRetrieval(spark, sf, 5, m).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val cut = rows(10)
+    assert(cut.nonEmpty, "e5 returned no retrieval results")
+    assert(cut == rows(0), "df cut dropped retrieval results at test SF")
+  }
+
   test("d24 semantic dedup follows the dominated within-cluster rule exactly") {
     val out = Similarity.d24SemanticDedup(spark, sf).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"),
