@@ -189,6 +189,26 @@ class StreamSourcesSpec extends SparkSpec {
       s"bucket-pruned upsert diverged from batch: ${got.length} vs ${want.length}")
   }
 
+  test("stateful streaming runs under the RocksDB state store (the scale backend)") {
+    // the default HDFS-backed store keeps every key's state on the
+    // executor HEAP — the memory ceiling for large stateful queries;
+    // RocksDB spills state to local disk and is the backend a 100 TB
+    // deployment runs. Prove the operators are provider-agnostic:
+    // the same watermarked session-window and custom-state queries
+    // return identical results under RocksDB.
+    val rocks = spark.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(EventStream.s3StreamSession(rocks, sf)) ==
+           rows(EventStream.s3StreamSession(spark, sf)),
+      "session windows diverged under RocksDB state store")
+    assert(rows(EventStream.s4StreamCustomState(rocks, sf)) ==
+           rows(EventStream.s4StreamCustomState(spark, sf)),
+      "flatMapGroupsWithState diverged under RocksDB state store")
+  }
+
   test("orc round-trips lineitem with schema intact") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val li = Tables.lineitem(spark, sf).limit(100)
