@@ -128,6 +128,8 @@ object GraftFunctions {
     column(MinHashSig(expression(c), numHashes))
   def shingle_hashes(c: Column, n: Int = 3): Column =
     column(ShingleHashes(expression(c), n))
+  def shingle_hashes_pos(c: Column, n: Int = 3): Column =
+    column(ShingleHashesPos(expression(c), n))
   def minhash_sig_long(c: Column, numHashes: Int = 64): Column =
     column(MinHashSigLong(expression(c), numHashes))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
@@ -187,6 +189,10 @@ object GraftFunctions {
       es => { arity("shingle_hashes", es, 1, 2)
         ShingleHashes(es.head,
           if (es.length > 1) litInt("shingle_hashes", es(1), "n") else 3) }),
+    ("shingle_hashes_pos", "shingle_hashes_pos(tokens[, n]) - positional n-gram hashes (default 3)",
+      es => { arity("shingle_hashes_pos", es, 1, 2)
+        ShingleHashesPos(es.head,
+          if (es.length > 1) litInt("shingle_hashes_pos", es(1), "n") else 3) }),
     ("minhash_sig", "minhash_sig(shingle_hashes[, perms]) - MinHash signature (default 64)",
       es => { arity("minhash_sig", es, 1, 2)
         MinHashSigLong(es.head,
@@ -455,6 +461,88 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** POSITIONAL n-gram hashes: [[ShingleHashes]]'s per-token-hash +
+  * rolling-combiner core with the final sort/dedup removed — element
+  * i is the hash of the n-gram starting at token i (duplicates kept,
+  * order preserved), so span-level operators (d22) can posexplode it
+  * into (pos, hash) postings with ZERO shingle-string
+  * materialization. Deliberately a sibling class, not a flag on
+  * ShingleHashes: the two have different output contracts (set vs
+  * sequence) and fusing them would put a branch in both codegen
+  * bodies.
+  */
+case class ShingleHashesPos(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  require(n > 0, "shingle width n must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes_pos"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle_hashes_pos requires ARRAY<STRING>, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) { // null element -> empty (see MinHashSig)
+      val u = arr.getUTF8String(i)
+      th(i) = XXH64.hashUTF8String(
+        if (u == null) UTF8String.EMPTY_UTF8 else u, 42L)
+      i += 1
+    }
+    val out = new Array[Long](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      var h = th(i)
+      var k = 1
+      while (k < n) { h = XXH64.hashLong(th(i + k), h); k += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.freshName("sgp")
+    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+    val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |int ${p}m = $c.numElements();
+      |if (${p}m < $n) {
+      |  ${ev.value} = new $gad(new long[0]);
+      |} else {
+      |  long[] ${p}th = new long[${p}m];
+      |  for (int ${p}i = 0; ${p}i < ${p}m; ${p}i++) {
+      |    ${p}th[${p}i] = $xxh.hashUTF8String($c.isNullAt(${p}i)
+      |      ? org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+      |      : $c.getUTF8String(${p}i), 42L);
+      |  }
+      |  long[] ${p}out = new long[${p}m - $n + 1];
+      |  for (int ${p}i = 0; ${p}i <= ${p}m - $n; ${p}i++) {
+      |    long ${p}h = ${p}th[${p}i];
+      |    for (int ${p}k = 1; ${p}k < $n; ${p}k++) {
+      |      ${p}h = $xxh.hashLong(${p}th[${p}i + ${p}k], ${p}h);
+      |    }
+      |    ${p}out[${p}i] = ${p}h;
+      |  }
+      |  ${ev.value} = new $gad(${p}out);
+      |}
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesPos =
     copy(child = newChild)
 }
 

@@ -538,15 +538,15 @@ object TextOps {
   // and one semi join back; coverage is a UNION-OF-INTERVALS sum via
   // lag over the per-doc window (high-cardinality partition key), so
   // the k-wide spans never explode into per-position rows. Hashing:
-  // Spark groups 5-grams by xxhash64 while the oracle groups the
-  // strings — bit-parity rests on the same 2^-64 no-collision
-  // argument d2/d15 document.
+  // Spark groups 5-grams by the fused positional ShingleHashesPos
+  // expression (one hash per token + rolling combiner, zero
+  // gram-string materialization) while the oracle groups the strings
+  // — bit-parity rests on the same 2^-64 no-collision argument
+  // d2/d15 document.
   private[graft] def grams5(s: SparkSession, d: String): DataFrame =
     docs(s, d).filter(size(col("toks")) >= 5)
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-        posexplode(expr(
-          "transform(sequence(0, size(toks) - 5), " +
-            "i -> xxhash64(array_join(slice(toks, i + 1, 5), ' ')))")))
+        posexplode(GraftFunctions.shingle_hashes_pos(col("toks"), 5)))
       .select(col("doc_id"), col("n_tokens"),
         col("pos").cast("long").as("pos"), col("col").as("gh"))
 

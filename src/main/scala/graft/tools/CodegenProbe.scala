@@ -35,13 +35,17 @@ object CodegenProbe {
       .agg(expr("bit_xor(x)")).head.getLong(0)
     val sh = toks.select(GraftFunctions.simhash64(col("toks")).as("h"))
       .agg(expr("bit_xor(h)")).head.getLong(0)
+    val shp = toks
+      .select(GraftFunctions.shingle_hashes_pos(col("toks"), 5).as("g"))
+      .select(expr("aggregate(g, 0L, (a, v) -> a ^ v)").as("x"))
+      .agg(expr("bit_xor(x)")).head.getLong(0)
     val ld = Tables.embeddings(spark, d)
       .select(expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))").as("q"))
       .select(GraftFunctions.long_dot(col("q"), col("q")).as("dd"))
       .agg(expr("bit_xor(dd)")).head.getLong(0)
     // SQL surface via the injected extension (no registry call)
     val ext = spark.sql("SELECT rolling_hash('graft') AS h").head.getLong(0)
-    println(s"CODEGEN_OK rolling_hash_sum=$rh cosine_sum=$cs minhash_xor=$mh simhash_sum=$sh longdot_xor=$ld ext_sql=$ext")
+    println(s"CODEGEN_OK rolling_hash_sum=$rh cosine_sum=$cs minhash_xor=$mh simhash_sum=$sh shingle_pos_xor=$shp longdot_xor=$ld ext_sql=$ext")
     spark.stop()
   }
 }

@@ -49,6 +49,36 @@ class TextSimSpec extends SparkSpec {
       s"missed: ${brute -- lsh}; spurious: ${lsh -- brute}")
   }
 
+  test("shingle_hashes_pos matches shingle_hashes' set under CODEGEN_ONLY") {
+    // the positional variant must agree with the set variant on
+    // membership (same token-hash + rolling-combiner core) and emit
+    // exactly tokens-n+1 entries in order; CODEGEN_ONLY makes a
+    // doGenCode bug fail loudly instead of interpreting silently
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      Tables.documents(spark, sf)
+        .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+        .filter(size(col("toks")) >= 3)
+        .select(size(col("toks")).as("m"),
+          GraftFunctions.shingle_hashes(col("toks"), 3).as("set"),
+          GraftFunctions.shingle_hashes_pos(col("toks"), 3).as("seq"))
+        .collect().foreach { r =>
+          val m = r.getInt(0)
+          val set = r.getSeq[Long](1).toSet
+          val seqv = r.getSeq[Long](2)
+          assert(seqv.length == m - 2, s"expected ${m - 2} grams, got ${seqv.length}")
+          assert(seqv.toSet == set, "positional hashes diverged from the set variant")
+        }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("d22 interval-merge coverage equals the per-position brute force") {
     // the lag-window union-of-intervals sum exists to avoid exploding
     // each 5-gram into 5 position rows; prove it computes the same
