@@ -587,9 +587,12 @@ object TextOps {
     * trip the unbounded-window invariant). Depth is log_grp(N) — 3
     * levels cover a trillion rows at grp=8192 — and level l touches
     * corpus/grp^l rows, so the total work beyond the base scan is a
-    * geometric tail. The recursion re-derives parent frames rather
-    * than caching (each non-base level is corpus/grp^l rows; the
-    * recompute is the cheaper trade vs holding cached levels).
+    * geometric tail. The per-group totals are localCheckpoint'ed
+    * (g1's iteration pattern): they are corpus/grp rows — cheap to
+    * hold — and without it every level's count() action plus the
+    * recursion would re-run the level-below window once per level;
+    * checkpointed, each level's window runs at most twice (once into
+    * its totals, once in the final join-back), whatever the depth.
     */
   private[graft] def exclusivePrefixSum(df: DataFrame, keyCol: String,
                                         valCol: String, outCol: String,
@@ -599,6 +602,7 @@ object TextOps {
         sum(col(valCol)).over(Window.partitionBy("_g").orderBy(keyCol)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     val totals = within.groupBy("_g").agg(sum(col(valCol)).as("_tot"))
+      .localCheckpoint()
     val offs =
       if (totals.count() <= grp)
         totals.join(
@@ -649,9 +653,10 @@ object TextOps {
   // survives — spec'd like d2's cap) but at 100 TB it is the Σ(df²)
   // bound: a boilerplate shingle would otherwise connect every query
   // to every document. Postings move as 8-byte shingle hashes; the
-  // query side is small by assumption and broadcast; the final top-k
-  // is the bounded TopKByScore partial aggregate, so nothing
-  // corpus-proportional crosses the last exchange. Scores are exact
+  // query-side join is hash-keyed with AQE free to broadcast when the
+  // query set is genuinely small; the final top-k is the bounded
+  // TopKByScore partial aggregate, so nothing corpus-proportional
+  // crosses the last exchange. Scores are exact
   // integer overlap counts — the cast to double inside the aggregate
   // is lossless below 2^53 and ties break (score desc, nid asc) in
   // both engines. Hash-vs-string grouping carries d2's 2^-64
@@ -666,7 +671,11 @@ object TextOps {
     val t = sh.join(keep, Seq("g"), "left_semi")
     val q = t.filter(col("doc_id") % 25 === 0)
       .select(col("g"), col("doc_id").as("qid"))
-    val scored = t.join(broadcast(q), Seq("g"))
+    // no broadcast hint: this test instantiation's query set is a
+    // corpus fraction (doc_id % 25), so a forced broadcast would grow
+    // with the data; the join keys on the 8-byte hash and AQE
+    // broadcasts exactly when the real query set IS small
+    val scored = t.join(q, Seq("g"))
       .filter(col("doc_id") =!= col("qid"))
       .groupBy(col("qid"), col("doc_id").as("nid"))
       .agg(count(lit(1)).as("score"))
