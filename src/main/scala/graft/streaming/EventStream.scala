@@ -255,10 +255,12 @@ object EventStream {
   // when the registry is 100 TB and a micro-batch touches a sliver of
   // it (a full-registry read-union-rewrite per batch would be
   // O(registry) every few seconds). The per-bucket "latest committed
-  // version" map below is a transactional table's manifest in
-  // miniature; version paths are keyed by batchId and written with
-  // overwrite, so checkpointed batch replay after a crash is
-  // idempotent. The merge itself is ASSOCIATIVE state (counts add,
+  // version" map is a transactional table's manifest in miniature —
+  // and DURABLE (TSV + atomic rename after every batch, reloaded on
+  // start), so a restarted driver merges against the pre-crash
+  // registry, not an empty view; version paths are keyed by batchId
+  // and written with overwrite, so checkpointed batch replay after a
+  // crash is idempotent. The merge itself is ASSOCIATIVE state (counts add,
   // latest is max_by on (ts, event_id)) so any micro-batch slicing
   // yields the same registry — the spec proves it by re-running with
   // maxFilesPerTrigger=1 and also asserts the bucket pruning (a
@@ -267,15 +269,52 @@ object EventStream {
     upsertToRegistry(s, readEvents(s, d),
       java.nio.file.Files.createTempDirectory("graft_s7").toString)
 
+  /** bucket -> latest committed version dir, persisted as a TSV at
+    * `root/_manifest` after every batch (tmp + ATOMIC_MOVE): the
+    * registry's commit log in miniature. Without durability the
+    * exactly-once claim is hollow — a restarted driver would replay
+    * the uncommitted batch correctly but merge it against an EMPTY
+    * view of the registry. Crash ordering is safe: data is written
+    * before the manifest, and the manifest before the checkpoint
+    * commit, so a crash at any point replays the batch into the same
+    * version dirs (overwrite) and rewrites the same manifest entries
+    * — idempotent.
+    */
+  private def manifestPath(root: String) =
+    java.nio.file.Paths.get(root, "_manifest")
+
+  private def loadManifest(root: String): Map[Long, String] = {
+    val p = manifestPath(root)
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
+        val Array(b, path) = l.split("\t", 2)
+        b.toLong -> path
+      }.toMap
+    }
+  }
+
+  private def saveManifest(root: String,
+                           m: scala.collection.Map[Long, String]): Unit = {
+    val tmp = java.nio.file.Paths.get(root, "_manifest.tmp")
+    java.nio.file.Files.write(tmp,
+      m.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" }
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, manifestPath(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private[graft] def upsertToRegistry(s: SparkSession, stream: DataFrame,
                                       root: String,
-                                      nBuckets: Int = 8): DataFrame = {
+                                      nBuckets: Int = 8,
+                                      ckptDir: Option[String] = None): DataFrame = {
     val bucket = pmod(col("user_id"), lit(nBuckets.toLong))
-    // bucket -> latest committed version dir (the manifest; driver
-    // state is one int->path entry per bucket, corpus-independent)
-    val latest = scala.collection.concurrent.TrieMap.empty[Long, String]
+    val latest = scala.collection.concurrent.TrieMap.empty[Long, String] ++
+      loadManifest(root)
     val q = stream.writeStream
-      .option("checkpointLocation", s"$root/ckpt")
+      .option("checkpointLocation", ckptDir.getOrElse(s"$root/ckpt"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val fresh = batch.groupBy("user_id").agg(
           count(lit(1)).as("n_events"),
@@ -296,6 +335,7 @@ object EventStream {
           .write.partitionBy("bucket").mode("overwrite")
           .parquet(s"$root/v$batchId")
         touched.foreach(b => latest(b) = s"$root/v$batchId/bucket=$b")
+        saveManifest(root, latest)
         fresh.unpersist()
         ()
       }

@@ -189,6 +189,38 @@ class StreamSourcesSpec extends SparkSpec {
       s"bucket-pruned upsert diverged from batch: ${got.length} vs ${want.length}")
   }
 
+  test("s7 registry manifest is durable: a second process merges prior state") {
+    // the manifest (bucket -> latest version) persists to
+    // root/_manifest after every batch; a NEW upsertToRegistry
+    // invocation on the same root — a restarted driver — must merge
+    // fresh batches against the pre-existing registry, not an empty
+    // view. Split events by event_id parity (every user appears in
+    // BOTH halves) so the second run exercises genuine per-user
+    // partial-state merging across the process boundary.
+    val dir = Files.createTempDirectory("graft_s7_durable")
+    val root = dir.resolve("reg").toString
+    val ev = Tables.events(spark, sf)
+    def ingest(half: Long): org.apache.spark.sql.DataFrame = {
+      val src = dir.resolve(s"src$half").toString
+      ev.filter(col("event_id") % 2 === half).repartition(1).write.parquet(src)
+      val stream = spark.readStream.schema(EventStream.eventsSchema).parquet(src)
+      EventStream.upsertToRegistry(spark, stream, root,
+        ckptDir = Some(dir.resolve(s"ckpt$half").toString))
+    }
+    ingest(0L)
+    val got = ingest(1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val want = ev.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        expr("max_by(struct(event_type, value), struct(ts, event_id))").as("l"))
+      .select(col("user_id"), col("n_events"),
+        col("l.event_type"), col("l.value"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(got.sameElements(want),
+      s"restarted registry diverged from batch: ${got.length} vs ${want.length}")
+  }
+
   test("stateful streaming runs under the RocksDB state store (the scale backend)") {
     // the default HDFS-backed store keeps every key's state on the
     // executor HEAP — the memory ceiling for large stateful queries;
