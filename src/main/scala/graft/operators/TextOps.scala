@@ -661,9 +661,15 @@ object TextOps {
   // is lossless below 2^53 and ties break (score desc, nid asc) in
   // both engines. Hash-vs-string grouping carries d2's 2^-64
   // collision argument.
+  /** (doc_id, g) distinct-shingle postings — e5's candidate feed and
+    * the input `graft.sources.IndexExport` materializes for serving.
+    */
+  private[graft] def shinglePostings(s: SparkSession, d: String): DataFrame =
+    shingled(s, d).select(col("doc_id"), explode(col("shingles")).as("g"))
+
   def e5SparseRetrieval(s: SparkSession, d: String, k: Int = 5,
                         dfCutMul: Long = 10): DataFrame = {
-    val sh = shingled(s, d).select(col("doc_id"), explode(col("shingles")).as("g"))
+    val sh = shinglePostings(s, d)
     val n = sh.select(countDistinct(col("doc_id")).as("n"))
     val keep = sh.groupBy("g").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
