@@ -211,8 +211,79 @@ object Events {
       .orderBy("purchase_id")
   }
 
+  // q50: interval/range join — for each purchase, the count of clicks
+  // (any user) in the 10 minutes after it. Spark has no native range
+  // join; the naive ON c.ts BETWEEN p.ts AND p.ts+600 plans a
+  // BroadcastNestedLoopJoin — O(P·C) compares, a non-starter at scale.
+  // Instead both sides are binned into fixed 600 s time buckets and
+  // EQUI-joined on the bucket: the interval explodes to the <= 2
+  // buckets it overlaps, the point side has exactly one, and the exact
+  // predicate refines in-join. Each (purchase, click) pair meets in at
+  // most one bucket (the click's own), so no post-join dedup is
+  // needed, and a LEFT join keeps zero-click purchases. One keyed
+  // exchange; a hot bucket (burst traffic) is AQE's skew-join case; at
+  // 100 TB pick the bucket width ~ the interval length so fan-out
+  // stays <= 2 while per-bucket population stays bounded.
+  def q50RangeJoin(s: SparkSession, d: String, widthS: Long = 600): DataFrame = {
+    val e = ev(s, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts_s").as("start_s"))
+      .withColumn("bucket",
+        explode(sequence(expr(s"start_s div $widthS"),
+                         expr(s"(start_s + ${widthS - 1}) div $widthS"))))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("ts_s").as("click_s"), expr(s"ts_s div $widthS").as("bucket"))
+    p.join(c,
+        p("bucket") === c("bucket") &&
+          col("click_s") >= col("start_s") &&
+          col("click_s") < col("start_s") + widthS, "left")
+      .groupBy("purchase_id", "start_s")
+      .agg(count(col("click_s")).as("n_clicks"))
+      .orderBy("purchase_id")
+  }
+
+  /** g9: PageRank over the user↔bucket bipartite graph (g1's edge
+    * set) — importance scoring for the object graph the reference
+    * stores in its graph DB. Fixed 3 power iterations with damping
+    * 0.85, ALL-INTEGER arithmetic on ranks scaled to 1e12: every
+    * contribution is `rank div deg` (long division) and sums are long
+    * sums — order-independent and bit-exact, so the oracle replays the
+    * recurrence with `//` and hash-matches (a float PageRank differs
+    * in last-bit across partition orders). Per iteration: one
+    * broadcast-able deg join + one dst-keyed exchange, the classic
+    * scalable shape (edges never materialize more than once; no
+    * driver-side graph). Node ids: user u -> 2u, bucket g -> 2g+1.
+    */
+  def g9PageRank(graph: DataFrame, iters: Int = 3): DataFrame = {
+    val scale = 1000000000000L
+    val edges = graph.select((col("user_id") * 2).as("src"), (col("g") * 2 + 1).as("dst"))
+      .unionAll(graph.select((col("g") * 2 + 1).as("src"), (col("user_id") * 2).as("dst")))
+    // membership is distinct, so edges are distinct and deg = out-edge
+    // count. Cached: feeds every iteration.
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    val n1 = deg.agg(count(lit(1)).as("n"))
+    // r0 = SCALE div n for every node; base = the damped teleport term
+    // ((SCALE div n) * 15) div 100 — both derived in-plan from the
+    // broadcast 1-row n (no driver-side scalar).
+    var ranks = deg.select(col("src").as("node")).crossJoin(broadcast(n1))
+      .select(col("node"), expr(s"$scale div n").as("rank"), col("n"))
+    (1 to iters).foreach { _ =>
+      ranks = edges.join(deg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .withColumn("contrib", expr("rank div deg"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("contrib").as("sc"), max("n").as("n"))
+        .select(col("node"),
+          (expr(s"(($scale div n) * 15) div 100") +
+            expr("(85 * sc) div 100")).as("rank"), col("n"))
+    }
+    ranks.select(col("node"), col("rank").as("pagerank")).orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_asof_join" -> (q26AsofJoin _),
+    "q50_range_join" -> ((s: SparkSession, d: String) => q50RangeJoin(s, d)),
+    "g9_pagerank" -> ((s: SparkSession, d: String) => g9PageRank(membership(s, d))),
     "q21_sessionize" -> (q21Sessionize _),
     "q22_event_window" -> (q22EventWindow _),
     "q23_json_extract" -> (q23JsonExtract _),
@@ -232,6 +303,51 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle states the range join DECLARATIVELY (DuckDB's IEJoin
+    // handles the inequality natively) — the Spark side must reproduce
+    // it through the bucket decomposition, so bucket bugs (off-by-one
+    // at interval edges, double-counted pairs) hash-mismatch.
+    "q50_range_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, CAST(floor(epoch(ts)) AS BIGINT) AS start_s
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS click_s
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.start_s, COUNT(c.click_s) AS n_clicks
+        |FROM p LEFT JOIN c
+        |  ON c.click_s >= p.start_s AND c.click_s < p.start_s + 600
+        |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
+    "g9_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT user_id AS u, CAST(props->>'k' AS BIGINT) % 25 AS g
+        |  FROM events),
+        |edges AS (
+        |  SELECT u * 2 AS src, g * 2 + 1 AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT g * 2 + 1 AS src, u * 2 AS dst FROM pairs),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM deg),
+        |r0 AS (SELECT src AS node, 1000000000000 // n AS rank FROM deg CROSS JOIN nn),
+        |r1 AS (
+        |  SELECT e.dst AS node,
+        |    CAST((SELECT ((1000000000000 // n) * 15) // 100 FROM nn)
+        |      + (85 * SUM(r.rank // d.deg)) // 100 AS BIGINT) AS rank
+        |  FROM edges e JOIN deg d ON d.src = e.src JOIN r0 r ON r.node = e.src
+        |  GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT e.dst AS node,
+        |    CAST((SELECT ((1000000000000 // n) * 15) // 100 FROM nn)
+        |      + (85 * SUM(r.rank // d.deg)) // 100 AS BIGINT) AS rank
+        |  FROM edges e JOIN deg d ON d.src = e.src JOIN r1 r ON r.node = e.src
+        |  GROUP BY e.dst),
+        |r3 AS (
+        |  SELECT e.dst AS node,
+        |    CAST((SELECT ((1000000000000 // n) * 15) // 100 FROM nn)
+        |      + (85 * SUM(r.rank // d.deg)) // 100 AS BIGINT) AS rank
+        |  FROM edges e JOIN deg d ON d.src = e.src JOIN r2 r ON r.node = e.src
+        |  GROUP BY e.dst)
+        |SELECT node, rank AS pagerank FROM r3 ORDER BY node""".stripMargin,
     "q26_asof_join" ->
       """WITH c AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS click_id

@@ -464,6 +464,53 @@ object TextOps {
       .orderBy("doc_id", "token")
   }
 
+  // d25: unigram-LM document scoring — the corpus-frequency quality
+  // proxy (a cheap stand-in for a KenLM perplexity filter): score each
+  // doc by the MEAN CORPUS FREQUENCY of its tokens; docs full of rare
+  // garbage (boilerplate hashes, mojibake) score low, docs of common
+  // well-formed words score high. Two aggs + one token-keyed join —
+  // d20's exact plan shape (the "LM" is the unigram count table, built
+  // and applied in the same pass). All counts are exact longs; the one
+  // IEEE division happens last (d20's documented bit-stability
+  // pattern — the log / normalization is the consumer's choice).
+  def d25LmScore(s: SparkSession, d: String): DataFrame = {
+    val w = docs(s, d).select(col("doc_id"), explode(col("toks")).as("token"))
+    val cf = w.groupBy("token").agg(count(lit(1)).as("cf"))
+    w.join(cf, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cf")).as("sum_cf"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_cf"),
+        (col("sum_cf").cast("double") / col("n_tokens")).as("mean_cf"))
+      .orderBy("doc_id")
+  }
+
+  // d26: domain-mixture rebalancing — downsample every language to the
+  // smallest language's count so the training mixture is uniform (the
+  // DoReMi/pile-construction reweighting step, here with equal target
+  // weights). The keep decision is a PURE FUNCTION of (doc_id, rates):
+  // keep iff hash-bucket/1e6 < min_cnt/cnt, i.e.
+  // bucket * cnt < min_cnt * 1e6 in exact integer arithmetic (d19's
+  // multiplicative hash; swap in xxhash64(text) at 100 TB for
+  // content-stable sampling). Expected kept ≈ min_cnt per language —
+  // rate-based, so no per-language global sort/limit exists anywhere:
+  // one tiny count agg broadcast back over a map-only filter.
+  // Overflow bound: bucket < 1e6 and cnt must stay < 9.2e12 docs/lang.
+  def d26MixtureRebalance(s: SparkSession, d: String): DataFrame = {
+    val cnts = Tables.documents(s, d).groupBy("lang")
+      .agg(count(lit(1)).as("lang_count"))
+    val minc = cnts.agg(min(col("lang_count")).as("target_count"))
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000000L))
+    Tables.documents(s, d)
+      .join(broadcast(cnts), "lang")
+      .crossJoin(broadcast(minc))
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") * col("lang_count") <
+              col("target_count") * lit(1000000L))
+      .select(col("doc_id"), col("lang"), col("lang_count"),
+              col("target_count"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
   // d21: Count-Min heavy hitters — d10's vocabulary question at the
   // scale where the exact groupBy(token) stops being the right plan:
   // a 100 TB corpus has billions of distinct types, and the exact
@@ -708,6 +755,8 @@ object TextOps {
     "d14_quota_sample" -> (d14QuotaSample _),
     "d15_repetition" -> (d15Repetition _),
     "d16_bloom_decontaminate" -> (d16BloomDecontaminate _),
+    "d25_lm_score" -> (d25LmScore _),
+    "d26_mixture_rebalance" -> (d26MixtureRebalance _),
     "d9_token_count" -> (d9TokenCount _),
     "d10_vocab_topk" -> (d10VocabTopK _),
     "d11_contamination" -> (d11Contamination _),
@@ -929,6 +978,26 @@ object TextOps {
         |  MIN(bench_id) AS first_bench_hit
         |FROM tr JOIN b ON tr.g = b.g
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "d25_lm_score" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+        |  FROM documents),
+        |cf AS (SELECT token, COUNT(*) AS cf FROM w GROUP BY 1)
+        |SELECT w.doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(cf.cf) AS BIGINT) AS sum_cf,
+        |  CAST(CAST(SUM(cf.cf) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_cf
+        |FROM w JOIN cf ON w.token = cf.token
+        |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
+    "d26_mixture_rebalance" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS lang_count FROM documents GROUP BY 1),
+        |m AS (SELECT MIN(lang_count) AS target_count FROM c)
+        |SELECT d.doc_id, d.lang, c.lang_count, m.target_count,
+        |  (d.doc_id * 2654435761) % 1000000 AS bucket
+        |FROM documents d JOIN c USING (lang) CROSS JOIN m
+        |WHERE (d.doc_id * 2654435761) % 1000000 * c.lang_count
+        |      < m.target_count * 1000000
+        |ORDER BY doc_id""".stripMargin,
     "d9_token_count" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text, ' '), x -> x != ''))

@@ -87,8 +87,55 @@ object Upsert {
       .orderBy("o_orderkey")
   }
 
+  /** Generic snapshot diff: full-outer join two registry versions on
+    * `key` and classify every key as added / removed / changed
+    * (unchanged keys are dropped — at scale the diff is tiny next to
+    * the snapshots). `compare` lists the payload columns; "changed"
+    * means any of them differs (null-safe). ONE key-partitioned
+    * exchange per side — or zero when both snapshots are bucketed on
+    * the key (Readers.writeBucketed), the incremental-maintenance
+    * fast path.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, key: String,
+                   compare: Seq[String]): DataFrame = {
+    val bb = b.columns.foldLeft(b)((df, c) => df.withColumnRenamed(c, s"__b_$c"))
+    val changed = compare.map(c => !(a(c) <=> bb(s"__b_$c")))
+      .reduce(_ || _)
+    a.join(bb, a(key) === bb(s"__b_$key"), "full_outer")
+      .withColumn("status",
+        when(a(key).isNull, "added")
+          .when(bb(s"__b_$key").isNull, "removed")
+          .when(changed, "changed"))
+      .filter(col("status").isNotNull)
+      .select(Seq(coalesce(a(key), bb(s"__b_$key")).as(key), col("status")) ++
+        compare.flatMap(c =>
+          Seq(a(c).as(s"old_$c"), bb(s"__b_$c").as(s"new_$c"))): _*)
+  }
+
+  // q51: the oracled snapshot-diff instance — the reference's
+  // scheduled-sync question ("what changed since the last extract",
+  // sync_tags at app.py:6631-6753) answered by STATE COMPARISON
+  // instead of modified-date columns (q49's shape), which is the only
+  // correct path when upstream lacks reliable change timestamps.
+  // Snapshots are derived deterministically from `orders`: B drops
+  // every 97th key (removed), re-prices every 13th (changed), and A
+  // lacks every 89th (so B shows them as added).
+  def q51SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val snapA = o.filter(pmod(col("o_orderkey"), lit(89)) =!= 0)
+    val snapB = o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(13)) === 0,
+          col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+    snapshotDiff(snapA, snapB, "o_orderkey",
+        Seq("o_orderstatus", "o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_merge_semicolon" -> (q44MergeSemicolon _),
+    "q51_snapshot_diff" -> (q51SnapshotDiff _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -108,6 +155,29 @@ object Upsert {
         |  ELSE COALESCE(u.flags, b.flags) END AS flags,
         |  b.o_totalprice AS o_totalprice
         |FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q51_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |a AS (SELECT * FROM o WHERE o_orderkey % 89 <> 0),
+        |b AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM o WHERE o_orderkey % 97 <> 0)
+        |SELECT * FROM (
+        |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |         WHEN b.o_orderkey IS NULL THEN 'removed'
+        |         WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |           OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |           THEN 'changed' END AS status,
+        |    a.o_orderstatus AS old_o_orderstatus,
+        |    b.o_orderstatus AS new_o_orderstatus,
+        |    a.o_totalprice AS old_o_totalprice,
+        |    b.o_totalprice AS new_o_totalprice
+        |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey) t
+        |WHERE status IS NOT NULL
         |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -283,6 +283,34 @@ class ExcelAvroSpec extends SparkSpec {
     assert(n == Tables.orders(spark, sf).count())
   }
 
+  test("q51 snapshot diff classifies exactly the planted changes") {
+    val rows = graft.operators.Upsert.q51SnapshotDiff(spark, sf).collect()
+    val byStatus = rows.groupBy(_.getAs[String]("status"))
+      .view.mapValues(_.map(_.getAs[Long]("o_orderkey")).toSet).toMap
+    byStatus.getOrElse("added", Set.empty).foreach { k =>
+      assert(k % 89 == 0 && k % 97 != 0, s"key $k wrongly 'added'")
+    }
+    byStatus.getOrElse("removed", Set.empty).foreach { k =>
+      assert(k % 97 == 0 && k % 89 != 0, s"key $k wrongly 'removed'")
+    }
+    byStatus.getOrElse("changed", Set.empty).foreach { k =>
+      assert(k % 13 == 0, s"key $k wrongly 'changed'")
+    }
+    // completeness: every planted divergence surfaces
+    val keys = Tables.orders(spark, sf).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    def got(s: String) = byStatus.getOrElse(s, Set.empty[Long])
+    assert(got("added") == keys.filter(k => k % 89 == 0 && k % 97 != 0))
+    assert(got("removed") == keys.filter(k => k % 97 == 0 && k % 89 != 0))
+    assert(got("changed") ==
+      keys.filter(k => k % 13 == 0 && k % 89 != 0 && k % 97 != 0))
+    // changed rows carry the doubled price
+    rows.filter(_.getAs[String]("status") == "changed").foreach { r =>
+      assert(r.getAs[Double]("new_o_totalprice") ==
+        r.getAs[Double]("old_o_totalprice") * 2)
+    }
+  }
+
   test("avro round-trips through the bundled DataSource") {
     val dir = java.nio.file.Files.createTempDirectory("graft_avro").toString
     val src = Tables.orders(spark, sf)

@@ -369,6 +369,46 @@ class TextSimSpec extends SparkSpec {
     assert(rows.sameElements(again))
   }
 
+  test("d25 LM score matches an in-memory unigram model exactly") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val toks = texts.view.mapValues(_.split(" ").filter(_.nonEmpty)).toMap
+    val cf = toks.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = TextOps.d25LmScore(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet ==
+      toks.filter(_._2.nonEmpty).keySet)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expect = toks(id).map(cf).sum
+      assert(r.getAs[Long]("sum_cf") == expect, s"doc $id corpus-freq sum")
+      assert(r.getAs[Long]("n_tokens") == toks(id).length.toLong)
+      assert(r.getAs[Double]("mean_cf") ==
+        expect.toDouble / toks(id).length, s"doc $id mean")
+    }
+  }
+
+  test("d26 rebalance keeps all of the smallest language, rate-bounds the rest") {
+    val langCnt = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minCnt = langCnt.values.min
+    val rows = TextOps.d26MixtureRebalance(spark, sf).collect()
+    val kept = rows.groupBy(_.getAs[String]("lang")).view.mapValues(_.length.toLong)
+    // a language already at the minimum passes the threshold for every
+    // bucket value, so it survives whole
+    langCnt.filter(_._2 == minCnt).keys.foreach { l =>
+      assert(kept.getOrElse(l, 0L) == minCnt, s"min-count lang $l not fully kept")
+    }
+    kept.foreach { case (l, k) => assert(k <= langCnt(l)) }
+    // every kept row satisfies the integer keep rule
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bucket") * r.getAs[Long]("lang_count") <
+        r.getAs[Long]("target_count") * 1000000L)
+    }
+    val again = TextOps.d26MixtureRebalance(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == again, "must be deterministic")
+  }
+
   test("d21 CMS heavy hitters cover d10's exact top-10, never undercounting") {
     val exact = TextOps.d10VocabTopK(spark, sf).collect()
       .map(r => r.getAs[String]("token") -> r.getAs[Long]("n"))
