@@ -26,7 +26,11 @@ object Bench {
     "q1_agg", "q3_join_agg", "q16_star_join", "q21_sessionize",
     "q22_event_window", "d1_dedup_exact", "d2_dedup_ngram_jaccard",
     "d6_minhash_lsh", "e1_knn_brute", "g2_point_in_box",
-    "s1_stream_window", "d16_bloom_decontaminate", "d22_span_dedup")
+    "s1_stream_window", "d16_bloom_decontaminate", "d22_span_dedup",
+    // round-5 additions: the bucketed interval join (vs the BNLJ it
+    // replaces) and the token-keyed LM-scoring join (d20's plan family
+    // under the heaviest fan-out: every token occurrence joins)
+    "q50_range_join", "d25_lm_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

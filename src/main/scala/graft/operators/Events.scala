@@ -280,8 +280,35 @@ object Events {
     ranks.select(col("node"), col("rank").as("pagerank")).orderBy("node")
   }
 
+  // q52: cumulative distinct users per day via MERGEABLE HLL sketches
+  // — the sketch-reuse pattern that makes "distinct so far" tractable
+  // at 100 TB: exact cumulative distinct needs the full user set per
+  // day (quadratic state); here each day reduces to a ~KB sketch ONCE
+  // (one corpus pass, map-side partial agg), and the cumulative union
+  // runs over day×day sketch pairs — calendar-bounded, corpus-free.
+  // The triangular join is a deliberate hinted broadcast over the
+  // ~30-row daily frame (d23's base-case pattern); sketches make the
+  // union associative + idempotent, so the same daily artifacts also
+  // serve any other range (weekly, trailing-7d) without rescanning.
+  // Rows-only: HLL register contents aren't SQL-expressible; the spec
+  // pins estimates to exact counts (2% HLL error at lgK=12) and
+  // monotonicity.
+  def q52CumulativeDistinct(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .groupBy(date_format(col("ts_us"), "yyyy-MM-dd").as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val cum = daily.as("a")
+      .join(broadcast(daily.as("b")), col("b.day") <= col("a.day"))
+      .groupBy(col("a.day").as("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("b.sk"))).as("cum_users"))
+    daily.select(col("day"), hll_sketch_estimate(col("sk")).as("daily_users"))
+      .join(cum, "day")
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_asof_join" -> (q26AsofJoin _),
+    "q52_cumulative_distinct" -> (q52CumulativeDistinct _),
     "q50_range_join" -> ((s: SparkSession, d: String) => q50RangeJoin(s, d)),
     "g9_pagerank" -> ((s: SparkSession, d: String) => g9PageRank(membership(s, d))),
     "q21_sessionize" -> (q21Sessionize _),

@@ -371,8 +371,34 @@ object EventStream {
       .orderBy("cohort_day", "event_type")
   }
 
+  // s8: per-window top-k event types — the streaming leaderboard
+  // shape. The STREAM side is s1b's bounded-state append pipeline
+  // (watermarked hourly counts, window emitted once when it closes);
+  // the RANKING runs as a batch window over the CLOSED-window result,
+  // partitioned by hour — ranking inside the stream would need a
+  // second stateful op over an unbounded keyspace, while ranking the
+  // closed aggregate touches only calendar-cardinality rows (on a
+  // cluster this is the foreachBatch/downstream-job step over the
+  // sink, exactly how s7 post-processes its micro-batches). Same
+  // closed-window contract as s1b: window.end <= final watermark.
+  def s8StreamTopTypes(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val agg = readEvents(s, d)
+      .withWatermark("ts_us", "1 hour")
+      .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val closed = runToMemory(s, agg, "append")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
+              col("event_type"), col("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("hour").orderBy(col("n").desc, col("event_type"))
+    closed.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy("hour", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s6_stream_static_join" -> (s6StreamStaticJoin _),
+    "s8_stream_top_types" -> ((s: SparkSession, d: String) => s8StreamTopTypes(s, d)),
     "s5_stream_stream_join" -> (s5StreamStreamJoin _),
     "s4_stream_custom_state" -> (s4StreamCustomState _),
     "s1_stream_window" -> (s1StreamWindow _),
@@ -420,6 +446,21 @@ object EventStream {
     // q22 restricted to CLOSED windows: append mode emits a window
     // only once the watermark (floor-to-ms max event time minus the
     // 1h delay) passes its end.
+    // s1b's closed-window predicate + calendar-bounded rank
+    "s8_stream_top_types" ->
+      """WITH mx AS (
+        |  SELECT MAX(epoch_us(ts) // 1000) AS mt_ms FROM events),
+        |w AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |    event_type, COUNT(*) AS n
+        |  FROM events, mx
+        |  WHERE epoch_ms(date_trunc('hour', ts)) + 3600000 <= mt_ms - 3600000
+        |  GROUP BY 1, 2)
+        |SELECT hour, event_type, n, rnk FROM (
+        |  SELECT hour, event_type, n,
+        |    ROW_NUMBER() OVER (PARTITION BY hour ORDER BY n DESC, event_type) AS rnk
+        |  FROM w) t
+        |WHERE rnk <= 3 ORDER BY hour, rnk""".stripMargin,
     "s1b_stream_window_append" ->
       """WITH mx AS (
         |  SELECT MAX(epoch_us(ts) // 1000) AS mt_ms FROM events)

@@ -6,9 +6,38 @@ import graft.operators.Events
 class EventsSpec extends SparkSpec {
 
   test("every events query has an oracle and returns rows") {
+    // rows-only by design: HLL sketch internals aren't SQL-expressible;
+    // the dedicated q52 test below pins estimates + monotonicity
+    val rowsOnly = Set("q52_cumulative_distinct")
     Events.queries.foreach { case (name, fn) =>
-      assert(Events.oracles.contains(name), s"$name missing oracle")
+      assert(rowsOnly.contains(name) || Events.oracles.contains(name),
+        s"$name missing oracle")
       assert(fn(spark, sf).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q52 sketch estimates track exact cumulative distincts") {
+    val rows = Events.q52CumulativeDistinct(spark, sf).collect()
+    val e = graft.Tables.events(spark, sf)
+      .select(date_format(expr("timestamp_micros(ts div 1000)"),
+        "yyyy-MM-dd").as("day"), col("user_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val days = rows.map(_.getAs[String]("day"))
+    assert(days.sameElements(days.sorted))
+    var cumPrev = 0L
+    days.foreach { day =>
+      val r = rows.find(_.getAs[String]("day") == day).get
+      val exactDaily = e.filter(_._1 == day).map(_._2).distinct.length.toLong
+      val exactCum = e.filter(_._1 <= day).map(_._2).distinct.length.toLong
+      val daily = r.getAs[Long]("daily_users")
+      val cum = r.getAs[Long]("cum_users")
+      // lgK=12 HLL: relative error ~1.6%; allow 5% plus small-count slack
+      assert(math.abs(daily - exactDaily) <= math.max(2, exactDaily / 20),
+        s"$day daily $daily vs exact $exactDaily")
+      assert(math.abs(cum - exactCum) <= math.max(2, exactCum / 20),
+        s"$day cumulative $cum vs exact $exactCum")
+      assert(cum >= cumPrev, s"$day cumulative estimate regressed")
+      cumPrev = cum
     }
   }
 

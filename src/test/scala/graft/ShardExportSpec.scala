@@ -57,4 +57,27 @@ class ShardExportSpec extends SparkSpec {
           s"${p.getFileName} not reproducible")
     }
   }
+
+  test("shard export survives empty docs and multi-byte text") {
+    import spark.implicits._
+    // CJK + accented text: UTF-8 byte length ≠ char length, the
+    // classic tar-size bug; plus an empty doc (header-only entry) and
+    // one doc bigger than the whole shard target (gets its own shard)
+    val docs = Seq(
+      (1L, ""), (2L, "管道和仪表图 — schéma tuyauterie"),
+      (3L, "x" * 5000), (4L, "déjà vu " * 3)
+    ).toDF("doc_id", "text")
+    val out = Files.createTempDirectory("graft_shards_u").toString
+    graft.sources.ShardExport.write(docs, out, targetBytes = 2048)
+    val back = graft.sources.ShardExport.readShards(spark, out)
+    assert(back.map(t => t._1 -> t._2).toMap ==
+      Map(1L -> "", 2L -> "管道和仪表图 — schéma tuyauterie",
+          3L -> "x" * 5000, 4L -> "déjà vu " * 3))
+    // the oversized doc pushes the NEXT doc into a later (possibly
+    // non-contiguous) shard id — shard = start_off div target, so ids
+    // can skip; the reader and index must both cope
+    val shardOf = back.map(t => t._1 -> t._3).toMap
+    assert(shardOf(4L) > shardOf(3L) + 1,
+      s"doc 4 should skip shard ids past the oversized doc 3: $shardOf")
+  }
 }

@@ -47,6 +47,28 @@ class StreamSourcesSpec extends SparkSpec {
     assert(emitted.size < all, "append mode emitted every window — no state bound")
   }
 
+  test("s8 top types equal batch ranks over the closed-window subset") {
+    val maxUs = Tables.events(spark, sf)
+      .agg(max(expr("ts div 1000"))).head.getLong(0)
+    val watermarkMs = maxUs / 1000 - 3600000L
+    val expect = Events.q22EventWindow(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n")))
+      .filter { case (hour, _, _) =>
+        java.time.LocalDateTime.parse(hour.replace(" ", "T") + ":00")
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli + 3600000L <=
+          watermarkMs
+      }
+      .groupBy(_._1).toSeq.flatMap { case (hour, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(3).zipWithIndex
+          .map { case ((_, tpe, n), i) => (hour, tpe, n, i + 1) }
+      }.toSet
+    val got = EventStream.s8StreamTopTypes(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n"),
+        r.getAs[Int]("rnk"))).toSet
+    assert(expect.nonEmpty, "no closed windows at test SF")
+    assert(got == expect)
+  }
+
   test("streaming sessionization matches batch q21 session counts") {
     val stream = EventStream.s3StreamSession(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_sessions")).toMap
