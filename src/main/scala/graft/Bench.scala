@@ -30,7 +30,11 @@ object Bench {
     // round-5 additions: the bucketed interval join (vs the BNLJ it
     // replaces) and the token-keyed LM-scoring join (d20's plan family
     // under the heaviest fan-out: every token occurrence joins)
-    "q50_range_join", "d25_lm_score")
+    "q50_range_join", "d25_lm_score",
+    // PQ ANN next to e1: the same query set answered from 9-byte codes
+    // + exact re-rank — the pairing shows what the 32× compression
+    // buys and costs at the same corpus size
+    "e7_pq_ann")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

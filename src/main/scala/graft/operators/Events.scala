@@ -280,6 +280,90 @@ object Events {
     ranks.select(col("node"), col("rank").as("pagerank")).orderBy("node")
   }
 
+  /** g10: per-node triangle counting over the co-purchase graph
+    * (parts sharing an order — the market-basket graph every
+    * recommender starts from). The classic scalable shape: ORIENT
+    * each edge from its (degree, id)-smaller endpoint to the larger,
+    * generate wedges only at each edge's SMALLER endpoint, and close
+    * them with one more equi-join — every triangle is found exactly
+    * once, at its (degree, id)-minimum corner. Costs, in order:
+    * per-order pair fan-out is bounded by order size (TPC-H orders
+    * hold ≤ 7 items — quadratic only in that constant); edge distinct
+    * + degree are 8-byte-keyed exchanges; wedge generation is
+    * Σ out-deg² where degree ordering caps out-degree at O(√m) (the
+    * arboricity argument from Suri & Vassilvitskii's MapReduce
+    * triangle paper) — a 100 TB hub never becomes a wedge APEX, it
+    * only receives closure probes, so the skew that kills naive
+    * neighborhood-join counting is structurally absent. All joins are
+    * integer equi-joins; nothing is ever all-pairs. Oracle: DuckDB
+    * counts the same triangles by brute 3-way self-join — exact
+    * integer counts, order-free.
+    */
+  def g10TriangleCount(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
+        "l_orderkey")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+      .cache() // feeds degree, wedge, and closure passes
+    val deg = edges.select(col("a").as("n"))
+      .unionAll(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // orient by the strict total order (deg, id): src ≺ dst
+    val withDeg = edges
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
+      .cache() // wedge source AND closure probe target
+    // wedges: unordered out-neighbor pairs of each apex, emitted
+    // (deg, id)-ordered so the closing edge, if present, is exactly
+    // the oriented (x, y)
+    val l = oriented.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
+    val r = oriented.select(col("src"), col("dst").as("w"), col("ddst").as("dw"))
+    val vFirst = col("dv") < col("dw") ||
+      (col("dv") === col("dw") && col("v") < col("w"))
+    val wedges = l.join(r, "src").filter(col("v") < col("w"))
+      .select(col("src").as("apex"),
+        when(vFirst, col("v")).otherwise(col("w")).as("x"),
+        when(vFirst, col("w")).otherwise(col("v")).as("y"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+    tris.select(explode(array(col("apex"), col("x"), col("y"))).as("p_partkey"))
+      .groupBy("p_partkey").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("p_partkey")
+  }
+
+  // q53: time-RANGE sliding window — per event, the user's trailing
+  // 1-hour event count and value sum (rate-limit / velocity-check
+  // shape). A RANGE frame, unlike q32's ROWS frame, is defined by the
+  // ORDER-BY VALUE distance, so gaps and ties are handled by the
+  // frame semantics, not row positions. One shuffle on user_id;
+  // Spark's RangeFrame evaluation slides both frame edges
+  // monotonically forward within the partition (each row enters and
+  // leaves the running state once — O(n) amortized, no per-row
+  // rescan), so per-user cost is linear in that user's events: the
+  // same user-bounded-activity argument as q21. Value sums are
+  // quantized to longs (floor(value·1000)) so the window sum is exact
+  // integer arithmetic, bit-identical in DuckDB.
+  def q53TimeRangeWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_s"))
+      .rangeBetween(-3599, 0)
+    ev(s, d)
+      .withColumn("vq", expr("cast(floor(value * 1000) as bigint)"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("v_1h", sum(col("vq")).over(w))
+      .select(col("event_id"), col("user_id"), col("ts_s"),
+              col("n_1h"), col("v_1h"))
+      .orderBy("event_id")
+  }
+
   // q52: cumulative distinct users per day via MERGEABLE HLL sketches
   // — the sketch-reuse pattern that makes "distinct so far" tractable
   // at 100 TB: exact cumulative distinct needs the full user set per
@@ -309,6 +393,8 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_asof_join" -> (q26AsofJoin _),
     "q52_cumulative_distinct" -> (q52CumulativeDistinct _),
+    "q53_time_range_window" -> (q53TimeRangeWindow _),
+    "g10_triangle_count" -> (g10TriangleCount _),
     "q50_range_join" -> ((s: SparkSession, d: String) => q50RangeJoin(s, d)),
     "g9_pagerank" -> ((s: SparkSession, d: String) => g9PageRank(membership(s, d))),
     "q21_sessionize" -> (q21Sessionize _),
@@ -330,6 +416,37 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    // brute 3-way self-join: states WHAT a triangle is, not how to
+    // enumerate one — the Spark side must reproduce it through the
+    // degree-ordered orientation, so an orientation bug (a triangle
+    // double-counted at two corners, or missed when degrees tie)
+    // hash-mismatches.
+    "g10_triangle_count" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM items a JOIN items b
+        |    ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey),
+        |t AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |n AS (
+        |  SELECT x AS p FROM t UNION ALL SELECT y FROM t
+        |  UNION ALL SELECT z FROM t)
+        |SELECT p AS p_partkey, COUNT(*) AS n_triangles
+        |FROM n GROUP BY 1 ORDER BY p_partkey""".stripMargin,
+    "q53_time_range_window" ->
+      """SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS v_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     // the oracle states the range join DECLARATIVELY (DuckDB's IEJoin
     // handles the inequality natively) — the Spark side must reproduce
     // it through the bucket decomposition, so bucket bugs (off-by-one

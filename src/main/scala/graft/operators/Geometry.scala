@@ -220,6 +220,51 @@ object Geometry {
       .orderBy("p_partkey")
   }
 
+  // g11: overlap-cluster envelope merge (reference `merge_clusters` +
+  // `merge_envelope`, app.py:2852-2906: group INTERSECTING detections
+  // into connected clusters, emit ONE envelope box per cluster — the
+  // merge counterpart of g7's NMS, which drops). Pipeline of proven
+  // stages: grid-cell candidate join (two overlapping boxes must share
+  // a covered cell — g2/g7's completeness argument) + the reference's
+  // touch-inclusive intersection predicate → distinct edges → g1's
+  // min-label components (edge-bucket bipartite form) → one
+  // per-component envelope aggregate (min/max corners, max score,
+  // count). Boxes with no overlap partner are their own cluster
+  // (left join + coalesce, no extra pass). Never all-pairs: candidates
+  // are cell-keyed; the reference's in-memory O(n²) adjacency loop is
+  // exactly what this replaces at scale. Envelope min/max over
+  // integer-derived doubles is exact, so the DuckDB recursive-closure
+  // oracle hash-matches.
+  def g11BoxEnvelope(s: SparkSession, d: String): DataFrame = {
+    val b = boxes(s, d)
+      .withColumn("score", ((col("p_partkey") * 7919) % 1000).cast("double"))
+    val l = boxCells(b).select(col("cx"), col("cy"), col("p_partkey"),
+      col("x1"), col("x2"), col("y1"), col("y2"))
+    val r = l.select(col("cx"), col("cy"), col("p_partkey").as("kb"),
+      col("x1").as("bx1"), col("x2").as("bx2"),
+      col("y1").as("by1"), col("y2").as("by2"))
+    val edges = l.join(r, Seq("cx", "cy"))
+      .filter(col("p_partkey") < col("kb"))
+      // touch counts as intersecting, as in the reference's strict-<
+      .filter(!(col("bx2") < col("x1") || col("bx1") > col("x2") ||
+                col("by2") < col("y1") || col("by1") > col("y2")))
+      .select(col("p_partkey").as("box_a"), col("kb").as("box_b"))
+      .distinct()
+    val eid = xxhash64(col("box_a"), col("box_b"))
+    val memb = edges.select(col("box_a").as("user_id"), eid.as("g"))
+      .unionByName(edges.select(col("box_b").as("user_id"), eid.as("g")))
+    val labels = Events.g1ConnectedComponents(memb, maxIter = 60)
+      .select(col("user_id").as("p_partkey"), col("component"))
+    b.join(labels, Seq("p_partkey"), "left")
+      .withColumn("component", coalesce(col("component"), col("p_partkey")))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_boxes"),
+           min("x1").as("x1"), min("y1").as("y1"),
+           max("x2").as("x2"), max("y2").as("y2"),
+           max("score").as("score"))
+      .orderBy("component")
+  }
+
   // g8: the object-connection graph END-TO-END — the reference's core
   // output (`finding_relationships` / `create_objects_and_connections`,
   // `app.py:2290-2687`): a line whose two endpoints snap to two
@@ -251,6 +296,7 @@ object Geometry {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g8_object_graph" -> (g8ObjectGraph _),
+    "g11_box_envelope" -> (g11BoxEnvelope _),
     "g7_box_nms" -> (g7BoxNms _),
     "g2_point_in_box" -> (g2PointInBox _),
     "g3_nearest_box" -> (g3NearestBox _),
@@ -303,6 +349,37 @@ object Geometry {
        |  FROM cand WHERE ext > 0 AND ext <= 5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // brute intersect pairs + recursive closure: states WHAT a cluster
+    // is; the Spark side must reproduce it through cell-keyed
+    // candidates + min-label propagation, so a cell-coverage gap or a
+    // split component hash-mismatches. Singletons envelope themselves.
+    "g11_box_envelope" ->
+      s"""WITH RECURSIVE b AS (
+         |  SELECT p_partkey, x1, y1, x2, y2,
+         |    CAST((p_partkey * 7919) % 1000 AS DOUBLE) AS score
+         |  FROM ($BoxesSql)),
+         |ed AS (
+         |  SELECT a.p_partkey AS x, l.p_partkey AS y
+         |  FROM b a JOIN b l ON a.p_partkey < l.p_partkey
+         |  WHERE NOT (l.x2 < a.x1 OR l.x1 > a.x2 OR
+         |             l.y2 < a.y1 OR l.y1 > a.y2)),
+         |es AS (SELECT x, y FROM ed UNION SELECT y, x FROM ed),
+         |reach(x, y) AS (
+         |  SELECT x, y FROM es
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN es e ON r.y = e.x),
+         |comp AS (
+         |  SELECT x AS p_partkey, LEAST(x, MIN(y)) AS component
+         |  FROM reach GROUP BY x),
+         |lab AS (
+         |  SELECT b.p_partkey,
+         |    COALESCE(c.component, b.p_partkey) AS component,
+         |    b.x1, b.y1, b.x2, b.y2, b.score
+         |  FROM b LEFT JOIN comp c ON c.p_partkey = b.p_partkey)
+         |SELECT component, COUNT(*) AS n_boxes, MIN(x1) AS x1,
+         |  MIN(y1) AS y1, MAX(x2) AS x2, MAX(y2) AS y2,
+         |  MAX(score) AS score
+         |FROM lab GROUP BY component ORDER BY component""".stripMargin,
     "g7_box_nms" ->
       s"""WITH b AS (
          |  SELECT p_partkey, x1, y1, x2, y2,

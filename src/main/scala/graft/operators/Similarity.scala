@@ -229,6 +229,231 @@ object Similarity {
     topKPerQuery(candidates, 5)
   }
 
+  /** e6: MMR-diversified re-ranking (Maximal Marginal Relevance) —
+    * retrieval that hates redundancy: from each query's top-`kCand`
+    * brute candidates, greedily pick `kOut` results maximizing
+    * 0.5·relevance − 0.5·max-similarity-to-already-picked. Greedy
+    * selection is inherently sequential in k, so the k steps are
+    * UNROLLED as fixed bounded sub-plans (g9's fixed-iteration
+    * pattern): every step joins frames of ≤ Q·kCand rows — the
+    * expensive part (scoring the corpus) happened once in the e1
+    * candidate pass; at 100 TB the unrolled tail is noise next to it.
+    * All cosines use the exact quantized LongDot arithmetic e1/e4
+    * share, so relevance, pair similarity, and the MMR combination
+    * are bit-identical in DuckDB and the greedy trace hash-matches —
+    * a rare thing for a "heuristic" operator. Ties: higher mmr, then
+    * lower nid (encoded in both engines' ranking).
+    */
+  def e6MmrRerank(s: SparkSession, d: String,
+                  kCand: Int = 20, kOut: Int = 5): DataFrame = {
+    val emb = quantized(s, d)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+    val scored = emb.select(col("vec_id").as("nid"), col("q"), col("nrm"))
+      .crossJoin(broadcast(qs))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("rel",
+        GraftFunctions.long_dot(col("q"), col("qq")).cast("double") /
+          (sqrt(col("nrm").cast("double")) * sqrt(col("qn").cast("double"))))
+    // bounded candidate set: Q·kCand rows, with vectors re-attached
+    // for the pairwise sims (broadcast: the candidate frame is tiny)
+    val cand = topKPerQuery(scored.withColumnRenamed("rel", "cosine"), kCand)
+      .select(col("qid"), col("nid"), col("cosine").as("rel"))
+    val withVec = emb.select(col("vec_id").as("nid"),
+        col("q").as("cq"), col("nrm").as("cn"))
+      .join(broadcast(cand), "nid")
+    val pairs = withVec.select(col("qid"), col("nid").as("a"),
+        col("cq").as("qa"), col("cn").as("na"))
+      .join(broadcast(withVec.select(col("qid"), col("nid").as("b"),
+        col("cq").as("qb"), col("cn").as("nb"))), Seq("qid"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("sim",
+        GraftFunctions.long_dot(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .select(col("qid"), col("a"), col("b"), col("sim"))
+      .cache()
+    val c = cand.cache()
+    def pick(scoresDf: DataFrame, rnk: Int): DataFrame =
+      scoresDf.withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("nid"), col("score"), lit(rnk.toLong).as("rnk"))
+    var selected = pick(c.withColumn("score", col("rel")), 1)
+    (2 to kOut).foreach { t =>
+      val selKeys = selected.select(col("qid"), col("nid").as("b"))
+      val msim = pairs.join(selKeys, Seq("qid", "b"))
+        .groupBy(col("qid"), col("a").as("nid"))
+        .agg(max(col("sim")).as("msim"))
+      val stepScores = c.join(msim, Seq("qid", "nid"))
+        .join(selected.select(col("qid"), col("nid")), Seq("qid", "nid"),
+          "left_anti")
+        .withColumn("score", lit(0.5) * col("rel") - lit(0.5) * col("msim"))
+      selected = selected.unionByName(pick(stepScores, t))
+    }
+    selected.orderBy("qid", "rnk")
+  }
+
+  /** Per-subspace L2 codebooks for e7's product quantizer — the same
+    * deterministic machinery as [[kmeansCentroids]] (bounded
+    * hash-sample, hash-ordered init, exact long-sum updates, only
+    * m·ksub·subDim centroid sums ever reaching the driver) but with
+    * the L2 assignment PQ needs: argmin ‖x−c‖² ⇔ argmax (x·c − ‖c‖²/2),
+    * evaluated for all m subspaces in ONE exploded pass per Lloyd
+    * round. A cell that loses every member keeps its previous
+    * centroid (codebooks stay DENSE — downstream LUT indexing is
+    * positional in cid). Returns driver-side [sub][cid][dim] arrays:
+    * m·ksub·subDim doubles (≤ 8 KB here) — a codebook is a model
+    * artifact, broadcast-sized by construction.
+    */
+  private def pqCodebooks(s: SparkSession, emb: DataFrame,
+                          m: Int, ksub: Int, iters: Int,
+                          sampleSize: Int): Array[Array[Array[Double]]] = {
+    import scala.jdk.CollectionConverters._
+    val dim = emb.select(size(col("q"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val train = emb
+      .select(col("vec_id"), col("q"), xxhash64(col("vec_id")).as("hk"))
+      .orderBy("hk").limit(math.max(sampleSize, ksub))
+      .select(col("vec_id"), col("q"))
+      .cache()
+    val initRows = train.withColumn("hk", xxhash64(col("vec_id")))
+      .orderBy("hk").limit(ksub).collect()
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m) { sub =>
+      initRows.map { r =>
+        r.getSeq[Long](1).slice(sub * subDim, (sub + 1) * subDim)
+          .map(_.toDouble).toArray
+      }
+    }
+    def centDf(): DataFrame = {
+      val rows: java.util.List[Row] = (for {
+        sub <- books.indices; cid <- books(sub).indices
+      } yield Row(sub, cid.toLong, books(sub)(cid).toSeq,
+          books(sub)(cid).map(v => v * v).sum / 2.0)).asJava
+      s.createDataFrame(rows, StructType(Seq(
+        StructField("sub", IntegerType, nullable = false),
+        StructField("cid", LongType, nullable = false),
+        StructField("cvec", ArrayType(DoubleType, containsNull = false),
+          nullable = false),
+        StructField("h2", DoubleType, nullable = false))))
+    }
+    val slicedTrain = train
+      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("q", expr(s"slice(q, sub * $subDim + 1, $subDim)"))
+    (1 to iters).foreach { _ =>
+      val sums = slicedTrain.join(broadcast(centDf()), Seq("sub"))
+        .withColumn("score", expr(CentroidDot) - col("h2"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(expr("max_by(struct(cid, q), struct(score, -cid))").as("mb"))
+        .select(col("sub"), col("mb.cid").as("cid"),
+          posexplode(col("mb.q")).as(Seq("pos", "v")))
+        .groupBy("sub", "cid", "pos")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.groupBy(r => (r.getAs[Int]("sub"), r.getAs[Long]("cid")))
+        .foreach { case ((sub, cid), rs) =>
+          val arr = new Array[Double](subDim)
+          rs.foreach(r => arr(r.getAs[Int]("pos")) =
+            r.getAs[Long]("sv").toDouble / r.getAs[Long]("cnt"))
+          next(sub)(cid.toInt) = arr
+        }
+      books = next
+    }
+    train.unpersist()
+    books
+  }
+
+  // e7: product-quantization ANN (PQ with ADC scoring — the FAISS
+  // IVFPQ memory path, and the reason billion-scale ANN fits in RAM):
+  // each vector is ENCODED as m=8 one-byte codebook ids + its norm —
+  // 32× smaller than the 64-float vector — and query scoring reads
+  // ONLY codes: the query precomputes an m×ksub lookup table of
+  // subspace dots, and each candidate's estimated dot is m table adds
+  // (dot(q,x) ≈ Σ_sub lut[sub][code_sub], the ADC decomposition).
+  // At 100 TB the encode below is the one-time map-shaped job whose
+  // output is the stored codes column (like the inverted-index sink
+  // stores postings); the per-query full pass then touches 9 bytes
+  // per vector, not 256, and the exact-vector fetch is a
+  // broadcast-candidate join touching Q·kCand rows. Shortlist by
+  // estimated cosine, then EXACT re-rank with the shared quantized
+  // LongDot arithmetic — so the returned cosines are bit-identical
+  // to e1's for overlapping pairs (spec'd, like e4), and only the
+  // candidate CHOICE is approximate. Rows-only: trained codebooks
+  // aren't SQL-expressible; TextSimSpec floors recall vs e1 and
+  // checks the bit-equality.
+  def e7PqAnn(s: SparkSession, d: String, m: Int = 8, ksub: Int = 16,
+              kCand: Int = 50): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val emb = quantized(s, d)
+    val books = pqCodebooks(s, emb, m, ksub, iters = 3, sampleSize = 512)
+    val subDim = books(0)(0).length
+    val centRows: java.util.List[Row] = (for {
+      sub <- books.indices; cid <- books(sub).indices
+    } yield Row(sub, cid.toLong, books(sub)(cid).toSeq,
+        books(sub)(cid).map(v => v * v).sum / 2.0)).asJava
+    val cents = s.createDataFrame(centRows, StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("cid", LongType, nullable = false),
+      StructField("cvec", ArrayType(DoubleType, containsNull = false),
+        nullable = false),
+      StructField("h2", DoubleType, nullable = false))))
+    def sliced(df: DataFrame): DataFrame = df
+      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("q", expr(s"slice(q, sub * $subDim + 1, $subDim)"))
+    // ENCODE: broadcast-join argmax per (vector, subspace), then one
+    // vec_id-keyed assembly — two bounded exchanges of N·m tiny rows;
+    // output is (vec_id, m codes, norm), the 32×-compressed table
+    val codes = sliced(emb.select(col("vec_id"), col("q"), col("nrm")))
+      .join(broadcast(cents), Seq("sub"))
+      .withColumn("score", expr(CentroidDot) - col("h2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(expr("max_by(cid, struct(score, -cid))").as("cid"),
+           max(col("nrm")).as("nrm"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, cid))), " +
+          "x -> x.cid)").as("codes"),
+        max(col("nrm")).as("nrm"))
+    // query LUTs: dots of each query SUBVECTOR against every codebook
+    // entry — Q·m·ksub rows total, assembled into a positional
+    // [sub][cid] table per query (codebooks are dense, so position
+    // == cid by construction)
+    val qs = emb.filter(col("vec_id") < 10)
+    val luts = sliced(qs.select(col("vec_id").as("qid"), col("q")))
+      .join(broadcast(cents), Seq("sub"))
+      .withColumn("dot", expr(CentroidDot))
+      .groupBy(col("qid"), col("sub"))
+      .agg(expr("transform(array_sort(collect_list(struct(cid, dot))), " +
+        "x -> x.dot)").as("lrow"))
+      .groupBy(col("qid"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, lrow))), " +
+        "x -> x.lrow)").as("lut"))
+      .join(qs.select(col("vec_id").as("qid"), col("nrm").as("qn")), Seq("qid"))
+    // ADC scoring: m table adds per (candidate, query) — reads codes
+    // and norms only, never the vectors
+    val est = codes.crossJoin(broadcast(luts))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", expr(
+        s"aggregate(sequence(1, $m), cast(0.0 as double), (acc, s) -> " +
+          "acc + element_at(element_at(lut, s), " +
+          "cast(element_at(codes, s) + 1 as int)))") /
+        (sqrt(col("nrm").cast("double")) * sqrt(col("qn").cast("double"))))
+      .select(col("qid"), col("vec_id").as("nid"), col("cosine"))
+    val short = topKPerQuery(est, kCand)
+      .select(col("qid"), col("nid"))
+    // exact re-rank: candidates are Q·kCand rows — broadcast them,
+    // fetch true vectors map-side, score with the shared exact
+    // arithmetic
+    val cand = emb.select(col("vec_id").as("nid"), col("q"), col("nrm"))
+      .join(broadcast(short), Seq("nid"))
+      .join(broadcast(qs.select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("nrm").as("qn"))), Seq("qid"))
+      .withColumn("cosine",
+        GraftFunctions.long_dot(col("q"), col("qq")).cast("double") /
+          (sqrt(col("nrm").cast("double")) * sqrt(col("qn").cast("double"))))
+    topKPerQuery(cand, 5)
+  }
+
   // e3: per-label centroids — element-wise mean over quantized values;
   // partial aggregation does the heavy lifting before the shuffle.
   def e3Centroids(s: SparkSession, d: String): DataFrame =
@@ -436,14 +661,86 @@ object Similarity {
     "e1_knn_brute" -> (e1KnnBrute _),
     "e2_knn_lsh" -> (e2KnnLsh _),
     "e4_knn_ivf" -> ((s: SparkSession, d: String) => e4KnnIvf(s, d)),
+    "e6_mmr_rerank" -> ((s: SparkSession, d: String) => e6MmrRerank(s, d)),
+    "e7_pq_ann" -> ((s: SparkSession, d: String) => e7PqAnn(s, d)),
     "e3_centroids" -> (e3Centroids _),
     "m1_binary_meta" -> (m1BinaryMeta _),
   )
+
+  /** e6's oracle: the greedy MMR trace unrolled step by step (the
+    * same fixed-k unroll the operator itself uses), over the shared
+    * exact-integer cosine arithmetic — generated here so step SQL
+    * can't drift between iterations.
+    */
+  private val E6OracleSql: String = {
+    val head =
+      """WITH v AS (
+        |  SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings, range(1, 65) t(i) WHERE i <= len(embedding)),
+        |n AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nrm FROM v GROUP BY 1),
+        |d AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+        |  FROM v a JOIN v b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2),
+        |relc AS (
+        |  SELECT qid, nid,
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS rel
+        |  FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = nid),
+        |cand AS (
+        |  SELECT qid, nid, rel FROM (
+        |    SELECT qid, nid, rel,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn
+        |    FROM relc) t WHERE rn <= 20),
+        |pd AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+        |  FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id IN (SELECT nid FROM cand)
+        |    AND b.vec_id IN (SELECT nid FROM cand)
+        |  GROUP BY 1, 2),
+        |psim AS (
+        |  SELECT a, b,
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS sim
+        |  FROM pd JOIN n na ON na.vec_id = a JOIN n nb ON nb.vec_id = b),
+        |s1 AS (
+        |  SELECT qid, nid, rel AS score, CAST(1 AS BIGINT) AS rnk FROM (
+        |    SELECT qid, nid, rel,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn
+        |    FROM cand) t WHERE rn = 1)""".stripMargin
+    def step(t: Int): String = {
+      val prev = (1 until t).map(i => s"SELECT qid, nid FROM s$i")
+        .mkString(" UNION ALL ")
+      s""",
+         |s$t AS (
+         |  SELECT qid, nid, score, CAST($t AS BIGINT) AS rnk FROM (
+         |    SELECT qid, nid, score,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+         |    FROM (
+         |      SELECT c.qid, c.nid, 0.5 * c.rel - 0.5 * MAX(p.sim) AS score
+         |      FROM cand c
+         |      JOIN ($prev) sel ON sel.qid = c.qid
+         |      JOIN psim p ON p.a = c.nid AND p.b = sel.nid
+         |      LEFT JOIN ($prev) x ON x.qid = c.qid AND x.nid = c.nid
+         |      WHERE x.nid IS NULL
+         |      GROUP BY c.qid, c.nid, c.rel) g) t
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val tail =
+      """
+        |SELECT qid, nid, score, rnk FROM (
+        |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+        |  UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5) u
+        |ORDER BY qid, rnk""".stripMargin
+    head + (2 to 5).map(step).mkString + tail
+  }
 
   /** e2 intentionally omitted (hash-derived hyperplanes aren't
     * SQL-expressible); rows-only check + recall spec.
     */
   val oracles: Map[String, String] = Map(
+    "e6_mmr_rerank" -> E6OracleSql,
     "m3_feature_extract" ->
       """WITH cp AS (
         |  SELECT doc_id, unicode(text[i]) AS c

@@ -31,4 +31,39 @@ class EntrySpec extends SparkSpec {
     val joined = Geometry.g2PointInBox(spark, sf).limit(50).collect()
     assert(joined.nonEmpty)
   }
+
+  test("g11 envelopes partition the boxes and match an in-memory merge") {
+    import org.apache.spark.sql.functions._
+    val got = Geometry.g11BoxEnvelope(spark, sf).collect()
+      .map(r => r.getAs[Long]("component") ->
+        (r.getAs[Long]("n_boxes"), r.getAs[Double]("x1"), r.getAs[Double]("y1"),
+         r.getAs[Double]("x2"), r.getAs[Double]("y2"), r.getAs[Double]("score")))
+      .toMap
+    // in-memory replay: brute intersect graph + union-find + envelope
+    val bs = Tables.part(spark, sf).select(
+        col("p_partkey"),
+        expr("((p_partkey * 131) % 900) / 10").as("x1"),
+        expr("((p_partkey * 241) % 900) / 10").as("y1"),
+        expr("((p_partkey * 131) % 900) / 10 + cast(p_size % 10 + 2 as double)").as("x2"),
+        expr("((p_partkey * 241) % 900) / 10 + cast((p_size * 3) % 10 + 2 as double)").as("y2"),
+        expr("cast((p_partkey * 7919) % 1000 as double)").as("score"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+                 r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val parent = collection.mutable.Map(bs.map(b => b._1 -> b._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- bs; b <- bs if a._1 < b._1)
+      if (!(b._4 < a._2 || b._2 > a._4 || b._5 < a._3 || b._3 > a._5)) {
+        val (ra, rb) = (find(a._1), find(b._1))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    val expected = bs.groupBy(b => find(b._1)).map { case (comp, grp) =>
+      comp -> (grp.length.toLong, grp.map(_._2).min, grp.map(_._3).min,
+               grp.map(_._4).max, grp.map(_._5).max, grp.map(_._6).max)
+    }
+    assert(got == expected, "envelope clusters diverge from union-find replay")
+    // envelopes cover every box exactly once
+    assert(got.values.map(_._1).sum == bs.length.toLong)
+  }
 }

@@ -70,6 +70,54 @@ class EventsSpec extends SparkSpec {
       "q50 must not plan a nested-loop/cartesian join")
   }
 
+  test("g10 per-node counts equal an in-memory brute triangle count") {
+    val got = Events.g10TriangleCount(spark, sf).collect()
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Long]("n_triangles"))
+      .toMap
+    // brute replay: adjacency sets + neighbor intersection per edge
+    val items = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = items.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val adj = (edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val triCount = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    edges.foreach { case (a, b) =>
+      // common neighbors c > b: each triangle counted once at a<b<c
+      (adj(a) intersect adj(b)).filter(_ > b).foreach { c =>
+        triCount(a) += 1; triCount(b) += 1; triCount(c) += 1
+      }
+    }
+    assert(got == triCount.toMap, "per-node triangle counts diverge")
+    assert(got.values.sum % 3 == 0, "total node-participations not 3·T")
+    assert(got.values.sum > 0, "test graph has no triangles — vacuous")
+  }
+
+  test("q53 trailing range window equals an in-memory replay") {
+    val got = Events.q53TimeRangeWindow(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n_1h"), r.getAs[Long]("v_1h"))).toMap
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("ts_s"),
+        expr("cast(floor(value * 1000) as bigint)").as("vq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    evs.groupBy(_._2).values.foreach { grp =>
+      grp.foreach { case (eid, _, ts, _) =>
+        // RANGE frame: every row of the user within [ts-3599, ts],
+        // INCLUDING same-second peers that sort after this row
+        val in = grp.filter(e => e._3 >= ts - 3599 && e._3 <= ts)
+        assert(got(eid) == (in.length.toLong, in.map(_._4).sum),
+          s"event $eid window mismatch")
+      }
+    }
+  }
+
   test("g9 pagerank conserves scaled rank mass and is deterministic") {
     val rows = Events.g9PageRank(Events.membership(spark, sf)).collect()
     val ranks = rows.map(_.getAs[Long]("pagerank"))

@@ -226,6 +226,46 @@ class TextSimSpec extends SparkSpec {
       s"embedding dims ${dims.mkString(",")} != 64 (e1/e3 oracle range cap)")
   }
 
+  test("e6 MMR trace equals an independent in-memory greedy replay") {
+    val got = Similarity.e6MmrRerank(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk")) ->
+        (r.getAs[Long]("nid"), r.getAs[Double]("score"))).toMap
+    // replay: quantized vectors in memory, same arithmetic
+    val vecs = Tables.embeddings(spark, sf).collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toArray
+    }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val qids = vecs.keys.filter(_ < 10).toSeq.sorted
+    qids.foreach { qid =>
+      val rel = vecs.keys.filter(_ != qid).map(n => n -> cos(vecs(qid), vecs(n)))
+      val cand = rel.toSeq.sortBy { case (n, r) => (-r, n) }.take(20)
+      val relMap = cand.toMap
+      var sel = List(cand.head._1)
+      assert(got((qid, 1L))._1 == cand.head._1, s"q$qid rank-1")
+      (2 to 5).foreach { t =>
+        val pick = cand.filterNot(c => sel.contains(c._1)).map { case (n, r) =>
+          val msim = sel.map(s0 => cos(vecs(n), vecs(s0))).max
+          (n, 0.5 * r - 0.5 * msim)
+        }.minBy { case (n, sc) => (-sc, n) }
+        val (gn, gs) = got((qid, t.toLong))
+        assert(gn == pick._1, s"q$qid rank-$t pick: got $gn want ${pick._1}")
+        assert(gs == pick._2, s"q$qid rank-$t score")
+        sel = sel :+ pick._1
+      }
+      // diversity: the MMR set's worst-case internal similarity never
+      // exceeds the pure-relevance top-5's (the property MMR buys)
+      val top5 = cand.take(5).map(_._1)
+      def maxPair(xs: Seq[Long]) = (for {
+        a <- xs; b <- xs if a < b } yield cos(vecs(a), vecs(b))).max
+      assert(maxPair(sel) <= maxPair(top5) + 1e-12, s"q$qid not diversified")
+    }
+  }
+
   test("d8 multi-probe near-dup recalls most brute-force pairs") {
     val embs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -264,6 +304,30 @@ class TextSimSpec extends SparkSpec {
     // data-generator drift without flaking
     val recall = shared.length.toDouble / brute.size
     assert(recall >= 0.5, f"IVF recall $recall%.2f below floor (nProbe=4)")
+  }
+
+  test("e7 PQ shortlist recalls e1 neighbors; re-ranked cosines bit-equal") {
+    val brute = Similarity.e1KnnBrute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) -> r.getAs[Double]("cosine"))
+      .toMap
+    val pq = Similarity.e7PqAnn(spark, sf).collect()
+    val shared = pq.flatMap { r =>
+      brute.get((r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+        .map(c => (c, r.getAs[Double]("cosine")))
+    }
+    // the re-rank scores with the same quantized LongDot arithmetic as
+    // e1, so overlapping pairs must agree to the bit — only the
+    // SHORTLIST (which pairs survive ADC) is approximate
+    shared.foreach { case (c1, c2) => assert(c1 == c2) }
+    val recall = shared.length.toDouble / brute.size
+    info(f"e7 recall@5 vs e1: $recall%.2f (kCand=50)")
+    // 0.5 floors against data-generator drift without flaking
+    assert(recall >= 0.5, f"PQ recall $recall%.2f below floor (kCand=50)")
+    // determinism: training, encode, and ADC are all hash-seeded exact
+    // arithmetic — a second run must reproduce the trace bit-for-bit
+    val again = Similarity.e7PqAnn(spark, sf).collect()
+    assert(pq.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "e7 is not deterministic across runs")
   }
 
   test("d16 bloom decontamination never misses a d11-contaminated doc") {
