@@ -364,6 +364,25 @@ object Events {
       .orderBy("event_id")
   }
 
+  // q54: JSON document assembly (reference build_components_json /
+  // build_lines_json, app.py:2219-2289 outbound side: every API
+  // response and graph-DB push serializes entities to JSON docs
+  // row-at-a-time in Python). Here the document is BUILT IN-PLAN:
+  // one user-keyed partial aggregate, then map-side codegen'd
+  // to_json(struct(...)) — serialization rides the same single
+  // exchange as the aggregate, no driver loop, no UDF. Fields are
+  // longs/strings only and the array is sorted, so the compact JSON
+  // byte strings are identical in DuckDB and the query hash-matches
+  // (a double field would diverge on number formatting).
+  def q54BuildJson(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+           sort_array(collect_set(col("event_type"))).as("types"))
+      .select(col("user_id"),
+        to_json(struct(col("user_id"), col("n"), col("types"))).as("doc"))
+      .orderBy("user_id")
+
   // q52: cumulative distinct users per day via MERGEABLE HLL sketches
   // — the sketch-reuse pattern that makes "distinct so far" tractable
   // at 100 TB: exact cumulative distinct needs the full user set per
@@ -394,6 +413,7 @@ object Events {
     "q26_asof_join" -> (q26AsofJoin _),
     "q52_cumulative_distinct" -> (q52CumulativeDistinct _),
     "q53_time_range_window" -> (q53TimeRangeWindow _),
+    "q54_build_json" -> (q54BuildJson _),
     "g10_triangle_count" -> (g10TriangleCount _),
     "q50_range_join" -> ((s: SparkSession, d: String) => q50RangeJoin(s, d)),
     "g9_pagerank" -> ((s: SparkSession, d: String) => g9PageRank(membership(s, d))),
@@ -438,6 +458,15 @@ object Events {
         |  UNION ALL SELECT z FROM t)
         |SELECT p AS p_partkey, COUNT(*) AS n_triangles
         |FROM n GROUP BY 1 ORDER BY p_partkey""".stripMargin,
+    "q54_build_json" ->
+      """SELECT user_id,
+        |  CAST(to_json(struct_pack(user_id := user_id, n := n,
+        |                           types := types)) AS VARCHAR) AS doc
+        |FROM (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    list_sort(list(DISTINCT event_type)) AS types
+        |  FROM events GROUP BY 1) t
+        |ORDER BY user_id""".stripMargin,
     "q53_time_range_window" ->
       """SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
         |  COUNT(*) OVER w AS n_1h,

@@ -118,6 +118,24 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("q54 JSON docs parse back losslessly and are canonical") {
+    val rows = Events.q54BuildJson(spark, sf).collect()
+    val exact = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    rows.foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      val doc = r.getAs[String]("doc")
+      // canonical: compact separators, deterministic key and array order
+      assert(!doc.contains(": ") && !doc.contains(", "), s"non-compact: $doc")
+      val mine = exact.filter(_._1 == uid)
+      val types = mine.map(_._2).distinct.sorted
+      assert(doc ==
+        s"""{"user_id":$uid,"n":${mine.length},"types":[${types.map("\"" + _ + "\"").mkString(",")}]}""",
+        s"doc for user $uid diverges from hand-built JSON")
+    }
+  }
+
   test("g9 pagerank conserves scaled rank mass and is deterministic") {
     val rows = Events.g9PageRank(Events.membership(spark, sf)).collect()
     val ranks = rows.map(_.getAs[Long]("pagerank"))
