@@ -382,29 +382,37 @@ object Similarity {
   // candidate CHOICE is approximate. Rows-only: trained codebooks
   // aren't SQL-expressible; TextSimSpec floors recall vs e1 and
   // checks the bit-equality.
-  def e7PqAnn(s: SparkSession, d: String, m: Int = 8, ksub: Int = 16,
-              kCand: Int = 50): DataFrame = {
+  /** Codebooks → one broadcast-sized frame (sub, cid, cvec, h2) with
+    * h2 = ‖c‖²/2, the L2-argmin rewrite's constant.
+    */
+  private def pqCentsDf(s: SparkSession,
+                        books: Array[Array[Array[Double]]]): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val emb = quantized(s, d)
-    val books = pqCodebooks(s, emb, m, ksub, iters = 3, sampleSize = 512)
-    val subDim = books(0)(0).length
-    val centRows: java.util.List[Row] = (for {
+    val rows: java.util.List[Row] = (for {
       sub <- books.indices; cid <- books(sub).indices
     } yield Row(sub, cid.toLong, books(sub)(cid).toSeq,
         books(sub)(cid).map(v => v * v).sum / 2.0)).asJava
-    val cents = s.createDataFrame(centRows, StructType(Seq(
+    s.createDataFrame(rows, StructType(Seq(
       StructField("sub", IntegerType, nullable = false),
       StructField("cid", LongType, nullable = false),
       StructField("cvec", ArrayType(DoubleType, containsNull = false),
         nullable = false),
       StructField("h2", DoubleType, nullable = false))))
-    def sliced(df: DataFrame): DataFrame = df
-      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
-      .withColumn("q", expr(s"slice(q, sub * $subDim + 1, $subDim)"))
-    // ENCODE: broadcast-join argmax per (vector, subspace), then one
-    // vec_id-keyed assembly — two bounded exchanges of N·m tiny rows;
-    // output is (vec_id, m codes, norm), the 32×-compressed table
-    val codes = sliced(emb.select(col("vec_id"), col("q"), col("nrm")))
+  }
+
+  private def pqSliced(df: DataFrame, m: Int, subDim: Int): DataFrame = df
+    .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+    .withColumn("q", expr(s"slice(q, sub * $subDim + 1, $subDim)"))
+
+  /** ENCODE: broadcast-join argmax per (vector, subspace), then one
+    * vec_id-keyed assembly — two bounded exchanges of N·m tiny rows;
+    * output (vec_id, m codes, norm) is the 32×-compressed table. At
+    * 100 TB this is the one-time index-build job whose output is the
+    * stored codes column.
+    */
+  private def pqEncode(emb: DataFrame, cents: DataFrame,
+                       m: Int, subDim: Int): DataFrame =
+    pqSliced(emb.select(col("vec_id"), col("q"), col("nrm")), m, subDim)
       .join(broadcast(cents), Seq("sub"))
       .withColumn("score", expr(CentroidDot) - col("h2"))
       .groupBy(col("vec_id"), col("sub"))
@@ -414,12 +422,15 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(sub, cid))), " +
           "x -> x.cid)").as("codes"),
         max(col("nrm")).as("nrm"))
-    // query LUTs: dots of each query SUBVECTOR against every codebook
-    // entry — Q·m·ksub rows total, assembled into a positional
-    // [sub][cid] table per query (codebooks are dense, so position
-    // == cid by construction)
-    val qs = emb.filter(col("vec_id") < 10)
-    val luts = sliced(qs.select(col("vec_id").as("qid"), col("q")))
+
+  /** Query LUTs: dots of each query SUBVECTOR against every codebook
+    * entry — Q·m·ksub rows total, assembled into a positional
+    * [sub][cid] table per query (codebooks are dense, so position
+    * == cid by construction).
+    */
+  private def pqLuts(qs: DataFrame, cents: DataFrame,
+                     m: Int, subDim: Int): DataFrame =
+    pqSliced(qs.select(col("vec_id").as("qid"), col("q")), m, subDim)
       .join(broadcast(cents), Seq("sub"))
       .withColumn("dot", expr(CentroidDot))
       .groupBy(col("qid"), col("sub"))
@@ -429,21 +440,23 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(sub, lrow))), " +
         "x -> x.lrow)").as("lut"))
       .join(qs.select(col("vec_id").as("qid"), col("nrm").as("qn")), Seq("qid"))
-    // ADC scoring: m table adds per (candidate, query) — reads codes
-    // and norms only, never the vectors
-    val est = codes.crossJoin(broadcast(luts))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cosine", expr(
-        s"aggregate(sequence(1, $m), cast(0.0 as double), (acc, s) -> " +
-          "acc + element_at(element_at(lut, s), " +
-          "cast(element_at(codes, s) + 1 as int)))") /
-        (sqrt(col("nrm").cast("double")) * sqrt(col("qn").cast("double"))))
-      .select(col("qid"), col("vec_id").as("nid"), col("cosine"))
-    val short = topKPerQuery(est, kCand)
-      .select(col("qid"), col("nid"))
-    // exact re-rank: candidates are Q·kCand rows — broadcast them,
-    // fetch true vectors map-side, score with the shared exact
-    // arithmetic
+
+  /** ADC: estimated cosine from m table adds — reads codes and norms
+    * only, never vectors. `scored` must carry (vec_id, codes, nrm)
+    * and the broadcast (qid, lut, qn).
+    */
+  private def adcCosine(m: Int) = expr(
+    s"aggregate(sequence(1, $m), cast(0.0 as double), (acc, s) -> " +
+      "acc + element_at(element_at(lut, s), " +
+      "cast(element_at(codes, s) + 1 as int)))") /
+    (sqrt(col("nrm").cast("double")) * sqrt(col("qn").cast("double")))
+
+  /** Exact re-rank of a Q·kCand shortlist: broadcast the candidate
+    * ids, fetch true vectors map-side, score with the shared exact
+    * LongDot arithmetic.
+    */
+  private def exactRerank(emb: DataFrame, short: DataFrame,
+                          qs: DataFrame, k: Int): DataFrame = {
     val cand = emb.select(col("vec_id").as("nid"), col("q"), col("nrm"))
       .join(broadcast(short), Seq("nid"))
       .join(broadcast(qs.select(col("vec_id").as("qid"), col("q").as("qq"),
@@ -451,7 +464,74 @@ object Similarity {
       .withColumn("cosine",
         GraftFunctions.long_dot(col("q"), col("qq")).cast("double") /
           (sqrt(col("nrm").cast("double")) * sqrt(col("qn").cast("double"))))
-    topKPerQuery(cand, 5)
+    topKPerQuery(cand, k)
+  }
+
+  def e7PqAnn(s: SparkSession, d: String, m: Int = 8, ksub: Int = 16,
+              kCand: Int = 50): DataFrame = {
+    val emb = quantized(s, d)
+    val books = pqCodebooks(s, emb, m, ksub, iters = 3, sampleSize = 512)
+    val subDim = books(0)(0).length
+    val cents = pqCentsDf(s, books)
+    val codes = pqEncode(emb, cents, m, subDim)
+    val qs = emb.filter(col("vec_id") < 10)
+    val luts = pqLuts(qs, cents, m, subDim)
+    val est = codes.crossJoin(broadcast(luts))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", adcCosine(m))
+      .select(col("qid"), col("vec_id").as("nid"), col("cosine"))
+    val short = topKPerQuery(est, kCand).select(col("qid"), col("nid"))
+    exactRerank(emb, short, qs, 5)
+  }
+
+  // e8: IVF-PQ — the two approximations COMPOSED, the full
+  // billion-scale index shape (FAISS IVFPQ): e4's trained coarse
+  // quantizer routes each query to its nProbe nearest cells, and
+  // within those cells candidates are scored from e7's 9-byte codes
+  // by ADC — so a query touches nProbe/C of the corpus AND reads only
+  // codes while doing it; exact vectors are fetched just for the
+  // Q·kCand re-rank. Both trainings run on the bounded hash-sample
+  // (shared kmeansCentroids/pqCodebooks machinery). The one
+  // corpus-keyed join (codes ⋈ cell assignments on vec_id) is the
+  // offline index-build step — at 100 TB its output is the stored
+  // (cell, codes, norm) table, amortized over every query. Rows-only
+  // (two trained models aren't SQL-expressible); spec floors recall
+  // vs e1 and asserts the re-ranked cosines bit-equal e1's on shared
+  // pairs — approximation lives ONLY in candidate choice.
+  def e8KnnIvfPq(s: SparkSession, d: String, nProbe: Int = 4,
+                 kCells: Int = 10, m: Int = 8, ksub: Int = 16,
+                 kCand: Int = 50): DataFrame = {
+    val emb = quantized(s, d)
+    // coarse stage (shared with e4)
+    val cellCents = kmeansCentroids(s, emb, kCells, iters = 5)
+    val lists = assignCells(emb, cellCents)
+      .select(col("vec_id"), col("cid").as("cell"))
+    // fine stage (shared with e7)
+    val books = pqCodebooks(s, emb, m, ksub, iters = 3, sampleSize = 512)
+    val subDim = books(0)(0).length
+    val cents = pqCentsDf(s, books)
+    val codes = pqEncode(emb, cents, m, subDim)
+    // offline index build: codes + cell routing in one stored table
+    val index = codes.join(lists, Seq("vec_id"))
+    val qs = emb.filter(col("vec_id") < 10)
+    // probe ranking (e4's): top-nProbe cells per query by the shared
+    // centroid-normalized dot
+    val probes = qs.crossJoin(broadcast(cellCents))
+      .withColumn("score", expr(CentroidDot) / col("cn"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("score").desc, col("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    val luts = pqLuts(qs, cents, m, subDim)
+    // probed candidates scored from codes only — the broadcast probe
+    // join gates the corpus to nProbe/C before any scoring work
+    val est = index.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(luts), Seq("qid"))
+      .withColumn("cosine", adcCosine(m))
+      .select(col("qid"), col("vec_id").as("nid"), col("cosine"))
+    val short = topKPerQuery(est, kCand).select(col("qid"), col("nid"))
+    exactRerank(emb, short, qs, 5)
   }
 
   // e3: per-label centroids — element-wise mean over quantized values;
@@ -663,6 +743,7 @@ object Similarity {
     "e4_knn_ivf" -> ((s: SparkSession, d: String) => e4KnnIvf(s, d)),
     "e6_mmr_rerank" -> ((s: SparkSession, d: String) => e6MmrRerank(s, d)),
     "e7_pq_ann" -> ((s: SparkSession, d: String) => e7PqAnn(s, d)),
+    "e8_knn_ivfpq" -> ((s: SparkSession, d: String) => e8KnnIvfPq(s, d)),
     "e3_centroids" -> (e3Centroids _),
     "m1_binary_meta" -> (m1BinaryMeta _),
   )

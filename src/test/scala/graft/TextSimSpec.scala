@@ -330,6 +330,24 @@ class TextSimSpec extends SparkSpec {
       "e7 is not deterministic across runs")
   }
 
+  test("e8 IVF-PQ recalls e1 neighbors through BOTH approximations") {
+    val brute = Similarity.e1KnnBrute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) -> r.getAs[Double]("cosine"))
+      .toMap
+    val ivfpq = Similarity.e8KnnIvfPq(spark, sf).collect()
+    val shared = ivfpq.flatMap { r =>
+      brute.get((r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+        .map(c => (c, r.getAs[Double]("cosine")))
+    }
+    // exact re-rank arithmetic is shared with e1: bit-equality again
+    shared.foreach { case (c1, c2) => assert(c1 == c2) }
+    val recall = shared.length.toDouble / brute.size
+    info(f"e8 recall@5 vs e1: $recall%.2f (nProbe=4, kCand=50)")
+    // two stacked approximations: floor at the conjunction of e4's and
+    // e7's observed floors, with drift slack
+    assert(recall >= 0.4, f"IVF-PQ recall $recall%.2f below floor")
+  }
+
   test("d16 bloom decontamination never misses a d11-contaminated doc") {
     // Bloom membership is one-sided: false positives allowed, false
     // negatives impossible — so d16's flag set must contain d11's
