@@ -9,6 +9,16 @@ import graft.functions.GraftFunctions
 
 /** Similarity search + multimodal plumbing (SURVEY.md §2.4/§2.8).
   *
+  * The ANN family, cheapest index to most composed: e1 brute force
+  * (exactness baseline), e2 hyperplane LSH, e4 trained IVF, e7
+  * product quantization (ADC over 9-byte codes), e8 IVF-PQ (both
+  * composed — the billion-scale shape), plus e5 sparse/lexical
+  * retrieval, e6 MMR diversification over any of their candidate
+  * sets, and d24 semantic dedup reusing e4's quantizer. Every
+  * approximate path re-ranks with the same exact arithmetic as e1,
+  * so approximation lives only in candidate CHOICE (spec'd per
+  * operator as a recall floor + bit-equal shared cosines).
+  *
   * Oracle-checked paths quantize floats to integers
   * (floor(x·1000) — exact, rounding-mode-free) so every dot product
   * and norm is exact 64-bit arithmetic and the final IEEE divisions
