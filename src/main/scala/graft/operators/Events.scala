@@ -221,22 +221,31 @@ object Events {
   // predicate refines in-join. Each (purchase, click) pair meets in at
   // most one bucket (the click's own), so no post-join dedup is
   // needed, and a LEFT join keeps zero-click purchases. One keyed
-  // exchange; a hot bucket (burst traffic) is AQE's skew-join case; at
-  // 100 TB pick the bucket width ~ the interval length so fan-out
-  // stays <= 2 while per-bucket population stays bounded.
-  def q50RangeJoin(s: SparkSession, d: String, widthS: Long = 600): DataFrame = {
+  // exchange; a hot bucket (burst traffic) is AQE's skew-join case.
+  //
+  // Two SEPARATE parameters: `windowS` is the query's MEANING (clicks
+  // within 10 minutes — never tune it) while `bucketWidthS` is the
+  // physical partitioning knob. Each interval covers
+  // ceil(windowS / bucketWidthS) + 1 buckets at most, so width ~ the
+  // window length keeps fan-out <= 2; shrink it only when a bucket's
+  // population outgrows a partition, paying proportionally more
+  // interval replicas. Any width gives the same answer (the exact
+  // windowS predicate refines in-join) — the spec pins that.
+  def q50RangeJoin(s: SparkSession, d: String, windowS: Long = 600,
+                   bucketWidthS: Long = 600): DataFrame = {
     val e = ev(s, d)
     val p = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("ts_s").as("start_s"))
       .withColumn("bucket",
-        explode(sequence(expr(s"start_s div $widthS"),
-                         expr(s"(start_s + ${widthS - 1}) div $widthS"))))
+        explode(sequence(expr(s"start_s div $bucketWidthS"),
+                         expr(s"(start_s + ${windowS - 1}) div $bucketWidthS"))))
     val c = e.filter(col("event_type") === "click")
-      .select(col("ts_s").as("click_s"), expr(s"ts_s div $widthS").as("bucket"))
+      .select(col("ts_s").as("click_s"),
+              expr(s"ts_s div $bucketWidthS").as("bucket"))
     p.join(c,
         p("bucket") === c("bucket") &&
           col("click_s") >= col("start_s") &&
-          col("click_s") < col("start_s") + widthS, "left")
+          col("click_s") < col("start_s") + windowS, "left")
       .groupBy("purchase_id", "start_s")
       .agg(count(col("click_s")).as("n_clicks"))
       .orderBy("purchase_id")

@@ -235,9 +235,17 @@ object Geometry {
   // exactly what this replaces at scale. Envelope min/max over
   // integer-derived doubles is exact, so the DuckDB recursive-closure
   // oracle hash-matches.
-  def g11BoxEnvelope(s: SparkSession, d: String): DataFrame = {
-    val b = boxes(s, d)
-      .withColumn("score", ((col("p_partkey") * 7919) % 1000).cast("double"))
+  def g11BoxEnvelope(s: SparkSession, d: String): DataFrame =
+    envelopeMerge(boxes(s, d)
+      .withColumn("score", ((col("p_partkey") * 7919) % 1000).cast("double")))
+
+  /** g11's reusable core over any (p_partkey, x1, y1, x2, y2, score)
+    * box set — split out so the spec can drive it with synthetic
+    * multi-cluster + singleton layouts (the part-derived boxes at test
+    * SF overlap into one giant cluster, which exercises the envelope
+    * but not the component-splitting path).
+    */
+  def envelopeMerge(b: DataFrame): DataFrame = {
     val l = boxCells(b).select(col("cx"), col("cy"), col("p_partkey"),
       col("x1"), col("x2"), col("y1"), col("y2"))
     val r = l.select(col("cx"), col("cy"), col("p_partkey").as("kb"),
@@ -250,7 +258,11 @@ object Geometry {
                 col("by2") < col("y1") || col("by1") > col("y2")))
       .select(col("p_partkey").as("box_a"), col("kb").as("box_b"))
       .distinct()
-    val eid = xxhash64(col("box_a"), col("box_b"))
+    // edge id = the pair itself as a struct key — EXACT, unlike a
+    // 64-bit hash whose birthday-bound collisions (~2^32 edges, real
+    // at 100 TB) would silently fuse unrelated clusters. groupBy/join
+    // hash-partition struct keys natively; no encoding bound on ids.
+    val eid = struct(col("box_a"), col("box_b"))
     val memb = edges.select(col("box_a").as("user_id"), eid.as("g"))
       .unionByName(edges.select(col("box_b").as("user_id"), eid.as("g")))
     val labels = Events.g1ConnectedComponents(memb, maxIter = 60)
@@ -286,7 +298,9 @@ object Geometry {
     val edges = e0.join(e1, Seq("l_orderkey", "l_linenumber"))
       .filter(col("box_a") =!= col("box_b"))
       .select("box_a", "box_b").distinct()
-    val eid = xxhash64(col("box_a"), col("box_b"))
+    // struct edge key, not xxhash64: collision-exact at any edge count
+    // (see g11's note — same fix).
+    val eid = struct(col("box_a"), col("box_b"))
     val memb = edges.select(col("box_a").as("user_id"), eid.as("g"))
       .unionByName(edges.select(col("box_b").as("user_id"), eid.as("g")))
     Events.g1ConnectedComponents(memb, maxIter = 60)

@@ -423,7 +423,10 @@ object TextOps {
   // groups), so the quadratic closure is oracle-tractable.
   def d18DupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = d2NgramJaccard(s, d).select("doc_a", "doc_b")
-    val pid = xxhash64(col("doc_a"), col("doc_b"))
+    // struct edge key, not xxhash64: a 64-bit hash collision between
+    // two distinct pairs would silently fuse unrelated clusters —
+    // real at the ~2^32-edge birthday bound a 100 TB corpus reaches.
+    val pid = struct(col("doc_a"), col("doc_b"))
     val memb = pairs.select(col("doc_a").as("user_id"), pid.as("g"))
       .unionByName(pairs.select(col("doc_b").as("user_id"), pid.as("g")))
     Events.g1ConnectedComponents(memb)
@@ -437,7 +440,12 @@ object TextOps {
   // assignment — same map-only plan). The split must be a pure
   // function of the key, never RNG, or re-runs leak val into train.
   def d19Split(s: SparkSession, d: String): DataFrame = {
-    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+    // (id mod M)·A mod M — algebraically identical to (id·A) mod M by
+    // the modular-product rule, but the intermediate tops out at
+    // M·A ≈ 2.7e12, so NO doc_id overflows signed 64-bit (the naive
+    // id·A wraps silently in Spark past id ~ 3.5e9, skewing buckets).
+    val bucket =
+      pmod(pmod(col("doc_id"), lit(1000L)) * lit(2654435761L), lit(1000L))
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), bucket.as("bucket"),
         when(bucket < 800, "train").when(bucket < 900, "val")
@@ -494,12 +502,17 @@ object TextOps {
   // content-stable sampling). Expected kept ≈ min_cnt per language —
   // rate-based, so no per-language global sort/limit exists anywhere:
   // one tiny count agg broadcast back over a map-only filter.
-  // Overflow bound: bucket < 1e6 and cnt must stay < 9.2e12 docs/lang.
+  // Overflow bounds: the hash side is id-unbounded (the (id mod M)·A
+  // form below caps the intermediate at M·A ≈ 2.7e15 — the naive id·A
+  // wraps past id ~ 3.5e9); the filter side needs cnt < 9.2e12
+  // docs/lang (bucket < 1e6 × lang_count < 2^63).
   def d26MixtureRebalance(s: SparkSession, d: String): DataFrame = {
     val cnts = Tables.documents(s, d).groupBy("lang")
       .agg(count(lit(1)).as("lang_count"))
     val minc = cnts.agg(min(col("lang_count")).as("target_count"))
-    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000000L))
+    val bucket =
+      pmod(pmod(col("doc_id"), lit(1000000L)) * lit(2654435761L),
+           lit(1000000L))
     Tables.documents(s, d)
       .join(broadcast(cnts), "lang")
       .crossJoin(broadcast(minc))
@@ -896,9 +909,9 @@ object TextOps {
          |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
     "d19_split" ->
       """SELECT doc_id, lang,
-        |  (doc_id * 2654435761) % 1000 AS bucket,
-        |  CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
-        |       WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+        |  (doc_id % 1000 * 2654435761) % 1000 AS bucket,
+        |  CASE WHEN (doc_id % 1000 * 2654435761) % 1000 < 800 THEN 'train'
+        |       WHEN (doc_id % 1000 * 2654435761) % 1000 < 900 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d12_pii_redact" ->
@@ -993,9 +1006,9 @@ object TextOps {
       """WITH c AS (SELECT lang, COUNT(*) AS lang_count FROM documents GROUP BY 1),
         |m AS (SELECT MIN(lang_count) AS target_count FROM c)
         |SELECT d.doc_id, d.lang, c.lang_count, m.target_count,
-        |  (d.doc_id * 2654435761) % 1000000 AS bucket
+        |  (d.doc_id % 1000000 * 2654435761) % 1000000 AS bucket
         |FROM documents d JOIN c USING (lang) CROSS JOIN m
-        |WHERE (d.doc_id * 2654435761) % 1000000 * c.lang_count
+        |WHERE (d.doc_id % 1000000 * 2654435761) % 1000000 * c.lang_count
         |      < m.target_count * 1000000
         |ORDER BY doc_id""".stripMargin,
     "d9_token_count" ->

@@ -132,6 +132,13 @@ object ShardExport {
         val shard = st.getPath.getName.stripPrefix("shard-")
           .stripSuffix(".tar").toLong
         val in = fs.open(st.getPath)
+        // whole-shard buffering caps at Int.MaxValue bytes; a larger
+        // shard (caller-controlled targetBytes) would silently
+        // truncate getLen.toInt to a negative/small int — fail loudly
+        require(st.getLen <= Int.MaxValue,
+          s"shard ${st.getPath.getName} is ${st.getLen} bytes, beyond " +
+            "the 2 GiB whole-file read path; lower targetBytes or " +
+            "stream header-by-header")
         val bytes = new Array[Byte](st.getLen.toInt)
         in.readFully(0, bytes)
         in.close()

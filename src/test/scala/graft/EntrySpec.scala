@@ -66,4 +66,35 @@ class EntrySpec extends SparkSpec {
     // envelopes cover every box exactly once
     assert(got.values.map(_._1).sum == bs.length.toLong)
   }
+
+  test("g11 core splits disjoint clusters, keeps singletons, honors touch") {
+    // the part-derived boxes at test SF merge into one giant cluster,
+    // so the oracle never exercises component SPLITTING — this layout
+    // does: a 5-box transitive chain (1∩2∩3∩4∩5, with 1∩3 = ∅), a
+    // touch-only pair (10|11 share the edge x=34), and two true
+    // singletons. Boxes 4 and 5 co-occupy TWO grid cells (both cross
+    // x=16), pinning the distinct-edges dedup.
+    import spark.implicits._
+    val b = Seq(
+      (1L, 0.0, 0.0, 5.0, 5.0, 10.0),
+      (2L, 4.0, 4.0, 9.0, 9.0, 20.0),
+      (3L, 8.0, 8.0, 13.0, 13.0, 5.0),
+      (4L, 12.0, 12.0, 20.0, 15.0, 3.0),
+      (5L, 13.0, 12.0, 21.0, 15.0, 4.0),
+      (10L, 30.0, 0.0, 34.0, 4.0, 1.0),
+      (11L, 34.0, 0.0, 38.0, 4.0, 2.0),
+      (20L, 100.0, 100.0, 103.0, 103.0, 7.0),
+      (21L, 200.0, 50.0, 204.0, 54.0, 9.0)
+    ).toDF("p_partkey", "x1", "y1", "x2", "y2", "score")
+    val got = Geometry.envelopeMerge(b).collect()
+      .map(r => r.getAs[Long]("component") ->
+        (r.getAs[Long]("n_boxes"), r.getAs[Double]("x1"), r.getAs[Double]("y1"),
+         r.getAs[Double]("x2"), r.getAs[Double]("y2"), r.getAs[Double]("score")))
+      .toMap
+    assert(got == Map(
+      1L -> ((5L, 0.0, 0.0, 21.0, 15.0, 20.0)),
+      10L -> ((2L, 30.0, 0.0, 38.0, 4.0, 2.0)),
+      20L -> ((1L, 100.0, 100.0, 103.0, 103.0, 7.0)),
+      21L -> ((1L, 200.0, 50.0, 204.0, 54.0, 9.0))))
+  }
 }

@@ -68,6 +68,13 @@ class EventsSpec extends SparkSpec {
     val plan = Events.q50RangeJoin(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
       "q50 must not plan a nested-loop/cartesian join")
+    // bucketWidthS is a PHYSICAL knob only: any width (here a
+    // non-divisor of the window) must leave the answer untouched —
+    // the semantic windowS predicate refines in-join
+    val reTuned = Events.q50RangeJoin(spark, sf, windowS = 600,
+        bucketWidthS = 250).collect()
+      .map(r => r.getAs[Long]("purchase_id") -> r.getAs[Long]("n_clicks")).toMap
+    assert(reTuned == got, "bucket width changed the query's meaning")
   }
 
   test("g10 per-node counts equal an in-memory brute triangle count") {
