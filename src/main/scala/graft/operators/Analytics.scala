@@ -15,6 +15,7 @@ import graft.Tables
 object Analytics {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
   // q32: 7-day rolling revenue per returnflag — a RANGE frame over an
   // epoch-day key (ROWS frames were covered in q21/q26).
@@ -192,6 +193,126 @@ object Analytics {
       .orderBy("cohort_day", "day_offset")
   }
 
+  // q55: explicit GROUPING SETS — the general form behind q14's ROLLUP
+  // and q33's CUBE (the reference's multi-level demand report,
+  // Master_data.csv, wants exactly chosen levels, not every subset).
+  // gid = 2·grouping(status)+grouping(priority) disambiguates 'ALL'
+  // labels from any real value. Plan shape at 100 TB: Expand
+  // replicates each input row once per set (×4 CPU before the
+  // aggregate), but the partial agg collapses BEFORE the exchange, so
+  // shuffled rows are Σ per-set group cardinalities, not 4× the scan.
+  // When input ≫ group space and the sets nest, the cheaper plan is
+  // q58's pattern — aggregate the finest set once, re-aggregate the
+  // partials per coarser set.
+  def q55GroupingSets(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"),
+           (grouping(col("o_orderstatus")) * 2 +
+             grouping(col("o_orderpriority"))).cast("long").as("gid"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("gid"), col("n"), col("revenue"))
+      .orderBy("gid", "status", "priority")
+  }
+
+  // q56: gaps-and-islands — per-user runs of CONSECUTIVE active days
+  // (the streak/uptime shape: reference audit trails ask "how long has
+  // this tag been continuously modified"). day − row_number() is
+  // constant exactly within a consecutive run, so it is the island
+  // key with no self-join. Scale: the distinct (user, day) collapses
+  // map-side before the one user-keyed exchange (bounded by
+  // users × calendar days, not by events); each window partition is
+  // ≤ the calendar length. Integer epoch-day arithmetic end-to-end.
+  def q56GapsIslands(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("anchor", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("streak"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("streak")).as("n_active_days"),
+           count(lit(1)).as("n_streaks"),
+           max(col("streak")).as("longest_streak"))
+      .orderBy("user_id")
+  }
+
+  // q57: data-quality constraint suite (the Deequ/great-expectations
+  // shape; the reference validates uploads row-by-row in Python,
+  // app.py:6063-6300 — here each table's per-column checks fuse into
+  // ONE wide aggregate over ONE scan, unpivoted to (check, violations)
+  // catalog rows). Referential checks are the only joins: left-anti on
+  // the key, child side shuffles once, parent side broadcast when it
+  // fits (AQE decides; at 100 TB orders⋈customer shuffles both).
+  // A row count per check makes the suite idempotent and diffable
+  // across runs — the monitoring artifact, not a pass/fail boolean.
+  def q57DqSuite(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).agg(
+      (count(lit(1)) - countDistinct(col("c_custkey"))).as("customer_key_dupes"),
+      sum(when(col("c_name").isNull || length(col("c_name")) === 0, 1L)
+        .otherwise(0L)).as("customer_name_missing"))
+      .select(expr("stack(2, 'customer_key_dupes', customer_key_dupes, " +
+        "'customer_name_missing', customer_name_missing) AS (chk, violations)"))
+    val ord = Tables.orders(s, d).agg(
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+        .as("orders_price_nonpositive"),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L))
+        .as("orders_date_missing"))
+      .select(expr("stack(2, 'orders_price_nonpositive', orders_price_nonpositive, " +
+        "'orders_date_missing', orders_date_missing) AS (chk, violations)"))
+    val li = Tables.lineitem(s, d).agg(
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("lineitem_qty_out_of_range"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+        .otherwise(0L)).as("lineitem_discount_out_of_range"))
+      .select(expr("stack(2, 'lineitem_qty_out_of_range', lineitem_qty_out_of_range, " +
+        "'lineitem_discount_out_of_range', lineitem_discount_out_of_range) " +
+        "AS (chk, violations)"))
+    val fkOrders = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("orders_fk_customer").as("chk"), col("violations"))
+    val fkLines = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("lineitem_fk_orders").as("chk"), col("violations"))
+    cust.unionAll(ord).unionAll(li).unionAll(fkOrders).unionAll(fkLines)
+      .orderBy("chk")
+  }
+
+  // q58: incremental aggregation from persisted partial state — the
+  // incremental-view-maintenance pattern: the (day, type) state table
+  // holds MERGEABLE partials (count + exact DECIMAL sum — commutative
+  // monoids, so merge order can't change the answer), and every
+  // coarser rollup (here month × type, with avg derived LAST from the
+  // merged sums) re-aggregates the tiny state, never the raw events.
+  // At 100 TB: each new day appends its partials (one day's scan);
+  // the monthly report reads KBs of state — the raw corpus is
+  // re-scanned zero times. The oracle aggregates the RAW events
+  // directly, proving state-merge ≡ direct aggregation; the spec
+  // additionally replays a day-by-day incremental merge.
+  def q58IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val state = Tables.events(s, d)
+      .groupBy(expr("ts div 86400000000000").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
+    state
+      .groupBy(trunc(date_add(lit("1970-01-01").cast("date"),
+                 col("day").cast("int")), "month").as("month"),
+               col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+           sum(col("sv")).cast("double").as("sum_value"),
+           (sum(col("sv")).cast("double") / sum(col("n"))).as("avg_value"))
+      .orderBy("month", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_scd2" -> (q41Scd2 _),
     "q42_ntile" -> (q42Ntile _),
@@ -203,6 +324,10 @@ object Analytics {
     "q36_date_parts" -> (q36DateParts _),
     "q37_fuzzy" -> (q37Fuzzy _),
     "q38_sketches" -> (q38Sketches _),
+    "q55_grouping_sets" -> (q55GroupingSets _),
+    "q56_gaps_islands" -> (q56GapsIslands _),
+    "q57_dq_suite" -> (q57DqSuite _),
+    "q58_incremental_agg" -> (q58IncrementalAgg _),
   )
 
   /** q38 intentionally rows-only (sketch internals differ by engine). */
@@ -268,5 +393,64 @@ object Analytics {
         |  CAST(levenshtein(p_name, 'red widget') AS BIGINT) AS dist
         |FROM part WHERE levenshtein(p_name, 'red widget') <= 4
         |ORDER BY p_partkey""".stripMargin,
+    "q55_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+        |       AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, status, priority""".stripMargin,
+    "q56_gaps_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS anchor
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, anchor, COUNT(*) AS streak
+        |  FROM isl GROUP BY user_id, anchor)
+        |SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_active_days,
+        |  COUNT(*) AS n_streaks, MAX(streak) AS longest_streak
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q57_dq_suite" ->
+      """SELECT 'customer_key_dupes' AS chk,
+        |  COUNT(*) - COUNT(DISTINCT c_custkey) AS violations FROM customer
+        |UNION ALL SELECT 'customer_name_missing',
+        |  CAST(COALESCE(SUM(CASE WHEN c_name IS NULL OR length(c_name) = 0
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) FROM customer
+        |UNION ALL SELECT 'orders_price_nonpositive',
+        |  CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) FROM orders
+        |UNION ALL SELECT 'orders_date_missing',
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) FROM orders
+        |UNION ALL SELECT 'lineitem_qty_out_of_range',
+        |  CAST(COALESCE(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'lineitem_discount_out_of_range',
+        |  CAST(COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'orders_fk_customer', COUNT(*) FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |UNION ALL SELECT 'lineitem_fk_orders', COUNT(*) FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |ORDER BY chk""".stripMargin,
+    "q58_incremental_agg" ->
+      """SELECT CAST(date_trunc('month',
+        |    DATE '1970-01-01' + CAST(CAST(floor(epoch(ts) / 86400) AS BIGINT)
+        |      AS INTEGER)) AS DATE) AS month,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |    AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin,
   )
 }
