@@ -585,6 +585,42 @@ object Similarity {
     out.orderBy("doc_id")
   }
 
+  // m5: exact MEDIA dedup — byte-identical blobs collapsed by SHA-256
+  // (the multimodal counterpart of d1: re-crawled images / re-encoded
+  // copies of the same file). The digest is computed map-side in the
+  // same mapPartitions batch a real decoder runs in, and the ONE
+  // exchange is keyed on the digest: 32-byte (digest, id) rows, never
+  // blob bytes — at 100 TB of media that is the difference between
+  // shuffling KBs and shuffling the corpus. Unlike d1's xxhash64,
+  // SHA-256 needs no collision-resolve path (2^-128 birthday bound —
+  // cryptographically impossible), which is exactly why content-
+  // addressed stores use it. keeper/n_copies come from a window over
+  // the digest partition — same exchange, no second join.
+  def m5BlobDedup(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("sha_hex", StringType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        rows.map { r =>
+          val blob = r.getAs[Array[Byte]](1)
+          md.reset()
+          Row(r.getLong(0), md.digest(blob).map("%02x".format(_)).mkString,
+            blob.length.toLong)
+        }
+      }(enc)
+    val w = Window.partitionBy("sha_hex")
+    hashed
+      .withColumn("keeper_id", min(col("doc_id")).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .select(col("doc_id"), col("keeper_id"), col("n_copies"), col("n_bytes"))
+      .orderBy("doc_id")
+  }
+
   // d8: embedding-cosine near-dup pairs — candidates from the e2
   // hyperplane buckets (pairs must share a bucket), exact CosineSim
   // after. The corpus has no true near-dups (max pairwise cosine
@@ -756,6 +792,7 @@ object Similarity {
     "e8_knn_ivfpq" -> ((s: SparkSession, d: String) => e8KnnIvfPq(s, d)),
     "e3_centroids" -> (e3Centroids _),
     "m1_binary_meta" -> (m1BinaryMeta _),
+    "m5_blob_dedup" -> (m5BlobDedup _),
   )
 
   /** e6's oracle: the greedy MMR trace unrolled step by step (the
@@ -896,5 +933,15 @@ object Similarity {
         |  CAST(strlen(text) % 64 + 16 AS BIGINT) AS width,
         |  CAST(strlen(text) % 48 + 12 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m5_blob_dedup" ->
+      """WITH h AS (
+        |  SELECT doc_id, sha256(text) AS sha,
+        |    CAST(strlen(text) AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT doc_id,
+        |  MIN(doc_id) OVER (PARTITION BY sha) AS keeper_id,
+        |  COUNT(*) OVER (PARTITION BY sha) AS n_copies,
+        |  n_bytes
+        |FROM h ORDER BY doc_id""".stripMargin,
   )
 }

@@ -492,6 +492,41 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // d27: interpolated bigram LM scoring — d25's unigram quality proxy
+  // upgraded one order: each document is scored by its adjacent token
+  // PAIRS' corpus frequencies, interpolated with the successor
+  // token's unigram frequency (fixed 10:1 integer weights — the
+  // Jelinek-Mercer mixture a KenLM backoff model applies with floats,
+  // kept in exact bigint arithmetic with the ONE IEEE division last,
+  // d20's bit-stability pattern). Plan: one corpus pass emits
+  // positional bigrams (map-only transform+explode, no self-join);
+  // two count aggs build the bigram and unigram tables; two keyed
+  // joins score. At 100 TB the model tables are the join's build
+  // side — bounded by distinct types, not corpus size — and the
+  // bigram key becomes its 8-byte xxhash64 so the model exchange
+  // never moves pair strings (same trick as d1; string keys here keep
+  // the oracle exact).
+  def d27BigramLm(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d).filter(size(col("toks")) >= 2)
+    val bg = t.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-2), " +
+          "i -> struct(concat(toks[i], ' ', toks[i+1]) AS bigram, " +
+          "toks[i+1] AS nxt))")).as("b"))
+      .select(col("doc_id"), col("b.bigram"), col("b.nxt"))
+    val bf = bg.groupBy("bigram").agg(count(lit(1)).as("bf"))
+    val uf = docs(s, d).select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("uf"))
+    bg.join(bf, "bigram")
+      .join(uf, col("nxt") === col("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(col("bf")).as("sum_bf"), sum(col("uf")).as("sum_uf"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bf"), col("sum_uf"),
+        ((col("sum_bf") * 10 + col("sum_uf")).cast("double") /
+          col("n_bigrams")).as("interp_score"))
+      .orderBy("doc_id")
+  }
+
   // d26: domain-mixture rebalancing — downsample every language to the
   // smallest language's count so the training mixture is uniform (the
   // DoReMi/pile-construction reweighting step, here with equal target
@@ -770,6 +805,7 @@ object TextOps {
     "d16_bloom_decontaminate" -> (d16BloomDecontaminate _),
     "d25_lm_score" -> (d25LmScore _),
     "d26_mixture_rebalance" -> (d26MixtureRebalance _),
+    "d27_bigram_lm" -> (d27BigramLm _),
     "d9_token_count" -> (d9TokenCount _),
     "d10_vocab_topk" -> (d10VocabTopK _),
     "d11_contamination" -> (d11Contamination _),
@@ -1002,6 +1038,26 @@ object TextOps {
         |  CAST(CAST(SUM(cf.cf) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_cf
         |FROM w JOIN cf ON w.token = cf.token
         |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
+    "d27_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS l
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]))
+        |      AS bigram,
+        |    unnest(list_transform(range(1, len(l)), i -> l[i+1])) AS nxt
+        |  FROM t WHERE len(l) >= 2),
+        |bf AS (SELECT bigram, COUNT(*) AS bf FROM bg GROUP BY 1),
+        |uf AS (SELECT unnest(l) AS token FROM t),
+        |uc AS (SELECT token, COUNT(*) AS uf FROM uf GROUP BY 1)
+        |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(bf.bf) AS BIGINT) AS sum_bf,
+        |  CAST(SUM(uc.uf) AS BIGINT) AS sum_uf,
+        |  CAST(CAST(SUM(bf.bf) AS BIGINT) * 10 + CAST(SUM(uc.uf) AS BIGINT)
+        |       AS DOUBLE) / COUNT(*) AS interp_score
+        |FROM bg JOIN bf USING (bigram) JOIN uc ON bg.nxt = uc.token
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
     "d26_mixture_rebalance" ->
       """WITH c AS (SELECT lang, COUNT(*) AS lang_count FROM documents GROUP BY 1),
         |m AS (SELECT MIN(lang_count) AS target_count FROM c)

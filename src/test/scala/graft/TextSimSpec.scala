@@ -528,4 +528,61 @@ class TextSimSpec extends SparkSpec {
     assert(r.getAs[String]("sha_hex") == hex)
     assert(r.getAs[Long]("n_bytes") == text.getBytes("UTF-8").length.toLong)
   }
+
+  test("m5 blob dedup groups agree exactly with d1's text dedup") {
+    // text and blob are byte-identical here, so the SHA-256 grouping
+    // must reproduce d1's (keeper, copies) group set exactly — a
+    // cross-check between the two independent dedup paths (xxhash64 +
+    // collision resolve vs crypto digest)
+    val m5 = Similarity.m5BlobDedup(spark, sf).collect()
+    val m5Groups = m5.map(r =>
+      (r.getAs[Long]("keeper_id"), r.getAs[Long]("n_copies"))).distinct.toSet
+    val d1 = TextOps.d1DedupExact(spark, sf).collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSet
+    assert(m5Groups == d1, "m5 digest groups diverge from d1 text groups")
+    // every doc points at a keeper <= itself
+    m5.foreach { r =>
+      assert(r.getAs[Long]("keeper_id") <= r.getAs[Long]("doc_id"))
+    }
+    // the sf0.001 corpus has no byte-identical docs, so drive the
+    // duplicate path on a synthetic documents table: 2 triplicates +
+    // 2 singletons
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("m5spec").toString
+    Seq((1L, "aa bb", "en", "s", 5L), (2L, "aa bb", "en", "s", 5L),
+        (5L, "aa bb", "en", "s", 5L), (3L, "cc", "en", "s", 2L),
+        (4L, "dd ee ff", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val syn = Similarity.m5BlobDedup(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("keeper_id"), r.getAs[Long]("n_copies"))).toMap
+    assert(syn == Map(1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 5L -> ((1L, 3L)),
+      3L -> ((3L, 1L)), 4L -> ((4L, 1L))))
+  }
+
+  test("d27 interpolated bigram scores match an in-memory model") {
+    val toks = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").filter(_.nonEmpty).toList).toMap
+    val uf = toks.values.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    val allBigrams = toks.values.toList
+      .flatMap(l => l.zip(l.tail).map { case (a, b) => s"$a $b" })
+    val bf = allBigrams.groupBy(identity).view.mapValues(_.size.toLong)
+    val got = TextOps.d27BigramLm(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val l = toks(r.getAs[Long]("doc_id"))
+      val pairs = l.zip(l.tail)
+      val sumBf = pairs.map { case (a, b) => bf(s"$a $b") }.sum
+      val sumUf = pairs.map { case (_, b) => uf(b) }.sum
+      assert(r.getAs[Long]("n_bigrams") == pairs.length.toLong)
+      assert(r.getAs[Long]("sum_bf") == sumBf, s"doc ${r.get(0)} sum_bf")
+      assert(r.getAs[Long]("sum_uf") == sumUf, s"doc ${r.get(0)} sum_uf")
+      assert(r.getAs[Double]("interp_score") ==
+        (sumBf * 10 + sumUf).toDouble / pairs.length)
+    }
+    // docs with < 2 tokens are correctly absent
+    assert(got.length == toks.count(_._2.length >= 2))
+  }
 }
