@@ -179,6 +179,55 @@ object Events {
       .orderBy("seed", "linked")
   }
 
+  /** g12: hop-bounded weighted shortest paths (multi-source
+    * Bellman-Ford) — the reference's graph DB answers "cheapest route
+    * within k connections" over the object graph (`GetLinkedObjects`
+    * one capability up: weighted, not just reachable). Exactly
+    * `maxHops` relaxation rounds over the SYMMETRIC weighted user
+    * graph; after round k the (seed, node) table holds the exact min
+    * cost over paths of <= k edges (the Bellman-Ford invariant —
+    * union of "stop here" and "extend by one edge", min per node),
+    * so the hop bound is a SEMANTIC contract the recursive-CTE oracle
+    * states independently, not a convergence heuristic. Integer
+    * weights make min() exact. Scale shape: each round is one
+    * edge-keyed join + one (seed, node) min-combine — the same
+    * bounded-join ladder as g6; at 100 TB rounds run delta-style
+    * (only improved entries join the next round) with localCheckpoint
+    * lineage truncation like g1, and the frontier is bounded by
+    * seeds × reachable nodes, never path count (paths never
+    * materialize — the oracle's UNION ALL recursion does, which is
+    * why the oracle filters to a small subgraph).
+    */
+  def g12Sssp(edges: DataFrame, seeds: DataFrame, maxHops: Int = 3): DataFrame = {
+    val e = edges.cache() // feeds every round
+    var dist = seeds
+      .select(col("user_id").as("seed"), col("user_id").as("node"),
+        lit(0L).as("cost"))
+    (1 to maxHops).foreach { _ =>
+      dist = dist
+        .unionByName(dist.join(e, col("node") === col("x"))
+          .select(col("seed"), col("y").as("node"),
+            (col("cost") + col("w")).as("cost")))
+        .groupBy("seed", "node").agg(min("cost").as("cost"))
+    }
+    dist.filter(col("seed") =!= col("node"))
+      .orderBy("seed", "node")
+  }
+
+  /** The weighted symmetric user graph for g12: users sharing a prop
+    * bucket are adjacent with integer weight 1 + (x + y) % 9 — small
+    * enough that a cheap 2-hop detour can beat an expensive direct
+    * edge, so the relaxation path is genuinely exercised.
+    */
+  def g12Graph(s: SparkSession, d: String, maxUser: Int): DataFrame = {
+    val m = membership(s, d).filter(col("user_id") < maxUser)
+    m.select(col("user_id").as("x"), col("g"))
+      .join(m.select(col("user_id").as("y"), col("g")), "g")
+      .filter(col("x") =!= col("y"))
+      .select("x", "y").distinct()
+      .withColumn("w", lit(1L) + (col("x") + col("y")) % 9)
+  }
+
   // q26: as-of join — for each purchase, the user's most recent click
   // at-or-before it. Spark has no ASOF JOIN; rather than a custom
   // SparkPlan, the union+window composition gives the same semantics
@@ -442,6 +491,12 @@ object Events {
       val m = membership(s, d).filter(col("user_id") < 200)
       g6LinkedObjects(m, m.select("user_id").distinct().filter(col("user_id") < 20))
     }),
+    "g12_sssp" -> ((s: SparkSession, d: String) => {
+      val edges = g12Graph(s, d, maxUser = 60)
+      g12Sssp(edges,
+        edges.select(col("x").as("user_id")).distinct()
+          .filter(col("user_id") < 5))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -594,6 +649,27 @@ object Events {
         |  SELECT seed, linked, CAST(2 AS BIGINT) AS hops FROM h2) t
         |WHERE seed <> linked
         |GROUP BY seed, linked ORDER BY seed, linked""".stripMargin,
+    // the oracle STATES the semantics — min cost over all paths of
+    // <= 3 edges — by enumerating paths recursively; tractable only
+    // because the subgraph is small (the Spark side never enumerates
+    // paths, which is the point)
+    "g12_sssp" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT user_id AS u, CAST(props->>'k' AS BIGINT) % 25 AS g
+        |  FROM events WHERE user_id < 60),
+        |we AS (
+        |  SELECT DISTINCT a.u AS x, b.u AS y,
+        |    1 + (a.u + b.u) % 9 AS w
+        |  FROM pairs a JOIN pairs b ON a.g = b.g WHERE a.u <> b.u),
+        |r AS (
+        |  SELECT u AS seed, u AS node, CAST(0 AS BIGINT) AS cost, 0 AS hops
+        |  FROM (SELECT DISTINCT u FROM pairs WHERE u < 5) s
+        |  UNION ALL
+        |  SELECT r.seed, we.y, r.cost + we.w, r.hops + 1
+        |  FROM r JOIN we ON r.node = we.x WHERE r.hops < 3)
+        |SELECT seed, node, MIN(cost) AS cost
+        |FROM r WHERE seed <> node
+        |GROUP BY seed, node ORDER BY seed, node""".stripMargin,
     "g1_connected_components" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT DISTINCT user_id AS u, CAST(props->>'k' AS BIGINT) % 25 AS g

@@ -77,6 +77,33 @@ class EventsSpec extends SparkSpec {
     assert(reTuned == got, "bucket width changed the query's meaning")
   }
 
+  test("g12 costs equal an in-memory Bellman-Ford and detours matter") {
+    val edges = Events.g12Graph(spark, sf, maxUser = 60).collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"), r.getAs[Long]("w")))
+    val seeds = edges.map(_._1).distinct.filter(_ < 5)
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+    val expected = seeds.flatMap { s =>
+      var dist = Map(s -> 0L)
+      (1 to 3).foreach { _ =>
+        val ext = dist.toSeq.flatMap { case (n, c) =>
+          adj.getOrElse(n, Array.empty[(Long, Long)]).map { case (y, w) => y -> (c + w) }
+        }
+        dist = (dist.toSeq ++ ext).groupBy(_._1).view
+          .mapValues(_.map(_._2).min).toMap
+      }
+      dist.collect { case (n, c) if n != s => (s, n) -> c }
+    }.toMap
+    val got = Events.queries("g12_sssp")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("seed"), r.getAs[Long]("node")) ->
+        r.getAs[Long]("cost")).toMap
+    assert(got == expected, "SSSP diverges from in-memory Bellman-Ford")
+    // the relaxation must be doing real work: some best cost strictly
+    // beats that pair's direct edge (a multi-hop detour won)
+    val direct = edges.map(e => (e._1, e._2) -> e._3).toMap
+    assert(got.exists { case (k, c) => direct.get(k).exists(c < _) },
+      "no multi-hop path ever beat a direct edge — weights degenerate")
+  }
+
   test("g10 per-node counts equal an in-memory brute triangle count") {
     val got = Events.g10TriangleCount(spark, sf).collect()
       .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Long]("n_triangles"))
