@@ -34,7 +34,12 @@ object Bench {
     // PQ ANN next to e1: the same query set answered from 9-byte codes
     // + exact re-rank — the pairing shows what the 32× compression
     // buys and costs at the same corpus size
-    "e7_pq_ann")
+    "e7_pq_ann",
+    // round-6 additions: the bigram-LM scoring pipeline (heaviest
+    // token fan-out in the text family: every adjacent pair joins two
+    // model tables) and digest-keyed blob dedup (the d1 exchange
+    // pattern with a 32-byte crypto key + window combine)
+    "d27_bigram_lm", "m5_blob_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
