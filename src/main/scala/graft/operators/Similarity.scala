@@ -102,6 +102,44 @@ object Similarity {
     topKPerQuery(scored, 5)
   }
 
+  // e9: the corpus k-NN GRAPH — every node's top-3 neighbors, the
+  // input artifact semantic dedup (d24), graph clustering and
+  // diversity sampling all start from. Brute force is the one O(N²)
+  // no blocking can excuse at 100 TB; here candidates come from e2's
+  // multi-probe hyperplane buckets applied SYMMETRICALLY: each node
+  // probes its own bucket + the 4 one-flip buckets, so a pair is
+  // considered iff the neighbor's bucket is within Hamming 1 of the
+  // node's — per-node candidate cost is 5·N/2^bits, tuned by adding
+  // hyperplane bits as N grows (the probed FRACTION shrinks while
+  // 1-flip near-miss coverage holds). The bucket equi-join is a
+  // corpus×corpus hash join keyed on the bucket id — deliberately NOT
+  // broadcast — and the final top-k is the bounded TopKByScore
+  // partial aggregate, so no exchange ever carries scored-pair
+  // volume. Scoring is the exact quantized LongDot (bit-deterministic
+  // → the spec replays the whole graph in memory, not just a recall
+  // floor). Rows-only: hash-derived hyperplanes aren't
+  // SQL-expressible; SimilaritySpec pins exact replay + brute recall.
+  def e9KnnGraph(s: SparkSession, d: String): DataFrame = {
+    val emb = bucketed(s, d)
+      .withColumn("q", expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))"))
+      .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+    val probes = emb
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("nrm").as("qn"), col("bucket"))
+      .withColumn("bucket", explode(expr(
+        "array(bucket, bucket ^ 1, bucket ^ 2, bucket ^ 4, bucket ^ 8)")))
+    val scored = emb.select(col("vec_id").as("nid"), col("q"),
+        col("nrm"), col("bucket"))
+      .join(probes, Seq("bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("dot", GraftFunctions.long_dot(col("q"), col("qq")))
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          (sqrt(col("nrm").cast("double")) * sqrt(col("qn").cast("double"))))
+    topKPerQuery(scored, 3)
+  }
+
   /** Centroid-normalized dot of the quantized vector `q` against the
     * double centroid `cvec` — the ONE scoring expression both k-means
     * assignment (training) and the e4 probe path use; they must stay
@@ -793,6 +831,7 @@ object Similarity {
     "e3_centroids" -> (e3Centroids _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m5_blob_dedup" -> (m5BlobDedup _),
+    "e9_knn_graph" -> (e9KnnGraph _),
   )
 
   /** e6's oracle: the greedy MMR trace unrolled step by step (the

@@ -561,6 +561,58 @@ class TextSimSpec extends SparkSpec {
       3L -> ((3L, 1L)), 4L -> ((4L, 1L))))
   }
 
+  test("e9 knn graph replays exactly in memory and recalls brute force") {
+    // collect the quantized vectors + hyperplane buckets AS COMPUTED
+    // (the bucket expression is e2's, already spec'd); the replay pins
+    // the symmetric multi-probe candidate rule, the exact quantized
+    // scoring, and top-k (score desc, id asc) tie-breaking — the
+    // whole graph, not a sampled recall floor
+    val base = Tables.embeddings(spark, sf)
+      .withColumn("q", org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))"))
+    val withB = Similarity.queries("e9_knn_graph")(spark, sf) // the real graph
+    val vecs = base.selectExpr("vec_id", "q").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1).toArray).toMap
+    // buckets recomputed through the SAME production expression
+    val buckets = Tables.embeddings(spark, sf).withColumn("bucket",
+        org.apache.spark.sql.functions.expr(
+          "aggregate(transform(sequence(0, 3), k -> " +
+            "if(aggregate(sequence(0, size(embedding) - 1), cast(0.0 as double), " +
+            "   (acc, j) -> acc + cast(element_at(embedding, j + 1) as double) * " +
+            "               if((xxhash64(j, k) & 1) = 1, 1.0, -1.0)) >= 0.0, 1, 0)), " +
+            "0, (acc, b) -> acc * 2 + b)"))
+      .selectExpr("vec_id", "bucket").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("bucket")).toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val expected = vecs.keys.toSeq.flatMap { qid =>
+      val pb = Set(buckets(qid), buckets(qid) ^ 1, buckets(qid) ^ 2,
+        buckets(qid) ^ 4, buckets(qid) ^ 8)
+      val cand = vecs.keys.filter(n => n != qid && pb.contains(buckets(n)))
+      cand.map(n => (n, cos(vecs(qid), vecs(n)))).toSeq
+        .sortBy { case (n, c) => (-c, n) }.take(3).zipWithIndex
+        .map { case ((n, c), i) => (qid, n, c, i + 1L) }
+    }.toSet
+    val got = withB.collect().map(r => (r.getAs[Long]("qid"),
+      r.getAs[Long]("nid"), r.getAs[Double]("cosine"),
+      r.getAs[Long]("rnk"))).toSet
+    assert(got == expected, "e9 graph diverges from in-memory replay")
+    // blocking quality: against the full brute-force top-3 the probed
+    // graph must recall a solid fraction (multi-probe's whole point)
+    val brute = vecs.keys.toSeq.flatMap { qid =>
+      vecs.keys.filter(_ != qid)
+        .map(n => (n, cos(vecs(qid), vecs(n)))).toSeq
+        .sortBy { case (n, c) => (-c, n) }.take(3).map(p => (qid, p._1))
+    }.toSet
+    val hits = got.map(t => (t._1, t._2)).count(brute.contains)
+    val recall = hits.toDouble / brute.size
+    assert(recall >= 0.4, f"e9 recall vs brute force $recall%.2f < 0.4")
+  }
+
   test("d27 interpolated bigram scores match an in-memory model") {
     val toks = Tables.documents(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
