@@ -396,8 +396,61 @@ object EventStream {
       .orderBy("hour", "rnk")
   }
 
+  // s9: streaming quality gate with OBSERVED metrics — q57's DQ
+  // counters riding the stream itself via Dataset.observe: the
+  // violation counts are accumulator-style aggregates computed on the
+  // batch's input rows AS THEY FLOW (no second pass, no extra
+  // stateful operator, no state store entry), surfaced per
+  // micro-batch through StreamingQueryProgress.observedMetrics — the
+  // monitoring hook a 100 TB ingest wires to alerting, while the
+  // gated rows continue into the real aggregation. The observation
+  // is free at any scale: it adds one map-side partial aggregate to
+  // a pass the pipeline already makes. Conservation invariant
+  // (spec-proven): rows_observed − rows_gated_out == rows aggregated
+  // downstream — the gate can't silently drop or double-count.
+  def s9StreamDqGate(s: SparkSession, d: String): DataFrame =
+    s9StreamDqGateWithMetrics(s, d)._1
+
+  /** The metrics-bearing form: returns (gated per-type aggregate,
+    * observed counters summed across micro-batches).
+    */
+  def s9StreamDqGateWithMetrics(s: SparkSession, d: String)
+      : (DataFrame, Map[String, Long]) = {
+    val gated = readEvents(s, d)
+      .observe("dq",
+        count(lit(1)).as("n_rows"),
+        sum(when(col("value") < 1.0, 1L).otherwise(0L)).as("n_low_value"))
+      .filter(col("value") >= 1.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double")
+             .as("total_value"))
+    val name = s"graft_sink_${nameSeq.incrementAndGet()}"
+    val q = gated.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    val metrics = scala.collection.mutable.Map[String, Long]()
+    try {
+      q.processAllAvailable()
+      q.recentProgress.foreach { p =>
+        val m = p.observedMetrics.get("dq")
+        if (m != null) {
+          metrics("n_rows") = metrics.getOrElse("n_rows", 0L) +
+            m.getAs[Long]("n_rows")
+          metrics("n_low_value") = metrics.getOrElse("n_low_value", 0L) +
+            m.getAs[Long]("n_low_value")
+        }
+      }
+    } finally q.stop()
+    val sink = s.table(name)
+    val rows = java.util.Arrays.asList(sink.collect(): _*)
+    val out = s.createDataFrame(rows, sink.schema)
+    s.catalog.dropTempView(name)
+    (out.orderBy("event_type"), metrics.toMap)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s6_stream_static_join" -> (s6StreamStaticJoin _),
+    "s9_stream_dq_gate" -> (s9StreamDqGate _),
     "s8_stream_top_types" -> ((s: SparkSession, d: String) => s8StreamTopTypes(s, d)),
     "s5_stream_stream_join" -> (s5StreamStreamJoin _),
     "s4_stream_custom_state" -> (s4StreamCustomState _),
@@ -409,6 +462,11 @@ object EventStream {
   )
 
   val oracles: Map[String, String] = Map(
+    "s9_stream_dq_gate" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE "value" >= 1.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // (user_id, ts) is unique at every shipped SF (checked), so
     // arg_max on ts alone is deterministic here; the Spark side still
     // tie-breaks on (ts, event_id) for safety on other data

@@ -292,4 +292,28 @@ class StreamSourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(yearmonth"),
       s"no partition filter in:\n$plan")
   }
+
+  test("s9 observed DQ counters conserve rows against the gated result") {
+    val (result, metrics) =
+      graft.streaming.EventStream.s9StreamDqGateWithMetrics(spark, sf)
+    val total = Tables.events(spark, sf).count()
+    val low = Tables.events(spark, sf).filter(col("value") < 1.0).count()
+    assert(low > 0, "no gated rows at test SF — the gate is untested")
+    // the observed counters summed over micro-batches see every
+    // source row exactly once
+    assert(metrics("n_rows") == total, s"observed ${metrics("n_rows")} != $total")
+    assert(metrics("n_low_value") == low)
+    // conservation: observed − gated-out == rows aggregated downstream
+    val kept = result.collect().map(_.getAs[Long]("n_events")).sum
+    assert(kept == total - low,
+      s"gate dropped/double-counted: kept $kept of ${total - low}")
+    // and the gated aggregate equals its batch twin exactly
+    val batch = Tables.events(spark, sf).filter(col("value") >= 1.0)
+      .groupBy("event_type")
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .orderBy("event_type").collect()
+    assert(result.collect().sameElements(batch))
+  }
 }
