@@ -94,7 +94,20 @@ object TextOps {
     * is 25 at sf0.1, TextSimSpec asserts capped == uncapped), so the
     * DuckDB oracle — which does not model the cap — stays bit-exact.
     */
-  def d2NgramJaccardCapped(s: SparkSession, d: String, dfCap: Long): DataFrame = {
+  def d2NgramJaccardCapped(s: SparkSession, d: String, dfCap: Long): DataFrame =
+    sharedShinglePairs(s, d, dfCap)
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("sa") + col("sb") - col("shared")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  /** The shared-shingle pair aggregate (doc_a < doc_b, shared count,
+    * set sizes) d2's Jaccard and d29's containment both read — one
+    * implementation so the two similarity decisions can't drift.
+    */
+  private def sharedShinglePairs(s: SparkSession, d: String,
+                                 dfCap: Long): DataFrame = {
     // group-by-shingle-then-emit-pairs, not a self-join: ONE exchange
     // on the shingle's 64-bit hash (8-byte shuffle keys; collisions at
     // 2^-64 are noise next to the 0.8 threshold) collects each
@@ -118,11 +131,32 @@ object TextOps {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"),
            max(col("a.sz")).as("sa"), max(col("b.sz")).as("sb"))
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("sa") + col("sb") - col("shared")))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
+  }
+
+  // d29: shingle CONTAINMENT — the asymmetric decision Jaccard can't
+  // make: a short document wholly quoted inside a long one has tiny
+  // Jaccard (union is dominated by the long doc) but containment
+  // |A∩B|/|A| ≈ 1 — exactly the boilerplate/quotation/subset-dup
+  // case a corpus dedup must catch (Broder's containment sketch
+  // motivation). Same one-exchange candidate machinery as d2 (the
+  // dfCap bounds hold unchanged); each undirected pair emits up to
+  // two DIRECTED rows (contained -> container). Since
+  // containment >= jaccard always (|A| <= |union|), d29 at tau
+  // subsumes d2's pair set at the same tau — spec-proven.
+  def d29Containment(s: SparkSession, d: String,
+                     tau: Double = 0.8): DataFrame = {
+    val p = sharedShinglePairs(s, d, dfCap = 1000L)
+    val ab = p.select(col("doc_a").as("contained"),
+        col("doc_b").as("container"), col("shared"),
+        col("sa").as("sz_contained"),
+        (col("shared").cast("double") / col("sa")).as("containment"))
+    val ba = p.select(col("doc_b").as("contained"),
+        col("doc_a").as("container"), col("shared"),
+        col("sb").as("sz_contained"),
+        (col("shared").cast("double") / col("sb")).as("containment"))
+    ab.unionByName(ba)
+      .filter(col("containment") >= tau)
+      .orderBy("contained", "container")
   }
 
   // d3: per-doc quality stats (token count, stopword ratio, score).
@@ -492,6 +526,74 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // d28: INCREMENTAL dedup — the shape a growing corpus actually
+  // runs: dedup today's batch against itself AND against the already-
+  // deduped base WITHOUT re-touching the base corpus-wide (d1 re-run
+  // on base+batch re-shuffles 100 TB to admit a few GB). Within-batch
+  // uses d1's machinery (hash groups + text-resolve only inside
+  // multi-member hash groups — no text-keyed exchange ever,
+  // PlanInvariants' rule). Cross-batch probes the base's HASH index:
+  // the first join is (h)-keyed 16-byte rows; base TEXT is fetched
+  // via a semi join ONLY for the (rare) hash-hit groups and compared
+  // exactly, so a 2^-64 collision can't false-drop a genuinely new
+  // document and base bytes never move at scale. At 100 TB the base
+  // side is a persisted (h)-bucketed index artifact (one column),
+  // making the whole pass O(batch).
+  def d28IncrementalDedup(newDocs: DataFrame, baseDocs: DataFrame): DataFrame = {
+    val nw = newDocs.withColumn("h", xxhash64(col("text")))
+    val base = baseDocs.withColumn("h", xxhash64(col("text")))
+    // within-batch survivors (d1's collision-exact path on the batch)
+    val groups = nw.select(col("h"), col("doc_id")).groupBy("h")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    val multiH = groups.filter(col("n_copies") > 1).select("h")
+    val single = groups.join(multiH, Seq("h"), "left_anti")
+      .select("h", "keep_id", "n_copies")
+    val grpW = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy("text")
+    val collided = nw.join(multiH, Seq("h"), "left_semi")
+      .select(col("h"), col("text"), col("doc_id"))
+      .withColumn("grp", dense_rank().over(grpW))
+      .groupBy("h", "grp")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("h", "keep_id", "n_copies")
+    val survivors = single.unionByName(collided)
+    // cross-batch: text moves ONLY for hash-hit groups, and the
+    // text-equality confirm runs INSIDE the h partition (dense_rank
+    // over text, d1's resolve pattern) — a text===text join predicate
+    // would become a text-keyed shuffle (Catalyst lifts the equality
+    // into the join keys; PlanInvariants rejects exactly that)
+    val baseHits = base
+      .join(nw.select("h").distinct(), Seq("h"), "left_semi")
+      .select(col("h"), col("text"), lit(-1L).as("doc_id"), lit(1).as("side"))
+    val nwHits = nw
+      .join(baseHits.select("h").distinct(), Seq("h"), "left_semi")
+      .select(col("h"), col("text"), col("doc_id"), lit(0).as("side"))
+    val textGrp = dense_rank().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("h").orderBy("text"))
+    // HashPartitioning(h) satisfies the (h, grp) window requirement —
+    // one exchange serves both windows
+    val baseFlag = max(col("side")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("h", "grp"))
+    val dropCross = nwHits.unionByName(baseHits)
+      .withColumn("grp", textGrp)
+      .withColumn("has_base", baseFlag)
+      .filter(col("side") === 0 && col("has_base") === 1)
+      .select(col("doc_id").as("keep_id")).distinct()
+    survivors.join(dropCross, Seq("keep_id"), "left_anti")
+      .select(col("keep_id").as("doc_id"), col("n_copies"))
+      .orderBy("doc_id")
+  }
+
+  /** The oracled instance: the latest source (src19) arrives as the
+    * new batch against everything else as the deduped base.
+    */
+  def d28IncrementalDedupQ(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.documents(s, d)
+    d28IncrementalDedup(
+      all.filter(col("source") === "src19").select("doc_id", "text"),
+      all.filter(col("source") =!= "src19").select("doc_id", "text"))
+  }
+
   // d27: interpolated bigram LM scoring — d25's unigram quality proxy
   // upgraded one order: each document is scored by its adjacent token
   // PAIRS' corpus frequencies, interpolated with the successor
@@ -806,6 +908,8 @@ object TextOps {
     "d25_lm_score" -> (d25LmScore _),
     "d26_mixture_rebalance" -> (d26MixtureRebalance _),
     "d27_bigram_lm" -> (d27BigramLm _),
+    "d28_incremental_dedup" -> (d28IncrementalDedupQ _),
+    "d29_containment" -> ((s: SparkSession, d: String) => d29Containment(s, d)),
     "d9_token_count" -> (d9TokenCount _),
     "d10_vocab_topk" -> (d10VocabTopK _),
     "d11_contamination" -> (d11Contamination _),
@@ -1038,6 +1142,40 @@ object TextOps {
         |  CAST(CAST(SUM(cf.cf) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_cf
         |FROM w JOIN cf ON w.token = cf.token
         |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
+    "d29_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(0, len(w)-2),
+        |      i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), x -> x != '') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3),
+        |s AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS sz FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared,
+        |    MAX(a.sz) AS sa, MAX(b.sz) AS sb
+        |  FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dir AS (
+        |  SELECT doc_a AS contained, doc_b AS container,
+        |    CAST(shared AS BIGINT) AS shared, CAST(sa AS BIGINT)
+        |      AS sz_contained,
+        |    CAST(shared AS DOUBLE) / sa AS containment FROM p
+        |  UNION ALL
+        |  SELECT doc_b, doc_a, CAST(shared AS BIGINT), CAST(sb AS BIGINT),
+        |    CAST(shared AS DOUBLE) / sb FROM p)
+        |SELECT contained, container, shared, sz_contained, containment
+        |FROM dir WHERE containment >= 0.8
+        |ORDER BY contained, container""".stripMargin,
+    "d28_incremental_dedup" ->
+      """WITH nw AS (SELECT doc_id, text FROM documents WHERE source = 'src19'),
+        |base AS (SELECT text FROM documents WHERE source <> 'src19'),
+        |grp AS (SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |        FROM nw GROUP BY text)
+        |SELECT g.doc_id, g.n_copies FROM grp g
+        |WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.text = g.text)
+        |ORDER BY doc_id""".stripMargin,
     "d27_bigram_lm" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS l

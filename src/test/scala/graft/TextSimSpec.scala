@@ -613,6 +613,50 @@ class TextSimSpec extends SparkSpec {
     assert(recall >= 0.4, f"e9 recall vs brute force $recall%.2f < 0.4")
   }
 
+  test("d28 incremental dedup drops base-known and batch-dup texts only") {
+    import spark.implicits._
+    val nw = Seq((10L, "x"), (11L, "z"), (12L, "z"), (13L, "w"), (14L, "x"))
+      .toDF("doc_id", "text")
+    val base = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val got = TextOps.d28IncrementalDedup(nw, base).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    // "x" is known to the base (both copies drop, keeper included);
+    // "z" dedups within the batch to its min id; "w" is genuinely new
+    assert(got == Map(11L -> 2L, 13L -> 1L))
+    // empty base: pure within-batch dedup
+    val noBase = TextOps.d28IncrementalDedup(nw,
+        Seq.empty[(Long, String)].toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(noBase == Map(10L -> 2L, 11L -> 2L, 13L -> 1L))
+  }
+
+  test("d29 containment subsumes d2 and catches the asymmetric case") {
+    // subsumption: containment >= jaccard, so every d2 pair appears
+    // in d29 (both directions) at the same tau
+    val d2 = TextOps.d2NgramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val d29 = TextOps.d29Containment(spark, sf).collect()
+      .map(r => (r.getAs[Long]("contained"), r.getAs[Long]("container"))).toSet
+    d2.foreach { case (a, b) =>
+      assert(d29.contains((a, b)) && d29.contains((b, a)),
+        s"d2 pair ($a,$b) missing from containment set")
+    }
+    // the case Jaccard cannot catch: a short doc wholly inside a long
+    // one (jaccard 3/9 = 0.33, containment 1.0)
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("d29spec").toString
+    Seq((1L, "a b c d e", "en", "s", 9L),
+        (2L, "a b c d e f g h i j k", "en", "s", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val syn = TextOps.d29Containment(spark, tmp).collect()
+    assert(syn.map(r => (r.getAs[Long]("contained"),
+      r.getAs[Long]("container"), r.getAs[Double]("containment"))).toSeq ==
+      Seq((1L, 2L, 1.0)), "asymmetric containment not detected")
+    assert(TextOps.d2NgramJaccard(spark, tmp).collect().isEmpty,
+      "jaccard unexpectedly caught the subset pair — test premise broken")
+  }
+
   test("d27 interpolated bigram scores match an in-memory model") {
     val toks = Tables.documents(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
