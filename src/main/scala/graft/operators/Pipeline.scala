@@ -103,10 +103,30 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  // p4: the INCREMENTAL corpus pass — what p1 looks like once the
+  // corpus already exists and only a new batch arrives: d28's
+  // incremental dedup admits genuinely-new texts (O(batch): the base
+  // is probed through its hash index, never re-shuffled), then the
+  // quality gate and fingerprint run map-only on the admitted
+  // survivors. The semi join back to the batch is doc_id-keyed
+  // (16-byte rows; the survivor id set is ≤ the batch). This is the
+  // daily-crawl shape: p1 is the one-time backfill, p4 is every day
+  // after.
+  def p4IncrementalCorpus(s: SparkSession, d: String): DataFrame = {
+    val nw = Tables.documents(s, d).filter(col("source") === "src19")
+    val surv = TextOps.d28IncrementalDedupQ(s, d).select("doc_id")
+    annotate(nw.join(surv, Seq("doc_id"), "left_semi"))
+      .filter(col("quality") >= 2)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"),
+              GraftFunctions.rolling_hash(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_clean_corpus" -> (p1CleanCorpus _),
     "p2_pretrain_corpus" -> (p2PretrainCorpus _),
     "p3_neardup_corpus" -> (p3NeardupCorpus _),
+    "p4_incremental_corpus" -> (p4IncrementalCorpus _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -155,6 +175,36 @@ object Pipeline {
         |FROM scored
         |WHERE n_en >= 2 AND quality >= 2 AND bpe_tokens BETWEEN 20 AND 90
         |ORDER BY doc_id""".stripMargin,
+    "p4_incremental_corpus" ->
+      """WITH nw AS (
+        |  SELECT * FROM documents WHERE source = 'src19'),
+        |surv AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM nw
+        |  WHERE text NOT IN (SELECT text FROM documents WHERE source <> 'src19')
+        |  GROUP BY text),
+        |ann AS (
+        |  SELECT n.doc_id, n.lang, n.text, n.n_chars,
+        |    CAST(len(list_filter(string_split(n.text, ' '), x -> x != ''))
+        |         AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(list_filter(string_split(n.text, ' '),
+        |           x -> x != ''), x -> x IN ('the', 'a', 'data', 'row')))
+        |         AS BIGINT) AS n_stop
+        |  FROM nw n JOIN surv USING (doc_id)),
+        |scored AS (
+        |  SELECT doc_id, lang, text, n_tokens,
+        |    CAST((CASE WHEN n_tokens BETWEEN 12 AND 80 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens < 0.3
+        |               THEN 1 ELSE 0 END) +
+        |         (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS quality
+        |  FROM ann)
+        |SELECT doc_id, lang, n_tokens, quality,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |                     i -> CAST(unicode(text[i]) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
+        |FROM scored WHERE quality >= 2 ORDER BY doc_id""".stripMargin,
     "p1_clean_corpus" ->
       """WITH kept AS (
         |  SELECT * FROM (
