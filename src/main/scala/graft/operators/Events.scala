@@ -179,6 +179,47 @@ object Events {
       .orderBy("seed", "linked")
   }
 
+  // q59: ordered sequence-pattern matching (MATCH_RECOGNIZE-lite) —
+  // per user, purchases preceded by a STRICTLY-ORDERED view → click →
+  // purchase chain inside a 48-hour window (the funnel q24 can't
+  // express: q24 only compares min timestamps, any order). The SQL
+  // statement of this pattern is a correlated EXISTS over clicks ×
+  // views per purchase — O(purchases · clicks · views) per user; here
+  // it is ONE user-keyed exchange and two running-state window passes:
+  // (1) at each CLICK, the latest strictly-earlier view (RANGE frame
+  // to -1 µs makes "strictly" exact under timestamp ties);
+  // (2) at each PURCHASE, the latest strictly-earlier click carries
+  // that view timestamp along in a struct. Taking the LATEST click is
+  // WLOG: if any (view v, click c) pair satisfies v < c < P with
+  // P − v ≤ W, then (its v, the last click c*) does too (v < c ≤ c*),
+  // so checking c*'s latest-strict-view ≥ P − W decides existence
+  // exactly. O(1) state per row, output bounded by users — the shape
+  // that survives a 100 TB event log, vs the oracle's EXISTS which is
+  // only tractable because per-user event counts are small.
+  def q59SeqPattern(s: SparkSession, d: String,
+                    windowUs: Long = 172800000000L): DataFrame = {
+    // long µs key (not ev()'s timestamp ts_us): the strict-past RANGE
+    // frame and the window-length arithmetic both need a numeric key
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
+      expr("ts div 1000").as("ts_us"))
+    val strictPast = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val chained = e
+      .withColumn("lv", last(
+        when(col("event_type") === "view", col("ts_us")), ignoreNulls = true)
+        .over(strictPast))
+      .withColumn("ci", when(col("event_type") === "click",
+        struct(col("ts_us").as("cts"), col("lv").as("vts"))))
+      .withColumn("lc", last(col("ci"), ignoreNulls = true).over(strictPast))
+    chained.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("lc").isNotNull && col("lc.vts").isNotNull &&
+          col("ts_us") - col("lc.vts") <= windowUs, 1L).otherwise(0L))
+          .as("n_attributed"))
+      .orderBy("user_id")
+  }
+
   /** g12: hop-bounded weighted shortest paths (multi-source
     * Bellman-Ford) — the reference's graph DB answers "cheapest route
     * within k connections" over the object graph (`GetLinkedObjects`
@@ -469,6 +510,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_asof_join" -> (q26AsofJoin _),
+    "q59_seq_pattern" -> ((s: SparkSession, d: String) => q59SeqPattern(s, d)),
     "q52_cumulative_distinct" -> (q52CumulativeDistinct _),
     "q53_time_range_window" -> (q53TimeRangeWindow _),
     "q54_build_json" -> (q54BuildJson _),
@@ -585,6 +627,23 @@ object Events {
         |  FROM edges e JOIN deg d ON d.src = e.src JOIN r2 r ON r.node = e.src
         |  GROUP BY e.dst)
         |SELECT node, rank AS pagerank FROM r3 ORDER BY node""".stripMargin,
+    // the oracle states the pattern declaratively (correlated EXISTS
+    // over clicks × views per purchase — tractable only because
+    // per-user event counts are small); the Spark side must reproduce
+    // it through the two running-state window passes
+    "q59_seq_pattern" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events)
+        |SELECT p.user_id, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CASE WHEN EXISTS (
+        |    SELECT 1 FROM e c, e v
+        |    WHERE c.user_id = p.user_id AND v.user_id = p.user_id
+        |      AND c.event_type = 'click' AND v.event_type = 'view'
+        |      AND v.ts_us < c.ts_us AND c.ts_us < p.ts_us
+        |      AND p.ts_us - v.ts_us <= 172800000000
+        |  ) THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
+        |FROM e p WHERE p.event_type = 'purchase'
+        |GROUP BY p.user_id ORDER BY user_id""".stripMargin,
     "q26_asof_join" ->
       """WITH c AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS click_id

@@ -77,6 +77,31 @@ class EventsSpec extends SparkSpec {
     assert(reTuned == got, "bucket width changed the query's meaning")
   }
 
+  test("q59 attribution equals the naive EXISTS semantics in memory") {
+    val evs = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "ts div 1000 as ts_us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val w = 172800000000L
+    val expected = evs.map { case (u, es) =>
+      val views = es.filter(_._2 == "view").map(_._3)
+      val clicks = es.filter(_._2 == "click").map(_._3)
+      val purchases = es.filter(_._2 == "purchase").map(_._3)
+      val attributed = purchases.count(p => clicks.exists(c => c < p &&
+        views.exists(v => v < c && p - v <= w)))
+      u -> (purchases.length.toLong, attributed.toLong)
+    }.filter(_._2._1 > 0)
+    val got = Events.queries("q59_seq_pattern")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("n_attributed"))).toMap
+    assert(got == expected, "window-pass attribution diverges from EXISTS")
+    // the pattern must discriminate at test SF: some but not all
+    // purchases carry a full ordered chain
+    val (tot, att) = got.values.foldLeft((0L, 0L)) {
+      case ((t, a), (p, x)) => (t + p, a + x) }
+    assert(att > 0 && att < tot, s"degenerate attribution $att/$tot")
+  }
+
   test("g12 costs equal an in-memory Bellman-Ford and detours matter") {
     val edges = Events.g12Graph(spark, sf, maxUser = 60).collect()
       .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"), r.getAs[Long]("w")))
