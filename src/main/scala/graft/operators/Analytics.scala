@@ -193,6 +193,61 @@ object Analytics {
       .orderBy("cohort_day", "day_offset")
   }
 
+  // q60: equi-width value histogram per event type — the distribution
+  // profile behind every monitoring dashboard (and the reference's
+  // demand-report bucketing). Bucket = floor(value / 50) clamped to
+  // [0, 9]; integer bucket ids from one double division that is
+  // bit-identical in both engines. One scan, one (type, bucket)
+  // aggregate — cardinality 5 × 10 no matter the corpus size; the
+  // 100 TB histogram is this exact plan.
+  def q60Histogram(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("bucket",
+        least(floor(col("value") / 50).cast("long"), lit(9L)))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type", "bucket")
+
+  // q61: SCD2 INCREMENTAL APPLY — the operational form of q41: a
+  // change batch lands on an existing SCD2 history, closing each
+  // touched key's open row and chaining the batch's own versions,
+  // WITHOUT rebuilding any untouched history. Cost shape: the base
+  // side moves only its OPEN rows for batch keys (a custkey-keyed
+  // join where the batch key set broadcasts when batch ≪ base); the
+  // full-history window — the thing a 100 TB dimension cannot re-run
+  // per batch — exists only on the batch slice. The oracle is q41's
+  // FULL REBUILD over all orders: apply ≡ rebuild is exactly the
+  // incremental-view-maintenance guarantee, stated as a hash match.
+  def q61Scd2Apply(s: SparkSession, d: String,
+                   cutoff: String = "2001-01-01"): DataFrame = {
+    val all = Tables.orders(s, d)
+    val base = all.filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+    val batch = all.filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val baseScd = base
+      .withColumn("valid_from", col("o_orderdate").cast("date"))
+      .withColumn("valid_to", lead(col("o_orderdate").cast("date"), 1).over(w))
+    val batchScd = batch
+      .withColumn("valid_from", col("o_orderdate").cast("date"))
+      .withColumn("valid_to", lead(col("o_orderdate").cast("date"), 1).over(w))
+    // each key's FIRST batch version closes the base's open row; dates
+    // never tie across the cutoff, so the chain order is exact
+    val firstBatch = batchScd
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("valid_from").as("close_at"))
+    val closedBase = baseScd
+      .join(firstBatch, Seq("o_custkey"), "left")
+      .withColumn("valid_to",
+        when(col("valid_to").isNull && col("close_at").isNotNull,
+          col("close_at")).otherwise(col("valid_to")))
+      .drop("close_at")
+    closedBase.unionByName(batchScd)
+      .select(col("o_custkey"), col("o_orderkey"), col("valid_from"),
+              col("valid_to"), col("o_totalprice"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   // q55: explicit GROUPING SETS — the general form behind q14's ROLLUP
   // and q33's CUBE (the reference's multi-level demand report,
   // Master_data.csv, wants exactly chosen levels, not every subset).
@@ -328,6 +383,8 @@ object Analytics {
     "q56_gaps_islands" -> (q56GapsIslands _),
     "q57_dq_suite" -> (q57DqSuite _),
     "q58_incremental_agg" -> (q58IncrementalAgg _),
+    "q60_histogram" -> (q60Histogram _),
+    "q61_scd2_apply" -> ((s: SparkSession, d: String) => q61Scd2Apply(s, d)),
   )
 
   /** q38 intentionally rows-only (sketch internals differ by engine). */
@@ -393,6 +450,20 @@ object Analytics {
         |  CAST(levenshtein(p_name, 'red widget') AS BIGINT) AS dist
         |FROM part WHERE levenshtein(p_name, 'red widget') <= 4
         |ORDER BY p_partkey""".stripMargin,
+    "q60_histogram" ->
+      """SELECT event_type,
+        |  LEAST(CAST(floor("value" / 50) AS BIGINT), 9) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    // the FULL REBUILD (q41's window over all orders): the incremental
+    // apply must hash-match it — the IVM guarantee as an oracle
+    "q61_scd2_apply" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS valid_from,
+        |  LEAD(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  o_totalprice
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q55_grouping_sets" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
         |  COALESCE(o_orderpriority, 'ALL') AS priority,

@@ -75,6 +75,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("orders_fk_customer") == fk)
   }
 
+  test("q60 histogram partitions the events and clamps the top bucket") {
+    val rows = Analytics.q60Histogram(spark, sf).collect()
+    val total = graft.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total,
+      "histogram buckets do not partition the input")
+    assert(rows.forall(r => (0L to 9L).contains(r.getAs[Long]("bucket"))))
+    assert(rows.map(_.getAs[Long]("bucket")).distinct.length > 3,
+      "value range degenerate at test SF")
+  }
+
+  test("q61 incremental apply equals the full rebuild; untouched keys intact") {
+    import org.apache.spark.sql.functions._
+    val applied = Analytics.q61Scd2Apply(spark, sf).collect()
+    val rebuilt = Analytics.q41Scd2(spark, sf).collect()
+    assert(applied.sameElements(rebuilt),
+      "incremental SCD2 apply diverges from the full-history rebuild")
+    // keys with no batch rows keep their open row open
+    val batchKeys = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(batchKeys.nonEmpty && batchKeys.size < 150,
+      "cutoff degenerate: batch touches no/every key")
+    val opens = applied.filter(_.isNullAt(3)).map(_.getLong(0)).toSet
+    val untouched = applied.map(_.getLong(0)).toSet -- batchKeys
+    assert(untouched.subsetOf(opens),
+      "an untouched key lost its open row during apply")
+  }
+
   test("q58 answer is invariant to day-sliced incremental state merges") {
     import org.apache.spark.sql.functions._
     val direct = Analytics.q58IncrementalAgg(spark, sf).collect()
