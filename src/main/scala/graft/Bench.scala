@@ -37,9 +37,12 @@ object Bench {
     "e7_pq_ann",
     // round-6 additions: the bigram-LM scoring pipeline (heaviest
     // token fan-out in the text family: every adjacent pair joins two
-    // model tables) and digest-keyed blob dedup (the d1 exchange
-    // pattern with a 32-byte crypto key + window combine)
-    "d27_bigram_lm", "m5_blob_dedup")
+    // model tables), digest-keyed blob dedup (the d1 exchange pattern
+    // with a 32-byte crypto key + window combine), and the corpus
+    // k-NN graph (the one corpus×corpus-shaped candidate join in the
+    // suite — LSH-blocked, so its cost must scale as N·5N/2^bits,
+    // never N²)
+    "d27_bigram_lm", "m5_blob_dedup", "e9_knn_graph")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -74,13 +74,27 @@ object Similarity {
   /** embeddings + 4-bit random-hyperplane LSH bucket (hash-derived
     * ±1 weights — deterministic, no RNG state to distribute).
     */
-  private def bucketed(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).withColumn("bucket", expr(
-      "aggregate(transform(sequence(0, 3), k -> " +
-        "if(aggregate(sequence(0, size(embedding) - 1), cast(0.0 as double), " +
-        "   (acc, j) -> acc + cast(element_at(embedding, j + 1) as double) * " +
-        "               if((xxhash64(j, k) & 1) = 1, 1.0, -1.0)) >= 0.0, 1, 0)), " +
-        "0, (acc, b) -> acc * 2 + b)"))
+  private def bucketed(s: SparkSession, d: String, bits: Int = 4): DataFrame =
+    Tables.embeddings(s, d).withColumn("bucket", bucketExpr(bits))
+
+  /** The `bits`-hyperplane sign bucket of `embedding` — shared by the
+    * e2/d8 4-bit paths and e9's adaptive-width path; one expression so
+    * the spec can recompute buckets through the identical formula.
+    */
+  private[graft] def bucketExpr(bits: Int): org.apache.spark.sql.Column = expr(
+    s"aggregate(transform(sequence(0, ${bits - 1}), k -> " +
+      "if(aggregate(sequence(0, size(embedding) - 1), cast(0.0 as double), " +
+      "   (acc, j) -> acc + cast(element_at(embedding, j + 1) as double) * " +
+      "               if((xxhash64(j, k) & 1) = 1, 1.0, -1.0)) >= 0.0, 1, 0)), " +
+      "0, (acc, b) -> acc * 2 + b)")
+
+  /** e9's bucket width: enough hyperplane bits that the EXPECTED
+    * bucket population stays ~64 — bits grows with ln N, so per-node
+    * candidate cost ≈ (bits+1)·64 is ~constant and total work linear,
+    * instead of the N²·5/2^bits a FIXED width degrades to.
+    */
+  private[graft] def e9Bits(n: Long): Int =
+    math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 64)))
 
   // Multi-probe: each query searches its own hyperplane bucket AND
   // the four buckets one sign-flip away — the vectors most likely to
@@ -107,11 +121,13 @@ object Similarity {
   // diversity sampling all start from. Brute force is the one O(N²)
   // no blocking can excuse at 100 TB; here candidates come from e2's
   // multi-probe hyperplane buckets applied SYMMETRICALLY: each node
-  // probes its own bucket + the 4 one-flip buckets, so a pair is
+  // probes its own bucket + every one-flip bucket, so a pair is
   // considered iff the neighbor's bucket is within Hamming 1 of the
-  // node's — per-node candidate cost is 5·N/2^bits, tuned by adding
-  // hyperplane bits as N grows (the probed FRACTION shrinks while
-  // 1-flip near-miss coverage holds). The bucket equi-join is a
+  // node's — per-node candidate cost is (bits+1)·N/2^bits, and `bits`
+  // is sized FROM the corpus count so expected bucket population
+  // stays ~64: the probed fraction shrinks as N grows and total work
+  // stays linear (a fixed width would quietly degrade to N²·c —
+  // SCALE_r6 benches this at 10×). The bucket equi-join is a
   // corpus×corpus hash join keyed on the bucket id — deliberately NOT
   // broadcast — and the final top-k is the bounded TopKByScore
   // partial aggregate, so no exchange ever carries scored-pair
@@ -120,15 +136,19 @@ object Similarity {
   // floor). Rows-only: hash-derived hyperplanes aren't
   // SQL-expressible; SimilaritySpec pins exact replay + brute recall.
   def e9KnnGraph(s: SparkSession, d: String): DataFrame = {
-    val emb = bucketed(s, d)
+    // adaptive width: one metadata count sizes the bucket space so
+    // expected population stays ~64 at ANY corpus size (see e9Bits)
+    val bits = e9Bits(Tables.embeddings(s, d).count())
+    val emb = bucketed(s, d, bits)
       .withColumn("q", expr(
         "transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))"))
       .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+    val flips = (0 until bits).map(k => s"bucket ^ ${1 << k}")
     val probes = emb
       .select(col("vec_id").as("qid"), col("q").as("qq"),
         col("nrm").as("qn"), col("bucket"))
       .withColumn("bucket", explode(expr(
-        "array(bucket, bucket ^ 1, bucket ^ 2, bucket ^ 4, bucket ^ 8)")))
+        ("bucket" +: flips).mkString("array(", ", ", ")"))))
     val scored = emb.select(col("vec_id").as("nid"), col("q"),
         col("nrm"), col("bucket"))
       .join(probes, Seq("bucket"))

@@ -573,14 +573,11 @@ class TextSimSpec extends SparkSpec {
     val withB = Similarity.queries("e9_knn_graph")(spark, sf) // the real graph
     val vecs = base.selectExpr("vec_id", "q").collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1).toArray).toMap
-    // buckets recomputed through the SAME production expression
-    val buckets = Tables.embeddings(spark, sf).withColumn("bucket",
-        org.apache.spark.sql.functions.expr(
-          "aggregate(transform(sequence(0, 3), k -> " +
-            "if(aggregate(sequence(0, size(embedding) - 1), cast(0.0 as double), " +
-            "   (acc, j) -> acc + cast(element_at(embedding, j + 1) as double) * " +
-            "               if((xxhash64(j, k) & 1) = 1, 1.0, -1.0)) >= 0.0, 1, 0)), " +
-            "0, (acc, b) -> acc * 2 + b)"))
+    // buckets recomputed through the SAME production expression at
+    // the SAME adaptive width the operator derives from the count
+    val bits = Similarity.e9Bits(Tables.embeddings(spark, sf).count())
+    val buckets = Tables.embeddings(spark, sf)
+      .withColumn("bucket", Similarity.bucketExpr(bits))
       .selectExpr("vec_id", "bucket").collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("bucket")).toMap
     def cos(a: Array[Long], b: Array[Long]): Double = {
@@ -590,8 +587,8 @@ class TextSimSpec extends SparkSpec {
       dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
     }
     val expected = vecs.keys.toSeq.flatMap { qid =>
-      val pb = Set(buckets(qid), buckets(qid) ^ 1, buckets(qid) ^ 2,
-        buckets(qid) ^ 4, buckets(qid) ^ 8)
+      val pb = (0 until bits).map(k => buckets(qid) ^ (1 << k)).toSet +
+        buckets(qid)
       val cand = vecs.keys.filter(n => n != qid && pb.contains(buckets(n)))
       cand.map(n => (n, cos(vecs(qid), vecs(n)))).toSeq
         .sortBy { case (n, c) => (-c, n) }.take(3).zipWithIndex
