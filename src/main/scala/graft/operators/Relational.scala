@@ -492,7 +492,52 @@ object Relational {
       .orderBy("tbl")
   }
 
+  // q62: INTERSECT / EXCEPT set semantics — the remaining ANSI set
+  // operators after q18's UNION ALL (and the SQL a registry user
+  // writes for "users in both cohorts" / "clicked but never bought").
+  // Both carry SET semantics (duplicate elimination on the full row),
+  // which Catalyst plans as aggregate + left-semi/anti join — the
+  // same hash-keyed machinery as q4/q5, never a nested loop; included
+  // to pin exactly that: set ops at 100 TB are distinct + semi/anti
+  // on the row hash, one keyed exchange per side.
+  // Granularity note: at USER level every cohort collapses (the
+  // synthetic users emit every event type), so the sets compare
+  // (user, day) activity — click-days with vs without a same-day
+  // purchase — which genuinely differ.
+  def q62IntersectExcept(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    def userDays(t: String) =
+      e.filter(col("event_type") === t)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    val both = userDays("click").intersect(userDays("purchase"))
+      .select(lit("click_and_purchase").as("cohort"), col("user_id"), col("day"))
+    val only = userDays("click").except(userDays("purchase"))
+      .select(lit("click_no_purchase").as("cohort"), col("user_id"), col("day"))
+    both.unionByName(only).orderBy("cohort", "user_id", "day")
+  }
+
+  // q63: scalar aggregate subquery — `WHERE price > (SELECT AVG …)`,
+  // the reference's threshold-against-a-global-stat report shape. The
+  // one-row aggregate broadcasts (a cross join against a single row is
+  // a map-side comparison, not a join at all at runtime); the exact
+  // DECIMAL average keeps the threshold bit-identical across engines.
+  // At 100 TB: the aggregate is one partial-combine pass, the filter
+  // a second map-only pass — never a self-join.
+  def q63ScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    val avgPrice = p.agg(
+      (sum(dec(col("p_retailprice"))) / count(lit(1)))
+        .cast("double").as("avg_price"))
+    p.crossJoin(broadcast(avgPrice))
+      .filter(col("p_retailprice") > col("avg_price"))
+      .select(col("p_partkey"), col("p_retailprice"), col("avg_price"),
+        (col("p_retailprice") - col("avg_price")).as("above_by"))
+      .orderBy("p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_intersect_except" -> (q62IntersectExcept _),
+    "q63_scalar_subquery" -> (q63ScalarSubquery _),
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
     "q3_join_agg" -> (q3JoinAgg _),
@@ -530,6 +575,25 @@ object Relational {
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q62_intersect_except" ->
+      """WITH c AS (SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT)
+        |  AS day FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT)
+        |  AS day FROM events WHERE event_type = 'purchase')
+        |SELECT 'click_and_purchase' AS cohort, user_id, day FROM (
+        |  SELECT * FROM c INTERSECT SELECT * FROM p)
+        |UNION ALL
+        |SELECT 'click_no_purchase', user_id, day FROM (
+        |  SELECT * FROM c EXCEPT SELECT * FROM p)
+        |ORDER BY cohort, user_id, day""".stripMargin,
+    "q63_scalar_subquery" ->
+      """WITH a AS (
+        |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*) AS avg_price FROM part)
+        |SELECT p_partkey, p_retailprice, a.avg_price,
+        |  p_retailprice - a.avg_price AS above_by
+        |FROM part, a WHERE p_retailprice > a.avg_price
+        |ORDER BY p_partkey""".stripMargin,
     "q48_build_tag" ->
       """WITH t AS (
         |  SELECT p_partkey,

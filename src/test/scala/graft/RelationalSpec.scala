@@ -118,4 +118,36 @@ class RelationalSpec extends SparkSpec {
       assert(r.getAs[Long]("changed_at_us") >= lo)
     }
   }
+
+  test("q62 cohorts partition the click-days; set ops plan as semi/anti") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q62IntersectExcept(spark, sf).collect()
+      .map(r => (r.getAs[String]("cohort"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("day")))
+    val both = rows.filter(_._1 == "click_and_purchase").map(t => (t._2, t._3)).toSet
+    val only = rows.filter(_._1 == "click_no_purchase").map(t => (t._2, t._3)).toSet
+    assert(both.nonEmpty && only.nonEmpty, "a cohort is empty — degenerate")
+    assert((both & only).isEmpty, "INTERSECT and EXCEPT results overlap")
+    val clickDays = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .selectExpr("user_id", "ts div 86400000000000 as day").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((both ++ only) == clickDays,
+      "cohorts do not partition the distinct click-day set")
+    val plan = Relational.q62IntersectExcept(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      "set ops must plan as hash semi/anti joins")
+  }
+
+  test("q63 threshold rows equal an in-engine recomputation") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.q63ScalarSubquery(spark, sf).collect()
+    assert(got.forall(_.getAs[Double]("above_by") > 0))
+    val p = graft.Tables.part(spark, sf)
+    val avg = p.agg((sum(col("p_retailprice").cast("decimal(18,2)")) /
+      count(lit(1))).cast("double")).collect().head.getDouble(0)
+    assert(got.length == p.filter(col("p_retailprice") > avg).count().toInt)
+    assert(got.forall(_.getAs[Double]("avg_price") == avg))
+  }
 }
