@@ -448,9 +448,48 @@ object EventStream {
     (out.orderBy("event_type"), metrics.toMap)
   }
 
+  // s10: streaming ingest into Z-ORDERED segments — the write path a
+  // 100 TB event lake actually wants: each micro-batch lands as a
+  // z-ordered parquet segment via foreachBatch (ZOrderLayout — one
+  // range exchange per batch, batch-sized, never corpus-sized), so
+  // (user-bucket, day) footer stats are selective from the moment
+  // data arrives instead of after a nightly OPTIMIZE rewrite.
+  // Segments are per-batch directories — append-only, no concurrent
+  // writers, restart-safe (a replayed batch overwrites its own
+  // segment id — idempotent, the foreachBatch exactly-once recipe).
+  // The queries entry reads the landed segments back and aggregates,
+  // so the oracle checks END-TO-END content (stream → layout → read);
+  // the layout's pruning claim itself is StreamSourcesSpec's job.
+  def s10StreamZorderIngest(s: SparkSession, d: String): DataFrame =
+    s10StreamZorderIngestTo(s, d,
+      java.nio.file.Files.createTempDirectory("graft_s10").toString)
+
+  def s10StreamZorderIngestTo(s: SparkSession, d: String,
+                              segDir: String): DataFrame = {
+    val q = readEvents(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), expr("ts div 86400000000000").as("day"),
+        pmod(col("user_id"), lit(64L)).as("ubucket"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        graft.sources.ZOrderLayout.writeZOrdered(
+          batch, col("ubucket"), col("day"), s"$segDir/seg-$id", 8)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$segDir/seg-*")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s6_stream_static_join" -> (s6StreamStaticJoin _),
     "s9_stream_dq_gate" -> (s9StreamDqGate _),
+    "s10_stream_zorder_ingest" -> (s10StreamZorderIngest _),
     "s8_stream_top_types" -> ((s: SparkSession, d: String) => s8StreamTopTypes(s, d)),
     "s5_stream_stream_join" -> (s5StreamStreamJoin _),
     "s4_stream_custom_state" -> (s4StreamCustomState _),
@@ -462,6 +501,10 @@ object EventStream {
   )
 
   val oracles: Map[String, String] = Map(
+    "s10_stream_zorder_ingest" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "s9_stream_dq_gate" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -293,6 +293,27 @@ class StreamSourcesSpec extends SparkSpec {
       s"no partition filter in:\n$plan")
   }
 
+  test("s10 streamed z-ordered segments prune and preserve content") {
+    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
+    val dir = java.nio.file.Files.createTempDirectory("s10spec").toString
+    val agg = graft.streaming.EventStream
+      .s10StreamZorderIngestTo(spark, sf, dir).collect()
+    // end-to-end content: every event landed exactly once
+    val total = Tables.events(spark, sf).count()
+    assert(agg.map(_.getAs[Long]("n_events")).sum == total)
+    // the streamed layout prunes: a day slice must not touch every
+    // file of the segment set (the property a plain append sink lacks)
+    val back = spark.read.parquet(s"$dir/seg-*")
+    val ranges = back.groupBy(input_file_name())
+      .agg(fmin("day").as("dlo"), fmax("day").as("dhi"))
+      .collect().map(r => (r.getAs[Long]("dlo"), r.getAs[Long]("dhi")))
+    assert(ranges.length >= 4, s"expected several segment files, got ${ranges.length}")
+    val dayLo = ranges.map(_._1).min
+    val touched = ranges.count { case (lo, hi) => hi >= dayLo + 2 && lo <= dayLo + 5 }
+    assert(touched < ranges.length,
+      s"day slice touched all ${ranges.length} files — layout not selective")
+  }
+
   test("s9 observed DQ counters conserve rows against the gated result") {
     val (result, metrics) =
       graft.streaming.EventStream.s9StreamDqGateWithMetrics(spark, sf)
