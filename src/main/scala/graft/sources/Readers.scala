@@ -92,6 +92,17 @@ object Readers {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Schema-evolution read: a lake directory whose older files lack
+    * columns added later reads as the UNION schema, old rows null for
+    * new columns (the additive-evolution contract — the only kind a
+    * 100 TB lake can afford, since a rename/retype means rewriting
+    * every historical file). `mergeSchema` is per-read here, not the
+    * session default: footer-merging lists every file's schema, a
+    * planning cost to pay only where evolution actually happened.
+    */
+  def parquetEvolved(s: SparkSession, path: String): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(path)
+
   /** Bucketed managed table: rows are hash-bucketed (and sorted) on
     * the join key at write time, so two tables bucketed the same way
     * join with NO shuffle — the pre-partitioning strategy for the

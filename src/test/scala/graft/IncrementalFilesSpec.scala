@@ -38,4 +38,22 @@ class IncrementalFilesSpec extends SparkSpec {
     assert(IncrementalFiles.processed(spark, mf).size == 3)
     assert(spark.read.parquet(in).count() == 15)
   }
+
+  test("schema-evolution read unions additive schemas, nulls old rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 9.5), (4L, "d", 7.0)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dir)
+    val merged = graft.sources.Readers.parquetEvolved(spark, dir)
+    assert(merged.columns.sorted.sameElements(Array("id", "name", "score")))
+    val rows = merged.collect()
+      .map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex("score"))) None
+         else Some(r.getAs[Double]("score")))).toMap
+    assert(rows == Map(1L -> None, 2L -> None,
+      3L -> Some(9.5), 4L -> Some(7.0)),
+      "old rows must read as null for the evolved column")
+  }
 }
