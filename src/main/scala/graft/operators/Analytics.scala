@@ -193,6 +193,42 @@ object Analytics {
       .orderBy("cohort_day", "day_offset")
   }
 
+  // q64: calendar gap-fill / resampling — sparse facts (per-nation
+  // daily revenue: most nation-days have NO orders) densified onto a
+  // GENERATED calendar spine, with both standard fills: zero-fill for
+  // additive measures and carry-forward (LOCF) of the last observed
+  // value — the time-series-resampling step every dashboard and
+  // feature pipeline runs before windowing. The spine is arithmetic
+  // (sequence() exploded from a one-row bounds aggregate crossed with
+  // the 25-row dim) — no calendar table is scanned or shipped; the
+  // left join keys on (nation, day) so the exchange is bounded by
+  // dims × days, never by facts; LOCF is one per-nation window over
+  // calendar-length partitions. At 100 TB only the daily fact
+  // aggregate touches data scale.
+  def q64GapFill(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev"))
+    val spine = daily.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("day"))
+      .crossJoin(Tables.nation(s, d).select("n_name").distinct())
+    val w = Window.partitionBy("n_name").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("n_name", "day"), "left")
+      .withColumn("revenue", coalesce(col("rev").cast("double"), lit(0.0)))
+      .withColumn("last_seen_revenue",
+        last(col("rev").cast("double"), ignoreNulls = true).over(w))
+      .select(col("n_name"), col("day"), col("revenue"),
+        col("last_seen_revenue"))
+      .orderBy("n_name", "day")
+  }
+
   // q60: equi-width value histogram per event type — the distribution
   // profile behind every monitoring dashboard (and the reference's
   // demand-report bucketing). Bucket = floor(value / 50) clamped to
@@ -385,6 +421,7 @@ object Analytics {
     "q58_incremental_agg" -> (q58IncrementalAgg _),
     "q60_histogram" -> (q60Histogram _),
     "q61_scd2_apply" -> ((s: SparkSession, d: String) => q61Scd2Apply(s, d)),
+    "q64_gap_fill" -> (q64GapFill _),
   )
 
   /** q38 intentionally rows-only (sketch internals differ by engine). */
@@ -450,6 +487,27 @@ object Analytics {
         |  CAST(levenshtein(p_name, 'red widget') AS BIGINT) AS dist
         |FROM part WHERE levenshtein(p_name, 'red widget') <= 4
         |ORDER BY p_partkey""".stripMargin,
+    "q64_gap_fill" ->
+      """WITH f AS (
+        |  SELECT n_name,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM f),
+        |spine AS (
+        |  SELECT n.n_name, unnest(generate_series(b.lo, b.hi)) AS day
+        |  FROM (SELECT DISTINCT n_name FROM nation) n CROSS JOIN b)
+        |SELECT s.n_name, s.day,
+        |  COALESCE(CAST(f.rev AS DOUBLE), 0.0) AS revenue,
+        |  LAST_VALUE(CAST(f.rev AS DOUBLE) IGNORE NULLS) OVER (
+        |    PARTITION BY s.n_name ORDER BY s.day
+        |    ROWS UNBOUNDED PRECEDING) AS last_seen_revenue
+        |FROM spine s LEFT JOIN f ON s.n_name = f.n_name AND s.day = f.day
+        |ORDER BY s.n_name, s.day""".stripMargin,
     "q60_histogram" ->
       """SELECT event_type,
         |  LEAST(CAST(floor("value" / 50) AS BIGINT), 9) AS bucket,

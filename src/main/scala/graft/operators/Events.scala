@@ -220,6 +220,42 @@ object Events {
       .orderBy("user_id")
   }
 
+  // g13: k-core peeling (fixed rounds) — "the parts that co-sell with
+  // at least k other REPEAT co-sellers, excluding hangers-on": nodes
+  // of degree < k are peeled, degrees recomputed, ROUNDS times — the
+  // dense-subgraph extraction step (community cores, spam filtering)
+  // next to g10's triangles. The graph is the support-≥2 co-purchase
+  // graph (pairs co-occurring in ≥ 2 orders — the market-basket
+  // support cut that also bounds edge count; the raw co-purchase
+  // graph is near-complete and nothing would peel). Fixed ROUNDS make
+  // the semantics a contract the oracle states by unrolling (like
+  // g12's hop bound); the full k-core is the same loop run to
+  // fixpoint with g1's localCheckpoint hygiene. Per round: one degree
+  // aggregate + two semi joins, all keyed on 8-byte part ids.
+  def g13KcorePeel(s: SparkSession, d: String, k: Int = 3,
+                   rounds: Int = 3): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
+        "l_orderkey")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+    var sym = e.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(e.select(col("b").as("x"), col("a").as("y")))
+      .cache()
+    (1 to rounds).foreach { _ =>
+      val keep = sym.groupBy("x").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("x")
+      sym = sym.join(keep, Seq("x"), "left_semi")
+        .join(keep.withColumnRenamed("x", "y"), Seq("y"), "left_semi")
+    }
+    sym.groupBy(col("x").as("p_partkey"))
+      .agg(count(lit(1)).as("core_deg"))
+      .orderBy("p_partkey")
+  }
+
   /** g12: hop-bounded weighted shortest paths (multi-source
     * Bellman-Ford) — the reference's graph DB answers "cheapest route
     * within k connections" over the object graph (`GetLinkedObjects`
@@ -533,6 +569,7 @@ object Events {
       val m = membership(s, d).filter(col("user_id") < 200)
       g6LinkedObjects(m, m.select("user_id").distinct().filter(col("user_id") < 20))
     }),
+    "g13_kcore_peel" -> ((s: SparkSession, d: String) => g13KcorePeel(s, d)),
     "g12_sssp" -> ((s: SparkSession, d: String) => {
       val edges = g12Graph(s, d, maxUser = 60)
       g12Sssp(edges,
@@ -708,6 +745,29 @@ object Events {
         |  SELECT seed, linked, CAST(2 AS BIGINT) AS hops FROM h2) t
         |WHERE seed <> linked
         |GROUP BY seed, linked ORDER BY seed, linked""".stripMargin,
+    // the oracle unrolls the three peel rounds as CTE stages — the
+    // fixed-rounds contract stated declaratively
+    "g13_kcore_peel" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS sup
+        |  FROM items a JOIN items b
+        |    ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT a, b FROM e0 WHERE sup >= 2),
+        |s0 AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+        |k1 AS (SELECT x FROM s0 GROUP BY x HAVING COUNT(*) >= 3),
+        |s1 AS (SELECT s0.x, s0.y FROM s0
+        |       JOIN k1 ka ON s0.x = ka.x JOIN k1 kb ON s0.y = kb.x),
+        |k2 AS (SELECT x FROM s1 GROUP BY x HAVING COUNT(*) >= 3),
+        |s2 AS (SELECT s1.x, s1.y FROM s1
+        |       JOIN k2 ka ON s1.x = ka.x JOIN k2 kb ON s1.y = kb.x),
+        |k3 AS (SELECT x FROM s2 GROUP BY x HAVING COUNT(*) >= 3),
+        |s3 AS (SELECT s2.x, s2.y FROM s2
+        |       JOIN k3 ka ON s2.x = ka.x JOIN k3 kb ON s2.y = kb.x)
+        |SELECT x AS p_partkey, COUNT(*) AS core_deg
+        |FROM s3 GROUP BY x ORDER BY p_partkey""".stripMargin,
     // the oracle STATES the semantics — min cost over all paths of
     // <= 3 edges — by enumerating paths recursively; tractable only
     // because the subgraph is small (the Spark side never enumerates

@@ -103,6 +103,29 @@ class AnalyticsSpec extends SparkSpec {
       "an untouched key lost its open row during apply")
   }
 
+  test("q64 spine is dense and the two fills behave on real gaps") {
+    val rows = Analytics.q64GapFill(spark, sf).collect()
+    val byNation = rows.groupBy(_.getAs[String]("n_name"))
+    assert(byNation.size == 25, "spine must cover every dimension row")
+    val span = rows.map(_.getAs[Long]("day"))
+    val len = span.max - span.min + 1
+    byNation.foreach { case (n, rs) =>
+      assert(rs.length.toLong == len, s"$n spine not dense")
+      val days = rs.map(_.getAs[Long]("day")).sorted
+      assert(days.zip(days.tail).forall { case (a, b) => b == a + 1 },
+        s"$n has a calendar hole")
+    }
+    // a genuine gap day: zero-filled measure but a carried-forward
+    // last observation — the two fills must disagree there
+    assert(rows.exists { r =>
+      r.getAs[Double]("revenue") == 0.0 && !r.isNullAt(3) &&
+        r.getAs[Double]("last_seen_revenue") > 0.0
+    }, "no gap day observed — fills untested")
+    // before a nation's first observation LOCF is null, zero-fill 0
+    assert(rows.exists(r => r.isNullAt(3) && r.getAs[Double]("revenue") == 0.0),
+      "no leading-null LOCF rows — boundary untested")
+  }
+
   test("q58 answer is invariant to day-sliced incremental state merges") {
     import org.apache.spark.sql.functions._
     val direct = Analytics.q58IncrementalAgg(spark, sf).collect()

@@ -129,6 +129,47 @@ class EventsSpec extends SparkSpec {
       "no multi-hop path ever beat a direct edge — weights degenerate")
   }
 
+  test("g13 peel rounds match an in-memory replay and actually peel") {
+    // support>=2 co-purchase edges, replayed eagerly (a lazy view
+    // here silently miscounts pair multiplicities)
+    val items = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = items.groupBy(_._1).values.toList.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      (for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))).toList
+    }
+    // filter(...).keySet, NOT collect{case (e, _) => e}: a collect
+    // producing tuples from a Map REBUILDS a Map, silently collapsing
+    // edges that share a left endpoint
+    val sup = pairs.groupBy(identity).filter(_._2.size >= 2).keySet
+    def replay(k: Int): (Map[Long, Long], List[Int]) = {
+      var sym = sup.toList.flatMap { case (a, b) => List((a, b), (b, a)) }
+      var removed = List.empty[Int]
+      (1 to 3).foreach { _ =>
+        val deg = sym.groupBy(_._1).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        removed :+= (deg.size - keep.size)
+        sym = sym.filter { case (x, y) => keep(x) && keep(y) }
+      }
+      (sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap, removed)
+    }
+    // the oracled instance (k=3): exact match — degenerate at
+    // sf0.001 (min support-degree > 3, nothing peels), still exact
+    val got3 = Events.queries("g13_kcore_peel")(spark, sf).collect()
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Long]("core_deg")).toMap
+    assert(got3 == replay(3)._1, "k=3 peel diverges from replay")
+    // a k inside the degree distribution so the peel does real work
+    // (sf0.001 support-degrees run ~5..51; 24 removes ~half round 1)
+    val gotK = Events.g13KcorePeel(spark, sf, k = 24).collect()
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Long]("core_deg")).toMap
+    val (expK, removedK) = replay(24)
+    assert(gotK == expK, "k=24 peel diverges from replay")
+    assert(removedK.head > 0, s"k=24 removed nothing: $removedK")
+    assert(gotK.size < got3.size, "higher k must peel strictly more")
+  }
+
   test("g10 per-node counts equal an in-memory brute triangle count") {
     val got = Events.g10TriangleCount(spark, sf).collect()
       .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Long]("n_triangles"))
