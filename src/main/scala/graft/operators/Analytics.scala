@@ -215,9 +215,13 @@ object Analytics {
         datediff(col("o_orderdate").cast("date"),
           lit("1970-01-01").cast("date")).cast("long").as("day"))
       .agg(sum(dec(col("o_totalprice"))).as("rev"))
-    val spine = daily.agg(min("day").as("lo"), max("day").as("hi"))
-      .select(explode(expr("sequence(lo, hi)")).as("day"))
-      .crossJoin(Tables.nation(s, d).select("n_name").distinct())
+    // hinted broadcast of the 1-row bounds (q63's pattern — an
+    // unhinted cross join is PlanInvariants' cartesian ban), exploded
+    // AFTER the join so the spine is dims × days
+    val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"))
+    val spine = Tables.nation(s, d).select("n_name").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("n_name"), explode(expr("sequence(lo, hi)")).as("day"))
     val w = Window.partitionBy("n_name").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(daily, Seq("n_name", "day"), "left")
