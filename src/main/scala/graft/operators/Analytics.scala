@@ -236,14 +236,16 @@ object Analytics {
   // q60: equi-width value histogram per event type — the distribution
   // profile behind every monitoring dashboard (and the reference's
   // demand-report bucketing). Bucket = floor(value / 50) clamped to
-  // [0, 9]; integer bucket ids from one double division that is
-  // bit-identical in both engines. One scan, one (type, bucket)
+  // [0, 9] on BOTH ends (greatest guards negative values, least the
+  // overflow bucket); integer bucket ids from one double division that
+  // is bit-identical in both engines. One scan, one (type, bucket)
   // aggregate — cardinality 5 × 10 no matter the corpus size; the
   // 100 TB histogram is this exact plan.
   def q60Histogram(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .withColumn("bucket",
-        least(floor(col("value") / 50).cast("long"), lit(9L)))
+        greatest(least(floor(col("value") / 50).cast("long"), lit(9L)),
+          lit(0L)))
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy("event_type", "bucket")
@@ -514,7 +516,7 @@ object Analytics {
         |ORDER BY s.n_name, s.day""".stripMargin,
     "q60_histogram" ->
       """SELECT event_type,
-        |  LEAST(CAST(floor("value" / 50) AS BIGINT), 9) AS bucket,
+        |  GREATEST(LEAST(CAST(floor("value" / 50) AS BIGINT), 9), 0) AS bucket,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,

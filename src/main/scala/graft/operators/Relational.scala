@@ -526,8 +526,8 @@ object Relational {
   def q63ScalarSubquery(s: SparkSession, d: String): DataFrame = {
     val p = Tables.part(s, d)
     val avgPrice = p.agg(
-      (sum(dec(col("p_retailprice"))) / count(lit(1)))
-        .cast("double").as("avg_price"))
+      (sum(dec(col("p_retailprice"))).cast("double") / count(lit(1)))
+        .as("avg_price"))
     p.crossJoin(broadcast(avgPrice))
       .filter(col("p_retailprice") > col("avg_price"))
       .select(col("p_partkey"), col("p_retailprice"), col("avg_price"),

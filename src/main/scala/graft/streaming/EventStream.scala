@@ -426,26 +426,47 @@ object EventStream {
            sum(col("value").cast("decimal(18,2)")).cast("double")
              .as("total_value"))
     val name = s"graft_sink_${nameSeq.incrementAndGet()}"
-    val q = gated.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    val metrics = scala.collection.mutable.Map[String, Long]()
-    try {
-      q.processAllAvailable()
-      q.recentProgress.foreach { p =>
-        val m = p.observedMetrics.get("dq")
-        if (m != null) {
-          metrics("n_rows") = metrics.getOrElse("n_rows", 0L) +
-            m.getAs[Long]("n_rows")
-          metrics("n_low_value") = metrics.getOrElse("n_low_value", 0L) +
-            m.getAs[Long]("n_low_value")
+    // Per-batch counters arrive via a StreamingQueryListener registered
+    // BEFORE start() — unlike q.recentProgress (a ring buffer of the
+    // last spark.sql.streaming.numRecentProgressUpdates entries, default
+    // 100), the listener sees EVERY micro-batch, so the conservation
+    // invariant holds for runs of any length. The listener bus is FIFO:
+    // the QueryTerminated event is posted after every progress event of
+    // the run, so awaiting it (via the latch) guarantees all progress
+    // events for this runId were already delivered.
+    val metrics = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var runId: java.util.UUID = null
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      // matched by queryName (known before start()) — matching on runId
+      // would race the main thread's assignment for a fast first batch
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == name) {
+          val m = e.progress.observedMetrics.get("dq")
+          if (m != null) {
+            metrics.merge("n_rows", m.getAs[Long]("n_rows"), _ + _)
+            metrics.merge("n_low_value", m.getAs[Long]("n_low_value"), _ + _)
+          }
         }
-      }
-    } finally q.stop()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.runId == runId) done.countDown()
+    }
+    s.streams.addListener(listener)
+    try {
+      val q = gated.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      runId = q.runId
+      try q.processAllAvailable() finally q.stop()
+      done.await(60, java.util.concurrent.TimeUnit.SECONDS)
+    } finally s.streams.removeListener(listener)
     val sink = s.table(name)
     val rows = java.util.Arrays.asList(sink.collect(): _*)
     val out = s.createDataFrame(rows, sink.schema)
     s.catalog.dropTempView(name)
-    (out.orderBy("event_type"), metrics.toMap)
+    (out.orderBy("event_type"),
+      scala.jdk.CollectionConverters.MapHasAsScala(metrics).asScala.toMap)
   }
 
   // s10: streaming ingest into Z-ORDERED segments — the write path a

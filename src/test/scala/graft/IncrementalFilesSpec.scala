@@ -37,6 +37,21 @@ class IncrementalFilesSpec extends SparkSpec {
     // the union of committed batches is exactly the corpus
     assert(IncrementalFiles.processed(spark, mf).size == 3)
     assert(spark.read.parquet(in).count() == 15)
+
+    // versioned-commit invariants: after pruning exactly ONE manifest
+    // remains, and at no point did a commit delete-before-rename (the
+    // fixed-name crash window) — simulate a crash BEFORE pruning by
+    // restoring a stale older version: newest-by-sequence must win.
+    val mfFiles = new java.io.File(mf).listFiles()
+      .map(_.getName).filter(_.startsWith("_processed_manifest-")).sorted
+    assert(mfFiles.length == 1, s"expected one pruned manifest: ${mfFiles.toSeq}")
+    val stale = new java.io.File(mf, "_processed_manifest-000000000000.tsv")
+    java.nio.file.Files.write(stale.toPath,
+      "bogus/old-file.parquet\t1\n".getBytes("UTF-8"))
+    assert(IncrementalFiles.processed(spark, mf).size == 3,
+      "newest manifest version must win over a stale leftover")
+    val (df6, _, _) = IncrementalFiles.nextBatch(spark, in, mf)
+    assert(df6.isEmpty, "stale manifest leftover must not re-present files")
   }
 
   test("schema-evolution read unions additive schemas, nulls old rows") {
