@@ -38,4 +38,30 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = p(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = p(s, d, "embeddings")
+
+  /** Exact row count of a parquet table from FILE FOOTERS — a driver-
+    * side metadata read (O(files) footer fetches, one listing), NOT a
+    * Spark job: sizing decisions made at plan-build time (e9's
+    * hyperplane width) must not cost a corpus scan before the query
+    * starts. At 100 TB the same number comes from the table catalog's
+    * stats or the ingest manifest (IncrementalFiles tracks exactly
+    * these files); and consumers like e9Bits only need log-accuracy,
+    * so a bounded sample of footers would also do — exactness here is
+    * a convenience, not a requirement.
+    */
+  def parquetRowCount(s: SparkSession, path: String): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isFile) Array(fs.getFileStatus(root))
+      else fs.listStatus(root).filter(st => st.isFile &&
+        st.getPath.getName.endsWith(".parquet"))
+    files.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 }

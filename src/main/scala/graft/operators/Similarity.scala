@@ -136,9 +136,11 @@ object Similarity {
   // floor). Rows-only: hash-derived hyperplanes aren't
   // SQL-expressible; SimilaritySpec pins exact replay + brute recall.
   def e9KnnGraph(s: SparkSession, d: String): DataFrame = {
-    // adaptive width: one metadata count sizes the bucket space so
-    // expected population stays ~64 at ANY corpus size (see e9Bits)
-    val bits = e9Bits(Tables.embeddings(s, d).count())
+    // adaptive width: a FOOTER-metadata count (no Spark job, no corpus
+    // scan — SimilaritySpec asserts zero jobs at plan-build) sizes the
+    // bucket space so expected population stays ~64 at ANY corpus
+    // size (see e9Bits)
+    val bits = e9Bits(Tables.parquetRowCount(s, s"$d/embeddings.parquet"))
     val emb = bucketed(s, d, bits)
       .withColumn("q", expr(
         "transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))"))
@@ -655,9 +657,12 @@ object Similarity {
   // addressed stores use it. keeper/n_copies come from a window over
   // the digest partition — same exchange, no second join.
   def m5BlobDedup(s: SparkSession, d: String): DataFrame = {
+    // the digest stays raw BinaryType through the exchange (32 bytes;
+    // hex-encoding it first would shuffle 64-char strings — 2× the key
+    // width on a corpus-sized exchange for presentation's sake)
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
-      StructField("sha_hex", StringType, nullable = false),
+      StructField("sha", BinaryType, nullable = false),
       StructField("n_bytes", LongType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val hashed = Tables.documents(s, d)
@@ -667,11 +672,10 @@ object Similarity {
         rows.map { r =>
           val blob = r.getAs[Array[Byte]](1)
           md.reset()
-          Row(r.getLong(0), md.digest(blob).map("%02x".format(_)).mkString,
-            blob.length.toLong)
+          Row(r.getLong(0), md.digest(blob), blob.length.toLong)
         }
       }(enc)
-    val w = Window.partitionBy("sha_hex")
+    val w = Window.partitionBy("sha")
     hashed
       .withColumn("keeper_id", min(col("doc_id")).over(w))
       .withColumn("n_copies", count(lit(1)).over(w))

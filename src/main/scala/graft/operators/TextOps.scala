@@ -602,24 +602,49 @@ object TextOps {
   // kept in exact bigint arithmetic with the ONE IEEE division last,
   // d20's bit-stability pattern). Plan: one corpus pass emits
   // positional bigrams (map-only transform+explode, no self-join);
-  // two count aggs build the bigram and unigram tables; two keyed
-  // joins score. At 100 TB the model tables are the join's build
-  // side — bounded by distinct types, not corpus size — and the
-  // bigram key becomes its 8-byte xxhash64 so the model exchange
-  // never moves pair strings (same trick as d1; string keys here keep
-  // the oracle exact).
-  def d27BigramLm(s: SparkSession, d: String): DataFrame = {
+  // two count aggs build the bigram and unigram model tables KEYED ON
+  // 8-byte xxhash64 — the model exchange never moves pair strings
+  // (d1's trick), and the occurrence side shuffles as fixed-width
+  // (doc_id, hb, hu) rows with the strings left map-side. Exactness
+  // under 2^-64 collisions: each model group carries min/max string
+  // sentinels (map-side combined — volume is distinct types per
+  // partition, the model's own size); a group whose sentinels differ
+  // hides two types under one key and RAISES rather than silently
+  // merging counts (the spec forces this path with an injected
+  // constant hash). The 100 TB recovery for a raised collision is
+  // d1's resolve: dense_rank over the string inside the h partition
+  // for the collided keys only.
+  def d27BigramLm(s: SparkSession, d: String): DataFrame =
+    d27BigramLmHashed(s, d, xxhash64(_))
+
+  private[graft] def d27BigramLmHashed(
+      s: SparkSession, d: String,
+      hash: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
     val t = docs(s, d).filter(size(col("toks")) >= 2)
     val bg = t.select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks)-2), " +
           "i -> struct(concat(toks[i], ' ', toks[i+1]) AS bigram, " +
           "toks[i+1] AS nxt))")).as("b"))
-      .select(col("doc_id"), col("b.bigram"), col("b.nxt"))
-    val bf = bg.groupBy("bigram").agg(count(lit(1)).as("bf"))
+      .select(col("doc_id"),
+        hash(col("b.bigram")).as("hb"), hash(col("b.nxt")).as("hu"),
+        col("b.bigram"), col("b.nxt"))
+    def guarded(cnt: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+                hi: org.apache.spark.sql.Column, what: String) =
+      when(lo === hi, cnt).otherwise(raise_error(concat(
+        lit(s"d27 $what hash collision: '"), lo, lit("' vs '"), hi,
+        lit("' — resolve collided keys via d1's in-partition dense_rank"))))
+    val bf = bg.groupBy("hb").agg(count(lit(1)).as("cnt"),
+        min(col("bigram")).as("lo"), max(col("bigram")).as("hi"))
+      .select(col("hb"), guarded(col("cnt"), col("lo"), col("hi"), "bigram").as("bf"))
     val uf = docs(s, d).select(explode(col("toks")).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("uf"))
-    bg.join(bf, "bigram")
-      .join(uf, col("nxt") === col("token"))
+      .select(hash(col("token")).as("hu"), col("token"))
+      .groupBy("hu").agg(count(lit(1)).as("cnt"),
+        min(col("token")).as("lo"), max(col("token")).as("hi"))
+      .select(col("hu"), guarded(col("cnt"), col("lo"), col("hi"), "token").as("uf"))
+    bg.select("doc_id", "hb", "hu")
+      .join(bf, "hb")
+      .join(uf, "hu")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
            sum(col("bf")).as("sum_bf"), sum(col("uf")).as("sum_uf"))

@@ -18,4 +18,12 @@ object shim {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
+
+  /** Drain the async listener bus so `statusTracker` reflects every
+    * event already posted — needed by specs that assert on job COUNTS
+    * (e.g. "plan construction launched zero jobs"); without the drain
+    * a zero-assertion can pass vacuously on delivery lag.
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

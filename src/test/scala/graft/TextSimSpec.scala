@@ -678,4 +678,45 @@ class TextSimSpec extends SparkSpec {
     // docs with < 2 tokens are correctly absent
     assert(got.length == toks.count(_._2.length >= 2))
   }
+
+  test("e9 plan construction launches no count/scan job (footer sizing)") {
+    // schema-inference fires a 1-footer job per spark.read.parquet —
+    // that is plan construction, not a corpus action; what must NOT
+    // appear is the count job the old sizing ran (callsite `count at`)
+    val sites = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        sites.add(Option(j.properties
+          .getProperty("callSite.short")).getOrElse(""))
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      assert(Similarity.queries("e9_knn_graph")(spark, sf) != null)
+      org.apache.spark.sql.graft.shim.drainListenerBus(spark)
+      val bad = scala.jdk.CollectionConverters.ListHasAsScala(sites).asScala
+        .filterNot(cs => cs.startsWith("parquet at") || cs.isEmpty)
+      assert(bad.isEmpty,
+        s"sizing e9's width must read footers, not run actions: $bad")
+    } finally spark.sparkContext.removeSparkListener(l)
+    // the footer-metadata count the width derives from is exact
+    assert(Tables.parquetRowCount(spark, s"$sf/embeddings.parquet") ==
+      Tables.embeddings(spark, sf).count())
+  }
+
+  test("d27 collision sentinel raises instead of silently merging counts") {
+    import org.apache.spark.sql.functions.lit
+    // a constant hash puts EVERY bigram (and token) under one key: the
+    // min/max sentinels differ, so the guard must raise — proving a
+    // 2^-64 collision can never silently merge two types' counts
+    val ex = intercept[Exception] {
+      TextOps.d27BigramLmHashed(spark, sf, _ => lit(42L)).collect()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ::: messages(t.getCause)
+    assert(messages(ex).exists(_.contains("hash collision")),
+      s"expected the d27 collision guard, got: $ex")
+  }
 }
