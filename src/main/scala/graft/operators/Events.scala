@@ -234,17 +234,7 @@ object Events {
   // aggregate + two semi joins, all keyed on 8-byte part ids.
   def g13KcorePeel(s: SparkSession, d: String, k: Int = 3,
                    rounds: Int = 3): DataFrame = {
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val e = items.select(col("l_orderkey"), col("l_partkey").as("a"))
-      .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
-        "l_orderkey")
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 2)
-    var sym = e.select(col("a").as("x"), col("b").as("y"))
-      .unionByName(e.select(col("b").as("x"), col("a").as("y")))
-      .cache()
+    var sym = coPurchaseSym(s, d).cache()
     (1 to rounds).foreach { _ =>
       val keep = sym.groupBy("x").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("x")
@@ -255,6 +245,69 @@ object Events {
       .agg(count(lit(1)).as("core_deg"))
       .orderBy("p_partkey")
   }
+
+  /** The support-≥2 symmetric co-purchase graph g13/g13b peel. */
+  private def coPurchaseSym(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
+        "l_orderkey")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+    e.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(e.select(col("b").as("x"), col("a").as("y")))
+  }
+
+  /** g13b: the FULL k-core — g13's peel run to FIXPOINT (the variant a
+    * graph user reaches for first; g13's fixed 3 rounds are the
+    * oracle-unroll contract). Each round peels every vertex of degree
+    * < k and stops when an entire round removes nothing — at that
+    * point every remaining vertex has degree ≥ k within the remaining
+    * subgraph, the k-core definition. Loop hygiene is g1's:
+    * localCheckpoint each round truncates the lineage (without it
+    * round R replays rounds 1..R-1), and the per-round `count` that
+    * detects convergence is the same action that materializes the
+    * checkpoint — one job per round, no extra pass. STILL ORACLED,
+    * not rows-only: peeling is monotone (a converged graph is a fixed
+    * point of further rounds), so an oracle that unrolls `maxRounds`
+    * rounds computes the identical answer whenever convergence takes
+    * ≤ maxRounds — and the `require` turns "took longer" into a loud
+    * failure instead of a hash drift, so the contract is airtight.
+    * At 100 TB: per round one degree agg + two 8-byte-keyed semi
+    * joins on a strictly shrinking edge set; rounds are bounded by
+    * the peel cascade depth (KcoreSpec shows a chain graph where
+    * depth > 3 and the extra rounds really peel).
+    */
+  def kcorePeelFixpoint(symEdges: DataFrame, k: Int,
+                        maxRounds: Int = 12): DataFrame = {
+    var cur = symEdges.localCheckpoint()
+    var prevEdges = cur.count()
+    var converged = prevEdges == 0L
+    var iter = 0
+    while (!converged && iter < maxRounds) {
+      val keep = cur.groupBy("x").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("x")
+      val next = cur.join(keep, Seq("x"), "left_semi")
+        .join(keep.withColumnRenamed("x", "y"), Seq("y"), "left_semi")
+        .localCheckpoint()
+      val nextEdges = next.count()
+      converged = nextEdges == prevEdges
+      prevEdges = nextEdges
+      cur = next
+      iter += 1
+    }
+    require(converged || prevEdges == 0L,
+      s"k-core peel did not converge in $maxRounds rounds — raise " +
+        "maxRounds (the oracle unrolls this same bound)")
+    cur.groupBy(col("x").as("p_partkey"))
+      .agg(count(lit(1)).as("core_deg"))
+      .orderBy("p_partkey")
+  }
+
+  def g13bKcoreFixpoint(s: SparkSession, d: String, k: Int = 3): DataFrame =
+    kcorePeelFixpoint(coPurchaseSym(s, d), k)
 
   /** g12: hop-bounded weighted shortest paths (multi-source
     * Bellman-Ford) — the reference's graph DB answers "cheapest route
@@ -570,6 +623,8 @@ object Events {
       g6LinkedObjects(m, m.select("user_id").distinct().filter(col("user_id") < 20))
     }),
     "g13_kcore_peel" -> ((s: SparkSession, d: String) => g13KcorePeel(s, d)),
+    "g13b_kcore_fixpoint" ->
+      ((s: SparkSession, d: String) => g13bKcoreFixpoint(s, d)),
     "g12_sssp" -> ((s: SparkSession, d: String) => {
       val edges = g12Graph(s, d, maxUser = 60)
       g12Sssp(edges,
@@ -577,6 +632,41 @@ object Events {
           .filter(col("user_id") < 5))
     }),
   )
+
+  /** g13b's oracle, generated: the same support-≥2 graph, `rounds`
+    * unrolled peel stages (must equal the operator's maxRounds so the
+    * operator's convergence `require` and this unroll are one bound).
+    */
+  private def g13bOracleSql(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED is load-bearing: each stage references its
+    // predecessor 3×, so default CTE inlining would expand to 3^rounds
+    // scans of the base table
+    val head =
+      """WITH items AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS sup
+        |  FROM items a JOIN items b
+        |    ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (SELECT a, b FROM e0 WHERE sup >= 2),
+        |s0 AS MATERIALIZED (
+        |  SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e)"""
+        .stripMargin
+    val stages = (1 to rounds).map { i =>
+      s""",
+         |k$i AS MATERIALIZED (
+         |  SELECT x FROM s${i - 1} GROUP BY x HAVING COUNT(*) >= $k),
+         |s$i AS MATERIALIZED (
+         |  SELECT s${i - 1}.x, s${i - 1}.y FROM s${i - 1}
+         |  JOIN k$i ka ON s${i - 1}.x = ka.x
+         |  JOIN k$i kb ON s${i - 1}.y = kb.x)""".stripMargin
+    }.mkString
+    head + stages +
+      s"""
+         |SELECT x AS p_partkey, COUNT(*) AS core_deg FROM s$rounds
+         |GROUP BY x ORDER BY p_partkey""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // brute 3-way self-join: states WHAT a triangle is, not how to
@@ -768,6 +858,10 @@ object Events {
         |       JOIN k3 ka ON s2.x = ka.x JOIN k3 kb ON s2.y = kb.x)
         |SELECT x AS p_partkey, COUNT(*) AS core_deg
         |FROM s3 GROUP BY x ORDER BY p_partkey""".stripMargin,
+    // peeling is monotone, so unrolling the operator's maxRounds bound
+    // states the FIXPOINT exactly whenever the Spark side's `require`
+    // passes (extra unrolled rounds past convergence are identity)
+    "g13b_kcore_fixpoint" -> g13bOracleSql(k = 3, rounds = 12),
     // the oracle STATES the semantics — min cost over all paths of
     // <= 3 edges — by enumerating paths recursively; tractable only
     // because the subgraph is small (the Spark side never enumerates

@@ -535,7 +535,37 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  // q65: the reference's hottest endpoint — registry listing with
+  // search — composed into ONE oracled plan (GetData, app.py:5029-5078
+  // and the multi-table probe at app.py:5194): OR'd case-insensitive
+  // substring match over SEVERAL columns + a status filter + the total
+  // match count + LIMIT/OFFSET page, i.e. q10 × q8 in the single query
+  // every registry UI actually issues. The reference computes the
+  // total as `COUNT(*) OVER()` (app.py:5072) — an empty-frame window
+  // that funnels every surviving row into ONE partition; here the
+  // total is a 1-row scalar aggregate broadcast back over the page
+  // (q8's form, asserted in RelationalSpec: the plan contains NO
+  // Window operator). The page itself is TakeOrderedAndProject with
+  // offset+limit folded into the driver merge — per-partition
+  // top-(offset+pageSize), O(page) not O(corpus). At 100 TB: two
+  // map-side passes over the pruned scan (one counting, one top-k),
+  // zero wide exchanges.
+  def q65SearchPage(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.part(s, d)
+      .filter(col("p_size") < 30 &&
+        (lower(col("p_name")).contains("red") ||
+         lower(col("p_type")).contains("brass") ||
+         lower(col("p_brand")).contains("3")))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_retailprice"))
+    val total = f.agg(count(lit(1)).as("total_count"))
+    f.orderBy(col("p_retailprice").desc, col("p_partkey"))
+      .offset(20).limit(10)
+      .crossJoin(broadcast(total))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_search_page" -> (q65SearchPage _),
     "q62_intersect_except" -> (q62IntersectExcept _),
     "q63_scalar_subquery" -> (q63ScalarSubquery _),
     "q1_agg" -> (q1Agg _),
@@ -575,6 +605,16 @@ object Relational {
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q65_search_page" ->
+      """WITH f AS (
+        |  SELECT p_partkey, p_name, p_brand, p_type, p_retailprice
+        |  FROM part
+        |  WHERE p_size < 30 AND (p_name ILIKE '%red%'
+        |    OR p_type ILIKE '%brass%' OR p_brand ILIKE '%3%')),
+        |t AS (SELECT COUNT(*) AS total_count FROM f)
+        |SELECT f.*, t.total_count FROM f, t
+        |ORDER BY p_retailprice DESC, p_partkey
+        |LIMIT 10 OFFSET 20""".stripMargin,
     "q62_intersect_except" ->
       """WITH c AS (SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT)
         |  AS day FROM events WHERE event_type = 'click'),

@@ -683,6 +683,29 @@ object Similarity {
       .orderBy("doc_id")
   }
 
+  // m6: blob ⇄ base64 column transforms — the reference serves stored
+  // images to its UI as base64 strings (`get-image-base64`,
+  // app.py:1293); here that's one codegen'd expression pair
+  // (functions.base64 / unbase64). Spark's base64 MIME-chunks lines at
+  // 76 chars when spark.sql.chunkBase64String.enabled (the Spark 4
+  // default); the translate() strips the CRLFs so the emitted string
+  // is canonical RFC 4648 in ANY session — the same form DuckDB's
+  // base64() emits, which is what makes the round trip
+  // oracle-expressible (unbase64 decodes both forms). Map-only: no
+  // exchange, no UDF; encoding 100 TB of blobs is embarrassingly
+  // parallel scan work. roundtrip_ok pins decode(encode(x)) == x IN
+  // THE PLAN, so a regression in either direction fails the hash
+  // match, not just a spec.
+  def m6Base64(s: SparkSession, d: String): DataFrame = {
+    def enc(c: org.apache.spark.sql.Column) =
+      translate(base64(c), "\r\n", "")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .select(col("doc_id"), enc(col("blob")).as("b64"),
+        (unbase64(enc(col("blob"))) === col("blob")).as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
   // d8: embedding-cosine near-dup pairs — candidates from the e2
   // hyperplane buckets (pairs must share a bucket), exact CosineSim
   // after. The corpus has no true near-dups (max pairwise cosine
@@ -855,6 +878,7 @@ object Similarity {
     "e3_centroids" -> (e3Centroids _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m5_blob_dedup" -> (m5BlobDedup _),
+    "m6_base64" -> (m6Base64 _),
     "e9_knn_graph" -> (e9KnnGraph _),
   )
 
@@ -990,6 +1014,10 @@ object Similarity {
         |FROM documents, range(0, 32) t(i)
         |WHERE i < (strlen(text) + 63) // 64
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "m6_base64" ->
+      """SELECT doc_id, base64(encode(text)) AS b64,
+        |  decode(from_base64(base64(encode(text)))) = text AS roundtrip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "m1_binary_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha_hex,

@@ -87,6 +87,55 @@ object Upsert {
       .orderBy("o_orderkey")
   }
 
+  /** Apply a DELETE batch to a registry — the reference's delete
+    * endpoints (`DeleteData` app.py:5216, `delete-tag` app.py:5638,
+    * `ContributorDelete` app.py:4959) as a single auditable pass: every
+    * base row keeps flowing, tagged `kept` (valid_to NULL) or `deleted`
+    * (valid_to = `closeAsOf`, the SCD2 close) — so the caller gets BOTH
+    * the post-delete registry (filter action='kept') and the audit
+    * trail the reference writes to its history table, from one plan.
+    * Scale shape: the delete key set is an endpoint batch — always
+    * tiny next to the registry — so it broadcasts and the pass is
+    * MAP-ONLY: the base never shuffles, deleting a handful of keys
+    * from a 100 TB registry costs one scan. (An un-broadcast delete
+    * set would still be a key-partitioned hash join, never a
+    * cartesian.)
+    */
+  def applyDeletes(base: DataFrame, deletes: DataFrame, key: String,
+                   closeAsOf: Column): DataFrame = {
+    val dk = deletes.select(col(key)).distinct()
+      .withColumn("__deleted", lit(1))
+    base.join(broadcast(dk), Seq(key), "left")
+      .withColumn("action",
+        when(col("__deleted").isNotNull, "deleted").otherwise("kept"))
+      .withColumn("valid_to",
+        when(col("__deleted").isNotNull, closeAsOf.cast("date")))
+      .drop("__deleted")
+  }
+
+  // q66: the oracled apply-deletes instance — the registry is q7's
+  // "current row per key" view (latest order per custkey) and the
+  // delete batch is a contributor-delete key set derived from
+  // `customer` (every custkey ≡ 3 mod 7). The oracle replays the same
+  // classification in SQL; ApplyDeletesSpec additionally proves the
+  // IVM-style guarantee delete ≡ rebuild-without-those-keys and that
+  // kept rows pass through bit-identical.
+  def q66ApplyDeletes(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val registry = Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("last_date"))
+    val dels = Tables.customer(s, d)
+      .filter(pmod(col("c_custkey"), lit(7)) === 3)
+      .select(col("c_custkey").as("o_custkey"))
+    applyDeletes(registry, dels, "o_custkey", lit("1998-12-31"))
+      .orderBy("o_custkey")
+  }
+
   /** Generic snapshot diff: full-outer join two registry versions on
     * `key` and classify every key as added / removed / changed
     * (unchanged keys are dropped — at scale the diff is tiny next to
@@ -136,9 +185,25 @@ object Upsert {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_merge_semicolon" -> (q44MergeSemicolon _),
     "q51_snapshot_diff" -> (q51SnapshotDiff _),
+    "q66_apply_deletes" -> (q66ApplyDeletes _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q66_apply_deletes" ->
+      """WITH reg AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS last_date
+        |  FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1),
+        |d AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 7 = 3)
+        |SELECT r.o_custkey, r.o_orderkey, r.last_date,
+        |  CASE WHEN d.c_custkey IS NOT NULL THEN 'deleted' ELSE 'kept' END
+        |    AS action,
+        |  CASE WHEN d.c_custkey IS NOT NULL THEN DATE '1998-12-31' END
+        |    AS valid_to
+        |FROM reg r LEFT JOIN d ON r.o_custkey = d.c_custkey
+        |ORDER BY o_custkey""".stripMargin,
     "q44_merge_semicolon" ->
       """WITH base AS (
         |  SELECT o_orderkey,

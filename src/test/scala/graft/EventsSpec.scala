@@ -170,6 +170,42 @@ class EventsSpec extends SparkSpec {
     assert(gotK.size < got3.size, "higher k must peel strictly more")
   }
 
+  test("g13b fixpoint == 3 rounds where converged; deeper cascades keep peeling") {
+    import spark.implicits._
+    def sym(edges: Seq[(Long, Long)]) =
+      edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("x", "y")
+    def run(edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] = {
+      var s = sym(edges)
+      (1 to rounds).foreach { _ =>
+        val keep = s.groupBy("x").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select("x")
+        s = s.join(keep, Seq("x"), "left_semi")
+          .join(keep.withColumnRenamed("x", "y"), Seq("y"), "left_semi")
+      }
+      s.groupBy("x").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    def fix(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+      Events.kcorePeelFixpoint(sym(edges), k).collect()
+        .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Long]("core_deg")).toMap
+    // triangle + pendant: one round peels the pendant, round two is a
+    // no-op — fixpoint and the 3-round contract agree
+    val triPend = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(fix(triPend, 2) == run(triPend, 2, 3))
+    assert(fix(triPend, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // 8-node chain at k=2: endpoints peel one PAIR per round — after
+    // 3 rounds one edge still stands, the fixpoint is empty. This is
+    // the cascade the fixed-round contract cannot finish.
+    val chain = (1L until 8L).map(i => (i, i + 1))
+    assert(run(chain, 2, 3).nonEmpty, "3 rounds already drained the chain")
+    assert(fix(chain, 2).isEmpty, "the 2-core of a chain must be empty")
+    // on the real corpus the oracled g13b (k=3) is the fixed point of
+    // one more peel round: re-peeling its survivors changes nothing
+    val g13b = Events.queries("g13b_kcore_fixpoint")(spark, sf).collect()
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Long]("core_deg")).toMap
+    assert(g13b.values.forall(_ >= 3), "a 3-core survivor with degree < 3")
+  }
+
   test("g10 per-node counts equal an in-memory brute triangle count") {
     val got = Events.g10TriangleCount(spark, sf).collect()
       .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Long]("n_triangles"))

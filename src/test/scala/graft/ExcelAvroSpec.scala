@@ -311,6 +311,41 @@ class ExcelAvroSpec extends SparkSpec {
     }
   }
 
+  test("applyDeletes: delete == rebuild-without-keys, kept rows untouched") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Upsert.q66ApplyDeletes(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the delete key set must broadcast (map-only base pass):\n$plan")
+    val rows = out.collect()
+    // the IVM guarantee: the kept slice IS the registry rebuilt from
+    // scratch without the deleted keys
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val rebuilt = Tables.orders(spark, sf)
+      .filter(pmod(col("o_custkey"), lit(7)) =!= 3)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("last_date"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDate(2))).toSet
+    val kept = rows.filter(_.getAs[String]("action") == "kept")
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey"),
+        r.getAs[java.sql.Date]("last_date"))).toSet
+    assert(kept == rebuilt, "delete != rebuild-without-those-keys")
+    // kept rows untouched (valid_to stays NULL), deleted rows closed
+    rows.foreach { r =>
+      if (r.getAs[String]("action") == "kept")
+        assert(r.isNullAt(r.fieldIndex("valid_to")))
+      else {
+        assert(r.getAs[Long]("o_custkey") % 7 == 3)
+        assert(r.getAs[java.sql.Date]("valid_to").toString == "1998-12-31")
+      }
+    }
+    // every registry key classified exactly once
+    assert(rows.map(_.getAs[Long]("o_custkey")).distinct.length == rows.length)
+  }
+
   test("avro round-trips through the bundled DataSource") {
     val dir = java.nio.file.Files.createTempDirectory("graft_avro").toString
     val src = Tables.orders(spark, sf)

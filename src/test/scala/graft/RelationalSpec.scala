@@ -140,6 +140,34 @@ class RelationalSpec extends SparkSpec {
       "set ops must plan as hash semi/anti joins")
   }
 
+  test("q65 composed search keeps the scalar-join count form (no window)") {
+    val df = Relational.q65SearchPage(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the reference's COUNT(*) OVER() would appear as a Window with an
+    // empty partition spec — the one-partition funnel; the composed
+    // plan must instead broadcast a 1-row scalar aggregate over a
+    // TakeOrderedAndProject page
+    assert(!plan.contains("Window"), s"q65 planned a window:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"q65 plan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"q65 plan:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 10, "page size")
+    val total = rows.head.getAs[Long]("total_count")
+    assert(rows.forall(_.getAs[Long]("total_count") == total))
+    // the page is rows 21-30 of the filtered, ordered listing
+    import org.apache.spark.sql.functions._
+    val all = graft.Tables.part(spark, sf)
+      .filter(col("p_size") < 30 &&
+        (lower(col("p_name")).contains("red") ||
+         lower(col("p_type")).contains("brass") ||
+         lower(col("p_brand")).contains("3")))
+    assert(total == all.count())
+    val expected = all
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      .collect().slice(20, 30).map(_.getAs[Long]("p_partkey")).toSeq
+    assert(rows.map(_.getAs[Long]("p_partkey")).toSeq == expected)
+  }
+
   test("q63 threshold rows equal an in-engine recomputation") {
     import org.apache.spark.sql.functions._
     val got = Relational.q63ScalarSubquery(spark, sf).collect()
