@@ -6,12 +6,22 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints one JSON line.
   *
   * Timing discipline: each query runs `iters` times (default 3) and
-  * reports the MINIMUM. A single-iteration sample conflates the query
-  * with whatever else the machine was doing that second (the round-3
-  * bench showed a uniform ~1.9× "regression" on untouched queries —
-  * machine contention, not plans); min-of-N is the standard way to
-  * estimate the noise floor of a deterministic workload. The iteration
-  * count is recorded in the JSON so the artifact says what it measured.
+  * reports the MINIMUM (plus the median, so skew between the two
+  * flags noisy samples). A single-iteration sample conflates the
+  * query with whatever else the machine was doing that second (the
+  * round-3 bench showed a uniform ~1.9× "regression" on untouched
+  * queries — machine contention, not plans); min-of-N is the standard
+  * way to estimate the noise floor of a deterministic workload.
+  *
+  * Capture protocol (the round-6 artifact was contention-noise — run
+  * quiet and prove it): run the bench BEFORE any heavy verify pass in
+  * the session, and read the artifact's own machine-state fields
+  * before trusting it — `loadavg` (1-min /proc/loadavg sampled at
+  * start and end; on this 32-cpu box anything ≳ a few means another
+  * workload shared the run) and `captured_at`. A regression call
+  * needs BOTH a moved timing and an unchanged-vs-changed plan
+  * fingerprint; with fingerprints identical and loadavg elevated,
+  * blame the machine, not the round.
   */
 object Bench {
   /** Headline set: the scale-critical operators — wide agg, fact-fact
@@ -42,7 +52,18 @@ object Bench {
     // k-NN graph (the one corpus×corpus-shaped candidate join in the
     // suite — LSH-blocked, so its cost must scale as N·5N/2^bits,
     // never N²)
-    "d27_bigram_lm", "m5_blob_dedup", "e9_knn_graph")
+    "d27_bigram_lm", "m5_blob_dedup", "e9_knn_graph",
+    // round-7 addition: the iterative-loop family's heaviest member —
+    // peel rounds to FIXPOINT (localCheckpoint + convergence count per
+    // round; the loop runs at build time, which is why the timer
+    // below wraps build, not just the final write)
+    "g13b_kcore_fixpoint")
+
+  /** 1-minute load average, -1.0 if unreadable (non-Linux). */
+  private def loadavg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,6 +89,8 @@ object Bench {
         System.err.println(s"[bench] $name failed: $e"); false
       }
     def build(name: String) = SparkEntry.queries(name)(spark, sfDir)
+    val loadStart = loadavg()
+    val capturedAt = java.time.Instant.now().toString
     // one warm-up touch so JVM/codegen startup isn't billed to q1
     run(build("q1_agg"), "q1_agg")
     val results = headline.map { name =>
@@ -76,30 +99,43 @@ object Bench {
         // signatures) so every iteration times the FULL computation —
         // min-of-N estimates the noise floor, not a warm-cache replay
         spark.catalog.clearCache()
-        val df = build(name)
+        // the timer wraps BUILD as well as execution: operators with
+        // an iterative driver loop (g13b) or metadata reads (e9) do
+        // real work before the final action, and billing only the
+        // last write would under-measure them
         val t0 = System.nanoTime()
+        val df = build(name)
         val ok = run(df, name)
         // a failed iteration returns near-instantly — under min() it
         // would WIN and report a phantom fast time; drop the sample
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
-      }
+      }.sorted
       // -1 marks all-iterations-failed: unmistakably wrong in the
       // artifact instead of silently fast
-      name -> (if (samples.nonEmpty) samples.min else -1.0)
+      if (samples.nonEmpty)
+        name -> (samples.min, samples(samples.length / 2))
+      else name -> (-1.0, -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val loadEnd = loadavg()
+    val qs = results.map { case (k, (mn, _)) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qsMed = results.map { case (k, (_, md)) => "\"" + k + "\":" + md }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
     // plan fingerprints: {shuffles, bhj, wscg} per query, so a timing
     // regression is self-diagnosing (same fingerprint → noise or data;
     // changed fingerprint → the plan moved). Captured in an AQE-off
     // sibling session, PlanAudit's convention: under AQE the noop
     // write runs its own QueryExecution, so the timed frame's plan
-    // never finalizes and WSCG stages would read as zero. Streaming
-    // queries are skipped (building one executes it).
+    // never finalizes and WSCG stages would read as zero.
     val fpSession = spark.newSession()
     fpSession.conf.set("spark.sql.adaptive.enabled", "false")
-    val plans = headline.filterNot(_.startsWith("s")).flatMap { name =>
+    // streaming queries are skipped (building one executes it); so is
+    // g13b (building it runs the whole peel loop, and its executed
+    // plan is just the final aggregate over a checkpoint RDD — no
+    // fingerprint signal for the loop itself)
+    val plans = headline.filterNot(_.startsWith("s"))
+      .filterNot(_ == "g13b_kcore_fixpoint").flatMap { name =>
       try {
         val plan = SparkEntry.queries(name)(fpSession, sfDir)
           .queryExecution.executedPlan.toString
@@ -108,7 +144,7 @@ object Bench {
         Some(s""""$name":{"shuffles":$shuffles,"bhj":${n("BroadcastHashJoin")},"wscg":${n("\\*\\(\\d+\\)")}}""")
       } catch { case _: Throwable => None }
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plans,"sf":"$sfDir","iterations":$iters}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"plans":$plans,"sf":"$sfDir","iterations":$iters,"loadavg":{"start":$loadStart,"end":$loadEnd},"captured_at":"$capturedAt"}""")
     spark.stop()
   }
 }
