@@ -69,6 +69,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // optional subset override (comma-separated query names, any key in
+    // SparkEntry.queries) — the scale-linearity runs (docs/SCALE_r*.md)
+    // probe superlinear-risk operators that aren't all in the headline
+    val bench = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(headline)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -93,7 +98,7 @@ object Bench {
     val capturedAt = java.time.Instant.now().toString
     // one warm-up touch so JVM/codegen startup isn't billed to q1
     run(build("q1_agg"), "q1_agg")
-    val results = headline.map { name =>
+    val results = bench.map { name =>
       val samples = (1 to iters).flatMap { _ =>
         // drop any per-query persisted data (d6/d7 cache their
         // signatures) so every iteration times the FULL computation —
@@ -134,7 +139,7 @@ object Bench {
     // g13b (building it runs the whole peel loop, and its executed
     // plan is just the final aggregate over a checkpoint RDD — no
     // fingerprint signal for the loop itself)
-    val plans = headline.filterNot(_.startsWith("s"))
+    val plans = bench.filterNot(_.startsWith("s"))
       .filterNot(_ == "g13b_kcore_fixpoint").flatMap { name =>
       try {
         val plan = SparkEntry.queries(name)(fpSession, sfDir)
