@@ -20,9 +20,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = p(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = p(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = p(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp; read it as raw nanos (LongType) instead and
-    * let operators derive seconds/micros exactly.
+  /** `events.ts` lands as long EPOCH NANOS regardless of how the
+    * generator encoded it — the contract every events operator (and
+    * every events oracle, via DuckDB `epoch(ts)`) is written against.
+    * Two encodings exist in the wild: parquet TIMESTAMP(NANOS) (which
+    * Spark 4 refuses to read as a timestamp; `nanosAsLong` surfaces it
+    * as the raw long we want) and TIMESTAMP(MICROS) without the UTC
+    * flag (reads as TIMESTAMP_NTZ; converted here to nanos via
+    * unix_micros — exact, no rounding, and tz-neutral because every
+    * graft session pins spark.sql.session.timeZone=UTC). Normalizing
+    * at the loader keeps the whole operator suite encoding-agnostic.
     *
     * CAVEAT: `nanosAsLong` is a SESSION conf (parquet converters offer
     * no per-read option), so this loader mutates shared session state
@@ -34,7 +41,17 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    p(s, d, "events")
+    val raw = p(s, d, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case TimestampNTZType | TimestampType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "unix_micros(cast(ts as timestamp_ltz)) * 1000L"))
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts type: $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = p(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = p(s, d, "embeddings")

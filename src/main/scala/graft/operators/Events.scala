@@ -247,7 +247,13 @@ object Events {
   }
 
   /** The support-≥2 symmetric co-purchase graph g13/g13b peel. */
-  private def coPurchaseSym(s: SparkSession, d: String): DataFrame = {
+  private def coPurchaseSym(s: SparkSession, d: String): DataFrame =
+    coPurchaseSymW(s, d).select("x", "y")
+
+  /** Same graph with the support count kept as the edge weight
+    * (g14's affinity signal).
+    */
+  private def coPurchaseSymW(s: SparkSession, d: String): DataFrame = {
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val e = items.select(col("l_orderkey"), col("l_partkey").as("a"))
@@ -256,8 +262,35 @@ object Events {
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= 2)
-    e.select(col("a").as("x"), col("b").as("y"))
-      .unionByName(e.select(col("b").as("x"), col("a").as("y")))
+    e.select(col("a").as("x"), col("b").as("y"), col("sup"))
+      .unionByName(e.select(col("b").as("x"), col("a").as("y"), col("sup")))
+  }
+
+  // g14: weighted label propagation — community DETECTION next to
+  // g1's component labelling (components answer "connected at all?";
+  // LPA answers "which dense neighborhood?" — one co-purchase graph
+  // usually IS one component, yet holds many communities). Labels
+  // start as own ids; each synchronous round every node adopts the
+  // label with the greatest support-weighted neighbor mass, ties to
+  // the smaller label — deterministic, so fixed ROUNDS are a semantic
+  // contract the oracle states by unrolling (g9/g12/g13's pattern;
+  // classic LPA's convergence is order-dependent and NOT a contract).
+  // Per round: one edge⋈label join keyed on the 8-byte node id + two
+  // partial aggs — the argmax is max(struct(weight, -label)), a
+  // map-side-combinable aggregate, NOT a row_number window (no
+  // per-node sort, no second exchange at 100 TB).
+  def g14LabelProp(s: SparkSession, d: String, rounds: Int = 2): DataFrame = {
+    val e = coPurchaseSymW(s, d).cache()
+    var lab = e.select(col("x")).distinct().withColumn("lab", col("x"))
+    (1 to rounds).foreach { _ =>
+      lab = e.join(lab.withColumnRenamed("x", "y"), Seq("y"))
+        .groupBy(col("x"), col("lab")).agg(sum(col("sup")).as("sw"))
+        .groupBy(col("x"))
+        .agg(max(struct(col("sw"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("x"), (-col("m.nl")).as("lab"))
+    }
+    lab.select(col("x").as("p_partkey"), col("lab").as("community"))
+      .orderBy("p_partkey")
   }
 
   /** g13b: the FULL k-core — g13's peel run to FIXPOINT (the variant a
@@ -625,6 +658,7 @@ object Events {
     "g13_kcore_peel" -> ((s: SparkSession, d: String) => g13KcorePeel(s, d)),
     "g13b_kcore_fixpoint" ->
       ((s: SparkSession, d: String) => g13bKcoreFixpoint(s, d)),
+    "g14_label_prop" -> ((s: SparkSession, d: String) => g14LabelProp(s, d)),
     "g12_sssp" -> ((s: SparkSession, d: String) => {
       val edges = g12Graph(s, d, maxUser = 60)
       g12Sssp(edges,
@@ -668,7 +702,43 @@ object Events {
          |GROUP BY x ORDER BY p_partkey""".stripMargin
   }
 
+  /** g14's oracle, generated: the same weighted graph, `rounds`
+    * unrolled synchronous majority stages — the argmax stated as a
+    * ROW_NUMBER over (weight desc, label asc), the exact tie contract
+    * the operator's max(struct(sw, -lab)) encodes.
+    */
+  private def g14OracleSql(rounds: Int): String = {
+    val head =
+      """WITH items AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS sup
+        |  FROM items a JOIN items b
+        |    ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS MATERIALIZED (
+        |  SELECT a AS x, b AS y, sup FROM e0
+        |  UNION ALL SELECT b, a, sup FROM e0),
+        |l0 AS MATERIALIZED (SELECT DISTINCT x, x AS lab FROM e)"""
+        .stripMargin
+    val stages = (1 to rounds).map { i =>
+      s""",
+         |l$i AS MATERIALIZED (
+         |  SELECT x, lab FROM (
+         |    SELECT e.x, l.lab, SUM(e.sup) AS sw,
+         |      ROW_NUMBER() OVER (PARTITION BY e.x
+         |        ORDER BY SUM(e.sup) DESC, l.lab) AS rn
+         |    FROM e JOIN l${i - 1} l ON e.y = l.x
+         |    GROUP BY e.x, l.lab) WHERE rn = 1)""".stripMargin
+    }.mkString
+    head + stages +
+      s"""
+         |SELECT x AS p_partkey, lab AS community FROM l$rounds
+         |ORDER BY p_partkey""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "g14_label_prop" -> g14OracleSql(rounds = 2),
     // brute 3-way self-join: states WHAT a triangle is, not how to
     // enumerate one — the Spark side must reproduce it through the
     // degree-ordered orientation, so an orientation bug (a triangle

@@ -706,6 +706,73 @@ object Similarity {
       .orderBy("doc_id")
   }
 
+  // m7: content-defined chunking (CDC) — the blob-level delta-dedup
+  // primitive (rsync/LBFS/FastCDC shape): chunk boundaries are a pure
+  // function of LOCAL content, so an insertion early in a re-crawled
+  // blob shifts every fixed-size block but leaves every downstream
+  // CDC boundary — and therefore every downstream chunk digest —
+  // intact; m5 then dedups at chunk granularity instead of whole-blob.
+  // The boundary rule is a gear hash over a 2-byte window — boundary
+  // iff the mixed pair hash lands in the LOW 1/64 of the 31-bit range
+  // (multiplicative hashing mixes into the HIGH bits; a `mod 64 == 0`
+  // cut would read the unmixed low bits, which collapse to a bijection
+  // of the second byte alone — degenerate, one chunk per doc).
+  // ~64-byte expected chunks; a production deployment widens the
+  // window to 48-64 bytes and adds min/max clamps — identical plan,
+  // bigger constant. Window-2 keeps the oracle an exact per-char SQL
+  // replay (d5's precedent).
+  // Byte-level work runs in the m1/m5 mapPartitions batch shape;
+  // digests stay raw 32-byte BINARY through the corpus-wide exchange
+  // (m5's key-width lesson), hex is presentation in the final select.
+  // ASCII-precondition: the oracle walks code points, the operator
+  // walks bytes — equal on this corpus (RollingHash's documented
+  // assumption).
+  private[graft] def cdcChunks(bin: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("chunk_idx", LongType, nullable = false),
+      StructField("off", LongType, nullable = false),
+      StructField("len", LongType, nullable = false),
+      StructField("sha", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    bin.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        val n = b.length
+        val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var i = 1
+        while (i < n) {
+          val h = (((b(i - 1) & 0xffL) * 256L + (b(i) & 0xffL) + 1L) *
+            2654435761L) % 2147483648L
+          if (h < 33554432L) cuts += (i + 1) // 1-based chunk end; 2^25 = 2^31/64
+          i += 1
+        }
+        if (n > 0 && (cuts.isEmpty || cuts.last != n)) cuts += n
+        var prev = 0
+        cuts.iterator.zipWithIndex.map { case (e, k) =>
+          md.reset()
+          val sha = md.digest(java.util.Arrays.copyOfRange(b, prev, e))
+          val row = Row(id, (k + 1).toLong, (prev + 1).toLong,
+            (e - prev).toLong, sha)
+          prev = e
+          row
+        }
+      }
+    }(enc)
+  }
+
+  def m7CdcChunks(s: SparkSession, d: String): DataFrame = {
+    val chunks = cdcChunks(Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob")))
+    val w = Window.partitionBy("sha")
+    chunks.withColumn("n_copies", count(lit(1)).over(w))
+      .select(col("doc_id"), col("chunk_idx"), col("off"), col("len"),
+        lower(hex(col("sha"))).as("sha_hex"), col("n_copies"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   // d8: embedding-cosine near-dup pairs — candidates from the e2
   // hyperplane buckets (pairs must share a bucket), exact CosineSim
   // after. The corpus has no true near-dups (max pairwise cosine
@@ -879,6 +946,7 @@ object Similarity {
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m5_blob_dedup" -> (m5BlobDedup _),
     "m6_base64" -> (m6Base64 _),
+    "m7_cdc_chunks" -> (m7CdcChunks _),
     "e9_knn_graph" -> (e9KnnGraph _),
   )
 
@@ -1034,5 +1102,28 @@ object Similarity {
         |  COUNT(*) OVER (PARTITION BY sha) AS n_copies,
         |  n_bytes
         |FROM h ORDER BY doc_id""".stripMargin,
+    "m7_cdc_chunks" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE length(text) > 0),
+        |ends AS (
+        |  SELECT doc_id, text, unnest(list_distinct(list_append(
+        |    list_filter(range(2, n + 1), i ->
+        |      (((unicode(text[i-1:i-1]) * 256 + unicode(text[i:i]) + 1)
+        |        * 2654435761) % 2147483648) < 33554432), n))) AS e
+        |  FROM b),
+        |ch AS (
+        |  SELECT doc_id, e,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY e) AS chunk_idx,
+        |    COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS pe,
+        |    text
+        |  FROM ends),
+        |h AS (
+        |  SELECT doc_id, chunk_idx, CAST(pe + 1 AS BIGINT) AS off,
+        |    CAST(e - pe AS BIGINT) AS len, sha256(text[pe+1:e]) AS sha_hex
+        |  FROM ch)
+        |SELECT doc_id, chunk_idx, off, len, sha_hex,
+        |  COUNT(*) OVER (PARTITION BY sha_hex) AS n_copies
+        |FROM h ORDER BY doc_id, chunk_idx""".stripMargin,
   )
 }

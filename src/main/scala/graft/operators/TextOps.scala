@@ -916,7 +916,60 @@ object TextOps {
       .orderBy("qid", "rnk")
   }
 
+  // d30: BPE merge-pair counting — the inner loop of byte-pair-
+  // encoding tokenizer training (count adjacent symbol pairs, merge
+  // the winner, repeat). One round shown; iterations repeat the same
+  // plan on the merged vocab. The scale design is the two-level
+  // aggregation: the corpus collapses to the (word, cnt) VOCAB first
+  // (map-side combinable, vocab-bounded — the corpus-sized pass moves
+  // words once), and pair generation runs over distinct words only,
+  // weighted by cnt — pair counts are then a second vocab-bounded agg
+  // over a tiny symbol-pair domain, never a corpus-sized explode.
+  // Top-k is TakeOrderedAndProject (per-partition top-k, driver
+  // merge); ties break (n desc, pair asc) in both engines.
+  def d30BpePairs(s: SparkSession, d: String, k: Int = 50): DataFrame = {
+    val vocab = docs(s, d).select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    vocab.filter(length(col("word")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, length(word) - 1)," +
+          " i -> substring(word, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(k)
+  }
+
+  // d31: hashed bag-of-words linear classifier INFERENCE — the
+  // fastText-shaped quality-filter apply step (the train side is
+  // offline; at 100 TB you apply a frozen model to every doc). The
+  // model is a B-row (bucket, weight) table — built here from a
+  // closed-form multiplicative hash so the oracle replays it exactly;
+  // a real trained table has the identical plan — BROADCAST to every
+  // executor, so scoring is one map-only pass over tokens + a per-doc
+  // partial aggregate: no corpus-sized exchange carries anything
+  // wider than (doc_id, token-bucket). Token→bucket is the codegen'd
+  // rolling_hash (d5's recurrence, replayed bit-exactly in SQL);
+  // weight sums are exact longs, the one IEEE division last (d20's
+  // bit-stability pattern).
+  def d31QualityClassifier(s: SparkSession, d: String,
+                           nBuckets: Int = 512): DataFrame = {
+    val A = 2654435761L; val M = 1000003L
+    val weights = s.range(nBuckets).select(col("id").as("b"),
+      (pmod(col("id") * A, lit(M)) - lit(M / 2)).as("w"))
+    docs(s, d).select(col("doc_id"), explode(col("toks")).as("token"))
+      .withColumn("b",
+        pmod(GraftFunctions.rolling_hash(col("token")), lit(nBuckets.toLong)))
+      .join(broadcast(weights), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("score_sum"),
+        (col("score_sum").cast("double") / col("n_tokens")).as("score"),
+        (col("score_sum") > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d30_bpe_pairs" -> ((s: SparkSession, d: String) => d30BpePairs(s, d)),
+    "d31_quality_classifier" -> ((s: SparkSession, d: String) => d31QualityClassifier(s, d)),
     "e5_sparse_retrieval" -> ((s: SparkSession, d: String) => e5SparseRetrieval(s, d)),
     "d22_span_dedup" -> (d22SpanDedup _),
     "d23_pack_sequences" -> ((s: SparkSession, d: String) => d23PackSequences(s, d)),
@@ -981,6 +1034,40 @@ object TextOps {
       |  SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d30_bpe_pairs" ->
+      """WITH v AS (
+        |  SELECT word, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+        |      AS word
+        |    FROM documents) GROUP BY word),
+        |p AS (
+        |  SELECT cnt, unnest(list_transform(range(1, length(word)),
+        |      i -> word[i:i+1])) AS pair
+        |  FROM v WHERE length(word) >= 2)
+        |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    "d31_quality_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(token) + 1),
+        |                       i -> CAST(unicode(token[i]) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007) % 512 AS b
+        |  FROM t),
+        |w AS (SELECT b, (b * 2654435761) % 1000003 - 500001 AS w
+        |      FROM (SELECT unnest(range(0, 512)) AS b)),
+        |sc AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |    CAST(SUM(w.w) AS BIGINT) AS score_sum
+        |  FROM h JOIN w ON h.b = w.b GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, score_sum,
+        |  CAST(score_sum AS DOUBLE) / n_tokens AS score,
+        |  score_sum > 0 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "e5_sparse_retrieval" ->
       """WITH t0 AS (
         |  SELECT doc_id, list_distinct(list_transform(range(0, len(w)-2),

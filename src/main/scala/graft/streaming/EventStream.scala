@@ -18,19 +18,37 @@ import java.util.concurrent.atomic.AtomicInteger
   */
 object EventStream {
 
-  /** events schema under nanosAsLong (ts = raw nanos, LongType). */
-  private[graft] val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** events schema with `ts` as the given physical type — the
+    * streaming source needs an explicit schema, and it must match the
+    * file's encoding (long nanos under nanosAsLong, or TIMESTAMP_NTZ
+    * for micros-encoded data; see Tables.events).
+    */
+  private[graft] def eventsSchemaWith(
+      tsType: org.apache.spark.sql.types.DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The normalized long-nanos shape (what re-landed graft data uses). */
+  private[graft] val eventsSchema: StructType = eventsSchemaWith(LongType)
 
   private val nameSeq = new AtomicInteger(0)
 
   private def readEvents(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(eventsSchema)
+    // batch-plan the same file to learn the ts encoding (a footer
+    // read at planning time, no job), then normalize to long nanos —
+    // the contract every downstream transform assumes (Tables.events'
+    // twin for the streaming path)
+    val tsType = s.read.parquet(s"$d/events.parquet").schema("ts").dataType
+    val nanos = tsType match {
+      case LongType => col("ts")
+      case _ => expr("unix_micros(cast(ts as timestamp_ltz)) * 1000L")
+    }
+    s.readStream.schema(eventsSchemaWith(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
+      .withColumn("ts", nanos)
       .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
       .withColumn("ts_s", expr("ts div 1000000000"))
   }

@@ -28,8 +28,9 @@ import org.apache.spark.sql.functions._
   *     dedup postings and LSH buckets grow linearly, never as
   *     cross-replica pileups of identical shingles.
   *
-  * events.ts reads under nanosAsLong (Tables.events) and re-lands as
-  * plain int64 nanos — exactly what every events operator consumes.
+  * events.ts reads through Tables.events' encoding normalization and
+  * re-lands as plain int64 nanos — exactly what every events operator
+  * consumes.
   */
 object ScaleData {
   private val Off = 1000000000L
@@ -47,11 +48,9 @@ object ScaleData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def read(t: String): DataFrame = {
-      if (t == "events")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$src/$t.parquet")
-    }
+    def read(t: String): DataFrame =
+      if (t == "events") graft.Tables.events(spark, src)
+      else spark.read.parquet(s"$src/$t.parquet")
     // events must land as a single FILE named events.parquet — the
     // streaming readers select it with pathGlobFilter=events.parquet,
     // which never matches part-files inside a directory of that name

@@ -206,6 +206,36 @@ class EventsSpec extends SparkSpec {
     assert(g13b.values.forall(_ >= 3), "a 3-core survivor with degree < 3")
   }
 
+  test("g14 labels match an in-memory weighted-majority replay") {
+    // rebuild the support->=2 weighted graph in memory and run two
+    // synchronous majority rounds (argmax weight, ties to min label)
+    val items = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = items.groupBy(_._1).values.toList.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      (for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))).toList
+    }
+    val wEdges = pairs.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2).toList
+      .flatMap { case ((a, b), w) => List((a, b, w), (b, a, w)) }
+    var lab: Map[Long, Long] = wEdges.map(_._1).distinct.map(x => x -> x).toMap
+    (1 to 2).foreach { _ =>
+      val cur = lab
+      lab = wEdges.groupBy(_._1).view.mapValues { es =>
+        es.groupBy(e => cur(e._2)).view.mapValues(_.map(_._3).sum)
+          .toList.minBy { case (l, w) => (-w, l) }._1
+      }.toMap
+    }
+    val got = Events.queries("g14_label_prop")(spark, sf).collect()
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Long]("community")).toMap
+    assert(got == lab, s"LPA labels diverge from replay (${got.size} nodes)")
+    // the point of LPA next to components: MULTIPLE communities even
+    // where the graph is one connected blob
+    assert(lab.values.toSet.size > 1, "degenerate: one community")
+  }
+
   test("g10 per-node counts equal an in-memory brute triangle count") {
     val got = Events.g10TriangleCount(spark, sf).collect()
       .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Long]("n_triangles"))

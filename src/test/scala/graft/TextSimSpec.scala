@@ -719,4 +719,84 @@ class TextSimSpec extends SparkSpec {
     assert(messages(ex).exists(_.contains("hash collision")),
       s"expected the d27 collision guard, got: $ex")
   }
+
+  test("m7 CDC chunks tile each doc and survive a prefix insertion") {
+    // chunks must exactly tile the document (offsets contiguous from
+    // 1, lengths summing to n_chars)
+    val rows = Similarity.queries("m7_cdc_chunks")(spark, sf).collect()
+    val nchars = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, ch) =>
+      var expectOff = 1L
+      ch.sortBy(_.getAs[Long]("chunk_idx")).foreach { c =>
+        assert(c.getAs[Long]("off") == expectOff, s"doc $id gap at $expectOff")
+        expectOff += c.getAs[Long]("len")
+      }
+      assert(expectOff - 1 == nchars(id), s"doc $id cover")
+    }
+    // the CDC property: an insertion at the head shifts every byte,
+    // yet every chunk digest past the edit region is preserved —
+    // fixed-size blocking would share NOTHING
+    import spark.implicits._
+    // non-repeating, pair-diverse content: a periodic string would
+    // make every chunk byte-identical, and low-pair-diversity prose
+    // can miss every boundary pair entirely at the window-2 test size
+    val rnd = new scala.util.Random(7)
+    val alphabet = ('a' to 'z') ++ ('0' to '9') ++ Seq(' ', '.', ',')
+    val base = Seq.fill(2400)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    val edited = "INSERTED-PREFIX " + base
+    val ch = Similarity.cdcChunks(
+      Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+        .select(col("doc_id"), col("text").cast("binary").as("blob")))
+      .collect()
+    def shas(id: Long): Seq[String] = ch.filter(_.getLong(0) == id)
+      .sortBy(_.getAs[Long]("chunk_idx"))
+      .map(_.getAs[Array[Byte]]("sha").map("%02x".format(_)).mkString).toSeq
+    val (sBase, sEdit) = (shas(1L), shas(2L))
+    assert(sBase.length >= 5, s"degenerate chunking: ${sBase.length} chunks")
+    assert((sBase.toSet intersect sEdit.toSet).size >= sBase.length - 2,
+      s"CDC lost downstream chunks: ${(sBase.toSet diff sEdit.toSet).size} of ${sBase.length} unshared")
+  }
+
+  test("d30 BPE pair counts match an in-memory single-level count") {
+    // the operator counts pairs two-level (vocab first, then pairs
+    // weighted by word count); the naive single-level count over every
+    // token occurrence must agree exactly — that equivalence IS the
+    // scale claim (the corpus-sized pass never explodes pairs)
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+    val naive = toks.filter(_.length >= 2)
+      .flatMap(w => w.sliding(2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = naive.toSeq.sortBy { case (p, n) => (-n, p) }.take(50)
+    val got = TextOps.d30BpePairs(spark, sf).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n")).toSeq
+    assert(got == expect, s"top-50 BPE pairs diverge: got=${got.take(5)} expect=${expect.take(5)}")
+  }
+
+  test("d31 classifier scores replay the hashed linear model exactly") {
+    val A = 2654435761L; val M = 1000003L; val B = 512
+    def rh(s: String): Long = {
+      var h = 0L; var i = 0
+      while (i < s.length) { h = (h * 31 + s.charAt(i)) % 1000000007L; i += 1 }
+      h
+    }
+    def weight(b: Long): Long = (b * A) % M - M / 2
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .filter(_._2.nonEmpty).toMap
+    val rows = TextOps.d31QualityClassifier(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == docs.keySet)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ws = docs(id).map(t => weight(rh(t) % B))
+      assert(r.getAs[Long]("n_tokens") == ws.length.toLong, s"doc $id n")
+      assert(r.getAs[Long]("score_sum") == ws.sum, s"doc $id sum")
+      assert(r.getAs[Double]("score") == ws.sum.toDouble / ws.length, s"doc $id score")
+      assert(r.getAs[Boolean]("keep") == (ws.sum > 0), s"doc $id keep")
+    }
+    // the model must actually discriminate: both classes present
+    val keeps = rows.map(_.getAs[Boolean]("keep")).toSet
+    assert(keeps == Set(true, false), s"degenerate classifier: $keeps")
+  }
 }
