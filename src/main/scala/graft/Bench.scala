@@ -53,11 +53,14 @@ object Bench {
     // suite — LSH-blocked, so its cost must scale as N·5N/2^bits,
     // never N²)
     "d27_bigram_lm", "m5_blob_dedup", "e9_knn_graph",
-    // round-7 addition: the iterative-loop family's heaviest member —
+    // round-7 additions: the iterative-loop family's heaviest member —
     // peel rounds to FIXPOINT (localCheckpoint + convergence count per
     // round; the loop runs at build time, which is why the timer
-    // below wraps build, not just the final write)
-    "g13b_kcore_fixpoint")
+    // below wraps build, not just the final write) — and CDC chunking
+    // (the per-byte mapPartitions pass + digest-keyed window: the
+    // non-codegen corpus-scan shape whose cost is byte throughput,
+    // worth tracking next to m5's per-blob digest pass)
+    "g13b_kcore_fixpoint", "m7_cdc_chunks")
 
   /** 1-minute load average, -1.0 if unreadable (non-Linux). */
   private def loadavg(): Double =

@@ -604,6 +604,43 @@ object Similarity {
     exactRerank(emb, short, qs, 5)
   }
 
+  // e10: cluster-balanced diversity subsampling — the embedding-space
+  // pruning step of a training-data pipeline (SemDeDup/DataComp
+  // shape): cap every k-means cell at a fixed quota so dense regions
+  // (near-duplicate content clusters) are downsampled while sparse
+  // regions survive intact — the curated set flattens the density
+  // profile instead of mirroring it. Within a cell the quota keeps
+  // the most CENTRAL members (prototypes; ties → lower vec_id).
+  // Scale shape: e4's trained quantizer (bounded-sample k-means)
+  // broadcasts; assignment is the one corpus pass (map-local argmax
+  // aggregate, N rows through the exchange); the per-cell cut is the
+  // bounded TopKByScore partial aggregate — never a per-cell
+  // row_number window (no full-cell sort at 100 TB, where a cell is
+  // N/C rows). Rows-only (trained centroids aren't SQL-expressible);
+  // the spec replays the selection exactly from the operator's own
+  // assignment and proves the density-flattening invariant.
+  private[graft] def e10Assigned(s: SparkSession, d: String, k: Int,
+                                 iters: Int): DataFrame = {
+    val emb = quantized(s, d)
+    val cents = kmeansCentroids(s, emb, k, iters)
+    emb.crossJoin(broadcast(cents))
+      .withColumn("score", expr(CentroidDot) / col("cn"))
+      .groupBy(col("vec_id"))
+      .agg(expr("max_by(struct(cid, score), struct(score, -cid))").as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"),
+        col("m.score").as("centrality"))
+  }
+
+  def e10DiversitySample(s: SparkSession, d: String, k: Int = 10,
+                         iters: Int = 5, quota: Int = 5): DataFrame =
+    e10Assigned(s, d, k, iters)
+      .groupBy("cell")
+      .agg(GraftFunctions.top_k(col("centrality"), col("vec_id"), quota).as("top"))
+      .select(col("cell"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("t.id").as("vec_id"), col("cell"),
+        (col("pos") + 1).cast("long").as("rank_in_cell"))
+      .orderBy("vec_id")
+
   // e3: per-label centroids — element-wise mean over quantized values;
   // partial aggregation does the heavy lifting before the shuffle.
   def e3Centroids(s: SparkSession, d: String): DataFrame =
@@ -947,6 +984,8 @@ object Similarity {
     "m5_blob_dedup" -> (m5BlobDedup _),
     "m6_base64" -> (m6Base64 _),
     "m7_cdc_chunks" -> (m7CdcChunks _),
+    "e10_diversity_sample" ->
+      ((s: SparkSession, d: String) => e10DiversitySample(s, d)),
     "e9_knn_graph" -> (e9KnnGraph _),
   )
 

@@ -720,6 +720,31 @@ class TextSimSpec extends SparkSpec {
       s"expected the d27 collision guard, got: $ex")
   }
 
+  test("e10 diversity sample replays exactly and flattens cell density") {
+    val k = 10; val iters = 5; val quota = 5
+    val assigned = Similarity.e10Assigned(spark, sf, k, iters).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        r.getAs[Double]("centrality")))
+    // replay the per-cell quota cut in memory: most-central first,
+    // ties to lower vec_id
+    val expect = assigned.groupBy(_._2).toList.flatMap { case (cell, vs) =>
+      vs.toList.sortBy { case (id, _, c) => (-c, id) }.take(quota)
+        .zipWithIndex.map { case ((id, _, _), i) => (id, cell, (i + 1).toLong) }
+    }.toSet
+    val got = Similarity.queries("e10_diversity_sample")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        r.getAs[Long]("rank_in_cell"))).toSet
+    assert(got == expect, s"selection diverges: got ${got.size}, expect ${expect.size}")
+    // density flattening: every cell contributes min(quota, |cell|),
+    // and at least one cell was actually capped (dense region pruned)
+    val cellSizes = assigned.groupBy(_._2).view.mapValues(_.length).toMap
+    val keptSizes = got.groupBy(_._2).view.mapValues(_.size).toMap
+    cellSizes.foreach { case (cell, n) =>
+      assert(keptSizes.getOrElse(cell, 0) == math.min(quota, n), s"cell $cell quota")
+    }
+    assert(cellSizes.values.exists(_ > quota), "no cell dense enough to cap")
+  }
+
   test("m7 CDC chunks tile each doc and survive a prefix insertion") {
     // chunks must exactly tile the document (offsets contiguous from
     // 1, lengths summing to n_chars)
