@@ -594,6 +594,87 @@ object TextOps {
       all.filter(col("source") =!= "src19").select("doc_id", "text"))
   }
 
+  // d32: INCREMENTAL MinHash-LSH near-dedup — d6's fuzzy dedup in
+  // d28's daily-batch shape: today's batch is signed and bucketed
+  // (O(batch)); the base corpus contributes its LSH buckets as the
+  // probe index — at 100 TB that index is a STORED table the ingest
+  // pipeline maintains (signatures + 16 band keys per doc, ~200 bytes
+  // — the only thing the pass reads of the base), so the join touches
+  // base buckets ONLY where a batch doc lands (bucket-keyed semi
+  // probe), never the base corpus. Candidates are (batch ×
+  // earlier-doc) pairs: base docs always count as earlier (already
+  // admitted, whatever their ids); within-batch pairs orient newer →
+  // older by id. Verdict per batch doc: admit iff no earlier doc's
+  // signature-estimated jaccard ≥ τ, else the best match (highest
+  // est, ties → lowest earlier id). Rows-only (hash-family); the spec
+  // proves the pair set EQUALS d6's full-corpus pairs restricted to
+  // batch-involving pairs (same bands, same signatures — incremental
+  // ≡ full, the IVM guarantee d6-style) and drives an injected
+  // near-dup through the cross path.
+  private def minhashBuckets(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 15), b -> struct(b as band, " +
+          "xxhash64(element_at(sig, 4*b+1), element_at(sig, 4*b+2), " +
+          "element_at(sig, 4*b+3), element_at(sig, 4*b+4)) as bkey))")).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+
+  private def minhashSigsOf(df: DataFrame): DataFrame =
+    df.withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", GraftFunctions.shingle_hashes(col("toks"), 3))
+      .withColumn("sig", GraftFunctions.minhash_sig_long(col("shingles"), 64))
+      .select(col("doc_id"), col("sig"))
+
+  private[graft] def d32Pairs(batch: DataFrame, base: DataFrame,
+                              tau: Double = 0.5): DataFrame = {
+    val bSig = minhashSigsOf(batch).cache()
+    val eSig = minhashSigsOf(base) // at scale: the stored index table
+    val bB = minhashBuckets(bSig)
+    val earlier = minhashBuckets(eSig)
+      .withColumn("e_batch", lit(false))
+      .unionByName(bB.withColumn("e_batch", lit(true)))
+      .select(col("band"), col("bkey"), col("doc_id").as("doc_e"), col("e_batch"))
+    val cand = bB.select(col("band"), col("bkey"), col("doc_id").as("doc_n"))
+      .join(earlier, Seq("band", "bkey"))
+      .filter(!col("e_batch") || col("doc_e") < col("doc_n"))
+      .select("doc_n", "doc_e").distinct()
+    val allSig = eSig.unionByName(bSig)
+    cand
+      .join(bSig.select(col("doc_id").as("doc_n"), col("sig").as("sig_n")),
+        Seq("doc_n"))
+      .join(allSig.select(col("doc_id").as("doc_e"), col("sig").as("sig_e")),
+        Seq("doc_e"))
+      .withColumn("est_jaccard", expr(
+        "aggregate(zip_with(sig_n, sig_e, (x, y) -> if(x = y, 1, 0)), " +
+          "0, (acc, v) -> acc + v) / 64.0"))
+      .filter(col("est_jaccard") >= tau)
+      .select(col("doc_n"), col("doc_e"), col("est_jaccard"))
+  }
+
+  def d32IncrementalMinhash(batch: DataFrame, base: DataFrame): DataFrame = {
+    val best = d32Pairs(batch, base)
+      .groupBy("doc_n")
+      .agg(expr("max_by(struct(doc_e, est_jaccard), " +
+        "struct(est_jaccard, -doc_e))").as("m"))
+      .select(col("doc_n").as("doc_id"), col("m.doc_e").as("dup_of"),
+        col("m.est_jaccard").as("est_jaccard"))
+    batch.select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNull.as("admit"),
+        col("dup_of"), col("est_jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** The declared instance: src19 arrives as the new batch (d28's
+    * convention) against everything else as the admitted base.
+    */
+  def d32IncrementalMinhashQ(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.documents(s, d)
+    d32IncrementalMinhash(
+      all.filter(col("source") === "src19").select("doc_id", "text"),
+      all.filter(col("source") =!= "src19").select("doc_id", "text"))
+  }
+
   // d27: interpolated bigram LM scoring — d25's unigram quality proxy
   // upgraded one order: each document is scored by its adjacent token
   // PAIRS' corpus frequencies, interpolated with the successor
@@ -987,6 +1068,7 @@ object TextOps {
     "d26_mixture_rebalance" -> (d26MixtureRebalance _),
     "d27_bigram_lm" -> (d27BigramLm _),
     "d28_incremental_dedup" -> (d28IncrementalDedupQ _),
+    "d32_incremental_minhash" -> (d32IncrementalMinhashQ _),
     "d29_containment" -> ((s: SparkSession, d: String) => d29Containment(s, d)),
     "d9_token_count" -> (d9TokenCount _),
     "d10_vocab_topk" -> (d10VocabTopK _),

@@ -720,6 +720,50 @@ class TextSimSpec extends SparkSpec {
       s"expected the d27 collision guard, got: $ex")
   }
 
+  test("d32 incremental minhash == d6 restricted to batch pairs; injected near-dup caught") {
+    import org.apache.spark.sql.functions.col
+    val all = Tables.documents(spark, sf)
+    val batchIds = all.filter(col("source") === "src19")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // incremental ≡ full: d32's pair set must EQUAL d6's full-corpus
+    // pairs restricted to batch-involving ones (same bands, same sigs)
+    val expect = TextOps.queries("d6_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("est_jaccard"))))
+      .flatMap { case (a, b, e) =>
+        (batchIds(a), batchIds(b)) match {
+          case (true, true)  => Seq((b, a, e)) // newer (larger id) -> older
+          case (true, false) => Seq((a, b, e)) // base is earlier regardless of id
+          case (false, true) => Seq((b, a, e))
+          case _             => Nil
+        }
+      }.toSet
+    val batch = all.filter(col("source") === "src19").select("doc_id", "text")
+    val base = all.filter(col("source") =!= "src19").select("doc_id", "text")
+    val got = TextOps.d32Pairs(batch, base).collect()
+      .map(r => (r.getAs[Long]("doc_n"), r.getAs[Long]("doc_e"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("est_jaccard")))).toSet
+    assert(got == expect,
+      s"incremental pair set diverges from restricted d6: got ${got.size}, expect ${expect.size}")
+    // verdicts: every batch doc appears once; admit == no pair
+    val verdicts = TextOps.queries("d32_incremental_minhash")(spark, sf).collect()
+    assert(verdicts.map(_.getAs[Long]("doc_id")).toSet == batchIds)
+    val dupped = got.map(_._1)
+    verdicts.foreach { r =>
+      assert(r.getAs[Boolean]("admit") == !dupped(r.getAs[Long]("doc_id")))
+    }
+    // cross path live: a near-dup of a batch doc injected into the
+    // base (one word changed) must block that doc's admission
+    import spark.implicits._
+    val donor = batch.orderBy("doc_id").head
+    val mutated = donor.getString(1).split(" ")
+      .zipWithIndex.map { case (w, i) => if (i == 0) "zzz" else w }.mkString(" ")
+    val v2 = TextOps.d32IncrementalMinhash(batch,
+        base.unionByName(Seq((999999L, mutated)).toDF("doc_id", "text")))
+      .collect().find(_.getAs[Long]("doc_id") == donor.getLong(0)).get
+    assert(!v2.getAs[Boolean]("admit"), "injected near-dup not caught")
+  }
+
   test("e10 diversity sample replays exactly and flattens cell density") {
     val k = 10; val iters = 5; val quota = 5
     val assigned = Similarity.e10Assigned(spark, sf, k, iters).collect()
