@@ -220,6 +220,33 @@ object Events {
       .orderBy("user_id")
   }
 
+  // q67: per-type value-outlier detection (3σ rule) with the whole
+  // decision in EXACT integer arithmetic — the monitoring/DQ pass
+  // that flags anomalous event values. Doubles never aggregate: each
+  // value is fixed to micro-units once (round(v·10⁶), an IEEE
+  // multiply + half-up round both engines share bit-for-bit), and the
+  // z-test |v−μ| > 3σ is cross-multiplied into (vn−S)² > 9(nQ−S²)
+  // over decimal(38,0)/int128 sums — no division, no sqrt, no
+  // order-dependent float sum, so the flag is hash-stable (the d20
+  // bit-stability pattern pushed all the way through a variance).
+  // Scale shape: one partial agg to the per-type stats row (types ≪
+  // corpus → broadcast), one map-only flagging pass.
+  def q67ValueOutliers(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("v6", round(col("value") * 1000000).cast("decimal(38,0)"))
+    val stats = ev.groupBy("event_type").agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("v6")).as("s"),
+      sum(col("v6") * col("v6")).as("q"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("dev", col("v6") * col("n") - col("s"))
+      .withColumn("is_outlier",
+        col("dev") * col("dev") > lit(9) * (col("n") * col("q") - col("s") * col("s")))
+      .select(col("event_id"), col("event_type"), col("value"), col("is_outlier"))
+      .orderBy("event_id")
+  }
+
   // g13: k-core peeling (fixed rounds) — "the parts that co-sell with
   // at least k other REPEAT co-sellers, excluding hangers-on": nodes
   // of degree < k are peeled, degrees recomputed, ROUNDS times — the
@@ -659,6 +686,7 @@ object Events {
     "g13b_kcore_fixpoint" ->
       ((s: SparkSession, d: String) => g13bKcoreFixpoint(s, d)),
     "g14_label_prop" -> ((s: SparkSession, d: String) => g14LabelProp(s, d)),
+    "q67_value_outliers" -> (q67ValueOutliers _),
     "g12_sssp" -> ((s: SparkSession, d: String) => {
       val edges = g12Graph(s, d, maxUser = 60)
       g12Sssp(edges,
@@ -739,6 +767,21 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "g14_label_prop" -> g14OracleSql(rounds = 2),
+    "q67_value_outliers" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(round(value * 1000000) AS HUGEINT) AS v6
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(v6) AS HUGEINT) AS s,
+        |    CAST(SUM(v6 * v6) AS HUGEINT) AS q
+        |  FROM e GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  (e.v6 * st.n - st.s) * (e.v6 * st.n - st.s)
+        |    > 9 * (st.n * st.q - st.s * st.s) AS is_outlier
+        |FROM e JOIN st USING (event_type)
+        |ORDER BY event_id""".stripMargin,
     // brute 3-way self-join: states WHAT a triangle is, not how to
     // enumerate one — the Spark side must reproduce it through the
     // degree-ordered orientation, so an orientation bug (a triangle

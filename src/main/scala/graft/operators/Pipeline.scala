@@ -122,14 +122,96 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  // p5: ENSEMBLE quality gate — the three independent quality signals
+  // a curation pipeline actually combines (heuristic stats ≡ d3,
+  // corpus-LM frequency ≡ d25, trained linear classifier ≡ d31)
+  // voted into one verdict, computed in ONE token pass: the exploded
+  // tokens join the corpus-frequency table (token-keyed) AND the
+  // broadcast classifier weights in the same flow, then collapse to
+  // one row per doc. The LM threshold is RELATIVE in exact integers —
+  // keep iff sum_cf·V ≥ n_tokens·W (doc's mean token frequency ≥ the
+  // corpus's mean frequency per type, W/V) — no float division ever
+  // compares (at 100 TB the cross-multiply moves to decimal(38,0),
+  // same plan). Verdict: heuristic quality ≥ 2 AND the LM vote AND
+  // classifier score_sum > 0.
+  def p5QualityEnsemble(s: SparkSession, d: String): DataFrame = {
+    val A = 2654435761L; val M = 1000003L; val B = 512
+    val weights = s.range(B).select(col("id").as("b"),
+      (pmod(col("id") * A, lit(M)) - lit(M / 2)).as("w"))
+    val toks = Tables.documents(s, d)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+    val cf = toks.groupBy("token").agg(count(lit(1)).as("cf"))
+    val tot = cf.agg(sum(col("cf")).as("w_total"),
+      count(lit(1)).as("v_total"))
+    val sig = toks
+      .withColumn("b",
+        pmod(GraftFunctions.rolling_hash(col("token")), lit(B.toLong)))
+      .join(broadcast(weights), "b")
+      .join(cf, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cf")).as("sum_cf"),
+        sum(col("w")).as("score_sum"))
+    val heur = annotate(Tables.documents(s, d))
+      .select(col("doc_id"), col("quality"))
+    sig.join(heur, Seq("doc_id")).crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        col("sum_cf"), col("score_sum"),
+        (col("quality") >= 2 &&
+          col("sum_cf") * col("v_total") >= col("n_tokens") * col("w_total") &&
+          col("score_sum") > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_clean_corpus" -> (p1CleanCorpus _),
     "p2_pretrain_corpus" -> (p2PretrainCorpus _),
     "p3_neardup_corpus" -> (p3NeardupCorpus _),
     "p4_incremental_corpus" -> (p4IncrementalCorpus _),
+    "p5_quality_ensemble" -> (p5QualityEnsemble _),
   )
 
   val oracles: Map[String, String] = Map(
+    "p5_quality_ensemble" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+        |  FROM documents),
+        |cf AS (SELECT token, COUNT(*) AS cf FROM t GROUP BY token),
+        |tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS w_total,
+        |               COUNT(*) AS v_total FROM cf),
+        |h AS (
+        |  SELECT doc_id, token,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(token) + 1),
+        |                       i -> CAST(unicode(token[i]) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007) % 512 AS b
+        |  FROM t),
+        |w AS (SELECT b, (b * 2654435761) % 1000003 - 500001 AS w
+        |      FROM (SELECT unnest(range(0, 512)) AS b)),
+        |sig AS (
+        |  SELECT h.doc_id, COUNT(*) AS n_tokens,
+        |    CAST(SUM(cf.cf) AS BIGINT) AS sum_cf,
+        |    CAST(SUM(w.w) AS BIGINT) AS score_sum
+        |  FROM h JOIN w ON h.b = w.b JOIN cf ON h.token = cf.token
+        |  GROUP BY h.doc_id),
+        |hq AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(toks) BETWEEN 12 AND 80 THEN 1 ELSE 0 END +
+        |      CASE WHEN CAST(len(list_filter(toks,
+        |          x -> x IN ('the','a','data','row'))) AS DOUBLE)
+        |          / len(toks) < 0.3 THEN 1 ELSE 0 END +
+        |      CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS BIGINT) AS quality
+        |  FROM (SELECT doc_id, n_chars,
+        |          list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |        FROM documents))
+        |SELECT sig.doc_id, hq.quality, sig.n_tokens, sig.sum_cf,
+        |  sig.score_sum,
+        |  (hq.quality >= 2
+        |    AND sig.sum_cf * tot.v_total >= sig.n_tokens * tot.w_total
+        |    AND sig.score_sum > 0) AS keep
+        |FROM sig JOIN hq USING (doc_id) CROSS JOIN tot
+        |ORDER BY doc_id""".stripMargin,
     "p3_neardup_corpus" ->
       s"""WITH RECURSIVE ${TextOps.D2PairsCte},
          |cl AS (

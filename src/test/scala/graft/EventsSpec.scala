@@ -206,6 +206,29 @@ class EventsSpec extends SparkSpec {
     assert(g13b.values.forall(_ >= 3), "a 3-core survivor with degree < 3")
   }
 
+  test("q67 outlier flags equal a double-precision 3-sigma replay") {
+    val ev = graft.Tables.events(spark, sf)
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // replicate the fixing step (micro-units), then test in exact
+    // BigInt arithmetic — the operator's claim is that this decision
+    // is what 3-sigma means once values are fixed to 1e-6
+    val v6 = ev.map { case (id, t, v) => (id, t, BigInt(math.round(v * 1e6))) }
+    val byType = v6.groupBy(_._2)
+    val flags = v6.map { case (id, t, x) =>
+      val xs = byType(t).map(_._3)
+      val n = BigInt(xs.length); val sSum = xs.sum
+      val q = xs.map(x2 => x2 * x2).sum
+      val dev = x * n - sSum
+      id -> (dev * dev > 9 * (n * q - sSum * sSum))
+    }.toMap
+    val got = Events.queries("q67_value_outliers")(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Boolean]("is_outlier")).toMap
+    assert(got == flags, "outlier flags diverge from the BigInt replay")
+    assert(got.values.exists(identity) && got.values.exists(!_),
+      "degenerate: outliers should exist but not dominate")
+  }
+
   test("g14 labels match an in-memory weighted-majority replay") {
     // rebuild the support->=2 weighted graph in memory and run two
     // synchronous majority rounds (argmax weight, ties to min label)

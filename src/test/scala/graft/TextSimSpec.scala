@@ -720,6 +720,35 @@ class TextSimSpec extends SparkSpec {
       s"expected the d27 collision guard, got: $ex")
   }
 
+  test("p5 ensemble verdict is the conjunction of its three component signals") {
+    val p5 = Pipeline.queries("p5_quality_ensemble")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("quality"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_cf"),
+        r.getAs[Long]("score_sum"), r.getAs[Boolean]("keep")))
+    // component cross-checks: d3's quality, d25's LM sums, d31's score
+    val d3q = TextOps.d3TextStats(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("quality")).toMap
+    val d25 = TextOps.d25LmScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_cf"))).toMap
+    val d31 = TextOps.d31QualityClassifier(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_sum")).toMap
+    // corpus totals for the relative LM threshold
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+    val wTotal = toks.length.toLong
+    val vTotal = toks.distinct.length.toLong
+    p5.foreach { case (id, q, n, scf, ssum, keep) =>
+      assert(q == d3q(id), s"doc $id quality != d3")
+      assert((n, scf) == d25(id), s"doc $id LM sums != d25")
+      assert(ssum == d31(id), s"doc $id classifier sum != d31")
+      assert(keep == (q >= 2 && scf * vTotal >= n * wTotal && ssum > 0),
+        s"doc $id verdict inconsistent")
+    }
+    assert(p5.exists(_._6) && p5.exists(!_._6),
+      "degenerate ensemble: both verdicts should occur")
+  }
+
   test("d32 incremental minhash == d6 restricted to batch pairs; injected near-dup caught") {
     import org.apache.spark.sql.functions.col
     val all = Tables.documents(spark, sf)
