@@ -247,6 +247,34 @@ object Events {
       .orderBy("event_id")
   }
 
+  // g16: common-neighbor link prediction — "which parts DON'T co-sell
+  // yet but share many co-sell partners" (the simplest link-prediction
+  // score; Adamic-Adar/Jaccard variants divide the same counts). The
+  // wedge enumeration is d2's one-exchange pattern: group the
+  // symmetric edge set by the shared neighbor, capped-collect each
+  // adjacency list (the cap bounds BOTH the aggregation buffer and
+  // the per-node pair fan-out — the hub blowup Σdeg² is the quantity
+  // that kills this op at scale; the cap is the documented stop-list,
+  // provably unhit at test SF like d2's dfCap), emit ordered pairs
+  // in-place, count per pair, anti-join the existing edges, bounded
+  // top-k. Oracled against the uncapped wedge join.
+  def g16CommonNeighbors(s: SparkSession, d: String, cap: Int = 512,
+                         k: Int = 100): DataFrame = {
+    val e = coPurchaseSym(s, d).cache()
+    val wedges = e.groupBy("x")
+      .agg(graft.functions.GraftFunctions.capped_collect_pairs(
+        col("y"), lit(0L), cap).as("nbrs"))
+      .filter(col("nbrs").isNotNull)
+      .withColumn("a", explode(col("nbrs")))
+      .withColumn("b", explode(expr("filter(nbrs, m -> m.doc_id > a.doc_id)")))
+      .groupBy(col("a.doc_id").as("part_a"), col("b.doc_id").as("part_b"))
+      .agg(count(lit(1)).as("common"))
+    val existing = e.select(col("x").as("part_a"), col("y").as("part_b"))
+    wedges.join(existing, Seq("part_a", "part_b"), "left_anti")
+      .filter(col("common") >= 2)
+      .orderBy(col("common").desc, col("part_a"), col("part_b")).limit(k)
+  }
+
   // g13: k-core peeling (fixed rounds) — "the parts that co-sell with
   // at least k other REPEAT co-sellers, excluding hangers-on": nodes
   // of degree < k are peeled, degrees recomputed, ROUNDS times — the
@@ -687,6 +715,8 @@ object Events {
       ((s: SparkSession, d: String) => g13bKcoreFixpoint(s, d)),
     "g14_label_prop" -> ((s: SparkSession, d: String) => g14LabelProp(s, d)),
     "q67_value_outliers" -> (q67ValueOutliers _),
+    "g16_common_neighbors" ->
+      ((s: SparkSession, d: String) => g16CommonNeighbors(s, d)),
     "g12_sssp" -> ((s: SparkSession, d: String) => {
       val edges = g12Graph(s, d, maxUser = 60)
       g12Sssp(edges,
@@ -767,6 +797,27 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "g14_label_prop" -> g14OracleSql(rounds = 2),
+    "g16_common_neighbors" ->
+      """WITH items AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM items a JOIN items b
+        |    ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS MATERIALIZED (
+        |  SELECT a AS x, b AS y FROM e0 UNION ALL SELECT b, a FROM e0),
+        |cn AS (
+        |  SELECT e1.y AS a, e2.y AS b, COUNT(*) AS common
+        |  FROM e e1 JOIN e e2 ON e2.x = e1.x AND e1.y < e2.y
+        |  GROUP BY 1, 2),
+        |ne AS (
+        |  SELECT cn.a, cn.b, cn.common FROM cn
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM e WHERE e.x = cn.a AND e.y = cn.b))
+        |SELECT a AS part_a, b AS part_b, common FROM ne
+        |WHERE common >= 2
+        |ORDER BY common DESC, a, b LIMIT 100""".stripMargin,
     "q67_value_outliers" ->
       """WITH e AS (
         |  SELECT event_id, event_type, value,

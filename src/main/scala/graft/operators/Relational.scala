@@ -564,7 +564,22 @@ object Relational {
       .crossJoin(broadcast(total))
   }
 
+  // q68: unpivot/melt — the inverse of q13's pivot and the wide→long
+  // reshape every report/catalog export needs (pandas melt, ANSI
+  // UNPIVOT). Uses Spark's NATIVE Dataset.unpivot (an Expand node:
+  // map-only, one output row per (row, attr), no shuffle beyond the
+  // presentation sort) rather than a stack() expression — same plan,
+  // typed API. Value columns are all strings here; heterogeneous
+  // numerics would cast to a common type first (the API enforces it).
+  def q68Unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_brand"), col("p_type"), col("p_name")),
+        "attr", "val")
+      .orderBy("p_partkey", "attr")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_unpivot" -> (q68Unpivot _),
     "q65_search_page" -> (q65SearchPage _),
     "q62_intersect_except" -> (q62IntersectExcept _),
     "q63_scalar_subquery" -> (q63ScalarSubquery _),
@@ -605,6 +620,12 @@ object Relational {
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q68_unpivot" ->
+      """SELECT p_partkey, attr, val FROM (
+        |  SELECT p_partkey, 'p_brand' AS attr, p_brand AS val FROM part
+        |  UNION ALL SELECT p_partkey, 'p_type', p_type FROM part
+        |  UNION ALL SELECT p_partkey, 'p_name', p_name FROM part)
+        |ORDER BY p_partkey, attr""".stripMargin,
     "q65_search_page" ->
       """WITH f AS (
         |  SELECT p_partkey, p_name, p_brand, p_type, p_retailprice

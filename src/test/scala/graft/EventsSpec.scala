@@ -259,6 +259,32 @@ class EventsSpec extends SparkSpec {
     assert(lab.values.toSet.size > 1, "degenerate: one community")
   }
 
+  test("g16 link prediction: cap unhit at test SF, predictions are non-edges") {
+    def rows(cap: Int) = Events.g16CommonNeighbors(spark, sf, cap = cap)
+      .collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+        r.getAs[Long]("common"))).toSeq
+    val got = rows(512)
+    assert(got.nonEmpty, "no link predictions at test SF")
+    // d2's cap argument restated: the hub stop-list drops nothing here
+    assert(got == rows(Int.MaxValue - 1),
+      "adjacency cap dropped wedges at test SF")
+    // predicted links must not already exist; verify against an
+    // in-memory rebuild of the support>=2 edge set
+    val items = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = items.groupBy(_._1).values.toList.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      (for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))).toList
+    }.groupBy(identity).filter(_._2.size >= 2).keySet
+    got.foreach { case (a, b, c) =>
+      assert(!edges((a, b)), s"predicted pair ($a,$b) is already an edge")
+      assert(c >= 2)
+    }
+  }
+
   test("g10 per-node counts equal an in-memory brute triangle count") {
     val got = Events.g10TriangleCount(spark, sf).collect()
       .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Long]("n_triangles"))

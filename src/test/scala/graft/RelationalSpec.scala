@@ -168,6 +168,29 @@ class RelationalSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("p_partkey")).toSeq == expected)
   }
 
+  test("q68 unpivot melts losslessly and plans map-only (Expand, no window)") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.q68Unpivot(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"unpivot should plan as Expand:\n$plan")
+    assert(!plan.contains("Window"), "no window belongs in a melt")
+    val parts = graft.Tables.part(spark, sf)
+      .select("p_partkey", "p_brand", "p_type", "p_name").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3)))
+      .toMap
+    val rows = df.collect()
+    assert(rows.length == parts.size * 3, "one output row per (part, attr)")
+    rows.foreach { r =>
+      val (brand, typ, name) = parts(r.getAs[Long]("p_partkey"))
+      val want = r.getAs[String]("attr") match {
+        case "p_brand" => brand
+        case "p_type" => typ
+        case "p_name" => name
+      }
+      assert(r.getAs[String]("val") == want)
+    }
+  }
+
   test("q63 threshold rows equal an in-engine recomputation") {
     import org.apache.spark.sql.functions._
     val got = Relational.q63ScalarSubquery(spark, sf).collect()
