@@ -525,7 +525,124 @@ object EventStream {
       .orderBy("event_type")
   }
 
+  // s11: streaming exact dedup against a DURABLE EXTERNAL hash index
+  // — the unbounded-key production shape `dropDuplicates` can't be:
+  // stream state in the checkpoint grows with every distinct key
+  // forever (and dies with the checkpoint), while this index is a
+  // bucketed parquet table (s7's versioned registry machinery) that
+  // any batch job can read, rebuild, or compact. Each micro-batch:
+  // batch-local exact groups (d1's dense_rank-in-h-partition resolve —
+  // no text-keyed exchange, PlanInvariants' rule), probe = h-keyed
+  // semi/anti split of ONLY the touched buckets' prior rows (the
+  // pass-through majority never enters the window), merge counts,
+  // rewrite touched buckets as a new version. Arrival order is the
+  // keeper rule (first admitted wins); landed ascending-doc_id slices
+  // make that d1's min-doc_id — so the STREAMING result converges to
+  // the batch answer and shares d1's oracle (the s1/q22 contract).
+  private[graft] def streamDedupIndex(s: SparkSession, stream: DataFrame,
+                                      root: String, nBuckets: Int = 8,
+                                      ckptDir: Option[String] = None): DataFrame = {
+    val latest = scala.collection.concurrent.TrieMap.empty[Long, String] ++
+      loadManifest(root)
+    val bucketOf = pmod(col("h"), lit(nBuckets.toLong))
+    val q = stream.writeStream
+      .option("checkpointLocation", ckptDir.getOrElse(s"$root/ckpt"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val grpW = org.apache.spark.sql.expressions.Window
+          .partitionBy("h").orderBy("text")
+        val bl = batch.withColumn("h", xxhash64(col("text")))
+          .select(col("h"), col("text"), col("doc_id"))
+          .withColumn("grp", dense_rank().over(grpW))
+          .groupBy("h", "grp")
+          .agg(min(col("doc_id")).as("cand_id"), count(lit(1)).as("n_new"),
+            max(col("text")).as("text"))
+          .persist()
+        val touched = bl.select(bucketOf.as("b")).distinct()
+          .collect().map(_.getLong(0)).sorted // <= nBuckets driver rows
+        val prevPaths = touched.flatMap(latest.get).distinct
+        val prior =
+          if (prevPaths.isEmpty) {
+            import s.implicits._
+            Seq.empty[(Long, String, Long, Long)]
+              .toDF("h", "text", "keep_id", "n_copies")
+          } else s.read.parquet(prevPaths.toIndexedSeq: _*)
+            .select("h", "text", "keep_id", "n_copies")
+        // only h-hit prior rows enter the text-resolve window; the
+        // untouched majority of each bucket passes through h-keyed
+        val batchH = bl.select("h").distinct()
+        val hit = prior.join(batchH, Seq("h"), "left_semi")
+        val passThrough = prior.join(batchH, Seq("h"), "left_anti")
+        val union = hit.select(col("h"), col("text"), lit(1).as("side"),
+            col("keep_id"), col("n_copies"), lit(0L).as("cand_id"),
+            lit(0L).as("n_new"))
+          .unionByName(bl.select(col("h"), col("text"), lit(0).as("side"),
+            lit(-1L).as("keep_id"), lit(0L).as("n_copies"), col("cand_id"),
+            col("n_new")))
+        val tg = dense_rank().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("h").orderBy("text"))
+        val merged = union.withColumn("tg", tg)
+          .groupBy("h", "tg")
+          .agg(max(col("text")).as("text"),
+            max(when(col("side") === 1, col("keep_id"))).as("base_keep"),
+            max(when(col("side") === 1, col("n_copies"))).as("base_n"),
+            min(when(col("side") === 0, col("cand_id"))).as("cand_id"),
+            sum(when(col("side") === 0, col("n_new")).otherwise(0L))
+              .as("n_new"))
+          .select(col("h"), col("text"),
+            coalesce(col("base_keep"), col("cand_id")).as("keep_id"),
+            (coalesce(col("base_n"), lit(0L)) + col("n_new")).as("n_copies"))
+        merged.unionByName(passThrough)
+          .withColumn("bucket", bucketOf)
+          .write.partitionBy("bucket").mode("overwrite")
+          .parquet(s"$root/v$batchId")
+        touched.foreach(b => latest(b) = s"$root/v$batchId/bucket=$b")
+        saveManifest(root, latest)
+        bl.unpersist()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    if (latest.isEmpty) {
+      import s.implicits._
+      Seq.empty[(Long, Long)].toDF("keep_id", "n_copies")
+    } else
+      s.read.parquet(latest.values.toSeq.distinct: _*)
+        .select(col("keep_id"), col("n_copies")).orderBy("keep_id")
+  }
+
+  /** The declared instance: documents land as three ascending-doc_id
+    * slices (mtime-ordered files — the crawler drop s7 also models),
+    * processed one file per micro-batch.
+    */
+  def s11StreamDedupIndex(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_s11")
+    val src = dir.resolve("src")
+    java.nio.file.Files.createDirectory(src)
+    val docs = graft.Tables.documents(s, d).select("doc_id", "text")
+    val mm = docs.agg(min("doc_id"), max("doc_id")).head
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val w = (hi - lo) / 3 + 1
+    (0 until 3).foreach { i =>
+      val stage = dir.resolve(s"stage$i").toString
+      docs.filter(col("doc_id") >= lo + i * w &&
+          col("doc_id") < lo + (i + 1) * w)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = src.resolve(s"slice$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    streamDedupIndex(s, stream, dir.resolve("idx").toString)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_stream_dedup_index" -> (s11StreamDedupIndex _),
     "s6_stream_static_join" -> (s6StreamStaticJoin _),
     "s9_stream_dq_gate" -> (s9StreamDqGate _),
     "s10_stream_zorder_ingest" -> (s10StreamZorderIngest _),
@@ -540,6 +657,12 @@ object EventStream {
   )
 
   val oracles: Map[String, String] = Map(
+    // the streaming index converges to d1's batch answer (the
+    // s1/q22 contract): first-admitted == min doc_id under the
+    // ascending-slice landing order
+    "s11_stream_dedup_index" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "s10_stream_zorder_ingest" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -9,6 +9,43 @@ import java.nio.file.Files
 
 class StreamSourcesSpec extends SparkSpec {
 
+  test("s11 external-index dedup: cross-batch dups merge, keeper is first-admitted") {
+    import spark.implicits._
+    // the corpus has no exact dups (d1's situation too), so the
+    // cross-batch and within-batch dup paths are driven synthetically:
+    // file1 = {A(1), B(2), B(3)}, file2 = {A(10), C(11), A(12)} —
+    // B dups within batch 1, A spans both batches
+    val dir = Files.createTempDirectory("graft_s11_spec")
+    val src = dir.resolve("src"); Files.createDirectory(src)
+    def land(rows: Seq[(Long, String)], name: String, ts: Long): Unit = {
+      val stage = dir.resolve(name + "_stage").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = src.resolve(name + ".parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(ts)
+    }
+    land(Seq((1L, "alpha text"), (2L, "beta text"), (3L, "beta text")),
+      "f1", 1000000L)
+    land(Seq((10L, "alpha text"), (11L, "gamma text"), (12L, "alpha text")),
+      "f2", 2000000L)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val got = EventStream.streamDedupIndex(spark, stream,
+        dir.resolve("idx").toString).collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    // A: keeper 1 (first admitted), 3 copies total across batches;
+    // B: keeper 2, 2 copies within batch 1; C: keeper 11, 1 copy
+    assert(got == Map(1L -> 3L, 2L -> 2L, 11L -> 1L),
+      s"index state wrong: $got")
+    // versions exist per batch and the index survives as plain parquet
+    val idx = new java.io.File(dir.resolve("idx").toString)
+    assert(idx.listFiles.count(_.getName.startsWith("v")) >= 2)
+  }
+
   test("streaming window agg converges to the batch q22 answer") {
     val stream = EventStream.s1StreamWindow(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
