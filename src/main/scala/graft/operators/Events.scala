@@ -275,6 +275,40 @@ object Events {
       .orderBy(col("common").desc, col("part_a"), col("part_b")).limit(k)
   }
 
+  // q69: point-in-time (PIT) join — the feature-store correctness
+  // primitive: each fact row joins the dimension VERSION that was
+  // valid AT fact time (here: each purchase joins the user's activity
+  // status at purchase time, the SCD2-interval materialization of
+  // q26's as-of semantics — what a feature platform actually stores
+  // and serves, and the join q61's SCD2 tables exist to receive).
+  // Intervals are lead-chained [valid_from, valid_to) per user —
+  // they PARTITION time, so at most one version matches and the join
+  // can't fan out. Scale shape vs q50: this range join HAS an equi
+  // key (user_id) — the hash join co-locates by user and the interval
+  // predicate is a residual filter over each user's few versions,
+  // never a bucket-expansion; purchases before any activity survive
+  // the left join with a null status.
+  def q69PitJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), expr("ts div 1000").as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val dim = ev.filter(col("event_type") =!= "purchase")
+      .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+      .select(col("user_id").as("d_user"), col("event_type").as("status"),
+        col("ts_us").as("valid_from"), col("valid_to"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("purchase_ts_us"))
+      .join(dim,
+        col("user_id") === col("d_user") &&
+          col("purchase_ts_us") >= col("valid_from") &&
+          (col("valid_to").isNull || col("purchase_ts_us") < col("valid_to")),
+        "left")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts_us"),
+        col("status"), col("valid_from").as("status_since_us"))
+      .orderBy("purchase_id")
+  }
+
   // g13: k-core peeling (fixed rounds) — "the parts that co-sell with
   // at least k other REPEAT co-sellers, excluding hangers-on": nodes
   // of degree < k are peeled, degrees recomputed, ROUNDS times — the
@@ -715,6 +749,7 @@ object Events {
       ((s: SparkSession, d: String) => g13bKcoreFixpoint(s, d)),
     "g14_label_prop" -> ((s: SparkSession, d: String) => g14LabelProp(s, d)),
     "q67_value_outliers" -> (q67ValueOutliers _),
+    "q69_pit_join" -> (q69PitJoin _),
     "g16_common_neighbors" ->
       ((s: SparkSession, d: String) => g16CommonNeighbors(s, d)),
     "g12_sssp" -> ((s: SparkSession, d: String) => {
@@ -797,6 +832,26 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "g14_label_prop" -> g14OracleSql(rounds = 2),
+    "q69_pit_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |dim AS (
+        |  SELECT user_id AS d_user, event_type AS status,
+        |    ts_us AS valid_from,
+        |    LEAD(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS valid_to
+        |  FROM ev WHERE event_type <> 'purchase'),
+        |f AS (
+        |  SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us
+        |  FROM ev WHERE event_type = 'purchase')
+        |SELECT f.purchase_id, f.user_id, f.purchase_ts_us, dim.status,
+        |  dim.valid_from AS status_since_us
+        |FROM f LEFT JOIN dim
+        |  ON f.user_id = dim.d_user
+        |  AND f.purchase_ts_us >= dim.valid_from
+        |  AND (dim.valid_to IS NULL OR f.purchase_ts_us < dim.valid_to)
+        |ORDER BY purchase_id""".stripMargin,
     "g16_common_neighbors" ->
       """WITH items AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

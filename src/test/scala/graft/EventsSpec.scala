@@ -229,6 +229,32 @@ class EventsSpec extends SparkSpec {
       "degenerate: outliers should exist but not dominate")
   }
 
+  test("q69 PIT join equals an in-memory as-of replay and keeps its equi key") {
+    // the interval form must agree with the as-of definition: the
+    // latest non-purchase event at-or-before the purchase (ties on
+    // ts: the event with that ts, largest event_id per lead ordering)
+    val ev = graft.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3) / 1000))
+    val byUser = ev.filter(_._3 != "purchase").groupBy(_._2)
+    val expect = ev.filter(_._3 == "purchase").map { case (pid, u, _, t) =>
+      val past = byUser.getOrElse(u, Array.empty)
+        .filter(e => e._4 <= t).sortBy(e => (e._4, e._1))
+      pid -> past.lastOption.map(_._3)
+    }.toMap
+    val df = Events.q69PitJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"PIT join lost its user_id equi key:\n$plan")
+    val got = df.collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        Option(r.getAs[String]("status"))).toMap
+    assert(got == expect, "PIT statuses diverge from the as-of replay")
+    assert(got.values.exists(_.isEmpty) || expect.values.forall(_.nonEmpty),
+      "left-join nulls should match the replay")
+  }
+
   test("g14 labels match an in-memory weighted-majority replay") {
     // rebuild the support->=2 weighted graph in memory and run two
     // synchronous majority rounds (argmax weight, ties to min label)
