@@ -934,6 +934,47 @@ object Similarity {
       }(enc).orderBy("doc_id", "bin")
   }
 
+  // m8: perceptual-hash near-dup detection for blobs — the MEDIA
+  // twin of d7's SimHash: a dHash-style 16-bit GRADIENT hash (bit i
+  // compares consecutive strided samples — exactly how image dHash
+  // compares adjacent downscaled pixels; a histogram aHash is
+  // DEGENERATE here because every blob in a homogeneous corpus has
+  // the same above-mean bins, collapsing all hashes to one value and
+  // the "near-dup" set to all-pairs), then near-dup pairs within
+  // Hamming ≤ 2 via 4×4-bit block LSH (pigeonhole: ≤ 2 flipped bits
+  // touch ≤ 2 blocks, so ≥ 2 of 4 blocks match exactly — sharing any
+  // block key catches every pair; d7's argument at media scale, no
+  // corpus×corpus pass). The hash is one codegen'd map expression —
+  // no mapPartitions, no UDF. Fully ORACLED: integer arithmetic
+  // DuckDB replays, and the oracle states the BRUTE Hamming join, so
+  // the LSH must find exactly those pairs.
+  private[graft] def m8Phash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), expr(
+      "aggregate(sequence(0, 15), 0L, (acc, i) -> acc + " +
+        "if(ascii(substring(text, least(1 + i * greatest(1, " +
+        "length(text) div 17), length(text)), 1)) < " +
+        "ascii(substring(text, least(1 + (i + 1) * greatest(1, " +
+        "length(text) div 17), length(text)), 1)), " +
+        "shiftleft(1L, cast(i as int)), 0L))").as("phash"))
+
+  def m8PhashNeardup(s: SparkSession, d: String, maxHam: Int = 2): DataFrame = {
+    val ph = m8Phash(s, d)
+    val blocks = ph.select(col("doc_id"), col("phash"),
+      explode(expr("transform(sequence(0, 3), b -> struct(b as blk, " +
+        "(phash div shiftleft(1L, cast(4 * b as int))) % 16 as bkey))")).as("bb"))
+      .select(col("doc_id"), col("phash"), col("bb.blk"), col("bb.bkey"))
+    blocks.select(col("blk"), col("bkey"), col("doc_id").as("doc_a"),
+        col("phash").as("ph_a"))
+      .join(blocks.select(col("blk"), col("bkey"), col("doc_id").as("doc_b"),
+        col("phash").as("ph_b")), Seq("blk", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ph_a", "ph_b").distinct()
+      .withColumn("hamming", expr("cast(bit_count(ph_a ^ ph_b) as bigint)"))
+      .filter(col("hamming") <= maxHam)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // m4: multimodal resize — scale the stub-decoded (width, height) to
   // fit a 32×32 box preserving aspect (integer arithmetic), plus a
   // "thumbnail" digest: every k-th code point (k = ceil(len/64))
@@ -984,6 +1025,7 @@ object Similarity {
     "m5_blob_dedup" -> (m5BlobDedup _),
     "m6_base64" -> (m6Base64 _),
     "m7_cdc_chunks" -> (m7CdcChunks _),
+    "m8_phash_neardup" -> ((s: SparkSession, d: String) => m8PhashNeardup(s, d)),
     "e10_diversity_sample" ->
       ((s: SparkSession, d: String) => e10DiversitySample(s, d)),
     "e9_knn_graph" -> (e9KnnGraph _),
@@ -1141,6 +1183,27 @@ object Similarity {
         |  COUNT(*) OVER (PARTITION BY sha) AS n_copies,
         |  n_bytes
         |FROM h ORDER BY doc_id""".stripMargin,
+    "m8_phash_neardup" ->
+      """WITH ph AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), i ->
+        |    CASE WHEN
+        |      unicode(text[LEAST(1 + i * GREATEST(1, length(text) // 17),
+        |                         length(text))
+        |               :LEAST(1 + i * GREATEST(1, length(text) // 17),
+        |                         length(text))])
+        |      <
+        |      unicode(text[LEAST(1 + (i + 1) * GREATEST(1, length(text) // 17),
+        |                         length(text))
+        |               :LEAST(1 + (i + 1) * GREATEST(1, length(text) // 17),
+        |                         length(text))])
+        |    THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END))
+        |    AS BIGINT) AS phash
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "m7_cdc_chunks" ->
       """WITH b AS (
         |  SELECT doc_id, text, length(text) AS n FROM documents

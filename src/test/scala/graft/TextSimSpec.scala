@@ -793,6 +793,24 @@ class TextSimSpec extends SparkSpec {
     assert(!v2.getAs[Boolean]("admit"), "injected near-dup not caught")
   }
 
+  test("m8 block-LSH finds exactly the brute ham<=2 phash pairs; hash discriminates") {
+    val ph = Similarity.m8Phash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // the gradient hash must actually spread (the aHash it replaced
+    // collapsed every doc to one value -> all-pairs "near dups")
+    assert(ph.map(_._2).distinct.length > ph.length / 4,
+      s"degenerate phash: ${ph.map(_._2).distinct.length} distinct of ${ph.length}")
+    val brute = (for {
+      (ida, ha) <- ph; (idb, hb) <- ph
+      if ida < idb && java.lang.Long.bitCount(ha ^ hb) <= 2
+    } yield (ida, idb)).toSet
+    val lsh = Similarity.queries("m8_phash_neardup")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(lsh == brute,
+      s"missed: ${(brute -- lsh).take(5)}; spurious: ${(lsh -- brute).take(5)}")
+    assert(brute.nonEmpty, "no near-dup pairs to exercise")
+  }
+
   test("e10 diversity sample replays exactly and flattens cell density") {
     val k = 10; val iters = 5; val quota = 5
     val assigned = Similarity.e10Assigned(spark, sf, k, iters).collect()
