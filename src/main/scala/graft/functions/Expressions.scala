@@ -118,10 +118,73 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Content-defined chunk boundaries (m7's gear hash, SURVEY §2.8):
+  * 1-based chunk END positions over a binary blob — position i+1 is a
+  * cut iff the mixed 2-byte-window hash of (b[i-1], b[i]) lands in
+  * the low 1/64 of the 31-bit range (the HIGH-bit cut; mod-64 on a
+  * multiplicative hash reads the unmixed low bits and degenerates),
+  * with the blob end always the final cut. Emitting boundaries as an
+  * array keeps the whole CDC pass inside whole-stage codegen: cuts →
+  * posexplode → substring/sha2, no mapPartitions, no UDF.
+  */
+case class GearCuts(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "gear_cuts"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"gear_cuts requires BINARY, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val n = b.length
+    val cuts = new Array[Int](n)
+    var w = 0
+    var i = 1
+    while (i < n) {
+      val h = (((b(i - 1) & 0xffL) * 256L + (b(i) & 0xffL) + 1L) *
+        2654435761L) % 2147483648L
+      if (h < 33554432L) { cuts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    if (n > 0 && (w == 0 || cuts(w - 1) != n)) { cuts(w) = n; w += 1 }
+    new GenericArrayData(java.util.Arrays.copyOf(cuts, w))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.freshName("gc")
+    val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |byte[] ${p}b = $c;
+      |int ${p}n = ${p}b.length;
+      |int[] ${p}cuts = new int[${p}n];
+      |int ${p}w = 0;
+      |for (int ${p}i = 1; ${p}i < ${p}n; ${p}i++) {
+      |  long ${p}h = ((((long) (${p}b[${p}i - 1] & 0xFF)) * 256L +
+      |    (${p}b[${p}i] & 0xFF) + 1L) * 2654435761L) % 2147483648L;
+      |  if (${p}h < 33554432L) { ${p}cuts[${p}w++] = ${p}i + 1; }
+      |}
+      |if (${p}n > 0 && (${p}w == 0 || ${p}cuts[${p}w - 1] != ${p}n)) {
+      |  ${p}cuts[${p}w++] = ${p}n;
+      |}
+      |${ev.value} = new $gad(java.util.Arrays.copyOf(${p}cuts, ${p}w));
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GearCuts =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graft.shim.{column, expression}
 
   def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
+  def gear_cuts(c: Column): Column = column(GearCuts(expression(c)))
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
   def minhash_sig(c: Column, numHashes: Int = 64): Column =
@@ -181,6 +244,8 @@ object GraftFunctions {
   val sqlFunctions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("rolling_hash", "rolling_hash(str) - polynomial content fingerprint",
       es => { arity("rolling_hash", es, 1); RollingHash(es.head) }),
+    ("gear_cuts", "gear_cuts(bin) - content-defined chunk end positions",
+      es => { arity("gear_cuts", es, 1); GearCuts(es.head) }),
     ("cosine_sim", "cosine_sim(a, b) - cosine of two float arrays",
       es => { arity("cosine_sim", es, 2); CosineSim(es.head, es(1)) }),
     ("simhash64", "simhash64(tokens) - 64-bit SimHash",

@@ -758,47 +758,28 @@ object Similarity {
   // window to 48-64 bytes and adds min/max clamps — identical plan,
   // bigger constant. Window-2 keeps the oracle an exact per-char SQL
   // replay (d5's precedent).
-  // Byte-level work runs in the m1/m5 mapPartitions batch shape;
-  // digests stay raw 32-byte BINARY through the corpus-wide exchange
-  // (m5's key-width lesson), hex is presentation in the final select.
-  // ASCII-precondition: the oracle walks code points, the operator
-  // walks bytes — equal on this corpus (RollingHash's documented
-  // assumption).
-  private[graft] def cdcChunks(bin: DataFrame): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("chunk_idx", LongType, nullable = false),
-      StructField("off", LongType, nullable = false),
-      StructField("len", LongType, nullable = false),
-      StructField("sha", BinaryType, nullable = false)))
-    val enc = org.apache.spark.sql.Encoders.row(schema)
-    bin.mapPartitions { rows =>
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      rows.flatMap { r =>
-        val id = r.getLong(0)
-        val b = r.getAs[Array[Byte]](1)
-        val n = b.length
-        val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
-        var i = 1
-        while (i < n) {
-          val h = (((b(i - 1) & 0xffL) * 256L + (b(i) & 0xffL) + 1L) *
-            2654435761L) % 2147483648L
-          if (h < 33554432L) cuts += (i + 1) // 1-based chunk end; 2^25 = 2^31/64
-          i += 1
-        }
-        if (n > 0 && (cuts.isEmpty || cuts.last != n)) cuts += n
-        var prev = 0
-        cuts.iterator.zipWithIndex.map { case (e, k) =>
-          md.reset()
-          val sha = md.digest(java.util.Arrays.copyOfRange(b, prev, e))
-          val row = Row(id, (k + 1).toLong, (prev + 1).toLong,
-            (e - prev).toLong, sha)
-          prev = e
-          row
-        }
-      }
-    }(enc)
-  }
+  // FULLY DECLARATIVE: boundaries come from the codegen'd GearCuts
+  // expression (array of chunk ends), chunks materialize as
+  // posexplode → substring → sha2 — the entire byte pass stays inside
+  // whole-stage codegen with no mapPartitions and no UDF (unlike
+  // m1/m5, whose MessageDigest batch shape stands in for a real
+  // decoder). Digests go raw 32-byte BINARY through the corpus-wide
+  // exchange (m5's key-width lesson), hex is presentation in the
+  // final select. ASCII-precondition: the oracle walks code points,
+  // the operator walks bytes — equal on this corpus (RollingHash's
+  // documented assumption).
+  private[graft] def cdcChunks(bin: DataFrame): DataFrame =
+    bin.withColumn("cuts", GraftFunctions.gear_cuts(col("blob")))
+      .select(col("doc_id"), col("blob"), col("cuts"),
+        posexplode(col("cuts")).as(Seq("k", "e")))
+      // previous cut: element_at is 1-based, so index k (0-based pos)
+      // IS the prior element; k=0 starts at offset 0
+      .withColumn("prev",
+        when(col("k") === 0, lit(0)).otherwise(element_at(col("cuts"), col("k"))))
+      .select(col("doc_id"), (col("k") + 1).cast("long").as("chunk_idx"),
+        (col("prev") + 1).cast("long").as("off"),
+        (col("e") - col("prev")).cast("long").as("len"),
+        unhex(sha2(expr("substring(blob, prev + 1, e - prev)"), 256)).as("sha"))
 
   def m7CdcChunks(s: SparkSession, d: String): DataFrame = {
     val chunks = cdcChunks(Tables.documents(s, d)

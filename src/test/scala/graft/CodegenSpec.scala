@@ -129,4 +129,42 @@ class CodegenSpec extends SparkSpec {
       }
     }
   }
+
+  test("gear_cuts generated code matches eval and tiles under CODEGEN_ONLY") {
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      GraftFunctions.register(spark)
+      val rows = Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text"),
+          GraftFunctions.gear_cuts(col("text").cast("binary")).as("cuts"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val n = r.getString(1).length
+        val cuts = r.getSeq[Int](2)
+        // replay the boundary rule in plain Scala against the codegen path
+        val b = r.getString(1).getBytes("UTF-8")
+        val expect = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var i = 1
+        while (i < b.length) {
+          val h = (((b(i - 1) & 0xffL) * 256L + (b(i) & 0xffL) + 1L) *
+            2654435761L) % 2147483648L
+          if (h < 33554432L) expect += (i + 1)
+          i += 1
+        }
+        if (b.length > 0 && (expect.isEmpty || expect.last != b.length))
+          expect += b.length
+        assert(cuts == expect.toSeq, s"doc ${r.getLong(0)} cut positions")
+        assert(cuts.lastOption.contains(n), s"doc ${r.getLong(0)} must end at $n")
+        assert(cuts == cuts.sorted && cuts.distinct == cuts, "cuts ordered, unique")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
