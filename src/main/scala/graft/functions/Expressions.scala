@@ -180,11 +180,108 @@ case class GearCuts(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass CDC chunk MANIFEST (m7): GearCuts' boundary rule and the
+  * per-chunk SHA-256 fused into a single traversal emitting
+  * array<struct<off,len,sha>> — the blob is read once and never
+  * carried through the downstream explode (the cuts-then-substring
+  * form recopies the blob once per chunk through the generator:
+  * measured 0.71 s vs 0.49 s at sf0.1). MessageDigest lives in
+  * per-instance/mutable state, reused across rows.
+  */
+case class GearChunks(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("off", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false),
+    StructField("sha", BinaryType, nullable = false))), containsNull = false)
+  override def prettyName: String = "gear_chunks"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"gear_chunks requires BINARY, got ${t.catalogString}")
+    }
+
+  @transient private lazy val md =
+    java.security.MessageDigest.getInstance("SHA-256")
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val n = b.length
+    val cuts = new Array[Int](n)
+    var w = 0
+    var i = 1
+    while (i < n) {
+      val h = (((b(i - 1) & 0xffL) * 256L + (b(i) & 0xffL) + 1L) *
+        2654435761L) % 2147483648L
+      if (h < 33554432L) { cuts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    if (n > 0 && (w == 0 || cuts(w - 1) != n)) { cuts(w) = n; w += 1 }
+    val rows = new Array[Any](w)
+    var prev = 0
+    var k = 0
+    while (k < w) {
+      val e = cuts(k)
+      md.reset()
+      md.update(b, prev, e - prev)
+      rows(k) = new GenericInternalRow(
+        Array[Any](prev + 1, e - prev, md.digest()))
+      prev = e
+      k += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.freshName("gch")
+    val mdRef = ctx.addMutableState("java.security.MessageDigest", "gearMd",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("SHA-256"); }
+              |catch (Exception e) { throw new RuntimeException(e); }""".stripMargin)
+    val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+    val gir = "org.apache.spark.sql.catalyst.expressions.GenericInternalRow"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |byte[] ${p}b = $c;
+      |int ${p}n = ${p}b.length;
+      |int[] ${p}cuts = new int[${p}n];
+      |int ${p}w = 0;
+      |for (int ${p}i = 1; ${p}i < ${p}n; ${p}i++) {
+      |  long ${p}h = ((((long) (${p}b[${p}i - 1] & 0xFF)) * 256L +
+      |    (${p}b[${p}i] & 0xFF) + 1L) * 2654435761L) % 2147483648L;
+      |  if (${p}h < 33554432L) { ${p}cuts[${p}w++] = ${p}i + 1; }
+      |}
+      |if (${p}n > 0 && (${p}w == 0 || ${p}cuts[${p}w - 1] != ${p}n)) {
+      |  ${p}cuts[${p}w++] = ${p}n;
+      |}
+      |Object[] ${p}rows = new Object[${p}w];
+      |int ${p}prev = 0;
+      |for (int ${p}k = 0; ${p}k < ${p}w; ${p}k++) {
+      |  int ${p}e = ${p}cuts[${p}k];
+      |  $mdRef.reset();
+      |  $mdRef.update(${p}b, ${p}prev, ${p}e - ${p}prev);
+      |  ${p}rows[${p}k] = new $gir(new Object[] {
+      |    java.lang.Integer.valueOf(${p}prev + 1),
+      |    java.lang.Integer.valueOf(${p}e - ${p}prev),
+      |    $mdRef.digest() });
+      |  ${p}prev = ${p}e;
+      |}
+      |${ev.value} = new $gad(${p}rows);
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GearChunks =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graft.shim.{column, expression}
 
   def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
   def gear_cuts(c: Column): Column = column(GearCuts(expression(c)))
+  def gear_chunks(c: Column): Column = column(GearChunks(expression(c)))
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
   def minhash_sig(c: Column, numHashes: Int = 64): Column =
@@ -246,6 +343,8 @@ object GraftFunctions {
       es => { arity("rolling_hash", es, 1); RollingHash(es.head) }),
     ("gear_cuts", "gear_cuts(bin) - content-defined chunk end positions",
       es => { arity("gear_cuts", es, 1); GearCuts(es.head) }),
+    ("gear_chunks", "gear_chunks(bin) - CDC chunk manifest (off, len, sha)",
+      es => { arity("gear_chunks", es, 1); GearChunks(es.head) }),
     ("cosine_sim", "cosine_sim(a, b) - cosine of two float arrays",
       es => { arity("cosine_sim", es, 2); CosineSim(es.head, es(1)) }),
     ("simhash64", "simhash64(tokens) - 64-bit SimHash",

@@ -758,28 +758,26 @@ object Similarity {
   // window to 48-64 bytes and adds min/max clamps — identical plan,
   // bigger constant. Window-2 keeps the oracle an exact per-char SQL
   // replay (d5's precedent).
-  // FULLY DECLARATIVE: boundaries come from the codegen'd GearCuts
-  // expression (array of chunk ends), chunks materialize as
-  // posexplode → substring → sha2 — the entire byte pass stays inside
-  // whole-stage codegen with no mapPartitions and no UDF (unlike
-  // m1/m5, whose MessageDigest batch shape stands in for a real
-  // decoder). Digests go raw 32-byte BINARY through the corpus-wide
-  // exchange (m5's key-width lesson), hex is presentation in the
-  // final select. ASCII-precondition: the oracle walks code points,
-  // the operator walks bytes — equal on this corpus (RollingHash's
-  // documented assumption).
+  // FULLY DECLARATIVE: the codegen'd GearChunks expression computes
+  // the whole chunk MANIFEST (off, len, sha) in ONE blob traversal —
+  // the entire byte pass stays inside whole-stage codegen with no
+  // mapPartitions and no UDF (unlike m1/m5, whose MessageDigest
+  // batch shape stands in for a real decoder), and the blob is
+  // dropped BEFORE the explode (a cuts-then-substring form recopies
+  // the blob once per chunk through the generator — measured 0.71 s
+  // vs 0.49 s at sf0.1; GearCuts remains registered for SQL users
+  // who only need boundaries). Digests go raw 32-byte BINARY through
+  // the corpus-wide exchange (m5's key-width lesson), hex is
+  // presentation in the final select. ASCII-precondition: the oracle
+  // walks code points, the operator walks bytes — equal on this
+  // corpus (RollingHash's documented assumption).
   private[graft] def cdcChunks(bin: DataFrame): DataFrame =
-    bin.withColumn("cuts", GraftFunctions.gear_cuts(col("blob")))
-      .select(col("doc_id"), col("blob"), col("cuts"),
-        posexplode(col("cuts")).as(Seq("k", "e")))
-      // previous cut: element_at is 1-based, so index k (0-based pos)
-      // IS the prior element; k=0 starts at offset 0
-      .withColumn("prev",
-        when(col("k") === 0, lit(0)).otherwise(element_at(col("cuts"), col("k"))))
+    bin.select(col("doc_id"),
+        posexplode(GraftFunctions.gear_chunks(col("blob"))).as(Seq("k", "c")))
       .select(col("doc_id"), (col("k") + 1).cast("long").as("chunk_idx"),
-        (col("prev") + 1).cast("long").as("off"),
-        (col("e") - col("prev")).cast("long").as("len"),
-        unhex(sha2(expr("substring(blob, prev + 1, e - prev)"), 256)).as("sha"))
+        col("c.off").cast("long").as("off"),
+        col("c.len").cast("long").as("len"),
+        col("c.sha").as("sha"))
 
   def m7CdcChunks(s: SparkSession, d: String): DataFrame = {
     val chunks = cdcChunks(Tables.documents(s, d)

@@ -160,6 +160,23 @@ class CodegenSpec extends SparkSpec {
         assert(cuts.lastOption.contains(n), s"doc ${r.getLong(0)} must end at $n")
         assert(cuts == cuts.sorted && cuts.distinct == cuts, "cuts ordered, unique")
       }
+      // the fused manifest expression must agree with cuts + digests
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      Tables.documents(spark, sf).limit(20)
+        .select(col("text"),
+          GraftFunctions.gear_chunks(col("text").cast("binary")).as("ch"))
+        .collect().foreach { r =>
+          val b = r.getString(0).getBytes("UTF-8")
+          val ch = r.getSeq[org.apache.spark.sql.Row](1)
+          assert(ch.map(_.getInt(1)).sum == b.length, "manifest tiles the blob")
+          ch.foreach { c =>
+            val (off, len) = (c.getInt(0), c.getInt(1))
+            md.reset()
+            md.update(b, off - 1, len)
+            assert(java.util.Arrays.equals(c.getAs[Array[Byte]](2), md.digest()),
+              s"sha mismatch at off=$off len=$len")
+          }
+        }
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
