@@ -525,6 +525,38 @@ object EventStream {
       .orderBy("event_type")
   }
 
+  // s12: streaming point-in-time enrichment — q69's feature-store
+  // join as a stream: each streamed purchase joins (left) the SCD2
+  // status interval valid AT its event time. The dim is STATIC and
+  // broadcast (s6's enrichment pattern — at scale a slowly-changing
+  // feature table republished per batch), the interval predicate is
+  // a residual on the broadcast join, and intervals partition time
+  // so the stream row count is preserved (no fan-out — the invariant
+  // that makes left-enrichment safe in append mode). Converges to
+  // q69's batch answer and shares its oracle (the s1/q22 contract).
+  def s12StreamPitEnrich(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d).select(col("event_id"),
+      col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    val dim = ev.filter(col("event_type") =!= "purchase")
+      .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+      .select(col("user_id").as("d_user"), col("event_type").as("status"),
+        col("ts_us").as("valid_from"), col("valid_to"))
+    val joined = readEvents(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        expr("ts div 1000").as("purchase_ts_us"))
+      .join(broadcast(dim),
+        col("user_id") === col("d_user") &&
+          col("purchase_ts_us") >= col("valid_from") &&
+          (col("valid_to").isNull || col("purchase_ts_us") < col("valid_to")),
+        "left")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts_us"),
+        col("status"), col("valid_from").as("status_since_us"))
+    runToMemory(s, joined, "append").orderBy("purchase_id")
+  }
+
   // s11: streaming exact dedup against a DURABLE EXTERNAL hash index
   // — the unbounded-key production shape `dropDuplicates` can't be:
   // stream state in the checkpoint grows with every distinct key
@@ -643,6 +675,7 @@ object EventStream {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s11_stream_dedup_index" -> (s11StreamDedupIndex _),
+    "s12_stream_pit_enrich" -> (s12StreamPitEnrich _),
     "s6_stream_static_join" -> (s6StreamStaticJoin _),
     "s9_stream_dq_gate" -> (s9StreamDqGate _),
     "s10_stream_zorder_ingest" -> (s10StreamZorderIngest _),
@@ -663,6 +696,10 @@ object EventStream {
     "s11_stream_dedup_index" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    // shares q69's oracle: the streamed enrichment converges to the
+    // batch PIT join
+    "s12_stream_pit_enrich" ->
+      graft.operators.Events.oracles("q69_pit_join"),
     "s10_stream_zorder_ingest" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total_value

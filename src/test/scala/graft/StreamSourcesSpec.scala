@@ -46,6 +46,20 @@ class StreamSourcesSpec extends SparkSpec {
     assert(idx.listFiles.count(_.getName.startsWith("v")) >= 2)
   }
 
+  test("s12 streamed PIT enrichment equals the batch q69 join") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("purchase_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("purchase_ts_us"), Option(r.getAs[String]("status")),
+        Option(r.getAs[java.lang.Long]("status_since_us")).map(_.toLong))
+    val stream = EventStream.s12StreamPitEnrich(spark, sf).collect().map(key).toSet
+    val batch = Events.q69PitJoin(spark, sf).collect().map(key).toSet
+    assert(stream == batch,
+      s"streamed PIT diverged from batch: ${stream.size} vs ${batch.size}")
+    // row preservation: left enrichment must not drop or fan out
+    assert(stream.size == Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count())
+  }
+
   test("streaming window agg converges to the batch q22 answer") {
     val stream = EventStream.s1StreamWindow(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
