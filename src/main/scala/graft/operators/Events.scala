@@ -231,18 +231,51 @@ object Events {
   // bit-stability pattern pushed all the way through a variance).
   // Scale shape: one partial agg to the per-type stats row (types ≪
   // corpus → broadcast), one map-only flagging pass.
+  // Per-row work is pure LONG arithmetic: dev² > 9(nQ−S²) is
+  // equivalent to |v6·n − S| > isqrt(9(nQ−S²)) for integer dev, and
+  // the integer square root is computed ONCE PER TYPE driver-side in
+  // BigInt (the stats row count is #types — a bounded collect), so
+  // the corpus-sized flagging pass never touches a BigDecimal. The
+  // first cut compared dev² in decimal(38,0) per row: 5.8× at 10×
+  // data, all of it Java BigDecimal overhead. Long bounds hold while
+  // n·max|v6| < 2⁶³ (~10¹⁸ micro-units·rows — beyond that, shard the
+  // stats by day/type or lift dev to decimal); the loud require
+  // guards the assumption instead of silently wrapping.
   def q67ValueOutliers(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("value"))
-      .withColumn("v6", round(col("value") * 1000000).cast("decimal(38,0)"))
+      .withColumn("v6", round(col("value") * 1000000).cast("long"))
     val stats = ev.groupBy("event_type").agg(
-      count(lit(1)).cast("decimal(38,0)").as("n"),
-      sum(col("v6")).as("s"),
-      sum(col("v6") * col("v6")).as("q"))
-    ev.join(broadcast(stats), "event_type")
-      .withColumn("dev", col("v6") * col("n") - col("s"))
+      count(lit(1)).as("n"), sum(col("v6")).as("s"),
+      sum(col("v6").cast("decimal(38,0)") * col("v6")).as("q"),
+      max(abs(col("v6"))).as("m"))
+      .collect() // <= #types rows
+    val rows = stats.map { r =>
+      val n = BigInt(r.getAs[Long]("n"))
+      val sSum = BigInt(r.getAs[Long]("s"))
+      val q = BigInt(r.getAs[java.math.BigDecimal]("q").toBigInteger)
+      val m = BigInt(r.getAs[Long]("m"))
+      // per-row |v6·n − S| and the threshold are both ≤ 2·n·m: the
+      // long path is exact iff that fits
+      require(2 * n * m < BigInt(Long.MaxValue),
+        "stats exceed long-arithmetic range; shard stats or lift to decimal")
+      val bound = 9 * (n * q - sSum * sSum)
+      require(bound >= 0, "variance bound must be non-negative")
+      // floor integer sqrt: dev^2 > bound  <=>  |dev| > isqrt(bound)
+      var r0 = BigInt(0)
+      if (bound > 0) {
+        r0 = BigInt(math.sqrt(bound.doubleValue).toLong)
+        while (r0 * r0 > bound) r0 -= 1
+        while ((r0 + 1) * (r0 + 1) <= bound) r0 += 1
+      }
+      (r.getAs[String]("event_type"), n.toLong, sSum.toLong,
+        r0.min(2 * n * m).toLong)
+    }
+    import s.implicits._
+    val thresholds = rows.toSeq.toDF("event_type", "n", "s", "r")
+    ev.join(broadcast(thresholds), "event_type")
       .withColumn("is_outlier",
-        col("dev") * col("dev") > lit(9) * (col("n") * col("q") - col("s") * col("s")))
+        abs(col("v6") * col("n") - col("s")) > col("r"))
       .select(col("event_id"), col("event_type"), col("value"), col("is_outlier"))
       .orderBy("event_id")
   }

@@ -927,20 +927,37 @@ object Similarity {
   // no mapPartitions, no UDF. Fully ORACLED: integer arithmetic
   // DuckDB replays, and the oracle states the BRUTE Hamming join, so
   // the LSH must find exactly those pairs.
-  private[graft] def m8Phash(s: SparkSession, d: String): DataFrame =
+  // `bits` is the SCALE dial (e9's adaptive-width lesson applied to
+  // Hamming LSH): the 4-block candidate join touches Σ over block
+  // keys of (bucket size)² ≈ N²/2^(bits/4) pairs per block — with a
+  // FIXED width that is quadratic in N (the 10× probe measured 4.4×
+  // at bits=16), so a growing corpus widens the fingerprint (more
+  // strided samples → more gradient bits → 2^(bits/4) block keys).
+  // The declared instance keeps bits=16 because the dup-free test
+  // corpus only exhibits near-collisions in a dense hash space;
+  // real near-dup blobs match at any width. ham ≤ 2 over 4 blocks is
+  // pigeonhole-complete at every width.
+  private[graft] def m8Phash(s: SparkSession, d: String,
+                             bits: Int = 16): DataFrame = {
+    require(bits >= 4 && bits <= 62 && bits % 4 == 0,
+      "bits must be a multiple of 4 in [4, 62]")
+    val k = bits + 1
     Tables.documents(s, d).select(col("doc_id"), expr(
-      "aggregate(sequence(0, 15), 0L, (acc, i) -> acc + " +
-        "if(ascii(substring(text, least(1 + i * greatest(1, " +
-        "length(text) div 17), length(text)), 1)) < " +
-        "ascii(substring(text, least(1 + (i + 1) * greatest(1, " +
-        "length(text) div 17), length(text)), 1)), " +
+      s"aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) -> acc + " +
+        s"if(ascii(substring(text, least(1 + i * greatest(1, " +
+        s"length(text) div $k), length(text)), 1)) < " +
+        s"ascii(substring(text, least(1 + (i + 1) * greatest(1, " +
+        s"length(text) div $k), length(text)), 1)), " +
         "shiftleft(1L, cast(i as int)), 0L))").as("phash"))
+  }
 
-  def m8PhashNeardup(s: SparkSession, d: String, maxHam: Int = 2): DataFrame = {
-    val ph = m8Phash(s, d)
+  def m8PhashNeardup(s: SparkSession, d: String, maxHam: Int = 2,
+                     bits: Int = 16): DataFrame = {
+    val ph = m8Phash(s, d, bits)
+    val bb = bits / 4 // block width; 4 blocks cover ham <= 2
     val blocks = ph.select(col("doc_id"), col("phash"),
-      explode(expr("transform(sequence(0, 3), b -> struct(b as blk, " +
-        "(phash div shiftleft(1L, cast(4 * b as int))) % 16 as bkey))")).as("bb"))
+      explode(expr(s"transform(sequence(0, 3), b -> struct(b as blk, " +
+        s"(phash div shiftleft(1L, cast($bb * b as int))) % ${1 << bb} as bkey))")).as("bb"))
       .select(col("doc_id"), col("phash"), col("bb.blk"), col("bb.bkey"))
     blocks.select(col("blk"), col("bkey"), col("doc_id").as("doc_a"),
         col("phash").as("ph_a"))

@@ -809,6 +809,18 @@ class TextSimSpec extends SparkSpec {
     assert(lsh == brute,
       s"missed: ${(brute -- lsh).take(5)}; spurious: ${(lsh -- brute).take(5)}")
     assert(brute.nonEmpty, "no near-dup pairs to exercise")
+    // the scale dial: at a wider width the same machinery still finds
+    // exactly the brute pairs (the dup-free corpus has ~none there —
+    // equality must hold regardless)
+    val ph32 = Similarity.m8Phash(spark, sf, bits = 32).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute32 = (for {
+      (ida, ha) <- ph32; (idb, hb) <- ph32
+      if ida < idb && java.lang.Long.bitCount(ha ^ hb) <= 2
+    } yield (ida, idb)).toSet
+    val lsh32 = Similarity.m8PhashNeardup(spark, sf, bits = 32).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(lsh32 == brute32, "wider-width LSH diverged from brute")
   }
 
   test("e10 diversity sample replays exactly and flattens cell density") {
