@@ -439,6 +439,28 @@ object Relational {
            count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  // q70: q20's 100 TB twin (the q47→q47b pairing applied to
+  // percentiles): exact `percentile` buffers EVERY group value in
+  // the aggregation state — the right answer for a registry, a
+  // memory cliff for a lake-sized group. percentile_approx is the
+  // MERGEABLE quantile sketch (Greenwald-Khanna): bounded state
+  // (O(accuracy) per group), partial-combine friendly, one pass.
+  // Rows-only by design (sketch estimates aren't SQL-oracle-stable);
+  // the spec bounds the estimates against q20's exact answers and
+  // pins the bounded-state plan (ObjectHashAggregate, no Window, no
+  // per-group sort).
+  def q70ApproxPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile_approx(l_extendedprice, " +
+        "array(0.5D, 0.95D, 0.99D), 10000)").as("ps"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n"),
+        element_at(col("ps"), 1).as("p50"),
+        element_at(col("ps"), 2).as("p95"),
+        element_at(col("ps"), 3).as("p99"))
+      .orderBy("l_returnflag")
+
   // q27: multi-column COUNT(DISTINCT) (reference dashboard stats).
   // Exact here; at 100 TB the documented switch is
   // approx_count_distinct (HLL) when +-2% is acceptable.
@@ -580,6 +602,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_unpivot" -> (q68Unpivot _),
+    "q70_approx_percentile" -> (q70ApproxPercentile _),
     "q65_search_page" -> (q65SearchPage _),
     "q62_intersect_except" -> (q62IntersectExcept _),
     "q63_scalar_subquery" -> (q63ScalarSubquery _),

@@ -191,6 +191,40 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q70 sketch percentiles bound to exact; plan holds bounded state") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.q70ApproxPercentile(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"sketch should aggregate, not sort:\n$plan")
+    assert(!plan.contains("Window"), "no window belongs in a sketch pass")
+    val got = df.collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // exact per-group percentiles from the raw values
+    val raw = graft.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def exact(vs: Array[Double], p: Double): Double = {
+      // Spark's `percentile` interpolation (1-based rank p*(n-1)+1)
+      val rank = p * (vs.length - 1)
+      val lo = rank.toInt
+      if (lo + 1 >= vs.length) vs.last
+      else vs(lo) + (rank - lo) * (vs(lo + 1) - vs(lo))
+    }
+    got.foreach { case (flag, (p50, p95, p99)) =>
+      val vs = raw(flag)
+      Seq(0.5 -> p50, 0.95 -> p95, 0.99 -> p99).foreach { case (p, est) =>
+        val ex = exact(vs, p)
+        // GK at accuracy 10000 over ~2k-row groups is near-exact; allow
+        // 1% relative slack for the rank-vs-interpolation difference
+        assert(math.abs(est - ex) <= math.max(1.0, ex * 0.01),
+          s"$flag p$p: est=$est exact=$ex")
+      }
+    }
+  }
+
   test("q63 threshold rows equal an in-engine recomputation") {
     import org.apache.spark.sql.functions._
     val got = Relational.q63ScalarSubquery(spark, sf).collect()
