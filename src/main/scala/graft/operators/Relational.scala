@@ -461,6 +461,26 @@ object Relational {
         element_at(col("ps"), 3).as("p99"))
       .orderBy("l_returnflag")
 
+  // q71: top-k PER GROUP via the mergeable bounded aggregate — q7's
+  // window semantics at the 100 TB plan: `row_number() OVER
+  // (PARTITION BY …)` sorts EVERY group's rows through one exchange
+  // before discarding all but k, while the TopKByScore partial
+  // aggregate keeps ≤ k rows per group per partition BEFORE the
+  // shuffle — the exchange moves O(partitions·groups·k), not the
+  // table. Exact and deterministic (score desc, id asc ties — the
+  // aggregate's documented order, restated by the oracle's
+  // row_number), so unlike q47b/q70's sketches this scale twin stays
+  // hash-oracled.
+  def q71TopkPerGroup(s: SparkSession, d: String, k: Int = 2): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.GraftFunctions.top_k(
+        col("o_totalprice"), col("o_orderkey"), k).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rnk"),
+        col("t.id").as("o_orderkey"), col("t.score").as("o_totalprice"))
+      .orderBy("o_custkey", "rnk")
+
   // q27: multi-column COUNT(DISTINCT) (reference dashboard stats).
   // Exact here; at 100 TB the documented switch is
   // approx_count_distinct (HLL) when +-2% is acceptable.
@@ -603,6 +623,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_unpivot" -> (q68Unpivot _),
     "q70_approx_percentile" -> (q70ApproxPercentile _),
+    "q71_topk_per_group" -> ((s: SparkSession, d: String) => q71TopkPerGroup(s, d)),
     "q65_search_page" -> (q65SearchPage _),
     "q62_intersect_except" -> (q62IntersectExcept _),
     "q63_scalar_subquery" -> (q63ScalarSubquery _),
@@ -643,6 +664,13 @@ object Relational {
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q71_topk_per_group" ->
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 2 ORDER BY o_custkey, rnk""".stripMargin,
     "q68_unpivot" ->
       """SELECT p_partkey, attr, val FROM (
         |  SELECT p_partkey, 'p_brand' AS attr, p_brand AS val FROM part

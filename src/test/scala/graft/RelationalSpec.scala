@@ -191,6 +191,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q71 top-k per group: no window exchange, equals the window form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = Relational.q71TopkPerGroup(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"bounded top-k must not plan a window sort:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"q71 plan:\n$plan")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val win = graft.Tables.orders(spark, sf)
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 2)
+      .select(col("o_custkey"), col("rnk").cast("long").as("rnk"),
+        col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3))).toSet
+    assert(got == win, "bounded aggregate diverged from the window form")
+  }
+
   test("q70 sketch percentiles bound to exact; plan holds bounded state") {
     import org.apache.spark.sql.functions._
     val df = Relational.q70ApproxPercentile(spark, sf)
