@@ -57,9 +57,9 @@ object Bench {
     // peel rounds to FIXPOINT (localCheckpoint + convergence count per
     // round; the loop runs at build time, which is why the timer
     // below wraps build, not just the final write) — and CDC chunking
-    // (the per-byte mapPartitions pass + digest-keyed window: the
-    // non-codegen corpus-scan shape whose cost is byte throughput,
-    // worth tracking next to m5's per-blob digest pass)
+    // (the codegen'd per-byte GearChunks expression + digest-keyed
+    // window: the corpus-scan shape whose cost is raw byte
+    // throughput, worth tracking next to m5's per-blob digest pass)
     "g13b_kcore_fixpoint", "m7_cdc_chunks")
 
   /** 1-minute load average, -1.0 if unreadable (non-Linux). */

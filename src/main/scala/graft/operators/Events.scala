@@ -280,13 +280,12 @@ object Events {
         "stats exceed long-arithmetic range; shard stats or lift to decimal")
       val bound = 9 * (n * q - sSum * sSum)
       require(bound >= 0, "variance bound must be non-negative")
-      // floor integer sqrt: dev^2 > bound  <=>  |dev| > isqrt(bound)
-      var r0 = BigInt(0)
-      if (bound > 0) {
-        r0 = BigInt(math.sqrt(bound.doubleValue).toLong)
-        while (r0 * r0 > bound) r0 -= 1
-        while ((r0 + 1) * (r0 + 1) <= bound) r0 += 1
-      }
+      // floor integer sqrt: dev^2 > bound  <=>  |dev| > isqrt(bound).
+      // BigInteger.sqrt (exact floor, JDK 9+) — NOT a ±1 walk from a
+      // clamped double seed: near the require() ceiling the true root
+      // can sit ~1e18 past the Long-clamped seed, and a unit-step
+      // loop from there is a driver hang (round-7 ADVICE).
+      val r0 = if (bound > 0) BigInt(bound.bigInteger.sqrt()) else BigInt(0)
       (r.getAs[String]("event_type"), n.toLong, sSum.toLong,
         r0.min(2 * n * m).toLong)
     }
@@ -312,7 +311,12 @@ object Events {
   // top-k. Oracled against the uncapped wedge join.
   def g16CommonNeighbors(s: SparkSession, d: String, cap: Int = 512,
                          k: Int = 100): DataFrame = {
-    val e = coPurchaseSym(s, d).cache()
+    // eager localCheckpoint, not cache(): the edge set feeds the
+    // wedge AND anti-join passes, but a CacheManager entry would
+    // outlive the query (nothing can unpersist a lazily-returned
+    // plan). Checkpoint blocks are ContextCleaner-reclaimed once the
+    // result is unreferenced (g1's hygiene argument, Events.scala:98).
+    val e = coPurchaseSym(s, d).localCheckpoint()
     val wedges = e.groupBy("x")
       .agg(graft.functions.GraftFunctions.capped_collect_pairs(
         col("y"), lit(0L), cap).as("nbrs"))
@@ -421,7 +425,10 @@ object Events {
   // map-side-combinable aggregate, NOT a row_number window (no
   // per-node sort, no second exchange at 100 TB).
   def g14LabelProp(s: SparkSession, d: String, rounds: Int = 2): DataFrame = {
-    val e = coPurchaseSymW(s, d).cache()
+    // eager localCheckpoint (not cache): feeds every round, and the
+    // blocks are GC-reclaimed after the query instead of pinned in
+    // the CacheManager for the session (see g16 / Events.scala:98).
+    val e = coPurchaseSymW(s, d).localCheckpoint()
     var lab = e.select(col("x")).distinct().withColumn("lab", col("x"))
     (1 to rounds).foreach { _ =>
       lab = e.join(lab.withColumnRenamed("x", "y"), Seq("y"))

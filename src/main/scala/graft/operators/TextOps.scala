@@ -627,7 +627,12 @@ object TextOps {
 
   private[graft] def d32Pairs(batch: DataFrame, base: DataFrame,
                               tau: Double = 0.5): DataFrame = {
-    val bSig = minhashSigsOf(batch).cache()
+    // eager localCheckpoint of the BATCH signatures (small by the
+    // incremental contract): they feed the bucket explode and the
+    // candidate re-join, and checkpoint blocks are GC-reclaimed after
+    // the query — a cache() entry would pin executor storage for the
+    // session (round-7 ADVICE; same hygiene as g14/g16).
+    val bSig = minhashSigsOf(batch).localCheckpoint()
     val eSig = minhashSigsOf(base) // at scale: the stored index table
     val bB = minhashBuckets(bSig)
     val earlier = minhashBuckets(eSig)

@@ -217,8 +217,16 @@ class EventsSpec extends SparkSpec {
     val hourly = rows.filter(_.getAs[Long]("win_start_s") % 3600 == 0)
       .map(r => (r.getAs[Long]("win_start_s"), r.getString(1)) -> r.getAs[Long]("n"))
       .toMap
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:00").withZone(java.time.ZoneOffset.UTC)
     val q22 = Events.q22EventWindow(spark, sf).collect()
-    assert(q22.nonEmpty && hourly.nonEmpty)
+      .map(r => (r.getAs[String]("hour"), r.getAs[String]("event_type"))
+        -> r.getAs[Long]("n")).toMap
+    val hourlyByStr = hourly.map { case ((s0, t), n) =>
+      (fmt.format(java.time.Instant.ofEpochSecond(s0)), t) -> n }
+    assert(q22.nonEmpty && hourlyByStr.nonEmpty)
+    assert(hourlyByStr == q22,
+      "epoch-aligned hopping windows diverge from the tumbling counts")
   }
 
   test("q67 outlier flags equal a double-precision 3-sigma replay") {
