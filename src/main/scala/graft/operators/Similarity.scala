@@ -929,18 +929,42 @@ object Similarity {
   // the LSH must find exactly those pairs.
   // `bits` is the SCALE dial (e9's adaptive-width lesson applied to
   // Hamming LSH): the 4-block candidate join touches Σ over block
-  // keys of (bucket size)² ≈ N²/2^(bits/4) pairs per block — with a
-  // FIXED width that is quadratic in N (the 10× probe measured 4.4×
-  // at bits=16), so a growing corpus widens the fingerprint (more
-  // strided samples → more gradient bits → 2^(bits/4) block keys).
-  // The declared instance keeps bits=16 because the dup-free test
-  // corpus only exhibits near-collisions in a dense hash space;
-  // real near-dup blobs match at any width. ham ≤ 2 over 4 blocks is
-  // pigeonhole-complete at every width.
+  // keys of (bucket size)² ≈ N²/2^(bits/4) pairs per block — a FIXED
+  // width is quadratic in N (the round-7 10× probe measured 4.1× at
+  // bits=16), so the width now turns ITSELF: bits ≤ 0 (the declared
+  // default) derives the fingerprint width from the parquet FOOTER
+  // row count (no Spark job — e9's sizing trick) via m8Bits, so a
+  // growing corpus widens the fingerprint (more strided samples →
+  // more gradient bits → 2^(bits/4) block keys) and total candidate
+  // work stays ~4·64·N. The floor of 16 keeps small corpora in a
+  // dense hash space where near-collisions still occur; real
+  // near-dup blobs match at any width. ham ≤ 2 over 4 blocks is
+  // pigeonhole-complete at every width. The DuckDB oracle derives
+  // the SAME width from its own count(*) (pure-integer bin-length
+  // arithmetic both engines share), so the brute Hamming replay
+  // stays hash-exact at every SF.
+  private[graft] def m8Bits(n: Long): Int = {
+    // smallest multiple of 4 whose 2^(bits/4) block keys keep the
+    // EXPECTED per-block bucket population ≤ 64 (candidates per
+    // block ≈ N·pop — linear once pop is a constant), floored at 16
+    // (hash density for small corpora), capped at 60 (4-block keys
+    // must pack in a sign-free Long)
+    val target = (math.max(1L, n) + 63) / 64 // ceil(N/64) buckets
+    val b = if (target <= 1) 0
+            else 64 - java.lang.Long.numberOfLeadingZeros(target - 1)
+    math.min(60, math.max(16, 4 * b))
+  }
+
   private[graft] def m8Phash(s: SparkSession, d: String,
-                             bits: Int = 16): DataFrame = {
-    require(bits >= 4 && bits <= 62 && bits % 4 == 0,
-      "bits must be a multiple of 4 in [4, 62]")
+                             bits: Int = 0): DataFrame = {
+    val w = if (bits > 0) bits
+            else m8Bits(Tables.parquetRowCount(s, s"$d/documents.parquet"))
+    require(w >= 4 && w <= 60 && w % 4 == 0,
+      "bits must be a multiple of 4 in [4, 60]")
+    m8PhashAt(s, d, w)
+  }
+
+  private def m8PhashAt(s: SparkSession, d: String, bits: Int): DataFrame = {
     val k = bits + 1
     Tables.documents(s, d).select(col("doc_id"), expr(
       s"aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) -> acc + " +
@@ -952,21 +976,33 @@ object Similarity {
   }
 
   def m8PhashNeardup(s: SparkSession, d: String, maxHam: Int = 2,
-                     bits: Int = 16): DataFrame = {
-    val ph = m8Phash(s, d, bits)
-    val bb = bits / 4 // block width; 4 blocks cover ham <= 2
+                     bits: Int = 0): DataFrame = {
+    val w = if (bits > 0) bits
+            else m8Bits(Tables.parquetRowCount(s, s"$d/documents.parquet"))
+    val ph = m8Phash(s, d, w)
+    val bb = w / 4 // block width; 4 blocks cover ham <= 2
     val blocks = ph.select(col("doc_id"), col("phash"),
       explode(expr(s"transform(sequence(0, 3), b -> struct(b as blk, " +
-        s"(phash div shiftleft(1L, cast($bb * b as int))) % ${1 << bb} as bkey))")).as("bb"))
+        s"(phash div shiftleft(1L, cast($bb * b as int))) % ${1L << bb} as bkey))")).as("bb"))
       .select(col("doc_id"), col("phash"), col("bb.blk"), col("bb.bkey"))
+    // a ham≤2 pair shares ≥2 exact block keys, so the equi-join
+    // yields it 2-4 times. The dedupe used to be a .distinct() — one
+    // MORE exchange over the candidate set; instead each pair is
+    // kept only in its CANONICAL (lowest-index) matching block,
+    // computable map-side from the xor (block b matches iff its bb
+    // bits of ph_a^ph_b are all zero) — zero extra exchange, rows
+    // are unique by construction (one row per doc per block).
     blocks.select(col("blk"), col("bkey"), col("doc_id").as("doc_a"),
         col("phash").as("ph_a"))
       .join(blocks.select(col("blk"), col("bkey"), col("doc_id").as("doc_b"),
         col("phash").as("ph_b")), Seq("blk", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "ph_a", "ph_b").distinct()
-      .withColumn("hamming", expr("cast(bit_count(ph_a ^ ph_b) as bigint)"))
+      .withColumn("xr", expr("ph_a ^ ph_b"))
+      .withColumn("hamming", expr("cast(bit_count(xr) as bigint)"))
       .filter(col("hamming") <= maxHam)
+      .filter(col("blk") === expr(
+        s"element_at(filter(sequence(0, 3), b -> " +
+          s"(xr div shiftleft(1L, cast($bb * b as int))) % ${1L << bb} = 0), 1)"))
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
@@ -1180,21 +1216,25 @@ object Similarity {
         |  n_bytes
         |FROM h ORDER BY doc_id""".stripMargin,
     "m8_phash_neardup" ->
-      """WITH ph AS (
-        |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), i ->
+      """WITH cfg AS (
+        |  SELECT LEAST(60, GREATEST(16, 4 * (CASE WHEN t <= 1 THEN 0
+        |    ELSE length(bin(t - 1)) END))) AS bits
+        |  FROM (SELECT (count(*) + 63) // 64 AS t FROM documents)),
+        |ph AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(range(0, bits), i ->
         |    CASE WHEN
-        |      unicode(text[LEAST(1 + i * GREATEST(1, length(text) // 17),
+        |      unicode(text[LEAST(1 + i * GREATEST(1, length(text) // (bits + 1)),
         |                         length(text))
-        |               :LEAST(1 + i * GREATEST(1, length(text) // 17),
+        |               :LEAST(1 + i * GREATEST(1, length(text) // (bits + 1)),
         |                         length(text))])
         |      <
-        |      unicode(text[LEAST(1 + (i + 1) * GREATEST(1, length(text) // 17),
+        |      unicode(text[LEAST(1 + (i + 1) * GREATEST(1, length(text) // (bits + 1)),
         |                         length(text))
-        |               :LEAST(1 + (i + 1) * GREATEST(1, length(text) // 17),
+        |               :LEAST(1 + (i + 1) * GREATEST(1, length(text) // (bits + 1)),
         |                         length(text))])
         |    THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END))
         |    AS BIGINT) AS phash
-        |  FROM documents)
+        |  FROM documents, cfg)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id

@@ -823,6 +823,38 @@ class TextSimSpec extends SparkSpec {
     assert(lsh32 == brute32, "wider-width LSH diverged from brute")
   }
 
+  test("m8 width is derived from the footer count and bounds bucket population") {
+    // the declared (adaptive) query IS the explicit run at the
+    // footer-derived width — the dial turns itself
+    val n = graft.Tables.parquetRowCount(spark, s"$sf/documents.parquet")
+    assert(n == spark.read.parquet(s"$sf/documents.parquet").count())
+    val w = Similarity.m8Bits(n)
+    val declared = Similarity.queries("m8_phash_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val explicit = Similarity.m8PhashNeardup(spark, sf, bits = w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(declared == explicit, "adaptive width != footer-derived width")
+    // sizing contract: multiple of 4 in [16, 60]; once past the
+    // density floor the expected per-block bucket population N/2^(w/4)
+    // stays <= 64 (candidates per block ~ 64N — linear), and the
+    // width never over-shoots (half the key space would leave
+    // buckets > 64... i.e. w is the SMALLEST such multiple of 4)
+    val probes = Seq(1L, 500L, 5000L, 50000L, 5000000L, 5L * 1000 * 1000 * 1000)
+    probes.foreach { m =>
+      val b = Similarity.m8Bits(m)
+      assert(b % 4 == 0 && b >= 16 && b <= 60, s"m8Bits($m)=$b out of contract")
+      if (b < 60)
+        assert(m.toDouble / math.pow(2, b / 4) <= 64.0,
+          s"m8Bits($m)=$b leaves bucket population > 64")
+      if (b > 16)
+        assert(m.toDouble / math.pow(2, b / 4 - 1) > 64.0,
+          s"m8Bits($m)=$b wider than needed")
+    }
+    assert(Similarity.m8Bits(500L) == 16, "sf0.01 must sit on the density floor")
+    // monotone in N
+    assert(probes.map(Similarity.m8Bits) == probes.map(Similarity.m8Bits).sorted)
+  }
+
   test("e10 diversity sample replays exactly and flattens cell density") {
     val k = 10; val iters = 5; val quota = 5
     val assigned = Similarity.e10Assigned(spark, sf, k, iters).collect()
