@@ -182,13 +182,147 @@ object Upsert {
       .orderBy("o_orderkey")
   }
 
+  /** Conditional status-transition MERGE — the reference's
+    * contributor-approval flow (`app.py:5706` approve-tag-equipment,
+    * `app.py:4859` ContributorApprovalData, `app.py:4962` the
+    * reject-updates-instead-of-deleting rule) as one registry pass:
+    * an admin decision batch lands on a registry whose rows carry an
+    * `approval_status` lifecycle, and ONLY rows currently PENDING may
+    * transition (the reference's GetApprovalTag reads PENDING rows
+    * exclusively so settled tags never re-enter the queue —
+    * `app.py:4936`). Per row:
+    *   - PENDING + approve  → APPROVED, stamped (admin, approved_date)
+    *   - PENDING + reject   → REJECTED, stamped + rejection_comment
+    *   - settled + decision → payload untouched, outcome
+    *     'illegal_transition' (audit row; the reference returns the
+    *     conflict to the caller instead of clobbering)
+    *   - no decision        → 'unchanged', bit-identical passthrough
+    *   - decision on absent key → synthetic 'missing_key' audit row
+    * Scale shape: decisions are an admin batch — tiny, ALWAYS
+    * broadcast — so the transition pass is a zero-shuffle broadcast
+    * join over one registry scan, and the missing-key audit is a
+    * second KEY-COLUMN-ONLY scan inner-broadcast-joined to the batch
+    * (tiny output) anti-joined in memory scale. No wide exchange ever
+    * carries the registry; at 100 TB the op costs ~1 column-pruned
+    * scan + 1 full scan, both shuffle-free.
+    */
+  def applyApprovals(base: DataFrame, decisions: DataFrame, key: String,
+                     asOf: Column): DataFrame = {
+    val dec = decisions.select(col(key), col("decision").as("__d_decision"),
+      col("admin").as("__d_admin"), col("comment").as("__d_comment"))
+    val applied = base.join(broadcast(dec), Seq(key), "left")
+      .withColumn("outcome",
+        when(col("__d_decision").isNull, "unchanged")
+          .when(col("approval_status") =!= "PENDING", "illegal_transition")
+          .when(col("__d_decision") === "approve", "approved")
+          .otherwise("rejected"))
+      .withColumn("new_status",
+        when(col("outcome") === "approved", "APPROVED")
+          .when(col("outcome") === "rejected", "REJECTED")
+          .otherwise(col("approval_status")))
+      .withColumn("admin",
+        when(col("outcome").isin("approved", "rejected"), col("__d_admin")))
+      .withColumn("rejection_comment",
+        when(col("outcome") === "rejected", col("__d_comment")))
+      .withColumn("approved_date",
+        when(col("outcome").isin("approved", "rejected"), asOf.cast("date")))
+      .withColumnRenamed("approval_status", "old_status")
+      .drop("__d_decision", "__d_admin", "__d_comment")
+    // decisions whose key is absent from the registry: matched keys
+    // come from a key-only registry scan broadcast-joined to the
+    // batch (output ≤ batch size), so the anti join is batch × batch
+    val matched = base.select(col(key))
+      .join(broadcast(dec.select(col(key))), Seq(key))
+    val missing = dec.join(matched, Seq(key), "left_anti")
+      .select(Seq(col(key), lit("missing_key").as("outcome")) ++
+        applied.columns.filterNot(c => c == key || c == "outcome").map(c =>
+          lit(null).cast(applied.schema(c).dataType).as(c)): _*)
+    applied.unionByName(missing)
+  }
+
+  // q73: the oracled approval-flow instance. The registry derives
+  // from `orders` (o_orderstatus O/F/P → PENDING/APPROVED/REJECTED —
+  // the open orders are the approval queue); the admin batch decides
+  // every key ≡ 1 mod 5 (approve) or ≡ 2 mod 5 (reject), and keys ≡
+  // 0 mod 101 are NEGATED so they miss the registry and exercise the
+  // missing-key audit path. Settled rows hit by a decision surface as
+  // illegal_transition with their payload untouched;
+  // ApprovalFlowSpec additionally proves transition ≡ rebuild and
+  // byte-identical passthrough of undecided rows.
+  def q73ApprovalFlow(s: SparkSession, d: String): DataFrame = {
+    val reg = Tables.orders(s, d).select(
+      col("o_orderkey").as("tag_id"),
+      concat(lit("user"), pmod(col("o_custkey"), lit(50))).as("requested_by"),
+      col("o_totalprice").as("total"),
+      when(col("o_orderstatus") === "O", "PENDING")
+        .when(col("o_orderstatus") === "F", "APPROVED")
+        .otherwise("REJECTED").as("approval_status"))
+    val dec = Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(5)).isin(1, 2) ||
+        pmod(col("o_orderkey"), lit(101)) === 0)
+      .select(
+        when(pmod(col("o_orderkey"), lit(101)) === 0, -col("o_orderkey"))
+          .otherwise(col("o_orderkey")).as("tag_id"),
+        when(pmod(col("o_orderkey"), lit(5)) === 1, "approve")
+          .otherwise("reject").as("decision"),
+        concat(lit("admin"), pmod(col("o_custkey"), lit(5))).as("admin"),
+        concat(lit("rej-"), pmod(col("o_orderkey"), lit(7))).as("comment"))
+    applyApprovals(reg, dec, "tag_id", lit("1998-12-31"))
+      .orderBy("tag_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_merge_semicolon" -> (q44MergeSemicolon _),
     "q51_snapshot_diff" -> (q51SnapshotDiff _),
     "q66_apply_deletes" -> (q66ApplyDeletes _),
+    "q73_approval_flow" -> (q73ApprovalFlow _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q73_approval_flow" ->
+      """WITH reg AS (
+        |  SELECT o_orderkey AS tag_id,
+        |    'user' || CAST(o_custkey % 50 AS VARCHAR) AS requested_by,
+        |    o_totalprice AS total,
+        |    CASE o_orderstatus WHEN 'O' THEN 'PENDING'
+        |      WHEN 'F' THEN 'APPROVED' ELSE 'REJECTED' END AS approval_status
+        |  FROM orders),
+        |dec AS (
+        |  SELECT CASE WHEN o_orderkey % 101 = 0 THEN -o_orderkey
+        |           ELSE o_orderkey END AS tag_id,
+        |    CASE WHEN o_orderkey % 5 = 1 THEN 'approve' ELSE 'reject' END
+        |      AS decision,
+        |    'admin' || CAST(o_custkey % 5 AS VARCHAR) AS admin,
+        |    'rej-' || CAST(o_orderkey % 7 AS VARCHAR) AS comment
+        |  FROM orders WHERE o_orderkey % 5 IN (1, 2) OR o_orderkey % 101 = 0),
+        |applied AS (
+        |  SELECT r.tag_id, r.requested_by, r.total,
+        |    r.approval_status AS old_status,
+        |    CASE WHEN d.decision IS NULL THEN 'unchanged'
+        |         WHEN r.approval_status <> 'PENDING' THEN 'illegal_transition'
+        |         WHEN d.decision = 'approve' THEN 'approved'
+        |         ELSE 'rejected' END AS outcome,
+        |    d.decision, d.admin AS dadmin, d.comment AS dcomment
+        |  FROM reg r LEFT JOIN dec d ON r.tag_id = d.tag_id)
+        |SELECT tag_id, requested_by, total, old_status,
+        |  CASE outcome WHEN 'approved' THEN 'APPROVED'
+        |    WHEN 'rejected' THEN 'REJECTED' ELSE old_status END AS new_status,
+        |  CASE WHEN outcome IN ('approved', 'rejected') THEN dadmin END
+        |    AS admin,
+        |  CASE WHEN outcome = 'rejected' THEN dcomment END
+        |    AS rejection_comment,
+        |  CASE WHEN outcome IN ('approved', 'rejected')
+        |    THEN DATE '1998-12-31' END AS approved_date,
+        |  outcome
+        |FROM applied
+        |UNION ALL
+        |SELECT d.tag_id, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |  CAST(NULL AS DATE), 'missing_key'
+        |FROM dec d LEFT JOIN reg r ON d.tag_id = r.tag_id
+        |WHERE r.tag_id IS NULL
+        |ORDER BY tag_id""".stripMargin,
     "q66_apply_deletes" ->
       """WITH reg AS (
         |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS last_date

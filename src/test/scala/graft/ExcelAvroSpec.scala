@@ -346,6 +346,80 @@ class ExcelAvroSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("o_custkey")).distinct.length == rows.length)
   }
 
+  test("q73 approvals: PENDING-only transitions, audit completeness, no clobber") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Upsert
+    val out = Upsert.q73ApprovalFlow(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the decision batch must broadcast (no registry-wide exchange):\n$plan")
+    val rows = out.collect()
+    // in-memory replay of the state machine over the same derivations
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val status0 = orders.map { case (k, _, st) =>
+      k -> (st match { case "O" => "PENDING"; case "F" => "APPROVED"
+                       case _ => "REJECTED" }) }.toMap
+    val decisions = orders.collect {
+      case (k, _, _) if k % 5 == 1 || k % 5 == 2 || k % 101 == 0 =>
+        (if (k % 101 == 0) -k else k) ->
+          (if (k % 5 == 1) "approve" else "reject")
+    }.toMap
+    val expect = status0.keySet.union(decisions.keySet).map { k =>
+      k -> ((status0.get(k), decisions.get(k)) match {
+        case (None, _) => ("missing_key", None)
+        case (Some(st), None) => ("unchanged", Some(st))
+        case (Some(st), Some(_)) if st != "PENDING" =>
+          ("illegal_transition", Some(st))
+        case (Some(_), Some("approve")) => ("approved", Some("APPROVED"))
+        case (Some(_), Some(_)) => ("rejected", Some("REJECTED"))
+      })
+    }.toMap
+    val got = rows.map(r => r.getAs[Long]("tag_id") ->
+      ((r.getAs[String]("outcome"),
+        Option(r.getAs[String]("new_status"))))).toMap
+    assert(got == expect, "transition outcomes diverge from the replay")
+    // every outcome path is actually exercised at test SF
+    Seq("approved", "rejected", "unchanged", "illegal_transition",
+      "missing_key").foreach(o =>
+      assert(rows.exists(_.getAs[String]("outcome") == o), s"$o unexercised"))
+    // untouched payloads pass through bit-identical; settled rows hit
+    // by a decision keep BOTH payload and status
+    val totals = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.filter(r => Set("unchanged", "illegal_transition")
+        .contains(r.getAs[String]("outcome"))).foreach { r =>
+      assert(r.getAs[Double]("total") == totals(r.getAs[Long]("tag_id")))
+      assert(r.getAs[String]("new_status") == r.getAs[String]("old_status"))
+      assert(r.isNullAt(r.fieldIndex("approved_date")) &&
+        r.isNullAt(r.fieldIndex("admin")))
+    }
+    // no-clobber: re-applying the same batch to the POST-transition
+    // registry transitions nothing (every formerly-PENDING target is
+    // now settled — the PENDING-only rule makes the apply idempotent
+    // on payloads, exactly why the reference reads only PENDING rows)
+    val reg2 = out.filter(col("outcome") =!= "missing_key")
+      .select(col("tag_id"), col("requested_by"), col("total"),
+        col("new_status").as("approval_status"))
+    val dec2 = Tables.orders(spark, sf)
+      .filter(pmod(col("o_orderkey"), lit(5)).isin(1, 2) ||
+        pmod(col("o_orderkey"), lit(101)) === 0)
+      .select(
+        when(pmod(col("o_orderkey"), lit(101)) === 0, -col("o_orderkey"))
+          .otherwise(col("o_orderkey")).as("tag_id"),
+        when(pmod(col("o_orderkey"), lit(5)) === 1, "approve")
+          .otherwise("reject").as("decision"),
+        lit("admin0").as("admin"), lit("again").as("comment"))
+    val second = Upsert.applyApprovals(reg2, dec2, "tag_id",
+        lit("1999-01-01")).collect()
+    assert(second.forall(r => !Set("approved", "rejected")
+        .contains(r.getAs[String]("outcome"))),
+      "second apply re-transitioned a settled row")
+    assert(second.forall(r => r.getAs[String]("outcome") == "missing_key" ||
+      r.getAs[String]("new_status") == r.getAs[String]("old_status")))
+  }
+
   test("avro round-trips through the bundled DataSource") {
     val dir = java.nio.file.Files.createTempDirectory("graft_avro").toString
     val src = Tables.orders(spark, sf)
