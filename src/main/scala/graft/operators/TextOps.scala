@@ -1024,6 +1024,121 @@ object TextOps {
       .orderBy(col("n").desc, col("pair")).limit(k)
   }
 
+  // d33: the full BPE TRAINING loop — R rounds of (count adjacent
+  // symbol pairs over the vocab → pick the winner → merge it
+  // everywhere → recount), the part that actually trains a tokenizer
+  // (d30 is one round's count). Merge application is GREEDY
+  // left-to-right non-overlapping — the fold below replaces the
+  // accumulator's tail symbol when (tail, current) is the winning
+  // pair, which IS the greedy scan: a merged symbol L||R can never
+  // re-match as L, so overlaps are impossible and merges move
+  // strictly rightward. g12's fixed-round contract: every round is
+  // vocab-bounded (the corpus collapses to (word, cnt) ONCE — d30's
+  // two-level design — and all R rounds run over distinct words
+  // weighted by cnt, never re-touching the corpus), the winner pick
+  // is a 1-row driver action per round (the BPE sync point — R
+  // bounded, answer-sized), and the evolving vocab is eagerly
+  // localCheckpoint'ed so round r never recomputes rounds 1..r-1.
+  // Output: the trained merge table (round, left_sym, right_sym,
+  // merged, n). Fully ORACLED: DuckDB unrolls the R rounds, applying
+  // each merge with a recursive leftmost-replace — provably the same
+  // greedy result, since a merge never creates a new (L, R)
+  // adjacency to its left.
+  def d33BpeTrain(s: SparkSession, d: String, rounds: Int = 8): DataFrame = {
+    import s.implicits._
+    var vocab = docs(s, d).select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(split(col("word"), "").as("syms"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var r = 1
+    var dry = false
+    while (r <= rounds && !dry) {
+      val win = vocab.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+            "struct(element_at(syms, i) as l, element_at(syms, i + 1) as r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (win.isEmpty) dry = true
+      else {
+        val l = win(0).getString(0); val rt = win(0).getString(1)
+        merges += ((r.toLong, l, rt, l + rt, win(0).getLong(2)))
+        vocab = vocab.select(aggregate(col("syms"),
+            expr("cast(array() as array<string>)"),
+            (acc, x) =>
+              when(size(acc) === 0, array(x))
+                .when(element_at(acc, -1) === lit(l) && x === lit(rt),
+                  concat(slice(acc, lit(1), size(acc) - 1),
+                    array(lit(l + rt))))
+                .otherwise(concat(acc, array(x)))).as("syms"),
+          col("cnt"))
+          .localCheckpoint()
+      }
+      r += 1
+    }
+    merges.toSeq.toDF("merge_round", "left_sym", "right_sym", "merged", "n")
+      .orderBy("merge_round")
+  }
+
+  /** d33's oracle, generated for `rounds` unrolled rounds: each round
+    * recounts pairs over the evolving vocab (symbols encoded as a
+    * chr(31)-delimited string, ␟a␟b␟…␟), picks the winner with the
+    * same (n DESC, l, r) total order, and applies the merge with a
+    * recursive LEFTMOST-replace — equivalent to the Spark fold's
+    * greedy scan because a merge never creates a new (L,R) adjacency
+    * to its left, so leftmost-repeat and one greedy pass agree.
+    */
+  private[graft] def d33OracleSql(rounds: Int = 8): String = {
+    // every CTE is MATERIALIZED: without it DuckDB re-inlines each
+    // round's recursive CTE inside the next round's recursion (CTEs
+    // are views by default), which both explodes cost exponentially
+    // across rounds AND mis-binds the nested recursions' working
+    // tables (observed: phantom merges no round's winner produced).
+    // Unique st$r names for the same reason.
+    val v0 =
+      """v0 AS MATERIALIZED (
+        |  SELECT chr(31) || array_to_string(list_transform(
+        |      range(1, length(word) + 1), i -> word[i:i]), chr(31))
+        |    || chr(31) AS s, cnt
+        |  FROM (SELECT word, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+        |      AS word FROM documents) GROUP BY word))""".stripMargin
+    def round(r: Int): String = {
+      val pat = s"(SELECT chr(31) || l || chr(31) || r || chr(31) FROM w$r)"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(cnt) AS BIGINT) AS n
+         |  FROM (SELECT cnt, unnest(list_transform(range(1, len(ls)),
+         |      i -> [ls[i], ls[i + 1]])) AS pr
+         |    FROM (SELECT list_filter(string_split(s, chr(31)), x -> x != '')
+         |      AS ls, cnt FROM v${r - 1}))
+         |  GROUP BY 1, 2),
+         |w$r AS MATERIALIZED (
+         |  SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT s, cnt FROM (
+         |    WITH RECURSIVE st$r AS (
+         |      SELECT s, cnt FROM v${r - 1}
+         |      UNION ALL
+         |      SELECT substr(s, 1, pos - 1) || chr(31)
+         |          || (SELECT l || r FROM w$r) || chr(31)
+         |          || substr(s, pos + length($pat)), cnt
+         |      FROM (SELECT s, cnt, instr(s, $pat) AS pos FROM st$r)
+         |      WHERE pos > 0)
+         |    SELECT s, cnt FROM st$r WHERE instr(s, $pat) = 0))""".stripMargin
+    }
+    val out = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_round, l AS left_sym, " +
+        s"r AS right_sym, l || r AS merged, n FROM w$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH $v0,\n${(1 to rounds).map(round).mkString(",\n")}\n" +
+      s"$out\nORDER BY merge_round"
+  }
+
   // d31: hashed bag-of-words linear classifier INFERENCE — the
   // fastText-shaped quality-filter apply step (the train side is
   // offline; at 100 TB you apply a frozen model to every doc). The
@@ -1055,6 +1170,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d30_bpe_pairs" -> ((s: SparkSession, d: String) => d30BpePairs(s, d)),
+    "d33_bpe_train" -> ((s: SparkSession, d: String) => d33BpeTrain(s, d)),
     "d31_quality_classifier" -> ((s: SparkSession, d: String) => d31QualityClassifier(s, d)),
     "e5_sparse_retrieval" -> ((s: SparkSession, d: String) => e5SparseRetrieval(s, d)),
     "d22_span_dedup" -> (d22SpanDedup _),
@@ -1121,6 +1237,7 @@ object TextOps {
       |  SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d33_bpe_train" -> d33OracleSql(8),
     "d30_bpe_pairs" ->
       """WITH v AS (
         |  SELECT word, COUNT(*) AS cnt FROM (

@@ -934,6 +934,49 @@ class TextSimSpec extends SparkSpec {
     assert(got == expect, s"top-50 BPE pairs diverge: got=${got.take(5)} expect=${expect.take(5)}")
   }
 
+  test("d33 BPE training replays the greedy merge loop in memory") {
+    // full in-memory replay: R rounds of count-pairs -> argmax ->
+    // greedy left-to-right merge over the (word, cnt) vocab
+    val vocab0 = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (w, c) => w.map(_.toString).toList -> c }
+    def greedyMerge(syms: List[String], l: String, r: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (acc, x) =>
+        acc match {
+          case h :: t if h == l && x == r => (l + r) :: t
+          case _ => x :: acc
+        }
+      }.reverse
+    var vocab = vocab0
+    val expect = (1 to 8).map { round =>
+      val counts = vocab.toSeq.flatMap { case (syms, c) =>
+        syms.zip(syms.tail).map(p => p -> c)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val ((l, r), n) = counts.toSeq
+        .minBy { case ((l, r), n) => (-n, l, r) }
+      vocab = vocab.map { case (syms, c) => greedyMerge(syms, l, r) -> c }
+      (round.toLong, l, r, l + r, n)
+    }
+    val got = TextOps.queries("d33_bpe_train")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("merge_round"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[String]("merged"),
+        r.getAs[Long]("n"))).toSeq
+    assert(got == expect, s"merge table diverges:\n got=$got\n exp=$expect")
+    // round 1 IS d30's top pair (same counts before any merge exists)
+    val d30top = TextOps.d30BpePairs(spark, sf).collect().head
+    assert(got.head._4 == d30top.getAs[String]("pair") &&
+      got.head._5 == d30top.getAs[Long]("n"),
+      "round-1 winner disagrees with d30's top pair count")
+    // training must actually compound: some later round merges a
+    // symbol PRODUCED by an earlier round (else 4 rounds degenerate
+    // to 4 independent pair counts and the loop is untested)
+    val produced = got.map(_._4).toSet
+    assert(got.tail.exists(m => produced.contains(m._2) ||
+      produced.contains(m._3)),
+      "no round consumed a merged symbol — loop not exercised")
+  }
+
   test("d31 classifier scores replay the hashed linear model exactly") {
     val A = 2654435761L; val M = 1000003L; val B = 512
     def rh(s: String): Long = {
