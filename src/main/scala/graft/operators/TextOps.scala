@@ -611,14 +611,14 @@ object TextOps {
   // batch-involving pairs (same bands, same signatures — incremental
   // ≡ full, the IVM guarantee d6-style) and drives an injected
   // near-dup through the cross path.
-  private def minhashBuckets(sig: DataFrame): DataFrame =
+  private[graft] def minhashBuckets(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"), explode(expr(
         "transform(sequence(0, 15), b -> struct(b as band, " +
           "xxhash64(element_at(sig, 4*b+1), element_at(sig, 4*b+2), " +
           "element_at(sig, 4*b+3), element_at(sig, 4*b+4)) as bkey))")).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
 
-  private def minhashSigsOf(df: DataFrame): DataFrame =
+  private[graft] def minhashSigsOf(df: DataFrame): DataFrame =
     df.withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
       .filter(size(col("toks")) >= 3)
       .withColumn("shingles", GraftFunctions.shingle_hashes(col("toks"), 3))

@@ -643,12 +643,13 @@ object EventStream {
         .select(col("keep_id"), col("n_copies")).orderBy("keep_id")
   }
 
-  /** The declared instance: documents land as three ascending-doc_id
-    * slices (mtime-ordered files — the crawler drop s7 also models),
-    * processed one file per micro-batch.
+  /** Lands `documents` as three ascending-doc_id parquet slices with
+    * increasing mtimes under dir/src — the crawler-drop arrival model
+    * s11 and s13 share (maxFilesPerTrigger=1 replays them in order,
+    * so "arrived earlier" coincides with "lower doc_id").
     */
-  def s11StreamDedupIndex(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_s11")
+  private def landDocSlices(s: SparkSession, d: String,
+                            dir: java.nio.file.Path): DataFrame = {
     val src = dir.resolve("src")
     java.nio.file.Files.createDirectory(src)
     val docs = graft.Tables.documents(s, d).select("doc_id", "text")
@@ -668,13 +669,127 @@ object EventStream {
     }
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    val stream = s.readStream.schema(schema)
+    s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src.toString)
-    streamDedupIndex(s, stream, dir.resolve("idx").toString)
+  }
+
+  /** The declared instance: documents land as three ascending-doc_id
+    * slices (mtime-ordered files — the crawler drop s7 also models),
+    * processed one file per micro-batch.
+    */
+  def s11StreamDedupIndex(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_s11")
+    streamDedupIndex(s, landDocSlices(s, d, dir),
+      dir.resolve("idx").toString)
+  }
+
+  // s13: streaming NEAR-dup admission against a durable MinHash
+  // bucket index — s11's fuzzy twin (d32's bucket-index probe run
+  // per micro-batch). The index is a bucketed parquet table of
+  // (doc_id, band, bkey, sig) rows — the ~stored-signature index
+  // d32 documents as what the recurring pass reads of the base —
+  // maintained with s7/s11's versioned-manifest machinery. Each
+  // micro-batch: signatures + 16 band keys for the batch ONLY,
+  // probe = read ONLY the buckets the batch's band keys touch
+  // (bucket-keyed physical pruning; the untouched index is never
+  // read), candidates = equal-(band,bkey) pairs (base rows always
+  // count as earlier — already admitted; within-batch pairs orient
+  // newer → older by doc_id), verdict per batch doc = d32's rule
+  // (admit iff no earlier signature-estimated jaccard >= tau, else
+  // best match, ties to lowest earlier id), then the touched buckets
+  // are rewritten one version up with the batch's rows appended.
+  // Work per batch is O(batch + touched buckets) — the recurring
+  // daily pass never re-scans the corpus — and because arrival order
+  // is ascending doc_id, the CHAINED stream answer equals batch d32
+  // over the same data (s1/q22's convergence contract, proven in
+  // StreamSourcesSpec with a synthetically driven cross-batch
+  // near-dup).
+  private[graft] def streamFuzzyDedup(s: SparkSession, stream: DataFrame,
+                                      root: String, tau: Double = 0.5,
+                                      nBuckets: Int = 8,
+                                      ckptDir: Option[String] = None): DataFrame = {
+    val latest = scala.collection.concurrent.TrieMap.empty[Long, String] ++
+      loadManifest(root)
+    val bucketOf = pmod(col("bkey"), lit(nBuckets.toLong))
+    val q = stream.writeStream
+      .option("checkpointLocation", ckptDir.getOrElse(s"$root/ckpt"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bSig = graft.operators.TextOps
+          .minhashSigsOf(batch.select("doc_id", "text")).localCheckpoint()
+        val bB = graft.operators.TextOps.minhashBuckets(bSig)
+          .localCheckpoint()
+        val touched = bB.select(bucketOf.as("b")).distinct()
+          .collect().map(_.getLong(0)).sorted // <= nBuckets driver rows
+        val prevPaths = touched.flatMap(latest.get).distinct.toIndexedSeq
+        val earlierBatch = bB.join(bSig, "doc_id")
+          .select(col("band"), col("bkey"), col("doc_id").as("doc_e"),
+            col("sig").as("sig_e"), lit(true).as("e_batch"))
+        val earlier =
+          if (prevPaths.isEmpty) earlierBatch
+          else s.read.parquet(prevPaths: _*)
+            .select(col("band"), col("bkey"), col("doc_id").as("doc_e"),
+              col("sig").as("sig_e"), lit(false).as("e_batch"))
+            .unionByName(earlierBatch)
+        val cand = bB.select(col("band"), col("bkey"), col("doc_id").as("doc_n"))
+          .join(earlier, Seq("band", "bkey"))
+          .filter(!col("e_batch") || col("doc_e") < col("doc_n"))
+          .select("doc_n", "doc_e", "sig_e").distinct()
+        val best = cand
+          .join(bSig.select(col("doc_id").as("doc_n"), col("sig").as("sig_n")),
+            Seq("doc_n"))
+          .withColumn("est_jaccard", expr(
+            "aggregate(zip_with(sig_n, sig_e, (x, y) -> if(x = y, 1, 0)), " +
+              "0, (acc, v) -> acc + v) / 64.0"))
+          .filter(col("est_jaccard") >= tau)
+          .groupBy("doc_n")
+          .agg(expr("max_by(struct(doc_e, est_jaccard), " +
+            "struct(est_jaccard, -doc_e))").as("m"))
+          .select(col("doc_n").as("doc_id"), col("m.doc_e").as("dup_of"),
+            col("m.est_jaccard").as("est_jaccard"))
+        batch.select("doc_id").join(best, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_of").isNull.as("admit"),
+            col("dup_of"), col("est_jaccard"))
+          .write.parquet(s"$root/res/v$batchId")
+        // touched buckets carry their prior rows forward + the batch's
+        // rows, one version up; untouched buckets keep their pointers
+        val add = bB.join(bSig, "doc_id")
+          .select(col("doc_id"), col("band"), col("bkey"), col("sig"))
+        val merged =
+          if (prevPaths.isEmpty) add
+          else s.read.parquet(prevPaths: _*)
+            .select("doc_id", "band", "bkey", "sig").unionByName(add)
+        merged.withColumn("bucket", bucketOf)
+          .write.partitionBy("bucket").mode("overwrite")
+          .parquet(s"$root/v$batchId")
+        touched.foreach(b => latest(b) = s"$root/v$batchId/bucket=$b")
+        saveManifest(root, latest)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val resDir = new java.io.File(s"$root/res")
+    if (!resDir.exists) {
+      import s.implicits._
+      Seq.empty[(Long, Boolean, java.lang.Long, java.lang.Double)]
+        .toDF("doc_id", "admit", "dup_of", "est_jaccard")
+    } else
+      s.read.parquet(resDir.listFiles.filter(_.getName.startsWith("v"))
+          .map(_.toString).toIndexedSeq: _*)
+        .orderBy("doc_id")
+  }
+
+  /** The declared s13 instance: the same three-slice crawler drop as
+    * s11, near-dup-gated per micro-batch against the durable index.
+    */
+  def s13StreamFuzzyDedup(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_s13")
+    streamFuzzyDedup(s, landDocSlices(s, d, dir),
+      dir.resolve("idx").toString)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s11_stream_dedup_index" -> (s11StreamDedupIndex _),
+    "s13_stream_fuzzy_dedup" -> (s13StreamFuzzyDedup _),
     "s12_stream_pit_enrich" -> (s12StreamPitEnrich _),
     "s6_stream_static_join" -> (s6StreamStaticJoin _),
     "s9_stream_dq_gate" -> (s9StreamDqGate _),

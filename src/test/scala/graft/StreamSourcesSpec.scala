@@ -46,6 +46,70 @@ class StreamSourcesSpec extends SparkSpec {
     assert(idx.listFiles.count(_.getName.startsWith("v")) >= 2)
   }
 
+  test("s13 streamed fuzzy dedup converges to batch d32; cross-batch near-dup caught") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Boolean]("admit"),
+        Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong),
+        Option(r.getAs[java.math.BigDecimal]("est_jaccard")).map(BigDecimal(_)))
+    // convergence (the s1/q22 contract): ascending slices make stream
+    // arrival order == doc_id order, so the chained per-batch index
+    // probe must answer EXACTLY batch d32 over the same docs with an
+    // empty base — verdicts, best matches, and estimates all equal
+    val streamed = EventStream.queries("s13_stream_fuzzy_dedup")(spark, sf)
+      .collect().map(key).toSet
+    val batch = TextOps.d32IncrementalMinhash(
+        Tables.documents(spark, sf).select("doc_id", "text"),
+        Seq.empty[(Long, String)].toDF("doc_id", "text"))
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      s"streamed fuzzy dedup diverged from batch d32: " +
+        s"${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+    assert(streamed.size == Tables.documents(spark, sf).count(),
+      "a streamed doc lost its verdict")
+    assert(streamed.exists(!_._2), "no near-dup rejections at test SF")
+    // the cross-batch INDEX path, driven synthetically: the donor
+    // lands in batch 1, an unrelated doc in batch 2, and a one-word
+    // mutation of the donor in batch 3 — the mutation must be
+    // rejected against the DURABLE index (its donor left the stream
+    // two micro-batches earlier), everything else admitted
+    val donorText = Tables.documents(spark, sf).orderBy("doc_id")
+      .head.getAs[String]("text")
+    val mutated = donorText.split(" ").zipWithIndex
+      .map { case (w, i) => if (i == 0) "zzz" else w }.mkString(" ")
+    val dir = Files.createTempDirectory("graft_s13_spec")
+    val src = dir.resolve("src"); Files.createDirectory(src)
+    def land(rows: Seq[(Long, String)], name: String, ts: Long): Unit = {
+      val stage = dir.resolve(name + "_stage").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = src.resolve(name + ".parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(ts)
+    }
+    land(Seq((1L, donorText)), "f1", 1000000L)
+    land(Seq((10L, "qq ww ee rr tt yy uu ii oo pp")), "f2", 2000000L)
+    land(Seq((30L, mutated)), "f3", 3000000L)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val got = EventStream.streamFuzzyDedup(spark, stream,
+        dir.resolve("idx").toString).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("admit"), Option(r.getAs[java.lang.Long]("dup_of"))))
+      .toMap
+    assert(got(1L)._1 && got(10L)._1, "clean docs were rejected")
+    assert(!got(30L)._1 && got(30L)._2.contains(1L),
+      s"cross-batch near-dup not caught against the index: ${got(30L)}")
+    // versioned index survives as plain parquet, one version per
+    // signature-bearing batch
+    val idx = new java.io.File(dir.resolve("idx").toString)
+    assert(idx.listFiles.count(_.getName.startsWith("v")) >= 3)
+  }
+
   test("s12 streamed PIT enrichment equals the batch q69 join") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("purchase_id"), r.getAs[Long]("user_id"),
