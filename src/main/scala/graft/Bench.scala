@@ -97,7 +97,23 @@ object Bench {
         System.err.println(s"[bench] $name failed: $e"); false
       }
     def build(name: String) = SparkEntry.queries(name)(spark, sfDir)
+    // quiet-capture gate (round-7 verdict: the committed artifact was
+    // captured at loadavg 4.3 and read ~2× slow on the loop family).
+    // Wait — bounded — for the 1-minute load to drop below the
+    // threshold; if it never does, the artifact self-tags
+    // "contended": true so a noisy capture can't masquerade as the
+    // regression baseline.
+    val quietThresh = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "2.0").toDouble
+    val quietWaitS = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_S", "300").toInt
+    val waitT0 = System.nanoTime()
+    while (loadavg() > quietThresh &&
+           (System.nanoTime() - waitT0) / 1e9 < quietWaitS) {
+      System.err.println(
+        f"[bench] loadavg ${loadavg()}%.2f > $quietThresh%.1f — waiting for quiet")
+      Thread.sleep(15000)
+    }
     val loadStart = loadavg()
+    val contended = loadStart > quietThresh
     val capturedAt = java.time.Instant.now().toString
     // one warm-up touch so JVM/codegen startup isn't billed to q1
     run(build("q1_agg"), "q1_agg")
@@ -152,7 +168,7 @@ object Bench {
         Some(s""""$name":{"shuffles":$shuffles,"bhj":${n("BroadcastHashJoin")},"wscg":${n("\\*\\(\\d+\\)")}}""")
       } catch { case _: Throwable => None }
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"plans":$plans,"sf":"$sfDir","iterations":$iters,"loadavg":{"start":$loadStart,"end":$loadEnd},"captured_at":"$capturedAt"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"plans":$plans,"sf":"$sfDir","iterations":$iters,"loadavg":{"start":$loadStart,"end":$loadEnd},"contended":$contended,"captured_at":"$capturedAt"}""")
     spark.stop()
   }
 }

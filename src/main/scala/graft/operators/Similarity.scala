@@ -604,6 +604,64 @@ object Similarity {
     exactRerank(emb, short, qs, 5)
   }
 
+  /** e8's offline index build, MATERIALIZED: train both quantizers,
+    * encode, route, and export the (cell, codes, norm) table + the
+    * trained models via [[graft.sources.AnnIndexExport]]. Run once
+    * per corpus version; every query after that is
+    * [[e8KnnIvfPqFromIndex]].
+    */
+  def e8WriteIndex(s: SparkSession, d: String, outDir: String,
+                   kCells: Int = 10, m: Int = 8, ksub: Int = 16): Unit = {
+    val emb = quantized(s, d)
+    val cellCents = kmeansCentroids(s, emb, kCells, iters = 5)
+    val lists = assignCells(emb, cellCents)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val books = pqCodebooks(s, emb, m, ksub, iters = 3, sampleSize = 512)
+    val subDim = books(0)(0).length
+    val cents = pqCentsDf(s, books)
+    val index = pqEncode(emb, cents, m, subDim).join(lists, Seq("vec_id"))
+    graft.sources.AnnIndexExport.writeIndex(index, cellCents, cents,
+      outDir, m, subDim)
+  }
+
+  /** e8's query path against the STORED index: no training, no
+    * encoding — models and codes come back from the export, and the
+    * probed cells are pushed as a PARTITION filter so the scan reads
+    * ONLY the nProbe cells' files (the cell set is a Q·nProbe-bounded
+    * driver collect — answer-sized, like e9's footer count). Training
+    * is deterministic, so this path is bit-equal to the inline e8 —
+    * IndexExportSpec proves round-trip equality and the pruned scan.
+    */
+  def e8KnnIvfPqFromIndex(s: SparkSession, d: String, outDir: String,
+                          nProbe: Int = 4, kCand: Int = 50): DataFrame = {
+    import graft.sources.AnnIndexExport
+    val meta = AnnIndexExport.readMeta(s, outDir).head
+    val pm = meta.getAs[Int]("m")
+    val subDim = meta.getAs[Int]("sub_dim")
+    val cellCents = AnnIndexExport.readCellCentroids(s, outDir)
+    val cents = AnnIndexExport.readPqCentroids(s, outDir)
+    val emb = quantized(s, d)
+    val qs = emb.filter(col("vec_id") < 10)
+    val probes = qs.crossJoin(broadcast(cellCents))
+      .withColumn("score", expr(CentroidDot) / col("cn"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("score").desc, col("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    val cellSet = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted // <= Q * nProbe driver rows
+    val luts = pqLuts(qs, cents, pm, subDim)
+    val est = AnnIndexExport.readIndex(s, outDir)
+      .filter(col("cell").isin(cellSet.toIndexedSeq: _*))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(luts), Seq("qid"))
+      .withColumn("cosine", adcCosine(pm))
+      .select(col("qid"), col("vec_id").as("nid"), col("cosine"))
+    val short = topKPerQuery(est, kCand).select(col("qid"), col("nid"))
+    exactRerank(emb, short, qs, 5)
+  }
+
   // e10: cluster-balanced diversity subsampling — the embedding-space
   // pruning step of a training-data pipeline (SemDeDup/DataComp
   // shape): cap every k-means cell at a fixed quota so dense regions

@@ -1,10 +1,47 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.TextOps
-import graft.sources.IndexExport
+import graft.operators.{Similarity, TextOps}
+import graft.sources.{AnnIndexExport, IndexExport}
 
 class IndexExportSpec extends SparkSpec {
+
+  test("e8 stored index round-trips bit-equal; probe reads only probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_e8idx").toString
+    Similarity.e8WriteIndex(spark, sf, dir)
+    // self-describing artifact: meta carries the build parameters and
+    // the exported code rows cover every vector exactly once
+    val meta = AnnIndexExport.readMeta(spark, dir).head
+    assert(meta.getAs[Int]("m") == 8)
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(meta.getAs[Long]("n_vecs") == nVecs)
+    val idx = AnnIndexExport.readIndex(spark, dir)
+    assert(idx.count() == nVecs && idx.select("vec_id").distinct().count() == nVecs)
+    // round-trip equality: training is deterministic, so serving from
+    // the stored models + codes is BIT-EQUAL to the inline e8 (ranks,
+    // ids, and re-ranked cosines)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("qid"), r.getAs[Long]("rnk"), r.getAs[Long]("nid"),
+        r.getAs[Double]("cosine"))).toSeq
+    val stored = key(Similarity.e8KnnIvfPqFromIndex(spark, sf, dir))
+    val inline = key(Similarity.queries("e8_knn_ivfpq")(spark, sf))
+    assert(stored == inline, s"stored-index serving diverged from inline e8")
+    // the probe scan is PARTITION-pruned to the probed cells' files —
+    // the untouched cells' directories are never read
+    val est = AnnIndexExport.readIndex(spark, dir)
+      .filter(col("cell").isin(0L, 1L))
+    val plan = est.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition pruning on the cell filter:\n$plan")
+    val scanned = est.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }.sum
+    val total = new java.io.File(s"$dir/index").listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(scanned <= 2 && scanned < total,
+      s"probe read $scanned of $total cell directories — not pruned")
+  }
 
   test("inverted index round-trips, self-describes, and double-prunes lookups") {
     val dir = java.nio.file.Files.createTempDirectory("graft_index").toString
