@@ -20,13 +20,27 @@ import org.apache.spark.sql.functions._
   *     grow 10× when a lake grows 10×, and g2's box side derives from
   *     part, so fact-side growth alone keeps its grid-join output
   *     linear instead of densifying the synthetic plane quadratically;
-  *   - document text is Caesar-rotated per replica (letters only,
-  *     replica 0 = identity): each replica is structurally ISOMORPHIC
-  *     to sf0.1 (same token counts, same shingle dfs, same duplicate
-  *     relations — the transform is a bijection applied uniformly)
-  *     while token/shingle spaces stay disjoint across replicas, so
+  *   - document text goes through a per-replica substitution CIPHER
+  *     (a seeded shuffle of the alphabet, replica 0 = identity; the
+  *     round-7 runs used a Caesar rotation, whose period of 26 would
+  *     make replicas 0/26/52/78 of a 100× run share one token space —
+  *     a ~4× cross-replica df pileup that measures the DATA, not the
+  *     plan): each replica is structurally ISOMORPHIC to sf0.1 (same
+  *     token counts, same shingle dfs, same duplicate relations — the
+  *     transform is a letter bijection applied uniformly) while
+  *     token/shingle spaces stay disjoint across replicas (two seeded
+  *     permutations mapping a whole word to the same image requires
+  *     agreeing on every letter of it — vanishing for real words), so
   *     dedup postings and LSH buckets grow linearly, never as
-  *     cross-replica pileups of identical shingles.
+  *     cross-replica pileups of identical shingles;
+  *   - embedding vectors get a per-replica ISOMETRY (circular shift
+  *     of the 64 dimensions by replica, sign-flipped past replica 63;
+  *     128 distinct maps ≥ any n used here). Round-7's exact clones
+  *     were fine at 10× but at 100× would stack 100 identical vectors
+  *     in every LSH/IVF bucket — an N² bucket pileup that no adaptive
+  *     width can split, because the collision is exact, not random.
+  *     An isometry preserves all within-replica distances (the
+  *     workload's structure) while cross-replica vectors decorrelate.
   *
   * events.ts reads through Tables.events' encoding normalization and
   * re-lands as plain int64 nanos — exactly what every events operator
@@ -70,8 +84,11 @@ object ScaleData {
       write((0 until n).map(i => shift(read(t), i)).reduce(_ unionByName _), t)
     def shiftKeys(df: DataFrame, i: Int, keys: String*): DataFrame =
       keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * Off)))
-    def rot(alphabet: String, i: Int): String =
-      alphabet.drop(i % 26) + alphabet.take(i % 26)
+    // seeded alphabet permutation, replica 0 = identity (uppercase
+    // follows the same letter map so case-insensitive relations hold)
+    def perm(i: Int): String =
+      if (i == 0) Lower
+      else new scala.util.Random(i * 2654435761L).shuffle(Lower.toList).mkString
 
     Seq("region", "nation", "part", "supplier")
       .foreach(t => write(read(t), t))
@@ -81,11 +98,19 @@ object ScaleData {
     rep("lineitem")((df, i) => shiftKeys(df, i, "l_orderkey"))
     rep("events")((df, i) => shiftKeys(df, i, "event_id", "user_id"))
     rep("documents") { (df, i) =>
+      val p = perm(i)
       shiftKeys(df, i, "doc_id")
         .withColumn("text",
-          translate(col("text"), Lower + Upper, rot(Lower, i) + rot(Upper, i)))
+          translate(col("text"), Lower + Upper, p + p.toUpperCase))
     }
-    rep("embeddings")((df, i) => shiftKeys(df, i, "vec_id"))
+    rep("embeddings") { (df, i) =>
+      val dim = 64
+      val shift = i % dim
+      val sign = if ((i / dim) % 2 == 1) -1.0 else 1.0
+      shiftKeys(df, i, "vec_id").withColumn("embedding", expr(
+        s"transform(sequence(0, ${dim - 1}), j -> cast($sign * " +
+          s"element_at(embedding, 1 + (j + $shift) % $dim) as float))"))
+    }
     spark.stop()
   }
 }
