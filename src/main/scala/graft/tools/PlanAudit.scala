@@ -11,6 +11,10 @@ import graft.SparkEntry
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // optional trailing query names: audit only those (the scale runs
+    // fingerprint the probe set at 10x/100x, where building all 161
+    // queries would execute every iterative loop's build step)
+    val only = args.drop(1).toSet
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "false")  // show final WSCG stages statically
@@ -18,7 +22,9 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
         def n(pat: String) = pat.r.findAllIn(plan).length
