@@ -28,9 +28,16 @@ import graft.functions.GraftFunctions
 object Similarity {
 
   /** embeddings + quantized vector `q` and its squared norm. */
-  private def quantized(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .withColumn("q", expr(
+  private[graft] def quantized(s: SparkSession, d: String): DataFrame =
+    quantize(Tables.embeddings(s, d))
+
+  /** The fixed-point quantization applied to an arbitrary
+    * (vec_id, embedding) frame — ONE definition shared by the corpus
+    * path above and s14's streamed query batches, so a streamed query
+    * scores bit-identically to the same query asked in batch.
+    */
+  private[graft] def quantize(df: DataFrame): DataFrame =
+    df.withColumn("q", expr(
         "transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))"))
       .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
 
@@ -160,6 +167,108 @@ object Similarity {
         col("dot").cast("double") /
           (sqrt(col("nrm").cast("double")) * sqrt(col("qn").cast("double"))))
     topKPerQuery(scored, 3)
+  }
+
+  // e11: GRAPH-TRAVERSAL ANN — the DiskANN/HNSW query path (beam
+  // search over a stored neighborhood graph) re-expressed as R
+  // bounded equi-joins. The offline artifact is a DENORMALIZED
+  // adjacency: each node's top-`deg` neighbors under e9's symmetric
+  // multi-probe blocking rule, symmetrized (an edge either direction
+  // serves both endpoints), with the NEIGHBOR'S quantized vector and
+  // norm stored inline on the edge row — the DiskANN disk layout,
+  // which makes query-time expansion ONE join instead of a second
+  // corpus join to fetch payloads. Query answering is beam search:
+  // score a fixed entry set (the `entries` nodes with the smallest
+  // xxhash64(vec_id) — the k-means trainer's bounded deterministic
+  // sample, no RNG state), then `rounds` rounds of
+  //   frontier ⋈ adjacency → score neighbors exactly → keep top-beam
+  // where the Q·beam-row frontier is BROADCAST, so the adjacency is
+  // probed, never shuffled, and the only exchange per round is the
+  // candidate-sized (qid, nid) dedupe + the bounded TopKByScore cut —
+  // per-round cost O(Q·beam·deg), independent of corpus size. At
+  // 100 TB the adjacency is the stored index (AnnIndexExport's
+  // pattern) sorted by src, so the broadcast frontier's runtime Bloom
+  // filter (RuntimeFilterSpec's conf recipe) prunes row groups and a
+  // query batch reads only the neighborhoods it walks; the graph
+  // build (one e9 pass + one payload join) is the offline cost,
+  // amortized across every query batch — the search itself never
+  // scans the corpus, which is what separates this from e1/e2/e4:
+  // those bound WORK per query but still touch a corpus-sized scan
+  // per batch. Rows-only: hash-derived hyperplanes aren't
+  // SQL-expressible; TextSimSpec replays the FULL beam-search trace
+  // in memory (entry set, symmetrized top-deg graph, exact quantized
+  // scoring, (score desc, id asc) tie-break, per-round beam cut) and
+  // pins a recall floor vs brute force.
+  def e11GraphAnn(s: SparkSession, d: String, k: Int = 5, deg: Int = 8,
+                  beam: Int = 8, rounds: Int = 3,
+                  entries: Int = 16): DataFrame = {
+    val bits = e9Bits(Tables.parquetRowCount(s, s"$d/embeddings.parquet"))
+    val emb = bucketed(s, d, bits)
+      .withColumn("q", expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))"))
+      .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+    // ---- offline index: symmetrized top-deg graph, payloads inline
+    val flips = (0 until bits).map(kk => s"bucket ^ ${1 << kk}")
+    val probes = emb
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("nrm").as("qn"), col("bucket"))
+      .withColumn("bucket", explode(expr(
+        ("bucket" +: flips).mkString("array(", ", ", ")"))))
+    val pairScores = emb.select(col("vec_id").as("nid"), col("q"),
+        col("nrm"), col("bucket"))
+      .join(probes, Seq("bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("dot", GraftFunctions.long_dot(col("q"), col("qq")))
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          (sqrt(col("nrm").cast("double")) * sqrt(col("qn").cast("double"))))
+    val knn = pairScores.groupBy(col("qid"))
+      .agg(GraftFunctions.top_k(col("cosine"), col("nid"), deg).as("top"))
+      .select(col("qid").as("src"), explode(col("top")).as("t"))
+      .select(col("src"), col("t.id").as("dst"))
+    val adj = knn
+      .unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .join(emb.select(col("vec_id").as("dst"), col("q").as("dq"),
+        col("nrm").as("dn")), Seq("dst"))
+      // materialize the index ONCE — rounds re-read its blocks, not
+      // the graph-build lineage (the g13b iterative-loop convention)
+      .localCheckpoint()
+    // ---- query side
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+    def score(df: DataFrame): DataFrame = df
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("dot", GraftFunctions.long_dot(col("q"), col("qq")))
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          (sqrt(col("nrm").cast("double")) * sqrt(col("qn").cast("double"))))
+      .select(col("qid"), col("nid"), col("cosine"))
+    def topBeam(scored: DataFrame): DataFrame = scored
+      .groupBy(col("qid"))
+      .agg(GraftFunctions.top_k(col("cosine"), col("nid"), beam).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("nid"), col("t.score").as("cosine"))
+    val entryNodes = emb
+      .select(col("vec_id").as("nid"), col("q"), col("nrm"),
+        xxhash64(col("vec_id")).as("hk"))
+      .orderBy("hk").limit(entries).drop("hk")
+    var frontier = topBeam(score(entryNodes.crossJoin(broadcast(qs))))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val expanded = adj
+        .join(broadcast(frontier.select(col("qid"), col("nid").as("src"))),
+          Seq("src"))
+        .select(col("qid"), col("dst").as("nid"), col("dq").as("q"),
+          col("dn").as("nrm"))
+        .join(broadcast(qs), Seq("qid"))
+      val cand = score(expanded)
+        .unionByName(frontier)
+        .groupBy(col("qid"), col("nid"))
+        .agg(max(col("cosine")).as("cosine"))
+      frontier = topBeam(cand).localCheckpoint()
+    }
+    topKPerQuery(frontier, k)
   }
 
   /** Centroid-normalized dot of the quantized vector `q` against the
@@ -611,8 +720,17 @@ object Similarity {
     * [[e8KnnIvfPqFromIndex]].
     */
   def e8WriteIndex(s: SparkSession, d: String, outDir: String,
-                   kCells: Int = 10, m: Int = 8, ksub: Int = 16): Unit = {
-    val emb = quantized(s, d)
+                   kCells: Int = 10, m: Int = 8, ksub: Int = 16): Unit =
+    e8WriteIndexFrom(s, quantized(s, d), outDir, kCells, m, ksub)
+
+  /** The same offline build from an explicit (already-quantized)
+    * vector set — the BASE-corpus build of the incremental path:
+    * e12's contract is that the stored quantizers are trained on
+    * whatever corpus version existed at build time and then FROZEN.
+    */
+  private[graft] def e8WriteIndexFrom(s: SparkSession, emb: DataFrame,
+                                      outDir: String, kCells: Int = 10,
+                                      m: Int = 8, ksub: Int = 16): Unit = {
     val cellCents = kmeansCentroids(s, emb, kCells, iters = 5)
     val lists = assignCells(emb, cellCents)
       .select(col("vec_id"), col("cid").as("cell"))
@@ -624,6 +742,80 @@ object Similarity {
       outDir, m, subDim)
   }
 
+  /** Encode + route `emb` through the quantizers STORED at `outDir`
+    * (nothing retrains) → (vec_id, codes, nrm, cell) rows in the
+    * index's own format. Shared by the append path and the
+    * incremental-≡-full spec, so the two sides can't drift.
+    */
+  private[graft] def e8EncodeWith(s: SparkSession, emb: DataFrame,
+                                  outDir: String): DataFrame = {
+    import graft.sources.AnnIndexExport
+    val meta = AnnIndexExport.readMeta(s, outDir).head
+    val m = meta.getAs[Int]("m")
+    val subDim = meta.getAs[Int]("sub_dim")
+    val cellCents = AnnIndexExport.readCellCentroids(s, outDir)
+    val cents = AnnIndexExport.readPqCentroids(s, outDir)
+    val lists = assignCells(emb, cellCents)
+      .select(col("vec_id"), col("cid").as("cell"))
+    pqEncode(emb, cents, m, subDim).join(lists, Seq("vec_id"))
+      .select(col("vec_id"), col("codes"), col("nrm"), col("cell"))
+  }
+
+  /** INCREMENTAL index maintenance — FAISS `add()` re-expressed: a
+    * batch of new vectors joins the stored index by encoding +
+    * routing through the FROZEN stored quantizers and appending
+    * cell-partitioned code rows — O(batch) work against an O(N)
+    * artifact; no existing row is touched, no model retrains. The
+    * meta row's n_vecs advances so readers see the new size.
+    */
+  def e8AppendToIndex(s: SparkSession, batch: DataFrame,
+                      outDir: String): Unit = {
+    import graft.sources.AnnIndexExport
+    val meta = AnnIndexExport.readMeta(s, outDir).head
+    val m = meta.getAs[Int]("m")
+    val subDim = meta.getAs[Int]("sub_dim")
+    val oldN = meta.getAs[Long]("n_vecs")
+    val nNew = batch.count()
+    e8EncodeWith(s, batch, outDir)
+      .repartition(col("cell"))
+      .sortWithinPartitions("vec_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell").parquet(s"$outDir/index")
+    import s.implicits._
+    Seq((m, subDim, oldN + nNew)).toDF("m", "sub_dim", "n_vecs")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outDir/meta")
+  }
+
+  /** Build the e12 artifact: base index (80% of the corpus, models
+    * trained there) + one appended batch (the remaining 20%, frozen
+    * models). Returns the index dir — factored out so the spec can
+    * inspect the artifact the query entry used.
+    */
+  private[graft] def e12Build(s: SparkSession, d: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_e12_")
+      .toString
+    val emb = quantized(s, d)
+    e8WriteIndexFrom(s, emb.filter(col("vec_id") % 5 =!= 3), dir)
+    e8AppendToIndex(s, emb.filter(col("vec_id") % 5 === 3), dir)
+    dir
+  }
+
+  // e12: INCREMENTAL ANN — the ANN member of the incremental family
+  // (d28 exact dedup, d32 MinHash, p4 corpus, s11/s13 streams): a
+  // daily batch of new vectors joins a 100 TB index as O(batch)
+  // encode-and-append against the FROZEN stored quantizers, not a
+  // retrain-and-rebuild — FAISS add()'s contract. Queries then read
+  // the appended index through the identical e8KnnIvfPqFromIndex
+  // path: nProbe cells pruned at the scan, ADC over 9-byte codes,
+  // exact re-rank. Rows-only (trained models aren't
+  // SQL-expressible); IndexExportSpec proves the incremental ≡ full
+  // contract — the appended index's rows are bit-equal to a one-shot
+  // frozen-model encode of base ∪ batch, so every query over the
+  // appended artifact equals the rebuild's answer.
+  def e12IncrementalAnn(s: SparkSession, d: String): DataFrame =
+    e8KnnIvfPqFromIndex(s, d, e12Build(s, d))
+
   /** e8's query path against the STORED index: no training, no
     * encoding — models and codes come back from the export, and the
     * probed cells are pushed as a PARTITION filter so the scan reads
@@ -634,14 +826,29 @@ object Similarity {
     */
   def e8KnnIvfPqFromIndex(s: SparkSession, d: String, outDir: String,
                           nProbe: Int = 4, kCand: Int = 50): DataFrame = {
+    val emb = quantized(s, d)
+    e8ProbeIndex(s, emb.filter(col("vec_id") < 10), emb, outDir,
+      nProbe, kCand)
+  }
+
+  /** The stored-index probe path for an ARBITRARY query set `qs`
+    * (quantized() columns: vec_id, q, nrm), re-ranked against
+    * `corpus` — factored so the batch entry (e8KnnIvfPqFromIndex) and
+    * the streaming server (s14) answer through ONE code path: each
+    * query's answer depends only on the query and the index, never on
+    * which other queries share its batch — the property that makes
+    * the streamed answer equal the batch answer query-for-query.
+    */
+  private[graft] def e8ProbeIndex(s: SparkSession, qs: DataFrame,
+                                  corpus: DataFrame, outDir: String,
+                                  nProbe: Int = 4,
+                                  kCand: Int = 50): DataFrame = {
     import graft.sources.AnnIndexExport
     val meta = AnnIndexExport.readMeta(s, outDir).head
     val pm = meta.getAs[Int]("m")
     val subDim = meta.getAs[Int]("sub_dim")
     val cellCents = AnnIndexExport.readCellCentroids(s, outDir)
     val cents = AnnIndexExport.readPqCentroids(s, outDir)
-    val emb = quantized(s, d)
-    val qs = emb.filter(col("vec_id") < 10)
     val probes = qs.crossJoin(broadcast(cellCents))
       .withColumn("score", expr(CentroidDot) / col("cn"))
       .withColumn("rn", row_number().over(
@@ -659,7 +866,7 @@ object Similarity {
       .withColumn("cosine", adcCosine(pm))
       .select(col("qid"), col("vec_id").as("nid"), col("cosine"))
     val short = topKPerQuery(est, kCand).select(col("qid"), col("nid"))
-    exactRerank(emb, short, qs, 5)
+    exactRerank(corpus, short, qs, 5)
   }
 
   // e10: cluster-balanced diversity subsampling — the embedding-space
@@ -1119,6 +1326,8 @@ object Similarity {
     "e10_diversity_sample" ->
       ((s: SparkSession, d: String) => e10DiversitySample(s, d)),
     "e9_knn_graph" -> (e9KnnGraph _),
+    "e11_graph_ann" -> ((s: SparkSession, d: String) => e11GraphAnn(s, d)),
+    "e12_incremental_ann" -> (e12IncrementalAnn _),
   )
 
   /** e6's oracle: the greedy MMR trace unrolled step by step (the

@@ -610,6 +610,73 @@ class TextSimSpec extends SparkSpec {
     assert(recall >= 0.4, f"e9 recall vs brute force $recall%.2f < 0.4")
   }
 
+  test("e11 graph-ANN beam search replays exactly in memory") {
+    // replay the WHOLE query path: the symmetrized top-8 graph under
+    // e9's blocking rule, the 16-node xxhash64 entry set, and 3 beam
+    // rounds with exact quantized scoring and (score desc, id asc)
+    // tie-breaking — then pin recall vs brute force
+    val base = Tables.embeddings(spark, sf)
+      .withColumn("q", org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))"))
+    val vecs = base.selectExpr("vec_id", "q").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1).toArray).toMap
+    val bits = Similarity.e9Bits(Tables.embeddings(spark, sf).count())
+    val buckets = Tables.embeddings(spark, sf)
+      .withColumn("bucket", Similarity.bucketExpr(bits))
+      .selectExpr("vec_id", "bucket").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("bucket")).toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    // offline: top-8 per node over multi-probe candidates, symmetrized
+    val knn: Seq[(Long, Long)] = vecs.keys.toSeq.flatMap { src =>
+      val pb = (0 until bits).map(kk => buckets(src) ^ (1 << kk)).toSet +
+        buckets(src)
+      vecs.keys.filter(n => n != src && pb.contains(buckets(n)))
+        .map(n => (n, cos(vecs(src), vecs(n)))).toSeq
+        .sortBy { case (n, c) => (-c, n) }.take(8).map(p => (src, p._1))
+    }
+    val adj: Map[Long, Set[Long]] =
+      (knn ++ knn.map(e => (e._2, e._1))).toSet
+        .groupBy((e: (Long, Long)) => e._1)
+        .map { case (s2, es) => s2 -> es.map(_._2) }
+    // entry set: smallest xxhash64(vec_id), computed through Spark so
+    // the hash matches the operator bit-for-bit
+    val entries = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "xxhash64(vec_id) as hk")
+      .orderBy("hk").limit(16).collect().map(_.getAs[Long]("vec_id")).toSet
+    val qids = vecs.keys.filter(_ < 10).toSeq
+    val expected = qids.flatMap { qid =>
+      def cut(c: Iterable[(Long, Double)], n: Int) =
+        c.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(n)
+      var bm = cut(entries.filter(_ != qid)
+        .map(n => n -> cos(vecs(qid), vecs(n))), 8)
+      for (_ <- 1 to 3) {
+        val exp2 = bm.flatMap(b => adj.getOrElse(b._1, Set.empty[Long]))
+          .filter(_ != qid).map(n => n -> cos(vecs(qid), vecs(n)))
+        bm = cut((bm ++ exp2).toMap, 8)
+      }
+      cut(bm.toMap, 5).zipWithIndex.map { case ((n, c), i) =>
+        (qid, n, c, i + 1L) }
+    }.toSet
+    val got = Similarity.queries("e11_graph_ann")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("rnk"))).toSet
+    assert(got == expected, "e11 beam search diverges from in-memory replay")
+    // the graph walk must recall a solid fraction of the brute top-5
+    val brute = qids.flatMap { qid =>
+      vecs.keys.filter(_ != qid)
+        .map(n => (n, cos(vecs(qid), vecs(n)))).toSeq
+        .sortBy { case (n, c) => (-c, n) }.take(5).map(p => (qid, p._1))
+    }.toSet
+    val hits = got.map(t => (t._1, t._2)).count(brute.contains)
+    val recall = hits.toDouble / brute.size
+    assert(recall >= 0.4, f"e11 recall vs brute force $recall%.2f < 0.4")
+  }
+
   test("d28 incremental dedup drops base-known and batch-dup texts only") {
     import spark.implicits._
     val nw = Seq((10L, "x"), (11L, "z"), (12L, "z"), (13L, "w"), (14L, "x"))
