@@ -787,9 +787,89 @@ object EventStream {
       dir.resolve("idx").toString)
   }
 
+  // s14: streaming ANN SERVING — query vectors ARRIVE as a stream
+  // and each micro-batch is answered from the durable IVF-PQ index
+  // (AnnIndexExport's artifact) through the identical probe path the
+  // batch entry uses (Similarity.e8ProbeIndex: probe-ranked cells,
+  // partition-pruned code read, ADC over 9-byte codes, exact
+  // re-rank). The index is built ONCE, offline; per batch the work is
+  // O(batch queries · nProbe cells) — the index is read pruned, never
+  // scanned, and never rewritten (serving is read-only; ingest is
+  // e12's append). Because a query's answer depends only on (query,
+  // index) — never on which other queries share its batch — the
+  // streamed answer set equals the batch answer query-for-query
+  // (s1/q22's convergence contract, proven in StreamSourcesSpec
+  // against the e8 stored-index path).
+  private[graft] def streamAnnServe(s: SparkSession, stream: DataFrame,
+                                    d: String, idxDir: String,
+                                    root: String): DataFrame = {
+    val corpus = graft.operators.Similarity.quantized(s, d)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qs = graft.operators.Similarity.quantize(batch)
+        if (!qs.isEmpty)
+          graft.operators.Similarity
+            .e8ProbeIndex(s, qs, corpus, idxDir)
+            .write.parquet(s"$root/res/v$batchId")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val resDir = new java.io.File(s"$root/res")
+    if (!resDir.exists) {
+      import s.implicits._
+      Seq.empty[(Long, Long, Double, Long)]
+        .toDF("qid", "nid", "cosine", "rnk")
+    } else
+      s.read.parquet(resDir.listFiles.filter(_.getName.startsWith("v"))
+          .map(_.toString).toIndexedSeq: _*)
+        .orderBy("qid", "rnk")
+  }
+
+  /** Lands the query vectors (vec_id < 10) as three mtime-ordered
+    * single-file parquet slices — the crawler-drop arrival model —
+    * and streams them one file per micro-batch.
+    */
+  private def landQuerySlices(s: SparkSession, d: String,
+                              dir: java.nio.file.Path): DataFrame = {
+    val src = dir.resolve("src")
+    java.nio.file.Files.createDirectory(src)
+    val qs = graft.Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+    (0 until 3).foreach { i =>
+      val stage = dir.resolve(s"stage$i").toString
+      qs.filter(pmod(col("vec_id"), lit(3L)) === i)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = src.resolve(s"slice$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+  }
+
+  /** The declared s14 instance: the index is built offline from the
+    * corpus, then the ten standard queries arrive in three
+    * micro-batches and are served from it.
+    */
+  def s14StreamAnnServe(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_s14")
+    val idx = dir.resolve("idx").toString
+    graft.operators.Similarity.e8WriteIndex(s, d, idx)
+    streamAnnServe(s, landQuerySlices(s, d, dir), d, idx,
+      dir.resolve("serve").toString)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s11_stream_dedup_index" -> (s11StreamDedupIndex _),
     "s13_stream_fuzzy_dedup" -> (s13StreamFuzzyDedup _),
+    "s14_stream_ann_serve" -> (s14StreamAnnServe _),
     "s12_stream_pit_enrich" -> (s12StreamPitEnrich _),
     "s6_stream_static_join" -> (s6StreamStaticJoin _),
     "s9_stream_dq_gate" -> (s9StreamDqGate _),

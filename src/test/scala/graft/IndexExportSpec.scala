@@ -43,6 +43,36 @@ class IndexExportSpec extends SparkSpec {
       s"probe read $scanned of $total cell directories — not pruned")
   }
 
+  test("e12 append equals a one-shot frozen-model rebuild (incremental ANN)") {
+    // build the artifact the e12 entry serves from: base index (80%,
+    // models trained there) + one appended batch (20%, frozen models)
+    val dir = Similarity.e12Build(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getSeq[Long](r.fieldIndex("codes")).toList,
+        r.getAs[Long]("nrm"), r.getAs[Long]("cell"))).toSet
+    // the INCREMENTAL ≡ FULL contract: the appended index is
+    // bit-equal to encoding base ∪ batch in one shot through the SAME
+    // stored quantizers — so every query over the appended artifact
+    // equals the rebuild's answer by construction
+    val stored = rows(AnnIndexExport.readIndex(spark, dir)
+      .select("vec_id", "codes", "nrm", "cell"))
+    val rebuilt = rows(Similarity.e8EncodeWith(
+      spark, Similarity.quantized(spark, sf), dir))
+    assert(stored == rebuilt,
+      "appended index diverges from the frozen-model one-shot encode")
+    // meta advanced to the full count; every vector present once
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(AnnIndexExport.readMeta(spark, dir).head
+      .getAs[Long]("n_vecs") == nVecs)
+    val idx = AnnIndexExport.readIndex(spark, dir)
+    assert(idx.count() == nVecs &&
+      idx.select("vec_id").distinct().count() == nVecs)
+    // and the served entry answers with the e1 result shape
+    val got = Similarity.queries("e12_incremental_ann")(spark, sf)
+    assert(got.columns.toSeq == Seq("qid", "nid", "cosine", "rnk"))
+    assert(got.count() > 0)
+  }
+
   test("inverted index round-trips, self-describes, and double-prunes lookups") {
     val dir = java.nio.file.Files.createTempDirectory("graft_index").toString
     val postings = TextOps.shinglePostings(spark, sf).cache()

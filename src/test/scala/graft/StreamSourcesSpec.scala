@@ -46,6 +46,20 @@ class StreamSourcesSpec extends SparkSpec {
     assert(idx.listFiles.count(_.getName.startsWith("v")) >= 2)
   }
 
+  test("s14 streamed ANN serving equals the batch stored-index answers") {
+    // a query's answer depends only on (query, index): training is
+    // deterministic, so the three micro-batches' union must be
+    // BIT-EQUAL (ids, cosines, ranks) to the inline e8 answer for the
+    // same ten queries — the s1/q22 stream-equals-batch contract
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("qid"), r.getAs[Long]("rnk"), r.getAs[Long]("nid"),
+        r.getAs[Double]("cosine"))).toSet
+    val streamed = key(EventStream.queries("s14_stream_ann_serve")(spark, sf))
+    val batch = key(graft.operators.Similarity.queries("e8_knn_ivfpq")(spark, sf))
+    assert(streamed == batch,
+      "streamed ANN answers diverge from the batch stored-index path")
+  }
+
   test("s13 streamed fuzzy dedup converges to batch d32; cross-batch near-dup caught") {
     import spark.implicits._
     import graft.operators.TextOps
