@@ -293,6 +293,8 @@ object GraftFunctions {
   def minhash_sig_long(c: Column, numHashes: Int = 64): Column =
     column(MinHashSigLong(expression(c), numHashes))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def strided_dhash(c: Column, bits: Int): Column =
+    column(StridedDHash(expression(c), bits))
   def long_dot(a: Column, b: Column): Column =
     column(LongDot(expression(a), expression(b)))
   def kmv_distinct(c: Column, k: Int = 256): Column =
@@ -532,6 +534,87 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Strided dHash (m8's perceptual gradient hash) in ONE pass over the
+  * string: bit i compares the code points at 1-based code-point
+  * positions min(1 + i·stride, len) and min(1 + (i+1)·stride, len),
+  * stride = max(1, len div (bits+1)) — bit-identical to the SQL form
+  *   `if(ascii(substring(text, p_i, 1)) < ascii(substring(text,
+  *    p_{i+1}, 1)), 1<<i, 0)` summed,
+  * which it replaces: the HOF chain re-walked the string from the
+  * start for every one of the 2·bits substring() calls (O(bits·len)
+  * per row) and its generated aggregate ballooned Janino compile
+  * time as the adaptive width grew — this expression walks the
+  * string once, recording the bits+1 sampled code points as it
+  * passes them (positions are nondecreasing), then compares
+  * neighbors: O(len + bits), tiny codegen. Empty text hashes to 0
+  * (every sample reads 0, mirroring ascii('') = 0).
+  */
+case class StridedDHash(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "strided_dhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val len = s.codePointCount(0, s.length)
+    val samples = new Array[Int](bits + 1)
+    if (len > 0) {
+      val stride = math.max(1, len / (bits + 1))
+      var cp = 0; var ci = 0; var j = 0
+      while (ci < s.length && j <= bits) {
+        val code = s.codePointAt(ci)
+        cp += 1
+        // positions are nondecreasing and clamp at len, so every j
+        // whose clamped position equals the current code point index
+        // (including all remaining j once cp == len) fills here
+        while (j <= bits && math.min(1 + j * stride, len) == cp) {
+          samples(j) = code; j += 1
+        }
+        ci += Character.charCount(code)
+      }
+    }
+    var h = 0L
+    var i = 0
+    while (i < bits) {
+      if (samples(i) < samples(i + 1)) h |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.freshName("dh")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |String ${p}s = $c.toString();
+      |int ${p}len = ${p}s.codePointCount(0, ${p}s.length());
+      |int[] ${p}smp = new int[$bits + 1];
+      |if (${p}len > 0) {
+      |  int ${p}stride = Math.max(1, ${p}len / ($bits + 1));
+      |  int ${p}cp = 0; int ${p}ci = 0; int ${p}j = 0;
+      |  while (${p}ci < ${p}s.length() && ${p}j <= $bits) {
+      |    int ${p}code = ${p}s.codePointAt(${p}ci);
+      |    ${p}cp++;
+      |    while (${p}j <= $bits &&
+      |           Math.min(1 + ${p}j * ${p}stride, ${p}len) == ${p}cp) {
+      |      ${p}smp[${p}j] = ${p}code; ${p}j++;
+      |    }
+      |    ${p}ci += Character.charCount(${p}code);
+      |  }
+      |}
+      |long ${p}h = 0L;
+      |for (int ${p}i = 0; ${p}i < $bits; ${p}i++) {
+      |  if (${p}smp[${p}i] < ${p}smp[${p}i + 1]) ${p}h |= (1L << ${p}i);
+      |}
+      |${ev.value} = ${p}h;
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StridedDHash =
     copy(child = newChild)
 }
 

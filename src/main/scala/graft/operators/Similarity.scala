@@ -1229,7 +1229,20 @@ object Similarity {
     m8PhashAt(s, d, w)
   }
 
-  private def m8PhashAt(s: SparkSession, d: String, bits: Int): DataFrame = {
+  // the codegen'd one-pass StridedDHash replaces the generated
+  // aggregate-over-sequence form (O(bits·len) per row + a Janino
+  // compile that grew with the adaptive width); bit-identical —
+  // CodegenSpec sweeps the two forms against each other
+  private def m8PhashAt(s: SparkSession, d: String, bits: Int): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      GraftFunctions.strided_dhash(col("text"), bits).as("phash"))
+
+  /** The retired HOF form of the phash — kept as the SPEC's oracle:
+    * the SQL arithmetic DuckDB replays, which StridedDHash must match
+    * bit-for-bit at every width (CodegenSpec).
+    */
+  private[graft] def m8PhashHof(s: SparkSession, d: String,
+                                bits: Int): DataFrame = {
     val k = bits + 1
     Tables.documents(s, d).select(col("doc_id"), expr(
       s"aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) -> acc + " +

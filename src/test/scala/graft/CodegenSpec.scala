@@ -130,6 +130,49 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("strided_dhash equals the retired HOF phash at every width, CODEGEN_ONLY") {
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      import graft.operators.Similarity
+      // the whole corpus at three widths: the one-pass expression must
+      // be bit-identical to the SQL arithmetic the DuckDB oracle
+      // replays (ascii(substring(...)) comparisons over code points)
+      for (bits <- Seq(16, 28, 52)) {
+        def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+        val fast = m(Similarity.m8Phash(spark, sf, bits))
+        val hof = m(Similarity.m8PhashHof(spark, sf, bits))
+        assert(fast == hof, s"strided_dhash diverges from HOF at bits=$bits")
+      }
+      // adversarial shapes the corpus lacks: empty, shorter than the
+      // sample count, multi-byte code points (é, €, CJK), a surrogate
+      // pair (🙂), and text exactly at the stride boundary
+      import spark.implicits._
+      val edge = Seq((1L, ""), (2L, "a"), (3L, "ab"), (4L, "aéz€b"),
+        (5L, "🙂x🙂yé"), (6L, "abc".repeat(29)), (7L, "z".repeat(17)),
+        (8L, "日本語のテキストです"))
+        .toDF("doc_id", "text")
+      val both = edge.select(col("doc_id"),
+        graft.functions.GraftFunctions.strided_dhash(col("text"), 16).as("f"),
+        expr(("aggregate(sequence(0, 15), 0L, (acc, i) -> acc + " +
+          "if(ascii(substring(text, least(1 + i * greatest(1, " +
+          "length(text) div 17), length(text)), 1)) < " +
+          "ascii(substring(text, least(1 + (i + 1) * greatest(1, " +
+          "length(text) div 17), length(text)), 1)), " +
+          "shiftleft(1L, cast(i as int)), 0L))")).as("h"))
+        .collect()
+      both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+        s"edge doc ${r.getLong(0)}: ${r.getLong(1)} != ${r.getLong(2)}"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("gear_cuts generated code matches eval and tiles under CODEGEN_ONLY") {
     val key = "spark.sql.codegen.factoryMode"
     val prev = spark.conf.getOption(key)
