@@ -60,7 +60,14 @@ object Bench {
     // (the codegen'd per-byte GearChunks expression + digest-keyed
     // window: the corpus-scan shape whose cost is raw byte
     // throughput, worth tracking next to m5's per-blob digest pass)
-    "g13b_kcore_fixpoint", "m7_cdc_chunks")
+    "g13b_kcore_fixpoint", "m7_cdc_chunks",
+    // round-8 additions: graph-traversal ANN (the iterative-loop
+    // family's query-side member — offline adjacency build + R
+    // broadcast-frontier beam rounds, billed at build like g13b) and
+    // BPE encode (the trained-tokenizer apply pass: R vocab-bounded
+    // merge rounds + the corpus-wide word-keyed count join — the
+    // heaviest new text-family shape)
+    "e11_graph_ann", "d34_bpe_encode")
 
   /** 1-minute load average, -1.0 if unreadable (non-Linux). */
   private def loadavg(): Double =

@@ -1085,6 +1085,99 @@ object TextOps {
       .orderBy("merge_round")
   }
 
+  // d34: BPE ENCODE — applying the d33-trained merge table to the
+  // corpus, the half of the tokenizer loop that actually runs at
+  // 100 TB (training is a once-per-corpus driver loop; encoding is
+  // the every-document pass whose output feeds token budgets, chunking
+  // and packing). Two-level like d30/d33: the corpus collapses to
+  // DISTINCT words once, the R merges (a driver-side ≤R-row model —
+  // the trained artifact) replay over that vocab-bounded table with
+  // the SAME greedy fold training used (one code path would be better
+  // still, but the fold is 6 lines and the spec replays both), and
+  // the per-doc answer is a word-keyed join of corpus tokens against
+  // the (word → token count) table — vocab-sized, broadcast when it
+  // fits, AQE's call — plus one per-doc aggregate. The corpus is
+  // touched exactly twice (tokenize, count-join); all R rounds run
+  // over distinct words. Fully ORACLED: DuckDB replays the training
+  // chain (d33's generator) with the word key carried through, then
+  // the same join + aggregate.
+  def d34BpeEncode(s: SparkSession, d: String, rounds: Int = 8): DataFrame = {
+    val merges = d33BpeTrain(s, d, rounds).collect()
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+    var vocab = docs(s, d).select(explode(col("toks")).as("word"))
+      .distinct()
+      .select(col("word"), split(col("word"), "").as("syms"))
+      .localCheckpoint()
+    merges.foreach { case (l, rt) =>
+      vocab = vocab.select(col("word"), aggregate(col("syms"),
+          expr("cast(array() as array<string>)"),
+          (acc, x) =>
+            when(size(acc) === 0, array(x))
+              .when(element_at(acc, -1) === lit(l) && x === lit(rt),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(lit(l + rt))))
+              .otherwise(concat(acc, array(x)))).as("syms"))
+        .localCheckpoint()
+    }
+    val wtok = vocab.select(col("word"),
+      size(col("syms")).cast("long").as("w_tokens"))
+    docs(s, d).select(col("doc_id"), explode(col("toks")).as("word"))
+      .join(wtok, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("w_tokens")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** d34's oracle: d33's unrolled training chain with the word key
+    * carried through every round's recursive replace, then the word
+    * token counts join back to the corpus tokens per doc.
+    */
+  private[graft] def d34OracleSql(rounds: Int = 8): String = {
+    val v0 =
+      """v0 AS MATERIALIZED (
+        |  SELECT word, chr(31) || array_to_string(list_transform(
+        |      range(1, length(word) + 1), i -> word[i:i]), chr(31))
+        |    || chr(31) AS s, cnt
+        |  FROM (SELECT word, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+        |      AS word FROM documents) GROUP BY word))""".stripMargin
+    def round(r: Int): String = {
+      val pat = s"(SELECT chr(31) || l || chr(31) || r || chr(31) FROM w$r)"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(cnt) AS BIGINT) AS n
+         |  FROM (SELECT cnt, unnest(list_transform(range(1, len(ls)),
+         |      i -> [ls[i], ls[i + 1]])) AS pr
+         |    FROM (SELECT list_filter(string_split(s, chr(31)), x -> x != '')
+         |      AS ls, cnt FROM v${r - 1}))
+         |  GROUP BY 1, 2),
+         |w$r AS MATERIALIZED (
+         |  SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT word, s, cnt FROM (
+         |    WITH RECURSIVE st$r AS (
+         |      SELECT word, s, cnt FROM v${r - 1}
+         |      UNION ALL
+         |      SELECT word, substr(s, 1, pos - 1) || chr(31)
+         |          || (SELECT l || r FROM w$r) || chr(31)
+         |          || substr(s, pos + length($pat)), cnt
+         |      FROM (SELECT word, s, cnt, instr(s, $pat) AS pos FROM st$r)
+         |      WHERE pos > 0)
+         |    SELECT word, s, cnt FROM st$r WHERE instr(s, $pat) = 0))""".stripMargin
+    }
+    // NB: plain concat — an outer stripMargin would eat one pipe from
+    // the round bodies' `||` continuation lines (already stripped)
+    s"WITH $v0,\n${(1 to rounds).map(round).mkString(",\n")},\n" +
+      s"tok AS MATERIALIZED (\n" +
+      s"  SELECT word, CAST(len(list_filter(string_split(s, chr(31)),\n" +
+      s"    x -> x != '')) AS BIGINT) AS w_tokens FROM v$rounds),\n" +
+      "docw AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),\n" +
+      "  x -> x != '')) AS word FROM documents)\n" +
+      "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,\n" +
+      "  CAST(SUM(w_tokens) AS BIGINT) AS n_tokens\n" +
+      "FROM docw JOIN tok USING (word)\n" +
+      "GROUP BY doc_id ORDER BY doc_id"
+  }
+
   /** d33's oracle, generated for `rounds` unrolled rounds: each round
     * recounts pairs over the evolving vocab (symbols encoded as a
     * chr(31)-delimited string, ␟a␟b␟…␟), picks the winner with the
@@ -1171,6 +1264,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d30_bpe_pairs" -> ((s: SparkSession, d: String) => d30BpePairs(s, d)),
     "d33_bpe_train" -> ((s: SparkSession, d: String) => d33BpeTrain(s, d)),
+    "d34_bpe_encode" -> ((s: SparkSession, d: String) => d34BpeEncode(s, d)),
     "d31_quality_classifier" -> ((s: SparkSession, d: String) => d31QualityClassifier(s, d)),
     "e5_sparse_retrieval" -> ((s: SparkSession, d: String) => e5SparseRetrieval(s, d)),
     "d22_span_dedup" -> (d22SpanDedup _),
@@ -1238,6 +1332,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "d33_bpe_train" -> d33OracleSql(8),
+    "d34_bpe_encode" -> d34OracleSql(8),
     "d30_bpe_pairs" ->
       """WITH v AS (
         |  SELECT word, COUNT(*) AS cnt FROM (

@@ -1044,6 +1044,54 @@ class TextSimSpec extends SparkSpec {
       "no round consumed a merged symbol — loop not exercised")
   }
 
+  test("d34 BPE encode replays train-then-encode in memory") {
+    // train 8 rounds in memory (the d33 replay), then encode every
+    // word with the learned merges and aggregate per doc — the full
+    // tokenizer loop the operator pair implements
+    def greedyMerge(syms: List[String], l: String, r: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (acc, x) =>
+        acc match {
+          case h :: t if h == l && x == r => (l + r) :: t
+          case _ => x :: acc
+        }
+      }.reverse
+    val docWords = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").filter(_.nonEmpty).toSeq).toMap
+    var vocab = docWords.values.flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (w, c) => w.map(_.toString).toList -> c }
+    val wordSyms = scala.collection.mutable.Map.empty[String, List[String]] ++
+      docWords.values.flatten.toSet.map((w: String) =>
+        w -> w.map(_.toString).toList)
+    for (_ <- 1 to 8) {
+      val counts = vocab.toSeq.flatMap { case (syms, c) =>
+        syms.zip(syms.tail).map(p => p -> c)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      if (counts.nonEmpty) {
+        val ((l, r), _) = counts.toSeq
+          .minBy { case ((a, b), n) => (-n, a, b) }
+        vocab = vocab.map { case (syms, c) => greedyMerge(syms, l, r) -> c }
+        wordSyms.keys.foreach(w =>
+          wordSyms(w) = greedyMerge(wordSyms(w), l, r))
+      }
+    }
+    val expect = docWords.map { case (id, ws) =>
+      (id, ws.size.toLong, ws.map(w => wordSyms(w).size.toLong).sum)
+    }.toSet
+    val got = TextOps.queries("d34_bpe_encode")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens"))).toSet
+    assert(got == expect, "encode diverges from the in-memory replay")
+    // merges must actually compress: total tokens strictly fewer than
+    // total characters-as-symbols (else the 8 merges did nothing)
+    val totalChars = docWords.values.flatten.map(_.length.toLong).sum
+    val totalToks = got.toSeq.map(_._3).sum
+    assert(totalToks < totalChars,
+      s"BPE encode did not compress: $totalToks tokens vs $totalChars chars")
+  }
+
   test("d31 classifier scores replay the hashed linear model exactly") {
     val A = 2654435761L; val M = 1000003L; val B = 512
     def rh(s: String): Long = {
