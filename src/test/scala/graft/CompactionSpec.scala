@@ -59,4 +59,25 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(out).columns.toSeq ==
       Seq("l_orderkey", "l_partkey", "l_quantity", "l_shipdate"))
   }
+
+  test("compacting a streamed sink's accretion preserves the stream result") {
+    // the operational loop compaction exists for: a micro-batch file
+    // sink accretes small part files; OPTIMIZE rewrites the layout,
+    // never the table
+    val base = Files.createTempDirectory("graft_compact_stream")
+    val streamed = graft.streaming.EventStream.streamDedupToParquet(
+      spark, sf, s"$base/out", s"$base/ckpt")
+    val nFilesBefore = new java.io.File(s"$base/out").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val m = CompactFiles.compact(spark, s"$base/out", s"$base/opt",
+      targetBytes = 64L * 1024 * 1024).head
+    val compacted = spark.read.parquet(s"$base/opt")
+    assert(compacted.count() == streamed.count(),
+      "compaction changed the streamed table's row count")
+    val nFilesAfter = new java.io.File(s"$base/opt").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(nFilesAfter <= nFilesBefore,
+      s"compaction grew the file count: $nFilesBefore -> $nFilesAfter")
+    assert(m.getAs[Long]("files_in") == nFilesBefore.toLong)
+  }
 }
