@@ -792,10 +792,13 @@ object EventStream {
   // (AnnIndexExport's artifact) through the identical probe path the
   // batch entry uses (Similarity.e8ProbeIndex: probe-ranked cells,
   // partition-pruned code read, ADC over 9-byte codes, exact
-  // re-rank). The index is built ONCE, offline; per batch the work is
-  // O(batch queries · nProbe cells) — the index is read pruned, never
-  // scanned, and never rewritten (serving is read-only; ingest is
-  // e12's append). Because a query's answer depends only on (query,
+  // re-rank). The index is built ONCE, offline; per batch the CODE
+  // read is O(batch queries · nProbe cells) — pruned, never a scan —
+  // and the exact re-rank is a broadcast-candidate (Q·kCand keys)
+  // probe of the vector table: runtime-Bloom/row-group prunable at
+  // scale (RuntimeFilterSpec's recipe), the one corpus-shaped touch
+  // in the loop. The index itself is never rewritten (serving is
+  // read-only; ingest is e12's append). Because a query's answer depends only on (query,
   // index) — never on which other queries share its batch — the
   // streamed answer set equals the batch answer query-for-query
   // (s1/q22's convergence contract, proven in StreamSourcesSpec
