@@ -271,6 +271,44 @@ object Similarity {
     topKPerQuery(frontier, k)
   }
 
+  // e13: the ANN family's QUALITY REPORT — recall@5 of every
+  // approximate method against the exact brute-force answer, as one
+  // query. An index you haven't measured is an index you can't trust:
+  // every recall/latency trade in this family (probe width, nProbe,
+  // PQ bits, beam) is tuned against exactly this number, so the
+  // measurement is a first-class operator, not a test-only artifact
+  // (the specs pin FLOORS; this reports the value). All inputs are
+  // answer-sized (Q·k rows per method), so the report's own plan is
+  // trivial — union, one broadcast membership join against the exact
+  // set, one aggregate; the cost is building the indexes, which is
+  // the family's documented offline cost. Rows-only (every method
+  // hangs off trained/hash models); the spec recomputes each recall
+  // from the methods' own collected outputs and asserts equality.
+  def e13AnnReport(s: SparkSession, d: String): DataFrame = {
+    val brute = e1KnnBrute(s, d).select(col("qid"), col("nid"))
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "e2_knn_lsh" -> e2KnnLsh(s, d),
+      "e4_knn_ivf" -> e4KnnIvf(s, d),
+      "e7_pq_ann" -> e7PqAnn(s, d),
+      "e8_knn_ivfpq" -> e8KnnIvfPq(s, d),
+      "e11_graph_ann" -> e11GraphAnn(s, d))
+    val approx = methods.map { case (n, df) =>
+      df.select(lit(n).as("method"), col("qid"), col("nid"))
+    }.reduce(_ unionByName _)
+    val denom = brute.select(count(lit(1)).as("n_exact"))
+    approx
+      .join(broadcast(brute.withColumn("hit", lit(1L))), Seq("qid", "nid"),
+        "left")
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .crossJoin(broadcast(denom))
+      .select(col("method"), col("n_returned"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_exact").cast("double"))
+          .as("recall_at_5"))
+      .orderBy("method")
+  }
+
   /** Centroid-normalized dot of the quantized vector `q` against the
     * double centroid `cvec` — the ONE scoring expression both k-means
     * assignment (training) and the e4 probe path use; they must stay
@@ -1341,6 +1379,7 @@ object Similarity {
     "e9_knn_graph" -> (e9KnnGraph _),
     "e11_graph_ann" -> ((s: SparkSession, d: String) => e11GraphAnn(s, d)),
     "e12_incremental_ann" -> (e12IncrementalAnn _),
+    "e13_ann_report" -> (e13AnnReport _),
   )
 
   /** e6's oracle: the greedy MMR trace unrolled step by step (the

@@ -677,6 +677,30 @@ class TextSimSpec extends SparkSpec {
     assert(recall >= 0.4, f"e11 recall vs brute force $recall%.2f < 0.4")
   }
 
+  test("e13 ANN report recalls match a recount from the methods' own outputs") {
+    def pairs(name: String) = Similarity.queries(name)(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val brute = pairs("e1_knn_brute")
+    val got = Similarity.queries("e13_ann_report")(spark, sf).collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("n_returned"), r.getAs[Long]("n_hits"),
+          r.getAs[Double]("recall_at_5"))).toMap
+    assert(got.keySet == Set("e2_knn_lsh", "e4_knn_ivf", "e7_pq_ann",
+      "e8_knn_ivfpq", "e11_graph_ann"))
+    got.foreach { case (m, (nRet, nHits, recall)) =>
+      val mine = pairs(m)
+      assert(nRet == mine.size.toLong, s"$m n_returned")
+      assert(nHits == (mine & brute).size.toLong, s"$m n_hits")
+      assert(math.abs(recall - (mine & brute).size.toDouble / brute.size)
+        < 1e-12, s"$m recall")
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+    // the exact-rerank methods must dominate the raw-estimate one on
+    // this corpus only if they do — no fabricated ordering asserted;
+    // but SOMETHING must recall above the family's spec floors
+    assert(got.values.exists(_._3 >= 0.4), "no method recalls >= 0.4")
+  }
+
   test("d28 incremental dedup drops base-known and batch-dup texts only") {
     import spark.implicits._
     val nw = Seq((10L, "x"), (11L, "z"), (12L, "z"), (13L, "w"), (14L, "x"))
