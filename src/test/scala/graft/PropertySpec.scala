@@ -66,6 +66,40 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("StridedDHash matches the positional sampling rule for ANY string") {
+    // independent restatement: direct position formula over code
+    // points (the expression WALKS the string once; this indexes) —
+    // agreement over generated unicode incl. astral-plane code points
+    // is the evidence the one-pass walk visits exactly the sampled
+    // positions
+    import org.apache.spark.sql.types.StringType
+    def ref(sIn: String, bits: Int): Long = {
+      val cps = sIn.codePoints.toArray
+      val len = cps.length
+      val samples = Array.fill(bits + 1)(0)
+      if (len > 0) {
+        val stride = math.max(1, len / (bits + 1))
+        for (j <- 0 to bits)
+          samples(j) = cps(math.min(1 + j * stride, len) - 1)
+      }
+      (0 until bits).map(i =>
+        if (samples(i) < samples(i + 1)) 1L << i else 0L).sum
+    }
+    val cpGen = Gen.frequency(
+      6 -> Gen.choose(0x20, 0x7e),         // ascii
+      2 -> Gen.choose(0xa0, 0x2fff),       // multi-byte BMP
+      1 -> Gen.choose(0x10000, 0x10fff))   // astral (surrogate pairs)
+    val strGen = Gen.choose(0, 200)
+      .flatMap(n => Gen.listOfN(n, cpGen))
+      .map(cps => new String(cps.toArray, 0, cps.length))
+    val bitsGen = Gen.oneOf(1, 2, 4, 16, 28, 52, 62)
+    check("strided_dhash", Prop.forAll(strGen, bitsGen) { (s, bits) =>
+      graft.functions.StridedDHash(
+        Literal.create(UTF8String.fromString(s), StringType), bits)
+        .eval(null).asInstanceOf[Long] == ref(s, bits)
+    })
+  }
+
   test("RollingHash matches the documented recurrence for ANY string") {
     check("rolling", Prop.forAll(Gen.asciiStr, Gen.alphaNumStr) { (a, bTail) =>
       val s = a + bTail + "é世" // force non-ASCII code units too
