@@ -59,10 +59,16 @@ object CompactFiles {
       s.read.parquet(undersized.map(_.getPath.toString).toIndexedSeq: _*)
         .repartition(nOut)
         .write.mode("overwrite").parquet(stage.toString)
+      // Rewritten names carry a per-run id so a re-compaction can never
+      // collide with (and silently overwrite) a prior run's
+      // compacted-NNNNN output carried over as a compliant file.
+      val runId = java.util.UUID.randomUUID.toString.take(8)
       fs.listStatus(stage)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .zipWithIndex.foreach { case (f, i) =>
-          fs.rename(f.getPath, new Path(out, f"compacted-$i%05d.parquet"))
+          val dst = new Path(out, f"compacted-$runId-$i%05d.parquet")
+          require(!fs.exists(dst), s"compaction output collision: $dst")
+          require(fs.rename(f.getPath, dst), s"rename failed: ${f.getPath} -> $dst")
         }
       fs.delete(stage, true)
     }

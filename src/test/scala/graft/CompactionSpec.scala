@@ -60,6 +60,44 @@ class CompactionSpec extends SparkSpec {
       Seq("l_orderkey", "l_partkey", "l_quantity", "l_shipdate"))
   }
 
+  test("re-compacting a prior compaction output loses nothing") {
+    // the repeated-OPTIMIZE loop this class is built for: round 2's
+    // input contains round 1's compacted-* output as a compliant file
+    // next to freshly-accreted small files. Rewritten names carry a
+    // run id so they can never silently overwrite the carried file.
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val d1 = Files.createTempDirectory("graft_recompact_1").toString
+    li.filter(col("l_orderkey") % 2 === 0).repartition(8)
+      .write.mode("overwrite").parquet(d1)
+    val o1 = Files.createTempDirectory("graft_recompact_o1").toString + "/o"
+    CompactFiles.compact(spark, d1, o1, targetBytes = 64L * 1024 * 1024)
+    // simulate the worst case from the bug report: the carried-over
+    // compliant file bears the legacy fixed name compacted-00000.parquet
+    val d2 = Files.createTempDirectory("graft_recompact_2").toString
+    val prior = new java.io.File(o1).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    prior.zipWithIndex.foreach { case (f, i) =>
+      Files.copy(f.toPath, Paths.get(d2, f"compacted-$i%05d.parquet"))
+    }
+    val freshDir = Files.createTempDirectory("graft_recompact_fresh").toString
+    li.filter(col("l_orderkey") % 2 =!= 0).repartition(6)
+      .write.mode("overwrite").parquet(freshDir)
+    new java.io.File(freshDir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .foreach(f => Files.copy(f.toPath, Paths.get(d2, f.getName)))
+    // target chosen so the prior output is compliant, fresh files are not
+    val priorLen = new java.io.File(d2).listFiles()
+      .filter(_.getName.startsWith("compacted-")).map(_.length).max
+    val o2 = Files.createTempDirectory("graft_recompact_o2").toString + "/o"
+    CompactFiles.compact(spark, d2, o2, targetBytes = priorLen * 2)
+    val before = li.collect().map(_.toSeq).groupBy(identity).view
+      .mapValues(_.length).toMap
+    val after = spark.read.parquet(o2).collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(after == before,
+      "re-compaction over a prior compacted-* output changed the row multiset")
+  }
+
   test("compacting a streamed sink's accretion preserves the stream result") {
     // the operational loop compaction exists for: a micro-batch file
     // sink accretes small part files; OPTIMIZE rewrites the layout,
