@@ -13,11 +13,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ TextOps.queries ++
-      Similarity.queries ++ EventStream.queries ++ Geometry.queries ++ Skew.queries ++ Analytics.queries ++ Typed.queries ++ Pipeline.queries ++ Upsert.queries
+      Similarity.queries ++ EventStream.queries ++ Geometry.queries ++ Skew.queries ++ Analytics.queries ++ Typed.queries ++ Pipeline.queries ++ Upsert.queries ++ Lakehouse.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ TextOps.oracles ++
-      Similarity.oracles ++ EventStream.oracles ++ Geometry.oracles ++ Skew.oracles ++ Analytics.oracles ++ Typed.oracles ++ Pipeline.oracles ++ Upsert.oracles
+      Similarity.oracles ++ EventStream.oracles ++ Geometry.oracles ++ Skew.oracles ++ Analytics.oracles ++ Typed.oracles ++ Pipeline.oracles ++ Upsert.oracles ++ Lakehouse.oracles
 }

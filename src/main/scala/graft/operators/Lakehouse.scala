@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sources.GraftTable
+
+/** Oracled driver-contract entries for the [[graft.sources.GraftTable]]
+  * transactional layer — the lakehouse lifecycle the reference leans on
+  * its warehouse for (audit history `app.py:4826`, scheduled sync
+  * `app.py:6754-6815`): append, OPTIMIZE, overwrite, then read the
+  * table AS OF an earlier version.
+  *
+  * The lifecycle is fully deterministic from `orders` (no synthesized
+  * data): v1 = 'F' rows, v2 = +'O' rows, v3 = compaction (content
+  * neutral by contract), v4 = overwrite with 'P' rows only. q74 reads
+  * version 2 — if time travel silently read the LATEST version the
+  * hash would flip to the 'P'-only result, so the oracle match is a
+  * real proof the log serves historical snapshots. q75 audits every
+  * version's action and row count — compaction must hold its
+  * predecessor's count exactly.
+  *
+  * The lifecycle builds once per (session, dataset) and is cached —
+  * repeated bench/verify invocations re-read the committed log, they
+  * do not re-commit (the same amortization other trained-model
+  * entries use).
+  */
+object Lakehouse {
+
+  private val built = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
+
+  /** The four-version lifecycle table for dataset `d`, built once. */
+  private[graft] def lifecycle(s: SparkSession, d: String): GraftTable =
+    built.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_lakehouse").toString + "/orders_t"
+      val orders = Tables.orders(s, d).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      val t = GraftTable.create(s, root,
+        orders.filter(col("o_orderstatus") === "F").repartition(6)) // v1
+      t.append(orders.filter(col("o_orderstatus") === "O").repartition(6)) // v2
+      t.compact(1L << 30)                                                  // v3
+      t.overwrite(orders.filter(col("o_orderstatus") === "P"))             // v4
+      t
+    })
+
+  // q74: time travel — the table AS OF version 2 (F + O rows),
+  // aggregated per status, even though the live version 4 holds only
+  // 'P' rows. A broken log that served the latest snapshot (or a
+  // compaction that leaked/dropped rows) cannot match this oracle.
+  def q74TimeTravel(s: SparkSession, d: String): DataFrame =
+    lifecycle(s, d).readVersion(2)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("total_price"),
+        min("o_orderdate").as("first_date"),
+        max("o_orderdate").as("last_date"))
+      .orderBy("o_orderstatus")
+
+  // q75: the commit log as an audit table — every version's action
+  // and exact row count. Proves append/compact/overwrite semantics
+  // version by version: compact (v3) holds v2's count, overwrite
+  // (v4) resets to the 'P' count.
+  def q75TableHistory(s: SparkSession, d: String): DataFrame = {
+    val t = lifecycle(s, d)
+    import s.implicits._
+    val actions = t.history().select("version", "action")
+    val counts = t.versions()
+      .map(v => (v, t.readVersion(v).count()))
+      .toDF("version", "n_rows")
+    actions.join(counts, "version")
+      .select(col("version"), col("action"), col("n_rows"))
+      .orderBy("version")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_time_travel" -> (q74TimeTravel _),
+    "q75_table_history" -> (q75TableHistory _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q74_time_travel" ->
+      """SELECT o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  min(o_orderdate) AS first_date,
+        |  max(o_orderdate) AS last_date
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q75_table_history" ->
+      """WITH c AS (
+        |  SELECT count(*) FILTER (WHERE o_orderstatus = 'F') AS nf,
+        |         count(*) FILTER (WHERE o_orderstatus = 'O') AS no,
+        |         count(*) FILTER (WHERE o_orderstatus = 'P') AS np
+        |  FROM orders)
+        |SELECT v.version, v.action, v.n_rows FROM c, (VALUES
+        |  (1, 'append',    (SELECT nf FROM c)),
+        |  (2, 'append',    (SELECT nf + no FROM c)),
+        |  (3, 'compact',   (SELECT nf + no FROM c)),
+        |  (4, 'overwrite', (SELECT np FROM c))
+        |) AS v(version, action, n_rows)
+        |ORDER BY v.version""".stripMargin,
+  )
+}

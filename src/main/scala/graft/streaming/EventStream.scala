@@ -869,7 +869,41 @@ object EventStream {
       dir.resolve("serve").toString)
   }
 
+  // s15: streaming ingest into the transactional GraftTable — the
+  // sink discipline s7/s10/s11 each hand-rolled, now on the unified
+  // commit log: each micro-batch lands as ONE atomic tagged commit
+  // (appendIdempotent — a checkpoint-replayed batch is a no-op, so
+  // the sink is exactly-once without sink-side dedup state), then
+  // OPTIMIZE compacts the accreted small files in another atomic
+  // commit. Readers resolve snapshots from the log only, so neither
+  // the in-flight appends nor the compaction can expose a
+  // half-written table — the exposure every per-sink manifest had.
+  // Converges to a batch aggregate over documents (the s1/q22
+  // contract); GraftTableSpec pins replay idempotence and snapshot
+  // isolation under the concurrent writer race.
+  def s15StreamTableIngest(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_s15")
+    val src = landDocSlices(s, d, dir)
+    val t = graft.sources.GraftTable.forPath(s, dir.resolve("table").toString)
+    val q = src
+      .select(col("doc_id"), octet_length(col("text")).as("n_bytes"))
+      .writeStream
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        t.appendIdempotent(batch, s"batch-$id")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    t.compact(64L * 1024 * 1024) // OPTIMIZE the micro-batch accretion
+    t.read()
+      .groupBy(pmod(col("doc_id"), lit(10L)).as("doc_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"))
+      .orderBy("doc_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_stream_table_ingest" -> (s15StreamTableIngest _),
     "s11_stream_dedup_index" -> (s11StreamDedupIndex _),
     "s13_stream_fuzzy_dedup" -> (s13StreamFuzzyDedup _),
     "s14_stream_ann_serve" -> (s14StreamAnnServe _),
@@ -888,6 +922,13 @@ object EventStream {
   )
 
   val oracles: Map[String, String] = Map(
+    // the transactional ingest converges to a batch aggregate over
+    // documents — commits, replay-dedup, and OPTIMIZE are all
+    // content-neutral
+    "s15_stream_table_ingest" ->
+      """SELECT doc_id % 10 AS doc_bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY doc_bucket""".stripMargin,
     // the streaming index converges to d1's batch answer (the
     // s1/q22 contract): first-admitted == min doc_id under the
     // ascending-slice landing order

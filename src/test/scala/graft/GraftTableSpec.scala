@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.GraftTable
+import java.nio.file.Files
+
+class GraftTableSpec extends SparkSpec {
+
+  private def multiset(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+
+  private def freshRoot() =
+    Files.createTempDirectory("graft_table").toString + "/t"
+
+  test("append / overwrite / time travel return exactly each version's rows") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val a = li.filter(col("l_orderkey") % 3 === 0)
+    val b = li.filter(col("l_orderkey") % 3 === 1)
+    val c = li.filter(col("l_orderkey") % 3 === 2)
+    val t = GraftTable.create(spark, freshRoot(), a)         // v1
+    t.append(b)                                              // v2
+    t.overwrite(c)                                           // v3
+    assert(t.latestVersion == 3)
+    assert(multiset(t.readVersion(1)) == multiset(a))
+    assert(multiset(t.readVersion(2)) == multiset(a.unionAll(b)))
+    assert(multiset(t.readVersion(3)) == multiset(c))
+    assert(multiset(t.read()) == multiset(c))
+    val h = t.history().orderBy("version").collect()
+    assert(h.map(_.getAs[String]("action")).toSeq ==
+      Seq("append", "append", "overwrite"))
+    // overwrite removed every prior live file
+    assert(h(2).getAs[Long]("n_removed") ==
+      h(0).getAs[Long]("n_added") + h(1).getAs[Long]("n_added"))
+  }
+
+  test("compact is content-neutral, bounds file count, never touches compliant files") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey",
+      "l_quantity", "l_shipdate")
+    val t = GraftTable.create(spark, freshRoot(),
+      li.filter(col("l_orderkey") % 4 =!= 0).coalesce(1))   // one big file
+    (1 to 3).foreach { i =>                                  // fragmented appends
+      t.append(li.filter(col("l_orderkey") % 4 === 0 &&
+        col("l_partkey") % 3 === (i - 1)).repartition(4))
+    }
+    val before = multiset(t.read())
+    val live = t.liveFiles()
+    val bigBytes = live.map(_._2).max
+    val target = bigBytes * 2                                // big file compliant
+    val smallIn = live.filter(_._2 < target / 2)
+    val v = t.compact(target)
+    assert(multiset(t.read()) == before, "compact changed the row multiset")
+    val after = t.liveFiles()
+    // compliant file survived with identical identity (path AND bytes)
+    val compliant = live.filter(_._2 >= target / 2)
+    assert(compliant.forall(after.contains),
+      "a compliant file was rewritten by compact")
+    val expectOut = math.max(1L,
+      (smallIn.map(_._2).sum + target - 1) / target)
+    assert(after.size == compliant.size + expectOut,
+      s"got ${after.size} live files, want ${compliant.size} + $expectOut")
+    // idempotent: nothing left to compact
+    assert(t.compact(target) == v, "second compact should be a no-op")
+    // time travel across the compaction still serves the old layout
+    assert(multiset(t.readVersion(v - 1)) == before)
+  }
+
+  test("a pinned snapshot is isolated from concurrent append and compact") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val a = li.filter(col("l_orderkey") % 2 === 0)
+    val t = GraftTable.create(spark, freshRoot(), a.repartition(6))
+    val pinned = t.read()                   // resolves v1's file list NOW
+    val want = multiset(a)
+    t.append(li.filter(col("l_orderkey") % 2 === 1))
+    t.compact(1L << 30)                     // rewrites v1's small files
+    assert(t.history().count() >= 3)
+    assert(multiset(pinned) == want,
+      "a reader's pinned snapshot was perturbed by later commits")
+  }
+
+  test("concurrent appenders all win distinct versions; no rows lost") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .limit(4000).cache()
+    li.count()
+    val t = GraftTable.create(spark, freshRoot(),
+      li.filter(col("l_orderkey") % 5 === 4))
+    val writers = Future.sequence((0 to 3).map { w =>
+      Future { t.append(li.filter(col("l_orderkey") % 5 === w)) }
+    })
+    val got = Await.result(writers, 120.seconds)
+    assert(got.toSet.size == 4, s"version collision: $got")
+    assert(t.latestVersion == 5)
+    assert(multiset(t.read()) == multiset(li),
+      "concurrent appends lost or duplicated rows")
+    li.unpersist()
+    ()
+  }
+
+  test("append racing compact: every row survives, every read is a committed snapshot") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .limit(3000).cache()
+    val batches = (0 until 6).map(i =>
+      li.filter(col("l_orderkey") % 6 === i).cache())
+    batches.foreach(_.count())
+    val t = GraftTable.create(spark, freshRoot(), batches.head.repartition(3))
+    val appender = Future {
+      batches.tail.foreach(b => t.append(b.repartition(3)))
+    }
+    val compactor = Future {
+      (1 to 4).foreach { _ =>
+        try t.compact(1L << 30)
+        catch { case _: java.util.ConcurrentModificationException => () }
+        Thread.sleep(30)
+      }
+    }
+    Await.result(Future.sequence(Seq(appender, compactor)), 180.seconds)
+    assert(multiset(t.read()) == multiset(li),
+      "append racing compact lost or duplicated rows")
+    // every historical version is a readable committed snapshot whose
+    // count is a prefix-sum of the appended batches (compacts neutral)
+    val counts = batches.map(_.count())
+    val prefixCounts = counts.scanLeft(0L)(_ + _).drop(1).toSet
+    t.versions().foreach { v =>
+      assert(prefixCounts.contains(t.readVersion(v).count()),
+        s"version $v is not a committed append boundary")
+    }
+    (li +: batches).foreach(_.unpersist())
+    ()
+  }
+
+  test("a commit whose removes are no longer live aborts (optimistic concurrency)") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val t = GraftTable.create(spark, freshRoot(), li.repartition(5))
+    val stale = t.liveFiles().map(_._1)
+    t.compact(1L << 30)                     // swaps those files out
+    intercept[java.util.ConcurrentModificationException] {
+      t.commit("overwrite", Seq.empty, stale)
+    }
+    ()
+  }
+
+  test("checkpointed log resolves correctly past the checkpoint boundary") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .limit(1200).cache()
+    li.count()
+    val root = freshRoot()
+    val t = GraftTable.create(spark, root,
+      li.filter(col("l_orderkey") % 12 === 0))
+    (1 until 12).foreach(i =>
+      t.append(li.filter(col("l_orderkey") % 12 === i)))
+    assert(t.latestVersion == 12)
+    // a checkpoint exists and post-checkpoint resolution matches
+    val log = new java.io.File(s"$root/_graft_log")
+    assert(log.listFiles().exists(_.getName.startsWith("ckpt-v")),
+      "no checkpoint written after 8+ commits")
+    assert(multiset(t.read()) == multiset(li))
+    assert(multiset(t.readVersion(9)) ==
+      multiset(li.filter(col("l_orderkey") % 12 <= 8)))
+    li.unpersist()
+    ()
+  }
+
+  test("appendIdempotent: replayed batch tags are no-ops, durable across reopen") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val b0 = li.filter(col("l_orderkey") % 2 === 0)
+    val b1 = li.filter(col("l_orderkey") % 2 === 1)
+    val root = freshRoot()
+    val t = GraftTable.forPath(spark, root)
+    assert(t.appendIdempotent(b0, "batch-0").contains(1L))
+    assert(t.appendIdempotent(b1, "batch-1").contains(2L))
+    // in-session replay (foreachBatch retry) is a no-op
+    assert(t.appendIdempotent(b1, "batch-1").isEmpty)
+    assert(multiset(t.read()) == multiset(li))
+    // replay after a "driver restart" (fresh handle, durable log scan)
+    val t2 = GraftTable.forPath(spark, root)
+    assert(t2.appendIdempotent(b0, "batch-0").isEmpty)
+    assert(t2.appendIdempotent(b1, "batch-1").isEmpty)
+    assert(t2.latestVersion == 2)
+    assert(multiset(t2.read()) == multiset(li))
+  }
+
+  test("vacuum deletes only unreferenced files; retained versions still read") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val t = GraftTable.create(spark, freshRoot(),
+      li.filter(col("l_orderkey") % 2 === 0).repartition(6))
+    t.append(li.filter(col("l_orderkey") % 2 === 1).repartition(6))
+    val v3 = t.compact(1L << 30)
+    val want = multiset(li)
+    val dataFilesBefore = t.liveFiles().size
+    t.vacuum(retainVersions = 1)
+    assert(multiset(t.read()) == want, "vacuum broke the latest snapshot")
+    assert(t.liveFiles().size == dataFilesBefore)
+    // the pre-compact layout is physically gone
+    val dataDir = new java.io.File(t.root + "/data")
+    val onDisk = dataDir.listFiles().flatMap(_.listFiles())
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(onDisk == t.liveFiles().size,
+      s"vacuum left unreferenced files: $onDisk on disk vs ${t.liveFiles().size} live")
+    intercept[IllegalArgumentException] { t.readVersion(v3 - 1) }
+    ()
+  }
+}
