@@ -199,15 +199,24 @@ object Similarity {
   // in memory (entry set, symmetrized top-deg graph, exact quantized
   // scoring, (score desc, id asc) tie-break, per-round beam cut) and
   // pins a recall floor vs brute force.
-  def e11GraphAnn(s: SparkSession, d: String, k: Int = 5, deg: Int = 8,
-                  beam: Int = 8, rounds: Int = 3,
-                  entries: Int = 16): DataFrame = {
+  /** The quantized, bucketed corpus e9/e11 share, with its adaptive
+    * hyperplane width (footer-count sized, no job).
+    */
+  private def e11Emb(s: SparkSession, d: String): (Int, DataFrame) = {
     val bits = e9Bits(Tables.parquetRowCount(s, s"$d/embeddings.parquet"))
-    val emb = bucketed(s, d, bits)
+    (bits, bucketed(s, d, bits)
       .withColumn("q", expr(
         "transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))"))
-      .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
-    // ---- offline index: symmetrized top-deg graph, payloads inline
+      .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)")))
+  }
+
+  /** e11's offline artifact, un-materialized: the symmetrized top-deg
+    * adjacency under e9's multi-probe blocking, neighbor payloads
+    * inline — (src, dst, dq, dn). One construction shared by the
+    * inline entry, the export, and the stored-≡-inline spec.
+    */
+  private[graft] def e11BuildAdj(s: SparkSession, emb: DataFrame,
+                                 bits: Int, deg: Int): DataFrame = {
     val flips = (0 until bits).map(kk => s"bucket ^ ${1 << kk}")
     val probes = emb
       .select(col("vec_id").as("qid"), col("q").as("qq"),
@@ -226,17 +235,31 @@ object Similarity {
       .agg(GraftFunctions.top_k(col("cosine"), col("nid"), deg).as("top"))
       .select(col("qid").as("src"), explode(col("top")).as("t"))
       .select(col("src"), col("t.id").as("dst"))
-    val adj = knn
+    knn
       .unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .join(emb.select(col("vec_id").as("dst"), col("q").as("dq"),
         col("nrm").as("dn")), Seq("dst"))
-      // materialize the index ONCE — rounds re-read its blocks, not
-      // the graph-build lineage (the g13b iterative-loop convention)
-      .localCheckpoint()
-    // ---- query side
-    val qs = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+  }
+
+  /** e11's deterministic entry set: the `entries` nodes with the
+    * smallest xxhash64(vec_id), payloads inline.
+    */
+  private def e11EntryNodes(emb: DataFrame, entries: Int): DataFrame = emb
+    .select(col("vec_id").as("nid"), col("q"), col("nrm"),
+      xxhash64(col("vec_id")).as("hk"))
+    .orderBy("hk").limit(entries).drop("hk")
+
+  /** The beam-search loop, parameterized on `expand` (frontier
+    * (qid, src) rows → candidate (qid, nid, q, nrm) rows) so the
+    * inline path (checkpointed lineage) and the stored path
+    * (partition-pruned artifact scan) answer through ONE search —
+    * they cannot drift.
+    */
+  private def e11Search(s: SparkSession, qs: DataFrame,
+                        entryNodes: DataFrame,
+                        expand: DataFrame => DataFrame,
+                        k: Int, beam: Int, rounds: Int): DataFrame = {
     def score(df: DataFrame): DataFrame = df
       .filter(col("nid") =!= col("qid"))
       .withColumn("dot", GraftFunctions.long_dot(col("q"), col("qq")))
@@ -249,18 +272,11 @@ object Similarity {
       .agg(GraftFunctions.top_k(col("cosine"), col("nid"), beam).as("top"))
       .select(col("qid"), explode(col("top")).as("t"))
       .select(col("qid"), col("t.id").as("nid"), col("t.score").as("cosine"))
-    val entryNodes = emb
-      .select(col("vec_id").as("nid"), col("q"), col("nrm"),
-        xxhash64(col("vec_id")).as("hk"))
-      .orderBy("hk").limit(entries).drop("hk")
     var frontier = topBeam(score(entryNodes.crossJoin(broadcast(qs))))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      val expanded = adj
-        .join(broadcast(frontier.select(col("qid"), col("nid").as("src"))),
-          Seq("src"))
-        .select(col("qid"), col("dst").as("nid"), col("dq").as("q"),
-          col("dn").as("nrm"))
+      val expanded = expand(
+        frontier.select(col("qid"), col("nid").as("src")))
         .join(broadcast(qs), Seq("qid"))
       val cand = score(expanded)
         .unionByName(frontier)
@@ -269,6 +285,91 @@ object Similarity {
       frontier = topBeam(cand).localCheckpoint()
     }
     topKPerQuery(frontier, k)
+  }
+
+  def e11GraphAnn(s: SparkSession, d: String, k: Int = 5, deg: Int = 8,
+                  beam: Int = 8, rounds: Int = 3,
+                  entries: Int = 16): DataFrame = {
+    val (bits, emb) = e11Emb(s, d)
+    // materialize the index ONCE — rounds re-read its blocks, not
+    // the graph-build lineage (the g13b iterative-loop convention)
+    val adj = e11BuildAdj(s, emb, bits, deg).localCheckpoint()
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+    val expand = (frontier: DataFrame) => adj
+      .join(broadcast(frontier), Seq("src"))
+      .select(col("qid"), col("dst").as("nid"), col("dq").as("q"),
+        col("dn").as("nrm"))
+    e11Search(s, qs, e11EntryNodes(emb, entries), expand, k, beam, rounds)
+  }
+
+  /** e11's offline build, MATERIALIZED (the AnnIndexExport pattern
+    * the e11 Scaladoc promises): the symmetrized top-deg adjacency
+    * partitioned by src bucket with neighbor payloads inline, the
+    * entry set, and a self-describing meta row. Run once per corpus
+    * version; every query batch after that is
+    * [[e11GraphAnnFromIndex]] — beam search over the artifact, no
+    * corpus-sized build per session.
+    *
+    *   out/adj/sbucket=…/   (src, dst, dq, dn) — sorted by src
+    *   out/entries/         (nid, q, nrm)
+    *   out/meta/            (deg, n_entries, n_buckets, n_edges)
+    */
+  def e11WriteGraph(s: SparkSession, d: String, outDir: String,
+                    deg: Int = 8, entries: Int = 16,
+                    nBuckets: Int = 16): Unit = {
+    val (bits, emb) = e11Emb(s, d)
+    val adj = e11BuildAdj(s, emb, bits, deg)
+      .withColumn("sbucket", pmod(col("src"), lit(nBuckets.toLong)))
+    adj.repartition(col("sbucket"))
+      .sortWithinPartitions("src")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("sbucket").parquet(s"$outDir/adj")
+    e11EntryNodes(emb, entries)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outDir/entries")
+    import s.implicits._
+    val nEdges = adj.count()
+    Seq((deg, entries, nBuckets, nEdges))
+      .toDF("deg", "n_entries", "n_buckets", "n_edges")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outDir/meta")
+  }
+
+  /** e11's query path against the STORED graph — the e8FromIndex
+    * analog: beam search where each round's expansion scans ONLY the
+    * src-bucket partitions the frontier actually walks (the bucket
+    * set is a Q·beam-bounded driver collect, answer-sized like e8's
+    * cell set). The adjacency build is never re-paid; the whole query
+    * session is corpus-free. Deterministic construction makes this
+    * bit-equal to the inline e11 — IndexExportSpec proves it and
+    * counts the pruned partitions per round via `probedBuckets`.
+    */
+  def e11GraphAnnFromIndex(s: SparkSession, d: String, outDir: String,
+                           k: Int = 5, beam: Int = 8, rounds: Int = 3,
+                           probedBuckets:
+                             scala.collection.mutable.Buffer[Int] = null)
+      : DataFrame = {
+    val meta = s.read.parquet(s"$outDir/meta").head
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    val adj = s.read.parquet(s"$outDir/adj")
+      .withColumn("sbucket", col("sbucket").cast("long"))
+    val entryNodes = s.read.parquet(s"$outDir/entries")
+    val emb = e11Emb(s, d)._2
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+    val expand = (frontier: DataFrame) => {
+      // answer-sized: <= Q*beam frontier rows -> <= nBuckets longs
+      val buckets = frontier
+        .select(pmod(col("src"), lit(nBuckets.toLong)).as("b"))
+        .distinct().collect().map(_.getLong(0)).sorted
+      if (probedBuckets != null) probedBuckets += buckets.length
+      adj.filter(col("sbucket").isin(buckets.toIndexedSeq: _*))
+        .join(broadcast(frontier), Seq("src"))
+        .select(col("qid"), col("dst").as("nid"), col("dq").as("q"),
+          col("dn").as("nrm"))
+    }
+    e11Search(s, qs, entryNodes, expand, k, beam, rounds)
   }
 
   // e13: the ANN family's QUALITY REPORT — recall@5 of every
@@ -804,7 +905,13 @@ object Similarity {
     * routing through the FROZEN stored quantizers and appending
     * cell-partitioned code rows — O(batch) work against an O(N)
     * artifact; no existing row is touched, no model retrains. The
-    * meta row's n_vecs advances so readers see the new size.
+    * meta row's n_vecs is RECOUNTED from the index after the append
+    * (never oldN + batch arithmetic), so meta can't drift from the
+    * rows even if an earlier attempt half-landed. SINGLE WRITER, NO
+    * BLIND RETRY assumed: the code rows land via SaveMode.Append, so
+    * a failed append must be retried by rebuilding from the base
+    * artifact (e12Build's flow) or through a GraftTable-managed copy
+    * — the same contract FAISS's add() gives a crashed process.
     */
   def e8AppendToIndex(s: SparkSession, batch: DataFrame,
                       outDir: String): Unit = {
@@ -812,15 +919,14 @@ object Similarity {
     val meta = AnnIndexExport.readMeta(s, outDir).head
     val m = meta.getAs[Int]("m")
     val subDim = meta.getAs[Int]("sub_dim")
-    val oldN = meta.getAs[Long]("n_vecs")
-    val nNew = batch.count()
     e8EncodeWith(s, batch, outDir)
       .repartition(col("cell"))
       .sortWithinPartitions("vec_id")
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("cell").parquet(s"$outDir/index")
+    val nVecs = AnnIndexExport.readIndex(s, outDir).count()
     import s.implicits._
-    Seq((m, subDim, oldN + nNew)).toDF("m", "sub_dim", "n_vecs")
+    Seq((m, subDim, nVecs)).toDF("m", "sub_dim", "n_vecs")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$outDir/meta")
   }
@@ -830,14 +936,21 @@ object Similarity {
     * models). Returns the index dir — factored out so the spec can
     * inspect the artifact the query entry used.
     */
-  private[graft] def e12Build(s: SparkSession, d: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_e12_")
-      .toString
-    val emb = quantized(s, d)
-    e8WriteIndexFrom(s, emb.filter(col("vec_id") % 5 =!= 3), dir)
-    e8AppendToIndex(s, emb.filter(col("vec_id") % 5 === 3), dir)
-    dir
-  }
+  private val e12Built = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def e12Build(s: SparkSession, d: String): String =
+    // built once per (session, dataset) — repeated bench/verify/audit
+    // invocations re-read the stored artifact instead of re-paying the
+    // offline build and leaking a temp dir per call (the Lakehouse
+    // lifecycle's amortization rule)
+    e12Built.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_e12_")
+        .toString
+      val emb = quantized(s, d)
+      e8WriteIndexFrom(s, emb.filter(col("vec_id") % 5 =!= 3), dir)
+      e8AppendToIndex(s, emb.filter(col("vec_id") % 5 === 3), dir)
+      dir
+    })
 
   // e12: INCREMENTAL ANN — the ANN member of the incremental family
   // (d28 exact dedup, d32 MinHash, p4 corpus, s11/s13 streams): a

@@ -43,6 +43,45 @@ class IndexExportSpec extends SparkSpec {
       s"probe read $scanned of $total cell directories — not pruned")
   }
 
+  test("e11 stored graph serves bit-equal to inline; each round prunes src buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_e11idx").toString
+    Similarity.e11WriteGraph(spark, sf, dir)
+    // self-describing artifact
+    val meta = spark.read.parquet(s"$dir/meta").head
+    assert(meta.getAs[Int]("deg") == 8 && meta.getAs[Int]("n_buckets") == 16)
+    assert(spark.read.parquet(s"$dir/entries").count() == 16L)
+    // construction is deterministic, so beam search over the stored
+    // adjacency is BIT-EQUAL to the inline build (ranks, ids, cosines)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("qid"), r.getAs[Long]("rnk"), r.getAs[Long]("nid"),
+        r.getAs[Double]("cosine"))).toSeq
+    val probed = scala.collection.mutable.Buffer.empty[Int]
+    val stored = key(Similarity.e11GraphAnnFromIndex(spark, sf, dir,
+      probedBuckets = probed))
+    val inline = key(Similarity.queries("e11_graph_ann")(spark, sf))
+    assert(stored == inline, "stored-graph serving diverged from inline e11")
+    // every beam round collected an answer-sized bucket set and the
+    // scan never had to touch all partitions
+    val total = new java.io.File(s"$dir/adj").listFiles()
+      .count(_.getName.startsWith("sbucket="))
+    assert(probed.size == 3, s"expected 3 rounds, saw ${probed.size}")
+    assert(probed.forall(n => n >= 1 && n <= total),
+      s"bucket counts out of range: $probed (total $total)")
+    // the expansion plan is partition-pruned on sbucket
+    val pruneProbe = spark.read.parquet(s"$dir/adj")
+      .withColumn("sbucket", col("sbucket").cast("long"))
+      .filter(col("sbucket").isin(0L, 1L))
+    val plan = pruneProbe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("sbucket"),
+      s"no partition pruning on sbucket:\n$plan")
+    val scanned = pruneProbe.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }.sum
+    assert(scanned <= 2 && scanned < total,
+      s"sbucket filter read $scanned of $total partitions — not pruned")
+  }
+
   test("e12 append equals a one-shot frozen-model rebuild (incremental ANN)") {
     // build the artifact the e12 entry serves from: base index (80%,
     // models trained there) + one appended batch (20%, frozen models)
