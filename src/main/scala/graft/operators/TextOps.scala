@@ -1085,6 +1085,104 @@ object TextOps {
       .orderBy("merge_round")
   }
 
+  /** BATCHED merge selection for d33 — the fix for serial training's
+    * driver-side bottleneck: a real tokenizer trains 30k-50k merges,
+    * and one driver-synced job pair PER merge is 60k+ Spark jobs and
+    * a checkpoint chain that deep. Each round instead takes the top
+    * P+1 candidates (one answer-sized collect) and accepts the
+    * longest prefix that is (a) pairwise SYMBOL-DISJOINT and (b)
+    * separated from the first non-accepted candidate by a STRICT
+    * count gap — then applies the whole batch in ONE vocab rewrite.
+    *
+    * Why that prefix is provably equal to serial greedy, merge for
+    * merge: within the batch, disjoint symbols mean the merges touch
+    * disjoint symbol instances, so application commutes and the j-th
+    * accepted pair's count at its serial step equals its round-start
+    * count (recorded n is identical). Any pair whose count a batch
+    * merge CAN change shares a symbol with it, so it was not accepted
+    * — and since acceptance stops at the FIRST conflict, every such
+    * pair ranks below the cut, i.e. strictly below every accepted
+    * count (the gap rule); new pairs created by a merge (x, l||r)
+    * inherit ≤ the count of a conflicting old pair (x, l), so they
+    * are strictly below the cut too. Serial greedy therefore picks
+    * exactly the accepted pairs, in order, with the same tie-break —
+    * BpeSpec pins P=1 ≡ serial and P=4 ≡ serial bit-for-bit.
+    *
+    * Driver jobs per trained merge drop ~|batch|×; the checkpoint
+    * chain shortens identically. Batches are data-dependent: skewed
+    * count tails (many ties) shrink them — the spec's corpus averages
+    * >1, and `rounds` still bounds total merges exactly.
+    */
+  def d33BpeTrainBatched(s: SparkSession, d: String, rounds: Int = 8,
+                         batchP: Int = 4,
+                         batchTrace:
+                           scala.collection.mutable.Buffer[Int] = null)
+      : DataFrame = {
+    import s.implicits._
+    var vocab = docs(s, d).select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(split(col("word"), "").as("syms"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var dry = false
+    while (merges.size < rounds && !dry) {
+      val want = math.min(batchP, rounds - merges.size)
+      val cands = vocab.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+            "struct(element_at(syms, i) as l, element_at(syms, i + 1) as r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(want + 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (cands.isEmpty) dry = true
+      else {
+        // longest pairwise-disjoint prefix, capped at `want`
+        val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        var i = 0
+        var stopped = false
+        while (i < cands.length && acc.size < want && !stopped) {
+          val (l, r, _) = cands(i)
+          if (used.contains(l) || used.contains(r)) stopped = true
+          else { acc += cands(i); used += l; used += r; i += 1 }
+        }
+        // strict count gap at the cut (ties could let a displaced or
+        // newly-created pair win the serial tie-break)
+        if (i < cands.length) {
+          val nCut = cands(i)._3
+          while (acc.size > 1 && acc.last._3 == nCut) acc.remove(acc.size - 1)
+        }
+        val base = merges.size.toLong
+        acc.zipWithIndex.foreach { case ((l, r, n), j) =>
+          merges += ((base + j + 1, l, r, l + r, n))
+        }
+        if (batchTrace != null) batchTrace += acc.size
+        // ONE greedy fold applies the whole disjoint batch: a symbol
+        // matches at most one accepted pair on each side, and merged
+        // symbols are new, so the single left-to-right scan is
+        // exactly the serial composition
+        val batch = acc.map { case (l, r, _) => (l, r, l + r) }.toSeq
+        vocab = vocab.select(aggregate(col("syms"),
+            expr("cast(array() as array<string>)"),
+            (a, x) => {
+              val start = when(size(a) === 0, array(x))
+              batch.foldLeft(start) { case (w, (l, r, m)) =>
+                w.when(element_at(a, -1) === lit(l) && x === lit(r),
+                  concat(slice(a, lit(1), size(a) - 1), array(lit(m))))
+              }.otherwise(concat(a, array(x)))
+            }).as("syms"),
+          col("cnt"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("merge_round", "left_sym", "right_sym", "merged", "n")
+      .orderBy("merge_round")
+  }
+
   // d34: BPE ENCODE — applying the d33-trained merge table to the
   // corpus, the half of the tokenizer loop that actually runs at
   // 100 TB (training is a once-per-corpus driver loop; encoding is
@@ -1102,7 +1200,7 @@ object TextOps {
   // chain (d33's generator) with the word key carried through, then
   // the same join + aggregate.
   def d34BpeEncode(s: SparkSession, d: String, rounds: Int = 8): DataFrame = {
-    val merges = d33BpeTrain(s, d, rounds).collect()
+    val merges = d33BpeTrainBatched(s, d, rounds).collect()
       .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
     var vocab = docs(s, d).select(explode(col("toks")).as("word"))
       .distinct()
@@ -1263,7 +1361,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d30_bpe_pairs" -> ((s: SparkSession, d: String) => d30BpePairs(s, d)),
-    "d33_bpe_train" -> ((s: SparkSession, d: String) => d33BpeTrain(s, d)),
+    "d33_bpe_train" -> ((s: SparkSession, d: String) => d33BpeTrainBatched(s, d)),
     "d34_bpe_encode" -> ((s: SparkSession, d: String) => d34BpeEncode(s, d)),
     "d31_quality_classifier" -> ((s: SparkSession, d: String) => d31QualityClassifier(s, d)),
     "e5_sparse_retrieval" -> ((s: SparkSession, d: String) => e5SparseRetrieval(s, d)),
