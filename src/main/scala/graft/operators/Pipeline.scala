@@ -163,7 +163,50 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  // p6: the composed MULTIMODAL pipeline — the m-family end-to-end,
+  // the blob-side twin of p1: blob ingest → m7 CDC chunk manifest →
+  // m5-style dedup at CHUNK granularity (keeper = first
+  // (doc_id, chunk_idx) per chunk digest; per-doc owned-bytes is the
+  // post-dedup storage bill) → m8 perceptual near-dup gate (a doc
+  // with a lower-id ham≤2 neighbor is dropped — its chunks stay
+  // countable, its row doesn't survive) → m1 stub-decode metadata on
+  // the survivors. One exchange per stage: the chunk pass is
+  // map-only codegen (GearChunks), dedup is ONE digest-keyed window
+  // (32-byte keys — m5's rule), the per-doc rollup is one
+  // doc_id-keyed aggregate, the gate is an anti join against the
+  // answer-sized near-dup set, and the metadata is a pure map.
+  // Fully ORACLED: every stage is the integer arithmetic its
+  // standalone oracle already replays (m7 + m5 + m8 + m1 composed in
+  // one DuckDB query).
+  def p6MediaCorpus(s: SparkSession, d: String): DataFrame = {
+    val bin = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    val chunks = Similarity.cdcChunks(bin) // doc_id, chunk_idx, off, len, sha
+    val w = Window.partitionBy("sha")
+    val owned = chunks
+      .withColumn("keeper",
+        min(struct(col("doc_id"), col("chunk_idx"))).over(w))
+      .select(col("doc_id"), col("len"),
+        (col("keeper.doc_id") === col("doc_id") &&
+          col("keeper.chunk_idx") === col("chunk_idx")).as("owns"))
+    val perDoc = owned.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      sum(when(col("owns"), 1L).otherwise(0L)).as("owned_chunks"),
+      sum(col("len")).as("n_bytes"),
+      sum(when(col("owns"), col("len")).otherwise(0L)).as("owned_bytes"))
+    val nearDup = Similarity.m8PhashNeardup(s, d)
+      .select(col("doc_b").as("doc_id")).distinct()
+    perDoc.join(nearDup, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        (col("n_bytes") % 64 + 16).as("width"),   // m1's stub decode
+        (col("n_bytes") % 48 + 12).as("height"),
+        col("n_chunks"), col("owned_chunks"),
+        col("n_bytes"), col("owned_bytes"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p6_media_corpus" -> (p6MediaCorpus _),
     "p1_clean_corpus" -> (p1CleanCorpus _),
     "p2_pretrain_corpus" -> (p2PretrainCorpus _),
     "p3_neardup_corpus" -> (p3NeardupCorpus _),
@@ -172,6 +215,68 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    // m7's chunk replay + m5's keeper rule at chunk grain + m8's
+    // brute Hamming gate + m1's stub arithmetic, composed
+    "p6_media_corpus" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE length(text) > 0),
+        |ends AS (
+        |  SELECT doc_id, text, unnest(list_distinct(list_append(
+        |    list_filter(range(2, n + 1), i ->
+        |      (((unicode(text[i-1:i-1]) * 256 + unicode(text[i:i]) + 1)
+        |        * 2654435761) % 2147483648) < 33554432), n))) AS e
+        |  FROM b),
+        |ch AS (
+        |  SELECT doc_id, e,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY e) AS chunk_idx,
+        |    COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS pe,
+        |    text
+        |  FROM ends),
+        |h AS (
+        |  SELECT doc_id, chunk_idx, CAST(e - pe AS BIGINT) AS len,
+        |    sha256(text[pe+1:e]) AS sha
+        |  FROM ch),
+        |own AS (
+        |  SELECT doc_id, len,
+        |    ROW_NUMBER() OVER (PARTITION BY sha ORDER BY doc_id, chunk_idx)
+        |      = 1 AS owns
+        |  FROM h),
+        |perdoc AS (
+        |  SELECT doc_id, COUNT(*) AS n_chunks,
+        |    CAST(SUM(CASE WHEN owns THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS owned_chunks,
+        |    CAST(SUM(len) AS BIGINT) AS n_bytes,
+        |    CAST(SUM(CASE WHEN owns THEN len ELSE 0 END) AS BIGINT)
+        |      AS owned_bytes
+        |  FROM own GROUP BY doc_id),
+        |cfg AS (
+        |  SELECT LEAST(60, GREATEST(16, 4 * (CASE WHEN t <= 1 THEN 0
+        |    ELSE length(bin(t - 1)) END))) AS bits
+        |  FROM (SELECT (count(*) + 63) // 64 AS t FROM documents)),
+        |ph AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(range(0, bits), i ->
+        |    CASE WHEN
+        |      unicode(text[LEAST(1 + i * GREATEST(1, length(text) // (bits + 1)),
+        |                         length(text))
+        |               :LEAST(1 + i * GREATEST(1, length(text) // (bits + 1)),
+        |                         length(text))])
+        |      <
+        |      unicode(text[LEAST(1 + (i + 1) * GREATEST(1, length(text) // (bits + 1)),
+        |                         length(text))
+        |               :LEAST(1 + (i + 1) * GREATEST(1, length(text) // (bits + 1)),
+        |                         length(text))])
+        |    THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END))
+        |    AS BIGINT) AS phash
+        |  FROM documents, cfg),
+        |nd AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 2)
+        |SELECT doc_id, n_bytes % 64 + 16 AS width, n_bytes % 48 + 12 AS height,
+        |  n_chunks, owned_chunks, n_bytes, owned_bytes
+        |FROM perdoc WHERE doc_id NOT IN (SELECT doc_id FROM nd)
+        |ORDER BY doc_id""".stripMargin,
     "p5_quality_ensemble" ->
       """WITH t AS (
         |  SELECT doc_id,
