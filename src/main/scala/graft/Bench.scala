@@ -122,10 +122,39 @@ object Bench {
     val loadStart = loadavg()
     val contended = loadStart > quietThresh
     val capturedAt = java.time.Instant.now().toString
+    // per-query divergence guard (round-8 verdict: a start-only gate
+    // can't catch MID-RUN contention — the committed artifact read
+    // e7 at 9.23 s vs 2.47 s quiet with identical plans). Each query
+    // diffs against the newest committed quiet capture
+    // (docs/BENCH_r*_quiet.json — the canonical regression baseline);
+    // >2× off earns ONE immediate re-run, and if still off the query
+    // self-tags in `suspect` so a contended sample can't silently
+    // pose as a regression (or hide one) at query granularity.
+    val baselinePath = sys.env.get("SPARK_GRAFT_BENCH_BASELINE").orElse {
+      Option(new java.io.File("docs").listFiles()).flatMap(
+        _.filter(_.getName.matches("BENCH_r\\d+_quiet\\.json"))
+          .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+          .lastOption.map(_.getPath))
+    }
+    val baseline: Map[String, Double] = baselinePath.map { p =>
+      val txt = scala.io.Source.fromFile(p).mkString
+      val start = txt.indexOf("\"queries\":")
+      // baselines are per-SF: comparing a sf0.01 dev run against the
+      // committed sf0.1 capture would be meaningless either way
+      if (start < 0 || !txt.contains("\"sf\":\"" + sfDir + "\""))
+        Map.empty[String, Double]
+      else {
+        val sub = txt.substring(start + 10)
+        val obj = sub.substring(0, sub.indexOf("}") + 1)
+        "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+-]+)".r.findAllMatchIn(obj)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }.getOrElse(Map.empty)
     // one warm-up touch so JVM/codegen startup isn't billed to q1
     run(build("q1_agg"), "q1_agg")
+    val suspects = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = bench.map { name =>
-      val samples = (1 to iters).flatMap { _ =>
+      def sample(): Option[Double] = {
         // drop any per-query persisted data (d6/d7 cache their
         // signatures) so every iteration times the FULL computation —
         // min-of-N estimates the noise floor, not a warm-cache replay
@@ -140,11 +169,23 @@ object Bench {
         // a failed iteration returns near-instantly — under min() it
         // would WIN and report a phantom fast time; drop the sample
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
-      }.sorted
+      }
+      var samples = (1 to iters).flatMap(_ => sample())
+      // divergence guard: >2× the quiet baseline → one re-run; still
+      // off → self-tag
+      baseline.get(name).filter(_ > 0).foreach { base =>
+        if (samples.nonEmpty && samples.min > 2 * base) {
+          System.err.println(
+            f"[bench] $name ${samples.min}%.2f s > 2x quiet $base%.2f s — re-running once")
+          samples = samples ++ sample()
+          if (samples.min > 2 * base) suspects += name
+        }
+      }
+      val sorted = samples.sorted
       // -1 marks all-iterations-failed: unmistakably wrong in the
       // artifact instead of silently fast
-      if (samples.nonEmpty)
-        name -> (samples.min, samples(samples.length / 2))
+      if (sorted.nonEmpty)
+        name -> (sorted.min, sorted(sorted.length / 2))
       else name -> (-1.0, -1.0)
     }
     val loadEnd = loadavg()
@@ -175,7 +216,9 @@ object Bench {
         Some(s""""$name":{"shuffles":$shuffles,"bhj":${n("BroadcastHashJoin")},"wscg":${n("\\*\\(\\d+\\)")}}""")
       } catch { case _: Throwable => None }
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"plans":$plans,"sf":"$sfDir","iterations":$iters,"loadavg":{"start":$loadStart,"end":$loadEnd},"contended":$contended,"captured_at":"$capturedAt"}""")
+    val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val baseJson = baselinePath.map("\"" + _ + "\"").getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"plans":$plans,"sf":"$sfDir","iterations":$iters,"loadavg":{"start":$loadStart,"end":$loadEnd},"contended":$contended,"suspect":$suspectJson,"baseline":$baseJson,"captured_at":"$capturedAt"}""")
     spark.stop()
   }
 }

@@ -372,30 +372,90 @@ object Similarity {
     e11Search(s, qs, entryNodes, expand, k, beam, rounds)
   }
 
-  // e13: the ANN family's QUALITY REPORT — recall@5 of every
+  // e13: the ANN family's QUALITY-AND-COST REPORT — recall@5,
+  // build time, query latency, and stored-artifact bytes of every
   // approximate method against the exact brute-force answer, as one
-  // query. An index you haven't measured is an index you can't trust:
-  // every recall/latency trade in this family (probe width, nProbe,
-  // PQ bits, beam) is tuned against exactly this number, so the
-  // measurement is a first-class operator, not a test-only artifact
-  // (the specs pin FLOORS; this reports the value). All inputs are
-  // answer-sized (Q·k rows per method), so the report's own plan is
-  // trivial — union, one broadcast membership join against the exact
-  // set, one aggregate; the cost is building the indexes, which is
-  // the family's documented offline cost. Rows-only (every method
-  // hangs off trained/hash models); the spec recomputes each recall
-  // from the methods' own collected outputs and asserts equality.
+  // query. An index you haven't measured is an index you can't
+  // trust: every recall/latency trade in this family (probe width,
+  // nProbe, PQ bits, beam) is tuned against exactly these numbers,
+  // so the measurement is a first-class operator, not a test-only
+  // artifact (the specs pin FLOORS; this reports the values). e8 and
+  // e11 are served from their STORED indexes (built once per
+  // session via e13IndexDirs — measuring never costs a rebuild),
+  // which is also what splits their cost honestly into build vs
+  // query; e2/e4/e7 have no stored form, so their query time bills
+  // the in-session model work. All report inputs are answer-sized
+  // (Q·k rows per method): union, one broadcast membership join
+  // against the exact set, one aggregate. Rows-only (every method
+  // hangs off trained/hash models, and the timing columns are
+  // wall-clock); the spec recomputes recall and index_bytes from the
+  // operator's own outputs/artifacts and sanity-bounds the timings.
+  /** e13's stored artifacts, built ONCE per (session, dataset) with
+    * their build wall-times recorded — measuring quality never costs
+    * a rebuild after the first call (the round-8 finding: the report
+    * used to rebuild all five indexes inline per invocation).
+    */
+  private val e13Idx =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Double, String, Double)]
+
+  private[graft] def e13IndexDirs(s: SparkSession, d: String)
+      : (String, Double, String, Double) =
+    e13Idx.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+      def timed[T](f: => T): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val d8 = java.nio.file.Files
+        .createTempDirectory("graft_e13_e8").toString
+      val t8 = timed(e8WriteIndex(s, d, d8))
+      val d11 = java.nio.file.Files
+        .createTempDirectory("graft_e13_e11").toString
+      val t11 = timed(e11WriteGraph(s, d, d11))
+      (d8, t8, d11, t11)
+    })
+
+  private[graft] def dirBytes(p: String): Long = {
+    val root = new java.io.File(p)
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    walk(root)
+  }
+
   def e13AnnReport(s: SparkSession, d: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val (e8Dir, e8Build, e11Dir, e11Build) = e13IndexDirs(s, d)
     val brute = e1KnnBrute(s, d).select(col("qid"), col("nid"))
-    val methods: Seq[(String, DataFrame)] = Seq(
-      "e2_knn_lsh" -> e2KnnLsh(s, d),
-      "e4_knn_ivf" -> e4KnnIvf(s, d),
-      "e7_pq_ann" -> e7PqAnn(s, d),
-      "e8_knn_ivfpq" -> e8KnnIvfPq(s, d),
-      "e11_graph_ann" -> e11GraphAnn(s, d))
-    val approx = methods.map { case (n, df) =>
+    // (name, query thunk, build seconds, stored-artifact bytes);
+    // e2/e4/e7 carry no stored artifact — their models are in-session
+    // (build_time_s = 0, index_bytes = 0) and their query time BILLS
+    // the in-session model work, which is the honest comparison
+    // against the two methods that serve from a stored index
+    val methods: Seq[(String, () => DataFrame, Double, Long)] = Seq(
+      ("e2_knn_lsh", () => e2KnnLsh(s, d), 0.0, 0L),
+      ("e4_knn_ivf", () => e4KnnIvf(s, d), 0.0, 0L),
+      ("e7_pq_ann", () => e7PqAnn(s, d), 0.0, 0L),
+      ("e8_knn_ivfpq", () => e8KnnIvfPqFromIndex(s, d, e8Dir),
+        e8Build, dirBytes(e8Dir)),
+      ("e11_graph_ann", () => e11GraphAnnFromIndex(s, d, e11Dir),
+        e11Build, dirBytes(e11Dir)))
+    // time each query path to ANSWERED (the report's latency axis);
+    // the answer-sized rows are re-wrapped so the recall aggregation
+    // below consumes the very rows the timer measured
+    val measured = methods.map { case (name, thunk, build, bytes) =>
+      val t0 = System.nanoTime()
+      val df = thunk()
+      val rows = df.collect()
+      val queryS = (System.nanoTime() - t0) / 1e9
+      val back = s.createDataFrame(rows.toSeq.asJava, df.schema)
+      (name, back, build, queryS, bytes)
+    }
+    val approx = measured.map { case (n, df, _, _, _) =>
       df.select(lit(n).as("method"), col("qid"), col("nid"))
     }.reduce(_ unionByName _)
+    import s.implicits._
+    val meas = measured
+      .map { case (n, _, b, q, by) => (n, b, q, by) }
+      .toDF("method", "build_time_s", "query_time_s", "index_bytes")
     val denom = brute.select(count(lit(1)).as("n_exact"))
     approx
       .join(broadcast(brute.withColumn("hit", lit(1L))), Seq("qid", "nid"),
@@ -404,9 +464,11 @@ object Similarity {
       .agg(count(lit(1)).as("n_returned"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .crossJoin(broadcast(denom))
+      .join(broadcast(meas), Seq("method"))
       .select(col("method"), col("n_returned"), col("n_hits"),
         (col("n_hits").cast("double") / col("n_exact").cast("double"))
-          .as("recall_at_5"))
+          .as("recall_at_5"),
+        col("build_time_s"), col("query_time_s"), col("index_bytes"))
       .orderBy("method")
   }
 

@@ -681,8 +681,8 @@ class TextSimSpec extends SparkSpec {
     def pairs(name: String) = Similarity.queries(name)(spark, sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
     val brute = pairs("e1_knn_brute")
-    val got = Similarity.queries("e13_ann_report")(spark, sf).collect()
-      .map(r => r.getAs[String]("method") ->
+    val rep = Similarity.queries("e13_ann_report")(spark, sf).collect()
+    val got = rep.map(r => r.getAs[String]("method") ->
         (r.getAs[Long]("n_returned"), r.getAs[Long]("n_hits"),
           r.getAs[Double]("recall_at_5"))).toMap
     assert(got.keySet == Set("e2_knn_lsh", "e4_knn_ivf", "e7_pq_ann",
@@ -695,6 +695,26 @@ class TextSimSpec extends SparkSpec {
         < 1e-12, s"$m recall")
       assert(recall >= 0.0 && recall <= 1.0)
     }
+    // cost columns: stored-index methods bill a real build and a real
+    // artifact (bytes recomputed from the very dirs the report used);
+    // inline methods bill zero build and zero artifact, and every
+    // query path took observable wall-clock
+    val costs = rep.map(r => r.getAs[String]("method") ->
+      (r.getAs[Double]("build_time_s"), r.getAs[Double]("query_time_s"),
+        r.getAs[Long]("index_bytes"))).toMap
+    val (e8Dir, _, e11Dir, _) = Similarity.e13IndexDirs(spark, sf)
+    assert(costs("e8_knn_ivfpq")._3 == Similarity.dirBytes(e8Dir),
+      "e8 index_bytes != artifact size on disk")
+    assert(costs("e11_graph_ann")._3 == Similarity.dirBytes(e11Dir),
+      "e11 index_bytes != artifact size on disk")
+    Seq("e8_knn_ivfpq", "e11_graph_ann").foreach { m =>
+      assert(costs(m)._1 > 0 && costs(m)._3 > 0, s"$m missing build/bytes")
+    }
+    Seq("e2_knn_lsh", "e4_knn_ivf", "e7_pq_ann").foreach { m =>
+      assert(costs(m)._1 == 0.0 && costs(m)._3 == 0L,
+        s"$m is inline — must bill no stored build/artifact")
+    }
+    costs.values.foreach { case (_, q, _) => assert(q > 0, "query_time_s") }
     // the exact-rerank methods must dominate the raw-estimate one on
     // this corpus only if they do — no fabricated ordering asserted;
     // but SOMETHING must recall above the family's spec floors
