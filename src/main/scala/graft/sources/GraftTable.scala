@@ -92,11 +92,11 @@ class GraftTable private (val s: SparkSession, val root: String) {
   private def commitPath(v: Long) = new Path(logDir, f"$VerPrefix$v%012d$Suffix")
   private def ckptPath(v: Long) = new Path(logDir, f"$CkptPrefix$v%012d$Suffix")
 
-  private[sources] case class Commit(version: Long, action: String,
-                                     adds: Seq[(String, Long)],
-                                     removes: Seq[String])
+  private[graft] case class Commit(version: Long, action: String,
+                                   adds: Seq[(String, Long)],
+                                   removes: Seq[String])
 
-  private def readCommit(v: Long): Commit = {
+  private[graft] def readCommit(v: Long): Commit = {
     val lines = readLines(commitPath(v))
     val Array(_, ver, action) = lines.head.split("\t", 3)
     val adds = Seq.newBuilder[(String, Long)]
@@ -237,6 +237,69 @@ class GraftTable private (val s: SparkSession, val root: String) {
   /** Append `df` as a new commit; returns the committed version. */
   def append(df: DataFrame): Long = commit("append", stage(df), Seq.empty)
 
+  /** Stage `df` hive-partitioned by `partCols`; relpaths carry the
+    * partition directories (data/<uuid>/bucket=3/part-… ), which is
+    * what lets replacePartitions/readPartitions prune at the LOG
+    * level — no filesystem listing, no partition discovery scan.
+    */
+  private def stagePartitioned(df: DataFrame,
+                               partCols: Seq[String]): Seq[(String, Long)] = {
+    val sub = s"$DataDir/${java.util.UUID.randomUUID.toString.take(12)}"
+    df.write.partitionBy(partCols: _*).parquet(s"$root/$sub")
+    def walk(p: Path, rel: String): Seq[(String, Long)] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val r = s"$rel/${st.getPath.getName}"
+        if (st.isDirectory) walk(st.getPath, r)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq((r, st.getLen))
+        else Seq.empty
+      }
+    walk(new Path(rootPath, sub), sub)
+  }
+
+  /** Dynamic-partition-overwrite as ONE atomic commit (Delta's
+    * replaceWhere): every live file under `partCol` ∈ `values` is
+    * logically removed and `df`'s freshly-partitioned files take
+    * their place — the bucket-registry MERGE shape (s7): a
+    * micro-batch rewrites ONLY the partitions its keys hash into,
+    * the untouched registry is never read or copied, and no reader
+    * can observe the half-swapped state. `tag` makes a replayed
+    * micro-batch a no-op (appendIdempotent's rule); pass null for an
+    * untagged replace. Returns the version, or None if the tag was
+    * already committed.
+    */
+  def replacePartitions(df: DataFrame, partCol: String, values: Seq[Long],
+                        tag: String = null): Option[Long] = {
+    val action =
+      if (tag == null) "replace"
+      else { require(!tag.exists(c => c == '\t' || c == '\n')); s"replace@$tag" }
+    if (tag != null && committedTags().contains(action)) None
+    else {
+      val adds = stagePartitioned(df, Seq(partCol))
+      val tokens = values.map(v => s"/$partCol=$v/")
+      val removes = resolve(latestVersion).keys
+        .filter(p => tokens.exists(p.contains)).toSeq
+      val v = commit(action, adds, removes)
+      tagCache.foreach(_ += action)
+      Some(v)
+    }
+  }
+
+  /** Read ONLY the named partitions' live files — pruned from the
+    * log, so a probe of 2 of 1000 buckets opens 2 buckets' files and
+    * never lists or plans the other 998. Empty result (no such
+    * partitions yet) returns None — the caller supplies its own
+    * empty frame with the right schema.
+    */
+  def readPartitions(partCol: String, values: Seq[Long]): Option[DataFrame] = {
+    val tokens = values.map(v => s"/$partCol=$v/")
+    val files = resolve(latestVersion).keys
+      .filter(p => tokens.exists(p.contains)).toSeq.sorted
+    if (files.isEmpty) None
+    // no basePath/partition recovery: callers key on real columns and
+    // re-derive the partition value (s7 recomputes pmod(user_id, n))
+    else Some(s.read.parquet(files.map(f => s"$root/$f"): _*))
+  }
+
   /** Exactly-once streaming append: the tag (a micro-batch id) is
     * recorded in the commit action, and a replayed batch whose tag is
     * already committed is a no-op — a checkpoint-restarted
@@ -262,7 +325,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       val s0 = scala.collection.mutable.Set.empty[String]
       versions().foreach { v =>
         val a = readCommit(v).action
-        if (a.startsWith("append@")) s0 += a
+        if (a.contains("@")) s0 += a // append@<tag> / replace@<tag>
       }
       tagCache = Some(s0)
       s0

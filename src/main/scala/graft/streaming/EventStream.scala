@@ -287,52 +287,39 @@ object EventStream {
     upsertToRegistry(s, readEvents(s, d),
       java.nio.file.Files.createTempDirectory("graft_s7").toString)
 
-  /** bucket -> latest committed version dir, persisted as a TSV at
-    * `root/_manifest` after every batch (tmp + ATOMIC_MOVE): the
-    * registry's commit log in miniature. Without durability the
-    * exactly-once claim is hollow — a restarted driver would replay
-    * the uncommitted batch correctly but merge it against an EMPTY
-    * view of the registry. Crash ordering is safe: data is written
-    * before the manifest, and the manifest before the checkpoint
-    * commit, so a crash at any point replays the batch into the same
-    * version dirs (overwrite) and rewrites the same manifest entries
-    * — idempotent.
+  /** The registry is a [[graft.sources.GraftTable]] since round 9 —
+    * the hand-rolled per-bucket TSV manifest this sink carried for
+    * seven rounds was the commit log in miniature, and the unified
+    * layer supplies every property it approximated, properly: each
+    * micro-batch is ONE atomic `replacePartitions` commit of just
+    * the buckets its users hash into (`replace@batch-N` tag ⇒ a
+    * checkpoint-replayed batch is a no-op instead of relying on
+    * same-path overwrite idempotence), the prior state of only the
+    * touched buckets is read via log-pruned `readPartitions` (the
+    * untouched registry is never listed, planned, or copied), a
+    * restarted driver recovers the pre-crash registry from the
+    * durable log, and a concurrent reader holding `read()` keeps a
+    * consistent snapshot while batches land — the property the TSV
+    * swap could not give. The specs that pinned the old mechanism
+    * (slicing invariance, bucket pruning, cross-process durability)
+    * run unchanged against this one, asserting pruning through the
+    * commit log instead of directory names.
     */
-  private def manifestPath(root: String) =
-    java.nio.file.Paths.get(root, "_manifest")
-
-  private def loadManifest(root: String): Map[Long, String] = {
-    val p = manifestPath(root)
-    if (!java.nio.file.Files.exists(p)) Map.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
-        val Array(b, path) = l.split("\t", 2)
-        b.toLong -> path
-      }.toMap
-    }
-  }
-
-  private def saveManifest(root: String,
-                           m: scala.collection.Map[Long, String]): Unit = {
-    val tmp = java.nio.file.Paths.get(root, "_manifest.tmp")
-    java.nio.file.Files.write(tmp,
-      m.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" }
-        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, manifestPath(root),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
-
   private[graft] def upsertToRegistry(s: SparkSession, stream: DataFrame,
                                       root: String,
                                       nBuckets: Int = 8,
                                       ckptDir: Option[String] = None): DataFrame = {
     val bucket = pmod(col("user_id"), lit(nBuckets.toLong))
-    val latest = scala.collection.concurrent.TrieMap.empty[Long, String] ++
-      loadManifest(root)
+    val t = graft.sources.GraftTable.forPath(s, root)
+    val ckpt = ckptDir.getOrElse(s"$root/ckpt")
+    // replay tags are namespaced PER STREAM: batchIds restart at 0 for
+    // every new checkpoint, so a table fed by successive streams (a
+    // restarted pipeline with a fresh checkpoint) must not confuse the
+    // new stream's batch 0 with the old one's
+    val streamNs = java.util.UUID
+      .nameUUIDFromBytes(ckpt.getBytes("UTF-8")).toString.take(8)
     val q = stream.writeStream
-      .option("checkpointLocation", ckptDir.getOrElse(s"$root/ckpt"))
+      .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val fresh = batch.groupBy("user_id").agg(
           count(lit(1)).as("n_events"),
@@ -342,29 +329,26 @@ object EventStream {
         // <= nBuckets rows ever reach the driver here
         val touched = fresh.select(bucket.as("b")).distinct()
           .collect().map(_.getLong(0)).sorted
-        val prevPaths = touched.flatMap(latest.get).distinct
-        val merged =
-          if (prevPaths.isEmpty) fresh
-          else s.read.parquet(prevPaths.toIndexedSeq: _*).unionByName(fresh)
+        val merged = t.readPartitions("bucket", touched.toIndexedSeq) match {
+          case None => fresh
+          case Some(prior) => prior.unionByName(fresh)
             .groupBy("user_id").agg(
               sum("n_events").as("n_events"),
               expr("max_by(last, struct(last.ts, last.event_id))").as("last"))
-        merged.withColumn("bucket", bucket)
-          .write.partitionBy("bucket").mode("overwrite")
-          .parquet(s"$root/v$batchId")
-        touched.foreach(b => latest(b) = s"$root/v$batchId/bucket=$b")
-        saveManifest(root, latest)
+        }
+        t.replacePartitions(merged.withColumn("bucket", bucket),
+          "bucket", touched.toIndexedSeq, tag = s"$streamNs-batch-$batchId")
         fresh.unpersist()
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    if (latest.isEmpty) {
+    if (t.latestVersion == 0) {
       import s.implicits._
       Seq.empty[(Long, Long, String, Double)]
         .toDF("user_id", "n_events", "last_type", "last_value")
     } else
-      s.read.parquet(latest.values.toSeq.distinct: _*)
+      t.read()
         .select(col("user_id"), col("n_events"),
           col("last.event_type").as("last_type"),
           col("last.value").as("last_value"))
@@ -561,8 +545,10 @@ object EventStream {
   // — the unbounded-key production shape `dropDuplicates` can't be:
   // stream state in the checkpoint grows with every distinct key
   // forever (and dies with the checkpoint), while this index is a
-  // bucketed parquet table (s7's versioned registry machinery) that
-  // any batch job can read, rebuild, or compact. Each micro-batch:
+  // bucket-partitioned GraftTable (the unified commit log — one
+  // atomic replace commit per micro-batch, checkpoint replays
+  // no-op'd by tag) that any batch job can read, rebuild, compact,
+  // or time-travel. Each micro-batch:
   // batch-local exact groups (d1's dense_rank-in-h-partition resolve —
   // no text-keyed exchange, PlanInvariants' rule), probe = h-keyed
   // semi/anti split of ONLY the touched buckets' prior rows (the
@@ -574,11 +560,13 @@ object EventStream {
   private[graft] def streamDedupIndex(s: SparkSession, stream: DataFrame,
                                       root: String, nBuckets: Int = 8,
                                       ckptDir: Option[String] = None): DataFrame = {
-    val latest = scala.collection.concurrent.TrieMap.empty[Long, String] ++
-      loadManifest(root)
+    val t = graft.sources.GraftTable.forPath(s, root)
     val bucketOf = pmod(col("h"), lit(nBuckets.toLong))
+    val ckpt = ckptDir.getOrElse(s"$root/ckpt")
+    val streamNs = java.util.UUID // per-stream tag namespace (s7's rule)
+      .nameUUIDFromBytes(ckpt.getBytes("UTF-8")).toString.take(8)
     val q = stream.writeStream
-      .option("checkpointLocation", ckptDir.getOrElse(s"$root/ckpt"))
+      .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val grpW = org.apache.spark.sql.expressions.Window
           .partitionBy("h").orderBy("text")
@@ -591,14 +579,13 @@ object EventStream {
           .persist()
         val touched = bl.select(bucketOf.as("b")).distinct()
           .collect().map(_.getLong(0)).sorted // <= nBuckets driver rows
-        val prevPaths = touched.flatMap(latest.get).distinct
-        val prior =
-          if (prevPaths.isEmpty) {
+        val prior = t.readPartitions("bucket", touched.toIndexedSeq) match {
+          case Some(df) => df.select("h", "text", "keep_id", "n_copies")
+          case None =>
             import s.implicits._
             Seq.empty[(Long, String, Long, Long)]
               .toDF("h", "text", "keep_id", "n_copies")
-          } else s.read.parquet(prevPaths.toIndexedSeq: _*)
-            .select("h", "text", "keep_id", "n_copies")
+        }
         // only h-hit prior rows enter the text-resolve window; the
         // untouched majority of each bucket passes through h-keyed
         val batchH = bl.select("h").distinct()
@@ -624,23 +611,19 @@ object EventStream {
           .select(col("h"), col("text"),
             coalesce(col("base_keep"), col("cand_id")).as("keep_id"),
             (coalesce(col("base_n"), lit(0L)) + col("n_new")).as("n_copies"))
-        merged.unionByName(passThrough)
-          .withColumn("bucket", bucketOf)
-          .write.partitionBy("bucket").mode("overwrite")
-          .parquet(s"$root/v$batchId")
-        touched.foreach(b => latest(b) = s"$root/v$batchId/bucket=$b")
-        saveManifest(root, latest)
+        t.replacePartitions(
+          merged.unionByName(passThrough).withColumn("bucket", bucketOf),
+          "bucket", touched.toIndexedSeq, tag = s"$streamNs-batch-$batchId")
         bl.unpersist()
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    if (latest.isEmpty) {
+    if (t.latestVersion == 0) {
       import s.implicits._
       Seq.empty[(Long, Long)].toDF("keep_id", "n_copies")
     } else
-      s.read.parquet(latest.values.toSeq.distinct: _*)
-        .select(col("keep_id"), col("n_copies")).orderBy("keep_id")
+      t.read().select(col("keep_id"), col("n_copies")).orderBy("keep_id")
   }
 
   /** Lands `documents` as three ascending-doc_id parquet slices with
@@ -688,7 +671,7 @@ object EventStream {
   // per micro-batch). The index is a bucketed parquet table of
   // (doc_id, band, bkey, sig) rows — the ~stored-signature index
   // d32 documents as what the recurring pass reads of the base —
-  // maintained with s7/s11's versioned-manifest machinery. Each
+  // maintained as a GraftTable (s7/s11's unified commit log). Each
   // micro-batch: signatures + 16 band keys for the batch ONLY,
   // probe = read ONLY the buckets the batch's band keys touch
   // (bucket-keyed physical pruning; the untouched index is never
@@ -708,11 +691,13 @@ object EventStream {
                                       root: String, tau: Double = 0.5,
                                       nBuckets: Int = 8,
                                       ckptDir: Option[String] = None): DataFrame = {
-    val latest = scala.collection.concurrent.TrieMap.empty[Long, String] ++
-      loadManifest(root)
+    val t = graft.sources.GraftTable.forPath(s, root)
     val bucketOf = pmod(col("bkey"), lit(nBuckets.toLong))
+    val ckpt = ckptDir.getOrElse(s"$root/ckpt")
+    val streamNs = java.util.UUID // per-stream tag namespace (s7's rule)
+      .nameUUIDFromBytes(ckpt.getBytes("UTF-8")).toString.take(8)
     val q = stream.writeStream
-      .option("checkpointLocation", ckptDir.getOrElse(s"$root/ckpt"))
+      .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bSig = graft.operators.TextOps
           .minhashSigsOf(batch.select("doc_id", "text")).localCheckpoint()
@@ -720,16 +705,17 @@ object EventStream {
           .localCheckpoint()
         val touched = bB.select(bucketOf.as("b")).distinct()
           .collect().map(_.getLong(0)).sorted // <= nBuckets driver rows
-        val prevPaths = touched.flatMap(latest.get).distinct.toIndexedSeq
+        val prior = t.readPartitions("bucket", touched.toIndexedSeq)
         val earlierBatch = bB.join(bSig, "doc_id")
           .select(col("band"), col("bkey"), col("doc_id").as("doc_e"),
             col("sig").as("sig_e"), lit(true).as("e_batch"))
-        val earlier =
-          if (prevPaths.isEmpty) earlierBatch
-          else s.read.parquet(prevPaths: _*)
+        val earlier = prior match {
+          case None => earlierBatch
+          case Some(df) => df
             .select(col("band"), col("bkey"), col("doc_id").as("doc_e"),
               col("sig").as("sig_e"), lit(false).as("e_batch"))
             .unionByName(earlierBatch)
+        }
         val cand = bB.select(col("band"), col("bkey"), col("doc_id").as("doc_n"))
           .join(earlier, Seq("band", "bkey"))
           .filter(!col("e_batch") || col("doc_e") < col("doc_n"))
@@ -751,18 +737,17 @@ object EventStream {
             col("dup_of"), col("est_jaccard"))
           .write.parquet(s"$root/res/v$batchId")
         // touched buckets carry their prior rows forward + the batch's
-        // rows, one version up; untouched buckets keep their pointers
+        // rows in ONE atomic replace commit; untouched buckets' files
+        // stay live untouched
         val add = bB.join(bSig, "doc_id")
           .select(col("doc_id"), col("band"), col("bkey"), col("sig"))
-        val merged =
-          if (prevPaths.isEmpty) add
-          else s.read.parquet(prevPaths: _*)
-            .select("doc_id", "band", "bkey", "sig").unionByName(add)
-        merged.withColumn("bucket", bucketOf)
-          .write.partitionBy("bucket").mode("overwrite")
-          .parquet(s"$root/v$batchId")
-        touched.foreach(b => latest(b) = s"$root/v$batchId/bucket=$b")
-        saveManifest(root, latest)
+        val merged = prior match {
+          case None => add
+          case Some(df) =>
+            df.select("doc_id", "band", "bkey", "sig").unionByName(add)
+        }
+        t.replacePartitions(merged.withColumn("bucket", bucketOf),
+          "bucket", touched.toIndexedSeq, tag = s"$streamNs-batch-$batchId")
         ()
       }
       .start()
@@ -894,12 +879,15 @@ object EventStream {
     val dir = java.nio.file.Files.createTempDirectory("graft_s15")
     val src = landDocSlices(s, d, dir)
     val t = graft.sources.GraftTable.forPath(s, dir.resolve("table").toString)
+    val ckpt = dir.resolve("ckpt").toString
+    val streamNs = java.util.UUID // per-stream tag namespace (s7's rule)
+      .nameUUIDFromBytes(ckpt.getBytes("UTF-8")).toString.take(8)
     val q = src
       .select(col("doc_id"), octet_length(col("text")).as("n_bytes"))
       .writeStream
-      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        t.appendIdempotent(batch, s"batch-$id")
+        t.appendIdempotent(batch, s"$streamNs-batch-$id")
         ()
       }
       .start()

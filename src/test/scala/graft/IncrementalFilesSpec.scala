@@ -38,20 +38,23 @@ class IncrementalFilesSpec extends SparkSpec {
     assert(IncrementalFiles.processed(spark, mf).size == 3)
     assert(spark.read.parquet(in).count() == 15)
 
-    // versioned-commit invariants: after pruning exactly ONE manifest
-    // remains, and at no point did a commit delete-before-rename (the
-    // fixed-name crash window) — simulate a crash BEFORE pruning by
-    // restoring a stale older version: newest-by-sequence must win.
-    val mfFiles = new java.io.File(mf).listFiles()
-      .map(_.getName).filter(_.startsWith("_processed_manifest-")).sorted
-    assert(mfFiles.length == 1, s"expected one pruned manifest: ${mfFiles.toSeq}")
-    val stale = new java.io.File(mf, "_processed_manifest-000000000000.tsv")
-    java.nio.file.Files.write(stale.toPath,
-      "bogus/old-file.parquet\t1\n".getBytes("UTF-8"))
+    // ledger invariants, now through the GraftTable commit log: one
+    // commit per committed batch, each O(batch)-sized; the full
+    // processed set never rewrites
+    val t = graft.sources.GraftTable.forPath(spark, mf)
+    assert(t.versions().size == 2, "one ledger commit per committed batch")
+    val perCommit = t.versions().map(v => t.readCommit(v).adds.size)
+    assert(perCommit.forall(_ >= 1))
+    // time travel: the ledger AS OF commit 1 knows only drop 1's files
+    assert(t.readVersion(1).count() == 2)
+    // a crash-replayed commit (same batch committed twice) adds
+    // duplicate ledger rows but cannot change the processed SET or
+    // re-present files
+    commit3()
     assert(IncrementalFiles.processed(spark, mf).size == 3,
-      "newest manifest version must win over a stale leftover")
+      "replayed commit must not grow the processed set")
     val (df6, _, _) = IncrementalFiles.nextBatch(spark, in, mf)
-    assert(df6.isEmpty, "stale manifest leftover must not re-present files")
+    assert(df6.isEmpty, "replayed commit must not re-present files")
   }
 
   test("schema-evolution read unions additive schemas, nulls old rows") {

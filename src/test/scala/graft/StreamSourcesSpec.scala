@@ -41,9 +41,12 @@ class StreamSourcesSpec extends SparkSpec {
     // B: keeper 2, 2 copies within batch 1; C: keeper 11, 1 copy
     assert(got == Map(1L -> 3L, 2L -> 2L, 11L -> 1L),
       s"index state wrong: $got")
-    // versions exist per batch and the index survives as plain parquet
-    val idx = new java.io.File(dir.resolve("idx").toString)
-    assert(idx.listFiles.count(_.getName.startsWith("v")) >= 2)
+    // one commit per batch in the index's GraftTable log, and the
+    // index survives as plain parquet any batch job can read
+    val t = graft.sources.GraftTable.forPath(spark,
+      dir.resolve("idx").toString)
+    assert(t.versions().size >= 2)
+    assert(t.read().count() > 0)
   }
 
   test("s14 streamed ANN serving equals the batch stored-index answers") {
@@ -118,10 +121,11 @@ class StreamSourcesSpec extends SparkSpec {
     assert(got(1L)._1 && got(10L)._1, "clean docs were rejected")
     assert(!got(30L)._1 && got(30L)._2.contains(1L),
       s"cross-batch near-dup not caught against the index: ${got(30L)}")
-    // versioned index survives as plain parquet, one version per
+    // versioned index survives in the GraftTable log, one commit per
     // signature-bearing batch
-    val idx = new java.io.File(dir.resolve("idx").toString)
-    assert(idx.listFiles.count(_.getName.startsWith("v")) >= 3)
+    val t = graft.sources.GraftTable.forPath(spark,
+      dir.resolve("idx").toString)
+    assert(t.versions().size >= 3)
   }
 
   test("s12 streamed PIT enrichment equals the batch q69 join") {
@@ -279,8 +283,8 @@ class StreamSourcesSpec extends SparkSpec {
     val root = dir.resolve("reg").toString
     val got = EventStream.upsertToRegistry(spark, stream, root).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
-    val versions = new java.io.File(root).listFiles
-      .count(_.getName.startsWith("v"))
+    val versions = graft.sources.GraftTable.forPath(spark, root)
+      .versions().size
     assert(versions >= 3, s"expected >=3 merged versions, got $versions")
     val want = Tables.events(spark, sf).groupBy("user_id").agg(
         count(lit(1)).as("n_events"),
@@ -321,13 +325,19 @@ class StreamSourcesSpec extends SparkSpec {
     val root = dir.resolve("reg").toString
     val got = EventStream.upsertToRegistry(spark, stream, root).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
-    val vDirs = new java.io.File(root).listFiles.filter(_.getName.startsWith("v"))
-    def buckets(v: java.io.File): Set[String] =
-      v.listFiles.map(_.getName).filter(_.startsWith("bucket=")).toSet
-    assert(vDirs.exists(v => buckets(v) == Set("bucket=7")),
-      s"no version rewrote only user 7's bucket: " +
-        vDirs.map(v => v.getName -> buckets(v)).toSeq.sortBy(_._1))
-    assert(vDirs.exists(v => buckets(v).size > 1),
+    // pruning asserted through the COMMIT LOG: the solo batch's
+    // commit added files only under bucket=7 (the untouched registry
+    // was never rewritten), the bulk batch's commit spans many buckets
+    val t = graft.sources.GraftTable.forPath(spark, root)
+    def bucketsOf(c: graft.sources.GraftTable#Commit): Set[String] =
+      c.adds.map(_._1).flatMap(
+        "bucket=\\d+".r.findFirstIn(_)).toSet
+    val commits = t.versions().map(t.readCommit)
+    assert(commits.exists(c =>
+        c.adds.nonEmpty && bucketsOf(c) == Set("bucket=7")),
+      s"no commit rewrote only user 7's bucket: " +
+        commits.map(c => c.version -> bucketsOf(c)))
+    assert(commits.exists(c => bucketsOf(c).size > 1),
       "the multi-user batch should have touched several buckets")
     val want = ev.groupBy("user_id").agg(
         count(lit(1)).as("n_events"),
