@@ -15,7 +15,7 @@ class EntrySpec extends SparkSpec {
         streaming.EventStream.queries.size + Geometry.queries.size +
         operators.Skew.queries.size + operators.Analytics.queries.size +
         operators.Typed.queries.size + operators.Pipeline.queries.size +
-        operators.Upsert.queries.size
+        operators.Upsert.queries.size + operators.Lakehouse.queries.size
     assert(qs.size == totalSize, "query name collision between modules")
   }
 
