@@ -74,9 +74,55 @@ object Lakehouse {
       .orderBy("version")
   }
 
+  // q76: CHANGE FEED — the rows commit v2 added (exactly the 'O'
+  // orders), served from the log's add-list without reading the
+  // table: the incremental-consumer primitive (a downstream pass
+  // reads only new data). The (1, 2] range is append-only by
+  // construction; the feed refuses non-append ranges rather than
+  // serving rewritten rows as new.
+  def q76ChangeFeed(s: SparkSession, d: String): DataFrame =
+    lifecycle(s, d).changesSince(1, untilVersion = 2).get
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("total_price"))
+      .orderBy("o_orderstatus")
+
+  // q77: RESTORE — roll the table back to version 2 as a NEW commit
+  // (no history rewrite, no file moves: logical removes made the old
+  // files still live on disk), then read the current state: the
+  // 'P'-only overwrite is undone and the F+O snapshot is current
+  // again. Own table instance so the shared q74/q75 lifecycle's
+  // audit history stays untouched.
+  def q77Restore(s: SparkSession, d: String): DataFrame = {
+    val t = restored.getOrElseUpdate(
+      s.sparkContext.applicationId + "|" + d, {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_lakehouse_r").toString + "/t"
+        val orders = Tables.orders(s, d).select(
+          "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        val t0 = GraftTable.create(s, root,
+          orders.filter(col("o_orderstatus") === "F").repartition(4)) // v1
+        t0.append(orders.filter(col("o_orderstatus") === "O"))        // v2
+        t0.overwrite(orders.filter(col("o_orderstatus") === "P"))     // v3
+        t0.restore(2)                                                 // v4
+        t0
+      })
+    t.read()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val restored = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_time_travel" -> (q74TimeTravel _),
     "q75_table_history" -> (q75TableHistory _),
+    "q76_change_feed" -> (q76ChangeFeed _),
+    "q77_restore" -> (q77Restore _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -87,6 +133,18 @@ object Lakehouse {
         |    AS total_price,
         |  min(o_orderdate) AS first_date,
         |  max(o_orderdate) AS last_date
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q76_change_feed" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q77_restore" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
         |FROM orders WHERE o_orderstatus IN ('F', 'O')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q75_table_history" ->

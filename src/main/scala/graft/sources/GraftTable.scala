@@ -356,6 +356,43 @@ class GraftTable private (val s: SparkSession, val root: String) {
     commit("compact", stage(merged), small.map(_._1))
   }
 
+  /** CHANGE FEED: the rows added by commits in (sinceVersion,
+    * latest] — the incremental-consumer primitive (Delta CDF's
+    * append slice): a downstream pass reads exactly the new data,
+    * never the table. Exact for append-shaped history; a non-append
+    * commit in the range (overwrite/compact/replace rewrites rows
+    * that are not new) throws rather than serving a wrong feed —
+    * the consumer must fall back to a snapshot diff (q51's shape).
+    * Returns None when the range added nothing.
+    */
+  def changesSince(sinceVersion: Long,
+                   untilVersion: Long = Long.MaxValue): Option[DataFrame] = {
+    val vs = versions().filter(v => v > sinceVersion && v <= untilVersion)
+    val commits = vs.map(readCommit)
+    val nonAppend = commits.filterNot(_.action.startsWith("append"))
+    if (nonAppend.nonEmpty) throw new IllegalStateException(
+      s"change feed undefined across non-append commits: " +
+        nonAppend.map(c => s"v${c.version}=${c.action}").mkString(","))
+    val files = commits.flatMap(_.adds.map(_._1)).sorted
+    if (files.isEmpty) None
+    else Some(s.read.parquet(files.map(f => s"$root/$f"): _*))
+  }
+
+  /** RESTORE: make version `v`'s live set the CURRENT table state as
+    * a new commit (Delta RESTORE) — a roll-forward undo, never a
+    * history rewrite: the bad commits stay in the log for audit, the
+    * restored state gets a fresh version, and no data file moves
+    * (the old files are still on disk because removes are logical).
+    */
+  def restore(v: Long): Long = {
+    val target = resolve(v)
+    require(target.nonEmpty, s"cannot restore to empty/unknown version $v")
+    val current = resolve(latestVersion).keySet
+    val adds = target.toSeq.filterNot { case (p, _) => current(p) }
+    val removes = (current -- target.keySet).toSeq
+    commit(s"restore:$v", adds, removes)
+  }
+
   /** Physically delete data files unreferenced by every retained
     * version (the newest `retainVersions`) and drop the older log
     * entries. Time travel before the horizon is gone after this —

@@ -184,6 +184,43 @@ class GraftTableSpec extends SparkSpec {
     assert(multiset(t2.read()) == multiset(li))
   }
 
+  test("changesSince serves exactly the appended rows, refuses non-append ranges") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val a = li.filter(col("l_orderkey") % 3 === 0)
+    val b = li.filter(col("l_orderkey") % 3 === 1)
+    val c = li.filter(col("l_orderkey") % 3 === 2)
+    val t = GraftTable.create(spark, freshRoot(), a)   // v1
+    t.append(b)                                        // v2
+    t.append(c)                                        // v3
+    // the (1, 3] feed is b ∪ c — new rows only, never a table read
+    assert(multiset(t.changesSince(1).get) == multiset(b.unionAll(c)))
+    assert(multiset(t.changesSince(1, untilVersion = 2).get) == multiset(b))
+    assert(t.changesSince(3).isEmpty, "empty range must be None")
+    t.compact(1L << 30)                                // v4: non-append
+    intercept[IllegalStateException] { t.changesSince(1) }
+    // a range that stops before the compact still serves
+    assert(multiset(t.changesSince(2, untilVersion = 3).get) == multiset(c))
+  }
+
+  test("restore rolls forward to an old snapshot without rewriting history") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val a = li.filter(col("l_orderkey") % 2 === 0)
+    val b = li.filter(col("l_orderkey") % 2 === 1)
+    val t = GraftTable.create(spark, freshRoot(), a)   // v1
+    t.append(b)                                        // v2
+    t.overwrite(b.limit(10))                           // v3: the bad commit
+    val v4 = t.restore(2)
+    assert(v4 == 4, "restore must be a NEW commit, not a history rewrite")
+    assert(multiset(t.read()) == multiset(a.unionAll(b)),
+      "restored state must equal version 2's rows")
+    // history intact: the bad overwrite is still auditable
+    assert(t.history().orderBy("version").collect()
+      .map(_.getAs[String]("action")).toSeq ==
+      Seq("append", "append", "overwrite", "restore:2"))
+    // and time travel to the bad version still works
+    assert(t.readVersion(3).count() == 10)
+  }
+
   test("vacuum deletes only unreferenced files; retained versions still read") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val t = GraftTable.create(spark, freshRoot(),
