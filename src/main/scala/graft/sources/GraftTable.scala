@@ -171,12 +171,18 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * (relpath, bytes). Data lands BEFORE any commit references it, so
     * a crash here leaves only unreferenced files (vacuum's job).
     */
-  private def stage(df: DataFrame): Seq[(String, Long)] = {
-    val sub = s"$DataDir/${java.util.UUID.randomUUID.toString.take(12)}"
-    df.write.parquet(s"$root/$sub")
+  private def freshSub() =
+    s"$DataDir/${java.util.UUID.randomUUID.toString.take(12)}"
+
+  private def listStaged(sub: String): Seq[(String, Long)] =
     fs.listStatus(new Path(rootPath, sub)).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(f => (s"$sub/${f.getPath.getName}", f.getLen))
+
+  private def stage(df: DataFrame): Seq[(String, Long)] = {
+    val sub = freshSub()
+    df.write.parquet(s"$root/$sub")
+    listStaged(sub)
   }
 
   /** Single-winner atomic publish of `bytes` at `dst`: stage to tmp,
@@ -354,6 +360,58 @@ class GraftTable private (val s: SparkSession, val root: String) {
       .parquet(small.map(f => s"$root/${f._1}"): _*)
       .repartition(nOut)
     commit("compact", stage(merged), small.map(_._1))
+  }
+
+  /** OPTIMIZE ZORDER: rewrite the WHOLE live set z-ordered on
+    * (dimA, dimB) — Delta's OPTIMIZE ZORDER BY semantics on the
+    * commit log: one range exchange on the Morton value
+    * (ZOrderLayout's closed-form spread arithmetic), one atomic
+    * commit swapping every live file for ~numFiles z-clustered
+    * files whose footer stats are selective on BOTH dimensions.
+    * Content-neutral like compact; unlike compact it is layout-
+    * driven, not size-driven — run it when downstream scans slice on
+    * two columns, after ingest has accreted arrival-ordered files.
+    */
+  def compactZOrder(dimA: String, dimB: String, numFiles: Int): Long = {
+    val live = resolve(latestVersion)
+    require(live.nonEmpty, "cannot z-order an empty table")
+    val df = s.read.parquet(live.keys.toSeq.sorted.map(f => s"$root/$f"): _*)
+    val sub = freshSub()
+    ZOrderLayout.writeZOrdered(df,
+      org.apache.spark.sql.functions.col(dimA),
+      org.apache.spark.sql.functions.col(dimB),
+      s"$root/$sub", numFiles)
+    commit(s"zorder:$dimA,$dimB", listStaged(sub), live.keys.toSeq)
+  }
+
+  /** Adopt a caller-staged parquet directory as ONE atomic (and
+    * optionally tagged-idempotent) append commit — for sinks whose
+    * layout step has its own writer (s10's per-segment z-ordered
+    * write): the caller writes the segment OUTSIDE the table, then
+    * adoption is a single directory rename into `data/` plus the
+    * commit, so readers never observe a partial segment. Tagged
+    * adoption records the action as `append@tag` — it IS an append,
+    * so the change feed and replay-idempotence rules apply to it
+    * unchanged; a replayed tag deletes the staged dir and no-ops.
+    */
+  def adoptDir(stagedDir: String, tag: String = null): Option[Long] = {
+    val action =
+      if (tag == null) "append"
+      else { require(!tag.exists(c => c == '\t' || c == '\n')); s"append@$tag" }
+    val staged = new Path(stagedDir)
+    if (tag != null && committedTags().contains(action)) {
+      fs.delete(staged, true) // replay: the segment is already in
+      None
+    } else {
+      val sub = freshSub()
+      if (!fs.exists(new Path(rootPath, DataDir)))
+        fs.mkdirs(new Path(rootPath, DataDir))
+      require(fs.rename(staged, new Path(rootPath, sub)),
+        s"adopt rename failed: $stagedDir -> $root/$sub")
+      val v = commit(action, listStaged(sub), Seq.empty)
+      tagCache.foreach(_ += action)
+      Some(v)
+    }
   }
 
   /** CHANGE FEED: the rows added by commits in (sinceVersion,

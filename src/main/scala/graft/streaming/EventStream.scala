@@ -489,19 +489,32 @@ object EventStream {
 
   def s10StreamZorderIngestTo(s: SparkSession, d: String,
                               segDir: String): DataFrame = {
+    // each z-ordered segment lands in the transactional table via
+    // ADOPTION (round 9): the layout write runs outside the table,
+    // then one directory rename + one tagged commit publish it —
+    // readers never observe a partial segment and a checkpoint
+    // replay no-ops, the two properties the bare seg-* glob lacked
+    val t = graft.sources.GraftTable.forPath(s, s"$segDir/table")
+    val ckpt = s"$segDir/ckpt"
+    val streamNs = java.util.UUID
+      .nameUUIDFromBytes(ckpt.getBytes("UTF-8")).toString.take(8)
     val q = readEvents(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), expr("ts div 86400000000000").as("day"),
         pmod(col("user_id"), lit(64L)).as("ubucket"))
       .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], id: Long) =>
+        val stage = s"$segDir/.stage-$id"
         graft.sources.ZOrderLayout.writeZOrdered(
-          batch, col("ubucket"), col("day"), s"$segDir/seg-$id", 8)
+          batch, col("ubucket"), col("day"), stage, 8)
+        t.adoptDir(stage, tag = s"$streamNs-batch-$id")
+        ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    s.read.parquet(s"$segDir/seg-*")
+    t.read()
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double")

@@ -221,6 +221,54 @@ class GraftTableSpec extends SparkSpec {
     assert(t.readVersion(3).count() == 10)
   }
 
+  test("compactZOrder is content-neutral and clusters both dimensions") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val t = GraftTable.create(spark, freshRoot(), li.repartition(8))
+    val before = multiset(t.read())
+    val v = t.compactZOrder("l_orderkey", "l_partkey", numFiles = 6)
+    assert(multiset(t.read()) == before, "z-order changed the row multiset")
+    // every pre-zorder file was swapped out in the one commit
+    val c = t.readCommit(v)
+    assert(c.action.startsWith("zorder:") && c.removes.size == 8)
+    // both dimensions' per-file ranges are now selective: no single
+    // file spans the full range of either column
+    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
+    val ranges = t.read().groupBy(input_file_name())
+      .agg(fmin("l_orderkey").as("olo"), fmax("l_orderkey").as("ohi"),
+        fmin("l_partkey").as("plo"), fmax("l_partkey").as("phi"))
+      .collect()
+    assert(ranges.length >= 4)
+    val (oLo, oHi) = (ranges.map(_.getAs[Long]("olo")).min,
+      ranges.map(_.getAs[Long]("ohi")).max)
+    val fullSpan = ranges.count(r =>
+      r.getAs[Long]("olo") == oLo && r.getAs[Long]("ohi") == oHi)
+    assert(fullSpan < ranges.length,
+      "every file spans the full l_orderkey range — no clustering")
+    // time travel across the layout change still serves the old rows
+    assert(multiset(t.readVersion(v - 1)) == before)
+  }
+
+  test("adoptDir publishes a caller-staged segment atomically and idempotently") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val a = li.filter(col("l_orderkey") % 2 === 0)
+    val b = li.filter(col("l_orderkey") % 2 === 1)
+    val t = GraftTable.create(spark, freshRoot(), a)
+    val stage = Files.createTempDirectory("graft_adopt").toString + "/seg"
+    b.write.parquet(stage)
+    assert(t.adoptDir(stage, tag = "seg-1").contains(2L))
+    assert(multiset(t.read()) == multiset(li))
+    assert(!new java.io.File(stage).exists, "staged dir must move, not copy")
+    // adoption IS an append: the change feed serves exactly its rows
+    assert(multiset(t.changesSince(1).get) == multiset(b))
+    // replayed tag: the re-staged segment is dropped, the table unchanged
+    b.write.parquet(stage)
+    assert(t.adoptDir(stage, tag = "seg-1").isEmpty)
+    assert(!new java.io.File(stage).exists,
+      "replayed segment must be cleaned up")
+    assert(multiset(t.read()) == multiset(li))
+  }
+
   test("vacuum deletes only unreferenced files; retained versions still read") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val t = GraftTable.create(spark, freshRoot(),

@@ -442,7 +442,9 @@ class StreamSourcesSpec extends SparkSpec {
     assert(agg.map(_.getAs[Long]("n_events")).sum == total)
     // the streamed layout prunes: a day slice must not touch every
     // file of the segment set (the property a plain append sink lacks)
-    val back = spark.read.parquet(s"$dir/seg-*")
+    val t = graft.sources.GraftTable.forPath(spark, s"$dir/table")
+    assert(t.versions().nonEmpty, "segments must land as table commits")
+    val back = t.read()
     val ranges = back.groupBy(input_file_name())
       .agg(fmin("day").as("dlo"), fmax("day").as("dhi"))
       .collect().map(r => (r.getAs[Long]("dlo"), r.getAs[Long]("dhi")))
