@@ -141,14 +141,20 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   def read(): DataFrame = readVersion(latestVersion)
 
-  /** Time travel: the table exactly as committed at version `v`. */
-  def readVersion(v: Long): DataFrame = {
+  /** The live files of version `v` as absolute paths — the snapshot
+    * a reader (readVersion, or the `graft` DataSource) scans.
+    */
+  def filesAsOf(v: Long): Seq[String] = {
     require(v >= 1 && fs.exists(commitPath(v)),
       s"version $v does not exist (have: ${versions().mkString(",")})")
     val files = resolve(v).keys.toSeq.sorted.map(rel => s"$root/$rel")
     require(files.nonEmpty, s"version $v has an empty live set")
-    s.read.parquet(files: _*)
+    files
   }
+
+  /** Time travel: the table exactly as committed at version `v`. */
+  def readVersion(v: Long): DataFrame =
+    s.read.parquet(filesAsOf(v): _*)
 
   /** Per-version audit trail: (version, action, n_added, n_removed,
     * bytes_added) — the commit log as a queryable DataFrame.

@@ -19,6 +19,21 @@ object shim {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
 
+  /** Construct Spark's own v2 ParquetTable over an explicit file
+    * list — `private[sql]` (this package is inside org.apache.spark
+    * .sql, so the access is compile-legal), used by the `graft`
+    * DataSource to serve a GraftTable snapshot through the REAL
+    * parquet scan: vectorized reader, filter pushdown, column
+    * pruning — none of which a hand-rolled RDD[Row] relation keeps.
+    */
+  def parquetTable(name: String, spark: SparkSession,
+                   options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
+                   paths: Seq[String])
+      : org.apache.spark.sql.connector.catalog.Table =
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      name, spark, options, paths, None,
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+
   /** Drain the async listener bus so `statusTracker` reflects every
     * event already posted — needed by specs that assert on job COUNTS
     * (e.g. "plan construction launched zero jobs"); without the drain

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.GraftTable
+import java.nio.file.Files
+
+class GraftDataSourceSpec extends SparkSpec {
+
+  private def multiset(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+
+  test("format(\"graft\") reads the latest snapshot and time-travels by option") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val a = li.filter(col("l_orderkey") % 2 === 0)
+    val b = li.filter(col("l_orderkey") % 2 === 1)
+    val root = Files.createTempDirectory("graft_dsv2").toString + "/t"
+    val t = GraftTable.create(spark, root, a)    // v1
+    t.append(b)                                  // v2
+    t.compact(1L << 30)                          // v3
+    val latest = spark.read.format("graft").load(root)
+    assert(multiset(latest) == multiset(li),
+      "format(graft) latest snapshot diverged from GraftTable.read")
+    val v1 = spark.read.format("graft")
+      .option("versionAsOf", "1").load(root)
+    assert(multiset(v1) == multiset(a), "versionAsOf time travel diverged")
+    // SQL surface with no imports: USING graft
+    spark.sql("DROP TABLE IF EXISTS graft_ds_t")
+    spark.sql(s"CREATE TABLE graft_ds_t USING graft OPTIONS (path '$root')")
+    try {
+      assert(multiset(spark.table("graft_ds_t")) == multiset(li))
+    } finally spark.sql("DROP TABLE graft_ds_t")
+  }
+
+  test("the graft scan keeps parquet pushdown and column pruning") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate")
+    val root = Files.createTempDirectory("graft_dsv2_push").toString + "/t"
+    GraftTable.create(spark, root, li.repartition(4))
+    val q = spark.read.format("graft").load(root)
+      .filter(col("l_orderkey") === 42L)
+      .select("l_orderkey", "l_quantity")
+    val plan = q.queryExecution.executedPlan.toString
+    // the whole point of delegating to Spark's v2 parquet table: the
+    // filter reaches the scan and the scan reads only two columns
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)")
+        || plan.contains("PushedFilters: [EqualTo(l_orderkey,42)"),
+      s"filter not pushed to the graft scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity"),
+      s"column pruning lost through the graft scan:\n$plan")
+    // and the rows are right
+    val want = li.filter(col("l_orderkey") === 42L)
+      .select("l_orderkey", "l_quantity")
+    assert(multiset(q) == multiset(want))
+  }
+
+  test("a resolved graft relation is snapshot-isolated from later commits") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val a = li.filter(col("l_orderkey") % 2 === 0)
+    val root = Files.createTempDirectory("graft_dsv2_iso").toString + "/t"
+    val t = GraftTable.create(spark, root, a.repartition(4))
+    val pinned = spark.read.format("graft").load(root)
+    val want = multiset(a)
+    t.append(li.filter(col("l_orderkey") % 2 === 1))
+    t.compact(1L << 30)
+    assert(multiset(pinned) == want,
+      "a resolved graft relation was perturbed by later commits")
+  }
+}
