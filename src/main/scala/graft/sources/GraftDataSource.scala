@@ -31,9 +31,87 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * compact/overwrite can't perturb a running query.
   */
 class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvider
-    with DataSourceRegister {
+    with DataSourceRegister
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
 
   override def shortName(): String = "graft"
+
+  /** The WRITE path rides the v1 bridge (Spark uses it when a v2
+    * provider doesn't implement SupportsWrite — the standard split
+    * for log-managed formats): `df.write.format("graft")
+    * .mode(...).save(root)` maps straight onto the table's atomic
+    * verbs — Append → `append` (one commit), Overwrite →
+    * `overwrite`/create (one commit replacing the live set),
+    * ErrorIfExists/Ignore honor an existing log. Every mode is ONE
+    * atomic commit; a reader can never observe a half-written save.
+    */
+  override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode._
+    val path = parameters.getOrElse("path",
+      sys.error("the graft format needs a table root: .save(<root>)"))
+    val t = GraftTable.forPath(data.sparkSession, path)
+    val exists = t.latestVersion > 0
+    mode match {
+      case Append                     => t.append(data)
+      case Overwrite if exists        => t.overwrite(data)
+      case Overwrite                  => t.append(data)
+      case ErrorIfExists if exists =>
+        throw new IllegalStateException(s"graft table already exists at $path")
+      case ErrorIfExists              => t.append(data)
+      case Ignore if exists           => ()
+      case Ignore                     => t.append(data)
+    }
+    // the relation handed back is the committed snapshot
+    val outer = sqlContext
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = outer
+      override def schema: StructType = data.schema
+    }
+  }
+
+  /** A READ-ONLY view of the snapshot table. Deliberately not
+    * SupportsWrite even though the underlying ParquetTable is: a v2
+    * batch write would drop parquet files straight onto the resolved
+    * paths BEHIND the commit log — advertising only BATCH_READ makes
+    * `df.write.format("graft")` take Spark's documented v1 fallback
+    * into [[createRelation]], where every mode is an atomic commit.
+    */
+  private class ReadOnlySnapshot(underlying: Table) extends Table
+      with org.apache.spark.sql.connector.catalog.SupportsRead {
+    override def name(): String = underlying.name()
+    override def schema(): StructType = underlying.schema()
+    override def capabilities(): util.Set[
+        org.apache.spark.sql.connector.catalog.TableCapability] =
+      java.util.EnumSet.of(
+        org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap)
+        : org.apache.spark.sql.connector.read.ScanBuilder =
+      underlying
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(options)
+  }
+
+  /** Placeholder for a root with no committed log yet: schema-less and
+    * unscannable (reading it errors with the real reason), but enough
+    * of a Table for the WRITE flow to pass through to the v1 commit
+    * path that will create the log.
+    */
+  private class EmptyTable(path: String) extends Table
+      with org.apache.spark.sql.connector.catalog.SupportsRead {
+    override def name(): String = s"graft:$path@empty"
+    override def schema(): StructType = new StructType()
+    override def capabilities(): util.Set[
+        org.apache.spark.sql.connector.catalog.TableCapability] =
+      java.util.EnumSet.of(
+        org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap)
+        : org.apache.spark.sql.connector.read.ScanBuilder =
+      throw new IllegalStateException(s"no graft table at $path (empty log)")
+  }
 
   private def resolveTable(options: CaseInsensitiveStringMap): Table = {
     val spark = SparkSession.active
@@ -42,12 +120,10 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
       "the graft format needs a table root: .load(<root>) or option(\"path\", …)")
     val t = GraftTable.forPath(spark, path)
     val version = Option(options.get("versionAsOf")).map(_.toLong)
-      .getOrElse {
-        require(t.latestVersion > 0, s"no graft table at $path (empty log)")
-        t.latestVersion
-      }
-    org.apache.spark.sql.graft.shim.parquetTable(
-      s"graft:$path@v$version", spark, options, t.filesAsOf(version))
+      .getOrElse(t.latestVersion)
+    if (version <= 0) new EmptyTable(path)
+    else new ReadOnlySnapshot(org.apache.spark.sql.graft.shim.parquetTable(
+      s"graft:$path@v$version", spark, options, t.filesAsOf(version)))
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

@@ -53,6 +53,28 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(multiset(q) == multiset(want))
   }
 
+  test("df.write.format(\"graft\") maps save modes onto atomic commits") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val a = li.filter(col("l_orderkey") % 2 === 0)
+    val b = li.filter(col("l_orderkey") % 2 === 1)
+    val root = Files.createTempDirectory("graft_dsv2_w").toString + "/t"
+    a.write.format("graft").save(root)                       // v1 (create)
+    b.write.format("graft").mode("append").save(root)        // v2
+    val t = GraftTable.forPath(spark, root)
+    assert(t.latestVersion == 2)
+    assert(multiset(spark.read.format("graft").load(root)) == multiset(li))
+    // overwrite replaces the live set in one commit; history survives
+    a.write.format("graft").mode("overwrite").save(root)     // v3
+    assert(multiset(t.read()) == multiset(a))
+    assert(multiset(t.readVersion(2)) == multiset(li),
+      "overwrite must not destroy time travel")
+    intercept[IllegalStateException] {
+      b.write.format("graft").mode("errorifexists").save(root)
+    }
+    b.write.format("graft").mode("ignore").save(root)        // no-op
+    assert(t.latestVersion == 3)
+  }
+
   test("a resolved graft relation is snapshot-isolated from later commits") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val a = li.filter(col("l_orderkey") % 2 === 0)
