@@ -67,7 +67,13 @@ object Bench {
     // BPE encode (the trained-tokenizer apply pass: R vocab-bounded
     // merge rounds + the corpus-wide word-keyed count join — the
     // heaviest new text-family shape)
-    "e11_graph_ann", "d34_bpe_encode")
+    "e11_graph_ann", "d34_bpe_encode",
+    // round-9 additions: the composed multimodal pipeline (CDC chunk
+    // scan + digest window + m8 block join — the m-family's heaviest
+    // end-to-end shape) and transactional streaming table ingest
+    // (per-batch atomic commits + OPTIMIZE through the GraftTable
+    // log — the unified sink discipline's cost, worth tracking)
+    "p6_media_corpus", "s15_stream_table_ingest")
 
   /** 1-minute load average, -1.0 if unreadable (non-Linux). */
   private def loadavg(): Double =
