@@ -442,6 +442,35 @@ class GraftTable private (val s: SparkSession, val root: String) {
     else Some(s.read.parquet(files.map(f => s"$root/$f"): _*))
   }
 
+  /** Exactly-once incremental consumption of the change feed — the
+    * log-following loop a downstream pipeline runs per schedule
+    * (Delta's streaming model reduced to its batch essence): a
+    * durable CURSOR (itself a tiny GraftTable ledger at `cursorDir`)
+    * records the last version consumed; each call returns the rows
+    * committed since then plus a commit callback that advances the
+    * cursor — call order is load → process → `commit()`, so a crash
+    * before commit re-presents the same batch (at-least-once into an
+    * idempotent sink, IncrementalFiles' contract, here over TABLE
+    * COMMITS instead of landed files). Propagates changesSince's
+    * refusal of non-append ranges.
+    */
+  def nextChanges(cursorDir: String)
+      : (Option[DataFrame], Long, Long, () => Unit) = {
+    val cursor = GraftTable.forPath(s, cursorDir)
+    val from =
+      if (cursor.latestVersion == 0) 0L
+      else cursor.read().agg(org.apache.spark.sql.functions.max("consumed_version"))
+        .head.getLong(0)
+    val to = latestVersion
+    val df = if (to > from) changesSince(from, to) else None
+    val commitFn = () => {
+      import s.implicits._
+      cursor.append(Seq(to).toDF("consumed_version").coalesce(1))
+      ()
+    }
+    (df, from, to, commitFn)
+  }
+
   /** RESTORE: make version `v`'s live set the CURRENT table state as
     * a new commit (Delta RESTORE) — a roll-forward undo, never a
     * history rewrite: the bad commits stay in the log for audit, the
@@ -460,7 +489,13 @@ class GraftTable private (val s: SparkSession, val root: String) {
   /** Physically delete data files unreferenced by every retained
     * version (the newest `retainVersions`) and drop the older log
     * entries. Time travel before the horizon is gone after this —
-    * the one destructive operation in the protocol.
+    * the one destructive operation in the protocol. Also reclaims
+    * ORPHANS: files staged by a writer that crashed before its
+    * commit published (they are referenced by no version at all).
+    * Retention is the caller's safety contract with LIVE readers:
+    * a snapshot pinned at a version below the horizon reads files
+    * vacuum may delete — choose `retainVersions` to exceed the age
+    * of any reader still running (Delta's retention-window rule).
     */
   def vacuum(retainVersions: Int = 2): Unit = {
     val vs = versions()

@@ -269,6 +269,44 @@ class GraftTableSpec extends SparkSpec {
     assert(multiset(t.read()) == multiset(li))
   }
 
+  test("nextChanges: durable cursor consumes each commit range exactly once") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val batches = (0 until 3).map(i => li.filter(col("l_orderkey") % 3 === i))
+    val t = GraftTable.create(spark, freshRoot(), batches.head)   // v1
+    val cursorDir = freshRoot()
+    // first consumption sees v1
+    val (d1, f1, t1, c1) = t.nextChanges(cursorDir)
+    assert(f1 == 0 && t1 == 1 && multiset(d1.get) == multiset(batches(0)))
+    // crash before commit: the SAME range re-presents
+    val (d1b, _, _, _) = t.nextChanges(cursorDir)
+    assert(multiset(d1b.get) == multiset(batches(0)))
+    c1()
+    // nothing new -> empty batch
+    val (dEmpty, fe, te, _) = t.nextChanges(cursorDir)
+    assert(dEmpty.isEmpty && fe == 1 && te == 1)
+    // two more commits consumed as one range
+    t.append(batches(1)); t.append(batches(2))
+    val (d2, f2, t2, c2) = t.nextChanges(cursorDir)
+    assert(f2 == 1 && t2 == 3)
+    assert(multiset(d2.get) == multiset(batches(1).unionAll(batches(2))))
+    c2()
+    assert(t.nextChanges(cursorDir)._1.isEmpty)
+  }
+
+  test("vacuum reclaims crash-orphaned staged files") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val t = GraftTable.create(spark, freshRoot(), li)
+    // a writer that died between staging and publishing: data files
+    // exist under data/ but no commit references them
+    li.limit(100).write.parquet(t.root + "/data/deadbeef0000")
+    val want = multiset(t.read())
+    t.vacuum(retainVersions = 1)
+    assert(!new java.io.File(t.root + "/data/deadbeef0000").listFiles()
+      .exists(_.getName.endsWith(".parquet")),
+      "orphaned staged files survived vacuum")
+    assert(multiset(t.read()) == want, "vacuum touched live data")
+  }
+
   test("vacuum deletes only unreferenced files; retained versions still read") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val t = GraftTable.create(spark, freshRoot(),
