@@ -293,6 +293,62 @@ class GraftTableSpec extends SparkSpec {
     assert(t.nextChanges(cursorDir)._1.isEmpty)
   }
 
+  test("randomized op sequences match an in-memory model at every version") {
+    // model-based check: a seeded random walk over the verb set
+    // (append / overwrite / compact / zorder / restore) must leave
+    // EVERY historical version's readVersion equal to the model's
+    // prediction — the whole-protocol invariant the per-verb cases
+    // can't compose on their own
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_quantity").limit(900).cache()
+    li.count()
+    val rnd = new scala.util.Random(42)
+    def slice() = {
+      val m = rnd.nextInt(5) + 2; val r = rnd.nextInt(m)
+      val df = li.filter(col("l_orderkey") % m === r)
+      (df, multiset(df))
+    }
+    (1 to 2).foreach { trial =>
+      val t = GraftTable.forPath(spark, freshRoot())
+      val versionRows =
+        scala.collection.mutable.Map.empty[Long, Map[Seq[Any], Int]]
+      var current: Map[Seq[Any], Int] = Map.empty
+      def record(v: Long): Unit = { versionRows(v) = current }
+      val (d0, m0) = slice()
+      current = m0; record(t.append(d0.repartition(3)))
+      (1 to 10).foreach { _ =>
+        rnd.nextInt(5) match {
+          case 0 =>
+            val (df, m) = slice()
+            current = (current.keySet ++ m.keySet).map(k =>
+              k -> (current.getOrElse(k, 0) + m.getOrElse(k, 0))).toMap
+            record(t.append(df))
+          case 1 =>
+            val (df, m) = slice()
+            current = m; record(t.overwrite(df))
+          case 2 =>
+            record(t.compact(1L << 30)) // content-neutral (no-op ok)
+          case 3 =>
+            val v = t.compactZOrder("l_orderkey", "l_partkey", 3)
+            record(v) // content-neutral
+          case 4 =>
+            val target = versionRows.keys.toSeq.sorted
+              .apply(rnd.nextInt(versionRows.size))
+            current = versionRows(target)
+            record(t.restore(target))
+        }
+      }
+      versionRows.toSeq.sortBy(_._1).foreach { case (v, want) =>
+        assert(multiset(t.readVersion(v)) == want,
+          s"trial $trial: version $v diverged from the model")
+      }
+      assert(multiset(t.read()) == current,
+        s"trial $trial: latest state diverged from the model")
+    }
+    li.unpersist()
+    ()
+  }
+
   test("vacuum reclaims crash-orphaned staged files") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val t = GraftTable.create(spark, freshRoot(), li)
