@@ -964,28 +964,24 @@ object Similarity {
 
   /** INCREMENTAL index maintenance — FAISS `add()` re-expressed: a
     * batch of new vectors joins the stored index by encoding +
-    * routing through the FROZEN stored quantizers and appending
-    * cell-partitioned code rows — O(batch) work against an O(N)
-    * artifact; no existing row is touched, no model retrains. The
-    * meta row's n_vecs is RECOUNTED from the index after the append
-    * (never oldN + batch arithmetic), so meta can't drift from the
-    * rows even if an earlier attempt half-landed. SINGLE WRITER, NO
-    * BLIND RETRY assumed: the code rows land via SaveMode.Append, so
-    * a failed append must be retried by rebuilding from the base
-    * artifact (e12Build's flow) or through a GraftTable-managed copy
-    * — the same contract FAISS's add() gives a crashed process.
+    * routing through the FROZEN stored quantizers and committing
+    * cell-partitioned code rows through the index's GraftTable —
+    * O(batch) work against an O(N) artifact as ONE ATOMIC commit
+    * (with a `tag`, a replayed/retried batch is a no-op — the
+    * round-8 advice's failure mode is structurally gone: no partial
+    * append is ever visible, no retry can duplicate vec_ids). No
+    * existing row is touched, no model retrains. The meta row's
+    * n_vecs is RECOUNTED from the committed index (never oldN +
+    * batch arithmetic), so meta can't drift from the rows.
     */
   def e8AppendToIndex(s: SparkSession, batch: DataFrame,
-                      outDir: String): Unit = {
+                      outDir: String, tag: String = null): Unit = {
     import graft.sources.AnnIndexExport
     val meta = AnnIndexExport.readMeta(s, outDir).head
     val m = meta.getAs[Int]("m")
     val subDim = meta.getAs[Int]("sub_dim")
-    e8EncodeWith(s, batch, outDir)
-      .repartition(col("cell"))
-      .sortWithinPartitions("vec_id")
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("cell").parquet(s"$outDir/index")
+    AnnIndexExport.appendIndexRows(s, e8EncodeWith(s, batch, outDir),
+      outDir, tag)
     val nVecs = AnnIndexExport.readIndex(s, outDir).count()
     import s.implicits._
     Seq((m, subDim, nVecs)).toDF("m", "sub_dim", "n_vecs")
@@ -1071,8 +1067,10 @@ object Similarity {
     val cellSet = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted // <= Q * nProbe driver rows
     val luts = pqLuts(qs, cents, pm, subDim)
-    val est = AnnIndexExport.readIndex(s, outDir)
-      .filter(col("cell").isin(cellSet.toIndexedSeq: _*))
+    // pruned at the index's COMMIT LOG: only the probed cells' files
+    // are ever planned or opened
+    val est = AnnIndexExport.readCells(s, outDir, cellSet.toIndexedSeq)
+      .getOrElse(sys.error(s"probed cells missing from index at $outDir"))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .join(broadcast(luts), Seq("qid"))

@@ -268,6 +268,61 @@ class GraftTable private (val s: SparkSession, val root: String) {
     walk(new Path(rootPath, sub), sub)
   }
 
+  /** Hive-partitioned append as ONE atomic (optionally
+    * tagged-idempotent) commit — the partition-preserving form of
+    * `append`/`appendIdempotent` for tables whose readers prune on a
+    * partition column (the ANN index's cell-routed codes): the
+    * commit's adds carry the partition directories, so
+    * [[readPartitions]]/[[readPartitionedColumn]] prune at the log.
+    */
+  def appendPartitioned(df: DataFrame, partCol: String,
+                        tag: String = null): Option[Long] = {
+    val action =
+      if (tag == null) "append"
+      else { require(!tag.exists(c => c == '\t' || c == '\n')); s"append@$tag" }
+    if (tag != null && committedTags().contains(action)) None
+    else {
+      val v = commit(action, stagePartitioned(df, Seq(partCol)), Seq.empty)
+      tagCache.foreach(_ += action)
+      Some(v)
+    }
+  }
+
+  /** Replace the whole live set with `df`, hive-partitioned — the
+    * partition-preserving `overwrite` (an index REBUILD commit).
+    */
+  def overwritePartitioned(df: DataFrame, partCol: String): Long = {
+    val adds = stagePartitioned(df, Seq(partCol))
+    commit("overwrite", adds, resolve(latestVersion).keys.toSeq)
+  }
+
+  /** The distinct values of a partition column across the live set,
+    * parsed from the logged relpaths — no filesystem listing.
+    */
+  def partitionValues(partCol: String): Seq[Long] = {
+    val pat = s"/${java.util.regex.Pattern.quote(partCol)}=(-?\\d+)/".r
+    resolve(latestVersion).keys
+      .flatMap(p => pat.findFirstMatchIn(p).map(_.group(1).toLong))
+      .toSeq.distinct.sorted
+  }
+
+  /** Read the named partitions WITH the partition column restored
+    * (one pruned read per value, unioned — values are answer-sized:
+    * nProbe cells, touched buckets). None if nothing matches.
+    */
+  def readPartitionedColumn(partCol: String,
+                            values: Seq[Long]): Option[DataFrame] = {
+    val live = resolve(latestVersion).keys
+    val reads = values.flatMap { v =>
+      val tok = s"/$partCol=$v/"
+      val files = live.filter(_.contains(tok)).toSeq.sorted
+      if (files.isEmpty) None
+      else Some(s.read.parquet(files.map(f => s"$root/$f"): _*)
+        .withColumn(partCol, org.apache.spark.sql.functions.lit(v)))
+    }
+    reads.reduceOption(_ unionByName _)
+  }
+
   /** Dynamic-partition-overwrite as ONE atomic commit (Delta's
     * replaceWhere): every live file under `partCol` ∈ `values` is
     * logically removed and `df`'s freshly-partitioned files take

@@ -26,21 +26,23 @@ class IndexExportSpec extends SparkSpec {
     val stored = key(Similarity.e8KnnIvfPqFromIndex(spark, sf, dir))
     val inline = key(Similarity.queries("e8_knn_ivfpq")(spark, sf))
     assert(stored == inline, s"stored-index serving diverged from inline e8")
-    // the probe scan is PARTITION-pruned to the probed cells' files —
-    // the untouched cells' directories are never read
-    val est = AnnIndexExport.readIndex(spark, dir)
+    // the probe read is pruned at the index's COMMIT LOG: only the
+    // probed cells' files are planned or opened — the untouched
+    // cells' files never enter the scan at all
+    val est = AnnIndexExport.readCells(spark, dir, Seq(0L, 1L)).get
+    val filesRead = est.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(filesRead.nonEmpty &&
+      filesRead.forall(f => f.contains("/cell=0/") || f.contains("/cell=1/")),
+      s"probe opened files outside the probed cells: $filesRead")
+    val allCells = graft.sources.GraftTable
+      .forPath(spark, s"$dir/index").partitionValues("cell")
+    assert(allCells.size > 2,
+      s"fixture too small to prove pruning: cells $allCells")
+    // and the pruned read is exactly the filtered full read
+    val full = AnnIndexExport.readIndex(spark, dir)
       .filter(col("cell").isin(0L, 1L))
-    val plan = est.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
-      s"no partition pruning on the cell filter:\n$plan")
-    val scanned = est.queryExecution.executedPlan.collectLeaves().collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.selectedPartitions.partitionCount
-    }.sum
-    val total = new java.io.File(s"$dir/index").listFiles()
-      .count(_.getName.startsWith("cell="))
-    assert(scanned <= 2 && scanned < total,
-      s"probe read $scanned of $total cell directories — not pruned")
+    assert(est.count() == full.count() && est.count() > 0)
   }
 
   test("e11 stored graph serves bit-equal to inline; each round prunes src buckets") {
@@ -110,6 +112,26 @@ class IndexExportSpec extends SparkSpec {
     val got = Similarity.queries("e12_incremental_ann")(spark, sf)
     assert(got.columns.toSeq == Seq("qid", "nid", "cosine", "rnk"))
     assert(got.count() > 0)
+  }
+
+  test("a replayed tagged index append is a no-op (atomic FAISS add)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_e8add").toString
+    val emb = Similarity.quantized(spark, sf)
+    Similarity.e8WriteIndexFrom(spark, emb.filter(col("vec_id") % 4 =!= 0), dir)
+    val base = AnnIndexExport.readIndex(spark, dir).count()
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    Similarity.e8AppendToIndex(spark, batch, dir, tag = "add-1")
+    val after = AnnIndexExport.readIndex(spark, dir).count()
+    assert(after == base + batch.count())
+    // the retry a crashed driver would issue: same tag, ZERO effect —
+    // no duplicate vec_ids, meta still consistent
+    Similarity.e8AppendToIndex(spark, batch, dir, tag = "add-1")
+    val idx = AnnIndexExport.readIndex(spark, dir)
+    assert(idx.count() == after, "replayed append duplicated rows")
+    assert(idx.select("vec_id").distinct().count() == after,
+      "replayed append duplicated vec_ids")
+    assert(AnnIndexExport.readMeta(spark, dir).head
+      .getAs[Long]("n_vecs") == after)
   }
 
   test("inverted index round-trips, self-describes, and double-prunes lookups") {
