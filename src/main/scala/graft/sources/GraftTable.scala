@@ -306,21 +306,24 @@ class GraftTable private (val s: SparkSession, val root: String) {
       .toSeq.distinct.sorted
   }
 
-  /** Read the named partitions WITH the partition column restored
-    * (one pruned read per value, unioned — values are answer-sized:
-    * nProbe cells, touched buckets). None if nothing matches.
+  /** Read the named partitions WITH the partition column restored:
+    * ONE scan over the log-pruned file list, the value parsed back
+    * from each row's file path (the partition dir is in the path by
+    * stagePartitioned's construction) — no per-value scan fan-out,
+    * no directory listing. None if nothing matches.
     */
   def readPartitionedColumn(partCol: String,
                             values: Seq[Long]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
     val live = resolve(latestVersion).keys
-    val reads = values.flatMap { v =>
-      val tok = s"/$partCol=$v/"
-      val files = live.filter(_.contains(tok)).toSeq.sorted
-      if (files.isEmpty) None
-      else Some(s.read.parquet(files.map(f => s"$root/$f"): _*)
-        .withColumn(partCol, org.apache.spark.sql.functions.lit(v)))
-    }
-    reads.reduceOption(_ unionByName _)
+    val tokens = values.map(v => s"/$partCol=$v/")
+    val files = live.filter(p => tokens.exists(p.contains)).toSeq.sorted
+    if (files.isEmpty) None
+    else Some(s.read.parquet(files.map(f => s"$root/$f"): _*)
+      .withColumn(partCol,
+        regexp_extract(input_file_name(),
+          java.util.regex.Pattern.quote(s"/$partCol=") + "(-?\\d+)/", 1)
+          .cast("long")))
   }
 
   /** Dynamic-partition-overwrite as ONE atomic commit (Delta's
