@@ -1,0 +1,75 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A path-based Spark catalog over [[GraftTable]] roots, giving the
+  * commit log its NATIVE SQL time-travel syntax:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.gt", classOf[GraftCatalog].getName)
+  *   spark.sql("SELECT * FROM gt.`/data/events_t`")
+  *   spark.sql("SELECT * FROM gt.`/data/events_t` VERSION AS OF 2")
+  * }}}
+  *
+  * The identifier IS the table root (Delta's path-table convention);
+  * `VERSION AS OF` routes through TableCatalog's time-travel
+  * loadTable overload into the same snapshot resolution the
+  * `format("graft")` reader uses, so both surfaces serve identical
+  * pinned file lists through Spark's own parquet scan. Read-only by
+  * design: mutations go through the table's atomic verbs (or
+  * `df.write.format("graft")`), never through catalog DDL — a
+  * CREATE/DROP here would be a second, unlogged mutation path.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+  }
+
+  override def name(): String = catalogName
+
+  private def rootOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString("/")
+
+  override def loadTable(ident: Identifier): Table =
+    GraftDataSource.snapshotTable(SparkSession.active, rootOf(ident),
+      None, CaseInsensitiveStringMap.empty())
+
+  /** `VERSION AS OF <n>` — Spark routes the literal here. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    GraftDataSource.snapshotTable(SparkSession.active, rootOf(ident),
+      Some(version.toLong), CaseInsensitiveStringMap.empty())
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // path-addressed: there is no enumerable namespace
+
+  override def tableExists(ident: Identifier): Boolean =
+    GraftTable.forPath(SparkSession.active, rootOf(ident)).latestVersion > 0
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft tables are created by their first commit " +
+        "(GraftTable.create / df.write.format(\"graft\")), not catalog DDL")
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+}

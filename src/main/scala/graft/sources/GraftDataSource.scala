@@ -73,6 +73,18 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
     }
   }
 
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftDataSource.resolveTable(options).schema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    GraftDataSource.resolveTable(new CaseInsensitiveStringMap(properties))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object GraftDataSource {
+
   /** A READ-ONLY view of the snapshot table. Deliberately not
     * SupportsWrite even though the underlying ParquetTable is: a v2
     * batch write would drop parquet files straight onto the resolved
@@ -113,25 +125,26 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
       throw new IllegalStateException(s"no graft table at $path (empty log)")
   }
 
-  private def resolveTable(options: CaseInsensitiveStringMap): Table = {
-    val spark = SparkSession.active
+  private[sources] def resolveTable(options: CaseInsensitiveStringMap): Table = {
     val path = options.get("path")
     require(path != null && path.nonEmpty,
       "the graft format needs a table root: .load(<root>) or option(\"path\", …)")
+    snapshotTable(SparkSession.active, path,
+      Option(options.get("versionAsOf")).map(_.toLong), options)
+  }
+
+  /** The read-only snapshot Table for `path` at `versionOpt` (or
+    * latest) — shared by the format reader and [[GraftCatalog]]'s
+    * `VERSION AS OF` loadTable.
+    */
+  private[sources] def snapshotTable(spark: SparkSession, path: String,
+                                     versionOpt: Option[Long],
+                                     options: CaseInsensitiveStringMap)
+      : Table = {
     val t = GraftTable.forPath(spark, path)
-    val version = Option(options.get("versionAsOf")).map(_.toLong)
-      .getOrElse(t.latestVersion)
+    val version = versionOpt.getOrElse(t.latestVersion)
     if (version <= 0) new EmptyTable(path)
     else new ReadOnlySnapshot(org.apache.spark.sql.graft.shim.parquetTable(
       s"graft:$path@v$version", spark, options, t.filesAsOf(version)))
   }
-
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    resolveTable(options).schema()
-
-  override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    resolveTable(new CaseInsensitiveStringMap(properties))
-
-  override def supportsExternalMetadata(): Boolean = false
 }

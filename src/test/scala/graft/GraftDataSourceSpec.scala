@@ -75,6 +75,30 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(t.latestVersion == 3)
   }
 
+  test("GraftCatalog serves SQL VERSION AS OF through the same snapshots") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val a = li.filter(col("l_orderkey") % 2 === 0)
+    val root = Files.createTempDirectory("graft_cat").toString + "/t"
+    val t = GraftTable.create(spark, root, a)      // v1
+    t.append(li.filter(col("l_orderkey") % 2 === 1)) // v2
+    t.overwrite(a.limit(10))                        // v3
+    spark.conf.set("spark.sql.catalog.gt",
+      classOf[graft.sources.GraftCatalog].getName)
+    try {
+      assert(multiset(spark.sql(s"SELECT * FROM gt.`$root`")) ==
+        multiset(a.limit(10)), "catalog latest read diverged")
+      assert(multiset(spark.sql(
+          s"SELECT * FROM gt.`$root` VERSION AS OF 2")) == multiset(li),
+        "SQL VERSION AS OF diverged from the commit log")
+      // the time-traveled scan is still the pushed-down parquet scan
+      val plan = spark.sql(
+        s"SELECT l_quantity FROM gt.`$root` VERSION AS OF 2 " +
+          "WHERE l_orderkey = 42").queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [") && plan.contains("l_orderkey"),
+        s"catalog read lost pushdown:\n$plan")
+    } finally spark.conf.unset("spark.sql.catalog.gt")
+  }
+
   test("a resolved graft relation is snapshot-isolated from later commits") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val a = li.filter(col("l_orderkey") % 2 === 0)
