@@ -49,6 +49,19 @@ class GraftCatalog extends TableCatalog {
     GraftDataSource.snapshotTable(SparkSession.active, rootOf(ident),
       Some(version.toLong), CaseInsensitiveStringMap.empty())
 
+  /** `TIMESTAMP AS OF <ts>` — Spark hands the literal as epoch
+    * MICROseconds; resolve to the newest commit at or before it.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val spark = SparkSession.active
+    val root = rootOf(ident)
+    val v = GraftTable.forPath(spark, root).versionAt(timestamp / 1000L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no commit at or before timestamp $timestamp in $root"))
+    GraftDataSource.snapshotTable(spark, root, Some(v),
+      CaseInsensitiveStringMap.empty())
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // path-addressed: there is no enumerable namespace
 

@@ -126,11 +126,17 @@ object GraftDataSource {
   }
 
   private[sources] def resolveTable(options: CaseInsensitiveStringMap): Table = {
+    val spark = SparkSession.active
     val path = options.get("path")
     require(path != null && path.nonEmpty,
       "the graft format needs a table root: .load(<root>) or option(\"path\", …)")
-    snapshotTable(SparkSession.active, path,
-      Option(options.get("versionAsOf")).map(_.toLong), options)
+    val version = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(Option(options.get("timestampAsOf")).map { ts =>
+        GraftTable.forPath(spark, path).versionAt(ts.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"no commit at or before timestampAsOf=$ts (epoch millis) in $path"))
+      })
+    snapshotTable(spark, path, version, options)
   }
 
   /** The read-only snapshot Table for `path` at `versionOpt` (or

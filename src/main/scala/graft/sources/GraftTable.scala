@@ -94,11 +94,16 @@ class GraftTable private (val s: SparkSession, val root: String) {
 
   private[graft] case class Commit(version: Long, action: String,
                                    adds: Seq[(String, Long)],
-                                   removes: Seq[String])
+                                   removes: Seq[String],
+                                   tsMillis: Long)
 
   private[graft] def readCommit(v: Long): Commit = {
     val lines = readLines(commitPath(v))
-    val Array(_, ver, action) = lines.head.split("\t", 3)
+    // header: graft-commit \t version \t action [\t epoch-millis]
+    // (the timestamp field is round-9; older logs read as ts = 0)
+    val hdr = lines.head.split("\t", 4)
+    val (ver, action) = (hdr(1), hdr(2))
+    val ts = if (hdr.length >= 4) hdr(3).toLong else 0L
     val adds = Seq.newBuilder[(String, Long)]
     val rems = Seq.newBuilder[String]
     lines.tail.foreach { l =>
@@ -109,7 +114,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
         case other => sys.error(s"corrupt commit v$v: unknown action $other")
       }
     }
-    Commit(ver.toLong, action, adds.result(), rems.result())
+    Commit(ver.toLong, action, adds.result(), rems.result(), ts)
   }
 
   /** The live (relpath → bytes) set at version `v` — checkpoint ≤ v
@@ -155,6 +160,19 @@ class GraftTable private (val s: SparkSession, val root: String) {
   /** Time travel: the table exactly as committed at version `v`. */
   def readVersion(v: Long): DataFrame =
     s.read.parquet(filesAsOf(v): _*)
+
+  /** The newest version committed at or before `tsMillis` — the
+    * TIMESTAMP AS OF resolution (commit wall-clocks are recorded in
+    * each log header; pre-round-9 logs read as epoch 0 and resolve
+    * to nothing). None if the table didn't exist yet.
+    */
+  def versionAt(tsMillis: Long): Option[Long] =
+    versions().filter(v => readCommit(v).tsMillis <= tsMillis).lastOption
+
+  /** Time travel by wall-clock: the table as of `tsMillis`. */
+  def readTimestampAsOf(tsMillis: Long): DataFrame =
+    readVersion(versionAt(tsMillis).getOrElse(sys.error(
+      s"no commit at or before $tsMillis in $root")))
 
   /** Per-version audit trail: (version, action, n_added, n_removed,
     * bytes_added) — the commit log as a queryable DataFrame.
@@ -229,7 +247,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
           s"$action conflicts: files no longer live: ${gone.take(3).mkString(",")}")
       }
       val v = prev + 1
-      val body = new StringBuilder(s"graft-commit\t$v\t$action\n")
+      val body = new StringBuilder(
+        s"graft-commit\t$v\t$action\t${System.currentTimeMillis()}\n")
       adds.foreach { case (p, b) => body.append(s"add\t$p\t$b\n") }
       removes.foreach(p => body.append(s"remove\t$p\n"))
       if (publish(commitPath(v), body.toString.getBytes(UTF_8))) {

@@ -99,6 +99,36 @@ class GraftDataSourceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.catalog.gt")
   }
 
+  test("TIMESTAMP AS OF resolves to the newest commit at or before the instant") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val a = li.filter(col("l_orderkey") % 2 === 0)
+    val b = li.filter(col("l_orderkey") % 2 === 1)
+    val root = Files.createTempDirectory("graft_tsof").toString + "/t"
+    val t = GraftTable.create(spark, root, a)   // v1
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    t.append(b)                                 // v2
+    assert(t.versionAt(between).contains(1L))
+    assert(multiset(t.readTimestampAsOf(between)) == multiset(a))
+    assert(multiset(spark.read.format("graft")
+        .option("timestampAsOf", between.toString).load(root)) == multiset(a),
+      "format timestampAsOf diverged")
+    // SQL TIMESTAMP AS OF through the catalog (micros-literal route)
+    spark.conf.set("spark.sql.catalog.gtts",
+      classOf[graft.sources.GraftCatalog].getName)
+    try {
+      val lit = new java.sql.Timestamp(between).toString
+      assert(multiset(spark.sql(
+          s"SELECT * FROM gtts.`$root` TIMESTAMP AS OF '$lit'")) == multiset(a),
+        "SQL TIMESTAMP AS OF diverged")
+      intercept[Exception] {
+        spark.sql(s"SELECT * FROM gtts.`$root` " +
+          "TIMESTAMP AS OF '1999-01-01 00:00:00'").collect()
+      }
+    } finally spark.conf.unset("spark.sql.catalog.gtts")
+  }
+
   test("a resolved graft relation is snapshot-isolated from later commits") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val a = li.filter(col("l_orderkey") % 2 === 0)
