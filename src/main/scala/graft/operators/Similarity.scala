@@ -329,7 +329,10 @@ object Similarity {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$outDir/entries")
     import s.implicits._
-    val nEdges = adj.count()
+    // count from the WRITTEN files (parquet footer metadata — no
+    // scan): counting `adj` itself would re-execute the whole
+    // blocked-kNN build a second time
+    val nEdges = s.read.parquet(s"$outDir/adj").count()
     Seq((deg, entries, nBuckets, nEdges))
       .toDF("deg", "n_entries", "n_buckets", "n_edges")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -1068,9 +1071,12 @@ object Similarity {
       .collect().map(_.getLong(0)).sorted // <= Q * nProbe driver rows
     val luts = pqLuts(qs, cents, pm, subDim)
     // pruned at the index's COMMIT LOG: only the probed cells' files
-    // are ever planned or opened
+    // are ever planned or opened. All-empty probed cells (k-means can
+    // produce empty cells) is a VALID no-candidates outcome, not an
+    // error — the query returns no neighbors, matching the old
+    // isin-filter semantics
     val est = AnnIndexExport.readCells(s, outDir, cellSet.toIndexedSeq)
-      .getOrElse(sys.error(s"probed cells missing from index at $outDir"))
+      .getOrElse(AnnIndexExport.readIndex(s, outDir).limit(0))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .join(broadcast(luts), Seq("qid"))

@@ -55,6 +55,18 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
       sys.error("the graft format needs a table root: .save(<root>)"))
     val t = GraftTable.forPath(data.sparkSession, path)
     val exists = t.latestVersion > 0
+    // appends must match the table's schema (names + types, order
+    // free): a mismatched commit would poison every later read —
+    // s.read.parquet over a mixed file list silently takes ONE
+    // file's schema (Delta rejects this at write time; so do we)
+    if (exists && mode == Append) {
+      def sig(sch: StructType) =
+        sch.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+      val existing = t.read().schema
+      require(sig(existing) == sig(data.schema),
+        s"schema mismatch appending to graft table at $path: table has " +
+          s"${existing.simpleString}, batch has ${data.schema.simpleString}")
+    }
     mode match {
       case Append                     => t.append(data)
       case Overwrite if exists        => t.overwrite(data)

@@ -103,7 +103,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     // (the timestamp field is round-9; older logs read as ts = 0)
     val hdr = lines.head.split("\t", 4)
     val (ver, action) = (hdr(1), hdr(2))
-    val ts = if (hdr.length >= 4) hdr(3).toLong else 0L
+    val ts = if (hdr.length >= 4) hdr(3).toLong else -1L // -1: pre-ts log
     val adds = Seq.newBuilder[(String, Long)]
     val rems = Seq.newBuilder[String]
     lines.tail.foreach { l =>
@@ -167,7 +167,10 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * to nothing). None if the table didn't exist yet.
     */
   def versionAt(tsMillis: Long): Option[Long] =
-    versions().filter(v => readCommit(v).tsMillis <= tsMillis).lastOption
+    versions().filter { v =>
+      val ts = readCommit(v).tsMillis
+      ts >= 0 && ts <= tsMillis // pre-ts commits never match (doc'd)
+    }.lastOption
 
   /** Time travel by wall-clock: the table as of `tsMillis`. */
   def readTimestampAsOf(tsMillis: Long): DataFrame =
@@ -231,15 +234,27 @@ class GraftTable private (val s: SparkSession, val root: String) {
 
   /** Optimistic-concurrency commit loop. `removes` must still be live
     * at the winning version's predecessor — appends (no removes) can
-    * always retry; a compact/overwrite whose victims were removed by
-    * a concurrent commit aborts with ConcurrentModificationException.
+    * always retry; a compact whose victims were removed by a
+    * concurrent commit aborts with ConcurrentModificationException.
+    * `basedOn` makes a commit SERIALIZABLE against its read version:
+    * replace-class commits (overwrite / replacePartitions / restore)
+    * compute their remove-set against a snapshot, and if ANY commit
+    * lands in between, "replace everything in scope" would silently
+    * let the concurrent files survive — Delta aborts that as a write
+    * conflict, and so does this (the caller re-reads and retries).
     */
   private[graft] def commit(action: String, adds: Seq[(String, Long)],
-                            removes: Seq[String]): Long = {
+                            removes: Seq[String],
+                            basedOn: Option[Long] = None): Long = {
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
     var attempt = 0
     while (attempt < MaxRetries) {
       val prev = latestVersion
+      basedOn.foreach { b =>
+        if (prev != b) throw new java.util.ConcurrentModificationException(
+          s"$action write conflict: table advanced v$b -> v$prev " +
+            "while the replacement was being staged")
+      }
       if (removes.nonEmpty) {
         val live = resolve(prev).keySet
         val gone = removes.filterNot(live)
@@ -311,8 +326,10 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * partition-preserving `overwrite` (an index REBUILD commit).
     */
   def overwritePartitioned(df: DataFrame, partCol: String): Long = {
-    val adds = stagePartitioned(df, Seq(partCol))
-    commit("overwrite", adds, resolve(latestVersion).keys.toSeq)
+    val base = latestVersion
+    val removes = resolve(base).keys.toSeq
+    commit("overwrite", stagePartitioned(df, Seq(partCol)), removes,
+      basedOn = Some(base))
   }
 
   /** The distinct values of a partition column across the live set,
@@ -363,11 +380,12 @@ class GraftTable private (val s: SparkSession, val root: String) {
       else { require(!tag.exists(c => c == '\t' || c == '\n')); s"replace@$tag" }
     if (tag != null && committedTags().contains(action)) None
     else {
-      val adds = stagePartitioned(df, Seq(partCol))
+      val base = latestVersion
       val tokens = values.map(v => s"/$partCol=$v/")
-      val removes = resolve(latestVersion).keys
+      val removes = resolve(base).keys
         .filter(p => tokens.exists(p.contains)).toSeq
-      val v = commit(action, adds, removes)
+      val adds = stagePartitioned(df, Seq(partCol))
+      val v = commit(action, adds, removes, basedOn = Some(base))
       tagCache.foreach(_ += action)
       Some(v)
     }
@@ -420,10 +438,15 @@ class GraftTable private (val s: SparkSession, val root: String) {
       s0
     }
 
-  /** Replace the whole live set with `df` atomically. */
+  /** Replace the whole live set with `df` atomically. Serializable:
+    * a commit landing between this call's snapshot and its publish
+    * aborts it as a write conflict (its files would otherwise
+    * silently survive the "replace everything").
+    */
   def overwrite(df: DataFrame): Long = {
-    val adds = stage(df)
-    commit("overwrite", adds, resolve(latestVersion).keys.toSeq)
+    val base = latestVersion
+    val removes = resolve(base).keys.toSeq
+    commit("overwrite", stage(df), removes, basedOn = Some(base))
   }
 
   /** OPTIMIZE: rewrite undersized live files (< targetBytes/2) into
@@ -435,6 +458,12 @@ class GraftTable private (val s: SparkSession, val root: String) {
   def compact(targetBytes: Long): Long = {
     require(targetBytes > 0, "targetBytes must be positive")
     val live = resolve(latestVersion).toSeq
+    partColOf(live.map(_._1)).foreach { pc =>
+      throw new IllegalArgumentException(
+        s"table is hive-partitioned on '$pc' — a flat rewrite would drop " +
+          s"the partition paths and break pruned reads; use " +
+          s"compactPartitioned(\"$pc\", targetBytes)")
+    }
     val small = live.filter(_._2 < targetBytes / 2)
     if (small.size <= 1) return latestVersion // nothing to gain
     val smallBytes = small.map(_._2).sum
@@ -443,6 +472,39 @@ class GraftTable private (val s: SparkSession, val root: String) {
       .parquet(small.map(f => s"$root/${f._1}"): _*)
       .repartition(nOut)
     commit("compact", stage(merged), small.map(_._1))
+  }
+
+  /** The hive-partition column of the live set, if any — parsed from
+    * the logged relpaths (stagePartitioned's construction).
+    */
+  private def partColOf(files: Iterable[String]): Option[String] = {
+    val pat = "/([A-Za-z_][A-Za-z0-9_]*)=[^/]+/".r
+    files.iterator.flatMap(f => pat.findFirstMatchIn(f).map(_.group(1)))
+      .nextOption()
+  }
+
+  /** OPTIMIZE for a hive-partitioned table: undersized files rewrite
+    * WITH their partition value (restored from the path, re-staged
+    * under partition dirs), so pruned reads keep working — compact's
+    * contract, partition-aware. One atomic commit.
+    */
+  def compactPartitioned(partCol: String, targetBytes: Long): Long = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    import org.apache.spark.sql.functions.{col, input_file_name, regexp_extract}
+    val live = resolve(latestVersion).toSeq
+    val small = live.filter(_._2 < targetBytes / 2)
+    if (small.size <= 1) return latestVersion
+    val smallBytes = small.map(_._2).sum
+    val nOut = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
+    val merged = s.read
+      .parquet(small.map(f => s"$root/${f._1}"): _*)
+      .withColumn(partCol,
+        regexp_extract(input_file_name(),
+          java.util.regex.Pattern.quote(s"/$partCol=") + "(-?\\d+)/", 1)
+          .cast("long"))
+      .repartition(nOut, col(partCol))
+    commit("compact", stagePartitioned(merged, Seq(partCol)),
+      small.map(_._1))
   }
 
   /** OPTIMIZE ZORDER: rewrite the WHOLE live set z-ordered on
@@ -458,6 +520,11 @@ class GraftTable private (val s: SparkSession, val root: String) {
   def compactZOrder(dimA: String, dimB: String, numFiles: Int): Long = {
     val live = resolve(latestVersion)
     require(live.nonEmpty, "cannot z-order an empty table")
+    partColOf(live.keys).foreach { pc =>
+      throw new IllegalArgumentException(
+        s"table is hive-partitioned on '$pc' — a flat z-order rewrite " +
+          "would drop the partition paths and break pruned reads")
+    }
     val df = s.read.parquet(live.keys.toSeq.sorted.map(f => s"$root/$f"): _*)
     val sub = freshSub()
     ZOrderLayout.writeZOrdered(df,
@@ -557,10 +624,11 @@ class GraftTable private (val s: SparkSession, val root: String) {
   def restore(v: Long): Long = {
     val target = resolve(v)
     require(target.nonEmpty, s"cannot restore to empty/unknown version $v")
-    val current = resolve(latestVersion).keySet
+    val base = latestVersion
+    val current = resolve(base).keySet
     val adds = target.toSeq.filterNot { case (p, _) => current(p) }
     val removes = (current -- target.keySet).toSeq
-    commit(s"restore:$v", adds, removes)
+    commit(s"restore:$v", adds, removes, basedOn = Some(base))
   }
 
   /** Physically delete data files unreferenced by every retained
@@ -574,7 +642,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * vacuum may delete — choose `retainVersions` to exceed the age
     * of any reader still running (Delta's retention-window rule).
     */
-  def vacuum(retainVersions: Int = 2): Unit = {
+  def vacuum(retainVersions: Int = 2,
+             orphanGraceMillis: Long = 10L * 60 * 1000): Unit = {
     val vs = versions()
     val keep = vs.takeRight(math.max(1, retainVersions))
     val referenced = keep.flatMap(v => resolve(v).keys).toSet
@@ -585,13 +654,25 @@ class GraftTable private (val s: SparkSession, val root: String) {
         .map { case (p, b) => s"file\t$p\t$b" }.mkString("", "\n", "\n")
       publish(ckptPath(horizon), ck.getBytes(UTF_8))
     }
-    val dataRoot = new Path(rootPath, DataDir)
-    if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { d =>
-      if (d.isDirectory) fs.listStatus(d.getPath).foreach { f =>
-        val rel = s"$DataDir/${d.getPath.getName}/${f.getPath.getName}"
-        if (f.isFile && !referenced(rel)) fs.delete(f.getPath, false)
+    // full recursive sweep (partitioned tables nest value dirs under
+    // data/<uuid>/). The grace window protects an IN-FLIGHT writer:
+    // staged-but-not-yet-committed files are unreferenced by design
+    // (data lands before the commit), and deleting them instantly
+    // would let a vacuum racing a slow writer corrupt the commit that
+    // writer is about to publish — only unreferenced files OLDER than
+    // the window die (Delta's retention-age rule).
+    val now = System.currentTimeMillis()
+    def sweep(p: Path, rel: String): Unit =
+      fs.listStatus(p).foreach { st =>
+        val r = s"$rel/${st.getPath.getName}"
+        if (st.isDirectory) sweep(st.getPath, r)
+        else if (st.getPath.getName.endsWith(".parquet") &&
+          !referenced(r) &&
+          now - st.getModificationTime >= orphanGraceMillis)
+          fs.delete(st.getPath, false)
       }
-    }
+    val dataRoot = new Path(rootPath, DataDir)
+    if (fs.exists(dataRoot)) sweep(dataRoot, DataDir)
     vs.filter(_ < horizon).foreach { v => fs.delete(commitPath(v), false) }
     checkpointVersions().filter(_ < horizon)
       .foreach(v => fs.delete(ckptPath(v), false))

@@ -73,6 +73,13 @@ class GraftDataSourceSpec extends SparkSpec {
     }
     b.write.format("graft").mode("ignore").save(root)        // no-op
     assert(t.latestVersion == 3)
+    // a mismatched-schema append is rejected BEFORE it can poison
+    // later reads (mixed file lists silently take one file's schema)
+    intercept[IllegalArgumentException] {
+      li.withColumnRenamed("l_quantity", "qty")
+        .write.format("graft").mode("append").save(root)
+    }
+    assert(t.latestVersion == 3, "rejected append must not commit")
   }
 
   test("GraftCatalog serves SQL VERSION AS OF through the same snapshots") {

@@ -349,6 +349,63 @@ class GraftTableSpec extends SparkSpec {
     ()
   }
 
+  test("partitioned tables: flat compact/zorder refuse; compactPartitioned keeps pruning") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val t = GraftTable.forPath(spark, freshRoot())
+    (0 until 3).foreach { i =>
+      t.appendPartitioned(li.filter(col("l_orderkey") % 3 === i)
+        .withColumn("pb", pmod(col("l_partkey"), lit(4L))), "pb")
+    }
+    val before = multiset(t.readPartitionedColumn("pb", Seq(0L, 1L, 2L, 3L)).get)
+    // a flat rewrite would silently drop the partition paths — refuse
+    intercept[IllegalArgumentException] { t.compact(1L << 30) }
+    intercept[IllegalArgumentException] {
+      t.compactZOrder("l_orderkey", "l_partkey", 4)
+    }
+    // the partition-aware OPTIMIZE keeps content AND pruned reads
+    val filesBefore = t.liveFiles().size
+    t.compactPartitioned("pb", 1L << 30)
+    assert(t.liveFiles().size < filesBefore, "nothing compacted")
+    assert(t.liveFiles().forall(_._1.contains("/pb=")),
+      "compacted files lost their partition path")
+    assert(multiset(t.readPartitionedColumn("pb", Seq(0L, 1L, 2L, 3L)).get)
+      == before, "partitioned compact changed the pruned-read content")
+    // single-partition pruned read still selective
+    val one = t.readPartitionedColumn("pb", Seq(2L)).get
+    assert(one.count() > 0 &&
+      one.select("pb").distinct().collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("replace-class commits abort on a concurrent commit (write conflict)") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val a = li.filter(col("l_orderkey") % 2 === 0)
+    val b = li.filter(col("l_orderkey") % 2 === 1)
+    val t = GraftTable.create(spark, freshRoot(), a)
+    // simulate the race deterministically: the overwrite's snapshot is
+    // taken, then a concurrent append advances the table before the
+    // replacement publishes
+    val base = t.latestVersion
+    val removes = t.liveFiles().map(_._1)
+    t.append(b) // the concurrent commit
+    intercept[java.util.ConcurrentModificationException] {
+      t.commit("overwrite", Seq.empty, removes, basedOn = Some(base))
+    }
+    // the table is untouched by the aborted replace
+    assert(multiset(t.read()) == multiset(li))
+  }
+
+  test("vacuum's grace window spares an in-flight writer's staged files") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val t = GraftTable.create(spark, freshRoot(), li)
+    // an in-flight writer: staged seconds ago, commit not yet published
+    li.limit(50).write.parquet(t.root + "/data/inflight00000")
+    t.vacuum(retainVersions = 1) // default 10-minute grace
+    assert(new java.io.File(t.root + "/data/inflight00000").listFiles()
+      .exists(_.getName.endsWith(".parquet")),
+      "vacuum deleted a fresh in-flight stage inside the grace window")
+  }
+
   test("vacuum reclaims crash-orphaned staged files") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val t = GraftTable.create(spark, freshRoot(), li)
@@ -356,7 +413,7 @@ class GraftTableSpec extends SparkSpec {
     // exist under data/ but no commit references them
     li.limit(100).write.parquet(t.root + "/data/deadbeef0000")
     val want = multiset(t.read())
-    t.vacuum(retainVersions = 1)
+    t.vacuum(retainVersions = 1, orphanGraceMillis = 0)
     assert(!new java.io.File(t.root + "/data/deadbeef0000").listFiles()
       .exists(_.getName.endsWith(".parquet")),
       "orphaned staged files survived vacuum")
@@ -371,7 +428,7 @@ class GraftTableSpec extends SparkSpec {
     val v3 = t.compact(1L << 30)
     val want = multiset(li)
     val dataFilesBefore = t.liveFiles().size
-    t.vacuum(retainVersions = 1)
+    t.vacuum(retainVersions = 1, orphanGraceMillis = 0)
     assert(multiset(t.read()) == want, "vacuum broke the latest snapshot")
     assert(t.liveFiles().size == dataFilesBefore)
     // the pre-compact layout is physically gone
