@@ -39,7 +39,12 @@ object Lakehouse {
       val t = GraftTable.create(s, root,
         orders.filter(col("o_orderstatus") === "F").repartition(6)) // v1
       t.append(orders.filter(col("o_orderstatus") === "O").repartition(6)) // v2
-      t.compact(1L << 30)                                                  // v3
+      // target derived from the actual staged sizes so the compact
+      // ALWAYS commits (v3) at any SF — a fixed 1 GiB target would
+      // no-op once staged files outgrow half of it, silently shifting
+      // the q75 oracle's version numbering
+      val target = math.max(1L << 30, t.liveFiles().map(_._2).max * 4)
+      t.compact(target)                                                    // v3
       t.overwrite(orders.filter(col("o_orderstatus") === "P"))             // v4
       t
     })

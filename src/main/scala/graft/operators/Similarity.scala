@@ -979,17 +979,30 @@ object Similarity {
     */
   def e8AppendToIndex(s: SparkSession, batch: DataFrame,
                       outDir: String, tag: String = null): Unit = {
-    import graft.sources.AnnIndexExport
+    import graft.sources.{AnnIndexExport, GraftTable}
     val meta = AnnIndexExport.readMeta(s, outDir).head
     val m = meta.getAs[Int]("m")
     val subDim = meta.getAs[Int]("sub_dim")
     AnnIndexExport.appendIndexRows(s, e8EncodeWith(s, batch, outDir),
-      outDir, tag)
-    val nVecs = AnnIndexExport.readIndex(s, outDir).count()
-    import s.implicits._
-    Seq((m, subDim, nVecs)).toDF("m", "sub_dim", "n_vecs")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$outDir/meta")
+      outDir, tag) match {
+      case None => () // replayed batch: index AND meta already consistent
+      case Some(v) =>
+        // count ONLY the committed batch's files (footer metadata) —
+        // a full-index recount per O(batch) append would be O(N) and
+        // defeat the incremental contract. n_vecs = prior meta +
+        // committed-batch rows; the rows are always authoritative
+        // (a crash between this commit and the meta rewrite leaves
+        // n_vecs one batch behind until the next append/rebuild —
+        // advisory metadata, the IndexExport self-description rule)
+        val added = GraftTable.forPath(s, s"$outDir/index")
+          .readCommit(v).adds.map(f => s"$outDir/index/${f._1}")
+        val nNew = s.read.parquet(added: _*).count()
+        val nVecs = meta.getAs[Long]("n_vecs") + nNew
+        import s.implicits._
+        Seq((m, subDim, nVecs)).toDF("m", "sub_dim", "n_vecs")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$outDir/meta")
+    }
   }
 
   /** Build the e12 artifact: base index (80% of the corpus, models

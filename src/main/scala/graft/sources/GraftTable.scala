@@ -168,9 +168,23 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   def versionAt(tsMillis: Long): Option[Long] =
     versions().filter { v =>
-      val ts = readCommit(v).tsMillis
+      val ts = readHeaderTs(v) // header line only — never the body
       ts >= 0 && ts <= tsMillis // pre-ts commits never match (doc'd)
     }.lastOption
+
+  /** A commit's wall-clock from its header line alone — resolution
+    * stays O(versions × one line), not O(versions × commit body)
+    * (an overwrite/compact commit's body lists every file it swaps).
+    */
+  private def readHeaderTs(v: Long): Long = {
+    val in = fs.open(commitPath(v))
+    try {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8"))
+      val hdr = br.readLine().split("\t", 4)
+      if (hdr.length >= 4) hdr(3).toLong else -1L
+    } finally in.close()
+  }
 
   /** Time travel by wall-clock: the table as of `tsMillis`. */
   def readTimestampAsOf(tsMillis: Long): DataFrame =
@@ -310,17 +324,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * [[readPartitions]]/[[readPartitionedColumn]] prune at the log.
     */
   def appendPartitioned(df: DataFrame, partCol: String,
-                        tag: String = null): Option[Long] = {
-    val action =
-      if (tag == null) "append"
-      else { require(!tag.exists(c => c == '\t' || c == '\n')); s"append@$tag" }
-    if (tag != null && committedTags().contains(action)) None
-    else {
-      val v = commit(action, stagePartitioned(df, Seq(partCol)), Seq.empty)
-      tagCache.foreach(_ += action)
-      Some(v)
-    }
-  }
+                        tag: String = null): Option[Long] =
+    tagged("append", tag)(a =>
+      commit(a, stagePartitioned(df, Seq(partCol)), Seq.empty))
 
   /** Replace the whole live set with `df`, hive-partitioned — the
     * partition-preserving `overwrite` (an index REBUILD commit).
@@ -374,22 +380,15 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * already committed.
     */
   def replacePartitions(df: DataFrame, partCol: String, values: Seq[Long],
-                        tag: String = null): Option[Long] = {
-    val action =
-      if (tag == null) "replace"
-      else { require(!tag.exists(c => c == '\t' || c == '\n')); s"replace@$tag" }
-    if (tag != null && committedTags().contains(action)) None
-    else {
+                        tag: String = null): Option[Long] =
+    tagged("replace", tag) { action =>
       val base = latestVersion
       val tokens = values.map(v => s"/$partCol=$v/")
       val removes = resolve(base).keys
         .filter(p => tokens.exists(p.contains)).toSeq
       val adds = stagePartitioned(df, Seq(partCol))
-      val v = commit(action, adds, removes, basedOn = Some(base))
-      tagCache.foreach(_ += action)
-      Some(v)
+      commit(action, adds, removes, basedOn = Some(base))
     }
-  }
 
   /** Read ONLY the named partitions' live files — pruned from the
     * log, so a probe of 2 of 1000 buckets opens 2 buckets' files and
@@ -416,11 +415,27 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * per tag namespace assumed (Structured Streaming's guarantee).
     */
   def appendIdempotent(df: DataFrame, tag: String): Option[Long] = {
-    require(!tag.exists(c => c == '\t' || c == '\n'), s"bad tag: $tag")
-    val action = s"append@$tag"
-    if (committedTags().contains(action)) None
+    require(tag != null, "appendIdempotent needs a tag; use append")
+    tagged("append", tag)(a => commit(a, stage(df), Seq.empty))
+  }
+
+  /** The ONE tagged-idempotence guard all four tagged verbs share:
+    * validate the tag, no-op (running `onReplay`) if its action is
+    * already committed, otherwise run `body` with the action string
+    * and record it in the cache.
+    */
+  private def tagged(prefix: String, tag: String,
+                     onReplay: () => Unit = () => ())
+                    (body: String => Long): Option[Long] = {
+    val action =
+      if (tag == null) prefix
+      else {
+        require(!tag.exists(c => c == '\t' || c == '\n'), s"bad tag: $tag")
+        s"$prefix@$tag"
+      }
+    if (tag != null && committedTags().contains(action)) { onReplay(); None }
     else {
-      val v = commit(action, stage(df), Seq.empty)
+      val v = body(action)
       tagCache.foreach(_ += action)
       Some(v)
     }
@@ -545,22 +560,16 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * unchanged; a replayed tag deletes the staged dir and no-ops.
     */
   def adoptDir(stagedDir: String, tag: String = null): Option[Long] = {
-    val action =
-      if (tag == null) "append"
-      else { require(!tag.exists(c => c == '\t' || c == '\n')); s"append@$tag" }
     val staged = new Path(stagedDir)
-    if (tag != null && committedTags().contains(action)) {
-      fs.delete(staged, true) // replay: the segment is already in
-      None
-    } else {
-      val sub = freshSub()
-      if (!fs.exists(new Path(rootPath, DataDir)))
-        fs.mkdirs(new Path(rootPath, DataDir))
-      require(fs.rename(staged, new Path(rootPath, sub)),
-        s"adopt rename failed: $stagedDir -> $root/$sub")
-      val v = commit(action, listStaged(sub), Seq.empty)
-      tagCache.foreach(_ += action)
-      Some(v)
+    // replay: the segment is already in — drop the re-staged copy
+    tagged("append", tag, onReplay = () => { fs.delete(staged, true); () }) {
+      action =>
+        val sub = freshSub()
+        if (!fs.exists(new Path(rootPath, DataDir)))
+          fs.mkdirs(new Path(rootPath, DataDir))
+        require(fs.rename(staged, new Path(rootPath, sub)),
+          s"adopt rename failed: $stagedDir -> $root/$sub")
+        commit(action, listStaged(sub), Seq.empty)
     }
   }
 
@@ -575,7 +584,16 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   def changesSince(sinceVersion: Long,
                    untilVersion: Long = Long.MaxValue): Option[DataFrame] = {
-    val vs = versions().filter(v => v > sinceVersion && v <= untilVersion)
+    val until = math.min(untilVersion, latestVersion)
+    val vs = versions().filter(v => v > sinceVersion && v <= until)
+    // continuity: if vacuum dropped any commit in the range, the feed
+    // would silently lose those rows (and couldn't even see a dropped
+    // non-append commit to refuse it) — throw instead of serving a
+    // wrong feed; the consumer falls back to a snapshot diff
+    val missing = ((sinceVersion + 1) to until).filterNot(vs.contains)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"change feed range ($sinceVersion, $until] has vacuumed commits: " +
+        s"v${missing.head}..v${missing.last}")
     val commits = vs.map(readCommit)
     val nonAppend = commits.filterNot(_.action.startsWith("append"))
     if (nonAppend.nonEmpty) throw new IllegalStateException(
@@ -645,6 +663,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
   def vacuum(retainVersions: Int = 2,
              orphanGraceMillis: Long = 10L * 60 * 1000): Unit = {
     val vs = versions()
+    if (vs.isEmpty) return // nothing committed: nothing to reclaim
     val keep = vs.takeRight(math.max(1, retainVersions))
     val referenced = keep.flatMap(v => resolve(v).keys).toSet
     // checkpoint the horizon so resolution never needs dropped entries

@@ -59,10 +59,14 @@ object IncrementalFiles {
       if (fresh.isEmpty) None
       else Some(s.read.format(format).load(fresh.map(_._1): _*))
     val commit = () => {
-      // ONE atomic ledger commit of just this batch's rows
+      // ONE atomic ledger commit of just this batch's rows; every
+      // 16th commit compacts the accreted one-file-per-batch ledger
+      // so processed() stays a bounded read instead of O(total
+      // batches ever) tiny-file opens
       import s.implicits._
-      GraftTable.forPath(s, manifestDir)
-        .append(fresh.toDF("path", "length").coalesce(1))
+      val t = GraftTable.forPath(s, manifestDir)
+      val v = t.append(fresh.toDF("path", "length").coalesce(1))
+      if (v % 16 == 0) t.compact(4L * 1024 * 1024)
       ()
     }
     (df, fresh.map(_._1), commit)

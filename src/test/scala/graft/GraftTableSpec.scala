@@ -200,6 +200,11 @@ class GraftTableSpec extends SparkSpec {
     intercept[IllegalStateException] { t.changesSince(1) }
     // a range that stops before the compact still serves
     assert(multiset(t.changesSince(2, untilVersion = 3).get) == multiset(c))
+    // vacuumed range: the feed must refuse rather than silently serve
+    // only the surviving commits' rows
+    t.vacuum(retainVersions = 1, orphanGraceMillis = 0)
+    val e = intercept[IllegalStateException] { t.changesSince(0) }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
   }
 
   test("restore rolls forward to an old snapshot without rewriting history") {
