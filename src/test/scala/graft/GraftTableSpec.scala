@@ -400,6 +400,77 @@ class GraftTableSpec extends SparkSpec {
     assert(multiset(t.read()) == multiset(li))
   }
 
+  test("randomized partitioned-op sequences match a per-partition model") {
+    // the registry verbs (appendPartitioned / replacePartitions /
+    // compactPartitioned) under a seeded random walk, checked against
+    // a per-partition-value model — the composition invariant behind
+    // every GraftTable-backed streaming sink
+    val bd = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"),
+        pmod(col("l_partkey"), lit(4L)).as("pb"))
+      .limit(800).cache()
+    bd.count()
+    val rnd = new scala.util.Random(7)
+    def slice(vals: Seq[Long]) = {
+      val m = rnd.nextInt(4) + 2; val r = rnd.nextInt(m)
+      bd.filter(col("l_orderkey") % m === r && col("pb").isin(vals: _*))
+    }
+    def byVal(df: org.apache.spark.sql.DataFrame): Map[Long, Map[Seq[Any], Int]] =
+      df.collect().map(_.toSeq).groupBy(_.last.asInstanceOf[Long]).view
+        .mapValues(_.groupBy(identity).view.mapValues(_.length).toMap).toMap
+    (1 to 2).foreach { trial =>
+      val t = GraftTable.forPath(spark, freshRoot())
+      var model = Map.empty[Long, Map[Seq[Any], Int]]
+      def merge(add: Map[Long, Map[Seq[Any], Int]]): Unit =
+        model = (model.keySet ++ add.keySet).map { v =>
+          val a = model.getOrElse(v, Map.empty)
+          val b = add.getOrElse(v, Map.empty)
+          v -> (a.keySet ++ b.keySet).map(k =>
+            k -> (a.getOrElse(k, 0) + b.getOrElse(k, 0))).toMap
+        }.toMap
+      (1 to 9).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 => // partitioned append
+            val df = slice(Seq(0L, 1L, 2L, 3L))
+            merge(byVal(df))
+            t.appendPartitioned(df, "pb")
+          case 1 => // replace-where on a random value subset
+            val vals = (0L to 3L).filter(_ => rnd.nextBoolean()) match {
+              case Seq() => Seq(rnd.nextInt(4).toLong)
+              case vs => vs
+            }
+            val df = slice(vals)
+            val dfByVal = byVal(df)
+            model = model -- vals
+            merge(vals.map(v => v -> dfByVal.getOrElse(v, Map.empty)).toMap)
+            t.replacePartitions(df, "pb", vals)
+          case 2 => // partition-aware OPTIMIZE: content-neutral
+            t.compactPartitioned("pb", 1L << 30)
+        }
+      }
+      val liveVals = model.filter(_._2.nonEmpty).keySet
+      // full read equals the merged model
+      val wantAll = model.values.foldLeft(Map.empty[Seq[Any], Int]) {
+        (acc, m) => (acc.keySet ++ m.keySet).map(k =>
+          k -> (acc.getOrElse(k, 0) + m.getOrElse(k, 0))).toMap
+      }.filter(_._2 > 0)
+      if (wantAll.nonEmpty) {
+        val got = t.readPartitionedColumn("pb", Seq(0L, 1L, 2L, 3L)).get
+        assert(multiset(got) == wantAll,
+          s"trial $trial: full partitioned read diverged from the model")
+        // every per-value pruned read equals its slice of the model
+        liveVals.foreach { v =>
+          val one = t.readPartitionedColumn("pb", Seq(v))
+            .map(multiset).getOrElse(Map.empty)
+          assert(one == model(v).filter(_._2 > 0),
+            s"trial $trial: pruned read of pb=$v diverged")
+        }
+      }
+    }
+    bd.unpersist()
+    ()
+  }
+
   test("vacuum's grace window spares an in-flight writer's staged files") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val t = GraftTable.create(spark, freshRoot(), li)
