@@ -199,8 +199,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
     versions().map { v =>
       val c = readCommit(v)
       (v, c.action, c.adds.size.toLong, c.removes.size.toLong,
-        c.adds.map(_._2).sum)
-    }.toDF("version", "action", "n_added", "n_removed", "bytes_added")
+        c.adds.map(_._2).sum, c.tsMillis)
+    }.toDF("version", "action", "n_added", "n_removed", "bytes_added",
+      "committed_at_ms")
   }
 
   /** Live parquet files (relative path, bytes) at the latest version. */
