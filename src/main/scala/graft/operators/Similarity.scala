@@ -995,7 +995,7 @@ object Similarity {
         // n_vecs one batch behind until the next append/rebuild —
         // advisory metadata, the IndexExport self-description rule)
         val added = GraftTable.forPath(s, s"$outDir/index")
-          .readCommit(v).adds.map(f => s"$outDir/index/${f._1}")
+          .readCommit(v).adds.map(f => s"$outDir/index/${f.path}")
         val nNew = s.read.parquet(added: _*).count()
         val nVecs = meta.getAs[Long]("n_vecs") + nNew
         import s.implicits._

@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 import java.nio.charset.StandardCharsets.UTF_8
 
 /** Transactional parquet table — ONE commit-log discipline for every
@@ -16,32 +17,58 @@ import java.nio.charset.StandardCharsets.UTF_8
   * Layout:
   * {{{
   *   root/_graft_log/v000000000001.txt    commit files (delta actions)
-  *   root/_graft_log/ckpt-v000000000008.txt  checkpoint (full live set)
+  *   root/_graft_log/ckpt-v000000000008.txt  checkpoint (live set + tag
+  *                                           ledger + schema)
   *   root/data/<uuid>/part-*.parquet      immutable data files
+  *   root/cdf/<uuid>/part-*.parquet       row-level change images of
+  *                                        merge/delete commits (CDF)
   * }}}
   *
   * Protocol (Delta-Lake-shaped, format-independent):
   *   - data files are IMMUTABLE and uniquely named; a commit is the
   *     ONLY mutation, published as `v<N>` listing `add`/`remove`
-  *     actions (relative paths + sizes);
+  *     actions. Each `add` carries the file's byte size and (since
+  *     round 10) its parquet-footer COLUMN STATS (row count, per-column
+  *     min/max/null-count), and each commit records the table SCHEMA
+  *     after it — so predicates prune the file list during log
+  *     resolution (before any footer is opened) and an empty or
+  *     schema-evolved table stays readable from the log alone;
   *   - publish is single-winner atomic: the commit body is staged to
   *     a tmp file, then linked/renamed to the version name — hard
   *     link on a local fs (POSIX link(2) fails if the name exists),
   *     namenode-atomic rename on HDFS. Losers re-resolve and retry
   *     (append) or abort on true conflict (compact/overwrite whose
-  *     removed files are no longer live) — optimistic concurrency;
+  *     removed files are no longer live) — optimistic concurrency.
+  *     Schemes whose rename is NOT atomic (s3a/gcs/abfs Hadoop rename
+  *     is check-then-copy: two racing writers could both "win" the
+  *     same version and silently lose a commit) are REFUSED at publish
+  *     time unless `graft.logstore.unsafe=true` is set in the Hadoop
+  *     conf — Delta's LogStore-whitelist rule;
   *   - readers resolve a snapshot from the log ONLY (never by listing
   *     `data/`): newest checkpoint ≤ V, then deltas (ckpt, V]. The
   *     resolved file list is pinned, so a reader holds version V
   *     unperturbed while writers publish V+1… — snapshot isolation;
-  *   - every Kth commit writes a checkpoint of the full live set, so
-  *     resolution reads O(K) small files regardless of table age —
-  *     at 100 TB / millions of commits the log never becomes the scan;
+  *   - every Kth commit writes a checkpoint of the full live set
+  *     (with stats), the committed-tag ledger and the schema, so
+  *     resolution, replay-idempotence lookup and schema resolution
+  *     all read O(K) small files regardless of table age — and
+  *     survive vacuum dropping pre-horizon commits;
   *   - `remove` is LOGICAL: the file leaves the live set but stays on
   *     disk, which is what makes `readVersion(n)` (time travel) and
   *     long-running snapshot readers safe under concurrent compaction.
   *     `vacuum(retain)` physically deletes files unreferenced by the
   *     retained version horizon — the only deletion in the protocol.
+  *
+  * Row-level DML (round 10) is COPY-ON-WRITE, the reference's actual
+  * registry write path (`SaveData` app.py:5253, `DeleteData`
+  * app.py:5216, `uploadExcel` app.py:6063-6300) made transactional:
+  * [[merge]] / [[deleteWhere]] rewrite ONLY the files that contain
+  * touched keys/rows (file-level stats pruning first, then an exact
+  * membership probe), swap them in ONE atomic serializable commit,
+  * and write row-level change images (`_change_type` pre/post rows)
+  * that [[changeFeed]] serves to incremental consumers — so a
+  * 100 TB table pays for a small merge batch only the files that
+  * batch actually touches.
   *
   * Compaction under this discipline beats CompactFiles' fresh-dir
   * swap: compliant files are NOT copied (they are already immutable
@@ -75,7 +102,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
   def latestVersion: Long = versions().lastOption.getOrElse(0L)
 
   private def checkpointVersions(): Seq[Long] =
-    fs.listStatus(logDir).toSeq.map(_.getPath.getName).flatMap { n =>
+    if (!fs.exists(logDir)) Seq.empty
+    else fs.listStatus(logDir).toSeq.map(_.getPath.getName).flatMap { n =>
       if (n.startsWith(CkptPrefix) && n.endsWith(Suffix))
         scala.util.Try(n.substring(CkptPrefix.length,
           n.length - Suffix.length).toLong).toOption
@@ -93,49 +121,86 @@ class GraftTable private (val s: SparkSession, val root: String) {
   private def ckptPath(v: Long) = new Path(logDir, f"$CkptPrefix$v%012d$Suffix")
 
   private[graft] case class Commit(version: Long, action: String,
-                                   adds: Seq[(String, Long)],
+                                   adds: Seq[AddFile],
                                    removes: Seq[String],
+                                   cdf: Seq[(String, Long)],
+                                   schemaJson: Option[String],
                                    tsMillis: Long)
 
   private[graft] def readCommit(v: Long): Commit = {
     val lines = readLines(commitPath(v))
     // header: graft-commit \t version \t action [\t epoch-millis]
-    // (the timestamp field is round-9; older logs read as ts = 0)
+    // (the timestamp field is round-9; older logs read as ts = -1)
     val hdr = lines.head.split("\t", 4)
     val (ver, action) = (hdr(1), hdr(2))
     val ts = if (hdr.length >= 4) hdr(3).toLong else -1L // -1: pre-ts log
-    val adds = Seq.newBuilder[(String, Long)]
+    val adds = Seq.newBuilder[AddFile]
     val rems = Seq.newBuilder[String]
+    val cdfs = Seq.newBuilder[(String, Long)]
+    var schema: Option[String] = None
     lines.tail.foreach { l =>
-      val f = l.split("\t", 3)
+      val f = l.split("\t", 4)
       f(0) match {
-        case "add"    => adds += ((f(1), f(2).toLong))
+        case "add" =>
+          adds += AddFile(f(1), f(2).toLong,
+            if (f.length >= 4 && f(3).nonEmpty) Some(f(3)) else None)
         case "remove" => rems += f(1)
+        case "cdf"    => cdfs += ((f(1), f(2).toLong))
+        case "schema" => schema = Some(f(1))
         case other => sys.error(s"corrupt commit v$v: unknown action $other")
       }
     }
-    Commit(ver.toLong, action, adds.result(), rems.result(), ts)
+    Commit(ver.toLong, action, adds.result(), rems.result(), cdfs.result(),
+      schema, ts)
   }
 
-  /** The live (relpath → bytes) set at version `v` — checkpoint ≤ v
+  /** The live (relpath → meta) set at version `v` — checkpoint ≤ v
     * plus the deltas after it; O(checkpointEvery) log files read, not
-    * O(table age).
+    * O(table age). Meta carries bytes + the add-time footer stats.
     */
-  private def resolve(v: Long): Map[String, Long] = {
+  private def resolveMeta(v: Long): Map[String, FileMeta] = {
     if (v <= 0) return Map.empty
     val base = checkpointVersions().filter(_ <= v).lastOption
-    val start: Map[String, Long] = base match {
+    val start: Map[String, FileMeta] = base match {
       case None => Map.empty
-      case Some(cv) => readLines(ckptPath(cv)).map { l =>
-        val f = l.split("\t", 3); (f(1), f(2).toLong)
+      case Some(cv) => readLines(ckptPath(cv)).flatMap { l =>
+        val f = l.split("\t", 4)
+        if (f(0) == "file")
+          Some((f(1), FileMeta(f(2).toLong,
+            if (f.length >= 4 && f(3).nonEmpty) Some(f(3)) else None)))
+        else None // header / tag ledger / schema lines
       }.toMap
     }
     val from = base.getOrElse(0L)
     versions().filter(x => x > from && x <= v)
       .foldLeft(start) { (live, cv) =>
         val c = readCommit(cv)
-        (live -- c.removes) ++ c.adds
+        (live -- c.removes) ++
+          c.adds.map(a => a.path -> FileMeta(a.bytes, a.stats))
       }
+  }
+
+  private def resolve(v: Long): Map[String, Long] =
+    resolveMeta(v).view.mapValues(_.bytes).toMap
+
+  /** The recorded table schema at version `v` — the newest `schema`
+    * line in (checkpoint, v], else the checkpoint's. None on legacy
+    * logs that predate schema recording (readers fall back to parquet
+    * inference).
+    */
+  private[graft] def schemaAt(v: Long): Option[StructType] = {
+    if (v <= 0) return None
+    val base = checkpointVersions().filter(_ <= v).lastOption
+    val fromCommits = versions()
+      .filter(x => x > base.getOrElse(0L) && x <= v)
+      .reverseIterator
+      .flatMap(x => readCommit(x).schemaJson)
+      .nextOption()
+    fromCommits.orElse(base.flatMap { cv =>
+      readLines(ckptPath(cv)).collectFirst {
+        case l if l.startsWith("schema\t") => l.split("\t", 2)(1)
+      }
+    }).map(j => DataType.fromJson(j).asInstanceOf[StructType])
   }
 
   // ---- reads ----------------------------------------------------------
@@ -147,19 +212,36 @@ class GraftTable private (val s: SparkSession, val root: String) {
   def read(): DataFrame = readVersion(latestVersion)
 
   /** The live files of version `v` as absolute paths — the snapshot
-    * a reader (readVersion, or the `graft` DataSource) scans.
+    * a reader (readVersion, or the `graft` DataSource) scans. May be
+    * empty (e.g. a deleteWhere that emptied the table): the version
+    * is still readable through [[readVersion]]'s recorded schema.
     */
   def filesAsOf(v: Long): Seq[String] = {
     require(v >= 1 && fs.exists(commitPath(v)),
       s"version $v does not exist (have: ${versions().mkString(",")})")
-    val files = resolve(v).keys.toSeq.sorted.map(rel => s"$root/$rel")
-    require(files.nonEmpty, s"version $v has an empty live set")
-    files
+    resolveMeta(v).keys.toSeq.sorted.map(rel => s"$root/$rel")
   }
 
-  /** Time travel: the table exactly as committed at version `v`. */
-  def readVersion(v: Long): DataFrame =
-    s.read.parquet(filesAsOf(v): _*)
+  /** Time travel: the table exactly as committed at version `v`.
+    * Reads through the schema RECORDED at `v` when the log has one —
+    * so old-version reads return the old schema across an additive
+    * evolution, files predating a widened schema read as nulls in the
+    * new columns, and a legitimately EMPTY version returns an empty
+    * DataFrame instead of failing inference on zero files.
+    */
+  def readVersion(v: Long): DataFrame = {
+    val files = filesAsOf(v)
+    schemaAt(v) match {
+      case Some(sc) if files.isEmpty =>
+        s.createDataFrame(s.sparkContext.emptyRDD[Row], sc)
+      case Some(sc) => s.read.schema(sc).parquet(files: _*)
+      case None =>
+        require(files.nonEmpty,
+          s"version $v has an empty live set and no recorded schema " +
+            "(legacy log) — nothing to infer a schema from")
+        s.read.parquet(files: _*)
+    }
+  }
 
   /** The newest version committed at or before `tsMillis` — the
     * TIMESTAMP AS OF resolution (commit wall-clocks are recorded in
@@ -199,13 +281,51 @@ class GraftTable private (val s: SparkSession, val root: String) {
     versions().map { v =>
       val c = readCommit(v)
       (v, c.action, c.adds.size.toLong, c.removes.size.toLong,
-        c.adds.map(_._2).sum, c.tsMillis)
+        c.adds.map(_.bytes).sum, c.tsMillis)
     }.toDF("version", "action", "n_added", "n_removed", "bytes_added",
       "committed_at_ms")
   }
 
   /** Live parquet files (relative path, bytes) at the latest version. */
   def liveFiles(): Seq[(String, Long)] = resolve(latestVersion).toSeq.sorted
+
+  // ---- log-level data skipping ---------------------------------------
+
+  /** The live files at the latest version that MAY contain rows
+    * matching `pred`, decided from the per-file min/max/null stats
+    * recorded in the commit log — file-level DATA SKIPPING during log
+    * resolution, before any parquet footer is opened (Delta's
+    * stats-based pruning). Files without stats (legacy commits,
+    * unsupported column types) are conservatively kept, so the pruned
+    * list is always a superset of the matching rows' files.
+    */
+  def prunedFiles(pred: Column): Seq[String] = {
+    val e = org.apache.spark.sql.graft.shim.catalystExpression(pred)
+    resolveMeta(latestVersion).toSeq.sortBy(_._1).collect {
+      case (p, m) if FileStats.mayMatch(m.stats, e) => s"$root/$p"
+    }
+  }
+
+  /** Filtered read that plans ONLY the stats-surviving files (then
+    * re-applies `pred` exactly — skipping is an optimization, never
+    * the filter). At millions of files a selective predicate prunes
+    * the file list in the driver for the cost of reading O(K) log
+    * files, instead of opening every footer at scan time.
+    */
+  def readWhere(pred: Column): DataFrame = {
+    val files = prunedFiles(pred)
+    val sc = schemaAt(latestVersion)
+    val df =
+      if (files.isEmpty) sc match {
+        case Some(st) => s.createDataFrame(s.sparkContext.emptyRDD[Row], st)
+        case None => read() // legacy: no stats recorded anyway
+      }
+      else sc match {
+        case Some(st) => s.read.schema(st).parquet(files: _*)
+        case None => s.read.parquet(files: _*)
+      }
+    df.filter(pred)
+  }
 
   // ---- writes ---------------------------------------------------------
 
@@ -227,17 +347,38 @@ class GraftTable private (val s: SparkSession, val root: String) {
     listStaged(sub)
   }
 
+  /** Footer-derived stats for each staged file — an O(files) metadata
+    * read (row-group footers only, never data pages), folded into the
+    * commit's add-actions so later reads can skip at the log level.
+    */
+  private def statsOf(adds: Seq[(String, Long)]): Map[String, String] =
+    adds.flatMap { case (rel, _) =>
+      FileStats.fromFooter(new Path(rootPath, rel), conf).map(rel -> _)
+    }.toMap
+
   /** Single-winner atomic publish of `bytes` at `dst`: stage to tmp,
     * then hard-link (local fs — POSIX link(2) fails atomically if dst
     * exists) or rename (HDFS — namenode-atomic, false if dst exists).
     * Readers can never observe a partially-written commit file.
+    * Filesystems whose rename is NOT single-winner (object stores:
+    * s3a/gcs/abfs do check-then-copy, so two racers can both believe
+    * they won and a commit is silently lost) are refused outright
+    * unless the caller sets `graft.logstore.unsafe=true` — the same
+    * per-filesystem whitelist discipline as Delta's LogStore.
     */
   private def publish(dst: Path, bytes: Array[Byte]): Boolean = {
+    val scheme = fs.getScheme
+    require(AtomicRenameSchemes.contains(scheme) ||
+      conf.getBoolean("graft.logstore.unsafe", false),
+      s"filesystem scheme '$scheme' has no atomic single-winner rename — " +
+        "two concurrent writers could silently lose a commit. Use " +
+        "file/hdfs/viewfs, or set graft.logstore.unsafe=true to accept " +
+        "single-writer-only operation on this store")
     val tmp = new Path(logDir, s".${dst.getName}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
     out.write(bytes); out.close()
     val won =
-      if (fs.getScheme == "file") {
+      if (scheme == "file") {
         val t = java.nio.file.Paths.get(tmp.toUri.getPath)
         val d = java.nio.file.Paths.get(dst.toUri.getPath)
         try { java.nio.file.Files.createLink(d, t); true }
@@ -247,20 +388,72 @@ class GraftTable private (val s: SparkSession, val root: String) {
     won
   }
 
+  /** Committed idempotence tags at or before `v`, resolved from the
+    * newest checkpoint's TAG LEDGER plus the commits after it —
+    * O(checkpointEvery) reads, and tags survive vacuum dropping their
+    * commits (the ledger rides every checkpoint). Legacy checkpoints
+    * (no `graft-ckpt` header) predate the ledger: fall back to the
+    * full commit scan so no pre-checkpoint tag is forgotten.
+    */
+  private def tagsAsOf(v: Long): collection.mutable.Set[String] = {
+    val s0 = scala.collection.mutable.Set.empty[String]
+    val base = checkpointVersions().filter(_ <= v).lastOption.filter { cv =>
+      val lines = readLines(ckptPath(cv))
+      val ledgered = lines.headOption.exists(_.startsWith("graft-ckpt\t"))
+      if (ledgered) lines.foreach { l =>
+        if (l.startsWith("tag\t")) s0 += l.split("\t", 2)(1)
+      }
+      ledgered
+    }
+    versions().filter(x => x > base.getOrElse(0L) && x <= v).foreach { x =>
+      val a = readCommit(x).action
+      if (a.contains("@")) s0 += a // append@<tag> / replace@<tag>
+    }
+    s0
+  }
+
+  private var tagCache: Option[scala.collection.mutable.Set[String]] = None
+  private def committedTags(): scala.collection.Set[String] =
+    tagCache.getOrElse {
+      val s0 = tagsAsOf(latestVersion)
+      tagCache = Some(s0)
+      s0
+    }
+
+  /** Checkpoint body at `v`: header, schema, the full live set (with
+    * stats) and the committed-tag ledger.
+    */
+  private def checkpointBody(v: Long): Array[Byte] = {
+    val b = new StringBuilder(s"graft-ckpt\t$v\n")
+    schemaAt(v).foreach(sc => b.append(s"schema\t${sc.json}\n"))
+    resolveMeta(v).toSeq.sortBy(_._1).foreach { case (p, m) =>
+      b.append(s"file\t$p\t${m.bytes}${m.stats.map("\t" + _).getOrElse("")}\n")
+    }
+    tagsAsOf(v).toSeq.sorted.foreach(t => b.append(s"tag\t$t\n"))
+    b.toString.getBytes(UTF_8)
+  }
+
   /** Optimistic-concurrency commit loop. `removes` must still be live
     * at the winning version's predecessor — appends (no removes) can
     * always retry; a compact whose victims were removed by a
     * concurrent commit aborts with ConcurrentModificationException.
     * `basedOn` makes a commit SERIALIZABLE against its read version:
-    * replace-class commits (overwrite / replacePartitions / restore)
-    * compute their remove-set against a snapshot, and if ANY commit
-    * lands in between, "replace everything in scope" would silently
-    * let the concurrent files survive — Delta aborts that as a write
-    * conflict, and so does this (the caller re-reads and retries).
+    * replace-class commits (overwrite / replacePartitions / restore /
+    * merge / delete) compute their remove-set against a snapshot, and
+    * if ANY commit lands in between, "replace everything in scope"
+    * would silently let the concurrent files survive — Delta aborts
+    * that as a write conflict, and so does this (the caller re-reads
+    * and retries). `stats` carries per-file footer stats for the adds,
+    * `schema` the post-commit table schema (carried forward from the
+    * predecessor when not given), `cdf` the staged row-level change
+    * images of a DML commit.
     */
   private[graft] def commit(action: String, adds: Seq[(String, Long)],
                             removes: Seq[String],
-                            basedOn: Option[Long] = None): Long = {
+                            basedOn: Option[Long] = None,
+                            stats: Map[String, String] = Map.empty,
+                            schema: Option[StructType] = None,
+                            cdf: Seq[(String, Long)] = Seq.empty): Long = {
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
     var attempt = 0
     while (attempt < MaxRetries) {
@@ -271,23 +464,23 @@ class GraftTable private (val s: SparkSession, val root: String) {
             "while the replacement was being staged")
       }
       if (removes.nonEmpty) {
-        val live = resolve(prev).keySet
+        val live = resolveMeta(prev).keySet
         val gone = removes.filterNot(live)
         if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
           s"$action conflicts: files no longer live: ${gone.take(3).mkString(",")}")
       }
       val v = prev + 1
+      val sch = schema.orElse(if (prev > 0) schemaAt(prev) else None)
       val body = new StringBuilder(
         s"graft-commit\t$v\t$action\t${System.currentTimeMillis()}\n")
-      adds.foreach { case (p, b) => body.append(s"add\t$p\t$b\n") }
+      sch.foreach(sc => body.append(s"schema\t${sc.json}\n"))
+      adds.foreach { case (p, b) =>
+        body.append(s"add\t$p\t$b${stats.get(p).map("\t" + _).getOrElse("")}\n")
+      }
       removes.foreach(p => body.append(s"remove\t$p\n"))
+      cdf.foreach { case (p, b) => body.append(s"cdf\t$p\t$b\n") }
       if (publish(commitPath(v), body.toString.getBytes(UTF_8))) {
-        if (v % CheckpointEvery == 0) {
-          val live = resolve(v)
-          val ck = live.toSeq.sorted
-            .map { case (p, b) => s"file\t$p\t$b" }.mkString("", "\n", "\n")
-          publish(ckptPath(v), ck.getBytes(UTF_8))
-        }
+        if (v % CheckpointEvery == 0) publish(ckptPath(v), checkpointBody(v))
         return v
       }
       attempt += 1 // lost the race — re-resolve and try the next version
@@ -295,8 +488,53 @@ class GraftTable private (val s: SparkSession, val root: String) {
     sys.error(s"commit $action lost $MaxRetries consecutive version races")
   }
 
-  /** Append `df` as a new commit; returns the committed version. */
-  def append(df: DataFrame): Long = commit("append", stage(df), Seq.empty)
+  /** Order-free (name, type) signature for schema compatibility. */
+  private def sig(sch: StructType) =
+    sch.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+
+  /** The post-commit schema of an append-class write, enforcing
+    * compatibility with the recorded table schema: exact (order-free)
+    * match by default — a mismatched commit would poison every later
+    * read — or ADDITIVE EVOLUTION with `mergeSchema=true`: new columns
+    * append to the schema (old files read as null there), common
+    * columns must keep their type. Delta's mergeSchema rule.
+    */
+  private def appendSchema(df: StructType, mergeSchema: Boolean): StructType = {
+    val incoming = org.apache.spark.sql.graft.shim.nullable(df)
+    schemaAt(latestVersion) match {
+      case None => incoming
+      case Some(cur) =>
+        if (sig(cur) == sig(incoming)) cur
+        else if (!mergeSchema)
+          throw new IllegalArgumentException(
+            s"schema mismatch appending to graft table at $root: table has " +
+              s"${cur.simpleString}, batch has ${incoming.simpleString}; " +
+              "pass mergeSchema=true for additive evolution")
+        else {
+          val curNames = cur.fieldNames.toSet
+          incoming.fields.filter(f => curNames.contains(f.name)).foreach { f =>
+            val t = cur(f.name).dataType
+            require(t == f.dataType,
+              s"mergeSchema cannot change column '${f.name}' from " +
+                s"${t.simpleString} to ${f.dataType.simpleString}")
+          }
+          StructType(cur.fields ++
+            incoming.fields.filterNot(f => curNames.contains(f.name)))
+        }
+    }
+  }
+
+  /** Append `df` as a new commit; returns the committed version.
+    * `mergeSchema=true` allows ADDITIVE schema evolution (new columns
+    * recorded in the commit's schema; earlier files read as nulls
+    * there — old-version time travel keeps the old schema).
+    */
+  def append(df: DataFrame, mergeSchema: Boolean = false): Long = {
+    val sch = appendSchema(df.schema, mergeSchema)
+    val adds = stage(df)
+    commit("append", adds, Seq.empty, stats = statsOf(adds),
+      schema = Some(sch))
+  }
 
   /** Stage `df` hive-partitioned by `partCols`; relpaths carry the
     * partition directories (data/<uuid>/bucket=3/part-… ), which is
@@ -317,6 +555,15 @@ class GraftTable private (val s: SparkSession, val root: String) {
     walk(new Path(rootPath, sub), sub)
   }
 
+  /** The schema recorded for a partitioned stage: the DataFrame minus
+    * its partition columns (their values live in the file PATHS, not
+    * the file contents — readPartitionedColumn restores them from the
+    * path).
+    */
+  private def partitionedSchema(df: DataFrame, partCols: Seq[String]) =
+    org.apache.spark.sql.graft.shim.nullable(
+      StructType(df.schema.fields.filterNot(f => partCols.contains(f.name))))
+
   /** Hive-partitioned append as ONE atomic (optionally
     * tagged-idempotent) commit — the partition-preserving form of
     * `append`/`appendIdempotent` for tables whose readers prune on a
@@ -326,17 +573,22 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   def appendPartitioned(df: DataFrame, partCol: String,
                         tag: String = null): Option[Long] =
-    tagged("append", tag)(a =>
-      commit(a, stagePartitioned(df, Seq(partCol)), Seq.empty))
+    tagged("append", tag) { a =>
+      val adds = stagePartitioned(df, Seq(partCol))
+      commit(a, adds, Seq.empty, stats = statsOf(adds),
+        schema = Some(partitionedSchema(df, Seq(partCol))))
+    }
 
   /** Replace the whole live set with `df`, hive-partitioned — the
     * partition-preserving `overwrite` (an index REBUILD commit).
     */
   def overwritePartitioned(df: DataFrame, partCol: String): Long = {
     val base = latestVersion
-    val removes = resolve(base).keys.toSeq
-    commit("overwrite", stagePartitioned(df, Seq(partCol)), removes,
-      basedOn = Some(base))
+    val removes = resolveMeta(base).keys.toSeq
+    val adds = stagePartitioned(df, Seq(partCol))
+    commit("overwrite", adds, removes, basedOn = Some(base),
+      stats = statsOf(adds),
+      schema = Some(partitionedSchema(df, Seq(partCol))))
   }
 
   /** The distinct values of a partition column across the live set,
@@ -344,7 +596,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   def partitionValues(partCol: String): Seq[Long] = {
     val pat = s"/${java.util.regex.Pattern.quote(partCol)}=(-?\\d+)/".r
-    resolve(latestVersion).keys
+    resolveMeta(latestVersion).keys
       .flatMap(p => pat.findFirstMatchIn(p).map(_.group(1).toLong))
       .toSeq.distinct.sorted
   }
@@ -358,7 +610,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
   def readPartitionedColumn(partCol: String,
                             values: Seq[Long]): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
-    val live = resolve(latestVersion).keys
+    val live = resolveMeta(latestVersion).keys
     val tokens = values.map(v => s"/$partCol=$v/")
     val files = live.filter(p => tokens.exists(p.contains)).toSeq.sorted
     if (files.isEmpty) None
@@ -375,20 +627,35 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * their place — the bucket-registry MERGE shape (s7): a
     * micro-batch rewrites ONLY the partitions its keys hash into,
     * the untouched registry is never read or copied, and no reader
-    * can observe the half-swapped state. `tag` makes a replayed
-    * micro-batch a no-op (appendIdempotent's rule); pass null for an
-    * untagged replace. Returns the version, or None if the tag was
-    * already committed.
+    * can observe the half-swapped state. Rows of `df` OUTSIDE the
+    * declared `values` are rejected before staging (Delta's
+    * replaceWhere validation): they would otherwise be silently
+    * committed as appends inside a 'replace' commit. `tag` makes a
+    * replayed micro-batch a no-op (appendIdempotent's rule); pass
+    * null for an untagged replace. Returns the version, or None if
+    * the tag was already committed.
     */
   def replacePartitions(df: DataFrame, partCol: String, values: Seq[Long],
                         tag: String = null): Option[Long] =
     tagged("replace", tag) { action =>
       val base = latestVersion
       val tokens = values.map(v => s"/$partCol=$v/")
-      val removes = resolve(base).keys
+      val removes = resolveMeta(base).keys
         .filter(p => tokens.exists(p.contains)).toSeq
       val adds = stagePartitioned(df, Seq(partCol))
-      commit(action, adds, removes, basedOn = Some(base))
+      val outOfScope = adds.map(_._1)
+        .filterNot(p => tokens.exists(p.contains))
+      if (outOfScope.nonEmpty) {
+        adds.map(_._1.split("/").take(2).mkString("/")).distinct
+          .foreach(sub => fs.delete(new Path(rootPath, sub), true))
+        throw new IllegalArgumentException(
+          s"replacePartitions($partCol in ${values.mkString(",")}) got rows " +
+            s"outside the declared scope: ${outOfScope.take(3).mkString(",")}" +
+            " — the commit would silently append them inside a 'replace'")
+      }
+      commit(action, adds, removes, basedOn = Some(base),
+        stats = statsOf(adds),
+        schema = Some(partitionedSchema(df, Seq(partCol))))
     }
 
   /** Read ONLY the named partitions' live files — pruned from the
@@ -399,7 +666,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   def readPartitions(partCol: String, values: Seq[Long]): Option[DataFrame] = {
     val tokens = values.map(v => s"/$partCol=$v/")
-    val files = resolve(latestVersion).keys
+    val files = resolveMeta(latestVersion).keys
       .filter(p => tokens.exists(p.contains)).toSeq.sorted
     if (files.isEmpty) None
     // no basePath/partition recovery: callers key on real columns and
@@ -411,16 +678,21 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * recorded in the commit action, and a replayed batch whose tag is
     * already committed is a no-op — a checkpoint-restarted
     * foreachBatch sink lands each batch exactly once without any sink
-    * -side dedup state. Tags are scanned from the durable log on
-    * first use (restart-safe) and cached thereafter. Single writer
-    * per tag namespace assumed (Structured Streaming's guarantee).
+    * -side dedup state. Tags are resolved from the checkpoint tag
+    * ledger + later commits on first use (restart-safe, vacuum-safe)
+    * and cached thereafter. Single writer per tag namespace assumed
+    * (Structured Streaming's guarantee).
     */
   def appendIdempotent(df: DataFrame, tag: String): Option[Long] = {
     require(tag != null, "appendIdempotent needs a tag; use append")
-    tagged("append", tag)(a => commit(a, stage(df), Seq.empty))
+    tagged("append", tag) { a =>
+      val adds = stage(df)
+      commit(a, adds, Seq.empty, stats = statsOf(adds),
+        schema = Some(appendSchema(df.schema, mergeSchema = false)))
+    }
   }
 
-  /** The ONE tagged-idempotence guard all four tagged verbs share:
+  /** The ONE tagged-idempotence guard all tagged verbs share:
     * validate the tag, no-op (running `onReplay`) if its action is
     * already committed, otherwise run `body` with the action string
     * and record it in the cache.
@@ -442,18 +714,6 @@ class GraftTable private (val s: SparkSession, val root: String) {
     }
   }
 
-  private var tagCache: Option[scala.collection.mutable.Set[String]] = None
-  private def committedTags(): scala.collection.Set[String] =
-    tagCache.getOrElse {
-      val s0 = scala.collection.mutable.Set.empty[String]
-      versions().foreach { v =>
-        val a = readCommit(v).action
-        if (a.contains("@")) s0 += a // append@<tag> / replace@<tag>
-      }
-      tagCache = Some(s0)
-      s0
-    }
-
   /** Replace the whole live set with `df` atomically. Serializable:
     * a commit landing between this call's snapshot and its publish
     * aborts it as a write conflict (its files would otherwise
@@ -461,8 +721,164 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   def overwrite(df: DataFrame): Long = {
     val base = latestVersion
-    val removes = resolve(base).keys.toSeq
-    commit("overwrite", stage(df), removes, basedOn = Some(base))
+    val removes = resolveMeta(base).keys.toSeq
+    val adds = stage(df)
+    commit("overwrite", adds, removes, basedOn = Some(base),
+      stats = statsOf(adds), schema = Some(org.apache.spark.sql.graft.shim.nullable(df.schema)))
+  }
+
+  // ---- row-level DML (copy-on-write) ----------------------------------
+
+  /** Relative live paths of the files a DataFrame row set actually
+    * came from, mapped back from input_file_name's absolute URIs.
+    */
+  private def toRelative(absolute: Seq[String]): Seq[String] = {
+    val rootAbs = fs.makeQualified(rootPath).toUri.getPath
+    absolute.map { f =>
+      val p = new java.net.URI(f).getPath
+      require(p.startsWith(rootAbs + "/"),
+        s"file $p is not under table root $rootAbs")
+      p.substring(rootAbs.length + 1)
+    }
+  }
+
+  /** Copy-on-write DELETE (Delta's `DELETE FROM t WHERE pred`), the
+    * reference's delete endpoints (`DeleteData` app.py:5216) made
+    * transactional. Three-stage file discipline so a 100 TB table
+    * pays only for what the predicate touches:
+    *   1. STATS PRUNE: only files whose logged min/max may satisfy
+    *      `pred` are considered (no footer, no data read);
+    *   2. EXACT PROBE: one column-pruned scan of the candidates finds
+    *      the files that really contain matching rows;
+    *   3. REWRITE: only those files are read again, their surviving
+    *      rows re-staged, and the swap published as ONE serializable
+    *      commit (concurrent commit ⇒ conflict abort, like overwrite).
+    * Untouched files are never read, copied or rewritten — their
+    * bytes stay live byte-identical. Row-level change images
+    * (`_change_type='delete'`) are staged for [[changeFeed]].
+    * Returns the new version, or the current one if nothing matched.
+    */
+  def deleteWhere(pred: Column, cdfImages: Boolean = true): Long = {
+    import org.apache.spark.sql.functions.input_file_name
+    val base = latestVersion
+    require(base > 0, s"no graft table at $root")
+    val sc = schemaAt(base)
+    val e = org.apache.spark.sql.graft.shim.catalystExpression(pred)
+    val candidates = resolveMeta(base).toSeq.sortBy(_._1).collect {
+      case (p, m) if FileStats.mayMatch(m.stats, e) => p
+    }
+    if (candidates.isEmpty) return base
+    val candDf = sc match {
+      case Some(st) =>
+        s.read.schema(st).parquet(candidates.map(p => s"$root/$p"): _*)
+      case None => s.read.parquet(candidates.map(p => s"$root/$p"): _*)
+    }
+    // exact probe: which candidates hold matching rows (≤ #files rows)
+    val touched = toRelative(candDf.filter(pred)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+      .toSeq).sorted
+    if (touched.isEmpty) return base
+    val touchedDf = sc match {
+      case Some(st) =>
+        s.read.schema(st).parquet(touched.map(p => s"$root/$p"): _*)
+      case None => s.read.parquet(touched.map(p => s"$root/$p"): _*)
+    }
+    val survivors = touchedDf.filter(!pred)
+    val adds = stage(survivors)
+    val cdf =
+      if (!cdfImages) Seq.empty
+      else stageCdf(touchedDf.filter(pred)
+        .withColumn(ChangeTypeCol,
+          org.apache.spark.sql.functions.lit("delete")))
+    commit("delete", adds, touched, basedOn = Some(base),
+      stats = statsOf(adds), schema = sc, cdf = cdf)
+  }
+
+  /** Copy-on-write MERGE (Delta's `MERGE INTO`), the reference's
+    * upsert write path (`SaveData` app.py:5253, `uploadExcel`
+    * app.py:6063-6300) made transactional. Matched keys update via
+    * the per-column strategies of [[graft.operators.Upsert.merge]]
+    * (update-wins, semicolon-set-union…), unmatched update keys
+    * INSERT, and — the copy-on-write contract — only the files that
+    * contain a matched key are rewritten:
+    *   1. STATS PRUNE on the key column: the update batch's [min,max]
+    *      key range (one tiny aggregation) drops every file whose
+    *      logged key stats cannot overlap it;
+    *   2. EXACT PROBE: a key-column-only scan of the candidates,
+    *      broadcast-semi-joined to the batch's keys, names the files
+    *      that really hold matched keys (output ≤ #files);
+    *   3. REWRITE: those files' rows merge with the batch (one
+    *      broadcast join — the batch is endpoint-sized), inserts
+    *      included, and the swap is ONE serializable commit.
+    * Row-level change images (update_preimage / update_postimage /
+    * insert) are staged for [[changeFeed]]. Returns the new version.
+    */
+  def merge(updates: DataFrame, key: String,
+            strategies: Map[String, graft.operators.Upsert.MergeStrategy] =
+              Map.empty,
+            cdfImages: Boolean = true): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit, max, min}
+    val base = latestVersion
+    require(base > 0, s"no graft table at $root — append the batch instead")
+    val sc = schemaAt(base)
+    require(sc.forall(_.fieldNames.contains(key)),
+      s"merge key '$key' is not a column of the table")
+    // 1. stats prune on the batch's key range
+    val range = updates.agg(min(col(key)).as("lo"), max(col(key)).as("hi")).head
+    val (lo, hi) = (range.get(0), range.get(1))
+    val keyPred =
+      if (lo == null) lit(false) else col(key) >= lit(lo) && col(key) <= lit(hi)
+    val e = org.apache.spark.sql.graft.shim.catalystExpression(keyPred)
+    val candidates = resolveMeta(base).toSeq.sortBy(_._1).collect {
+      case (p, m) if FileStats.mayMatch(m.stats, e) => p
+    }
+    def readRel(paths: Seq[String]): DataFrame = sc match {
+      case Some(st) if paths.isEmpty =>
+        s.createDataFrame(s.sparkContext.emptyRDD[Row], st)
+      case Some(st) =>
+        s.read.schema(st).parquet(paths.map(p => s"$root/$p"): _*)
+      case None => s.read.parquet(paths.map(p => s"$root/$p"): _*)
+    }
+    val updKeys = updates.select(col(key)).distinct()
+    // 2. exact probe: candidate files really holding a matched key
+    val touched =
+      if (candidates.isEmpty) Seq.empty[String]
+      else toRelative(readRel(candidates)
+        .select(col(key), input_file_name().as("__f"))
+        .join(broadcast(updKeys), Seq(key))
+        .select("__f").distinct().collect().map(_.getString(0)).toSeq).sorted
+    // 3. rewrite touched rows merged with the batch (inserts included)
+    val baseRows = readRel(touched)
+    val merged = graft.operators.Upsert.merge(baseRows, updates, key, strategies)
+    val adds = stage(merged)
+    val cdf =
+      if (!cdfImages) Seq.empty
+      else {
+        val matched = updKeys.join(baseRows.select(col(key)), Seq(key),
+          "left_semi")
+        val pre = baseRows.join(broadcast(matched), Seq(key), "left_semi")
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+        val post = merged.join(broadcast(matched), Seq(key), "left_semi")
+          .withColumn(ChangeTypeCol, lit("update_postimage"))
+        val ins = merged.join(broadcast(matched), Seq(key), "left_anti")
+          .join(broadcast(updKeys), Seq(key), "left_semi")
+          .withColumn(ChangeTypeCol, lit("insert"))
+        stageCdf(pre.unionByName(post).unionByName(ins))
+      }
+    commit("merge", adds, touched, basedOn = Some(base),
+      stats = statsOf(adds), schema = sc, cdf = cdf)
+  }
+
+  /** Stage row-level change images under `cdf/<uuid>` — immutable
+    * like data files, referenced by the commit's `cdf` actions,
+    * reclaimed by vacuum when their commit leaves the log.
+    */
+  private def stageCdf(images: DataFrame): Seq[(String, Long)] = {
+    val sub = s"$CdfDir/${java.util.UUID.randomUUID.toString.take(12)}"
+    images.write.parquet(s"$root/$sub")
+    fs.listStatus(new Path(rootPath, sub)).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => (s"$sub/${f.getPath.getName}", f.getLen))
   }
 
   /** OPTIMIZE: rewrite undersized live files (< targetBytes/2) into
@@ -487,7 +903,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val merged = s.read
       .parquet(small.map(f => s"$root/${f._1}"): _*)
       .repartition(nOut)
-    commit("compact", stage(merged), small.map(_._1))
+    val adds = stage(merged)
+    commit("compact", adds, small.map(_._1), stats = statsOf(adds))
   }
 
   /** The hive-partition column of the live set, if any — parsed from
@@ -519,8 +936,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
           java.util.regex.Pattern.quote(s"/$partCol=") + "(-?\\d+)/", 1)
           .cast("long"))
       .repartition(nOut, col(partCol))
-    commit("compact", stagePartitioned(merged, Seq(partCol)),
-      small.map(_._1))
+    val adds = stagePartitioned(merged, Seq(partCol))
+    commit("compact", adds, small.map(_._1), stats = statsOf(adds))
   }
 
   /** OPTIMIZE ZORDER: rewrite the WHOLE live set z-ordered on
@@ -534,7 +951,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * two columns, after ingest has accreted arrival-ordered files.
     */
   def compactZOrder(dimA: String, dimB: String, numFiles: Int): Long = {
-    val live = resolve(latestVersion)
+    val live = resolveMeta(latestVersion)
     require(live.nonEmpty, "cannot z-order an empty table")
     partColOf(live.keys).foreach { pc =>
       throw new IllegalArgumentException(
@@ -547,7 +964,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
       org.apache.spark.sql.functions.col(dimA),
       org.apache.spark.sql.functions.col(dimB),
       s"$root/$sub", numFiles)
-    commit(s"zorder:$dimA,$dimB", listStaged(sub), live.keys.toSeq)
+    val adds = listStaged(sub)
+    commit(s"zorder:$dimA,$dimB", adds, live.keys.toSeq,
+      stats = statsOf(adds))
   }
 
   /** Adopt a caller-staged parquet directory as ONE atomic (and
@@ -565,44 +984,106 @@ class GraftTable private (val s: SparkSession, val root: String) {
     // replay: the segment is already in — drop the re-staged copy
     tagged("append", tag, onReplay = () => { fs.delete(staged, true); () }) {
       action =>
+        // schema recorded from the segment's own footers (no DataFrame
+        // here), enforced against the table like any other append
+        val sch = appendSchema(s.read.parquet(stagedDir).schema,
+          mergeSchema = false)
         val sub = freshSub()
         if (!fs.exists(new Path(rootPath, DataDir)))
           fs.mkdirs(new Path(rootPath, DataDir))
         require(fs.rename(staged, new Path(rootPath, sub)),
           s"adopt rename failed: $stagedDir -> $root/$sub")
-        commit(action, listStaged(sub), Seq.empty)
+        val adds = listStaged(sub)
+        commit(action, adds, Seq.empty, stats = statsOf(adds),
+          schema = Some(sch))
     }
   }
 
-  /** CHANGE FEED: the rows added by commits in (sinceVersion,
-    * latest] — the incremental-consumer primitive (Delta CDF's
-    * append slice): a downstream pass reads exactly the new data,
-    * never the table. Exact for append-shaped history; a non-append
-    * commit in the range (overwrite/compact/replace rewrites rows
-    * that are not new) throws rather than serving a wrong feed —
-    * the consumer must fall back to a snapshot diff (q51's shape).
-    * Returns None when the range added nothing.
+  /** CHANGE FEED (file-level): the rows added by commits in
+    * (sinceVersion, latest] — the incremental-consumer primitive
+    * (Delta CDF's append slice): a downstream pass reads exactly the
+    * new data, never the table. Exact for append-shaped history; a
+    * non-append commit in the range (overwrite/compact/replace
+    * rewrites rows that are not new) throws rather than serving a
+    * wrong feed — the consumer falls back to [[changeFeed]] (row-
+    * level images, serves merge/delete/compact too) or a snapshot
+    * diff (q51's shape). Returns None when the range added nothing.
     */
   def changesSince(sinceVersion: Long,
                    untilVersion: Long = Long.MaxValue): Option[DataFrame] = {
-    val until = math.min(untilVersion, latestVersion)
-    val vs = versions().filter(v => v > sinceVersion && v <= until)
-    // continuity: if vacuum dropped any commit in the range, the feed
-    // would silently lose those rows (and couldn't even see a dropped
-    // non-append commit to refuse it) — throw instead of serving a
-    // wrong feed; the consumer falls back to a snapshot diff
-    val missing = ((sinceVersion + 1) to until).filterNot(vs.contains)
-    if (missing.nonEmpty) throw new IllegalStateException(
-      s"change feed range ($sinceVersion, $until] has vacuumed commits: " +
-        s"v${missing.head}..v${missing.last}")
-    val commits = vs.map(readCommit)
+    val commits = commitRange(sinceVersion, untilVersion)
     val nonAppend = commits.filterNot(_.action.startsWith("append"))
     if (nonAppend.nonEmpty) throw new IllegalStateException(
       s"change feed undefined across non-append commits: " +
-        nonAppend.map(c => s"v${c.version}=${c.action}").mkString(","))
-    val files = commits.flatMap(_.adds.map(_._1)).sorted
+        nonAppend.map(c => s"v${c.version}=${c.action}").mkString(",") +
+        " — use changeFeed() for row-level images")
+    val files = commits.flatMap(_.adds.map(_.path)).sorted
     if (files.isEmpty) None
     else Some(s.read.parquet(files.map(f => s"$root/$f"): _*))
+  }
+
+  /** The commits in (since, until∧latest], refusing a vacuumed gap:
+    * if vacuum dropped any commit in the range, the feed would
+    * silently lose those rows (and couldn't even see a dropped
+    * non-append commit to refuse it) — throw instead of serving a
+    * wrong feed.
+    */
+  private def commitRange(since: Long, untilVersion: Long): Seq[Commit] = {
+    val until = math.min(untilVersion, latestVersion)
+    val vs = versions().filter(v => v > since && v <= until)
+    val missing = ((since + 1) to until).filterNot(vs.contains)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"change feed range ($since, $until] has vacuumed commits: " +
+        s"v${missing.head}..v${missing.last}")
+    vs.map(readCommit)
+  }
+
+  /** ROW-LEVEL CHANGE FEED (Delta CDF): every row change committed in
+    * (sinceVersion, until], as (payload…, _change_type,
+    * _commit_version):
+    *   - append commits serve their added files as `insert` rows;
+    *   - merge/delete commits serve the pre/post/delete images staged
+    *     at commit time ([[merge]]/[[deleteWhere]] write them);
+    *   - compact/zorder commits are content-neutral — no rows;
+    *   - overwrite/restore/replace commits have no row-level images
+    *     (they rewrite whole scopes) — the feed still REFUSES those
+    *     ranges rather than lying; fall back to a snapshot diff.
+    * Returns None when the range changed nothing.
+    */
+  def changeFeed(sinceVersion: Long,
+                 untilVersion: Long = Long.MaxValue): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.lit
+    val commits = commitRange(sinceVersion, untilVersion)
+    val unsupported = commits.filterNot(c =>
+      c.action.startsWith("append") || c.action == "merge" ||
+        c.action == "delete" || c.action == "compact" ||
+        c.action.startsWith("zorder:"))
+    if (unsupported.nonEmpty) throw new IllegalStateException(
+      "row-level change feed undefined across whole-scope rewrites: " +
+        unsupported.map(c => s"v${c.version}=${c.action}").mkString(",") +
+        " — fall back to a snapshot diff of the two versions")
+    val slices = commits.flatMap { c =>
+      if (c.action.startsWith("append")) {
+        val files = c.adds.map(_.path).sorted
+        if (files.isEmpty) None
+        else {
+          val base = c.schemaJson match {
+            case Some(j) => s.read
+              .schema(DataType.fromJson(j).asInstanceOf[StructType])
+              .parquet(files.map(f => s"$root/$f"): _*)
+            case None => s.read.parquet(files.map(f => s"$root/$f"): _*)
+          }
+          Some(base.withColumn(ChangeTypeCol, lit("insert"))
+            .withColumn(VersionCol, lit(c.version)))
+        }
+      } else if (c.action == "merge" || c.action == "delete") {
+        if (c.cdf.isEmpty) None
+        else Some(s.read.parquet(c.cdf.map(f => s"$root/${f._1}"): _*)
+          .withColumn(VersionCol, lit(c.version)))
+      } else None // compact / zorder: content-neutral
+    }
+    if (slices.isEmpty) None
+    else Some(slices.reduce(_.unionByName(_)))
   }
 
   /** Exactly-once incremental consumption of the change feed — the
@@ -641,13 +1122,16 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * (the old files are still on disk because removes are logical).
     */
   def restore(v: Long): Long = {
-    val target = resolve(v)
+    val target = resolveMeta(v)
     require(target.nonEmpty, s"cannot restore to empty/unknown version $v")
     val base = latestVersion
-    val current = resolve(base).keySet
+    val current = resolveMeta(base).keySet
     val adds = target.toSeq.filterNot { case (p, _) => current(p) }
     val removes = (current -- target.keySet).toSeq
-    commit(s"restore:$v", adds, removes, basedOn = Some(base))
+    commit(s"restore:$v", adds.map { case (p, m) => (p, m.bytes) }, removes,
+      basedOn = Some(base),
+      stats = adds.collect { case (p, FileMeta(_, Some(st))) => p -> st }.toMap,
+      schema = schemaAt(v))
   }
 
   /** Physically delete data files unreferenced by every retained
@@ -655,25 +1139,27 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * entries. Time travel before the horizon is gone after this —
     * the one destructive operation in the protocol. Also reclaims
     * ORPHANS: files staged by a writer that crashed before its
-    * commit published (they are referenced by no version at all).
+    * commit published (they are referenced by no version at all),
+    * and the change images of vacuumed DML commits.
     * Retention is the caller's safety contract with LIVE readers:
     * a snapshot pinned at a version below the horizon reads files
     * vacuum may delete — choose `retainVersions` to exceed the age
     * of any reader still running (Delta's retention-window rule).
+    * The checkpoint written at the horizon carries the committed-tag
+    * ledger, so replay-idempotence survives the dropped commits.
     */
   def vacuum(retainVersions: Int = 2,
              orphanGraceMillis: Long = 10L * 60 * 1000): Unit = {
     val vs = versions()
     if (vs.isEmpty) return // nothing committed: nothing to reclaim
     val keep = vs.takeRight(math.max(1, retainVersions))
-    val referenced = keep.flatMap(v => resolve(v).keys).toSet
-    // checkpoint the horizon so resolution never needs dropped entries
+    val referenced = keep.flatMap(v => resolveMeta(v).keys).toSet
+    val referencedCdf = keep.flatMap(v => readCommit(v).cdf.map(_._1)).toSet
+    // checkpoint the horizon so resolution (and the tag ledger) never
+    // needs dropped entries
     val horizon = keep.head
-    if (!fs.exists(ckptPath(horizon))) {
-      val ck = resolve(horizon).toSeq.sorted
-        .map { case (p, b) => s"file\t$p\t$b" }.mkString("", "\n", "\n")
-      publish(ckptPath(horizon), ck.getBytes(UTF_8))
-    }
+    if (!fs.exists(ckptPath(horizon)))
+      publish(ckptPath(horizon), checkpointBody(horizon))
     // full recursive sweep (partitioned tables nest value dirs under
     // data/<uuid>/). The grace window protects an IN-FLIGHT writer:
     // staged-but-not-yet-committed files are unreferenced by design
@@ -682,17 +1168,19 @@ class GraftTable private (val s: SparkSession, val root: String) {
     // writer is about to publish — only unreferenced files OLDER than
     // the window die (Delta's retention-age rule).
     val now = System.currentTimeMillis()
-    def sweep(p: Path, rel: String): Unit =
+    def sweep(p: Path, rel: String, refs: String => Boolean): Unit =
       fs.listStatus(p).foreach { st =>
         val r = s"$rel/${st.getPath.getName}"
-        if (st.isDirectory) sweep(st.getPath, r)
+        if (st.isDirectory) sweep(st.getPath, r, refs)
         else if (st.getPath.getName.endsWith(".parquet") &&
-          !referenced(r) &&
+          !refs(r) &&
           now - st.getModificationTime >= orphanGraceMillis)
           fs.delete(st.getPath, false)
       }
     val dataRoot = new Path(rootPath, DataDir)
-    if (fs.exists(dataRoot)) sweep(dataRoot, DataDir)
+    if (fs.exists(dataRoot)) sweep(dataRoot, DataDir, referenced)
+    val cdfRoot = new Path(rootPath, CdfDir)
+    if (fs.exists(cdfRoot)) sweep(cdfRoot, CdfDir, referencedCdf)
     vs.filter(_ < horizon).foreach { v => fs.delete(commitPath(v), false) }
     checkpointVersions().filter(_ < horizon)
       .foreach(v => fs.delete(ckptPath(v), false))
@@ -702,11 +1190,21 @@ class GraftTable private (val s: SparkSession, val root: String) {
 object GraftTable {
   private val LogDir = "_graft_log"
   private val DataDir = "data"
+  private val CdfDir = "cdf"
   private val VerPrefix = "v"
   private val CkptPrefix = "ckpt-v"
   private val Suffix = ".txt"
   private val CheckpointEvery = 8L
   private val MaxRetries = 64
+  /** The CDF change-type / commit-version column names (Delta's). */
+  val ChangeTypeCol = "_change_type"
+  val VersionCol = "_commit_version"
+  /** Schemes whose fail-if-exists rename/link is single-winner. */
+  private val AtomicRenameSchemes = Set("file", "hdfs", "viewfs")
+
+  private[graft] case class AddFile(path: String, bytes: Long,
+                                    stats: Option[String])
+  private[graft] case class FileMeta(bytes: Long, stats: Option[String])
 
   /** Create a table at `root` with `df` as version 1. */
   def create(s: SparkSession, root: String, df: DataFrame): GraftTable = {

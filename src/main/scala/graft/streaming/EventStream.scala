@@ -748,7 +748,12 @@ object EventStream {
         batch.select("doc_id").join(best, Seq("doc_id"), "left")
           .select(col("doc_id"), col("dup_of").isNull.as("admit"),
             col("dup_of"), col("est_jaccard"))
-          .write.parquet(s"$root/res/v$batchId")
+          // overwrite, not ErrorIfExists: on a checkpoint replay after a
+          // crash the tagged replace commit below no-ops, and the res
+          // slice must be an idempotent same-path rewrite too — a
+          // "path already exists" throw would permanently fail the
+          // stream and undercut the replay-is-a-no-op contract
+          .write.mode("overwrite").parquet(s"$root/res/v$batchId")
         // touched buckets carry their prior rows forward + the batch's
         // rows in ONE atomic replace commit; untouched buckets' files
         // stay live untouched
@@ -812,7 +817,10 @@ object EventStream {
         if (!qs.isEmpty)
           graft.operators.Similarity
             .e8ProbeIndex(s, qs, corpus, idxDir)
-            .write.parquet(s"$root/res/v$batchId")
+            // idempotent same-path rewrite on checkpoint replay (the
+            // s13 rule): a replayed batch re-derives the identical
+            // answer, it must not throw on the existing path
+            .write.mode("overwrite").parquet(s"$root/res/v$batchId")
         ()
       }
       .start()

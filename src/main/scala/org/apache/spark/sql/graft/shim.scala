@@ -14,6 +14,14 @@ object shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Column → CONVERTED Catalyst tree. `expression(c)` returns a lazy
+    * `ColumnNodeExpression` wrapper (fine for plans, opaque to
+    * pattern-matching); this runs the session converter so stats
+    * evaluation sees the real And/LessThan/Literal shapes.
+    */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   def registerFunction(spark: SparkSession, name: String,
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -33,6 +41,13 @@ object shim {
     org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
       name, spark, options, paths, None,
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+
+  /** All-fields-nullable view of a schema (`StructType.asNullable` is
+    * `private[sql]`): recorded table schemas must not impose a
+    * written DataFrame's non-null flags on later parquet reads.
+    */
+  def nullable(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = st.asNullable
 
   /** Drain the async listener bus so `statusTracker` reflects every
     * event already posted — needed by specs that assert on job COUNTS

@@ -1,0 +1,293 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.GraftTable
+import java.nio.file.Files
+
+/** Round-10 GraftTable surfaces: log-level data skipping from the
+  * per-file stats in add-actions, copy-on-write MERGE/DELETE with
+  * touched-file-only rewrites, row-level CDF images, additive schema
+  * evolution, the vacuum-safe tag ledger, and empty-live-set reads.
+  */
+class GraftDmlSpec extends SparkSpec {
+
+  private def multiset(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+
+  private def freshRoot() =
+    Files.createTempDirectory("graft_dml").toString + "/t"
+
+  /** orders projected to a stable 3-column registry, range-staged on
+    * the key so files carry disjoint key ranges (what stats skipping
+    * prunes on).
+    */
+  private def registry() = Tables.orders(spark, sf)
+    .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    .repartitionByRange(8, col("o_orderkey"))
+
+  private def rangedTable() = GraftTable.create(spark, freshRoot(), registry())
+
+  test("add-actions carry footer stats; a selective predicate plans strictly fewer files") {
+    val t = rangedTable()
+    val c = t.readCommit(1)
+    assert(c.adds.nonEmpty && c.adds.forall(_.stats.isDefined),
+      "staged adds lost their footer stats")
+    // a point-range predicate on the range-staged key prunes
+    val keyMax = Tables.orders(spark, sf)
+      .agg(max("o_orderkey")).head.getLong(0)
+    val pred = col("o_orderkey") <= lit(keyMax / 10)
+    val pruned = t.prunedFiles(pred)
+    assert(pruned.nonEmpty && pruned.size < t.liveFiles().size,
+      s"no log-level skipping: planned ${pruned.size} of ${t.liveFiles().size}")
+    // skipping is an optimization, never the filter: results identical
+    assert(multiset(t.readWhere(pred)) ==
+      multiset(t.read().filter(pred)), "readWhere diverged from full filter")
+    // a predicate outside every file's range plans zero files
+    assert(t.prunedFiles(col("o_orderkey") > lit(keyMax + 1)).isEmpty)
+    assert(t.readWhere(col("o_orderkey") > lit(keyMax + 1)).count() == 0)
+    // string stats prune too (status is F/O/P)
+    assert(t.prunedFiles(col("o_orderstatus") === "Z").isEmpty)
+    // and an unsupported predicate shape conservatively keeps all
+    assert(t.prunedFiles(length(col("o_orderstatus")) === 1).size ==
+      t.liveFiles().size)
+  }
+
+  test("deleteWhere rewrites ONLY touched files; untouched bytes stay live byte-identical") {
+    val t = rangedTable()
+    val before = t.liveFiles()
+    val preAll = multiset(t.read())
+    val keyMax = Tables.orders(spark, sf)
+      .agg(max("o_orderkey")).head.getLong(0)
+    val pred = col("o_orderkey") <= lit(keyMax / 10) &&
+      col("o_orderstatus") === "O"
+    val want = multiset(t.read().filter(!pred))
+    val v = t.deleteWhere(pred)
+    assert(v == 2, "deleteWhere must publish exactly one commit")
+    assert(multiset(t.read()) == want, "post-delete state wrong")
+    // copy-on-write: files whose key range the predicate cannot reach
+    // were never rewritten — same identity (path AND bytes) still live
+    val after = t.liveFiles().toSet
+    val untouched = before.filterNot { case (p, _) =>
+      t.readCommit(2).removes.contains(p) }
+    assert(untouched.nonEmpty && untouched.forall(after.contains),
+      "an untouched file was rewritten by deleteWhere")
+    assert(t.readCommit(2).removes.size < before.size,
+      "deleteWhere rewrote every file — no stats/probe pruning happened")
+    // time travel across the DML still serves the pre-delete rows
+    assert(multiset(t.readVersion(1)) == preAll)
+    // no-match predicate: no new commit
+    assert(t.deleteWhere(col("o_orderkey") > lit(keyMax + 1)) == 2)
+  }
+
+  test("merge updates matched keys per strategy, inserts the rest, rewrites only touched files") {
+    val t = rangedTable()
+    val before = t.liveFiles()
+    val keyMax = Tables.orders(spark, sf)
+      .agg(max("o_orderkey")).head.getLong(0)
+    // a batch confined to the low key decade + some brand-new keys
+    val updates = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") <= keyMax / 10 &&
+        pmod(col("o_orderkey"), lit(3)) === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+      .unionByName(spark.range(1, 4)
+        .select((lit(keyMax) + col("id") * 7).as("o_orderkey"),
+          lit(999.5).as("o_totalprice")))
+    val base = t.read()
+    val want = multiset(graft.operators.Upsert.merge(
+      base, updates, "o_orderkey"))
+    val v = t.merge(updates, "o_orderkey")
+    assert(multiset(t.read()) == want,
+      "merge diverged from the reference full-table merge semantics")
+    // copy-on-write: only low-range files (and none of the high-range
+    // ones) were swapped; the new keys land in the rewrite commit
+    val removed = t.readCommit(v).removes.toSet
+    assert(removed.nonEmpty && removed.size < before.size,
+      "merge rewrote every file — no key-range pruning happened")
+    val after = t.liveFiles().toSet
+    assert(before.filterNot(f => removed.contains(f._1))
+      .forall(after.contains), "an untouched file was rewritten by merge")
+  }
+
+  test("DML commits inherit the serializable conflict abort") {
+    val t = rangedTable()
+    // replicate merge's window deterministically: its remove-set is
+    // computed against a snapshot, then a concurrent commit advances
+    // the table before the DML commit publishes
+    val base = t.latestVersion
+    val removes = t.liveFiles().map(_._1).take(2)
+    t.append(registry().limit(5)) // the concurrent commit
+    intercept[java.util.ConcurrentModificationException] {
+      t.commit("merge", Seq.empty, removes, basedOn = Some(base))
+    }
+    ()
+  }
+
+  test("changeFeed serves row-level images across append/merge/delete/compact") {
+    val t = rangedTable()                                     // v1 insert
+    val keyMax = Tables.orders(spark, sf)
+      .agg(max("o_orderkey")).head.getLong(0)
+    val updates = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") <= keyMax / 20)
+      .select(col("o_orderkey"), (col("o_totalprice") + 1).as("o_totalprice"))
+      .unionByName(spark.range(1, 3)
+        .select((lit(keyMax) + col("id") * 11).as("o_orderkey"),
+          lit(7.5).as("o_totalprice")))
+    val nMatched = t.read()
+      .filter(col("o_orderkey") <= keyMax / 20).count()
+    val v2 = t.merge(updates, "o_orderkey")                   // v2 merge
+    val delPred = col("o_orderkey") > keyMax / 20 &&
+      col("o_orderkey") <= keyMax / 10 && col("o_orderstatus") === "F"
+    val nDeleted = t.read().filter(delPred).count()
+    val v3 = t.deleteWhere(delPred)                           // v3 delete
+    assert(v2 == 2 && v3 == 3)
+    t.compact(1L << 30)                                       // v4 neutral
+    val feed = t.changeFeed(1).get
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.getOrElse("update_preimage", 0L) == nMatched)
+    assert(byType.getOrElse("update_postimage", 0L) == nMatched)
+    assert(byType.getOrElse("insert", 0L) == 2)
+    assert(byType.getOrElse("delete", 0L) == nDeleted)
+    // post-images really carry the updated values
+    val post = feed.filter(col("_change_type") === "update_postimage")
+    val pre = feed.filter(col("_change_type") === "update_preimage")
+    assert(multiset(post.select("o_orderkey", "o_totalprice")) ==
+      multiset(pre.select(col("o_orderkey"),
+        (col("o_totalprice") + 1).as("o_totalprice"))))
+    // versions are stamped, compaction contributed nothing
+    assert(feed.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L))
+    // replaying the feed over v1 reproduces the table (CDF is complete)
+    val replayed = t.readVersion(1)
+      .join(pre.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .join(feed.filter(col("_change_type") === "delete")
+        .select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(post.drop("_change_type", "_commit_version"))
+      .unionByName(feed.filter(col("_change_type") === "insert")
+        .drop("_change_type", "_commit_version"))
+    assert(multiset(replayed) == multiset(t.read()),
+      "replaying the change feed did not reproduce the current state")
+    // whole-scope rewrites still refuse
+    t.overwrite(registry().limit(10))
+    intercept[IllegalStateException] { t.changeFeed(1) }
+    ()
+  }
+
+  test("mergeSchema appends evolve additively; old versions keep their schema") {
+    val t = GraftTable.create(spark, freshRoot(),
+      Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"))
+    val widened = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus").as("status"))
+    // exact-schema enforcement without the flag
+    intercept[IllegalArgumentException] { t.append(widened) }
+    t.append(widened, mergeSchema = true)
+    // latest: union schema; rows from v1 files read null in the new col
+    val cur = t.read()
+    assert(cur.columns.toSeq == Seq("o_orderkey", "o_totalprice", "status"))
+    assert(cur.filter(col("status").isNull).count() ==
+      t.readVersion(1).count())
+    // time travel predates the evolution: old schema exactly
+    assert(t.readVersion(1).columns.toSeq == Seq("o_orderkey", "o_totalprice"))
+    // a type CHANGE is refused even with the flag
+    intercept[IllegalArgumentException] {
+      t.append(Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_totalprice").cast("string"),
+          col("o_orderstatus").as("status")), mergeSchema = true)
+    }
+    ()
+  }
+
+  test("a legitimately empty version reads as an empty DataFrame with the recorded schema") {
+    val t = GraftTable.create(spark, freshRoot(),
+      Tables.orders(spark, sf).select("o_orderkey", "o_orderstatus").limit(100))
+    val v = t.deleteWhere(lit(true))
+    val empty = t.read()
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("o_orderkey", "o_orderstatus"))
+    // and the table is still writable + time-travelable past the hole
+    assert(t.readVersion(1).count() == 100)
+    t.append(Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus").limit(7))
+    assert(t.read().count() == 7 && t.latestVersion == v + 1)
+  }
+
+  test("the checkpoint tag ledger keeps replay-idempotence across vacuum") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .limit(1200).cache()
+    li.count()
+    val root = freshRoot()
+    val t = GraftTable.forPath(spark, root)
+    // 10 tagged batches: the checkpoint at v8 carries tags batch-0..7
+    (0 until 10).foreach { i =>
+      assert(t.appendIdempotent(li.filter(col("l_orderkey") % 10 === i),
+        s"batch-$i").contains(i + 1L))
+    }
+    // vacuum drops the commits below the horizon — the tags must NOT
+    // be forgotten with them (pre-round-10 they were: a checkpoint
+    // replay of an old batch would re-commit duplicate rows)
+    t.vacuum(retainVersions = 1, orphanGraceMillis = 0)
+    val t2 = GraftTable.forPath(spark, root) // fresh handle, cold cache
+    (0 until 10).foreach { i =>
+      assert(t2.appendIdempotent(li.limit(5), s"batch-$i").isEmpty,
+        s"vacuum forgot committed tag batch-$i — duplicate commit")
+    }
+    assert(multiset(t2.read()) == multiset(li))
+    li.unpersist()
+    ()
+  }
+
+  test("replacePartitions refuses rows outside the declared partition scope") {
+    val bd = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"),
+        pmod(col("l_partkey"), lit(4L)).as("pb"))
+    val t = GraftTable.forPath(spark, freshRoot())
+    t.appendPartitioned(bd, "pb")
+    val before = multiset(t.readPartitionedColumn("pb", Seq(0L, 1L, 2L, 3L)).get)
+    // rows with pb ∈ {0,1} declared as a pb=0-only replace: refused
+    intercept[IllegalArgumentException] {
+      t.replacePartitions(bd.filter(col("pb").isin(0L, 1L)), "pb", Seq(0L))
+    }
+    // the aborted replace left no commit and no content change
+    assert(t.latestVersion == 1)
+    assert(multiset(t.readPartitionedColumn("pb", Seq(0L, 1L, 2L, 3L)).get)
+      == before)
+    // the well-scoped replace still works
+    assert(t.replacePartitions(bd.filter(col("pb") === 0L), "pb", Seq(0L))
+      .contains(2L))
+  }
+
+  test("object-store schemes without atomic rename are refused at publish") {
+    // a scheme outside the whitelist must fail fast (its rename is
+    // check-then-copy: two racing writers could both "win" a version
+    // and a commit is silently lost); the escape hatch conf re-enables
+    // single-writer use. Exercised via a local-disk filesystem that
+    // reports an object-store-style scheme.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.fakes3.impl", classOf[FakeObjectStoreFs].getName)
+    val dir = Files.createTempDirectory("graft_fakes3").toString
+    val df = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus").limit(3)
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.forPath(spark, s"fakes3://$dir/t").append(df)
+    }
+    assert(e.getMessage.contains("atomic single-winner rename"),
+      e.getMessage)
+    // the explicit opt-in accepts single-writer-only operation
+    hconf.setBoolean("graft.logstore.unsafe", true)
+    try {
+      val t = GraftTable.forPath(spark, s"fakes3://$dir/t2")
+      t.append(df)
+      assert(t.read().count() == 3)
+    } finally hconf.unset("graft.logstore.unsafe")
+  }
+}
+
+/** Local-disk filesystem masquerading as an object store (a scheme
+  * with no atomic rename) — lets the LogStore-whitelist refusal be
+  * exercised without any real store.
+  */
+class FakeObjectStoreFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "fakes3"
+  override def getUri: java.net.URI = java.net.URI.create("fakes3:///")
+}

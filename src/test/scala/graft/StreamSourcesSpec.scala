@@ -330,7 +330,7 @@ class StreamSourcesSpec extends SparkSpec {
     // was never rewritten), the bulk batch's commit spans many buckets
     val t = graft.sources.GraftTable.forPath(spark, root)
     def bucketsOf(c: graft.sources.GraftTable#Commit): Set[String] =
-      c.adds.map(_._1).flatMap(
+      c.adds.map(_.path).flatMap(
         "bucket=\\d+".r.findFirstIn(_)).toSet
     val commits = t.versions().map(t.readCommit)
     assert(commits.exists(c =>
