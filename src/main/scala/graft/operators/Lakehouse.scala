@@ -123,11 +123,80 @@ object Lakehouse {
 
   private val restored = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
 
+  // ---- row-level DML lifecycle (q78/q79/q80) --------------------------
+  //
+  // The copy-on-write MERGE/DELETE verbs exercised end-to-end and read
+  // BACK FROM THE LOG — the reference's registry write path (`SaveData`
+  // app.py:5253, `DeleteData` app.py:5216, `uploadExcel`
+  // app.py:6063-6300) as transactional table commits:
+  //   v1  create: the 'F' orders, range-staged on the key so files
+  //       carry disjoint key ranges (what the DML prunes on);
+  //   v2  merge:  every key ≡ 0 (mod 10) re-priced ×2 — non-'F' keys
+  //       among them INSERT (update-only columns null-fill);
+  //   v3  delete: keys ≤ max/4 with key ≡ 3 (mod 7) — a predicate the
+  //       stats prune can bound to the low-range files.
+  // All three queries hash-match DuckDB replaying the same algebra on
+  // `orders`, so a DML that leaked rows, rewrote the wrong files, or
+  // served stale snapshots cannot pass.
+  private val dml = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
+
+  private[graft] def dmlLifecycle(s: SparkSession, d: String): GraftTable =
+    dml.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_lakehouse_dml").toString + "/t"
+      val orders = Tables.orders(s, d).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+      val keyMax = orders.agg(max("o_orderkey")).head.getLong(0)
+      val t = GraftTable.create(s, root,
+        orders.filter(col("o_orderstatus") === "F")
+          .repartitionByRange(8, col("o_orderkey")))               // v1
+      val updates = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      t.merge(updates, "o_orderkey")                               // v2
+      t.deleteWhere(col("o_orderkey") <= lit(keyMax / 4) &&
+        pmod(col("o_orderkey"), lit(7)) === 3)                     // v3
+      t
+    })
+
+  // q78: MERGE INTO — the post-merge table read back from the commit
+  // log at version 2: matched 'F' keys carry the doubled price,
+  // unmatched keep theirs, update-only keys are inserted with a null
+  // status. Full-row output: a merge that dropped, duplicated or
+  // mis-resolved one row anywhere hash-fails.
+  def q78MergeInto(s: SparkSession, d: String): DataFrame =
+    dmlLifecycle(s, d).readVersion(2).orderBy("o_orderkey")
+
+  // q79: DELETE WHERE — the current table after the copy-on-write
+  // delete: exactly the merged state minus the predicate's rows,
+  // read from the log (v3). GraftDmlSpec separately proves only
+  // touched files were rewritten; this proves the surviving CONTENT.
+  def q79DeleteWhere(s: SparkSession, d: String): DataFrame =
+    dmlLifecycle(s, d).read().orderBy("o_orderkey")
+
+  // q80: the ROW-LEVEL change feed over the DML range (1, 3]:
+  // update_preimage/update_postimage/insert images from the merge,
+  // delete images from the delete, aggregated per change type with
+  // exact-decimal sums. Proves the staged CDF images — not the table —
+  // reconstruct what changed (Delta CDF semantics).
+  def q80CdfMerge(s: SparkSession, d: String): DataFrame =
+    dmlLifecycle(s, d).changeFeed(1, untilVersion = 3).get
+      .groupBy("_change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("total_price"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("_change_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_time_travel" -> (q74TimeTravel _),
     "q75_table_history" -> (q75TableHistory _),
     "q76_change_feed" -> (q76ChangeFeed _),
     "q77_restore" -> (q77Restore _),
+    "q78_merge_into" -> (q78MergeInto _),
+    "q79_delete_where" -> (q79DeleteWhere _),
+    "q80_cdf_merge" -> (q80CdfMerge _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -152,6 +221,63 @@ object Lakehouse {
         |    AS total_price
         |FROM orders WHERE o_orderstatus IN ('F', 'O')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q78_merge_into" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |upd AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS p
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+        |  b.o_orderstatus AS o_orderstatus,
+        |  COALESCE(u.p, b.o_totalprice) AS o_totalprice
+        |FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q79_delete_where" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |upd AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS p
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |merged AS (
+        |  SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+        |    b.o_orderstatus AS o_orderstatus,
+        |    COALESCE(u.p, b.o_totalprice) AS o_totalprice
+        |  FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey)
+        |SELECT * FROM merged
+        |WHERE NOT (o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)
+        |           AND o_orderkey % 7 = 3)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q80_cdf_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |upd AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS p
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |merged AS (
+        |  SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS k,
+        |    COALESCE(u.p, b.o_totalprice) AS price,
+        |    b.o_orderkey IS NOT NULL AS in_base,
+        |    u.o_orderkey IS NOT NULL AS in_upd
+        |  FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey),
+        |images AS (
+        |  SELECT 'insert' AS ct, k, price FROM merged WHERE NOT in_base
+        |  UNION ALL
+        |  SELECT 'update_preimage', b.o_orderkey, b.o_totalprice
+        |  FROM base b JOIN upd u ON b.o_orderkey = u.o_orderkey
+        |  UNION ALL
+        |  SELECT 'update_postimage', k, price FROM merged
+        |  WHERE in_base AND in_upd
+        |  UNION ALL
+        |  SELECT 'delete', k, price FROM merged
+        |  WHERE k <= (SELECT max(o_orderkey) // 4 FROM orders)
+        |    AND k % 7 = 3)
+        |SELECT ct AS _change_type, count(*) AS n_rows,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  min(k) AS min_key, max(k) AS max_key
+        |FROM images GROUP BY ct ORDER BY ct""".stripMargin,
     "q75_table_history" ->
       """WITH c AS (
         |  SELECT count(*) FILTER (WHERE o_orderstatus = 'F') AS nf,
