@@ -103,20 +103,30 @@ object GraftDataSource {
     * paths BEHIND the commit log — advertising only BATCH_READ makes
     * `df.write.format("graft")` take Spark's documented v1 fallback
     * into [[createRelation]], where every mode is an atomic commit.
+    * MICRO_BATCH_READ serves the commit log as a streaming source
+    * ([[GraftMicroBatchStream]]): batch scans delegate untouched
+    * (pushdown intact through the shim's DelegatingScanBuilder),
+    * streaming scans ride the same built ParquetScan's reader
+    * factory over per-version micro-batch slices.
     */
-  private class ReadOnlySnapshot(underlying: Table) extends Table
+  private class ReadOnlySnapshot(underlying: Table, spark: SparkSession,
+                                 path: String) extends Table
       with org.apache.spark.sql.connector.catalog.SupportsRead {
     override def name(): String = underlying.name()
     override def schema(): StructType = underlying.schema()
     override def capabilities(): util.Set[
         org.apache.spark.sql.connector.catalog.TableCapability] =
       java.util.EnumSet.of(
-        org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+        org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ,
+        org.apache.spark.sql.connector.catalog.TableCapability
+          .MICRO_BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap)
         : org.apache.spark.sql.connector.read.ScanBuilder =
-      underlying
-        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
-        .newScanBuilder(options)
+      new org.apache.spark.sql.graft.DelegatingScanBuilder(
+        underlying
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+          .newScanBuilder(options),
+        under => new GraftScanWithStream(under, spark, path, options))
   }
 
   /** Placeholder for a root with no committed log yet: schema-less and
@@ -163,6 +173,7 @@ object GraftDataSource {
     val version = versionOpt.getOrElse(t.latestVersion)
     if (version <= 0) new EmptyTable(path)
     else new ReadOnlySnapshot(org.apache.spark.sql.graft.shim.parquetTable(
-      s"graft:$path@v$version", spark, options, t.filesAsOf(version)))
+      s"graft:$path@v$version", spark, options, t.filesAsOf(version)),
+      spark, path)
   }
 }

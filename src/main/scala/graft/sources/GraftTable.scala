@@ -1011,15 +1011,26 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   def changesSince(sinceVersion: Long,
                    untilVersion: Long = Long.MaxValue): Option[DataFrame] = {
+    val files = appendSliceFiles(sinceVersion, untilVersion)
+    if (files.isEmpty) None
+    else Some(s.read.parquet(files: _*))
+  }
+
+  /** The absolute file paths the append commits in (since, until]
+    * added — the deterministic micro-batch slice behind both the
+    * batch change feed and the streaming source's offsets. Refuses
+    * non-append commits in the range (their adds are REWRITES of
+    * existing rows, not new data).
+    */
+  private[sources] def appendSliceFiles(sinceVersion: Long,
+                                        untilVersion: Long): Seq[String] = {
     val commits = commitRange(sinceVersion, untilVersion)
     val nonAppend = commits.filterNot(_.action.startsWith("append"))
     if (nonAppend.nonEmpty) throw new IllegalStateException(
       s"change feed undefined across non-append commits: " +
         nonAppend.map(c => s"v${c.version}=${c.action}").mkString(",") +
         " — use changeFeed() for row-level images")
-    val files = commits.flatMap(_.adds.map(_.path)).sorted
-    if (files.isEmpty) None
-    else Some(s.read.parquet(files.map(f => s"$root/$f"): _*))
+    commits.flatMap(_.adds.map(a => s"$root/${a.path}")).sorted
   }
 
   /** The commits in (since, until∧latest], refusing a vacuumed gap:

@@ -896,6 +896,49 @@ object EventStream {
   // Converges to a batch aggregate over documents (the s1/q22
   // contract); GraftTableSpec pins replay idempotence and snapshot
   // isolation under the concurrent writer race.
+  // s16: the commit log as a STREAMING SOURCE — s15's inverse (table
+  // → stream instead of stream → table), Delta's "stream the table"
+  // model through the DSv2 MicroBatchStream in
+  // graft.sources.GraftStreamSource: offsets ARE commit versions, so
+  // each micro-batch reads exactly the files its version range's
+  // append commits added (log-resolved, never listed), through the
+  // same vectorized ParquetScan reader factory a batch read builds.
+  // The lifecycle here: three append commits land events thirds; the
+  // stream drains them through a checkpointed foreachBatch; the
+  // re-read union aggregates per type — a source that dropped,
+  // duplicated or re-served any commit's rows hash-fails against the
+  // whole-table oracle. GraftStreamSpec additionally proves
+  // restart-exactly-once, the follow-the-log tail, and the
+  // non-append refusal.
+  def s16StreamTableFeed(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_s16")
+    val ev = graft.Tables.events(s, d)
+      .select("event_id", "event_type", "value")
+    val root = dir.resolve("table").toString
+    val t = graft.sources.GraftTable.create(s, root,
+      ev.filter(pmod(col("event_id"), lit(3)) === 0))           // v1
+    t.append(ev.filter(pmod(col("event_id"), lit(3)) === 1))    // v2
+    t.append(ev.filter(pmod(col("event_id"), lit(3)) === 2))    // v3
+    val res = dir.resolve("res").toString
+    val q = s.readStream.format("graft").load(root)
+      .writeStream
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // idempotent same-path rewrite on replay (the s13 rule)
+        batch.write.mode("overwrite").parquet(s"$res/v$id")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(new java.io.File(res).listFiles
+        .filter(_.getName.startsWith("v")).map(_.toString).toIndexedSeq: _*)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)"))
+          .cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
   def s15StreamTableIngest(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_s15")
     val src = landDocSlices(s, d, dir)
@@ -922,6 +965,7 @@ object EventStream {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s15_stream_table_ingest" -> (s15StreamTableIngest _),
+    "s16_stream_table_feed" -> (s16StreamTableFeed _),
     "s11_stream_dedup_index" -> (s11StreamDedupIndex _),
     "s13_stream_fuzzy_dedup" -> (s13StreamFuzzyDedup _),
     "s14_stream_ann_serve" -> (s14StreamAnnServe _),
@@ -947,6 +991,11 @@ object EventStream {
       """SELECT doc_id % 10 AS doc_bucket, COUNT(*) AS n_docs,
         |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY doc_bucket""".stripMargin,
+    "s16_stream_table_feed" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the streaming index converges to d1's batch answer (the
     // s1/q22 contract): first-admitted == min doc_id under the
     // ascending-slice landing order

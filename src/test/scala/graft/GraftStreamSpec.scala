@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.GraftTable
+import java.nio.file.Files
+
+/** The commit log as a Structured Streaming SOURCE (s16's machinery):
+  * offsets are commit versions, micro-batches are log-resolved file
+  * slices, delivery is exactly-once across restarts because Spark's
+  * checkpointed offsets + immutable commits make every (start, end]
+  * slice deterministic forever.
+  */
+class GraftStreamSpec extends SparkSpec {
+
+  private def multiset(df: DataFrame) =
+    df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+
+  private def freshDir(tag: String) =
+    Files.createTempDirectory(tag).toString
+
+  test("readStream.format(graft) follows the log exactly once across restarts") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .limit(2000).cache()
+    val batches = (0 until 4).map(i =>
+      li.filter(col("l_orderkey") % 4 === i).cache())
+    batches.foreach(_.count())
+    val root = freshDir("graft_stream") + "/t"
+    val t = GraftTable.create(spark, root, batches(0))   // v1
+    t.append(batches(1))                                 // v2
+    val out = freshDir("graft_stream_out")
+    val ckpt = freshDir("graft_stream_ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$out/b$id")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // first run: one micro-batch covering (0, 2]
+    assert(multiset(spark.read.parquet(s"$out/b0")) ==
+      multiset(batches(0).unionAll(batches(1))),
+      "first micro-batch must serve exactly the pre-stream commits")
+    // the table advances while the stream is down; restart resumes at
+    // the CHECKPOINTED offset — no re-serve, no loss
+    t.append(batches(2)); t.append(batches(3))           // v3, v4
+    drain()
+    val dirs = new java.io.File(out).listFiles.map(_.toString).sorted
+    assert(dirs.length == 2, s"expected exactly 2 micro-batches, got $dirs")
+    assert(multiset(spark.read.parquet(dirs.toIndexedSeq: _*)) == multiset(li),
+      "streamed union diverged from the table: rows lost or duplicated")
+    // a third drain with nothing new emits no batch at all
+    drain()
+    assert(new java.io.File(out).listFiles.length == 2)
+    li.unpersist(); batches.foreach(_.unpersist())
+    ()
+  }
+
+  test("non-append commits in the streamed range refuse; startingVersion skips past them") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .limit(1200).cache()
+    li.count()
+    val root = freshDir("graft_stream_na") + "/t"
+    val t = GraftTable.create(spark, root,
+      li.filter(col("l_orderkey") % 2 === 0).repartition(4)) // v1
+    t.append(li.filter(col("l_orderkey") % 2 === 1)
+      .repartition(4))                                       // v2
+    t.compact(1L << 30)                                      // v3: rewrite
+    // streaming from 0 would serve rewritten rows as new — refuse
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft").load(root)
+        .writeStream
+        .option("checkpointLocation", freshDir("graft_stream_na_ck"))
+        .format("noop").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ chain(x.getCause)
+    assert(chain(e).exists(_.contains("non-append")), chain(e).mkString(" | "))
+    // startingVersion past the rewrite: the stream serves only what
+    // lands after it
+    val fresh = li.filter(col("l_orderkey") % 7 === 3)
+    val out = freshDir("graft_stream_na_out")
+    val ckpt = freshDir("graft_stream_na_ck2")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", t.latestVersion)
+        .load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$out/b$id")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // nothing after startingVersion yet (batch 0 may be empty)
+    def streamed() = {
+      val dirs = Option(new java.io.File(out).listFiles)
+        .map(_.toSeq).getOrElse(Seq.empty)
+        .filter(d => Option(d.listFiles).exists(
+          _.exists(_.getName.endsWith(".parquet"))))
+        .map(_.toString)
+      if (dirs.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(dirs: _*)
+    }
+    assert(streamed().count() == 0,
+      "pre-startingVersion rows leaked into the tail stream")
+    t.append(fresh)
+    drain()
+    assert(multiset(streamed()) == multiset(fresh),
+      "tail stream must serve exactly the post-startingVersion append")
+    li.unpersist()
+    ()
+  }
+
+  test("the streamed scan keeps parquet pushdown on the batch path (DelegatingScanBuilder)") {
+    // the wrapper that grafts toMicroBatchStream onto the ParquetScan
+    // must not cost the BATCH path its filter pushdown — re-assert the
+    // PushedFilters plan marker through format("graft")
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val root = freshDir("graft_stream_pd") + "/t"
+    GraftTable.create(spark, root, li)
+    val plan = spark.read.format("graft").load(root)
+      .filter(col("l_orderkey") === 42)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]") ||
+      (plan.contains("PushedFilters") && plan.contains("EqualTo(l_orderkey,42)")),
+      s"pushdown lost through the delegating builder:\n$plan")
+  }
+}
