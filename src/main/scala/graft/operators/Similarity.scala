@@ -382,11 +382,11 @@ object Similarity {
   // trust: every recall/latency trade in this family (probe width,
   // nProbe, PQ bits, beam) is tuned against exactly these numbers,
   // so the measurement is a first-class operator, not a test-only
-  // artifact (the specs pin FLOORS; this reports the values). e8 and
-  // e11 are served from their STORED indexes (built once per
+  // artifact (the specs pin FLOORS; this reports the values). e7, e8
+  // and e11 are served from their STORED indexes (built once per
   // session via e13IndexDirs — measuring never costs a rebuild),
   // which is also what splits their cost honestly into build vs
-  // query; e2/e4/e7 have no stored form, so their query time bills
+  // query; e2/e4 have no stored form, so their query time bills
   // the in-session model work. All report inputs are answer-sized
   // (Q·k rows per method): union, one broadcast membership join
   // against the exact set, one aggregate. Rows-only (every method
@@ -398,11 +398,14 @@ object Similarity {
     * a rebuild after the first call (the round-8 finding: the report
     * used to rebuild all five indexes inline per invocation).
     */
-  private val e13Idx =
-    scala.collection.concurrent.TrieMap.empty[String, (String, Double, String, Double)]
+  private[graft] case class E13Artifacts(e8Dir: String, e8Build: Double,
+                                         e11Dir: String, e11Build: Double,
+                                         e7Dir: String, e7Build: Double)
 
-  private[graft] def e13IndexDirs(s: SparkSession, d: String)
-      : (String, Double, String, Double) =
+  private val e13Idx =
+    scala.collection.concurrent.TrieMap.empty[String, E13Artifacts]
+
+  private[graft] def e13IndexDirs(s: SparkSession, d: String): E13Artifacts =
     e13Idx.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
       def timed[T](f: => T): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -413,7 +416,10 @@ object Similarity {
       val d11 = java.nio.file.Files
         .createTempDirectory("graft_e13_e11").toString
       val t11 = timed(e11WriteGraph(s, d, d11))
-      (d8, t8, d11, t11)
+      val d7 = java.nio.file.Files
+        .createTempDirectory("graft_e13_e7").toString
+      val t7 = timed(e7WriteIndex(s, d, d7))
+      E13Artifacts(d8, t8, d11, t11, d7, t7)
     })
 
   private[graft] def dirBytes(p: String): Long = {
@@ -426,21 +432,24 @@ object Similarity {
 
   def e13AnnReport(s: SparkSession, d: String): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val (e8Dir, e8Build, e11Dir, e11Build) = e13IndexDirs(s, d)
+    val arts = e13IndexDirs(s, d)
     val brute = e1KnnBrute(s, d).select(col("qid"), col("nid"))
     // (name, query thunk, build seconds, stored-artifact bytes);
-    // e2/e4/e7 carry no stored artifact — their models are in-session
+    // e2/e4 carry no stored artifact — their models are in-session
     // (build_time_s = 0, index_bytes = 0) and their query time BILLS
     // the in-session model work, which is the honest comparison
-    // against the two methods that serve from a stored index
+    // against the three methods that serve from a stored index
+    // (e7 joined e8/e11 in round 10: its codebook train + encode now
+    // amortize into the flat-PQ artifact instead of every query)
     val methods: Seq[(String, () => DataFrame, Double, Long)] = Seq(
       ("e2_knn_lsh", () => e2KnnLsh(s, d), 0.0, 0L),
       ("e4_knn_ivf", () => e4KnnIvf(s, d), 0.0, 0L),
-      ("e7_pq_ann", () => e7PqAnn(s, d), 0.0, 0L),
-      ("e8_knn_ivfpq", () => e8KnnIvfPqFromIndex(s, d, e8Dir),
-        e8Build, dirBytes(e8Dir)),
-      ("e11_graph_ann", () => e11GraphAnnFromIndex(s, d, e11Dir),
-        e11Build, dirBytes(e11Dir)))
+      ("e7_pq_ann", () => e7PqAnnFromIndex(s, d, arts.e7Dir),
+        arts.e7Build, dirBytes(arts.e7Dir)),
+      ("e8_knn_ivfpq", () => e8KnnIvfPqFromIndex(s, d, arts.e8Dir),
+        arts.e8Build, dirBytes(arts.e8Dir)),
+      ("e11_graph_ann", () => e11GraphAnnFromIndex(s, d, arts.e11Dir),
+        arts.e11Build, dirBytes(arts.e11Dir)))
     // time each query path to ANSWERED (the report's latency axis);
     // the answer-sized rows are re-wrapped so the recall aggregation
     // below consumes the very rows the timer measured
@@ -850,13 +859,13 @@ object Similarity {
     topKPerQuery(cand, k)
   }
 
-  def e7PqAnn(s: SparkSession, d: String, m: Int = 8, ksub: Int = 16,
-              kCand: Int = 50): DataFrame = {
-    val emb = quantized(s, d)
-    val books = pqCodebooks(s, emb, m, ksub, iters = 3, sampleSize = 512)
-    val subDim = books(0)(0).length
-    val cents = pqCentsDf(s, books)
-    val codes = pqEncode(emb, cents, m, subDim)
+  /** The e7 QUERY path given (codes, codebooks) from anywhere —
+    * in-session (e7PqAnn) or the stored artifact (e7PqAnnFromIndex):
+    * LUT build, ADC estimate over the codes, exact re-rank.
+    */
+  private def e7Answer(s: SparkSession, emb: DataFrame, codes: DataFrame,
+                       cents: DataFrame, m: Int, subDim: Int,
+                       kCand: Int): DataFrame = {
     val qs = emb.filter(col("vec_id") < 10)
     val luts = pqLuts(qs, cents, m, subDim)
     val est = codes.crossJoin(broadcast(luts))
@@ -865,6 +874,47 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid"), col("cosine"))
     val short = topKPerQuery(est, kCand).select(col("qid"), col("nid"))
     exactRerank(emb, short, qs, 5)
+  }
+
+  def e7PqAnn(s: SparkSession, d: String, m: Int = 8, ksub: Int = 16,
+              kCand: Int = 50): DataFrame = {
+    val emb = quantized(s, d)
+    val books = pqCodebooks(s, emb, m, ksub, iters = 3, sampleSize = 512)
+    val subDim = books(0)(0).length
+    val cents = pqCentsDf(s, books)
+    val codes = pqEncode(emb, cents, m, subDim)
+    e7Answer(s, emb, codes, cents, m, subDim, kCand)
+  }
+
+  /** e7's OFFLINE build: train the codebooks, encode the corpus, and
+    * persist both as the flat-PQ artifact (FAISS IndexPQ's stored
+    * form) — one codebook train + one encode pass per corpus version,
+    * after which queries never pay model work again.
+    */
+  def e7WriteIndex(s: SparkSession, d: String, outDir: String,
+                   m: Int = 8, ksub: Int = 16): Unit = {
+    val emb = quantized(s, d)
+    val books = pqCodebooks(s, emb, m, ksub, iters = 3, sampleSize = 512)
+    val subDim = books(0)(0).length
+    val cents = pqCentsDf(s, books)
+    graft.sources.AnnIndexExport.writePqIndex(
+      pqEncode(emb, cents, m, subDim), cents, outDir, m, subDim)
+  }
+
+  /** e7 served from the STORED artifact: codes + codebooks read back
+    * (codes through the commit log), zero training on the query path.
+    * Bit-equal to the in-session e7PqAnn (IndexExportSpec): the
+    * deterministic trainer makes stored and inline codebooks
+    * identical, and the scoring path is shared.
+    */
+  def e7PqAnnFromIndex(s: SparkSession, d: String, outDir: String,
+                       kCand: Int = 50): DataFrame = {
+    val emb = quantized(s, d)
+    val meta = graft.sources.AnnIndexExport.readMeta(s, outDir).head
+    val (m, subDim) = (meta.getAs[Int]("m"), meta.getAs[Int]("sub_dim"))
+    val cents = graft.sources.AnnIndexExport.readPqCentroids(s, outDir)
+    val codes = graft.sources.AnnIndexExport.readPqCodes(s, outDir)
+    e7Answer(s, emb, codes, cents, m, subDim, kCand)
   }
 
   // e8: IVF-PQ — the two approximations COMPOSED, the full

@@ -86,6 +86,38 @@ object AnnIndexExport {
                 cells: Seq[Long]): Option[DataFrame] =
     codes(s, outDir).readPartitionedColumn("cell", cells)
 
+  // ---- flat-PQ artifact (e7's stored form) ----------------------------
+  //
+  //   out/codes/          GraftTable of (vec_id, codes, nrm) — flat
+  //   out/pq_centroids/   (sub, cid, cvec, h2)
+  //   out/meta/           (m, sub_dim, n_vecs)
+  //
+  // e7 scans ALL codes per query (no coarse cells), so its stored form
+  // is the codebooks + the encoded table with no partition column —
+  // what FAISS's IndexPQ persists. Until round 10 e7 was the one
+  // approximate method still training its codebook in-session per
+  // query; this makes its build/query cost split honest in e13.
+
+  private def flatCodes(s: SparkSession, outDir: String): GraftTable =
+    GraftTable.forPath(s, s"$outDir/codes")
+
+  def writePqIndex(codesDf: DataFrame, pqCents: DataFrame, outDir: String,
+                   m: Int, subDim: Int): Unit = {
+    val s = codesDf.sparkSession
+    val t = flatCodes(s, outDir)
+    val rows = codesDf.select(col("vec_id"), col("codes"), col("nrm"))
+    if (t.latestVersion == 0) t.append(rows) else t.overwrite(rows)
+    pqCents.write.mode(SaveMode.Overwrite).parquet(s"$outDir/pq_centroids")
+    import s.implicits._
+    val nVecs = t.read().count()
+    Seq((m, subDim, nVecs)).toDF("m", "sub_dim", "n_vecs")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/meta")
+  }
+
+  /** The stored flat codes table (snapshot-isolated log read). */
+  def readPqCodes(s: SparkSession, outDir: String): DataFrame =
+    flatCodes(s, outDir).read()
+
   def readCellCentroids(s: SparkSession, outDir: String): DataFrame =
     s.read.parquet(s"$outDir/cell_centroids")
 

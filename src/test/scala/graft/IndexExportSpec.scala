@@ -45,6 +45,29 @@ class IndexExportSpec extends SparkSpec {
     assert(est.count() == full.count() && est.count() > 0)
   }
 
+  test("e7 stored flat-PQ index serves bit-equal to inline (zero query-path training)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_e7idx").toString
+    Similarity.e7WriteIndex(spark, sf, dir)
+    // self-describing artifact: meta + codebooks + one code row per
+    // vector, the codes table behind the commit log
+    val meta = AnnIndexExport.readMeta(spark, dir).head
+    assert(meta.getAs[Int]("m") == 8)
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(meta.getAs[Long]("n_vecs") == nVecs)
+    val codes = AnnIndexExport.readPqCodes(spark, dir)
+    assert(codes.count() == nVecs &&
+      codes.select("vec_id").distinct().count() == nVecs)
+    assert(AnnIndexExport.readPqCentroids(spark, dir).count() == 8L * 16L)
+    // deterministic trainer + shared scoring path: stored serving is
+    // BIT-EQUAL to the in-session e7 (ranks, ids, exact cosines)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("qid"), r.getAs[Long]("rnk"), r.getAs[Long]("nid"),
+        r.getAs[Double]("cosine"))).toSeq
+    val stored = key(Similarity.e7PqAnnFromIndex(spark, sf, dir))
+    val inline = key(Similarity.queries("e7_pq_ann")(spark, sf))
+    assert(stored == inline, "stored flat-PQ serving diverged from inline e7")
+  }
+
   test("e11 stored graph serves bit-equal to inline; each round prunes src buckets") {
     val dir = java.nio.file.Files.createTempDirectory("graft_e11idx").toString
     Similarity.e11WriteGraph(spark, sf, dir)

@@ -702,15 +702,17 @@ class TextSimSpec extends SparkSpec {
     val costs = rep.map(r => r.getAs[String]("method") ->
       (r.getAs[Double]("build_time_s"), r.getAs[Double]("query_time_s"),
         r.getAs[Long]("index_bytes"))).toMap
-    val (e8Dir, _, e11Dir, _) = Similarity.e13IndexDirs(spark, sf)
-    assert(costs("e8_knn_ivfpq")._3 == Similarity.dirBytes(e8Dir),
+    val arts = Similarity.e13IndexDirs(spark, sf)
+    assert(costs("e8_knn_ivfpq")._3 == Similarity.dirBytes(arts.e8Dir),
       "e8 index_bytes != artifact size on disk")
-    assert(costs("e11_graph_ann")._3 == Similarity.dirBytes(e11Dir),
+    assert(costs("e11_graph_ann")._3 == Similarity.dirBytes(arts.e11Dir),
       "e11 index_bytes != artifact size on disk")
-    Seq("e8_knn_ivfpq", "e11_graph_ann").foreach { m =>
+    assert(costs("e7_pq_ann")._3 == Similarity.dirBytes(arts.e7Dir),
+      "e7 index_bytes != artifact size on disk")
+    Seq("e7_pq_ann", "e8_knn_ivfpq", "e11_graph_ann").foreach { m =>
       assert(costs(m)._1 > 0 && costs(m)._3 > 0, s"$m missing build/bytes")
     }
-    Seq("e2_knn_lsh", "e4_knn_ivf", "e7_pq_ann").foreach { m =>
+    Seq("e2_knn_lsh", "e4_knn_ivf").foreach { m =>
       assert(costs(m)._1 == 0.0 && costs(m)._3 == 0L,
         s"$m is inline — must bill no stored build/artifact")
     }
