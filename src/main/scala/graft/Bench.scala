@@ -73,7 +73,13 @@ object Bench {
     // end-to-end shape) and transactional streaming table ingest
     // (per-batch atomic commits + OPTIMIZE through the GraftTable
     // log — the unified sink discipline's cost, worth tracking)
-    "p6_media_corpus", "s15_stream_table_ingest")
+    "p6_media_corpus", "s15_stream_table_ingest",
+    // round-10 additions: copy-on-write MERGE INTO (the lakehouse
+    // write path: stats-pruned touched-file discovery + rewrite +
+    // atomic commit, billed end-to-end through the q78 lifecycle) and
+    // the commit log served as a stream (s16: per-version micro-batch
+    // planning through the DSv2 source — the table-to-stream cost)
+    "q78_merge_into", "s16_stream_table_feed")
 
   /** 1-minute load average, -1.0 if unreadable (non-Linux). */
   private def loadavg(): Double =
