@@ -203,6 +203,9 @@ object FileStats {
     case _ => None
   }
 
+  /** The row count recorded in a stats token (None if unparsable). */
+  def numRows(statsJson: String): Option[Long] = parse(statsJson).map(_.n)
+
   /** May rows in a file with stats `statsJson` match `pred`? TRUE on
     * any uncertainty (missing stats, incomparable types, unsupported
     * operators) — skipping must never drop a matching file.

@@ -108,10 +108,21 @@ object GraftDataSource {
     * (pushdown intact through the shim's DelegatingScanBuilder),
     * streaming scans ride the same built ParquetScan's reader
     * factory over per-version micro-batch slices.
+    *
+    * SupportsDelete gives the table SQL row-level DELETE — but NOT a
+    * second mutation path: `DELETE FROM gt.`/root`` WHERE …` routes
+    * the (fully-translatable) condition into
+    * [[GraftTable.deleteWhere]]'s copy-on-write commit, the same
+    * stats-pruned touched-file rewrite the verb runs. A condition
+    * Spark cannot express as source filters is REFUSED at
+    * canDeleteWhere (the engine then errors instead of silently
+    * deleting the wrong rows). TRUNCATE maps to delete-everything —
+    * one commit, time-travel intact.
     */
   private class ReadOnlySnapshot(underlying: Table, spark: SparkSession,
                                  path: String) extends Table
-      with org.apache.spark.sql.connector.catalog.SupportsRead {
+      with org.apache.spark.sql.connector.catalog.SupportsRead
+      with org.apache.spark.sql.connector.catalog.SupportsDelete {
     override def name(): String = underlying.name()
     override def schema(): StructType = underlying.schema()
     override def capabilities(): util.Set[
@@ -127,6 +138,58 @@ object GraftDataSource {
           .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
           .newScanBuilder(options),
         under => new GraftScanWithStream(under, spark, path, options))
+
+    override def canDeleteWhere(
+        filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+      filters.forall(f => filterToColumn(f).isDefined)
+
+    override def deleteWhere(
+        filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+      val pred = filters.flatMap(filterToColumn).toSeq match {
+        case Seq() => org.apache.spark.sql.functions.lit(true)
+        case cs => cs.reduce(_ && _)
+      }
+      GraftTable.forPath(spark, path).deleteWhere(pred)
+      ()
+    }
+
+    override def truncateTable(): Boolean = {
+      GraftTable.forPath(spark, path)
+        .deleteWhere(org.apache.spark.sql.functions.lit(true))
+      true
+    }
+  }
+
+  /** v1 source Filter → Column, total on the shapes SQL DELETE can
+    * push; None (⇒ canDeleteWhere false ⇒ Spark refuses the DELETE)
+    * on anything else.
+    */
+  private def filterToColumn(f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v)            => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v)        => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v)           => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+      case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a)                => Some(col(a).isNull)
+      case IsNotNull(a)             => Some(col(a).isNotNull)
+      case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+      case StringContains(a, v)     => Some(col(a).contains(v))
+      case And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case Not(c)                   => filterToColumn(c).map(!_)
+      case _: AlwaysTrue            => Some(lit(true))
+      case _: AlwaysFalse           => Some(lit(false))
+      case _                        => None
+    }
   }
 
   /** Placeholder for a root with no committed log yet: schema-less and

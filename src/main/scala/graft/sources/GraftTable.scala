@@ -289,6 +289,25 @@ class GraftTable private (val s: SparkSession, val root: String) {
   /** Live parquet files (relative path, bytes) at the latest version. */
   def liveFiles(): Seq[(String, Long)] = resolve(latestVersion).toSeq.sorted
 
+  /** Table statistics FROM THE LOG — no file is opened: (row count if
+    * every live file carries stats, total bytes, file count). The
+    * metadata-only `COUNT(*)` every lakehouse serves (Delta answers
+    * it from add-action stats the same way); at millions of files
+    * this is an O(checkpoint) log read instead of a cluster job.
+    */
+  def tableStats(): (Option[Long], Long, Int) = {
+    val live = resolveMeta(latestVersion).values.toSeq
+    val rows = live.foldLeft(Option(0L)) { (acc, m) =>
+      for (a <- acc; st <- m.stats; n <- FileStats.numRows(st)) yield a + n
+    }
+    (if (live.isEmpty) Some(0L) else rows, live.map(_.bytes).sum, live.size)
+  }
+
+  /** Metadata-only row count (None when a legacy file lacks stats —
+    * fall back to `read().count()`).
+    */
+  def countRows(): Option[Long] = tableStats()._1
+
   // ---- log-level data skipping ---------------------------------------
 
   /** The live files at the latest version that MAY contain rows
@@ -447,21 +466,54 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * `schema` the post-commit table schema (carried forward from the
     * predecessor when not given), `cdf` the staged row-level change
     * images of a DML commit.
+    *
+    * `tolerateAppends` is Delta's WriteSerializable conflict rule for
+    * row-level DML: a merge/delete's remove-set names SPECIFIC files,
+    * so a concurrent blind APPEND cannot invalidate it — the appended
+    * rows simply committed after the DML's snapshot and are not
+    * subject to it. With the flag, an advance whose intervening
+    * commits are ALL append-class re-resolves and proceeds (the
+    * removes-still-live check below still guards); any non-append
+    * interloper (compact/overwrite/replace — those REWRITE files)
+    * aborts as before. Whole-scope replaces (overwrite /
+    * replacePartitions / restore) never set it: an intervening
+    * append's files would silently survive "replace everything".
     */
   private[graft] def commit(action: String, adds: Seq[(String, Long)],
                             removes: Seq[String],
                             basedOn: Option[Long] = None,
                             stats: Map[String, String] = Map.empty,
                             schema: Option[StructType] = None,
-                            cdf: Seq[(String, Long)] = Seq.empty): Long = {
+                            cdf: Seq[(String, Long)] = Seq.empty,
+                            tolerateAppends: Boolean = false): Long = {
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
     var attempt = 0
     while (attempt < MaxRetries) {
       val prev = latestVersion
       basedOn.foreach { b =>
-        if (prev != b) throw new java.util.ConcurrentModificationException(
-          s"$action write conflict: table advanced v$b -> v$prev " +
-            "while the replacement was being staged")
+        if (prev != b) {
+          // an intervening append that CHANGED the schema (mergeSchema
+          // evolution) is a conflict too: committing the DML's staged
+          // files under the old schema would silently narrow the table
+          val baseSchemaJson = schemaAt(b).map(_.json)
+          val intervening =
+            if (tolerateAppends)
+              versions().filter(v => v > b && v <= prev)
+                .map { v => val c = readCommit(v); (v, c.action, c.schemaJson) }
+                .collect {
+                  case (v, a, _) if !a.startsWith("append") => (v, a)
+                  case (v, a, sj) if sj.isDefined && sj != baseSchemaJson =>
+                    (v, s"$a(schema-changed)")
+                }
+            else Seq((prev, "untracked"))
+          if (intervening.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"$action write conflict: table advanced v$b -> v$prev " +
+                "while the replacement was being staged" +
+                (if (tolerateAppends) s" (non-append commits in between: " +
+                  intervening.map(x => s"v${x._1}=${x._2}").mkString(",") + ")"
+                 else ""))
+        }
       }
       if (removes.nonEmpty) {
         val live = resolveMeta(prev).keySet
@@ -791,7 +843,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
         .withColumn(ChangeTypeCol,
           org.apache.spark.sql.functions.lit("delete")))
     commit("delete", adds, touched, basedOn = Some(base),
-      stats = statsOf(adds), schema = sc, cdf = cdf)
+      stats = statsOf(adds), schema = sc, cdf = cdf,
+      tolerateAppends = true)
   }
 
   /** Copy-on-write MERGE (Delta's `MERGE INTO`), the reference's
@@ -866,7 +919,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
         stageCdf(pre.unionByName(post).unionByName(ins))
       }
     commit("merge", adds, touched, basedOn = Some(base),
-      stats = statsOf(adds), schema = sc, cdf = cdf)
+      stats = statsOf(adds), schema = sc, cdf = cdf,
+      tolerateAppends = true)
   }
 
   /** Stage row-level change images under `cdf/<uuid>` — immutable

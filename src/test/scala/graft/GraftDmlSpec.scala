@@ -257,6 +257,89 @@ class GraftDmlSpec extends SparkSpec {
       .contains(2L))
   }
 
+  test("tableStats answers COUNT(*) from the log without opening a file") {
+    val t = rangedTable()
+    val want = t.read().count()
+    val (rows, bytes, files) = t.tableStats()
+    assert(rows.contains(want), s"metadata count $rows != scan count $want")
+    assert(bytes == t.liveFiles().map(_._2).sum)
+    assert(files == t.liveFiles().size)
+    // the metadata count tracks DML exactly
+    val keyMax = Tables.orders(spark, sf)
+      .agg(max("o_orderkey")).head.getLong(0)
+    t.deleteWhere(col("o_orderkey") <= keyMax / 10)
+    assert(t.countRows().contains(t.read().count()))
+    // and that no Spark JOB ran for the metadata answer
+    org.apache.spark.sql.graft.shim.drainListenerBus(spark)
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    t.tableStats()
+    org.apache.spark.sql.graft.shim.drainListenerBus(spark)
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter == jobsBefore, "tableStats launched a Spark job")
+  }
+
+  test("DML tolerates concurrent blind appends (WriteSerializable), aborts on rewrites") {
+    val t = rangedTable()
+    val base = t.latestVersion
+    val removes = t.liveFiles().map(_._1).take(2)
+    t.append(registry().limit(5)) // concurrent blind append
+    // a DML commit (tolerateAppends) proceeds: its removes name
+    // specific files the append cannot have invalidated
+    val v = t.commit("delete", Seq.empty, removes, basedOn = Some(base),
+      tolerateAppends = true)
+    assert(v == base + 2)
+    // a non-append interloper (compact) still aborts the DML
+    val base2 = t.latestVersion
+    val removes2 = t.liveFiles().map(_._1).take(1)
+    t.compact(1L << 30)
+    intercept[java.util.ConcurrentModificationException] {
+      t.commit("merge", Seq.empty, removes2, basedOn = Some(base2),
+        tolerateAppends = true)
+    }
+    // and a schema-evolving append is a conflict too (committing the
+    // staged files under the old schema would narrow the table)
+    val t2 = GraftTable.create(spark, freshRoot(),
+      Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"))
+    val b2 = t2.latestVersion
+    val r2 = t2.liveFiles().map(_._1).take(1)
+    t2.append(Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus").as("status")), mergeSchema = true)
+    intercept[java.util.ConcurrentModificationException] {
+      t2.commit("delete", Seq.empty, r2, basedOn = Some(b2),
+        tolerateAppends = true)
+    }
+    ()
+  }
+
+  test("SQL DELETE FROM / TRUNCATE route through the copy-on-write commit") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, registry())
+    spark.conf.set("spark.sql.catalog.gtd",
+      classOf[graft.sources.GraftCatalog].getName)
+    val keyMax = Tables.orders(spark, sf)
+      .agg(max("o_orderkey")).head.getLong(0)
+    val want = multiset(spark.read.format("graft").load(root)
+      .filter(!(col("o_orderkey") <= keyMax / 10 &&
+        col("o_orderstatus") === "O")))
+    spark.sql(s"DELETE FROM gtd.`$root` WHERE o_orderkey <= ${keyMax / 10}" +
+      " AND o_orderstatus = 'O'")
+    val t = GraftTable.forPath(spark, root)
+    assert(t.latestVersion == 2, "SQL DELETE must publish exactly one commit")
+    assert(t.readCommit(2).action == "delete",
+      "SQL DELETE must ride the copy-on-write delete commit")
+    assert(multiset(t.read()) == want)
+    assert(multiset(spark.sql(s"SELECT * FROM gtd.`$root`")) == want)
+    // time travel across the SQL delete still serves the old rows
+    assert(spark.sql(s"SELECT count(*) AS n FROM gtd.`$root` VERSION AS OF 1")
+      .head.getLong(0) == registry().count())
+    // TRUNCATE: delete-everything as one commit, history intact
+    spark.sql(s"TRUNCATE TABLE gtd.`$root`")
+    assert(t.read().count() == 0 && t.latestVersion == 3)
+    assert(t.readVersion(1).count() == registry().count())
+    ()
+  }
+
   test("object-store schemes without atomic rename are refused at publish") {
     // a scheme outside the whitelist must fail fast (its rename is
     // check-then-copy: two racing writers could both "win" a version
