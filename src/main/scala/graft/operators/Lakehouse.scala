@@ -189,7 +189,23 @@ object Lakehouse {
         max("o_orderkey").as("max_key"))
       .orderBy("_change_type")
 
+  // q81: metadata-only COUNT(*) — the DML lifecycle's final row count
+  // answered from the add-action STATS in the commit log (zero scan,
+  // zero Spark jobs; GraftDmlSpec asserts the no-job property via the
+  // listener bus). Hash-matching DuckDB's real count over the same
+  // algebra proves the whole stats pipeline end-to-end: stage-time
+  // footer reads → commit add-actions → copy-on-write rewrites →
+  // checkpointed resolution.
+  def q81MetadataCount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = dmlLifecycle(s, d)
+    Seq(t.countRows().getOrElse(
+      sys.error("live files missing stats — metadata count undefined")))
+      .toDF("n_rows")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_metadata_count" -> (q81MetadataCount _),
     "q74_time_travel" -> (q74TimeTravel _),
     "q75_table_history" -> (q75TableHistory _),
     "q76_change_feed" -> (q76ChangeFeed _),
@@ -221,6 +237,19 @@ object Lakehouse {
         |    AS total_price
         |FROM orders WHERE o_orderstatus IN ('F', 'O')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q81_metadata_count" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |upd AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS p
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |merged AS (
+        |  SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS o_orderkey
+        |  FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey)
+        |SELECT count(*) AS n_rows FROM merged
+        |WHERE NOT (o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)
+        |           AND o_orderkey % 7 = 3)""".stripMargin,
     "q78_merge_into" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -300,10 +300,10 @@ class GraftTableSpec extends SparkSpec {
 
   test("randomized op sequences match an in-memory model at every version") {
     // model-based check: a seeded random walk over the verb set
-    // (append / overwrite / compact / zorder / restore) must leave
-    // EVERY historical version's readVersion equal to the model's
-    // prediction — the whole-protocol invariant the per-verb cases
-    // can't compose on their own
+    // (append / overwrite / compact / zorder / restore / deleteWhere)
+    // must leave EVERY historical version's readVersion equal to the
+    // model's prediction — the whole-protocol invariant the per-verb
+    // cases can't compose on their own
     val li = Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_partkey", "l_quantity").limit(900).cache()
     li.count()
@@ -322,7 +322,7 @@ class GraftTableSpec extends SparkSpec {
       val (d0, m0) = slice()
       current = m0; record(t.append(d0.repartition(3)))
       (1 to 10).foreach { _ =>
-        rnd.nextInt(5) match {
+        rnd.nextInt(6) match {
           case 0 =>
             val (df, m) = slice()
             current = (current.keySet ++ m.keySet).map(k =>
@@ -341,6 +341,11 @@ class GraftTableSpec extends SparkSpec {
               .apply(rnd.nextInt(versionRows.size))
             current = versionRows(target)
             record(t.restore(target))
+          case 5 => // copy-on-write DELETE, modeled as a map filter
+            val m = rnd.nextInt(4) + 2; val r = rnd.nextInt(m)
+            current = current.filter { case (row, _) =>
+              row.head.asInstanceOf[Long] % m != r }
+            record(t.deleteWhere(col("l_orderkey") % m === r))
         }
       }
       versionRows.toSeq.sortBy(_._1).foreach { case (v, want) =>
