@@ -125,6 +125,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
                                    removes: Seq[String],
                                    cdf: Seq[(String, Long)],
                                    schemaJson: Option[String],
+                                   constraintsJson: Option[String],
                                    tsMillis: Long)
 
   private[graft] def readCommit(v: Long): Commit = {
@@ -138,20 +139,22 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val rems = Seq.newBuilder[String]
     val cdfs = Seq.newBuilder[(String, Long)]
     var schema: Option[String] = None
+    var constraints: Option[String] = None
     lines.tail.foreach { l =>
       val f = l.split("\t", 4)
       f(0) match {
         case "add" =>
           adds += AddFile(f(1), f(2).toLong,
             if (f.length >= 4 && f(3).nonEmpty) Some(f(3)) else None)
-        case "remove" => rems += f(1)
-        case "cdf"    => cdfs += ((f(1), f(2).toLong))
-        case "schema" => schema = Some(f(1))
+        case "remove"      => rems += f(1)
+        case "cdf"         => cdfs += ((f(1), f(2).toLong))
+        case "schema"      => schema = Some(f(1))
+        case "constraints" => constraints = Some(f(1))
         case other => sys.error(s"corrupt commit v$v: unknown action $other")
       }
     }
     Commit(ver.toLong, action, adds.result(), rems.result(), cdfs.result(),
-      schema, ts)
+      schema, constraints, ts)
   }
 
   /** The live (relpath → meta) set at version `v` — checkpoint ≤ v
@@ -201,6 +204,77 @@ class GraftTable private (val s: SparkSession, val root: String) {
         case l if l.startsWith("schema\t") => l.split("\t", 2)(1)
       }
     }).map(j => DataType.fromJson(j).asInstanceOf[StructType])
+  }
+
+  /** The active CHECK constraints at version `v` (name → SQL
+    * expression), resolved exactly like the schema: newest
+    * `constraints` line in (checkpoint, v], else the checkpoint's,
+    * else empty (legacy logs). Every commit re-records the full
+    * active set, so resolution never walks past a checkpoint.
+    */
+  private[graft] def constraintsAt(v: Long): Seq[(String, String)] = {
+    if (v <= 0) return Seq.empty
+    val base = checkpointVersions().filter(_ <= v).lastOption
+    val fromCommits = versions()
+      .filter(x => x > base.getOrElse(0L) && x <= v)
+      .reverseIterator
+      .flatMap(x => readCommit(x).constraintsJson)
+      .nextOption()
+    fromCommits.orElse(base.flatMap { cv =>
+      readLines(ckptPath(cv)).collectFirst {
+        case l if l.startsWith("constraints\t") => l.split("\t", 2)(1)
+      }
+    }).map(GraftTable.constraintsFromJson).getOrElse(Seq.empty)
+  }
+
+  /** The active CHECK constraints (name → SQL expression). */
+  def constraints(): Map[String, String] = constraintsAt(latestVersion).toMap
+
+  /** ADD CONSTRAINT (Delta's `ALTER TABLE … ADD CONSTRAINT … CHECK`):
+    * validates that EVERY existing row satisfies `exprSql` (one
+    * short-circuiting scan — a constraint the data already violates
+    * must not be recorded), then publishes a metadata-only commit
+    * carrying the new active set. Every later write validates its
+    * incoming rows against the set before staging.
+    */
+  def addConstraint(name: String, exprSql: String): Long = {
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n'),
+      s"bad constraint name: $name")
+    require(!exprSql.exists(c => c == '\t' || c == '\n'),
+      s"constraint expression must be a single line: $exprSql")
+    val cur = constraintsAt(latestVersion)
+    require(!cur.exists(_._1 == name), s"constraint '$name' already exists")
+    val violating = read()
+      .filter(!org.apache.spark.sql.functions.expr(exprSql))
+    if (!violating.isEmpty) throw new IllegalArgumentException(
+      s"cannot add constraint '$name': existing rows violate ($exprSql)")
+    commit(s"constraint:add:$name", Seq.empty, Seq.empty,
+      constraints = Some(cur :+ (name -> exprSql)))
+  }
+
+  /** DROP CONSTRAINT: metadata-only commit removing it from the set. */
+  def dropConstraint(name: String): Long = {
+    val cur = constraintsAt(latestVersion)
+    require(cur.exists(_._1 == name), s"no constraint named '$name'")
+    commit(s"constraint:drop:$name", Seq.empty, Seq.empty,
+      constraints = Some(cur.filterNot(_._1 == name)))
+  }
+
+  /** Write-time CHECK enforcement: refuse the write if any incoming
+    * row violates an active constraint (short-circuits on the first
+    * violation; skipped entirely when no constraints exist). NULL
+    * results count as violations (SQL CHECK accepts only TRUE).
+    */
+  private def enforceConstraints(df: DataFrame, action: String): Unit = {
+    val active = constraintsAt(latestVersion)
+    active.foreach { case (name, sql) =>
+      val ok = org.apache.spark.sql.functions.expr(sql)
+      val bad = df.filter(
+        !org.apache.spark.sql.functions.coalesce(ok,
+          org.apache.spark.sql.functions.lit(false)))
+      if (!bad.isEmpty) throw new IllegalArgumentException(
+        s"$action violates CHECK constraint '$name' ($sql)")
+    }
   }
 
   // ---- reads ----------------------------------------------------------
@@ -445,6 +519,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
   private def checkpointBody(v: Long): Array[Byte] = {
     val b = new StringBuilder(s"graft-ckpt\t$v\n")
     schemaAt(v).foreach(sc => b.append(s"schema\t${sc.json}\n"))
+    val cons = constraintsAt(v)
+    if (cons.nonEmpty)
+      b.append(s"constraints\t${GraftTable.constraintsToJson(cons)}\n")
     resolveMeta(v).toSeq.sortBy(_._1).foreach { case (p, m) =>
       b.append(s"file\t$p\t${m.bytes}${m.stats.map("\t" + _).getOrElse("")}\n")
     }
@@ -485,7 +562,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
                             stats: Map[String, String] = Map.empty,
                             schema: Option[StructType] = None,
                             cdf: Seq[(String, Long)] = Seq.empty,
-                            tolerateAppends: Boolean = false): Long = {
+                            tolerateAppends: Boolean = false,
+                            constraints: Option[Seq[(String, String)]] = None)
+      : Long = {
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
     var attempt = 0
     while (attempt < MaxRetries) {
@@ -523,9 +602,14 @@ class GraftTable private (val s: SparkSession, val root: String) {
       }
       val v = prev + 1
       val sch = schema.orElse(if (prev > 0) schemaAt(prev) else None)
+      val cons = constraints
+        .getOrElse(if (prev > 0) constraintsAt(prev) else Seq.empty)
       val body = new StringBuilder(
         s"graft-commit\t$v\t$action\t${System.currentTimeMillis()}\n")
       sch.foreach(sc => body.append(s"schema\t${sc.json}\n"))
+      if (cons.nonEmpty || constraints.isDefined)
+        body.append(
+          s"constraints\t${GraftTable.constraintsToJson(cons)}\n")
       adds.foreach { case (p, b) =>
         body.append(s"add\t$p\t$b${stats.get(p).map("\t" + _).getOrElse("")}\n")
       }
@@ -583,6 +667,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   def append(df: DataFrame, mergeSchema: Boolean = false): Long = {
     val sch = appendSchema(df.schema, mergeSchema)
+    enforceConstraints(df, "append")
     val adds = stage(df)
     commit("append", adds, Seq.empty, stats = statsOf(adds),
       schema = Some(sch))
@@ -626,6 +711,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
   def appendPartitioned(df: DataFrame, partCol: String,
                         tag: String = null): Option[Long] =
     tagged("append", tag) { a =>
+      enforceConstraints(df, "appendPartitioned")
       val adds = stagePartitioned(df, Seq(partCol))
       commit(a, adds, Seq.empty, stats = statsOf(adds),
         schema = Some(partitionedSchema(df, Seq(partCol))))
@@ -635,6 +721,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * partition-preserving `overwrite` (an index REBUILD commit).
     */
   def overwritePartitioned(df: DataFrame, partCol: String): Long = {
+    enforceConstraints(df, "overwritePartitioned")
     val base = latestVersion
     val removes = resolveMeta(base).keys.toSeq
     val adds = stagePartitioned(df, Seq(partCol))
@@ -694,6 +781,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       val tokens = values.map(v => s"/$partCol=$v/")
       val removes = resolveMeta(base).keys
         .filter(p => tokens.exists(p.contains)).toSeq
+      enforceConstraints(df, "replacePartitions")
       val adds = stagePartitioned(df, Seq(partCol))
       val outOfScope = adds.map(_._1)
         .filterNot(p => tokens.exists(p.contains))
@@ -738,9 +826,11 @@ class GraftTable private (val s: SparkSession, val root: String) {
   def appendIdempotent(df: DataFrame, tag: String): Option[Long] = {
     require(tag != null, "appendIdempotent needs a tag; use append")
     tagged("append", tag) { a =>
+      val sch = appendSchema(df.schema, mergeSchema = false)
+      enforceConstraints(df, "appendIdempotent")
       val adds = stage(df)
       commit(a, adds, Seq.empty, stats = statsOf(adds),
-        schema = Some(appendSchema(df.schema, mergeSchema = false)))
+        schema = Some(sch))
     }
   }
 
@@ -772,6 +862,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * silently survive the "replace everything").
     */
   def overwrite(df: DataFrame): Long = {
+    enforceConstraints(df, "overwrite")
     val base = latestVersion
     val removes = resolveMeta(base).keys.toSeq
     val adds = stage(df)
@@ -903,6 +994,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     // 3. rewrite touched rows merged with the batch (inserts included)
     val baseRows = readRel(touched)
     val merged = graft.operators.Upsert.merge(baseRows, updates, key, strategies)
+    enforceConstraints(merged, "merge")
     val adds = stage(merged)
     val cdf =
       if (!cdfImages) Seq.empty
@@ -1040,8 +1132,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
       action =>
         // schema recorded from the segment's own footers (no DataFrame
         // here), enforced against the table like any other append
-        val sch = appendSchema(s.read.parquet(stagedDir).schema,
-          mergeSchema = false)
+        val segment = s.read.parquet(stagedDir)
+        val sch = appendSchema(segment.schema, mergeSchema = false)
+        enforceConstraints(segment, "adoptDir")
         val sub = freshSub()
         if (!fs.exists(new Path(rootPath, DataDir)))
           fs.mkdirs(new Path(rootPath, DataDir))
@@ -1079,7 +1172,10 @@ class GraftTable private (val s: SparkSession, val root: String) {
   private[sources] def appendSliceFiles(sinceVersion: Long,
                                         untilVersion: Long): Seq[String] = {
     val commits = commitRange(sinceVersion, untilVersion)
-    val nonAppend = commits.filterNot(_.action.startsWith("append"))
+    // constraint add/drop commits are metadata-only: row-neutral for
+    // any feed (a stream must not die because a CHECK was added)
+    val nonAppend = commits.filterNot(c =>
+      c.action.startsWith("append") || c.action.startsWith("constraint:"))
     if (nonAppend.nonEmpty) throw new IllegalStateException(
       s"change feed undefined across non-append commits: " +
         nonAppend.map(c => s"v${c.version}=${c.action}").mkString(",") +
@@ -1122,7 +1218,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val unsupported = commits.filterNot(c =>
       c.action.startsWith("append") || c.action == "merge" ||
         c.action == "delete" || c.action == "compact" ||
-        c.action.startsWith("zorder:"))
+        c.action.startsWith("zorder:") ||
+        c.action.startsWith("constraint:"))
     if (unsupported.nonEmpty) throw new IllegalStateException(
       "row-level change feed undefined across whole-scope rewrites: " +
         unsupported.map(c => s"v${c.version}=${c.action}").mkString(",") +
@@ -1270,6 +1367,22 @@ object GraftTable {
   private[graft] case class AddFile(path: String, bytes: Long,
                                     stats: Option[String])
   private[graft] case class FileMeta(bytes: Long, stats: Option[String])
+
+  private val consMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private[sources] def constraintsToJson(cs: Seq[(String, String)]): String = {
+    val arr = consMapper.createArrayNode()
+    cs.foreach { case (n, e) =>
+      val o = arr.addObject(); o.put("n", n); o.put("e", e); ()
+    }
+    consMapper.writeValueAsString(arr)
+  }
+
+  private[sources] def constraintsFromJson(j: String): Seq[(String, String)] = {
+    val r = consMapper.readTree(j)
+    (0 until r.size).map(i =>
+      (r.get(i).get("n").asText, r.get(i).get("e").asText))
+  }
 
   /** Create a table at `root` with `df` as version 1. */
   def create(s: SparkSession, root: String, df: DataFrame): GraftTable = {
