@@ -120,7 +120,9 @@ object GraftDataSource {
     * one commit, time-travel intact.
     */
   private class ReadOnlySnapshot(underlying: Table, spark: SparkSession,
-                                 path: String) extends Table
+                                 path: String,
+                                 fileMeta: Seq[(String, Option[String])])
+      extends Table
       with org.apache.spark.sql.connector.catalog.SupportsRead
       with org.apache.spark.sql.connector.catalog.SupportsDelete {
     override def name(): String = underlying.name()
@@ -131,13 +133,44 @@ object GraftDataSource {
         org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ,
         org.apache.spark.sql.connector.catalog.TableCapability
           .MICRO_BATCH_READ)
+
+    /** LOG-LEVEL DATA SKIPPING for the SQL/DataFrame read path: once
+      * Spark pushes the data filters, drop every file whose logged
+      * min/max stats cannot satisfy them (FileStats.mayMatch —
+      * conservative; files without stats are kept) and serve the scan
+      * from a ParquetTable over the SURVIVORS, with the captured
+      * pushdown replayed. At millions of files this prunes in the
+      * driver during planning, before any footer is opened — Delta's
+      * stats-skipping read, and the same evaluator `readWhere` and
+      * the DML verbs use. No-op when nothing prunes.
+      */
+    private def reprune(filters: Seq[
+        org.apache.spark.sql.catalyst.expressions.Expression])
+        : Option[org.apache.spark.sql.connector.read.ScanBuilder] = {
+      val pred = filters.reduceOption(
+        org.apache.spark.sql.catalyst.expressions.And)
+      pred.flatMap { p =>
+        val survivors = fileMeta.collect {
+          case (f, st) if FileStats.mayMatch(st, p) => f
+        }
+        if (survivors.size >= fileMeta.size) None
+        else Some(org.apache.spark.sql.graft.shim.parquetTable(
+          s"${underlying.name()}@skip${fileMeta.size - survivors.size}",
+          spark, CaseInsensitiveStringMap.empty(), survivors,
+          Some(underlying.schema()))
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+          .newScanBuilder(CaseInsensitiveStringMap.empty()))
+      }
+    }
+
     override def newScanBuilder(options: CaseInsensitiveStringMap)
         : org.apache.spark.sql.connector.read.ScanBuilder =
       new org.apache.spark.sql.graft.DelegatingScanBuilder(
         underlying
           .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
           .newScanBuilder(options),
-        under => new GraftScanWithStream(under, spark, path, options))
+        under => new GraftScanWithStream(under, spark, path, options),
+        reprune)
 
     override def canDeleteWhere(
         filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
@@ -237,6 +270,6 @@ object GraftDataSource {
     if (version <= 0) new EmptyTable(path)
     else new ReadOnlySnapshot(org.apache.spark.sql.graft.shim.parquetTable(
       s"graft:$path@v$version", spark, options, t.filesAsOf(version)),
-      spark, path)
+      spark, path, t.fileMetaAsOf(version))
   }
 }

@@ -296,6 +296,14 @@ class GraftTable private (val s: SparkSession, val root: String) {
     resolveMeta(v).keys.toSeq.sorted.map(rel => s"$root/$rel")
   }
 
+  /** (absolute path, add-time stats token) of version `v`'s live
+    * files — what the DSv2 scan's log-level data skipping evaluates
+    * pushed filters against.
+    */
+  private[sources] def fileMetaAsOf(v: Long): Seq[(String, Option[String])] =
+    resolveMeta(v).toSeq.sortBy(_._1)
+      .map { case (p, m) => (s"$root/$p", m.stats) }
+
   /** Time travel: the table exactly as committed at version `v`.
     * Reads through the schema RECORDED at `v` when the log has one —
     * so old-version reads return the old schema across an additive

@@ -36,10 +36,11 @@ object shim {
     */
   def parquetTable(name: String, spark: SparkSession,
                    options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
-                   paths: Seq[String])
+                   paths: Seq[String],
+                   schema: Option[org.apache.spark.sql.types.StructType] = None)
       : org.apache.spark.sql.connector.catalog.Table =
     org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
-      name, spark, options, paths, None,
+      name, spark, options, paths, schema,
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
 
   /** All-fields-nullable view of a schema (`StructType.asNullable` is

@@ -52,6 +52,46 @@ class GraftDmlSpec extends SparkSpec {
       t.liveFiles().size)
   }
 
+  test("the DSv2 scan skips files at the log level from pushed filters") {
+    val t = rangedTable() // 8 range-staged files with disjoint key ranges
+    val keyMax = Tables.orders(spark, sf)
+      .agg(max("o_orderkey")).head.getLong(0)
+    val pred = col("o_orderkey") <= lit(keyMax / 10)
+    val pruned = spark.read.format("graft").load(t.root).filter(pred)
+    // the replacement scan's file index holds only the stats
+    // survivors — the planned path count in the plan is the evidence
+    def plannedPaths(d: org.apache.spark.sql.DataFrame): Int =
+      "InMemoryFileIndex\\((\\d+) paths".r
+        .findFirstMatchIn(d.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt)
+        .getOrElse(sys.error("no file index in plan:\n" +
+          d.queryExecution.executedPlan))
+    val total = t.liveFiles().size
+    assert(plannedPaths(pruned) < total,
+      s"no log-level skip: planned ${plannedPaths(pruned)} of $total")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThanOrEqual"),
+      "pruning cost the scan its parquet pushdown")
+    assert(multiset(pruned) == multiset(t.read().filter(pred)),
+      "the pruned scan answered differently")
+    // unfiltered read: nothing to skip, the full file list plans
+    val full = spark.read.format("graft").load(t.root)
+    assert(plannedPaths(full) == total)
+    assert(full.count() == t.read().count())
+    // a predicate outside every file's range: all files skipped,
+    // empty answer, no error
+    val none = spark.read.format("graft").load(t.root)
+      .filter(col("o_orderkey") > lit(keyMax + 1))
+    assert(none.count() == 0)
+    // SQL through the catalog prunes the same way
+    spark.conf.set("spark.sql.catalog.gts",
+      classOf[graft.sources.GraftCatalog].getName)
+    val viaSql = spark.sql(
+      s"SELECT * FROM gts.`${t.root}` WHERE o_orderkey <= ${keyMax / 10}")
+    assert(plannedPaths(viaSql) < total)
+    assert(multiset(viaSql) == multiset(t.read().filter(pred)))
+  }
+
   test("deleteWhere rewrites ONLY touched files; untouched bytes stay live byte-identical") {
     val t = rangedTable()
     val before = t.liveFiles()
