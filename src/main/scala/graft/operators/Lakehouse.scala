@@ -204,7 +204,23 @@ object Lakehouse {
       .toDF("n_rows")
   }
 
+  // q82: the log-level DATA-SKIPPING read — the post-DML table read
+  // through format("graft") with a selective key predicate, which the
+  // delegating scan builder re-plans over only the stats-surviving
+  // files (GraftDmlSpec asserts the planned-path subset; this entry
+  // puts the pruned read's CONTENT under the DuckDB gate). The range
+  // staging gives files disjoint key ranges, so the predicate prunes
+  // most of them — a wrong survivor set cannot hash-match.
+  def q82SkipRead(s: SparkSession, d: String): DataFrame = {
+    val t = dmlLifecycle(s, d)
+    val keyMax = Tables.orders(s, d).agg(max("o_orderkey")).head.getLong(0)
+    s.read.format("graft").load(t.root)
+      .filter(col("o_orderkey") <= keyMax / 8)
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_skip_read" -> (q82SkipRead _),
     "q81_metadata_count" -> (q81MetadataCount _),
     "q74_time_travel" -> (q74TimeTravel _),
     "q75_table_history" -> (q75TableHistory _),
@@ -237,6 +253,25 @@ object Lakehouse {
         |    AS total_price
         |FROM orders WHERE o_orderstatus IN ('F', 'O')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q82_skip_read" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |upd AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS p
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |merged AS (
+        |  SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+        |    b.o_orderstatus AS o_orderstatus,
+        |    COALESCE(u.p, b.o_totalprice) AS o_totalprice
+        |  FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey),
+        |final AS (
+        |  SELECT * FROM merged
+        |  WHERE NOT (o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)
+        |             AND o_orderkey % 7 = 3))
+        |SELECT * FROM final
+        |WHERE o_orderkey <= (SELECT max(o_orderkey) // 8 FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "q81_metadata_count" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice

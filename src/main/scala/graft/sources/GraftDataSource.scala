@@ -170,7 +170,10 @@ object GraftDataSource {
           .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
           .newScanBuilder(options),
         under => new GraftScanWithStream(under, spark, path, options),
-        reprune)
+        // option("dataSkipping", false) opts a read out (A/B runs,
+        // stats-distrust debugging) — skipping stays the default
+        if (options.getBoolean("dataSkipping", true)) reprune
+        else _ => None)
 
     override def canDeleteWhere(
         filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =

@@ -52,12 +52,33 @@ object DmlProbe {
     val ((), feedS) = timed {
       t.changeFeed(1).get.groupBy("_change_type").count().collect(); ()
     }
+    // the DSv2 data-skipping read: a selective key predicate through
+    // format("graft") plans only the stats-surviving files; compare
+    // against the same filter forced over the FULL file list (the
+    // readVersion path) — both return identical rows
+    def agg(df: org.apache.spark.sql.DataFrame): Long = df
+      .filter(col("o_orderkey") <= keyMax / 100)
+      .agg(count(lit(1))).head.getLong(0)
+    // min-of-2 each, interleaved, so page-cache warmth doesn't bill
+    // whichever path happens to run first
+    def minTimed(f: => Long): (Long, Double) = {
+      val (a, t1) = timed(f); val (_, t2) = timed(f)
+      (a, math.min(t1, t2))
+    }
+    val (nSkip, skipS) = minTimed(agg(
+      spark.read.format("graft").load(t.root)))
+    // same DSv2 path with skipping opted out — isolates the skipping
+    // effect from the v1-vs-DSv2 resolution constant
+    val (nFull, fullS) = minTimed(agg(spark.read.format("graft")
+      .option("dataSkipping", "false").load(t.root)))
+    require(nSkip == nFull, s"skip read diverged: $nSkip vs $nFull")
     val nRows = orders.count()
     println(s"""{"probe":"dml","sf":"$sfDir","n_rows":$nRows,""" +
       s""""n_files":$total,"build_s":$buildS,""" +
       s""""merge_s":$mergeS,"merge_touched_files":$mergeTouched,""" +
       s""""delete_s":$delS,"delete_touched_files":$delTouched,""" +
-      s""""feed_s":$feedS}""")
+      s""""feed_s":$feedS,"skip_read_s":$skipS,"full_read_s":$fullS,""" +
+      s""""skip_read_rows":$nSkip}""")
     spark.stop()
   }
 }
