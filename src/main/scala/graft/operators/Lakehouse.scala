@@ -204,6 +204,34 @@ object Lakehouse {
       .toDF("n_rows")
   }
 
+  // q83: copy-on-write UPDATE (the third DML verb — the reference's
+  // SaveData field edits): its own lifecycle table (all orders,
+  // range-staged) so the shared q78-q82 lifecycle's versions stay
+  // untouched; the UPDATE re-prices and re-flags a range-bounded key
+  // slice, and the table read back from the log must hash-match
+  // DuckDB's CASE-WHEN replay — matched rows updated, every other
+  // row bit-identical passthrough.
+  private val upd = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
+
+  def q83UpdateWhere(s: SparkSession, d: String): DataFrame = {
+    val t = upd.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_lakehouse_upd").toString + "/t"
+      val orders = Tables.orders(s, d).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+      val keyMax = orders.agg(max("o_orderkey")).head.getLong(0)
+      val t0 = GraftTable.create(s, root,
+        orders.repartitionByRange(8, col("o_orderkey")))         // v1
+      t0.update(
+        col("o_orderkey") <= lit(keyMax / 4) &&
+          pmod(col("o_orderkey"), lit(5)) === 0,
+        Map("o_totalprice" -> (col("o_totalprice") * 1.5),
+          "o_orderstatus" -> lit("U")))                          // v2
+      t0
+    })
+    t.read().orderBy("o_orderkey")
+  }
+
   // q82: the log-level DATA-SKIPPING read — the post-DML table read
   // through format("graft") with a selective key predicate, which the
   // delegating scan builder re-plans over only the stats-surviving
@@ -220,6 +248,7 @@ object Lakehouse {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_update_where" -> (q83UpdateWhere _),
     "q82_skip_read" -> (q82SkipRead _),
     "q81_metadata_count" -> (q81MetadataCount _),
     "q74_time_travel" -> (q74TimeTravel _),
@@ -253,6 +282,15 @@ object Lakehouse {
         |    AS total_price
         |FROM orders WHERE o_orderstatus IN ('F', 'O')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q83_update_where" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)
+        |        AND o_orderkey % 5 = 0
+        |    THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)
+        |        AND o_orderkey % 5 = 0
+        |    THEN o_totalprice * 1.5 ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q82_skip_read" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice

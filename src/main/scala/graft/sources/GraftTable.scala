@@ -946,6 +946,76 @@ class GraftTable private (val s: SparkSession, val root: String) {
       tolerateAppends = true)
   }
 
+  /** Copy-on-write UPDATE (Delta's `UPDATE t SET … WHERE pred`), the
+    * reference's field-edit write path (`SaveData` app.py:5253 sets
+    * named columns on matched registry rows) — deleteWhere's file
+    * discipline with a rewrite instead of a drop:
+    *   1. STATS PRUNE on `pred`, 2. EXACT PROBE for the files that
+    *   really hold matching rows, 3. rewrite ONLY those files with
+    *   `set`'s column expressions applied to the matching rows
+    *   (non-matching rows in touched files pass through bit-equal),
+    *   ONE serializable commit (blind appends tolerated).
+    * `set` maps column name → new-value expression (evaluated
+    * against the OLD row, so `col("a") + 1` increments). Row-level
+    * change images (update_preimage / update_postimage) are staged
+    * for [[changeFeed]]. Returns the new version, or the current one
+    * if nothing matched.
+    */
+  def update(pred: Column, set: Map[String, Column],
+             cdfImages: Boolean = true): Long = {
+    import org.apache.spark.sql.functions.{input_file_name, lit, when}
+    val base = latestVersion
+    require(base > 0, s"no graft table at $root")
+    val sc = schemaAt(base)
+    require(set.nonEmpty, "update needs at least one SET column")
+    sc.foreach { st =>
+      val missing = set.keySet -- st.fieldNames.toSet
+      require(missing.isEmpty, s"SET columns not in the table: $missing")
+    }
+    val e = org.apache.spark.sql.graft.shim.catalystExpression(pred)
+    val candidates = resolveMeta(base).toSeq.sortBy(_._1).collect {
+      case (p, m) if FileStats.mayMatch(m.stats, e) => p
+    }
+    if (candidates.isEmpty) return base
+    def readRel(paths: Seq[String]): DataFrame = sc match {
+      case Some(st) =>
+        s.read.schema(st).parquet(paths.map(p => s"$root/$p"): _*)
+      case None => s.read.parquet(paths.map(p => s"$root/$p"): _*)
+    }
+    val touched = toRelative(readRel(candidates).filter(pred)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+      .toSeq).sorted
+    if (touched.isEmpty) return base
+    val touchedDf = readRel(touched)
+    val cols = touchedDf.columns.map { c =>
+      set.get(c) match {
+        case Some(v) => when(pred, v).otherwise(touchedDf(c)).as(c)
+        case None => touchedDf(c)
+      }
+    }
+    val rewritten = touchedDf.select(cols.toIndexedSeq: _*)
+    enforceConstraints(rewritten, "update")
+    val adds = stage(rewritten)
+    val cdf =
+      if (!cdfImages) Seq.empty
+      else {
+        // post-images derive from the PRE rows with SET applied — the
+        // predicate may stop matching after the update (SET status =
+        // 'DONE' WHERE status = 'PENDING'), so re-filtering the
+        // rewritten frame would lose exactly the updated rows
+        val pre = touchedDf.filter(pred)
+        val postCols = touchedDf.columns.map { c =>
+          set.get(c).map(_.as(c)).getOrElse(pre(c))
+        }
+        stageCdf(pre.withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(pre.select(postCols.toIndexedSeq: _*)
+            .withColumn(ChangeTypeCol, lit("update_postimage"))))
+      }
+    commit("update", adds, touched, basedOn = Some(base),
+      stats = statsOf(adds), schema = sc, cdf = cdf,
+      tolerateAppends = true)
+  }
+
   /** Copy-on-write MERGE (Delta's `MERGE INTO`), the reference's
     * upsert write path (`SaveData` app.py:5253, `uploadExcel`
     * app.py:6063-6300) made transactional. Matched keys update via
@@ -1211,8 +1281,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * (sinceVersion, until], as (payload…, _change_type,
     * _commit_version):
     *   - append commits serve their added files as `insert` rows;
-    *   - merge/delete commits serve the pre/post/delete images staged
-    *     at commit time ([[merge]]/[[deleteWhere]] write them);
+    *   - merge/update/delete commits serve the pre/post/delete images
+    *     staged at commit time ([[merge]]/[[update]]/[[deleteWhere]]
+    *     write them);
     *   - compact/zorder commits are content-neutral — no rows;
     *   - overwrite/restore/replace commits have no row-level images
     *     (they rewrite whole scopes) — the feed still REFUSES those
@@ -1225,8 +1296,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val commits = commitRange(sinceVersion, untilVersion)
     val unsupported = commits.filterNot(c =>
       c.action.startsWith("append") || c.action == "merge" ||
-        c.action == "delete" || c.action == "compact" ||
-        c.action.startsWith("zorder:") ||
+        c.action == "delete" || c.action == "update" ||
+        c.action == "compact" || c.action.startsWith("zorder:") ||
         c.action.startsWith("constraint:"))
     if (unsupported.nonEmpty) throw new IllegalStateException(
       "row-level change feed undefined across whole-scope rewrites: " +
@@ -1246,7 +1317,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
           Some(base.withColumn(ChangeTypeCol, lit("insert"))
             .withColumn(VersionCol, lit(c.version)))
         }
-      } else if (c.action == "merge" || c.action == "delete") {
+      } else if (c.action == "merge" || c.action == "delete" ||
+          c.action == "update") {
         if (c.cdf.isEmpty) None
         else Some(s.read.parquet(c.cdf.map(f => s"$root/${f._1}"): _*)
           .withColumn(VersionCol, lit(c.version)))

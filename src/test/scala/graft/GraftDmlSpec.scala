@@ -148,6 +148,51 @@ class GraftDmlSpec extends SparkSpec {
       .forall(after.contains), "an untouched file was rewritten by merge")
   }
 
+  test("update rewrites only touched files; post-images survive predicate-falsifying SETs") {
+    val t = rangedTable()
+    val before = t.liveFiles()
+    val keyMax = Tables.orders(spark, sf)
+      .agg(max("o_orderkey")).head.getLong(0)
+    // the SET falsifies its own predicate (status O -> U): the
+    // post-image derivation must not lose the updated rows
+    val pred = col("o_orderkey") <= lit(keyMax / 8) &&
+      col("o_orderstatus") === "O"
+    val nMatch = t.read().filter(pred).count()
+    assert(nMatch > 0)
+    val want = multiset(t.read().select(col("o_orderkey"),
+      when(pred, "U").otherwise(col("o_orderstatus")).as("o_orderstatus"),
+      when(pred, col("o_totalprice") + 5).otherwise(col("o_totalprice"))
+        .as("o_totalprice")))
+    val v = t.update(pred, Map(
+      "o_orderstatus" -> lit("U"),
+      "o_totalprice" -> (col("o_totalprice") + 5)))
+    assert(v == 2 && t.readCommit(2).action == "update")
+    assert(multiset(t.read()) == want, "post-update state wrong")
+    // copy-on-write: files outside the key range never rewritten
+    val removed = t.readCommit(2).removes.toSet
+    assert(removed.nonEmpty && removed.size < before.size,
+      "update rewrote every file")
+    assert(before.filterNot(f => removed.contains(f._1))
+      .forall(t.liveFiles().toSet.contains))
+    // CDF: pre/post pairs for exactly the matched rows, post carries
+    // the new values even though the predicate no longer matches them
+    val feed = t.changeFeed(1).get
+    val pre = feed.filter(col("_change_type") === "update_preimage")
+    val post = feed.filter(col("_change_type") === "update_postimage")
+    assert(pre.count() == nMatch && post.count() == nMatch)
+    assert(post.filter(col("o_orderstatus") === "U").count() == nMatch)
+    assert(multiset(post.select("o_orderkey", "o_totalprice")) ==
+      multiset(pre.select(col("o_orderkey"),
+        (col("o_totalprice") + 5).as("o_totalprice"))))
+    // no-match update: no commit; unknown SET column refuses
+    assert(t.update(col("o_orderkey") > keyMax + 1,
+      Map("o_totalprice" -> lit(0.0))) == 2)
+    intercept[IllegalArgumentException] {
+      t.update(lit(true), Map("nope" -> lit(1)))
+    }
+    ()
+  }
+
   test("DML commits inherit the serializable conflict abort") {
     val t = rangedTable()
     // replicate merge's window deterministically: its remove-set is

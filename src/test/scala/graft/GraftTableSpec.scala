@@ -322,7 +322,7 @@ class GraftTableSpec extends SparkSpec {
       val (d0, m0) = slice()
       current = m0; record(t.append(d0.repartition(3)))
       (1 to 10).foreach { _ =>
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 =>
             val (df, m) = slice()
             current = (current.keySet ++ m.keySet).map(k =>
@@ -346,6 +346,17 @@ class GraftTableSpec extends SparkSpec {
             current = current.filter { case (row, _) =>
               row.head.asInstanceOf[Long] % m != r }
             record(t.deleteWhere(col("l_orderkey") % m === r))
+          case 6 => // copy-on-write UPDATE, modeled as a map transform
+            val m = rnd.nextInt(4) + 2; val r = rnd.nextInt(m)
+            current = current.toSeq.map { case (row, n) =>
+              val key =
+                if (row.head.asInstanceOf[Long] % m == r)
+                  row.updated(2, row(2).asInstanceOf[Double] + 1.0)
+                else row
+              key -> n
+            }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+            record(t.update(col("l_orderkey") % m === r,
+              Map("l_quantity" -> (col("l_quantity") + 1.0))))
         }
       }
       versionRows.toSeq.sortBy(_._1).foreach { case (v, want) =>
