@@ -909,33 +909,55 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * (`_change_type='delete'`) are staged for [[changeFeed]].
     * Returns the new version, or the current one if nothing matched.
     */
+  /** DML read of specific live files: recorded schema applied, and —
+    * on a hive-partitioned table — the partition column RESTORED from
+    * each row's file path (its values live in the paths, not the file
+    * contents), so predicates and SET expressions may reference it.
+    */
+  private def dmlRead(paths: Seq[String], sc: Option[StructType],
+                      partCol: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
+    val base = sc match {
+      case Some(st) =>
+        s.read.schema(st).parquet(paths.map(p => s"$root/$p"): _*)
+      case None => s.read.parquet(paths.map(p => s"$root/$p"): _*)
+    }
+    partCol.fold(base) { pc =>
+      base.withColumn(pc,
+        regexp_extract(input_file_name(),
+          java.util.regex.Pattern.quote(s"/$pc=") + "(-?\\d+)/", 1)
+          .cast("long"))
+    }
+  }
+
+  /** DML re-stage: partition-preserving on a partitioned table (the
+    * rewritten rows land back under their value dirs, keeping pruned
+    * reads working — compactPartitioned's rule), flat otherwise.
+    */
+  private def dmlStage(df: DataFrame,
+                       partCol: Option[String]): Seq[(String, Long)] =
+    partCol.fold(stage(df))(pc => stagePartitioned(df, Seq(pc)))
+
   def deleteWhere(pred: Column, cdfImages: Boolean = true): Long = {
     import org.apache.spark.sql.functions.input_file_name
     val base = latestVersion
     require(base > 0, s"no graft table at $root")
     val sc = schemaAt(base)
+    val live = resolveMeta(base)
+    val pc = partColOf(live.keys)
     val e = org.apache.spark.sql.graft.shim.catalystExpression(pred)
-    val candidates = resolveMeta(base).toSeq.sortBy(_._1).collect {
+    val candidates = live.toSeq.sortBy(_._1).collect {
       case (p, m) if FileStats.mayMatch(m.stats, e) => p
     }
     if (candidates.isEmpty) return base
-    val candDf = sc match {
-      case Some(st) =>
-        s.read.schema(st).parquet(candidates.map(p => s"$root/$p"): _*)
-      case None => s.read.parquet(candidates.map(p => s"$root/$p"): _*)
-    }
     // exact probe: which candidates hold matching rows (≤ #files rows)
-    val touched = toRelative(candDf.filter(pred)
+    val touched = toRelative(dmlRead(candidates, sc, pc).filter(pred)
       .select(input_file_name()).distinct().collect().map(_.getString(0))
       .toSeq).sorted
     if (touched.isEmpty) return base
-    val touchedDf = sc match {
-      case Some(st) =>
-        s.read.schema(st).parquet(touched.map(p => s"$root/$p"): _*)
-      case None => s.read.parquet(touched.map(p => s"$root/$p"): _*)
-    }
+    val touchedDf = dmlRead(touched, sc, pc)
     val survivors = touchedDf.filter(!pred)
-    val adds = stage(survivors)
+    val adds = dmlStage(survivors, pc)
     val cdf =
       if (!cdfImages) Seq.empty
       else stageCdf(touchedDf.filter(pred)
@@ -968,25 +990,27 @@ class GraftTable private (val s: SparkSession, val root: String) {
     require(base > 0, s"no graft table at $root")
     val sc = schemaAt(base)
     require(set.nonEmpty, "update needs at least one SET column")
+    val live = resolveMeta(base)
+    val pc = partColOf(live.keys)
+    pc.foreach { p =>
+      require(!set.contains(p),
+        s"cannot SET hive-partition column '$p' — the row would move to " +
+          "another partition; use replacePartitions for partition rewrites")
+    }
     sc.foreach { st =>
-      val missing = set.keySet -- st.fieldNames.toSet
+      val missing = set.keySet -- st.fieldNames.toSet -- pc.toSet
       require(missing.isEmpty, s"SET columns not in the table: $missing")
     }
     val e = org.apache.spark.sql.graft.shim.catalystExpression(pred)
-    val candidates = resolveMeta(base).toSeq.sortBy(_._1).collect {
+    val candidates = live.toSeq.sortBy(_._1).collect {
       case (p, m) if FileStats.mayMatch(m.stats, e) => p
     }
     if (candidates.isEmpty) return base
-    def readRel(paths: Seq[String]): DataFrame = sc match {
-      case Some(st) =>
-        s.read.schema(st).parquet(paths.map(p => s"$root/$p"): _*)
-      case None => s.read.parquet(paths.map(p => s"$root/$p"): _*)
-    }
-    val touched = toRelative(readRel(candidates).filter(pred)
+    val touched = toRelative(dmlRead(candidates, sc, pc).filter(pred)
       .select(input_file_name()).distinct().collect().map(_.getString(0))
       .toSeq).sorted
     if (touched.isEmpty) return base
-    val touchedDf = readRel(touched)
+    val touchedDf = dmlRead(touched, sc, pc)
     val cols = touchedDf.columns.map { c =>
       set.get(c) match {
         case Some(v) => when(pred, v).otherwise(touchedDf(c)).as(c)
@@ -995,7 +1019,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     }
     val rewritten = touchedDf.select(cols.toIndexedSeq: _*)
     enforceConstraints(rewritten, "update")
-    val adds = stage(rewritten)
+    val adds = dmlStage(rewritten, pc)
     val cdf =
       if (!cdfImages) Seq.empty
       else {
@@ -1043,6 +1067,12 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val base = latestVersion
     require(base > 0, s"no graft table at $root — append the batch instead")
     val sc = schemaAt(base)
+    partColOf(resolveMeta(base).keys).foreach { p =>
+      throw new IllegalArgumentException(
+        s"table is hive-partitioned on '$p' — merged rows could move " +
+          "across partitions; use replacePartitions (the partition-scoped " +
+          "merge the streaming sinks run) instead")
+    }
     require(sc.forall(_.fieldNames.contains(key)),
       s"merge key '$key' is not a column of the table")
     // 1. stats prune on the batch's key range

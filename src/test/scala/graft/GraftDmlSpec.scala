@@ -322,6 +322,44 @@ class GraftDmlSpec extends SparkSpec {
     ()
   }
 
+  test("partitioned tables: DML restores the partition column and keeps pruned reads") {
+    val bd = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"),
+        pmod(col("l_partkey"), lit(4L)).as("pb"))
+    val t = GraftTable.forPath(spark, freshRoot())
+    t.appendPartitioned(bd, "pb")
+    val all = t.readPartitionedColumn("pb", Seq(0L, 1L, 2L, 3L)).get
+    // DELETE with a predicate ON the partition column (restored from
+    // the path), rewritten files land back under their value dirs
+    val want = multiset(all.filter(!(col("pb") === 2L &&
+      col("l_orderkey") % 3 === 0)))
+    t.deleteWhere(col("pb") === 2L && col("l_orderkey") % 3 === 0)
+    assert(t.liveFiles().forall(_._1.contains("/pb=")),
+      "partitioned delete staged flat files — pruned reads broken")
+    assert(multiset(t.readPartitionedColumn("pb", Seq(0L, 1L, 2L, 3L)).get)
+      == want)
+    // only pb=2 files were touched
+    assert(t.readCommit(t.latestVersion).removes.forall(_.contains("/pb=2/")),
+      "delete rewrote files outside the predicate's partition")
+    // UPDATE referencing the partition column; SET on it refuses
+    val want2 = multiset(t.readPartitionedColumn("pb", Seq(0L, 1L, 2L, 3L))
+      .get.select(col("l_orderkey"),
+        when(col("pb") === 1L, col("l_quantity") + 100)
+          .otherwise(col("l_quantity")).as("l_quantity"), col("pb")))
+    t.update(col("pb") === 1L, Map("l_quantity" -> (col("l_quantity") + 100)))
+    assert(multiset(t.readPartitionedColumn("pb", Seq(0L, 1L, 2L, 3L))
+      .get.select("l_orderkey", "l_quantity", "pb")) == want2)
+    intercept[IllegalArgumentException] {
+      t.update(lit(true), Map("pb" -> lit(9L)))
+    }
+    // merge would move rows across partitions — refused with guidance
+    val e = intercept[IllegalArgumentException] {
+      t.merge(bd.limit(5).select("l_orderkey", "l_quantity"), "l_orderkey")
+    }
+    assert(e.getMessage.contains("replacePartitions"))
+    ()
+  }
+
   test("replacePartitions refuses rows outside the declared partition scope") {
     val bd = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_quantity"),

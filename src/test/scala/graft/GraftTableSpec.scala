@@ -445,7 +445,7 @@ class GraftTableSpec extends SparkSpec {
             k -> (a.getOrElse(k, 0) + b.getOrElse(k, 0))).toMap
         }.toMap
       (1 to 9).foreach { _ =>
-        rnd.nextInt(3) match {
+        rnd.nextInt(5) match {
           case 0 => // partitioned append
             val df = slice(Seq(0L, 1L, 2L, 3L))
             merge(byVal(df))
@@ -462,6 +462,25 @@ class GraftTableSpec extends SparkSpec {
             t.replacePartitions(df, "pb", vals)
           case 2 => // partition-aware OPTIMIZE: content-neutral
             t.compactPartitioned("pb", 1L << 30)
+          case 3 if t.latestVersion > 0 => // partition-aware CoW DELETE
+            val m = rnd.nextInt(4) + 2; val r = rnd.nextInt(m)
+            model = model.map { case (v, rows) =>
+              v -> rows.filter { case (row, _) =>
+                row.head.asInstanceOf[Long] % m != r }
+            }
+            t.deleteWhere(col("l_orderkey") % m === r)
+          case 4 if t.latestVersion > 0 => // partition-aware CoW UPDATE
+            val m = rnd.nextInt(4) + 2; val r = rnd.nextInt(m)
+            model = model.map { case (v, rows) =>
+              v -> rows.toSeq.map { case (row, n) =>
+                (if (row.head.asInstanceOf[Long] % m == r)
+                   row.updated(1, row(1).asInstanceOf[Double] + 1.0)
+                 else row) -> n
+              }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+            }
+            t.update(col("l_orderkey") % m === r,
+              Map("l_quantity" -> (col("l_quantity") + 1.0)))
+          case _ => () // DML on a not-yet-created table: no-op
         }
       }
       val liveVals = model.filter(_._2.nonEmpty).keySet
