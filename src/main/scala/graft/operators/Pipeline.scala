@@ -205,7 +205,50 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  // p7: the composed LAKEHOUSE corpus pipeline — the round-10 table
+  // layer end-to-end, the way a production corpus actually lives:
+  //   1. three idempotent-tagged APPEND commits land the documents
+  //      (a checkpoint-replayed batch would no-op — s15's rule);
+  //   2. a CHECK constraint arrives mid-stream (metadata-only commit,
+  //      row-neutral for every feed) and gates the later appends;
+  //   3. a copy-on-write DELETE takes down a doc_id slice (the GDPR/
+  //      opt-out pass), touching only the files that hold it;
+  //   4. a copy-on-write UPDATE re-tags a language slice;
+  //   5. the final SNAPSHOT (resolved from the log, never a listing)
+  //      flows into the p1 exact-dedup and a per-lang rollup.
+  // Every stage is a commit the log can audit/time-travel; the final
+  // aggregate hash-matches DuckDB replaying the same algebra straight
+  // off the parquet — a leaked delete, a lost update, a double-landed
+  // batch or a wrong snapshot cannot pass.
+  private val lake = scala.collection.concurrent.TrieMap.empty[String, graft.sources.GraftTable]
+
+  def p7LakehouseCorpus(s: SparkSession, d: String): DataFrame = {
+    val t = lake.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_p7").toString + "/docs"
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "text", "lang", "n_chars")
+      val t0 = graft.sources.GraftTable.forPath(s, root)
+      t0.appendIdempotent(docs.filter(col("doc_id") % 3 === 0), "b0") // v1
+      t0.addConstraint("has_text", "n_chars >= 0")                    // v2
+      t0.appendIdempotent(docs.filter(col("doc_id") % 3 === 1), "b1") // v3
+      t0.appendIdempotent(docs.filter(col("doc_id") % 3 === 2), "b2") // v4
+      t0.appendIdempotent(docs.filter(col("doc_id") % 3 === 2), "b2") // replay: no-op
+      t0.deleteWhere(pmod(col("doc_id"), lit(13)) === 5)              // v5
+      t0.update(pmod(col("doc_id"), lit(17)) === 3,
+        Map("lang" -> lit("xx")))                                     // v6
+      t0
+    })
+    dedupKeepFirst(t.read())
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        min("doc_id").as("first_doc"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p7_lakehouse_corpus" -> (p7LakehouseCorpus _),
     "p6_media_corpus" -> (p6MediaCorpus _),
     "p1_clean_corpus" -> (p1CleanCorpus _),
     "p2_pretrain_corpus" -> (p2PretrainCorpus _),
@@ -215,6 +258,23 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    // the lakehouse lifecycle replayed as plain algebra: delete slice
+    // removed, update slice re-tagged, exact dedup keeps the min
+    // doc_id per distinct text, per-lang rollup
+    "p7_lakehouse_corpus" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 17 = 3 THEN 'xx' ELSE lang END AS lang,
+        |    n_chars
+        |  FROM documents WHERE doc_id % 13 <> 5),
+        |keep AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY text
+        |      ORDER BY doc_id) AS rn
+        |    FROM corpus) WHERE rn = 1)
+        |SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        |  min(doc_id) AS first_doc
+        |FROM keep GROUP BY lang ORDER BY lang""".stripMargin,
     // m7's chunk replay + m5's keeper rule at chunk grain + m8's
     // brute Hamming gate + m1's stub arithmetic, composed
     "p6_media_corpus" ->

@@ -1006,6 +1006,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       case (p, m) if FileStats.mayMatch(m.stats, e) => p
     }
     if (candidates.isEmpty) return base
+    // exact probe: bounded collect (distinct file names, ≤ #files)
     val touched = toRelative(dmlRead(candidates, sc, pc).filter(pred)
       .select(input_file_name()).distinct().collect().map(_.getString(0))
       .toSeq).sorted
@@ -1098,6 +1099,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       else toRelative(readRel(candidates)
         .select(col(key), input_file_name().as("__f"))
         .join(broadcast(updKeys), Seq(key))
+        // bounded collect: distinct file names only (≤ #files rows)
         .select("__f").distinct().collect().map(_.getString(0)).toSeq).sorted
     // 3. rewrite touched rows merged with the batch (inserts included)
     val baseRows = readRel(touched)
