@@ -283,6 +283,33 @@ class GraftDmlSpec extends SparkSpec {
     ()
   }
 
+  test("DML composes with schema evolution: updates fill widened columns across old files") {
+    val t = GraftTable.create(spark, freshRoot(),
+      Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") % 2 === 0))
+    // widen, landing only odd keys with the new column populated
+    t.append(Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus").as("status"))
+      .filter(col("o_orderkey") % 2 === 1), mergeSchema = true)
+    val nOld = t.read().filter(col("status").isNull).count()
+    assert(nOld > 0)
+    // UPDATE back-fills the widened column on the pre-evolution rows
+    // (their files read as null there; the rewrite materializes it)
+    val v = t.update(col("status").isNull, Map("status" -> lit("LEGACY")))
+    assert(t.read().filter(col("status").isNull).count() == 0)
+    assert(t.read().filter(col("status") === "LEGACY").count() == nOld)
+    // the CDF images carry the union schema with correct pre-nulls
+    val feed = t.changeFeed(v - 1, untilVersion = v).get
+    assert(feed.filter(col("_change_type") === "update_preimage" &&
+      col("status").isNull).count() == nOld)
+    // DELETE on the widened column prunes/probes correctly too
+    val before = t.read().count()
+    t.deleteWhere(col("status") === "LEGACY")
+    assert(t.read().count() == before - nOld)
+    ()
+  }
+
   test("a legitimately empty version reads as an empty DataFrame with the recorded schema") {
     val t = GraftTable.create(spark, freshRoot(),
       Tables.orders(spark, sf).select("o_orderkey", "o_orderstatus").limit(100))
