@@ -1079,8 +1079,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
     // 1. stats prune on the batch's key range
     val range = updates.agg(min(col(key)).as("lo"), max(col(key)).as("hi")).head
     val (lo, hi) = (range.get(0), range.get(1))
-    val keyPred =
-      if (lo == null) lit(false) else col(key) >= lit(lo) && col(key) <= lit(hi)
+    if (lo == null) return base // empty batch: nothing to merge, no commit
+    val keyPred = col(key) >= lit(lo) && col(key) <= lit(hi)
     val e = org.apache.spark.sql.graft.shim.catalystExpression(keyPred)
     val candidates = resolveMeta(base).toSeq.sortBy(_._1).collect {
       case (p, m) if FileStats.mayMatch(m.stats, e) => p
@@ -1357,7 +1357,10 @@ class GraftTable private (val s: SparkSession, val root: String) {
       } else None // compact / zorder: content-neutral
     }
     if (slices.isEmpty) None
-    else Some(slices.reduce(_.unionByName(_)))
+    // allowMissingColumns: a feed range may CROSS an additive schema
+    // evolution — pre-evolution slices null-fill the widened columns
+    // (exactly how the snapshot read serves their files)
+    else Some(slices.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 
   /** Exactly-once incremental consumption of the change feed — the

@@ -307,7 +307,23 @@ class GraftDmlSpec extends SparkSpec {
     val before = t.read().count()
     t.deleteWhere(col("status") === "LEGACY")
     assert(t.read().count() == before - nOld)
+    // a feed RANGE crossing the evolution boundary serves: the
+    // pre-evolution insert slice null-fills the widened column
+    val crossing = t.changeFeed(0).get
+    assert(crossing.columns.contains("status"))
+    assert(crossing.filter(col("_change_type") === "insert").count() ==
+      t.readVersion(2).count())
     ()
+  }
+
+  test("merge with an empty update batch is a no-op, not an empty commit") {
+    val t = rangedTable()
+    val v = t.latestVersion
+    val empty = Tables.orders(spark, sf)
+      .filter(lit(false))
+      .select(col("o_orderkey"), col("o_totalprice"))
+    assert(t.merge(empty, "o_orderkey") == v, "empty merge committed")
+    assert(t.latestVersion == v)
   }
 
   test("a legitimately empty version reads as an empty DataFrame with the recorded schema") {
