@@ -1,0 +1,154 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The ROW-LEVEL change feed as a Structured Streaming source
+  * (Delta's `readChangeFeed` stream; s17's machinery):
+  *
+  * {{{
+  *   spark.readStream.format("graft")
+  *     .option("readChangeFeed", "true")
+  *     .option("startingVersion", 0)
+  *     .load(root)   // payload…, _change_type, _commit_version
+  * }}}
+  *
+  * Offsets are commit versions (GraftStreamSource's rule); each
+  * micro-batch serves the commits in its version range as CHANGE
+  * ROWS:
+  *   - append commits stream their added files as `insert` rows;
+  *   - merge/update/delete commits stream the pre/post/delete images
+  *     staged at commit time (the `cdf/` files);
+  *   - compact/zorder/constraint commits are content-neutral — no rows;
+  *   - whole-scope rewrites (overwrite/replace/restore) REFUSE, the
+  *     batch feed's honesty rule.
+  *
+  * Both row shapes ride Spark's own parquet reader: two template
+  * ParquetScans (payload schema; payload+_change_type schema) supply
+  * the reader factories, and a tagging wrapper appends the constant
+  * columns (`_change_type` for add-slices, `_commit_version` for
+  * both) per partition — row-based (columnar off), since the
+  * constants join row-by-row.
+  */
+object GraftCdfStream {
+  val Options = "readChangeFeed"
+
+  /** payload schema + the two CDF metadata columns. */
+  def cdfSchema(payload: StructType): StructType =
+    payload.add(GraftTable.ChangeTypeCol, StringType)
+      .add(GraftTable.VersionCol, LongType)
+}
+
+class GraftCdfStreamTable(spark: SparkSession, path: String,
+                          payload: StructType) extends Table
+    with SupportsRead {
+  override def name(): String = s"graft-cdf:$path"
+  override def schema(): StructType = GraftCdfStream.cdfSchema(payload)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = () => new Scan {
+    override def readSchema(): StructType = schema()
+    override def description(): String = name()
+    override def toMicroBatchStream(checkpointLocation: String)
+        : MicroBatchStream =
+      new GraftCdfMicroBatchStream(spark, path, payload, options)
+  }
+}
+
+/** An input partition tagged with its constant CDF columns: the
+  * change type to append (None when the underlying rows carry their
+  * own `_change_type` — the cdf image files) and the commit version.
+  */
+case class CdfTaggedPartition(inner: InputPartition,
+                              changeType: Option[String],
+                              version: Long) extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
+
+class GraftCdfMicroBatchStream(spark: SparkSession, root: String,
+                               payload: StructType,
+                               options: CaseInsensitiveStringMap)
+    extends MicroBatchStream {
+
+  private val table = GraftTable.forPath(spark, root)
+  private val starting =
+    Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
+  private val imageSchema =
+    payload.add(GraftTable.ChangeTypeCol, StringType)
+
+  override def initialOffset(): Offset = GraftOffset(starting)
+  override def latestOffset(): Offset = GraftOffset(table.latestVersion)
+  override def deserializeOffset(json: String): Offset =
+    GraftOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  /** A slice scan over `files` read at `schema` (empty list is fine —
+    * the explicit schema spares inference).
+    */
+  private def scanOf(files: Seq[String], schema: StructType): Scan =
+    org.apache.spark.sql.graft.shim
+      .parquetTable(s"graft-cdf-slice:$root", spark,
+        CaseInsensitiveStringMap.empty(), files, Some(schema))
+      .asInstanceOf[SupportsRead]
+      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[GraftOffset].version
+    val e0 = end.asInstanceOf[GraftOffset].version
+    table.cdfSlices(s0, e0).flatMap { case (v, files, changeType) =>
+      val schema = if (changeType.isDefined) payload else imageSchema
+      scanOf(files, schema).toBatch.planInputPartitions()
+        .map(p => CdfTaggedPartition(p, changeType, v))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdfTaggingReaderFactory(
+      scanOf(Seq.empty, payload).toBatch.createReaderFactory(),
+      scanOf(Seq.empty, imageSchema).toBatch.createReaderFactory())
+}
+
+/** Routes each tagged partition to the right parquet reader factory
+  * (payload-shaped add files vs image files that already carry
+  * `_change_type`) and appends the constant columns row-by-row.
+  */
+class CdfTaggingReaderFactory(payloadFactory: PartitionReaderFactory,
+                              imageFactory: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    false // constants join row-by-row
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdfTaggedPartition]
+    val inner = p.changeType match {
+      case Some(_) => payloadFactory.createReader(p.inner)
+      case None => imageFactory.createReader(p.inner)
+    }
+    val tail = p.changeType match {
+      case Some(ct) => // append (_change_type, _commit_version)
+        new GenericInternalRow(Array[Any](UTF8String.fromString(ct),
+          p.version))
+      case None => // rows carry _change_type; append _commit_version
+        new GenericInternalRow(Array[Any](p.version))
+    }
+    new PartitionReader[InternalRow] {
+      private val joined = new JoinedRow()
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = joined(inner.get(), tail)
+      override def close(): Unit = inner.close()
+    }
+  }
+}

@@ -251,6 +251,15 @@ object GraftDataSource {
     val path = options.get("path")
     require(path != null && path.nonEmpty,
       "the graft format needs a table root: .load(<root>) or option(\"path\", …)")
+    if (options.getBoolean(GraftCdfStream.Options, false)) {
+      // the ROW-LEVEL change feed as a stream: payload schema from the
+      // log (falling back to inference for legacy logs)
+      val t = GraftTable.forPath(spark, path)
+      require(t.latestVersion > 0, s"no graft table at $path (empty log)")
+      val payload = t.schemaAt(t.latestVersion)
+        .getOrElse(t.readVersion(t.latestVersion).schema)
+      return new GraftCdfStreamTable(spark, path, payload)
+    }
     val version = Option(options.get("versionAsOf")).map(_.toLong)
       .orElse(Option(options.get("timestampAsOf")).map { ts =>
         GraftTable.forPath(spark, path).versionAt(ts.toLong).getOrElse(

@@ -1363,6 +1363,32 @@ class GraftTable private (val s: SparkSession, val root: String) {
     else Some(slices.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 
+  /** The commits in (since, until] as CDF stream slices:
+    * (version, absolute files, constant change type) — `Some("insert")`
+    * for append slices (payload-shaped files), `None` for DML image
+    * files (they carry their own `_change_type` column). Content-
+    * neutral commits contribute nothing; whole-scope rewrites refuse
+    * (changeFeed's rule). The streaming CDF source plans its
+    * micro-batch partitions from exactly this.
+    */
+  private[sources] def cdfSlices(since: Long, until: Long)
+      : Seq[(Long, Seq[String], Option[String])] =
+    commitRange(since, until).flatMap { c =>
+      if (c.action.startsWith("append")) {
+        val fs = c.adds.map(a => s"$root/${a.path}").sorted
+        if (fs.isEmpty) None else Some((c.version, fs, Some("insert")))
+      } else if (c.action == "merge" || c.action == "delete" ||
+          c.action == "update") {
+        if (c.cdf.isEmpty) None
+        else Some((c.version, c.cdf.map(f => s"$root/${f._1}").sorted,
+          None))
+      } else if (c.action == "compact" || c.action.startsWith("zorder:") ||
+          c.action.startsWith("constraint:")) None
+      else throw new IllegalStateException(
+        "row-level change feed undefined across whole-scope rewrites: " +
+          s"v${c.version}=${c.action} — fall back to a snapshot diff")
+    }
+
   /** Exactly-once incremental consumption of the change feed — the
     * log-following loop a downstream pipeline runs per schedule
     * (Delta's streaming model reduced to its batch essence): a

@@ -939,6 +939,50 @@ object EventStream {
       .orderBy("event_type")
   }
 
+  // s17: the ROW-LEVEL change feed as a STREAM (Delta's
+  // readChangeFeed; q80's batch feed made continuous through
+  // graft.sources.GraftCdfStream): a table lives through create →
+  // copy-on-write delete → copy-on-write update, and the stream
+  // serves every commit's change rows — insert slices from the
+  // add-files, delete/pre/post images from the commit-staged cdf
+  // files, each stamped with its commit version — through Spark's
+  // parquet reader with the constant columns joined row-by-row. The
+  // per-type aggregate hash-matches DuckDB replaying the same
+  // algebra: a feed that lost a delete image, double-served an
+  // insert slice or mis-stamped a version cannot pass.
+  def s17StreamCdf(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_s17")
+    val orders = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val root = dir.resolve("table").toString
+    val t = graft.sources.GraftTable.create(s, root,
+      orders.repartitionByRange(8, col("o_orderkey")))            // v1
+    t.deleteWhere(pmod(col("o_orderkey"), lit(11)) === 7)         // v2
+    t.update(pmod(col("o_orderkey"), lit(9)) === 2,
+      Map("o_totalprice" -> (col("o_totalprice") * 3),
+        "o_orderstatus" -> lit("C")))                             // v3
+    val res = dir.resolve("res").toString
+    val q = s.readStream.format("graft")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$res/v$id")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(new java.io.File(res).listFiles
+        .filter(_.getName.startsWith("v")).map(_.toString).toIndexedSeq: _*)
+      .groupBy("_change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("total_price"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("_change_type")
+  }
+
   def s15StreamTableIngest(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_s15")
     val src = landDocSlices(s, d, dir)
@@ -966,6 +1010,7 @@ object EventStream {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s15_stream_table_ingest" -> (s15StreamTableIngest _),
     "s16_stream_table_feed" -> (s16StreamTableFeed _),
+    "s17_stream_cdf" -> (s17StreamCdf _),
     "s11_stream_dedup_index" -> (s11StreamDedupIndex _),
     "s13_stream_fuzzy_dedup" -> (s13StreamFuzzyDedup _),
     "s14_stream_ann_serve" -> (s14StreamAnnServe _),
@@ -996,6 +1041,21 @@ object EventStream {
         |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE)
         |    AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s17_stream_cdf" ->
+      """WITH corpus AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        |del AS (SELECT k, p FROM corpus WHERE k % 11 = 7),
+        |surv AS (SELECT k, p FROM corpus WHERE k % 11 <> 7),
+        |upd AS (SELECT k, p FROM surv WHERE k % 9 = 2),
+        |images AS (
+        |  SELECT 'insert' AS ct, k, p FROM corpus
+        |  UNION ALL SELECT 'delete', k, p FROM del
+        |  UNION ALL SELECT 'update_preimage', k, p FROM upd
+        |  UNION ALL SELECT 'update_postimage', k, p * 3 FROM upd)
+        |SELECT ct AS _change_type, count(*) AS n_rows,
+        |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  min(k) AS min_key, max(k) AS max_key
+        |FROM images GROUP BY ct ORDER BY ct""".stripMargin,
     // the streaming index converges to d1's batch answer (the
     // s1/q22 contract): first-admitted == min doc_id under the
     // ascending-slice landing order

@@ -118,6 +118,54 @@ class GraftStreamSpec extends SparkSpec {
     ()
   }
 
+  test("the CDF stream equals the batch changeFeed and follows the tail exactly once") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val root = freshDir("graft_cdf_stream") + "/t"
+    val t = GraftTable.create(spark, root,
+      orders.repartitionByRange(4, col("o_orderkey")))          // v1
+    t.deleteWhere(col("o_orderkey") % 7 === 3)                  // v2
+    t.update(col("o_orderkey") % 5 === 0,
+      Map("o_totalprice" -> (col("o_totalprice") + 1)))         // v3
+    val out = freshDir("graft_cdf_out")
+    val ckpt = freshDir("graft_cdf_ck")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$out/b$id")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    def streamed() = spark.read.parquet(
+      new java.io.File(out).listFiles.map(_.toString).toIndexedSeq: _*)
+    // bit-for-bit the batch row-level feed, versions included
+    assert(multiset(streamed()) == multiset(
+      t.changeFeed(0).get.select(streamed().columns.map(col): _*)),
+      "streamed CDF diverged from the batch changeFeed")
+    // the stream follows later commits exactly once across restart
+    t.append(orders.filter(col("o_orderkey") % 13 === 1))       // v4
+    drain()
+    assert(multiset(streamed()) == multiset(
+      t.changeFeed(0).get.select(streamed().columns.map(col): _*)),
+      "restarted CDF stream lost or re-served a commit range")
+    // an overwrite makes the NEXT range unservable — the stream
+    // refuses rather than lying
+    t.overwrite(orders.limit(10))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ chain(x.getCause)
+    assert(chain(e).exists(_.contains("whole-scope")), chain(e).mkString("|"))
+    ()
+  }
+
   test("the streamed scan keeps parquet pushdown on the batch path (DelegatingScanBuilder)") {
     // the wrapper that grafts toMicroBatchStream onto the ParquetScan
     // must not cost the BATCH path its filter pushdown — re-assert the
