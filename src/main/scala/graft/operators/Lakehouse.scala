@@ -247,7 +247,59 @@ object Lakehouse {
       .orderBy("o_orderkey")
   }
 
+  // ---- merge-on-read DML: deletion vectors (q84/q85) ------------------
+  //
+  // Delta's deletion-vector write path: DELETE/UPDATE mark rows dead in
+  // a tiny positional sidecar instead of rewriting data files —
+  //   v1  create: all orders, range-staged on the key;
+  //   v2  MoR delete: a range-bounded key slice goes dead via dv
+  //       (zero data files rewritten — GraftDvSpec asserts the file
+  //       set is byte-identical);
+  //   v3  MoR update: a second slice re-prices — old copies dead via
+  //       dv, updated copies appended as a new slice file.
+  // q84 reads the post-DML table through the dv-applying scan; q85
+  // runs REORG … APPLY (PURGE) on its own instance and reads the
+  // materialized table back through the DSv2 `format("graft")` path
+  // (which refuses while dvs are live — purge reopens it). Both must
+  // hash-match DuckDB replaying the same algebra: a dv scan that
+  // resurrected one row, lost one position, or mis-keyed a file fails.
+  private val morT = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
+
+  private def morLifecycle(s: SparkSession, d: String,
+                           cache: scala.collection.concurrent.TrieMap[String, GraftTable],
+                           tag: String): GraftTable =
+    cache.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_lakehouse_$tag").toString + "/t"
+      val orders = Tables.orders(s, d).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+      val keyMax = orders.agg(max("o_orderkey")).head.getLong(0)
+      val t0 = GraftTable.create(s, root,
+        orders.repartitionByRange(8, col("o_orderkey")))          // v1
+      t0.deleteWhere(col("o_orderkey") <= lit(keyMax / 4) &&
+        pmod(col("o_orderkey"), lit(11)) === 4, mor = true)       // v2
+      t0.update(
+        col("o_orderkey") <= lit(keyMax / 2) &&
+          pmod(col("o_orderkey"), lit(13)) === 6,
+        Map("o_totalprice" -> (col("o_totalprice") * 0.5),
+          "o_orderstatus" -> lit("M")), mor = true)               // v3
+      t0
+    })
+
+  def q84DeleteVectors(s: SparkSession, d: String): DataFrame =
+    morLifecycle(s, d, morT, "mor").read().orderBy("o_orderkey")
+
+  private val purged = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
+
+  def q85ReorgPurge(s: SparkSession, d: String): DataFrame = {
+    val t = morLifecycle(s, d, purged, "purge")
+    if (t.hasDvAsOf(t.latestVersion)) t.purge()                   // v4
+    s.read.format("graft").load(t.root).orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_delete_vectors" -> (q84DeleteVectors _),
+    "q85_reorg_purge" -> (q85ReorgPurge _),
     "q83_update_where" -> (q83UpdateWhere _),
     "q82_skip_read" -> (q82SkipRead _),
     "q81_metadata_count" -> (q81MetadataCount _),
@@ -260,7 +312,27 @@ object Lakehouse {
     "q80_cdf_merge" -> (q80CdfMerge _),
   )
 
+  /** q84/q85 shared algebra: MoR delete then MoR update replayed as
+    * plain SQL (the dv mechanics are invisible to the row semantics —
+    * exactly the point).
+    */
+  private val morSql =
+    """WITH surv AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE NOT (o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)
+      |             AND o_orderkey % 11 = 4))
+      |SELECT o_orderkey,
+      |  CASE WHEN o_orderkey <= (SELECT max(o_orderkey) // 2 FROM orders)
+      |        AND o_orderkey % 13 = 6
+      |    THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+      |  CASE WHEN o_orderkey <= (SELECT max(o_orderkey) // 2 FROM orders)
+      |        AND o_orderkey % 13 = 6
+      |    THEN o_totalprice * 0.5 ELSE o_totalprice END AS o_totalprice
+      |FROM surv ORDER BY o_orderkey""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q84_delete_vectors" -> morSql,
+    "q85_reorg_purge" -> morSql,
     "q74_time_travel" ->
       """SELECT o_orderstatus,
         |  count(*) AS n_orders,

@@ -280,8 +280,20 @@ object GraftDataSource {
     val t = GraftTable.forPath(spark, path)
     val version = versionOpt.getOrElse(t.latestVersion)
     if (version <= 0) new EmptyTable(path)
-    else new ReadOnlySnapshot(org.apache.spark.sql.graft.shim.parquetTable(
-      s"graft:$path@v$version", spark, options, t.filesAsOf(version)),
-      spark, path, t.fileMetaAsOf(version))
+    else {
+      // READER-FEATURE gate (Delta's protocol discipline): this path
+      // serves the snapshot's RAW parquet files — if any live file
+      // carries a deletion vector, scanning them would resurrect
+      // deleted rows. Refuse loudly instead of lying; the verb API
+      // (GraftTable.read/readVersion/readWhere) applies dvs.
+      if (t.hasDvAsOf(version)) throw new UnsupportedOperationException(
+        s"graft table at $path (v$version) has live DELETION VECTORS — " +
+          "a reader feature this raw-parquet path does not apply. Read " +
+          "through GraftTable.read()/readVersion()/readWhere(), or run " +
+          "purge() to materialize the deletes first")
+      new ReadOnlySnapshot(org.apache.spark.sql.graft.shim.parquetTable(
+        s"graft:$path@v$version", spark, options, t.filesAsOf(version)),
+        spark, path, t.fileMetaAsOf(version))
+    }
   }
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 import java.nio.charset.StandardCharsets.UTF_8
 
 /** Transactional parquet table — ONE commit-log discipline for every
@@ -22,6 +22,10 @@ import java.nio.charset.StandardCharsets.UTF_8
   *   root/data/<uuid>/part-*.parquet      immutable data files
   *   root/cdf/<uuid>/part-*.parquet       row-level change images of
   *                                        merge/delete commits (CDF)
+  *   root/dv/<uuid>/part-*.parquet        DELETION VECTORS: (__file
+  *                                        basename, __pos row index)
+  *                                        sidecars of merge-on-read
+  *                                        DML commits (`dv` actions)
   * }}}
   *
   * Protocol (Delta-Lake-shaped, format-independent):
@@ -126,7 +130,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
                                    cdf: Seq[(String, Long)],
                                    schemaJson: Option[String],
                                    constraintsJson: Option[String],
-                                   tsMillis: Long)
+                                   tsMillis: Long,
+                                   dvs: Seq[(String, DvRef)] = Seq.empty)
 
   private[graft] def readCommit(v: Long): Commit = {
     val lines = readLines(commitPath(v))
@@ -138,23 +143,26 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val adds = Seq.newBuilder[AddFile]
     val rems = Seq.newBuilder[String]
     val cdfs = Seq.newBuilder[(String, Long)]
+    val dvs = Seq.newBuilder[(String, DvRef)]
     var schema: Option[String] = None
     var constraints: Option[String] = None
     lines.tail.foreach { l =>
-      val f = l.split("\t", 4)
+      val f = l.split("\t", 5)
       f(0) match {
         case "add" =>
           adds += AddFile(f(1), f(2).toLong,
             if (f.length >= 4 && f(3).nonEmpty) Some(f(3)) else None)
         case "remove"      => rems += f(1)
         case "cdf"         => cdfs += ((f(1), f(2).toLong))
-        case "schema"      => schema = Some(f(1))
-        case "constraints" => constraints = Some(f(1))
+        case "dv"          => // dv \t dataRel \t dvRel \t bytes \t nDeleted
+          dvs += ((f(1), DvRef(f(2), f(3).toLong, f(4).toLong)))
+        case "schema"      => schema = Some(l.split("\t", 2)(1))
+        case "constraints" => constraints = Some(l.split("\t", 2)(1))
         case other => sys.error(s"corrupt commit v$v: unknown action $other")
       }
     }
     Commit(ver.toLong, action, adds.result(), rems.result(), cdfs.result(),
-      schema, constraints, ts)
+      schema, constraints, ts, dvs.result())
   }
 
   /** The live (relpath → meta) set at version `v` — checkpoint ≤ v
@@ -166,22 +174,47 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val base = checkpointVersions().filter(_ <= v).lastOption
     val start: Map[String, FileMeta] = base match {
       case None => Map.empty
-      case Some(cv) => readLines(ckptPath(cv)).flatMap { l =>
-        val f = l.split("\t", 4)
-        if (f(0) == "file")
-          Some((f(1), FileMeta(f(2).toLong,
-            if (f.length >= 4 && f(3).nonEmpty) Some(f(3)) else None)))
-        else None // header / tag ledger / schema lines
-      }.toMap
+      case Some(cv) =>
+        val lines = readLines(ckptPath(cv))
+        val files = lines.flatMap { l =>
+          val f = l.split("\t", 4)
+          if (f(0) == "file")
+            Some((f(1), FileMeta(f(2).toLong,
+              if (f.length >= 4 && f(3).nonEmpty) Some(f(3)) else None)))
+          else None // header / tag ledger / schema / filedv lines
+        }.toMap
+        // filedv lines re-attach deletion vectors to their data files
+        lines.foldLeft(files) { (m, l) =>
+          val f = l.split("\t", 5)
+          if (f(0) == "filedv" && m.contains(f(1)))
+            m.updated(f(1), m(f(1)).copy(dv =
+              Some(DvRef(f(2), f(3).toLong, f(4).toLong))))
+          else m
+        }
     }
     val from = base.getOrElse(0L)
     versions().filter(x => x > from && x <= v)
       .foldLeft(start) { (live, cv) =>
         val c = readCommit(cv)
-        (live -- c.removes) ++
+        val applied = (live -- c.removes) ++
           c.adds.map(a => a.path -> FileMeta(a.bytes, a.stats))
+        // dv actions attach to files still live after the fold above;
+        // a dv for a file this same commit removed is dropped with it
+        c.dvs.foldLeft(applied) { (m, d) =>
+          if (m.contains(d._1)) m.updated(d._1, m(d._1).copy(dv = Some(d._2)))
+          else m
+        }
       }
   }
+
+  /** True when any live file of version `v` carries a deletion
+    * vector — the READER FEATURE gate: paths that serve raw parquet
+    * files (the DSv2 `graft` format, SQL time travel) must refuse
+    * rather than silently resurrect deleted rows (Delta's
+    * reader-version protocol does the same).
+    */
+  def hasDvAsOf(v: Long): Boolean =
+    resolveMeta(v).values.exists(_.dv.isDefined)
 
   private def resolve(v: Long): Map[String, Long] =
     resolveMeta(v).view.mapValues(_.bytes).toMap
@@ -312,16 +345,89 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * DataFrame instead of failing inference on zero files.
     */
   def readVersion(v: Long): DataFrame = {
-    val files = filesAsOf(v)
-    schemaAt(v) match {
-      case Some(sc) if files.isEmpty =>
-        s.createDataFrame(s.sparkContext.emptyRDD[Row], sc)
-      case Some(sc) => s.read.schema(sc).parquet(files: _*)
-      case None =>
-        require(files.nonEmpty,
-          s"version $v has an empty live set and no recorded schema " +
-            "(legacy log) — nothing to infer a schema from")
-        s.read.parquet(files: _*)
+    require(v >= 1 && fs.exists(commitPath(v)),
+      s"version $v does not exist (have: ${versions().mkString(",")})")
+    readMeta(resolveMeta(v).toSeq, schemaAt(v))
+  }
+
+  // ---- deletion-vector-aware reads ------------------------------------
+
+  /** The dv/probe FILE KEY: the last two path components
+    * ("<uuiddir>/part-…" flat, "<part>=<v>/part-…" partitioned).
+    * One component is NOT enough — stagePartitioned writes the same
+    * part numbers under every value dir of one job, so basenames
+    * collide across partitions; two components are unique because the
+    * staging dir (or value dir + job uuid) disambiguates.
+    */
+  private def fileKey(rel: String): String = {
+    val i = rel.lastIndexOf('/')
+    val j = if (i <= 0) -1 else rel.lastIndexOf('/', i - 1)
+    rel.substring(j + 1)
+  }
+
+  /** The payload rows of `metaSeq`'s files with every DELETION VECTOR
+    * applied: files without a dv scan straight through Spark's parquet
+    * reader; files with one read WITH their per-file row position
+    * (`_metadata.file_name` / `_metadata.row_index` — stable because
+    * table files are immutable) and anti-join the dv's dead
+    * (file, position) pairs, so marked rows vanish without the data
+    * file ever being rewritten (Delta's merge-on-read scan). The dv
+    * side is sidecar-sized — AQE broadcasts it; the anti-join costs
+    * nothing on tables with no dvs (that branch is not planned).
+    * `keepPos` retains (__fn, __ri) on every row — the MoR writers'
+    * probe reads use it to name the positions they mark dead.
+    *
+    * Keying is by file BASENAME: Spark part-file names embed the
+    * write-job UUID, so basenames are unique across the table
+    * (asserted below — a collision would mask rows in the wrong file).
+    */
+  private def readMeta(metaSeq: Seq[(String, FileMeta)],
+                       sc: Option[StructType],
+                       keepPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (dvd, plain) = metaSeq.sortBy(_._1).partition(_._2.dv.isDefined)
+    def posCols(st: StructType) =
+      st.add("__fn", StringType).add("__ri", LongType)
+    def readP(paths: Seq[String], pos: Boolean): DataFrame =
+      if (paths.isEmpty) {
+        val st = sc.getOrElse(sys.error(
+          "empty live set and no recorded schema (legacy log) — " +
+            "nothing to infer a schema from"))
+        s.createDataFrame(s.sparkContext.emptyRDD[Row],
+          if (pos) posCols(st) else st)
+      } else {
+        val base = sc match {
+          case Some(st) =>
+            s.read.schema(st).parquet(paths.map(p => s"$root/$p"): _*)
+          case None => s.read.parquet(paths.map(p => s"$root/$p"): _*)
+        }
+        if (pos) base.withColumn("__fn",
+          org.apache.spark.sql.functions.substring_index(
+            col("_metadata.file_path"), "/", -2))
+          .withColumn("__ri", col("_metadata.row_index"))
+        else base
+      }
+    if (dvd.isEmpty) readP(plain.map(_._1), keepPos)
+    else {
+      val names = dvd.map(f => fileKey(f._1))
+      require(names.distinct.size == names.size,
+        "dv-carrying data files must have distinct file keys " +
+          s"(collision among: ${names.diff(names.distinct).take(3)})")
+      import s.implicits._
+      // restrict each dv's rows to the files it is CURRENTLY attached
+      // to: a superseded dv shared across files may carry positions
+      // for a file that re-attached elsewhere (restore)
+      val dead = s.read
+        .parquet(dvd.flatMap(_._2.dv.map(d => s"$root/${d.path}"))
+          .distinct: _*)
+        .join(names.toDF("__file"), "__file")
+      val d0 = readP(dvd.map(_._1), pos = true)
+      val masked = d0.join(dead,
+        d0("__fn") === dead("__file") && d0("__ri") === dead("__pos"),
+        "left_anti")
+      val cleaned = if (keepPos) masked else masked.drop("__fn", "__ri")
+      if (plain.isEmpty) cleaned
+      else readP(plain.map(_._1), keepPos).unionByName(cleaned)
     }
   }
 
@@ -379,8 +485,11 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   def tableStats(): (Option[Long], Long, Int) = {
     val live = resolveMeta(latestVersion).values.toSeq
+    // a deletion vector's cardinality subtracts from its file's stats
+    // row count — the logged count names the PHYSICAL rows
     val rows = live.foldLeft(Option(0L)) { (acc, m) =>
-      for (a <- acc; st <- m.stats; n <- FileStats.numRows(st)) yield a + n
+      for (a <- acc; st <- m.stats; n <- FileStats.numRows(st))
+        yield a + n - m.dv.map(_.nDeleted).getOrElse(0L)
     }
     (if (live.isEmpty) Some(0L) else rows, live.map(_.bytes).sum, live.size)
   }
@@ -414,18 +523,12 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * files, instead of opening every footer at scan time.
     */
   def readWhere(pred: Column): DataFrame = {
-    val files = prunedFiles(pred)
+    val e = org.apache.spark.sql.graft.shim.catalystExpression(pred)
+    val survivors = resolveMeta(latestVersion).toSeq.sortBy(_._1)
+      .filter { case (_, m) => FileStats.mayMatch(m.stats, e) }
     val sc = schemaAt(latestVersion)
-    val df =
-      if (files.isEmpty) sc match {
-        case Some(st) => s.createDataFrame(s.sparkContext.emptyRDD[Row], st)
-        case None => read() // legacy: no stats recorded anyway
-      }
-      else sc match {
-        case Some(st) => s.read.schema(st).parquet(files: _*)
-        case None => s.read.parquet(files: _*)
-      }
-    df.filter(pred)
+    if (survivors.isEmpty && sc.isEmpty) read().filter(pred) // legacy log
+    else readMeta(survivors, sc).filter(pred)
   }
 
   // ---- writes ---------------------------------------------------------
@@ -530,8 +633,13 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val cons = constraintsAt(v)
     if (cons.nonEmpty)
       b.append(s"constraints\t${GraftTable.constraintsToJson(cons)}\n")
-    resolveMeta(v).toSeq.sortBy(_._1).foreach { case (p, m) =>
+    val live = resolveMeta(v).toSeq.sortBy(_._1)
+    live.foreach { case (p, m) =>
       b.append(s"file\t$p\t${m.bytes}${m.stats.map("\t" + _).getOrElse("")}\n")
+    }
+    live.foreach { case (p, m) =>
+      m.dv.foreach(d =>
+        b.append(s"filedv\t$p\t${d.path}\t${d.bytes}\t${d.nDeleted}\n"))
     }
     tagsAsOf(v).toSeq.sorted.foreach(t => b.append(s"tag\t$t\n"))
     b.toString.getBytes(UTF_8)
@@ -571,7 +679,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
                             schema: Option[StructType] = None,
                             cdf: Seq[(String, Long)] = Seq.empty,
                             tolerateAppends: Boolean = false,
-                            constraints: Option[Seq[(String, String)]] = None)
+                            constraints: Option[Seq[(String, String)]] = None,
+                            dvs: Seq[(String, DvRef)] = Seq.empty)
       : Long = {
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
     var attempt = 0
@@ -602,9 +711,16 @@ class GraftTable private (val s: SparkSession, val root: String) {
                  else ""))
         }
       }
-      if (removes.nonEmpty) {
+      if (removes.nonEmpty || dvs.nonEmpty) {
         val live = resolveMeta(prev).keySet
-        val gone = removes.filterNot(live)
+        // a dv targets a SPECIFIC live file like a remove does: if a
+        // concurrent commit rewrote/removed that file, the positions
+        // no longer name the rows they were computed from — abort.
+        // (a dv attaching to a file this SAME commit re-adds — restore
+        // re-establishing dv state — is exempt: the add makes it live)
+        val addSet = adds.map(_._1).toSet
+        val gone = (removes ++ dvs.map(_._1).filterNot(addSet))
+          .filterNot(live)
         if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
           s"$action conflicts: files no longer live: ${gone.take(3).mkString(",")}")
       }
@@ -623,6 +739,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
       }
       removes.foreach(p => body.append(s"remove\t$p\n"))
       cdf.foreach { case (p, b) => body.append(s"cdf\t$p\t$b\n") }
+      dvs.foreach { case (p, d) =>
+        body.append(s"dv\t$p\t${d.path}\t${d.bytes}\t${d.nDeleted}\n")
+      }
       if (publish(commitPath(v), body.toString.getBytes(UTF_8))) {
         if (v % CheckpointEvery == 0) publish(ckptPath(v), checkpointBody(v))
         return v
@@ -880,17 +999,16 @@ class GraftTable private (val s: SparkSession, val root: String) {
 
   // ---- row-level DML (copy-on-write) ----------------------------------
 
-  /** Relative live paths of the files a DataFrame row set actually
-    * came from, mapped back from input_file_name's absolute URIs.
+  /** file key → live relpath, asserting table-wide uniqueness (dv
+    * keying and the `__fn` probe both rely on it — [[fileKey]]'s
+    * two-component construction makes collisions structurally
+    * impossible; this makes the assumption loud).
     */
-  private def toRelative(absolute: Seq[String]): Seq[String] = {
-    val rootAbs = fs.makeQualified(rootPath).toUri.getPath
-    absolute.map { f =>
-      val p = new java.net.URI(f).getPath
-      require(p.startsWith(rootAbs + "/"),
-        s"file $p is not under table root $rootAbs")
-      p.substring(rootAbs.length + 1)
-    }
+  private def byBaseName(live: Map[String, FileMeta]): Map[String, String] = {
+    val m = live.keys.map(p => fileKey(p) -> p).toMap
+    require(m.size == live.size,
+      "live data files must have distinct file keys")
+    m
   }
 
   /** Copy-on-write DELETE (Delta's `DELETE FROM t WHERE pred`), the
@@ -914,14 +1032,13 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * each row's file path (its values live in the paths, not the file
     * contents), so predicates and SET expressions may reference it.
     */
-  private def dmlRead(paths: Seq[String], sc: Option[StructType],
-                      partCol: Option[String]): DataFrame = {
+  private def dmlRead(meta: Seq[(String, FileMeta)], sc: Option[StructType],
+                      partCol: Option[String],
+                      keepPos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
-    val base = sc match {
-      case Some(st) =>
-        s.read.schema(st).parquet(paths.map(p => s"$root/$p"): _*)
-      case None => s.read.parquet(paths.map(p => s"$root/$p"): _*)
-    }
+    // dv-aware: a CoW/MoR pass over files an earlier MoR commit marked
+    // must not resurrect (or re-mark) already-dead rows
+    val base = readMeta(meta, sc, keepPos)
     partCol.fold(base) { pc =>
       base.withColumn(pc,
         regexp_extract(input_file_name(),
@@ -938,8 +1055,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
                        partCol: Option[String]): Seq[(String, Long)] =
     partCol.fold(stage(df))(pc => stagePartitioned(df, Seq(pc)))
 
-  def deleteWhere(pred: Column, cdfImages: Boolean = true): Long = {
-    import org.apache.spark.sql.functions.input_file_name
+  def deleteWhere(pred: Column, cdfImages: Boolean = true,
+                  mor: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{input_file_name, lit}
     val base = latestVersion
     require(base > 0, s"no graft table at $root")
     val sc = schemaAt(base)
@@ -950,12 +1068,29 @@ class GraftTable private (val s: SparkSession, val root: String) {
       case (p, m) if FileStats.mayMatch(m.stats, e) => p
     }
     if (candidates.isEmpty) return base
-    // exact probe: which candidates hold matching rows (≤ #files rows)
-    val touched = toRelative(dmlRead(candidates, sc, pc).filter(pred)
-      .select(input_file_name()).distinct().collect().map(_.getString(0))
-      .toSeq).sorted
+    if (mor) {
+      require(pc.isEmpty, "merge-on-read DML is not supported on " +
+        "hive-partitioned tables — the partition-subset readers " +
+        "(readPartitions/readPartitionedColumn) serve raw files; use " +
+        "the copy-on-write default")
+      val matched = dmlRead(candidates.map(p => p -> live(p)), sc, pc,
+        keepPos = true).filter(pred)
+      return morCommit("delete", base, live, sc, matched,
+        adds = Seq.empty,
+        cdf = if (!cdfImages) None
+              else Some(matched.drop("__fn", "__ri")
+                .withColumn(ChangeTypeCol, lit("delete"))))
+    }
+    // exact probe: which candidates hold matching rows (≤ #files rows;
+    // __fn from the dv-aware read — input_file_name can't cross the
+    // dv anti-join's second source)
+    val byName = byBaseName(live)
+    val touched = dmlRead(candidates.map(p => p -> live(p)), sc, pc,
+      keepPos = true).filter(pred)
+      .select("__fn").distinct().collect().map(_.getString(0))
+      .toSeq.map(byName).sorted
     if (touched.isEmpty) return base
-    val touchedDf = dmlRead(touched, sc, pc)
+    val touchedDf = dmlRead(touched.map(p => p -> live(p)), sc, pc)
     val survivors = touchedDf.filter(!pred)
     val adds = dmlStage(survivors, pc)
     val cdf =
@@ -966,6 +1101,61 @@ class GraftTable private (val s: SparkSession, val root: String) {
     commit("delete", adds, touched, basedOn = Some(base),
       stats = statsOf(adds), schema = sc, cdf = cdf,
       tolerateAppends = true)
+  }
+
+  /** The shared tail of a MERGE-ON-READ DML commit: `matched` is the
+    * dv-aware probe's result (payload + __fn/__ri) naming the rows to
+    * mark DEAD. Stages ONE dv parquet holding the new dead positions
+    * UNIONED with the touched files' existing dv positions (a newer dv
+    * SUPERSEDES — so each file's dv is always its complete dead set),
+    * counts per-file cardinalities (bounded collect, ≤ #files rows),
+    * and publishes one commit: `adds` (the MoR-update rewrite slice,
+    * empty for delete), full-dead files as plain removes (a dv
+    * covering every physical row degenerates to the remove — no
+    * sidecar, and an emptied table stays readable), dvs for the rest.
+    * Returns the committed version, or `base` when nothing matched.
+    */
+  private def morCommit(action: String, base: Long,
+                        live: Map[String, FileMeta],
+                        sc: Option[StructType],
+                        matched: DataFrame,
+                        adds: Seq[(String, Long)],
+                        cdf: Option[DataFrame]): Long = {
+    import org.apache.spark.sql.functions.col
+    import s.implicits._
+    val byName = byBaseName(live)
+    val touchedNames = matched.select("__fn").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (touchedNames.isEmpty) return base
+    val touched = touchedNames.map(byName)
+    val newDead = matched.select(col("__fn").as("__file"),
+      col("__ri").as("__pos"))
+    val oldDvDirs = touched.flatMap(p => live(p).dv.map(_.path)).distinct
+    val dead = (if (oldDvDirs.isEmpty) newDead
+      else newDead.unionByName(s.read
+        .parquet(oldDvDirs.map(d => s"$root/$d"): _*)
+        .join(touchedNames.toDF("__file"), "__file")
+        .select("__file", "__pos"))).distinct()
+    val dvSub = s"$DvDir/${java.util.UUID.randomUUID.toString.take(12)}"
+    dead.coalesce(1).write.parquet(s"$root/$dvSub")
+    val dvBytes = fs.listStatus(new Path(rootPath, dvSub)).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    // per-file dead cardinality — also detects fully-dead files
+    val counts = dead.groupBy("__file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (fullDead, partial) = touched.partition { p =>
+      live(p).stats.flatMap(FileStats.numRows)
+        .contains(counts(fileKey(p)))
+    }
+    if (partial.isEmpty) // every touched file died whole: no dv needed
+      fs.delete(new Path(rootPath, dvSub), true)
+    val dvs = partial.map(p =>
+      p -> DvRef(dvSub, dvBytes, counts(fileKey(p))))
+    commit(action, adds, fullDead, basedOn = Some(base),
+      stats = statsOf(adds), schema = sc,
+      cdf = cdf.map(stageCdf).getOrElse(Seq.empty),
+      tolerateAppends = true, dvs = dvs)
   }
 
   /** Copy-on-write UPDATE (Delta's `UPDATE t SET … WHERE pred`), the
@@ -984,7 +1174,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * if nothing matched.
     */
   def update(pred: Column, set: Map[String, Column],
-             cdfImages: Boolean = true): Long = {
+             cdfImages: Boolean = true, mor: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{input_file_name, lit, when}
     val base = latestVersion
     require(base > 0, s"no graft table at $root")
@@ -1006,12 +1196,36 @@ class GraftTable private (val s: SparkSession, val root: String) {
       case (p, m) if FileStats.mayMatch(m.stats, e) => p
     }
     if (candidates.isEmpty) return base
+    if (mor) {
+      require(pc.isEmpty, "merge-on-read DML is not supported on " +
+        "hive-partitioned tables — use the copy-on-write default")
+      // matched pre-rows, dv-aware, with their (file, position)
+      val matched = dmlRead(candidates.map(p => p -> live(p)), sc, pc,
+        keepPos = true).filter(pred)
+      val payload = matched.columns.filterNot(c => c == "__fn" || c == "__ri")
+      // every matched row updates — no when(pred) needed
+      val post = matched.select(payload.map(c =>
+        set.get(c).map(_.as(c)).getOrElse(matched(c))).toIndexedSeq: _*)
+      if (matched.isEmpty) return base
+      enforceConstraints(post, "update")
+      // the updated copies APPEND as new files; the old copies go dead
+      // via the dv — the only data written is the touched-row slice
+      val adds = stage(post)
+      return morCommit("update", base, live, sc, matched, adds,
+        cdf = if (!cdfImages) None
+              else Some(matched.drop("__fn", "__ri")
+                .withColumn(ChangeTypeCol, lit("update_preimage"))
+                .unionByName(post
+                  .withColumn(ChangeTypeCol, lit("update_postimage")))))
+    }
     // exact probe: bounded collect (distinct file names, ≤ #files)
-    val touched = toRelative(dmlRead(candidates, sc, pc).filter(pred)
-      .select(input_file_name()).distinct().collect().map(_.getString(0))
-      .toSeq).sorted
+    val byName = byBaseName(live)
+    val touched = dmlRead(candidates.map(p => p -> live(p)), sc, pc,
+      keepPos = true).filter(pred)
+      .select("__fn").distinct().collect().map(_.getString(0))
+      .toSeq.map(byName).sorted
     if (touched.isEmpty) return base
-    val touchedDf = dmlRead(touched, sc, pc)
+    val touchedDf = dmlRead(touched.map(p => p -> live(p)), sc, pc)
     val cols = touchedDf.columns.map { c =>
       set.get(c) match {
         case Some(v) => when(pred, v).otherwise(touchedDf(c)).as(c)
@@ -1068,7 +1282,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val base = latestVersion
     require(base > 0, s"no graft table at $root — append the batch instead")
     val sc = schemaAt(base)
-    partColOf(resolveMeta(base).keys).foreach { p =>
+    val liveM = resolveMeta(base)
+    partColOf(liveM.keys).foreach { p =>
       throw new IllegalArgumentException(
         s"table is hive-partitioned on '$p' — merged rows could move " +
           "across partitions; use replacePartitions (the partition-scoped " +
@@ -1082,25 +1297,25 @@ class GraftTable private (val s: SparkSession, val root: String) {
     if (lo == null) return base // empty batch: nothing to merge, no commit
     val keyPred = col(key) >= lit(lo) && col(key) <= lit(hi)
     val e = org.apache.spark.sql.graft.shim.catalystExpression(keyPred)
-    val candidates = resolveMeta(base).toSeq.sortBy(_._1).collect {
+    val candidates = liveM.toSeq.sortBy(_._1).collect {
       case (p, m) if FileStats.mayMatch(m.stats, e) => p
     }
-    def readRel(paths: Seq[String]): DataFrame = sc match {
-      case Some(st) if paths.isEmpty =>
-        s.createDataFrame(s.sparkContext.emptyRDD[Row], st)
-      case Some(st) =>
-        s.read.schema(st).parquet(paths.map(p => s"$root/$p"): _*)
-      case None => s.read.parquet(paths.map(p => s"$root/$p"): _*)
-    }
+    // dv-aware: rows an earlier MoR delete marked dead must neither
+    // match as existing keys nor resurrect into the rewrite
+    def readRel(paths: Seq[String]): DataFrame =
+      readMeta(paths.map(p => p -> liveM(p)), sc)
     val updKeys = updates.select(col(key)).distinct()
     // 2. exact probe: candidate files really holding a matched key
+    // (__fn from the dv-aware read; bounded collect, ≤ #files rows)
+    val byName = byBaseName(liveM)
     val touched =
       if (candidates.isEmpty) Seq.empty[String]
-      else toRelative(readRel(candidates)
-        .select(col(key), input_file_name().as("__f"))
+      else readMeta(candidates.map(p => p -> liveM(p)), sc,
+        keepPos = true)
+        .select(col(key), col("__fn"))
         .join(broadcast(updKeys), Seq(key))
-        // bounded collect: distinct file names only (≤ #files rows)
-        .select("__f").distinct().collect().map(_.getString(0)).toSeq).sorted
+        .select("__fn").distinct().collect().map(_.getString(0))
+        .toSeq.map(byName).sorted
     // 3. rewrite touched rows merged with the batch (inserts included)
     val baseRows = readRel(touched)
     val merged = graft.operators.Upsert.merge(baseRows, updates, key, strategies)
@@ -1145,22 +1360,51 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   def compact(targetBytes: Long): Long = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val live = resolve(latestVersion).toSeq
-    partColOf(live.map(_._1)).foreach { pc =>
+    val base = latestVersion
+    val liveM = resolveMeta(base)
+    partColOf(liveM.keys).foreach { pc =>
       throw new IllegalArgumentException(
         s"table is hive-partitioned on '$pc' — a flat rewrite would drop " +
           s"the partition paths and break pruned reads; use " +
           s"compactPartitioned(\"$pc\", targetBytes)")
     }
-    val small = live.filter(_._2 < targetBytes / 2)
-    if (small.size <= 1) return latestVersion // nothing to gain
+    val small = liveM.toSeq.map { case (p, m) => (p, m.bytes) }
+      .filter(_._2 < targetBytes / 2).sortBy(_._1)
+    if (small.size <= 1) return base // nothing to gain
     val smallBytes = small.map(_._2).sum
     val nOut = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
-    val merged = s.read
-      .parquet(small.map(f => s"$root/${f._1}"): _*)
+    // dv-aware: compacting a dv-carrying small file MATERIALIZES its
+    // deletes (the remove clears the dv association)
+    val merged = readMeta(small.map(f => f._1 -> liveM(f._1)), schemaAt(base))
       .repartition(nOut)
     val adds = stage(merged)
-    commit("compact", adds, small.map(_._1), stats = statsOf(adds))
+    // serializable vs row-level DML: a concurrent dv commit on one of
+    // the victims would be silently dropped by our remove — abort on
+    // any intervening non-append commit (blind appends stay fine)
+    commit("compact", adds, small.map(_._1), basedOn = Some(base),
+      stats = statsOf(adds), tolerateAppends = true)
+  }
+
+  /** REORG TABLE … APPLY (PURGE) (Delta's dv materializer): rewrite
+    * ONLY the deletion-vector-carrying files without their dead rows
+    * and clear the dvs, in one serializable content-neutral commit.
+    * The live row multiset is unchanged — this trades the dv
+    * anti-join at read time for one deferred rewrite, and re-opens
+    * the raw-parquet paths (the DSv2 `graft` format) that refuse
+    * while dvs are live. No-op when nothing carries a dv.
+    */
+  def purge(): Long = {
+    val base = latestVersion
+    val live = resolveMeta(base)
+    val dvd = live.toSeq.filter(_._2.dv.isDefined).sortBy(_._1)
+    if (dvd.isEmpty) return base
+    val sc = schemaAt(base)
+    require(partColOf(live.keys).isEmpty,
+      "dv on a hive-partitioned table should be impossible (MoR refuses)")
+    val survivors = readMeta(dvd, sc)
+    val adds = stage(survivors)
+    commit("purge", adds, dvd.map(_._1), basedOn = Some(base),
+      stats = statsOf(adds), schema = sc, tolerateAppends = true)
   }
 
   /** The hive-partition column of the live set, if any — parsed from
@@ -1180,9 +1424,10 @@ class GraftTable private (val s: SparkSession, val root: String) {
   def compactPartitioned(partCol: String, targetBytes: Long): Long = {
     require(targetBytes > 0, "targetBytes must be positive")
     import org.apache.spark.sql.functions.{col, input_file_name, regexp_extract}
-    val live = resolve(latestVersion).toSeq
+    val base = latestVersion
+    val live = resolve(base).toSeq
     val small = live.filter(_._2 < targetBytes / 2)
-    if (small.size <= 1) return latestVersion
+    if (small.size <= 1) return base
     val smallBytes = small.map(_._2).sum
     val nOut = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
     val merged = s.read
@@ -1193,7 +1438,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
           .cast("long"))
       .repartition(nOut, col(partCol))
     val adds = stagePartitioned(merged, Seq(partCol))
-    commit("compact", adds, small.map(_._1), stats = statsOf(adds))
+    commit("compact", adds, small.map(_._1), basedOn = Some(base),
+      stats = statsOf(adds), tolerateAppends = true)
   }
 
   /** OPTIMIZE ZORDER: rewrite the WHOLE live set z-ordered on
@@ -1207,14 +1453,16 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * two columns, after ingest has accreted arrival-ordered files.
     */
   def compactZOrder(dimA: String, dimB: String, numFiles: Int): Long = {
-    val live = resolveMeta(latestVersion)
+    val base = latestVersion
+    val live = resolveMeta(base)
     require(live.nonEmpty, "cannot z-order an empty table")
     partColOf(live.keys).foreach { pc =>
       throw new IllegalArgumentException(
         s"table is hive-partitioned on '$pc' — a flat z-order rewrite " +
           "would drop the partition paths and break pruned reads")
     }
-    val df = s.read.parquet(live.keys.toSeq.sorted.map(f => s"$root/$f"): _*)
+    // dv-aware whole-set rewrite: deletes materialize, dvs clear
+    val df = readMeta(live.toSeq, schemaAt(base))
     val sub = freshSub()
     ZOrderLayout.writeZOrdered(df,
       org.apache.spark.sql.functions.col(dimA),
@@ -1222,7 +1470,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       s"$root/$sub", numFiles)
     val adds = listStaged(sub)
     commit(s"zorder:$dimA,$dimB", adds, live.keys.toSeq,
-      stats = statsOf(adds))
+      basedOn = Some(base), stats = statsOf(adds), tolerateAppends = true)
   }
 
   /** Adopt a caller-staged parquet directory as ONE atomic (and
@@ -1329,7 +1577,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val unsupported = commits.filterNot(c =>
       c.action.startsWith("append") || c.action == "merge" ||
         c.action == "delete" || c.action == "update" ||
-        c.action == "compact" || c.action.startsWith("zorder:") ||
+        c.action == "compact" || c.action == "purge" ||
+        c.action.startsWith("zorder:") ||
         c.action.startsWith("constraint:"))
     if (unsupported.nonEmpty) throw new IllegalStateException(
       "row-level change feed undefined across whole-scope rewrites: " +
@@ -1354,7 +1603,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
         if (c.cdf.isEmpty) None
         else Some(s.read.parquet(c.cdf.map(f => s"$root/${f._1}"): _*)
           .withColumn(VersionCol, lit(c.version)))
-      } else None // compact / zorder: content-neutral
+      } else None // compact / purge / zorder: content-neutral
     }
     if (slices.isEmpty) None
     // allowMissingColumns: a feed range may CROSS an additive schema
@@ -1382,7 +1631,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
         if (c.cdf.isEmpty) None
         else Some((c.version, c.cdf.map(f => s"$root/${f._1}").sorted,
           None))
-      } else if (c.action == "compact" || c.action.startsWith("zorder:") ||
+      } else if (c.action == "compact" || c.action == "purge" ||
+          c.action.startsWith("zorder:") ||
           c.action.startsWith("constraint:")) None
       else throw new IllegalStateException(
         "row-level change feed undefined across whole-scope rewrites: " +
@@ -1425,16 +1675,27 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * (the old files are still on disk because removes are logical).
     */
   def restore(v: Long): Long = {
-    val target = resolveMeta(v)
-    require(target.nonEmpty, s"cannot restore to empty/unknown version $v")
+    require(v >= 1 && fs.exists(commitPath(v)),
+      s"cannot restore to unknown version $v")
+    val target = resolveMeta(v) // may be legitimately EMPTY (delete-all):
+    // the restore then removes every live file and the recorded schema
+    // keeps the empty version readable
     val base = latestVersion
-    val current = resolveMeta(base).keySet
-    val adds = target.toSeq.filterNot { case (p, _) => current(p) }
-    val removes = (current -- target.keySet).toSeq
-    commit(s"restore:$v", adds.map { case (p, m) => (p, m.bytes) }, removes,
+    val current = resolveMeta(base)
+    // a file whose DV STATE differs between current and target is
+    // re-established by remove+add(+dv) in the one commit (the fold
+    // applies removes, then adds — fresh entry, dv=None — then dvs),
+    // so restore round-trips dv'd versions exactly
+    val readds = target.toSeq.filter { case (p, m) =>
+      !current.contains(p) || current(p).dv != m.dv }
+    val removes = current.keySet.filter(p =>
+      !target.contains(p) || target(p).dv != current(p).dv).toSeq
+    commit(s"restore:$v", readds.map { case (p, m) => (p, m.bytes) }, removes,
       basedOn = Some(base),
-      stats = adds.collect { case (p, FileMeta(_, Some(st))) => p -> st }.toMap,
-      schema = schemaAt(v))
+      stats = readds.collect {
+        case (p, FileMeta(_, Some(st), _)) => p -> st }.toMap,
+      schema = schemaAt(v),
+      dvs = readds.flatMap { case (p, m) => m.dv.map(p -> _) })
   }
 
   /** Physically delete data files unreferenced by every retained
@@ -1456,8 +1717,13 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val vs = versions()
     if (vs.isEmpty) return // nothing committed: nothing to reclaim
     val keep = vs.takeRight(math.max(1, retainVersions))
-    val referenced = keep.flatMap(v => resolveMeta(v).keys).toSet
+    val keptMeta = keep.map(resolveMeta)
+    val referenced = keptMeta.flatMap(_.keys).toSet
     val referencedCdf = keep.flatMap(v => readCommit(v).cdf.map(_._1)).toSet
+    // dv refs are DIRECTORIES (one staged dv dir may serve several
+    // data files): any parquet under a retained version's dv dir lives
+    val referencedDv = keptMeta
+      .flatMap(_.values.flatMap(_.dv.map(_.path))).toSet
     // checkpoint the horizon so resolution (and the tag ledger) never
     // needs dropped entries
     val horizon = keep.head
@@ -1484,6 +1750,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
     if (fs.exists(dataRoot)) sweep(dataRoot, DataDir, referenced)
     val cdfRoot = new Path(rootPath, CdfDir)
     if (fs.exists(cdfRoot)) sweep(cdfRoot, CdfDir, referencedCdf)
+    val dvRoot = new Path(rootPath, DvDir)
+    if (fs.exists(dvRoot)) sweep(dvRoot, DvDir,
+      r => referencedDv.exists(d => r.startsWith(d + "/")))
     vs.filter(_ < horizon).foreach { v => fs.delete(commitPath(v), false) }
     checkpointVersions().filter(_ < horizon)
       .foreach(v => fs.delete(ckptPath(v), false))
@@ -1494,6 +1763,7 @@ object GraftTable {
   private val LogDir = "_graft_log"
   private val DataDir = "data"
   private val CdfDir = "cdf"
+  private val DvDir = "dv"
   private val VerPrefix = "v"
   private val CkptPrefix = "ckpt-v"
   private val Suffix = ".txt"
@@ -1507,7 +1777,19 @@ object GraftTable {
 
   private[graft] case class AddFile(path: String, bytes: Long,
                                     stats: Option[String])
-  private[graft] case class FileMeta(bytes: Long, stats: Option[String])
+
+  /** A DELETION VECTOR reference: data file → positional sidecar
+    * (Delta's DV): `path` is the dv parquet (rows of (__file basename,
+    * __pos row index) naming this data file's DEAD rows), `nDeleted`
+    * its cardinality for this data file (metadata-only COUNT
+    * subtracts it). A newer dv for the same data file SUPERSEDES the
+    * older one (the writer unions the old positions in), and a
+    * `remove` of the data file drops the association with it.
+    */
+  private[graft] case class DvRef(path: String, bytes: Long, nDeleted: Long)
+
+  private[graft] case class FileMeta(bytes: Long, stats: Option[String],
+                                     dv: Option[DvRef] = None)
 
   private val consMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 

@@ -322,7 +322,7 @@ class GraftTableSpec extends SparkSpec {
       val (d0, m0) = slice()
       current = m0; record(t.append(d0.repartition(3)))
       (1 to 10).foreach { _ =>
-        rnd.nextInt(7) match {
+        rnd.nextInt(10) match {
           case 0 =>
             val (df, m) = slice()
             current = (current.keySet ++ m.keySet).map(k =>
@@ -333,9 +333,10 @@ class GraftTableSpec extends SparkSpec {
             current = m; record(t.overwrite(df))
           case 2 =>
             record(t.compact(1L << 30)) // content-neutral (no-op ok)
-          case 3 =>
-            val v = t.compactZOrder("l_orderkey", "l_partkey", 3)
-            record(v) // content-neutral
+          case 3 => // content-neutral (zorder refuses an EMPTY table —
+            // a delete may legitimately have emptied it; skip then)
+            if (current.nonEmpty)
+              record(t.compactZOrder("l_orderkey", "l_partkey", 3))
           case 4 =>
             val target = versionRows.keys.toSeq.sorted
               .apply(rnd.nextInt(versionRows.size))
@@ -357,6 +358,24 @@ class GraftTableSpec extends SparkSpec {
             }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
             record(t.update(col("l_orderkey") % m === r,
               Map("l_quantity" -> (col("l_quantity") + 1.0))))
+          case 7 => // MERGE-ON-READ delete: same row semantics, dv path
+            val m = rnd.nextInt(4) + 2; val r = rnd.nextInt(m)
+            current = current.filter { case (row, _) =>
+              row.head.asInstanceOf[Long] % m != r }
+            record(t.deleteWhere(col("l_orderkey") % m === r, mor = true))
+          case 8 => // MERGE-ON-READ update
+            val m = rnd.nextInt(4) + 2; val r = rnd.nextInt(m)
+            current = current.toSeq.map { case (row, n) =>
+              val key =
+                if (row.head.asInstanceOf[Long] % m == r)
+                  row.updated(2, row(2).asInstanceOf[Double] + 1.0)
+                else row
+              key -> n
+            }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+            record(t.update(col("l_orderkey") % m === r,
+              Map("l_quantity" -> (col("l_quantity") + 1.0)), mor = true))
+          case 9 => // PURGE: content-neutral dv materialization
+            record(t.purge())
         }
       }
       versionRows.toSeq.sortBy(_._1).foreach { case (v, want) =>
