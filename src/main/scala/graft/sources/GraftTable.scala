@@ -1073,6 +1073,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
         "hive-partitioned tables — the partition-subset readers " +
         "(readPartitions/readPartitionedColumn) serve raw files; use " +
         "the copy-on-write default")
+      // two lean passes, no cache: the positions pass carries the
+      // metadata columns; the cdf pass DROPS them, so Catalyst prunes
+      // _metadata away and it runs as a plain pushed-down scan
       val matched = dmlRead(candidates.map(p => p -> live(p)), sc, pc,
         keepPos = true).filter(pred)
       return morCommit("delete", base, live, sc, matched,
@@ -1124,34 +1127,63 @@ class GraftTable private (val s: SparkSession, val root: String) {
     import org.apache.spark.sql.functions.col
     import s.implicits._
     val byName = byBaseName(live)
-    val touchedNames = matched.select("__fn").distinct()
+    def readDv(dirs: Seq[String]) = s.read
+      .schema(new StructType().add("__file", StringType)
+        .add("__pos", LongType)) // explicit: an empty stage stays readable
+      .parquet(dirs.map(d => s"$root/$d"): _*)
+    def stageDv(df: DataFrame, ways: Int): String = {
+      val sub = s"$DvDir/${java.util.UUID.randomUUID.toString.take(12)}"
+      // repartition, not coalesce: coalesce would collapse the
+      // UPSTREAM scan's parallelism into `ways` tasks
+      df.repartition(ways).write.parquet(s"$root/$sub")
+      sub
+    }
+    def drop(sub: String): Unit = { fs.delete(new Path(rootPath, sub), true); () }
+    // ONE pass over the matched scan stages the new positions; touched
+    // names and per-file cardinality then come from the sidecar (tiny),
+    // never from re-running the scan
+    val dvSub0 = stageDv(matched.select(col("__fn").as("__file"),
+      col("__ri").as("__pos")), 8)
+    val touchedNames = readDv(Seq(dvSub0)).select("__file").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    if (touchedNames.isEmpty) return base
+    if (touchedNames.isEmpty) { drop(dvSub0); return base }
     val touched = touchedNames.map(byName)
-    val newDead = matched.select(col("__fn").as("__file"),
-      col("__ri").as("__pos"))
     val oldDvDirs = touched.flatMap(p => live(p).dv.map(_.path)).distinct
-    val dead = (if (oldDvDirs.isEmpty) newDead
-      else newDead.unionByName(s.read
-        .parquet(oldDvDirs.map(d => s"$root/$d"): _*)
-        .join(touchedNames.toDF("__file"), "__file")
-        .select("__file", "__pos"))).distinct()
-    val dvSub = s"$DvDir/${java.util.UUID.randomUUID.toString.take(12)}"
-    dead.coalesce(1).write.parquet(s"$root/$dvSub")
-    val dvBytes = fs.listStatus(new Path(rootPath, dvSub)).toSeq
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
-    // per-file dead cardinality — also detects fully-dead files
-    val counts = dead.groupBy("__file").count().collect()
+    // SUPERSEDE: fold the touched files' existing dv positions in — a
+    // sidecar-sized rewrite (positions only), never a data scan
+    val dvSub = if (oldDvDirs.isEmpty) dvSub0 else {
+      val sub = stageDv(readDv(Seq(dvSub0)).unionByName(
+        readDv(oldDvDirs).join(touchedNames.toDF("__file"), "__file")
+          .select("__file", "__pos")).distinct(), 8)
+      drop(dvSub0); sub
+    }
+    val counts = readDv(Seq(dvSub)).groupBy("__file").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // compact ONLY an overhead-dominated sidecar: parquet pays ~1 KB
+    // of footer per file, so a tiny mask must not spend 8 files on it
+    // (Delta writes ONE dv per commit) — but a mass delete keeps its
+    // parallel files; rewriting megabytes of positions through fewer
+    // tasks would buy back only footers. The rewrite, when it
+    // happens, is sidecar-sized — positions only, never data.
+    def sidecarFiles(sub: String) = fs.listStatus(new Path(rootPath, sub))
+      .toSeq.filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val files0 = sidecarFiles(dvSub)
+    val bytes0 = files0.map(_.getLen).sum
+    val dvSubC =
+      if (files0.size > 1 && bytes0 / files0.size < 512 * 1024) {
+        val sub = stageDv(readDv(Seq(dvSub)),
+          math.max(1L, bytes0 / (4L << 20)).toInt)
+        drop(dvSub); sub
+      } else dvSub
+    val dvBytes = sidecarFiles(dvSubC).map(_.getLen).sum
     val (fullDead, partial) = touched.partition { p =>
       live(p).stats.flatMap(FileStats.numRows)
         .contains(counts(fileKey(p)))
     }
     if (partial.isEmpty) // every touched file died whole: no dv needed
-      fs.delete(new Path(rootPath, dvSub), true)
+      drop(dvSubC)
     val dvs = partial.map(p =>
-      p -> DvRef(dvSub, dvBytes, counts(fileKey(p))))
+      p -> DvRef(dvSubC, dvBytes, counts(fileKey(p))))
     commit(action, adds, fullDead, basedOn = Some(base),
       stats = statsOf(adds), schema = sc,
       cdf = cdf.map(stageCdf).getOrElse(Seq.empty),
@@ -1199,24 +1231,30 @@ class GraftTable private (val s: SparkSession, val root: String) {
     if (mor) {
       require(pc.isEmpty, "merge-on-read DML is not supported on " +
         "hive-partitioned tables — use the copy-on-write default")
-      // matched pre-rows, dv-aware, with their (file, position)
+      // matched pre-rows, dv-aware, with their (file, position) —
+      // persisted: slice rewrite, dv stage and cdf images all read
+      // the cache instead of rescanning candidates
       val matched = dmlRead(candidates.map(p => p -> live(p)), sc, pc,
         keepPos = true).filter(pred)
-      val payload = matched.columns.filterNot(c => c == "__fn" || c == "__ri")
-      // every matched row updates — no when(pred) needed
-      val post = matched.select(payload.map(c =>
-        set.get(c).map(_.as(c)).getOrElse(matched(c))).toIndexedSeq: _*)
-      if (matched.isEmpty) return base
-      enforceConstraints(post, "update")
-      // the updated copies APPEND as new files; the old copies go dead
-      // via the dv — the only data written is the touched-row slice
-      val adds = stage(post)
-      return morCommit("update", base, live, sc, matched, adds,
-        cdf = if (!cdfImages) None
-              else Some(matched.drop("__fn", "__ri")
-                .withColumn(ChangeTypeCol, lit("update_preimage"))
-                .unionByName(post
-                  .withColumn(ChangeTypeCol, lit("update_postimage")))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val payload = matched.columns
+          .filterNot(c => c == "__fn" || c == "__ri")
+        // every matched row updates — no when(pred) needed
+        val post = matched.select(payload.map(c =>
+          set.get(c).map(_.as(c)).getOrElse(matched(c))).toIndexedSeq: _*)
+        if (matched.isEmpty) return base
+        enforceConstraints(post, "update")
+        // the updated copies APPEND as new files; the old copies go
+        // dead via the dv — the only data written is the touched slice
+        val adds = stage(post)
+        return morCommit("update", base, live, sc, matched, adds,
+          cdf = if (!cdfImages) None
+                else Some(matched.drop("__fn", "__ri")
+                  .withColumn(ChangeTypeCol, lit("update_preimage"))
+                  .unionByName(post
+                    .withColumn(ChangeTypeCol, lit("update_postimage")))))
+      } finally matched.unpersist()
     }
     // exact probe: bounded collect (distinct file names, ≤ #files)
     val byName = byBaseName(live)

@@ -72,13 +72,57 @@ object DmlProbe {
     val (nFull, fullS) = minTimed(agg(spark.read.format("graft")
       .option("dataSkipping", "false").load(t.root)))
     require(nSkip == nFull, s"skip read diverged: $nSkip vs $nFull")
+    // ---- the dv trade: copy-on-write vs merge-on-read DELETE --------
+    // Two FRESH identical tables, the same scattered predicate
+    // (a fraction of the rows in half the files — the MoR sweet spot:
+    // CoW must rewrite every touched file, MoR stages one sidecar).
+    // Then the price paid back at read time: the dv anti-join scan vs
+    // the plain scan, and purge() to materialize.
+    def freshTable() = graft.sources.GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_dml_probe")
+        .toString + "/t",
+      orders.repartitionByRange(nFiles, col("o_orderkey")))
+    val scattered = col("o_orderkey") > keyMax / 2 &&
+      col("o_orderstatus") === "O"
+    val tCow = freshTable()
+    val (vC, cowDelS) = timed(tCow.deleteWhere(scattered))
+    val cowRewrote = tCow.readCommit(vC).removes.size
+    // the 100 TB metric: bytes the commit WROTE back (rewritten
+    // survivor files for CoW; the positional sidecar for MoR) — local
+    // NVMe hides volume, object storage and TB files do not
+    val cowBytes = tCow.readCommit(vC).adds.map(_.bytes).sum
+    val tMor = freshTable()
+    val (vR, morDelS) = timed(tMor.deleteWhere(scattered, mor = true))
+    val morDvFiles = tMor.readCommit(vR).dvs.size
+    val morDvBytes = tMor.readCommit(vR).dvs.map(_._2.bytes).distinct.sum
+    // the minimal paths (cdfImages=false — Delta's default posture):
+    // CoW = probe + survivor rewrite; MoR = ONE positions pass
+    val tCow0 = freshTable()
+    val (_, cowDel0S) = timed(tCow0.deleteWhere(scattered,
+      cdfImages = false))
+    val tMor0 = freshTable()
+    val (_, morDel0S) = timed(tMor0.deleteWhere(scattered,
+      cdfImages = false, mor = true))
+    def rowsOf(t0: graft.sources.GraftTable): Long =
+      t0.read().agg(count(lit(1))).head.getLong(0)
+    val (nCow, cowReadS) = minTimed(rowsOf(tCow))
+    val (nMor, morReadS) = minTimed(rowsOf(tMor))
+    require(nCow == nMor, s"cow/mor diverged: $nCow vs $nMor")
+    val (_, purgeS) = timed(tMor.purge())
     val nRows = orders.count()
     println(s"""{"probe":"dml","sf":"$sfDir","n_rows":$nRows,""" +
       s""""n_files":$total,"build_s":$buildS,""" +
       s""""merge_s":$mergeS,"merge_touched_files":$mergeTouched,""" +
       s""""delete_s":$delS,"delete_touched_files":$delTouched,""" +
       s""""feed_s":$feedS,"skip_read_s":$skipS,"full_read_s":$fullS,""" +
-      s""""skip_read_rows":$nSkip}""")
+      s""""skip_read_rows":$nSkip,""" +
+      s""""cow_delete_s":$cowDelS,"cow_rewrote_files":$cowRewrote,""" +
+      s""""cow_rewrote_bytes":$cowBytes,""" +
+      s""""mor_delete_s":$morDelS,"mor_dv_files":$morDvFiles,""" +
+      s""""mor_dv_bytes":$morDvBytes,""" +
+      s""""cow_delete_nocdf_s":$cowDel0S,"mor_delete_nocdf_s":$morDel0S,""" +
+      s""""cow_read_s":$cowReadS,"mor_read_s":$morReadS,""" +
+      s""""purge_s":$purgeS}""")
     spark.stop()
   }
 }
