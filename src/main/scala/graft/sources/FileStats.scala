@@ -152,10 +152,60 @@ object FileStats {
     case _ => ()
   }
 
+  // ---- bloom index ----------------------------------------------------
+
+  /** Fold per-file BLOOM FILTERS into an existing stats token (the
+    * `bf` object per column: `{"v":<base64 spark-sketch>,"t":"long"|
+    * "string"}`). Values were inserted as `xxhash64(cast(col as
+    * long))` / `xxhash64(col)` for strings — Spark's own runtime-
+    * filter encoding — so the evaluator probes with the identically-
+    * hashed literal. The bloom is CAPPED (numBits is a table
+    * property): past its design cardinality the false-positive rate
+    * decays toward 1 and the file simply stops being prunable —
+    * degradation, never unsoundness.
+    */
+  def withBlooms(statsJson: String,
+                 blooms: Map[String, (String, String)]): String =
+    try {
+      val root = mapper.readTree(statsJson).asInstanceOf[ObjectNode]
+      val c = Option(root.get("c")).collect { case o: ObjectNode => o }
+        .getOrElse(root.putObject("c"))
+      blooms.foreach { case (col, (b64, typ)) =>
+        val o = Option(c.get(col)).collect { case x: ObjectNode => x }
+          .getOrElse(c.putObject(col))
+        val bf = o.putObject("bf")
+        bf.put("v", b64); bf.put("t", typ)
+      }
+      mapper.writeValueAsString(root)
+    } catch { case scala.util.control.NonFatal(_) => statsJson }
+
+  /** May a file whose column bloom is `(b64, typ)` contain `v`?
+    * Deserializes the spark-sketch bloom and probes with the same
+    * xxhash64 encoding the build side used. TRUE on any mismatch or
+    * decode failure — pruning stays conservative.
+    */
+  private def bloomMayContain(bloom: (String, String), v: Any): Boolean =
+    try {
+      val lit = (bloom._2, v) match {
+        case ("long", l: Long) => Some(Literal(l, LongType))
+        case ("string", s: String) => Some(Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s), StringType))
+        case _ => None
+      }
+      lit.forall { l =>
+        val h = XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long]
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(
+            java.util.Base64.getDecoder.decode(bloom._1)))
+          .mightContainLong(h)
+      }
+    } catch { case scala.util.control.NonFatal(_) => true }
+
   // ---- evaluation -----------------------------------------------------
 
   private case class Col(lo: Option[Any], hi: Option[Any],
-                         nulls: Option[Long])
+                         nulls: Option[Long],
+                         bloom: Option[(String, String)] = None)
   private case class Parsed(n: Long, cols: Map[String, Col])
 
   private def node(j: JsonNode): Option[Any] =
@@ -171,9 +221,17 @@ object FileStats {
       val cols = Option(r.get("c")).map { c =>
         val b = Map.newBuilder[String, Col]
         c.fields().forEachRemaining { e =>
+          val bf = Option(e.getValue.get("bf")).flatMap { o =>
+            (Option(o.get("v")).filter(_.isTextual),
+              Option(o.get("t")).filter(_.isTextual)) match {
+              case (Some(v), Some(t)) => Some((v.asText, t.asText))
+              case _ => None
+            }
+          }
           b += e.getKey -> Col(node(e.getValue.get("lo")),
             node(e.getValue.get("hi")),
-            Option(e.getValue.get("nu")).filter(_.isNumber).map(_.asLong))
+            Option(e.getValue.get("nu")).filter(_.isNumber).map(_.asLong),
+            bf)
         }
         b.result()
       }.getOrElse(Map.empty)
@@ -246,10 +304,11 @@ object FileStats {
   private def eval(p: Parsed, e: Expression): Boolean = e match {
     case And(l, r) => eval(p, l) && eval(p, r)
     case Or(l, r)  => eval(p, l) || eval(p, r)
-    case EqualTo(a, l: Literal) => // ∃row = v ⟸ lo ≤ v ≤ hi
+    case EqualTo(a, l: Literal) => // ∃row = v ⟸ lo ≤ v ≤ hi ∧ bloom(v)
       test(p, a, l, (c, v) => Some(
         c.lo.flatMap(lo => cmp(lo, v)).forall(_ <= 0) &&
-          c.hi.flatMap(hi => cmp(hi, v)).forall(_ >= 0)))
+          c.hi.flatMap(hi => cmp(hi, v)).forall(_ >= 0) &&
+          c.bloom.forall(bloomMayContain(_, v))))
     case EqualTo(l: Literal, a) => eval(p, EqualTo(a, l))
     case EqualNullSafe(a, l: Literal) if l.value != null =>
       eval(p, EqualTo(a, l))
@@ -280,7 +339,7 @@ object FileStats {
       // strings with prefix q live in [q, q⁺): file [lo,hi] intersects
       // iff hi ≥ q and lo's first |q| chars ≤ q
       attrOf(a).flatMap(p.cols.get) match {
-        case Some(Col(Some(lo: String), Some(hi: String), _)) =>
+        case Some(Col(Some(lo: String), Some(hi: String), _, _)) =>
           val q = String.valueOf(l.value)
           hi.compareTo(q) >= 0 && lo.take(q.length).compareTo(q) <= 0
         case _ => true

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructType}
 import java.nio.charset.StandardCharsets.UTF_8
 
 /** Transactional parquet table — ONE commit-log discipline for every
@@ -131,7 +131,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
                                    schemaJson: Option[String],
                                    constraintsJson: Option[String],
                                    tsMillis: Long,
-                                   dvs: Seq[(String, DvRef)] = Seq.empty)
+                                   dvs: Seq[(String, DvRef)] = Seq.empty,
+                                   bloomIdxJson: Option[String] = None)
 
   private[graft] def readCommit(v: Long): Commit = {
     val lines = readLines(commitPath(v))
@@ -146,6 +147,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val dvs = Seq.newBuilder[(String, DvRef)]
     var schema: Option[String] = None
     var constraints: Option[String] = None
+    var bloomIdx: Option[String] = None
     lines.tail.foreach { l =>
       val f = l.split("\t", 5)
       f(0) match {
@@ -158,11 +160,12 @@ class GraftTable private (val s: SparkSession, val root: String) {
           dvs += ((f(1), DvRef(f(2), f(3).toLong, f(4).toLong)))
         case "schema"      => schema = Some(l.split("\t", 2)(1))
         case "constraints" => constraints = Some(l.split("\t", 2)(1))
+        case "bloomidx"    => bloomIdx = Some(l.split("\t", 2)(1))
         case other => sys.error(s"corrupt commit v$v: unknown action $other")
       }
     }
     Commit(ver.toLong, action, adds.result(), rems.result(), cdfs.result(),
-      schema, constraints, ts, dvs.result())
+      schema, constraints, ts, dvs.result(), bloomIdx)
   }
 
   /** The live (relpath → meta) set at version `v` — checkpoint ≤ v
@@ -291,6 +294,73 @@ class GraftTable private (val s: SparkSession, val root: String) {
     require(cur.exists(_._1 == name), s"no constraint named '$name'")
     commit(s"constraint:drop:$name", Seq.empty, Seq.empty,
       constraints = Some(cur.filterNot(_._1 == name)))
+  }
+
+  /** The active BLOOM FILTER INDEX at version `v` (column → numBits),
+    * resolved like schema/constraints: newest `bloomidx` line in
+    * (checkpoint, v], else the checkpoint's, else empty.
+    */
+  private[graft] def bloomIndexAt(v: Long): Seq[(String, Long)] = {
+    if (v <= 0) return Seq.empty
+    val base = checkpointVersions().filter(_ <= v).lastOption
+    val fromCommits = versions()
+      .filter(x => x > base.getOrElse(0L) && x <= v)
+      .reverseIterator
+      .flatMap(x => readCommit(x).bloomIdxJson)
+      .nextOption()
+    fromCommits.orElse(base.flatMap { cv =>
+      readLines(ckptPath(cv)).collectFirst {
+        case l if l.startsWith("bloomidx\t") => l.split("\t", 2)(1)
+      }
+    }).map(GraftTable.bloomIdxFromJson).getOrElse(Seq.empty)
+  }
+
+  /** The active bloom filter index (column → numBits). */
+  def bloomIndex(): Map[String, Long] = bloomIndexAt(latestVersion).toMap
+
+  /** CREATE BLOOMFILTER INDEX (Delta's bloom filter index, recorded
+    * as a table property in the log). Every LATER write stages, for
+    * each indexed column, (a) a parquet-NATIVE bloom filter inside
+    * the data file — executors skip row groups on point predicates at
+    * scan time with no log growth — and (b) a CAPPED `numBits`-bit
+    * bloom in the add-action stats token, so the DRIVER prunes whole
+    * files on `=` / `IN` during log resolution where min/max cannot
+    * (high-cardinality columns uncorrelated with the file layout).
+    * Existing files gain blooms on their next rewrite (compact /
+    * zorder / DML), exactly like Delta's index-on-write. The inline
+    * bloom degrades (never lies) past ~numBits/10 distinct values per
+    * file; size numBits to the expected per-file cardinality.
+    * Replaces the whole index set; metadata-only commit.
+    */
+  def setBloomIndex(cols: Seq[String], numBits: Long = 1 << 16): Long = {
+    require(cols.nonEmpty, "setBloomIndex needs at least one column")
+    require(numBits >= 64 && numBits <= (1L << 26),
+      s"numBits out of range: $numBits")
+    schemaAt(latestVersion).foreach { sc =>
+      cols.foreach { c =>
+        val f = sc.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"bloom index column '$c' is not in the table schema"))
+        require(bloomIndexable(f.dataType),
+          s"bloom index on '$c' (${f.dataType.simpleString}) — only " +
+            "integral and string columns are indexable")
+      }
+    }
+    commit("constraint:bloomidx:set", Seq.empty, Seq.empty,
+      bloomIdx = Some(cols.map(_ -> numBits)))
+  }
+
+  /** DROP BLOOMFILTER INDEX: metadata-only commit clearing the set
+    * (already-staged blooms stay in their stats tokens — stale index
+    * bytes, still sound — until the files are next rewritten).
+    */
+  def dropBloomIndex(): Long =
+    commit("constraint:bloomidx:drop", Seq.empty, Seq.empty,
+      bloomIdx = Some(Seq.empty))
+
+  private def bloomIndexable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
   }
 
   /** Write-time CHECK enforcement: refuse the write if any incoming
@@ -547,18 +617,85 @@ class GraftTable private (val s: SparkSession, val root: String) {
 
   private def stage(df: DataFrame): Seq[(String, Long)] = {
     val sub = freshSub()
-    df.write.parquet(s"$root/$sub")
+    bloomWrite(df.write).parquet(s"$root/$sub")
     listStaged(sub)
   }
+
+  /** Attach parquet-NATIVE bloom filter write options for the active
+    * bloom index — executors then skip row groups on point predicates
+    * at scan time (parquet-mr's own bloom evaluation under the pushed
+    * filters) with zero log growth. The driver-side half of the index
+    * rides the stats token ([[statsOf]]).
+    */
+  private def bloomWrite(w: org.apache.spark.sql.DataFrameWriter[
+      org.apache.spark.sql.Row]) =
+    bloomIndexAt(latestVersion).foldLeft(w) { case (w0, (c, _)) =>
+      w0.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
 
   /** Footer-derived stats for each staged file — an O(files) metadata
     * read (row-group footers only, never data pages), folded into the
     * commit's add-actions so later reads can skip at the log level.
+    * When a bloom index is active, each token additionally carries a
+    * capped per-file bloom per indexed column ([[bloomTokens]]).
     */
-  private def statsOf(adds: Seq[(String, Long)]): Map[String, String] =
-    adds.flatMap { case (rel, _) =>
+  private def statsOf(adds: Seq[(String, Long)]): Map[String, String] = {
+    val footer = adds.flatMap { case (rel, _) =>
       FileStats.fromFooter(new Path(rootPath, rel), conf).map(rel -> _)
     }.toMap
+    val idx = bloomIndexAt(latestVersion)
+    if (idx.isEmpty || footer.isEmpty) footer
+    else {
+      val blooms = bloomTokens(adds, idx)
+      footer.map { case (rel, json) =>
+        rel -> blooms.get(new Path(rel).getName)
+          .map(b => FileStats.withBlooms(json, b)).getOrElse(json)
+      }
+    }
+  }
+
+  /** One column-pruned aggregation over the freshly-staged files:
+    * per (file, indexed column), Spark's own BloomFilterAggregate
+    * over `xxhash64(cast(col as long))` (strings hash as-is) — the
+    * runtime-filter encoding, so [[FileStats]] probes literals with
+    * the identical hash. Keyed by part-file basename (unique within
+    * one write job). Cost is proportional to the WRITE, never the
+    * table, and only the indexed columns are scanned.
+    */
+  private def bloomTokens(adds: Seq[(String, Long)],
+                          idx: Seq[(String, Long)])
+      : Map[String, Map[String, (String, String)]] = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val shim = org.apache.spark.sql.graft.shim
+    val df = s.read.parquet(adds.map(a => s"$root/${a._1}"): _*)
+    val present = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val usable = idx.filter { case (c, _) =>
+      present.get(c).exists(bloomIndexable) }
+    if (usable.isEmpty) return Map.empty
+    val aggs = usable.map { case (c, bits) =>
+      val child = present(c) match {
+        case StringType => shim.expression(col(c))
+        case _ => Cast(shim.expression(col(c)), LongType)
+      }
+      shim.column(new BloomFilterAggregate(XxHash64(Seq(child), 42L),
+        Literal(math.max(1L, bits / 10)), Literal(bits))
+        .toAggregateExpression()).as(c)
+    }
+    df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+      .map { r =>
+        val cols = usable.zipWithIndex.flatMap { case ((c, _), i) =>
+          Option(r.get(i + 1)).map { b =>
+            c -> (java.util.Base64.getEncoder.encodeToString(
+              b.asInstanceOf[Array[Byte]]),
+              if (present(c) == StringType) "string" else "long")
+          }
+        }.toMap
+        new Path(r.getString(0)).getName -> cols
+      }.toMap
+  }
 
   /** Single-winner atomic publish of `bytes` at `dst`: stage to tmp,
     * then hard-link (local fs — POSIX link(2) fails atomically if dst
@@ -633,6 +770,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val cons = constraintsAt(v)
     if (cons.nonEmpty)
       b.append(s"constraints\t${GraftTable.constraintsToJson(cons)}\n")
+    val bIdx = bloomIndexAt(v)
+    if (bIdx.nonEmpty)
+      b.append(s"bloomidx\t${GraftTable.bloomIdxToJson(bIdx)}\n")
     val live = resolveMeta(v).toSeq.sortBy(_._1)
     live.foreach { case (p, m) =>
       b.append(s"file\t$p\t${m.bytes}${m.stats.map("\t" + _).getOrElse("")}\n")
@@ -666,11 +806,25 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * rows simply committed after the DML's snapshot and are not
     * subject to it. With the flag, an advance whose intervening
     * commits are ALL append-class re-resolves and proceeds (the
-    * removes-still-live check below still guards); any non-append
-    * interloper (compact/overwrite/replace — those REWRITE files)
-    * aborts as before. Whole-scope replaces (overwrite /
-    * replacePartitions / restore) never set it: an intervening
-    * append's files would silently survive "replace everything".
+    * removes-still-live check below still guards). Intervening
+    * FILE-SCOPED rewrites (another merge/delete/update, a compact, a
+    * purge, a zorder) commute at FILE granularity: they conflict only
+    * when a file they rewrote or dv-marked intersects this commit's
+    * `readFiles` ∪ `removes` ∪ dv targets (Delta's
+    * ConcurrentDeleteRead/ConcurrentDeleteDelete rule — two DMLs on
+    * disjoint file sets both land; OPTIMIZE runs concurrently with
+    * DML elsewhere in the table). Whole-scope commits (overwrite /
+    * replacePartitions / restore), constraint changes and schema
+    * drift always abort a staged commit. Whole-scope replaces never
+    * set the flag themselves: an intervening append's files would
+    * silently survive "replace everything".
+    *
+    * `readFiles` is the commit's READ set — the files scanned to
+    * compute its writes (a DML's stats-pruned candidates, a superset
+    * of its touched files). A concurrent rewrite of a merely-READ
+    * file invalidates the computation (the probe's "no matching rows
+    * here" may no longer hold) even though this commit does not
+    * rewrite it.
     */
   private[graft] def commit(action: String, adds: Seq[(String, Long)],
                             removes: Seq[String],
@@ -680,7 +834,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
                             cdf: Seq[(String, Long)] = Seq.empty,
                             tolerateAppends: Boolean = false,
                             constraints: Option[Seq[(String, String)]] = None,
-                            dvs: Seq[(String, DvRef)] = Seq.empty)
+                            dvs: Seq[(String, DvRef)] = Seq.empty,
+                            readFiles: Seq[String] = Seq.empty,
+                            bloomIdx: Option[Seq[(String, Long)]] = None)
       : Long = {
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
     var attempt = 0
@@ -692,23 +848,41 @@ class GraftTable private (val s: SparkSession, val root: String) {
           // evolution) is a conflict too: committing the DML's staged
           // files under the old schema would silently narrow the table
           val baseSchemaJson = schemaAt(b).map(_.json)
-          val intervening =
+          def fileScoped(a: String) = a == "merge" || a == "delete" ||
+            a == "update" || a == "compact" || a == "purge" ||
+            a.startsWith("zorder:")
+          val inter =
             if (tolerateAppends)
-              versions().filter(v => v > b && v <= prev)
-                .map { v => val c = readCommit(v); (v, c.action, c.schemaJson) }
-                .collect {
-                  case (v, a, _) if !a.startsWith("append") => (v, a)
-                  case (v, a, sj) if sj.isDefined && sj != baseSchemaJson =>
-                    (v, s"$a(schema-changed)")
-                }
-            else Seq((prev, "untracked"))
-          if (intervening.nonEmpty)
+              versions().filter(v => v > b && v <= prev).map(readCommit)
+            else Seq.empty
+          val hard =
+            if (!tolerateAppends) Seq((prev, "untracked"))
+            else inter.collect {
+              case c if c.schemaJson.isDefined &&
+                  c.schemaJson != baseSchemaJson =>
+                (c.version, s"${c.action}(schema-changed)")
+              case c if !c.action.startsWith("append") &&
+                  !fileScoped(c.action) =>
+                (c.version, c.action)
+            }
+          if (hard.nonEmpty)
             throw new java.util.ConcurrentModificationException(
               s"$action write conflict: table advanced v$b -> v$prev " +
                 "while the replacement was being staged" +
-                (if (tolerateAppends) s" (non-append commits in between: " +
-                  intervening.map(x => s"v${x._1}=${x._2}").mkString(",") + ")"
+                (if (tolerateAppends) s" (conflicting commits in between: " +
+                  hard.map(x => s"v${x._1}=${x._2}").mkString(",") + ")"
                  else ""))
+          // file-granular commute check: an intervening file-scoped
+          // rewrite conflicts only where its rewritten/dv-marked files
+          // meet this commit's read or write scope
+          val scope = (readFiles ++ removes ++ dvs.map(_._1)).toSet
+          val overlap = inter.filter(c => fileScoped(c.action))
+            .flatMap(c => (c.removes ++ c.dvs.map(_._1)).filter(scope))
+          if (overlap.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"$action write conflict: a concurrent commit rewrote " +
+                s"files in this commit's scope: " +
+                overlap.take(3).mkString(","))
         }
       }
       if (removes.nonEmpty || dvs.nonEmpty) {
@@ -728,12 +902,16 @@ class GraftTable private (val s: SparkSession, val root: String) {
       val sch = schema.orElse(if (prev > 0) schemaAt(prev) else None)
       val cons = constraints
         .getOrElse(if (prev > 0) constraintsAt(prev) else Seq.empty)
+      val bIdx = bloomIdx
+        .getOrElse(if (prev > 0) bloomIndexAt(prev) else Seq.empty)
       val body = new StringBuilder(
         s"graft-commit\t$v\t$action\t${System.currentTimeMillis()}\n")
       sch.foreach(sc => body.append(s"schema\t${sc.json}\n"))
       if (cons.nonEmpty || constraints.isDefined)
         body.append(
           s"constraints\t${GraftTable.constraintsToJson(cons)}\n")
+      if (bIdx.nonEmpty || bloomIdx.isDefined)
+        body.append(s"bloomidx\t${GraftTable.bloomIdxToJson(bIdx)}\n")
       adds.foreach { case (p, b) =>
         body.append(s"add\t$p\t$b${stats.get(p).map("\t" + _).getOrElse("")}\n")
       }
@@ -808,7 +986,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
   private def stagePartitioned(df: DataFrame,
                                partCols: Seq[String]): Seq[(String, Long)] = {
     val sub = s"$DataDir/${java.util.UUID.randomUUID.toString.take(12)}"
-    df.write.partitionBy(partCols: _*).parquet(s"$root/$sub")
+    bloomWrite(df.write).partitionBy(partCols: _*).parquet(s"$root/$sub")
     def walk(p: Path, rel: String): Seq[(String, Long)] =
       fs.listStatus(p).toSeq.flatMap { st =>
         val r = s"$rel/${st.getPath.getName}"
@@ -1082,7 +1260,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
         adds = Seq.empty,
         cdf = if (!cdfImages) None
               else Some(matched.drop("__fn", "__ri")
-                .withColumn(ChangeTypeCol, lit("delete"))))
+                .withColumn(ChangeTypeCol, lit("delete"))),
+        readFiles = candidates)
     }
     // exact probe: which candidates hold matching rows (≤ #files rows;
     // __fn from the dv-aware read — input_file_name can't cross the
@@ -1103,7 +1282,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
           org.apache.spark.sql.functions.lit("delete")))
     commit("delete", adds, touched, basedOn = Some(base),
       stats = statsOf(adds), schema = sc, cdf = cdf,
-      tolerateAppends = true)
+      tolerateAppends = true, readFiles = candidates)
   }
 
   /** The shared tail of a MERGE-ON-READ DML commit: `matched` is the
@@ -1123,7 +1302,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
                         sc: Option[StructType],
                         matched: DataFrame,
                         adds: Seq[(String, Long)],
-                        cdf: Option[DataFrame]): Long = {
+                        cdf: Option[DataFrame],
+                        readFiles: Seq[String]): Long = {
     import org.apache.spark.sql.functions.col
     import s.implicits._
     val byName = byBaseName(live)
@@ -1187,7 +1367,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     commit(action, adds, fullDead, basedOn = Some(base),
       stats = statsOf(adds), schema = sc,
       cdf = cdf.map(stageCdf).getOrElse(Seq.empty),
-      tolerateAppends = true, dvs = dvs)
+      tolerateAppends = true, dvs = dvs, readFiles = readFiles)
   }
 
   /** Copy-on-write UPDATE (Delta's `UPDATE t SET … WHERE pred`), the
@@ -1253,7 +1433,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
                 else Some(matched.drop("__fn", "__ri")
                   .withColumn(ChangeTypeCol, lit("update_preimage"))
                   .unionByName(post
-                    .withColumn(ChangeTypeCol, lit("update_postimage")))))
+                    .withColumn(ChangeTypeCol, lit("update_postimage")))),
+          readFiles = candidates)
       } finally matched.unpersist()
     }
     // exact probe: bounded collect (distinct file names, ≤ #files)
@@ -1290,7 +1471,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       }
     commit("update", adds, touched, basedOn = Some(base),
       stats = statsOf(adds), schema = sc, cdf = cdf,
-      tolerateAppends = true)
+      tolerateAppends = true, readFiles = candidates)
   }
 
   /** Copy-on-write MERGE (Delta's `MERGE INTO`), the reference's
@@ -1375,7 +1556,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       }
     commit("merge", adds, touched, basedOn = Some(base),
       stats = statsOf(adds), schema = sc, cdf = cdf,
-      tolerateAppends = true)
+      tolerateAppends = true, readFiles = candidates)
   }
 
   /** Stage row-level change images under `cdf/<uuid>` — immutable
@@ -1843,6 +2024,20 @@ object GraftTable {
     val r = consMapper.readTree(j)
     (0 until r.size).map(i =>
       (r.get(i).get("n").asText, r.get(i).get("e").asText))
+  }
+
+  private[sources] def bloomIdxToJson(cs: Seq[(String, Long)]): String = {
+    val arr = consMapper.createArrayNode()
+    cs.foreach { case (c, b) =>
+      val o = arr.addObject(); o.put("c", c); o.put("b", b); ()
+    }
+    consMapper.writeValueAsString(arr)
+  }
+
+  private[sources] def bloomIdxFromJson(j: String): Seq[(String, Long)] = {
+    val r = consMapper.readTree(j)
+    (0 until r.size).map(i =>
+      (r.get(i).get("c").asText, r.get(i).get("b").asLong))
   }
 
   /** Create a table at `root` with `df` as version 1. */

@@ -444,6 +444,64 @@ class GraftDmlSpec extends SparkSpec {
     assert(jobsAfter == jobsBefore, "tableStats launched a Spark job")
   }
 
+  test("disjoint-file DML commits commute; scope overlap aborts (file-granular conflicts)") {
+    val t = rangedTable()
+    val keyMax = Tables.orders(spark, sf)
+      .agg(max("o_orderkey")).head.getLong(0)
+    // stage "our" DML against the CURRENT snapshot: scope = the high
+    // key range's files (read candidates + the one file we rewrite)
+    val base = t.latestVersion
+    val files = t.liveFiles().map(_._1).sorted
+    val ourScope = files.takeRight(2)
+    // a concurrent DML lands first, touching ONLY the low key range
+    val vDel = t.deleteWhere(col("o_orderkey") <= lit(keyMax / 10))
+    val lowTouched = t.readCommit(vDel).removes
+    assert(lowTouched.nonEmpty &&
+      lowTouched.toSet.intersect(ourScope.toSet).isEmpty,
+      "test setup: the concurrent delete must touch only low files")
+    // disjoint scopes commute: our commit proceeds past the advance
+    val v = t.commit("delete", Seq.empty, ourScope.takeRight(1),
+      basedOn = Some(base), tolerateAppends = true,
+      readFiles = ourScope)
+    assert(v == vDel + 1, "disjoint-file DML did not commute")
+    // READ-set overlap aborts even when the write sets are disjoint:
+    // the concurrent delete rewrote a file our probe scanned
+    val base2 = t.latestVersion
+    val vDel2 = t.deleteWhere(col("o_orderkey") > lit(keyMax / 4) &&
+      col("o_orderkey") <= lit(keyMax / 2) &&
+      pmod(col("o_orderkey"), lit(2)) === 0)
+    assert(vDel2 > base2, "test setup: the concurrent delete must commit")
+    val rewritten2 = t.readCommit(vDel2).removes
+    assert(rewritten2.nonEmpty)
+    intercept[java.util.ConcurrentModificationException] {
+      t.commit("delete", Seq.empty, Seq.empty, basedOn = Some(base2),
+        tolerateAppends = true, readFiles = rewritten2.take(1))
+    }
+    // dv-mark overlap aborts: a concurrent MoR delete attached a dv to
+    // a file in our scope — our staged positions/supersede are stale
+    val t2 = rangedTable()
+    val base3 = t2.latestVersion
+    val vMor = t2.deleteWhere(col("o_orderkey") <= lit(keyMax / 10) &&
+      pmod(col("o_orderkey"), lit(3)) === 1, mor = true)
+    val dvTargets = t2.readCommit(vMor).dvs.map(_._1)
+    assert(dvTargets.nonEmpty, "test setup: MoR delete staged no dv")
+    intercept[java.util.ConcurrentModificationException] {
+      t2.commit("delete", Seq.empty, dvTargets.take(1),
+        basedOn = Some(base3), tolerateAppends = true)
+    }
+    // and an OPTIMIZE elsewhere in the table commutes with our DML
+    val t3 = rangedTable()
+    val base4 = t3.latestVersion
+    val f3 = t3.liveFiles().map(_._1).sorted
+    t3.commit("compact", Seq.empty, f3.take(1), basedOn = Some(base4),
+      tolerateAppends = true) // a compact of the low file only
+    val v4 = t3.commit("delete", Seq.empty, f3.takeRight(1),
+      basedOn = Some(base4), tolerateAppends = true,
+      readFiles = f3.takeRight(2))
+    assert(v4 == base4 + 2, "DML did not commute with a disjoint compact")
+    ()
+  }
+
   test("DML tolerates concurrent blind appends (WriteSerializable), aborts on rewrites") {
     val t = rangedTable()
     val base = t.latestVersion
