@@ -98,6 +98,7 @@ object Bench {
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(headline)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -18,10 +18,15 @@ import graft.functions.GraftFunctions
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.sqlFunctions.foreach { case (name, usage, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, usage, ""),
         builder))
     }
+    // SQL UPDATE / MERGE INTO on graft tables — claimed at analysis
+    // and routed into the table's atomic verbs (Delta's technique)
+    e.injectResolutionRule(session =>
+      new graft.sources.GraftRowLevelSql(session))
+  }
 }

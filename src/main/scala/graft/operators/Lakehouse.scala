@@ -297,7 +297,72 @@ object Lakehouse {
     s.read.format("graft").load(t.root).orderBy("o_orderkey")
   }
 
+  // q86: SQL `UPDATE` — the statement form of q83's verb, routed by
+  // the extensions-injected GraftRowLevelSql rule into the SAME
+  // stats-pruned copy-on-write update commit ('SaveData' app.py:5253
+  // as a SQL user would write it). The oracle replays the CASE
+  // algebra; the table is read back THROUGH SQL so the whole
+  // statement surface (catalog → analysis rewrite → commit → DSv2
+  // read) is what's being hashed.
+  private val sqlUpd = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q86SqlUpdate(s: SparkSession, d: String): DataFrame = {
+    val root = sqlUpd.synchronized {
+      sqlUpd.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+        val r = java.nio.file.Files
+          .createTempDirectory("graft_sql_upd").toString + "/t"
+        val orders = Tables.orders(s, d).select(
+          "o_orderkey", "o_orderstatus", "o_totalprice")
+        val keyMax = orders.agg(max("o_orderkey")).head.getLong(0)
+        GraftTable.create(s, r,
+          orders.repartitionByRange(8, col("o_orderkey")))        // v1
+        s.conf.set("spark.sql.catalog.gsql",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.sql(s"UPDATE gsql.`$r` SET o_totalprice = o_totalprice * 1.25, " +
+          s"o_orderstatus = 'S' " +
+          s"WHERE o_orderkey <= ${keyMax / 4} AND o_orderkey % 6 = 1") // v2
+        r
+      })
+    }
+    s.conf.set("spark.sql.catalog.gsql",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.sql(s"SELECT * FROM gsql.`$root` ORDER BY o_orderkey")
+  }
+
+  // q87: SQL `MERGE INTO` — the statement form of q78's verb (the
+  // reference's bulk-upsert endpoints in SQL), routed into the
+  // key-pruned merge commit. Matched keys re-price, unmatched keys
+  // insert; oracle = the same full-outer-join algebra.
+  def q87SqlMerge(s: SparkSession, d: String): DataFrame = {
+    val root = sqlUpd.synchronized {
+      sqlUpd.getOrElseUpdate("m|" + s.sparkContext.applicationId + "|" + d, {
+        val r = java.nio.file.Files
+          .createTempDirectory("graft_sql_mrg").toString + "/t"
+        val orders = Tables.orders(s, d).select(
+          "o_orderkey", "o_orderstatus", "o_totalprice")
+        GraftTable.create(s, r, orders
+          .filter(col("o_orderstatus") === "O")
+          .repartitionByRange(8, col("o_orderkey")))              // v1
+        orders.filter(pmod(col("o_orderkey"), lit(9)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 3)
+          .createOrReplaceTempView("q87_batch")
+        s.conf.set("spark.sql.catalog.gsql",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.sql(s"MERGE INTO gsql.`$r` t USING q87_batch s " +
+          "ON t.o_orderkey = s.o_orderkey " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")                       // v2
+        r
+      })
+    }
+    s.conf.set("spark.sql.catalog.gsql",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.sql(s"SELECT * FROM gsql.`$root` ORDER BY o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_sql_update" -> (q86SqlUpdate _),
+    "q87_sql_merge" -> (q87SqlMerge _),
     "q84_delete_vectors" -> (q84DeleteVectors _),
     "q85_reorg_purge" -> (q85ReorgPurge _),
     "q83_update_where" -> (q83UpdateWhere _),
@@ -354,6 +419,27 @@ object Lakehouse {
         |    AS total_price
         |FROM orders WHERE o_orderstatus IN ('F', 'O')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q86_sql_update" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)
+        |        AND o_orderkey % 6 = 1
+        |    THEN 'S' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)
+        |        AND o_orderkey % 6 = 1
+        |    THEN o_totalprice * 1.25 ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q87_sql_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderstatus = 'O'),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice * 3 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 9 = 0)
+        |SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        |  COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice
+        |FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q83_update_where" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)

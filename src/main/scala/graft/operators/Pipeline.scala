@@ -222,23 +222,59 @@ object Pipeline {
   // batch or a wrong snapshot cannot pass.
   private val lake = scala.collection.concurrent.TrieMap.empty[String, graft.sources.GraftTable]
 
+  /** The p7 lifecycle build, SINGLE-WINNER under a lock: two threads
+    * (or two sessions of one JVM) racing the cache must never each
+    * run the DML sequence — one builds, the rest reuse. After the
+    * final commit the build ASSERTS its own algebra (r10's one driver
+    * hash mismatch never reproduced locally; these requires turn any
+    * recurrence from a silent wrong answer into a loud, attributed
+    * error): the metadata-only row count must equal |docs| − |%13==5
+    * slice| (a leaked delete or double-landed batch cannot pass) and
+    * the re-tagged language slice must count |%17==3 ∧ %13≠5| (a lost
+    * update cannot pass). The table root + per-version history go to
+    * stderr so a divergent driver run leaves evidence.
+    */
+  private def p7Build(s: SparkSession, d: String): graft.sources.GraftTable = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_p7").toString + "/docs"
+    val docs = Tables.documents(s, d)
+      .select("doc_id", "text", "lang", "n_chars")
+    val t0 = graft.sources.GraftTable.forPath(s, root)
+    t0.appendIdempotent(docs.filter(col("doc_id") % 3 === 0), "b0") // v1
+    t0.addConstraint("has_text", "n_chars >= 0")                    // v2
+    t0.appendIdempotent(docs.filter(col("doc_id") % 3 === 1), "b1") // v3
+    t0.appendIdempotent(docs.filter(col("doc_id") % 3 === 2), "b2") // v4
+    t0.appendIdempotent(docs.filter(col("doc_id") % 3 === 2), "b2") // replay: no-op
+    t0.deleteWhere(pmod(col("doc_id"), lit(13)) === 5)              // v5
+    t0.update(pmod(col("doc_id"), lit(17)) === 3,
+      Map("lang" -> lit("xx")))                                     // v6
+    // self-audit: one aggregate over the source gives every expected
+    // count; failures name the table root so the run is attributable
+    val exp = docs.agg(
+      count(lit(1)).as("n"),
+      sum(when(pmod(col("doc_id"), lit(13)) === 5, 1L).otherwise(0L)),
+      sum(when(pmod(col("doc_id"), lit(17)) === 3 &&
+               pmod(col("doc_id"), lit(13)) =!= 5, 1L).otherwise(0L))
+    ).head()
+    val (nDocs, nDel, nXx) = (exp.getLong(0), exp.getLong(1), exp.getLong(2))
+    val live = t0.countRows()
+    require(live.contains(nDocs - nDel),
+      s"p7 lifecycle drift at $root: metadata row count $live after " +
+        s"delete+update, expected ${nDocs - nDel} (= $nDocs docs − " +
+        s"$nDel deleted); history:\n" +
+        t0.history().collect().mkString("\n"))
+    val gotXx = t0.read().filter(col("lang") === "xx").count()
+    require(gotXx == nXx,
+      s"p7 lifecycle drift at $root: ${gotXx} rows re-tagged 'xx', " +
+        s"expected $nXx; history:\n" + t0.history().collect().mkString("\n"))
+    System.err.println(s"[graft p7] built $root: v${t0.latestVersion}, " +
+      s"rows=${live.get}, xx=$gotXx (expected ${nDocs - nDel}/$nXx)")
+    t0
+  }
+
   def p7LakehouseCorpus(s: SparkSession, d: String): DataFrame = {
-    val t = lake.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_p7").toString + "/docs"
-      val docs = Tables.documents(s, d)
-        .select("doc_id", "text", "lang", "n_chars")
-      val t0 = graft.sources.GraftTable.forPath(s, root)
-      t0.appendIdempotent(docs.filter(col("doc_id") % 3 === 0), "b0") // v1
-      t0.addConstraint("has_text", "n_chars >= 0")                    // v2
-      t0.appendIdempotent(docs.filter(col("doc_id") % 3 === 1), "b1") // v3
-      t0.appendIdempotent(docs.filter(col("doc_id") % 3 === 2), "b2") // v4
-      t0.appendIdempotent(docs.filter(col("doc_id") % 3 === 2), "b2") // replay: no-op
-      t0.deleteWhere(pmod(col("doc_id"), lit(13)) === 5)              // v5
-      t0.update(pmod(col("doc_id"), lit(17)) === 3,
-        Map("lang" -> lit("xx")))                                     // v6
-      t0
-    })
+    val key = s.sparkContext.applicationId + "|" + d
+    val t = lake.synchronized { lake.getOrElseUpdate(key, p7Build(s, d)) }
     dedupKeepFirst(t.read())
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),

@@ -132,12 +132,33 @@ object FileStats {
     pair.map { case (lo, hi) => (lo, hi, st.getNumNulls) }
   }
 
+  /** Unsigned UTF-8 byte order — the order parquet computes binary
+    * string min/max in. Java `String.compareTo` (UTF-16 code units)
+    * DIVERGES from it for supplementary-plane characters (U+10000+,
+    * whose surrogate pairs sort below U+E000..U+FFFF in UTF-16 but
+    * above in UTF-8), so comparing a logged parquet min/max with a
+    * query literal in UTF-16 order could prune a file that actually
+    * contains a matching string. All stats comparisons use this.
+    */
+  private[sources] def utf8Cmp(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: Long, y: Long)     => Some(java.lang.Long.compare(x, y))
     case (x: Long, y: Double)   => Some(BigDecimal(x).compare(BigDecimal(y)))
     case (x: Double, y: Long)   => Some(BigDecimal(x).compare(BigDecimal(y)))
     case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: String, y: String) => Some(utf8Cmp(x, y))
     case _ => None
   }
   private def minOf(a: Any, b: Any): Any =
@@ -337,11 +358,24 @@ object FileStats {
     }
     case StartsWith(a, l: Literal) =>
       // strings with prefix q live in [q, q⁺): file [lo,hi] intersects
-      // iff hi ≥ q and lo's first |q| chars ≤ q
+      // iff hi ≥ q and lo's first |q| BYTES ≤ q — all in unsigned
+      // UTF-8 byte order, matching how parquet computed lo/hi
       attrOf(a).flatMap(p.cols.get) match {
         case Some(Col(Some(lo: String), Some(hi: String), _, _)) =>
-          val q = String.valueOf(l.value)
-          hi.compareTo(q) >= 0 && lo.take(q.length).compareTo(q) <= 0
+          val qb = String.valueOf(l.value)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val lob = lo.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          def byteCmp(x: Array[Byte], y: Array[Byte]): Int = {
+            var i = 0; val n = math.min(x.length, y.length)
+            while (i < n) {
+              val d = (x(i) & 0xff) - (y(i) & 0xff)
+              if (d != 0) return d
+              i += 1
+            }
+            x.length - y.length
+          }
+          utf8Cmp(hi, String.valueOf(l.value)) >= 0 &&
+            byteCmp(lob.take(qb.length), qb) <= 0
         case _ => true
       }
     case _ => true // unsupported shape: never prune

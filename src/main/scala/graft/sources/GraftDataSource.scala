@@ -95,6 +95,15 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
   override def supportsExternalMetadata(): Boolean = false
 }
 
+/** Marker every DSv2 snapshot of a graft table carries: names the
+  * table ROOT so plan rewrites (SQL UPDATE / MERGE INTO — see
+  * [[GraftRowLevelSql]]) can route back into the commit-log verbs
+  * without parsing display names.
+  */
+trait GraftSnapshotTable {
+  def tablePath: String
+}
+
 object GraftDataSource {
 
   /** A READ-ONLY view of the snapshot table. Deliberately not
@@ -124,7 +133,9 @@ object GraftDataSource {
                                  fileMeta: Seq[(String, Option[String])])
       extends Table
       with org.apache.spark.sql.connector.catalog.SupportsRead
-      with org.apache.spark.sql.connector.catalog.SupportsDelete {
+      with org.apache.spark.sql.connector.catalog.SupportsDelete
+      with GraftSnapshotTable {
+    override def tablePath: String = path
     override def name(): String = underlying.name()
     override def schema(): StructType = underlying.schema()
     override def capabilities(): util.Set[
@@ -291,8 +302,14 @@ object GraftDataSource {
           "a reader feature this raw-parquet path does not apply. Read " +
           "through GraftTable.read()/readVersion()/readWhere(), or run " +
           "purge() to materialize the deletes first")
+      // pass the RECORDED schema: filesAsOf may legitimately be empty
+      // (deleteWhere/TRUNCATE emptied the table) and parquet inference
+      // over zero paths would fail with an opaque error instead of
+      // serving an empty DataFrame; an explicit schema also keeps
+      // mixed-evolution file lists reading under the table's schema
       new ReadOnlySnapshot(org.apache.spark.sql.graft.shim.parquetTable(
-        s"graft:$path@v$version", spark, options, t.filesAsOf(version)),
+        s"graft:$path@v$version", spark, options, t.filesAsOf(version),
+        t.schemaAt(version)),
         spark, path, t.fileMetaAsOf(version))
     }
   }

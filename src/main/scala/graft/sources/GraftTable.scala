@@ -648,7 +648,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     else {
       val blooms = bloomTokens(adds, idx)
       footer.map { case (rel, json) =>
-        rel -> blooms.get(new Path(rel).getName)
+        rel -> blooms.get(fileKey(rel))
           .map(b => FileStats.withBlooms(json, b)).getOrElse(json)
       }
     }
@@ -658,8 +658,12 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * per (file, indexed column), Spark's own BloomFilterAggregate
     * over `xxhash64(cast(col as long))` (strings hash as-is) — the
     * runtime-filter encoding, so [[FileStats]] probes literals with
-    * the identical hash. Keyed by part-file basename (unique within
-    * one write job). Cost is proportional to the WRITE, never the
+    * the identical hash. Keyed by the two-component [[fileKey]] — a
+    * BASENAME is not unique within one PARTITIONED write job
+    * (stagePartitioned emits the same part numbers under every value
+    * dir), and a basename collision would attach one arbitrary file's
+    * bloom to all of them, silently pruning files that contain the
+    * queried value. Cost is proportional to the WRITE, never the
     * table, and only the indexed columns are scanned.
     */
   private def bloomTokens(adds: Seq[(String, Long)],
@@ -693,7 +697,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
               if (present(c) == StringType) "string" else "long")
           }
         }.toMap
-        new Path(r.getString(0)).getName -> cols
+        fileKey(r.getString(0)) -> cols
       }.toMap
   }
 
@@ -836,7 +840,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
                             constraints: Option[Seq[(String, String)]] = None,
                             dvs: Seq[(String, DvRef)] = Seq.empty,
                             readFiles: Seq[String] = Seq.empty,
-                            bloomIdx: Option[Seq[(String, Long)]] = None)
+                            bloomIdx: Option[Seq[(String, Long)]] = None,
+                            reschema: Option[Long => StructType] = None)
       : Long = {
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
     var attempt = 0
@@ -899,7 +904,12 @@ class GraftTable private (val s: SparkSession, val root: String) {
           s"$action conflicts: files no longer live: ${gone.take(3).mkString(",")}")
       }
       val v = prev + 1
-      val sch = schema.orElse(if (prev > 0) schemaAt(prev) else None)
+      // `reschema` re-derives the post-commit schema against the
+      // CURRENT predecessor on every retry of the race loop (see
+      // append): a fixed `schema` computed before the loop can go
+      // stale when a concurrent schema-evolving commit wins a version
+      val sch = reschema.map(f => f(prev)).map(Some(_))
+        .getOrElse(schema.orElse(if (prev > 0) schemaAt(prev) else None))
       val cons = constraints
         .getOrElse(if (prev > 0) constraintsAt(prev) else Seq.empty)
       val bIdx = bloomIdx
@@ -940,9 +950,10 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * append to the schema (old files read as null there), common
     * columns must keep their type. Delta's mergeSchema rule.
     */
-  private def appendSchema(df: StructType, mergeSchema: Boolean): StructType = {
+  private def appendSchema(df: StructType, mergeSchema: Boolean,
+                           base: Long = latestVersion): StructType = {
     val incoming = org.apache.spark.sql.graft.shim.nullable(df)
-    schemaAt(latestVersion) match {
+    schemaAt(base) match {
       case None => incoming
       case Some(cur) =>
         if (sig(cur) == sig(incoming)) cur
@@ -971,11 +982,17 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * there — old-version time travel keeps the old schema).
     */
   def append(df: DataFrame, mergeSchema: Boolean = false): Long = {
-    val sch = appendSchema(df.schema, mergeSchema)
+    appendSchema(df.schema, mergeSchema) // fail fast, before staging
     enforceConstraints(df, "append")
     val adds = stage(df)
+    // the recorded schema is re-derived INSIDE the commit loop against
+    // the winning predecessor: an append racing a concurrent
+    // mergeSchema append that widened the table must re-merge (or
+    // abort) rather than commit the stale narrower schema at a later
+    // version — which would silently drop the new column from every
+    // subsequent read
     commit("append", adds, Seq.empty, stats = statsOf(adds),
-      schema = Some(sch))
+      reschema = Some(prev => appendSchema(df.schema, mergeSchema, prev)))
   }
 
   /** Stage `df` hive-partitioned by `partCols`; relpaths carry the
@@ -1017,9 +1034,15 @@ class GraftTable private (val s: SparkSession, val root: String) {
                         tag: String = null): Option[Long] =
     tagged("append", tag) { a =>
       enforceConstraints(df, "appendPartitioned")
+      val payload = partitionedSchema(df, Seq(partCol))
+      appendSchema(payload, mergeSchema = false) // fail fast
       val adds = stagePartitioned(df, Seq(partCol))
+      // compat is re-checked against the winning predecessor: a
+      // partitioned batch with renamed/missing/retyped columns must
+      // NOT silently re-record the schema and retroactively change
+      // how earlier files read
       commit(a, adds, Seq.empty, stats = statsOf(adds),
-        schema = Some(partitionedSchema(df, Seq(partCol))))
+        reschema = Some(prev => appendSchema(payload, false, prev)))
     }
 
   /** Replace the whole live set with `df`, hive-partitioned — the
@@ -1087,6 +1110,10 @@ class GraftTable private (val s: SparkSession, val root: String) {
       val removes = resolveMeta(base).keys
         .filter(p => tokens.exists(p.contains)).toSeq
       enforceConstraints(df, "replacePartitions")
+      // files of OTHER partitions survive this commit, so the payload
+      // schema must stay compatible with what they were written under
+      appendSchema(partitionedSchema(df, Seq(partCol)),
+        mergeSchema = false, base)
       val adds = stagePartitioned(df, Seq(partCol))
       val outOfScope = adds.map(_._1)
         .filterNot(p => tokens.exists(p.contains))
@@ -1131,11 +1158,12 @@ class GraftTable private (val s: SparkSession, val root: String) {
   def appendIdempotent(df: DataFrame, tag: String): Option[Long] = {
     require(tag != null, "appendIdempotent needs a tag; use append")
     tagged("append", tag) { a =>
-      val sch = appendSchema(df.schema, mergeSchema = false)
+      appendSchema(df.schema, mergeSchema = false) // fail fast
       enforceConstraints(df, "appendIdempotent")
       val adds = stage(df)
       commit(a, adds, Seq.empty, stats = statsOf(adds),
-        schema = Some(sch))
+        reschema =
+          Some(prev => appendSchema(df.schema, mergeSchema = false, prev)))
     }
   }
 
@@ -1274,14 +1302,22 @@ class GraftTable private (val s: SparkSession, val root: String) {
     if (touched.isEmpty) return base
     val touchedDf = dmlRead(touched.map(p => p -> live(p)), sc, pc)
     val survivors = touchedDf.filter(!pred)
-    val adds = dmlStage(survivors, pc)
+    val adds0 = dmlStage(survivors, pc)
+    val st = statsOf(adds0)
+    // drop ZERO-ROW rewrite outputs (a fully-deleted file, a truncate):
+    // a broad delete must shrink the live set, not replace data files
+    // with empty ones — and an all-rows delete leaves a genuinely
+    // empty table the schema-bearing read path serves
+    val (adds, emptied) = adds0.partition(a =>
+      st.get(a._1).flatMap(FileStats.numRows).forall(_ > 0))
+    emptied.foreach(a => fs.delete(new Path(rootPath, a._1), false))
     val cdf =
       if (!cdfImages) Seq.empty
       else stageCdf(touchedDf.filter(pred)
         .withColumn(ChangeTypeCol,
           org.apache.spark.sql.functions.lit("delete")))
     commit("delete", adds, touched, basedOn = Some(base),
-      stats = statsOf(adds), schema = sc, cdf = cdf,
+      stats = st, schema = sc, cdf = cdf,
       tolerateAppends = true, readFiles = candidates)
   }
 

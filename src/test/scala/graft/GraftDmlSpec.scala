@@ -588,6 +588,123 @@ class GraftDmlSpec extends SparkSpec {
       assert(t.read().count() == 3)
     } finally hconf.unset("graft.logstore.unsafe")
   }
+
+  test("SQL UPDATE routes through the copy-on-write update commit") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, registry())
+    spark.conf.set("spark.sql.catalog.gtu",
+      classOf[graft.sources.GraftCatalog].getName)
+    val keyMax = Tables.orders(spark, sf)
+      .agg(max("o_orderkey")).head.getLong(0)
+    val cut = keyMax / 10
+    // SET expressions evaluate against the OLD row (SQL semantics)
+    val want = multiset(registry()
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") <= cut, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") <= cut, lit("X"))
+          .otherwise(col("o_orderstatus"))))
+    spark.sql(s"UPDATE gtu.`$root` SET o_totalprice = o_totalprice * 2, " +
+      s"o_orderstatus = 'X' WHERE o_orderkey <= $cut")
+    val t = GraftTable.forPath(spark, root)
+    assert(t.latestVersion == 2, "SQL UPDATE must publish exactly one commit")
+    assert(t.readCommit(2).action == "update",
+      "SQL UPDATE must ride the copy-on-write update commit")
+    assert(multiset(t.read()) == want)
+    assert(multiset(spark.sql(s"SELECT * FROM gtu.`$root`")) == want)
+    // time travel across the SQL update still serves the old rows
+    assert(multiset(spark.sql(
+      s"SELECT * FROM gtu.`$root` VERSION AS OF 1")) == multiset(registry()))
+    ()
+  }
+
+  test("SQL MERGE INTO routes through the key-pruned merge commit") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, registry())
+    spark.conf.set("spark.sql.catalog.gtm",
+      classOf[graft.sources.GraftCatalog].getName)
+    val keyMax = Tables.orders(spark, sf)
+      .agg(max("o_orderkey")).head.getLong(0)
+    // batch: re-price a contiguous low-key slice (so the exact probe
+    // leaves high-range files untouched) + two brand-new keys
+    val batch = registry().filter(col("o_orderkey") <= keyMax / 10)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName(Seq(
+        (keyMax + 10, "N", 1.5), (keyMax + 11, "N", 2.5)
+      ).toDF("o_orderkey", "o_orderstatus", "o_totalprice"))
+    batch.createOrReplaceTempView("merge_batch")
+    val want = multiset(graft.operators.Upsert.merge(
+      registry(), batch, "o_orderkey"))
+    spark.sql(s"MERGE INTO gtm.`$root` t USING merge_batch s " +
+      "ON t.o_orderkey = s.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val t = GraftTable.forPath(spark, root)
+    assert(t.latestVersion == 2, "SQL MERGE must publish exactly one commit")
+    assert(t.readCommit(2).action == "merge")
+    assert(multiset(t.read()) == want)
+    // copy-on-write: untouched files stay live across the merge
+    val before = t.readCommit(1).adds.map(_.path).toSet
+    val after = t.liveFiles().map(_._1).toSet
+    assert(before.intersect(after).nonEmpty,
+      "merge rewrote every file — key pruning is dead")
+
+    // update-only MERGE (no NOT MATCHED): new keys must NOT insert
+    val upd2 = Seq((keyMax + 999, "Z", 9.9),
+      (batch.agg(min(col("o_orderkey"))).head.getLong(0), "Z", 9.9))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    upd2.createOrReplaceTempView("merge_batch2")
+    spark.sql(s"MERGE INTO gtm.`$root` t USING merge_batch2 s " +
+      "ON t.o_orderkey = s.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET *")
+    val now = t.read()
+    assert(now.filter(col("o_orderkey") === keyMax + 999).count() == 0,
+      "update-only MERGE inserted an unmatched key")
+    assert(now.filter(col("o_orderstatus") === "Z").count() == 1)
+    ()
+  }
+
+  test("untranslatable SQL MERGE shapes are refused, never reinterpreted") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, registry())
+    spark.conf.set("spark.sql.catalog.gtr",
+      classOf[graft.sources.GraftCatalog].getName)
+    Seq((1L, "A", 1.0)).toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("refuse_batch")
+    def refusal(sql: String, needle: String): Unit = {
+      val e = intercept[Throwable](spark.sql(sql))
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      val msgs = chain(e).mkString(" | ")
+      assert(msgs.contains("cannot translate") && msgs.contains(needle),
+        s"wrong refusal for: $sql -> $msgs")
+    }
+    // conditional matched clause
+    refusal(s"MERGE INTO gtr.`$root` t USING refuse_batch s " +
+      "ON t.o_orderkey = s.o_orderkey " +
+      "WHEN MATCHED AND s.o_totalprice > 0 THEN UPDATE SET *",
+      "conditional WHEN MATCHED")
+    // matched DELETE
+    refusal(s"MERGE INTO gtr.`$root` t USING refuse_batch s " +
+      "ON t.o_orderkey = s.o_orderkey " +
+      "WHEN MATCHED THEN DELETE", "DELETE FROM")
+    // non-equi ON
+    refusal(s"MERGE INTO gtr.`$root` t USING refuse_batch s " +
+      "ON t.o_orderkey < s.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET *", "single equality")
+    // cross-column assignment
+    refusal(s"MERGE INTO gtr.`$root` t USING refuse_batch s " +
+      "ON t.o_orderkey = s.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_orderkey + 1",
+      "same-named source column")
+    // the table is untouched by every refusal
+    assert(GraftTable.forPath(spark, root).latestVersion == 1)
+    ()
+  }
 }
 
 /** Local-disk filesystem masquerading as an object store (a scheme
