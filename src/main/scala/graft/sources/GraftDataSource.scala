@@ -134,16 +134,28 @@ object GraftDataSource {
       extends Table
       with org.apache.spark.sql.connector.catalog.SupportsRead
       with org.apache.spark.sql.connector.catalog.SupportsDelete
+      with org.apache.spark.sql.connector.catalog.SupportsWrite
       with GraftSnapshotTable {
     override def tablePath: String = path
     override def name(): String = underlying.name()
     override def schema(): StructType = underlying.schema()
+    // STREAMING_WRITE but deliberately NOT BATCH_WRITE: batch saves
+    // keep the documented v1 fallback into createRelation (atomic
+    // commits per SaveMode); streaming rides the native epoch-commit
+    // sink (GraftStreamingWrite — exactly-once via the tag ledger)
     override def capabilities(): util.Set[
         org.apache.spark.sql.connector.catalog.TableCapability] =
       java.util.EnumSet.of(
         org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ,
         org.apache.spark.sql.connector.catalog.TableCapability
-          .MICRO_BATCH_READ)
+          .MICRO_BATCH_READ,
+        org.apache.spark.sql.connector.catalog.TableCapability
+          .STREAMING_WRITE)
+
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder =
+      new GraftWriteBuilder(spark, path, info)
 
     /** LOG-LEVEL DATA SKIPPING for the SQL/DataFrame read path: once
       * Spark pushes the data filters, drop every file whose logged
@@ -245,16 +257,26 @@ object GraftDataSource {
     * path that will create the log.
     */
   private class EmptyTable(path: String) extends Table
-      with org.apache.spark.sql.connector.catalog.SupportsRead {
+      with org.apache.spark.sql.connector.catalog.SupportsRead
+      with org.apache.spark.sql.connector.catalog.SupportsWrite {
     override def name(): String = s"graft:$path@empty"
     override def schema(): StructType = new StructType()
+    // STREAMING_WRITE on a not-yet-created table BOOTSTRAPS it: the
+    // first epoch commit records the stream's schema (Delta's
+    // create-on-first-write convention for streaming sinks)
     override def capabilities(): util.Set[
         org.apache.spark.sql.connector.catalog.TableCapability] =
       java.util.EnumSet.of(
-        org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+        org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ,
+        org.apache.spark.sql.connector.catalog.TableCapability
+          .STREAMING_WRITE)
     override def newScanBuilder(options: CaseInsensitiveStringMap)
         : org.apache.spark.sql.connector.read.ScanBuilder =
       throw new IllegalStateException(s"no graft table at $path (empty log)")
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder =
+      new GraftWriteBuilder(SparkSession.active, path, info)
   }
 
   private[sources] def resolveTable(options: CaseInsensitiveStringMap): Table = {

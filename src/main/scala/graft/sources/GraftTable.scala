@@ -1167,6 +1167,55 @@ class GraftTable private (val s: SparkSession, val root: String) {
     }
   }
 
+  /** Schema-compat gate for the DSv2 streaming sink, run at query
+    * START (fail fast, not epochs later): same rule as `append`.
+    * No-op on a not-yet-created table (streaming BOOTSTRAP).
+    */
+  private[sources] def validateAppendSchema(sch: StructType): Unit = {
+    if (latestVersion > 0) appendSchema(sch, mergeSchema = false)
+    ()
+  }
+
+  /** One micro-batch of the DSv2 STREAMING WRITE: the executor-staged
+    * files (already under the table root) land as ONE idempotent-
+    * tagged append commit — s15's foreachBatch discipline behind
+    * `writeStream.format("graft")`. A checkpoint-replayed epoch finds
+    * its tag in the ledger, DELETES its re-staged duplicates and
+    * no-ops — exactly-once across restart. CHECK constraints are
+    * enforced against the staged files before the commit (one
+    * column-pruned scan of the EPOCH, never the table); a violation
+    * aborts the epoch with the staged files removed.
+    */
+  private[sources] def commitStreamEpoch(staged: Seq[String], tag: String,
+                                         sch: StructType): Option[Long] = {
+    val adds = staged.sorted.map { rel =>
+      (rel, fs.getFileStatus(new Path(rootPath, rel)).getLen)
+    }
+    try {
+      if (constraintsAt(latestVersion).nonEmpty && adds.nonEmpty)
+        enforceConstraints(
+          s.read.schema(org.apache.spark.sql.graft.shim.nullable(sch))
+            .parquet(adds.map(a => s"$root/${a._1}"): _*),
+          "streamingWrite")
+    } catch {
+      case e: Throwable =>
+        adds.foreach(a => deleteStaged(a._1)); throw e
+    }
+    tagged("append", tag,
+      onReplay = () => adds.foreach(a => deleteStaged(a._1))) { a =>
+      commit(a, adds, Seq.empty, stats = statsOf(adds),
+        reschema = Some(prev =>
+          appendSchema(sch, mergeSchema = false, prev)))
+    }
+  }
+
+  /** Remove one staged-but-uncommitted file (epoch replay / abort). */
+  private[sources] def deleteStaged(rel: String): Unit = {
+    val p = new Path(rootPath, rel)
+    if (fs.exists(p)) fs.delete(p, false)
+    ()
+  }
+
   /** The ONE tagged-idempotence guard all tagged verbs share:
     * validate the tag, no-op (running `onReplay`) if its action is
     * already committed, otherwise run `body` with the action string

@@ -983,6 +983,29 @@ object EventStream {
       .orderBy("_change_type")
   }
 
+  // s18: s15's transactional ingest through the NATIVE DSv2 sink —
+  // `writeStream.format("graft")` with no foreachBatch: each
+  // micro-batch lands as one idempotent-tagged epoch commit
+  // (GraftStreamingWrite), and the FIRST epoch bootstraps the table
+  // (create-on-first-write). Convergent to the same batch aggregate
+  // as s15, so the oracle proves the sink neither loses, duplicates
+  // nor reorders a single row across the three micro-batches.
+  def s18StreamNativeSink(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_s18")
+    val src = landDocSlices(s, d, dir)
+    val root = dir.resolve("table").toString
+    val q = src
+      .select(col("doc_id"), octet_length(col("text")).as("n_bytes"))
+      .writeStream.format("graft")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .start(root)
+    try q.processAllAvailable() finally q.stop()
+    graft.sources.GraftTable.forPath(s, root).read()
+      .groupBy(pmod(col("doc_id"), lit(10L)).as("doc_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"))
+      .orderBy("doc_bucket")
+  }
+
   def s15StreamTableIngest(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_s15")
     val src = landDocSlices(s, d, dir)
@@ -1008,6 +1031,7 @@ object EventStream {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_stream_native_sink" -> (s18StreamNativeSink _),
     "s15_stream_table_ingest" -> (s15StreamTableIngest _),
     "s16_stream_table_feed" -> (s16StreamTableFeed _),
     "s17_stream_cdf" -> (s17StreamCdf _),
@@ -1033,6 +1057,12 @@ object EventStream {
     // documents — commits, replay-dedup, and OPTIMIZE are all
     // content-neutral
     "s15_stream_table_ingest" ->
+      """SELECT doc_id % 10 AS doc_bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY doc_bucket""".stripMargin,
+    // the native sink converges to the identical aggregate: epoch
+    // commits, bootstrap and the tag ledger are all content-neutral
+    "s18_stream_native_sink" ->
       """SELECT doc_id % 10 AS doc_bucket, COUNT(*) AS n_docs,
         |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY doc_bucket""".stripMargin,

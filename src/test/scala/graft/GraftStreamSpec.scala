@@ -180,4 +180,131 @@ class GraftStreamSpec extends SparkSpec {
       (plan.contains("PushedFilters") && plan.contains("EqualTo(l_orderkey,42)")),
       s"pushdown lost through the delegating builder:\n$plan")
   }
+
+  // ---- the native DSv2 STREAMING SINK (writeStream.format("graft")) ----
+
+  private def landSlices(dir: java.nio.file.Path,
+                         n: Int): (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.sql.types._
+    val src = dir.resolve("src")
+    java.nio.file.Files.createDirectory(src)
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity").limit(2000).cache()
+    val slices = (0 until n).map(i => li.filter(col("l_orderkey") % n === i))
+    slices.zipWithIndex.foreach { case (s0, i) =>
+      val stage = dir.resolve(s"stage$i").toString
+      s0.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = src.resolve(s"slice$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val schema = StructType(Seq(StructField("l_orderkey", LongType),
+      StructField("l_quantity", DoubleType)))
+    (spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(src.toString), slices)
+  }
+
+  test("writeStream.format(graft): epoch commits, bootstrap, exactly-once across checkpoint replay") {
+    val dir = Files.createTempDirectory("graft_sink")
+    val (src, slices) = landSlices(dir, 3)
+    val root = dir.resolve("t").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def drain(): Unit = {
+      val q = src.writeStream.format("graft")
+        .option("checkpointLocation", ckpt).start(root)
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    val t = GraftTable.forPath(spark, root)
+    val want = multiset(slices.reduce(_ unionAll _))
+    assert(multiset(t.read()) == want,
+      "native sink lost/duplicated rows across epochs")
+    assert(t.latestVersion == 3, "one commit per micro-batch expected")
+    assert((1L to 3L).forall(v => t.readCommit(v).action.startsWith("append@")),
+      "epoch commits must be idempotence-tagged appends")
+    assert(t.schemaAt(3).exists(_.fieldNames.toSet ==
+      Set("l_orderkey", "l_quantity")),
+      "bootstrap must record the stream's schema")
+    // CRASH REPLAY: drop the sink's memory of the last epoch — Spark
+    // re-runs it; the tag ledger must no-op the duplicate and delete
+    // its re-staged files
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.matches("\\d+")).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    assert(commits.last.delete())
+    // the local fs keeps a checksum sidecar; a stale one would block
+    // the replayed epoch's commit-log write with a spurious
+    // file-already-exists
+    new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc").delete()
+    val filesBefore = t.liveFiles().map(_._1).toSet
+    drain()
+    assert(multiset(t.read()) == want,
+      "epoch replay duplicated rows — exactly-once broken")
+    assert(t.liveFiles().map(_._1).toSet == filesBefore,
+      "replayed epoch changed the live file set")
+    // the replayed epoch's re-staged duplicates were cleaned up
+    val orphans = {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+        fs.listStatus(p).toIndexedSeq.flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else Seq(st.getPath.toString)
+        }
+      walk(new org.apache.hadoop.fs.Path(root, "data"))
+        .filter(_.endsWith(".parquet"))
+        .map(_.split("/t/", 2).last)
+        .filterNot(filesBefore)
+    }
+    assert(orphans.isEmpty,
+      s"replayed epoch left staged orphans: ${orphans.take(3)}")
+    ()
+  }
+
+  test("native sink: CHECK constraints gate each epoch; violations abort with nothing staged") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sink_ck")
+    val (src, _) = landSlices(dir, 2)
+    val root = dir.resolve("t").toString
+    val t = GraftTable.create(spark, root,
+      Seq((1L, -1.0)).toDF("l_orderkey", "l_quantity"))
+    t.addConstraint("positive_qty", "l_quantity < 0") // every REAL row violates
+    val v0 = t.latestVersion
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = src.writeStream.format("graft")
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .start(root)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ chain(x.getCause)
+    assert(chain(e).mkString(" ").contains("positive_qty"),
+      s"wrong failure: ${chain(e)}")
+    assert(t.latestVersion == v0, "a violating epoch must not commit")
+    ()
+  }
+
+  test("native sink: an incompatible stream schema is refused at query start") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sink_sch")
+    val (src, _) = landSlices(dir, 2)
+    val root = dir.resolve("t").toString
+    GraftTable.create(spark, root, Seq((1L, "x")).toDF("k", "s"))
+    val e = intercept[Throwable] {
+      val q = src.writeStream.format("graft")
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .start(root)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ chain(x.getCause)
+    assert(chain(e).mkString(" ").contains("schema mismatch"),
+      s"wrong failure: ${chain(e)}")
+    assert(GraftTable.forPath(spark, root).latestVersion == 1)
+    ()
+  }
 }
