@@ -130,7 +130,8 @@ object GraftDataSource {
     */
   private class ReadOnlySnapshot(underlying: Table, spark: SparkSession,
                                  path: String,
-                                 fileMeta: Seq[(String, Option[String])])
+                                 fileMeta: Seq[(String, Option[String])],
+                                 readRefusal: Option[String] = None)
       extends Table
       with org.apache.spark.sql.connector.catalog.SupportsRead
       with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -187,7 +188,9 @@ object GraftDataSource {
     }
 
     override def newScanBuilder(options: CaseInsensitiveStringMap)
-        : org.apache.spark.sql.connector.read.ScanBuilder =
+        : org.apache.spark.sql.connector.read.ScanBuilder = {
+      readRefusal.foreach(msg =>
+        throw new UnsupportedOperationException(msg))
       new org.apache.spark.sql.graft.DelegatingScanBuilder(
         underlying
           .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
@@ -197,6 +200,7 @@ object GraftDataSource {
         // stats-distrust debugging) — skipping stays the default
         if (options.getBoolean("dataSkipping", true)) reprune
         else _ => None)
+    }
 
     override def canDeleteWhere(
         filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
@@ -314,16 +318,26 @@ object GraftDataSource {
     val version = versionOpt.getOrElse(t.latestVersion)
     if (version <= 0) new EmptyTable(path)
     else {
-      // READER-FEATURE gate (Delta's protocol discipline): this path
-      // serves the snapshot's RAW parquet files — if any live file
-      // carries a deletion vector, scanning them would resurrect
-      // deleted rows. Refuse loudly instead of lying; the verb API
-      // (GraftTable.read/readVersion/readWhere) applies dvs.
-      if (t.hasDvAsOf(version)) throw new UnsupportedOperationException(
-        s"graft table at $path (v$version) has live DELETION VECTORS — " +
-          "a reader feature this raw-parquet path does not apply. Read " +
-          "through GraftTable.read()/readVersion()/readWhere(), or run " +
-          "purge() to materialize the deletes first")
+      // READER-FEATURE gates (Delta's protocol discipline): this path
+      // serves the snapshot's RAW parquet files — live deletion
+      // vectors would resurrect deleted rows, a non-identity column
+      // mapping would surface physical names. Refusal is raised at
+      // SCAN construction (newScanBuilder), not table resolution, so
+      // the WRITE surfaces (the streaming sink, SQL DML routing)
+      // still resolve the table; the verb API reads apply both.
+      val readRefusal: Option[String] =
+        if (t.hasDvAsOf(version)) Some(
+          s"graft table at $path (v$version) has live DELETION VECTORS — " +
+            "a reader feature this raw-parquet path does not apply. Read " +
+            "through GraftTable.read()/readVersion()/readWhere(), or run " +
+            "purge() to materialize the deletes first")
+        else if (t.hasColMapAsOf(version)) Some(
+          s"graft table at $path (v$version) reads through COLUMN " +
+            "MAPPING (renamed/dropped columns) — a reader feature this " +
+            "raw-parquet path does not apply (it would surface physical " +
+            "names). Read through GraftTable.read()/readVersion()/" +
+            "readWhere()")
+        else None
       // pass the RECORDED schema: filesAsOf may legitimately be empty
       // (deleteWhere/TRUNCATE emptied the table) and parquet inference
       // over zero paths would fail with an opaque error instead of
@@ -332,7 +346,7 @@ object GraftDataSource {
       new ReadOnlySnapshot(org.apache.spark.sql.graft.shim.parquetTable(
         s"graft:$path@v$version", spark, options, t.filesAsOf(version),
         t.schemaAt(version)),
-        spark, path, t.fileMetaAsOf(version))
+        spark, path, t.fileMetaAsOf(version), readRefusal)
     }
   }
 }

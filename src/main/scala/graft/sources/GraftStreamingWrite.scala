@@ -77,9 +77,12 @@ private class GraftStreamingWrite(spark: SparkSession, path: String,
     new Path(path, sub) // validated lazily by the writers
     val job = Job.getInstance(
       spark.sessionState.newHadoopConf())
+    // stage under PHYSICAL names (column mapping); rows carry no
+    // names, so only the parquet file schema translates
+    val physical = t.physicalWriteSchema(schema)
     val factory = new ParquetFileFormat()
-      .prepareWrite(spark, job, Map.empty, schema)
-    new GraftStreamWriterFactory(path, sub, schema, factory,
+      .prepareWrite(spark, job, Map.empty, physical)
+    new GraftStreamWriterFactory(path, sub, physical, factory,
       new SerializableConf(job.getConfiguration))
   }
 

@@ -132,7 +132,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
                                    constraintsJson: Option[String],
                                    tsMillis: Long,
                                    dvs: Seq[(String, DvRef)] = Seq.empty,
-                                   bloomIdxJson: Option[String] = None)
+                                   bloomIdxJson: Option[String] = None,
+                                   colmapJson: Option[String] = None)
 
   private[graft] def readCommit(v: Long): Commit = {
     val lines = readLines(commitPath(v))
@@ -148,6 +149,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     var schema: Option[String] = None
     var constraints: Option[String] = None
     var bloomIdx: Option[String] = None
+    var colmap: Option[String] = None
     lines.tail.foreach { l =>
       val f = l.split("\t", 5)
       f(0) match {
@@ -161,11 +163,12 @@ class GraftTable private (val s: SparkSession, val root: String) {
         case "schema"      => schema = Some(l.split("\t", 2)(1))
         case "constraints" => constraints = Some(l.split("\t", 2)(1))
         case "bloomidx"    => bloomIdx = Some(l.split("\t", 2)(1))
+        case "colmap"      => colmap = Some(l.split("\t", 2)(1))
         case other => sys.error(s"corrupt commit v$v: unknown action $other")
       }
     }
     Commit(ver.toLong, action, adds.result(), rems.result(), cdfs.result(),
-      schema, constraints, ts, dvs.result(), bloomIdx)
+      schema, constraints, ts, dvs.result(), bloomIdx, colmap)
   }
 
   /** The live (relpath → meta) set at version `v` — checkpoint ≤ v
@@ -318,6 +321,164 @@ class GraftTable private (val s: SparkSession, val root: String) {
   /** The active bloom filter index (column → numBits). */
   def bloomIndex(): Map[String, Long] = bloomIndexAt(latestVersion).toMap
 
+  // ---- column mapping (rename / drop as metadata-only commits) --------
+
+  /** The COLUMN MAPPING at version `v` (Delta's column-mapping table
+    * feature): logical name → the PHYSICAL name the data files store.
+    * A column's physical name is fixed at creation; `renameColumn`
+    * re-keys the logical side only (metadata commit — zero files
+    * rewritten, old files keep reading, old-version time travel
+    * returns epoch-correct names); `dropColumn` removes the logical
+    * entry and TOMBSTONES the physical name so a later re-added
+    * column of the same name can never resurrect the dropped data.
+    * Empty mapping = identity (every pre-mapping table).
+    */
+  private[graft] def colmapAt(v: Long): GraftTable.ColMap = {
+    if (v <= 0) return GraftTable.ColMap.empty
+    val base = checkpointVersions().filter(_ <= v).lastOption
+    val fromCommits = versions()
+      .filter(x => x > base.getOrElse(0L) && x <= v)
+      .reverseIterator
+      .flatMap(x => readCommit(x).colmapJson)
+      .nextOption()
+    fromCommits.orElse(base.flatMap { cv =>
+      readLines(ckptPath(cv)).collectFirst {
+        case l if l.startsWith("colmap\t") => l.split("\t", 2)(1)
+      }
+    }).map(GraftTable.colmapFromJson).getOrElse(GraftTable.ColMap.empty)
+  }
+
+  /** True when version `v` reads through a non-identity column
+    * mapping — the READER-FEATURE gate twin of [[hasDvAsOf]]: paths
+    * serving raw parquet (the DSv2 format, the log-follower stream)
+    * would surface PHYSICAL column names and must refuse instead.
+    */
+  def hasColMapAsOf(v: Long): Boolean = !colmapAt(v).isIdentity
+
+  /** The logical→physical column mapping (empty = identity). */
+  def columnMapping(): Map[String, String] = colmapAt(latestVersion).map
+
+  /** df with its columns renamed logical → physical for STAGING
+    * (files always store physical names).
+    */
+  private def toPhysical(df: DataFrame,
+                         cm: GraftTable.ColMap): DataFrame =
+    if (cm.isIdentity) df
+    else df.select(df.columns.map(c =>
+      df(c).as(cm.phys(c))).toIndexedSeq: _*)
+
+  /** The physical-file view of a recorded (logical) schema. */
+  private def physSchema(st: StructType,
+                         cm: GraftTable.ColMap): StructType =
+    if (cm.isIdentity) st
+    else StructType(st.fields.map(f => f.copy(name = cm.phys(f.name))))
+
+  /** Predicate attribute names logical → physical, for evaluating
+    * pushed/DML predicates against the PHYSICAL stats tokens.
+    */
+  private def physPred(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                       cm: GraftTable.ColMap)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    if (cm.isIdentity) e
+    else e.transform {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.size == 1 =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq(cm.phys(a.nameParts.head)))
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq(cm.phys(a.name)))
+    }
+
+  /** Column names referenced by a single-line SQL expression (for
+    * rename/drop safety checks against CHECK constraints).
+    */
+  private def referencedCols(exprSql: String): Set[String] =
+    org.apache.spark.sql.graft.shim.catalystExpression(
+      org.apache.spark.sql.functions.expr(exprSql)).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.name
+    }.toSet
+
+  /** RENAME COLUMN as a metadata-only commit (Delta's
+    * `ALTER TABLE … RENAME COLUMN` under column mapping): the
+    * reference's registry-migration story (`map_excel_to_db_columns`
+    * app.py:5999 exists precisely because upstream columns get
+    * renamed). No file is touched; reads of OLD versions return the
+    * OLD name; DML and stats skipping keep working because every
+    * physical access translates through the mapping.
+    */
+  def renameColumn(oldName: String, newName: String): Long = {
+    val base = latestVersion
+    require(base > 0, s"no graft table at $root")
+    require(newName.nonEmpty && !newName.exists(c => c == '\t' || c == '\n'),
+      s"bad column name: $newName")
+    val sc = schemaAt(base).getOrElse(throw new IllegalStateException(
+      "renameColumn needs a recorded schema (legacy log)"))
+    require(sc.fieldNames.contains(oldName),
+      s"no column '$oldName' in ${sc.fieldNames.mkString(",")}")
+    require(!sc.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column '$newName' already exists")
+    partColOf(resolveMeta(base).keys).foreach { pc =>
+      throw new IllegalArgumentException(
+        s"table is hive-partitioned on '$pc' — partition-subset readers " +
+          "serve raw paths; column mapping is flat-table only")
+    }
+    constraintsAt(base).find(c => referencedCols(c._2).contains(oldName))
+      .foreach { c =>
+        throw new IllegalArgumentException(
+          s"cannot rename '$oldName': CHECK constraint '${c._1}' " +
+            s"references it (drop the constraint first)")
+      }
+    val cm = colmapAt(base)
+    val next = GraftTable.ColMap(
+      (cm.map - oldName) + (newName -> cm.phys(oldName)), cm.dead)
+    val nextSchema = StructType(sc.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    commit(s"colmap:rename:$oldName>$newName", Seq.empty, Seq.empty,
+      basedOn = Some(base), schema = Some(nextSchema), colmap = Some(next))
+  }
+
+  /** DROP COLUMN as a metadata-only commit: the files keep the
+    * physical column (column pruning means it is never read again),
+    * the physical name is tombstoned so a later `mergeSchema` re-add
+    * of the same logical name maps to a FRESH physical column — the
+    * dropped data cannot resurrect.
+    */
+  def dropColumn(name: String): Long = {
+    val base = latestVersion
+    require(base > 0, s"no graft table at $root")
+    val sc = schemaAt(base).getOrElse(throw new IllegalStateException(
+      "dropColumn needs a recorded schema (legacy log)"))
+    require(sc.fieldNames.contains(name),
+      s"no column '$name' in ${sc.fieldNames.mkString(",")}")
+    require(sc.fields.length > 1, "cannot drop the last column")
+    partColOf(resolveMeta(base).keys).foreach { pc =>
+      throw new IllegalArgumentException(
+        s"table is hive-partitioned on '$pc' — column mapping is " +
+          "flat-table only")
+    }
+    constraintsAt(base).find(c => referencedCols(c._2).contains(name))
+      .foreach { c =>
+        throw new IllegalArgumentException(
+          s"cannot drop '$name': CHECK constraint '${c._1}' references " +
+            "it (drop the constraint first)")
+      }
+    val cm = colmapAt(base)
+    val phys = cm.phys(name)
+    bloomIndexAt(base).find(_._1 == phys).foreach { _ =>
+      throw new IllegalArgumentException(
+        s"cannot drop '$name': it is bloom-indexed (setBloomIndex " +
+          "without it first)")
+    }
+    val next = GraftTable.ColMap(cm.map - name, (cm.dead :+ phys).distinct)
+    val nextSchema = StructType(sc.fields.filterNot(_.name == name))
+    commit(s"colmap:drop:$name", Seq.empty, Seq.empty,
+      basedOn = Some(base), schema = Some(nextSchema), colmap = Some(next))
+  }
+
   /** CREATE BLOOMFILTER INDEX (Delta's bloom filter index, recorded
     * as a table property in the log). Every LATER write stages, for
     * each indexed column, (a) a parquet-NATIVE bloom filter inside
@@ -346,8 +507,12 @@ class GraftTable private (val s: SparkSession, val root: String) {
             "integral and string columns are indexable")
       }
     }
+    // stored under PHYSICAL names: the staged-file aggregation and
+    // the stats-token probe both see physical columns, and a later
+    // rename (logical-only) leaves the index intact
+    val cm = colmapAt(latestVersion)
     commit("constraint:bloomidx:set", Seq.empty, Seq.empty,
-      bloomIdx = Some(cols.map(_ -> numBits)))
+      bloomIdx = Some(cols.map(c => cm.phys(c) -> numBits)))
   }
 
   /** DROP BLOOMFILTER INDEX: metadata-only commit clearing the set
@@ -417,7 +582,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
   def readVersion(v: Long): DataFrame = {
     require(v >= 1 && fs.exists(commitPath(v)),
       s"version $v does not exist (have: ${versions().mkString(",")})")
-    readMeta(resolveMeta(v).toSeq, schemaAt(v))
+    readMeta(resolveMeta(v).toSeq, schemaAt(v), cm = colmapAt(v))
   }
 
   // ---- deletion-vector-aware reads ------------------------------------
@@ -453,7 +618,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   private def readMeta(metaSeq: Seq[(String, FileMeta)],
                        sc: Option[StructType],
-                       keepPos: Boolean = false): DataFrame = {
+                       keepPos: Boolean = false,
+                       cm: GraftTable.ColMap = GraftTable.ColMap.empty)
+      : DataFrame = {
     import org.apache.spark.sql.functions.col
     val (dvd, plain) = metaSeq.sortBy(_._1).partition(_._2.dv.isDefined)
     def posCols(st: StructType) =
@@ -466,16 +633,29 @@ class GraftTable private (val s: SparkSession, val root: String) {
         s.createDataFrame(s.sparkContext.emptyRDD[Row],
           if (pos) posCols(st) else st)
       } else {
-        val base = sc match {
+        // files store PHYSICAL names: read through the physical
+        // schema, derive the pos columns while _metadata is still
+        // resolvable, then project back to the LOGICAL names
+        val raw = sc match {
           case Some(st) =>
-            s.read.schema(st).parquet(paths.map(p => s"$root/$p"): _*)
+            s.read.schema(physSchema(st, cm))
+              .parquet(paths.map(p => s"$root/$p"): _*)
           case None => s.read.parquet(paths.map(p => s"$root/$p"): _*)
         }
-        if (pos) base.withColumn("__fn",
-          org.apache.spark.sql.functions.substring_index(
-            col("_metadata.file_path"), "/", -2))
-          .withColumn("__ri", col("_metadata.row_index"))
-        else base
+        val withPos =
+          if (pos) raw.withColumn("__fn",
+            org.apache.spark.sql.functions.substring_index(
+              col("_metadata.file_path"), "/", -2))
+            .withColumn("__ri", col("_metadata.row_index"))
+          else raw
+        sc match {
+          case Some(st) if !cm.isIdentity =>
+            withPos.select((st.fields.map(f =>
+              col(cm.phys(f.name)).as(f.name)) ++
+              (if (pos) Seq(col("__fn"), col("__ri")) else Nil))
+              .toIndexedSeq: _*)
+          case _ => withPos
+        }
       }
     if (dvd.isEmpty) readP(plain.map(_._1), keepPos)
     else {
@@ -580,7 +760,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * list is always a superset of the matching rows' files.
     */
   def prunedFiles(pred: Column): Seq[String] = {
-    val e = org.apache.spark.sql.graft.shim.catalystExpression(pred)
+    val e = physPred(org.apache.spark.sql.graft.shim.catalystExpression(pred),
+      colmapAt(latestVersion))
     resolveMeta(latestVersion).toSeq.sortBy(_._1).collect {
       case (p, m) if FileStats.mayMatch(m.stats, e) => s"$root/$p"
     }
@@ -593,12 +774,14 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * files, instead of opening every footer at scan time.
     */
   def readWhere(pred: Column): DataFrame = {
-    val e = org.apache.spark.sql.graft.shim.catalystExpression(pred)
+    val cm = colmapAt(latestVersion)
+    val e = physPred(
+      org.apache.spark.sql.graft.shim.catalystExpression(pred), cm)
     val survivors = resolveMeta(latestVersion).toSeq.sortBy(_._1)
       .filter { case (_, m) => FileStats.mayMatch(m.stats, e) }
     val sc = schemaAt(latestVersion)
     if (survivors.isEmpty && sc.isEmpty) read().filter(pred) // legacy log
-    else readMeta(survivors, sc).filter(pred)
+    else readMeta(survivors, sc, cm = cm).filter(pred)
   }
 
   // ---- writes ---------------------------------------------------------
@@ -615,9 +798,17 @@ class GraftTable private (val s: SparkSession, val root: String) {
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(f => (s"$sub/${f.getPath.getName}", f.getLen))
 
-  private def stage(df: DataFrame): Seq[(String, Long)] = {
+  /** Data files always store PHYSICAL column names — staging maps the
+    * (logical) frame through the active column mapping. Callers that
+    * are introducing NEW columns (mergeSchema append) pass the
+    * already-updated mapping explicitly.
+    */
+  private def stage(df: DataFrame,
+                    cmOpt: Option[GraftTable.ColMap] = None)
+      : Seq[(String, Long)] = {
+    val cm = cmOpt.getOrElse(colmapAt(latestVersion))
     val sub = freshSub()
-    bloomWrite(df.write).parquet(s"$root/$sub")
+    bloomWrite(toPhysical(df, cm).write).parquet(s"$root/$sub")
     listStaged(sub)
   }
 
@@ -777,6 +968,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val bIdx = bloomIndexAt(v)
     if (bIdx.nonEmpty)
       b.append(s"bloomidx\t${GraftTable.bloomIdxToJson(bIdx)}\n")
+    val cmV = colmapAt(v)
+    if (!cmV.isIdentity)
+      b.append(s"colmap\t${GraftTable.colmapToJson(cmV)}\n")
     val live = resolveMeta(v).toSeq.sortBy(_._1)
     live.foreach { case (p, m) =>
       b.append(s"file\t$p\t${m.bytes}${m.stats.map("\t" + _).getOrElse("")}\n")
@@ -841,7 +1035,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
                             dvs: Seq[(String, DvRef)] = Seq.empty,
                             readFiles: Seq[String] = Seq.empty,
                             bloomIdx: Option[Seq[(String, Long)]] = None,
-                            reschema: Option[Long => StructType] = None)
+                            reschema: Option[Long => StructType] = None,
+                            colmap: Option[GraftTable.ColMap] = None)
       : Long = {
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
     var attempt = 0
@@ -914,6 +1109,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
         .getOrElse(if (prev > 0) constraintsAt(prev) else Seq.empty)
       val bIdx = bloomIdx
         .getOrElse(if (prev > 0) bloomIndexAt(prev) else Seq.empty)
+      val cm = colmap
+        .getOrElse(if (prev > 0) colmapAt(prev) else GraftTable.ColMap.empty)
       val body = new StringBuilder(
         s"graft-commit\t$v\t$action\t${System.currentTimeMillis()}\n")
       sch.foreach(sc => body.append(s"schema\t${sc.json}\n"))
@@ -922,6 +1119,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
           s"constraints\t${GraftTable.constraintsToJson(cons)}\n")
       if (bIdx.nonEmpty || bloomIdx.isDefined)
         body.append(s"bloomidx\t${GraftTable.bloomIdxToJson(bIdx)}\n")
+      if (!cm.isIdentity || colmap.isDefined)
+        body.append(s"colmap\t${GraftTable.colmapToJson(cm)}\n")
       adds.foreach { case (p, b) =>
         body.append(s"add\t$p\t$b${stats.get(p).map("\t" + _).getOrElse("")}\n")
       }
@@ -984,7 +1183,26 @@ class GraftTable private (val s: SparkSession, val root: String) {
   def append(df: DataFrame, mergeSchema: Boolean = false): Long = {
     appendSchema(df.schema, mergeSchema) // fail fast, before staging
     enforceConstraints(df, "append")
-    val adds = stage(df)
+    // physical names for columns NEW to the table: identity unless
+    // the name is TOMBSTONED (a dropped column once stored under it —
+    // its data must never resurrect) or already used physically by a
+    // renamed column; those get a fresh suffixed physical name
+    val base0 = latestVersion
+    val cm0 = colmapAt(base0)
+    val existing = schemaAt(base0).map(_.fieldNames.toSet)
+      .getOrElse(Set.empty)
+    val usedPhys = schemaAt(base0)
+      .map(_.fieldNames.map(cm0.phys).toSet).getOrElse(Set.empty) ++
+      cm0.dead
+    val freshEntries = df.schema.fieldNames
+      .filterNot(existing).filter(_ => existing.nonEmpty)
+      .collect { case c if usedPhys.contains(c) =>
+        c -> s"${c}_${java.util.UUID.randomUUID.toString.take(8)}"
+      }
+    val cmNew =
+      if (freshEntries.isEmpty) cm0
+      else cm0.copy(map = cm0.map ++ freshEntries)
+    val adds = stage(df, Some(cmNew))
     // the recorded schema is re-derived INSIDE the commit loop against
     // the winning predecessor: an append racing a concurrent
     // mergeSchema append that widened the table must re-merge (or
@@ -992,7 +1210,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
     // version — which would silently drop the new column from every
     // subsequent read
     commit("append", adds, Seq.empty, stats = statsOf(adds),
-      reschema = Some(prev => appendSchema(df.schema, mergeSchema, prev)))
+      reschema = Some(prev => appendSchema(df.schema, mergeSchema, prev)),
+      colmap = if (freshEntries.isEmpty) None else Some(cmNew))
   }
 
   /** Stage `df` hive-partitioned by `partCols`; relpaths carry the
@@ -1002,6 +1221,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   private def stagePartitioned(df: DataFrame,
                                partCols: Seq[String]): Seq[(String, Long)] = {
+    require(colmapAt(latestVersion).isIdentity,
+      "column mapping is flat-table only — partition-subset readers " +
+        "serve raw paths and would surface physical names")
     val sub = s"$DataDir/${java.util.UUID.randomUUID.toString.take(12)}"
     bloomWrite(df.write).partitionBy(partCols: _*).parquet(s"$root/$sub")
     def walk(p: Path, rel: String): Seq[(String, Long)] =
@@ -1176,6 +1398,13 @@ class GraftTable private (val s: SparkSession, val root: String) {
     ()
   }
 
+  /** The PHYSICAL file schema the streaming sink's writers must stage
+    * under (column mapping applied) — rows carry no names, so only
+    * the parquet schema needs translating.
+    */
+  private[sources] def physicalWriteSchema(sch: StructType): StructType =
+    physSchema(sch, colmapAt(latestVersion))
+
   /** One micro-batch of the DSv2 STREAMING WRITE: the executor-staged
     * files (already under the table root) land as ONE idempotent-
     * tagged append commit — s15's foreachBatch discipline behind
@@ -1192,11 +1421,20 @@ class GraftTable private (val s: SparkSession, val root: String) {
       (rel, fs.getFileStatus(new Path(rootPath, rel)).getLen)
     }
     try {
-      if (constraintsAt(latestVersion).nonEmpty && adds.nonEmpty)
-        enforceConstraints(
-          s.read.schema(org.apache.spark.sql.graft.shim.nullable(sch))
-            .parquet(adds.map(a => s"$root/${a._1}"): _*),
-          "streamingWrite")
+      if (constraintsAt(latestVersion).nonEmpty && adds.nonEmpty) {
+        // staged files carry PHYSICAL names; constraints are logical
+        val cm = colmapAt(latestVersion)
+        val raw = s.read
+          .schema(physSchema(
+            org.apache.spark.sql.graft.shim.nullable(sch), cm))
+          .parquet(adds.map(a => s"$root/${a._1}"): _*)
+        val logical =
+          if (cm.isIdentity) raw
+          else raw.select(sch.fields.map(f =>
+            org.apache.spark.sql.functions.col(cm.phys(f.name))
+              .as(f.name)).toIndexedSeq: _*)
+        enforceConstraints(logical, "streamingWrite")
+      }
     } catch {
       case e: Throwable =>
         adds.foreach(a => deleteStaged(a._1)); throw e
@@ -1247,9 +1485,14 @@ class GraftTable private (val s: SparkSession, val root: String) {
     enforceConstraints(df, "overwrite")
     val base = latestVersion
     val removes = resolveMeta(base).keys.toSeq
-    val adds = stage(df)
+    // a whole-table replace RESETS column mapping: no old file
+    // survives, so physical names can be the new schema's own (and a
+    // stale map could collide a new column with an old physical name)
+    val adds = stage(df, Some(GraftTable.ColMap.empty))
     commit("overwrite", adds, removes, basedOn = Some(base),
-      stats = statsOf(adds), schema = Some(org.apache.spark.sql.graft.shim.nullable(df.schema)))
+      stats = statsOf(adds),
+      schema = Some(org.apache.spark.sql.graft.shim.nullable(df.schema)),
+      colmap = Some(GraftTable.ColMap.empty))
   }
 
   // ---- row-level DML (copy-on-write) ----------------------------------
@@ -1289,11 +1532,13 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   private def dmlRead(meta: Seq[(String, FileMeta)], sc: Option[StructType],
                       partCol: Option[String],
-                      keepPos: Boolean = false): DataFrame = {
+                      keepPos: Boolean = false,
+                      cm: GraftTable.ColMap = GraftTable.ColMap.empty)
+      : DataFrame = {
     import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
     // dv-aware: a CoW/MoR pass over files an earlier MoR commit marked
     // must not resurrect (or re-mark) already-dead rows
-    val base = readMeta(meta, sc, keepPos)
+    val base = readMeta(meta, sc, keepPos, cm)
     partCol.fold(base) { pc =>
       base.withColumn(pc,
         regexp_extract(input_file_name(),
@@ -1318,7 +1563,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val sc = schemaAt(base)
     val live = resolveMeta(base)
     val pc = partColOf(live.keys)
-    val e = org.apache.spark.sql.graft.shim.catalystExpression(pred)
+    val cm = colmapAt(base)
+    val e = physPred(
+      org.apache.spark.sql.graft.shim.catalystExpression(pred), cm)
     val candidates = live.toSeq.sortBy(_._1).collect {
       case (p, m) if FileStats.mayMatch(m.stats, e) => p
     }
@@ -1332,7 +1579,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       // metadata columns; the cdf pass DROPS them, so Catalyst prunes
       // _metadata away and it runs as a plain pushed-down scan
       val matched = dmlRead(candidates.map(p => p -> live(p)), sc, pc,
-        keepPos = true).filter(pred)
+        keepPos = true, cm = cm).filter(pred)
       return morCommit("delete", base, live, sc, matched,
         adds = Seq.empty,
         cdf = if (!cdfImages) None
@@ -1345,11 +1592,11 @@ class GraftTable private (val s: SparkSession, val root: String) {
     // dv anti-join's second source)
     val byName = byBaseName(live)
     val touched = dmlRead(candidates.map(p => p -> live(p)), sc, pc,
-      keepPos = true).filter(pred)
+      keepPos = true, cm = cm).filter(pred)
       .select("__fn").distinct().collect().map(_.getString(0))
       .toSeq.map(byName).sorted
     if (touched.isEmpty) return base
-    val touchedDf = dmlRead(touched.map(p => p -> live(p)), sc, pc)
+    val touchedDf = dmlRead(touched.map(p => p -> live(p)), sc, pc, cm = cm)
     val survivors = touchedDf.filter(!pred)
     val adds0 = dmlStage(survivors, pc)
     val st = statsOf(adds0)
@@ -1488,7 +1735,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
       val missing = set.keySet -- st.fieldNames.toSet -- pc.toSet
       require(missing.isEmpty, s"SET columns not in the table: $missing")
     }
-    val e = org.apache.spark.sql.graft.shim.catalystExpression(pred)
+    val cm = colmapAt(base)
+    val e = physPred(
+      org.apache.spark.sql.graft.shim.catalystExpression(pred), cm)
     val candidates = live.toSeq.sortBy(_._1).collect {
       case (p, m) if FileStats.mayMatch(m.stats, e) => p
     }
@@ -1500,7 +1749,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       // persisted: slice rewrite, dv stage and cdf images all read
       // the cache instead of rescanning candidates
       val matched = dmlRead(candidates.map(p => p -> live(p)), sc, pc,
-        keepPos = true).filter(pred)
+        keepPos = true, cm = cm).filter(pred)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val payload = matched.columns
@@ -1525,11 +1774,11 @@ class GraftTable private (val s: SparkSession, val root: String) {
     // exact probe: bounded collect (distinct file names, ≤ #files)
     val byName = byBaseName(live)
     val touched = dmlRead(candidates.map(p => p -> live(p)), sc, pc,
-      keepPos = true).filter(pred)
+      keepPos = true, cm = cm).filter(pred)
       .select("__fn").distinct().collect().map(_.getString(0))
       .toSeq.map(byName).sorted
     if (touched.isEmpty) return base
-    val touchedDf = dmlRead(touched.map(p => p -> live(p)), sc, pc)
+    val touchedDf = dmlRead(touched.map(p => p -> live(p)), sc, pc, cm = cm)
     val cols = touchedDf.columns.map { c =>
       set.get(c) match {
         case Some(v) => when(pred, v).otherwise(touchedDf(c)).as(c)
@@ -1600,14 +1849,16 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val (lo, hi) = (range.get(0), range.get(1))
     if (lo == null) return base // empty batch: nothing to merge, no commit
     val keyPred = col(key) >= lit(lo) && col(key) <= lit(hi)
-    val e = org.apache.spark.sql.graft.shim.catalystExpression(keyPred)
+    val cmM = colmapAt(base)
+    val e = physPred(
+      org.apache.spark.sql.graft.shim.catalystExpression(keyPred), cmM)
     val candidates = liveM.toSeq.sortBy(_._1).collect {
       case (p, m) if FileStats.mayMatch(m.stats, e) => p
     }
     // dv-aware: rows an earlier MoR delete marked dead must neither
     // match as existing keys nor resurrect into the rewrite
     def readRel(paths: Seq[String]): DataFrame =
-      readMeta(paths.map(p => p -> liveM(p)), sc)
+      readMeta(paths.map(p => p -> liveM(p)), sc, cm = cmM)
     val updKeys = updates.select(col(key)).distinct()
     // 2. exact probe: candidate files really holding a matched key
     // (__fn from the dv-aware read; bounded collect, ≤ #files rows)
@@ -1615,7 +1866,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val touched =
       if (candidates.isEmpty) Seq.empty[String]
       else readMeta(candidates.map(p => p -> liveM(p)), sc,
-        keepPos = true)
+        keepPos = true, cm = cmM)
         .select(col(key), col("__fn"))
         .join(broadcast(updKeys), Seq(key))
         .select("__fn").distinct().collect().map(_.getString(0))
@@ -1679,7 +1930,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val nOut = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
     // dv-aware: compacting a dv-carrying small file MATERIALIZES its
     // deletes (the remove clears the dv association)
-    val merged = readMeta(small.map(f => f._1 -> liveM(f._1)), schemaAt(base))
+    val merged = readMeta(small.map(f => f._1 -> liveM(f._1)), schemaAt(base),
+      cm = colmapAt(base))
       .repartition(nOut)
     val adds = stage(merged)
     // serializable vs row-level DML: a concurrent dv commit on one of
@@ -1705,7 +1957,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val sc = schemaAt(base)
     require(partColOf(live.keys).isEmpty,
       "dv on a hive-partitioned table should be impossible (MoR refuses)")
-    val survivors = readMeta(dvd, sc)
+    val survivors = readMeta(dvd, sc, cm = colmapAt(base))
     val adds = stage(survivors)
     commit("purge", adds, dvd.map(_._1), basedOn = Some(base),
       stats = statsOf(adds), schema = sc, tolerateAppends = true)
@@ -1766,7 +2018,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
           "would drop the partition paths and break pruned reads")
     }
     // dv-aware whole-set rewrite: deletes materialize, dvs clear
-    val df = readMeta(live.toSeq, schemaAt(base))
+    val df = readMeta(live.toSeq, schemaAt(base), cm = colmapAt(base))
     val sub = freshSub()
     ZOrderLayout.writeZOrdered(df,
       org.apache.spark.sql.functions.col(dimA),
@@ -1999,6 +2251,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       stats = readds.collect {
         case (p, FileMeta(_, Some(st), _)) => p -> st }.toMap,
       schema = schemaAt(v),
+      colmap = Some(colmapAt(v)), // epoch-correct names after restore
       dvs = readds.flatMap { case (p, m) => m.dv.map(p -> _) })
   }
 
@@ -2109,6 +2362,39 @@ object GraftTable {
     val r = consMapper.readTree(j)
     (0 until r.size).map(i =>
       (r.get(i).get("n").asText, r.get(i).get("e").asText))
+  }
+
+  /** Column mapping state: `map` = logical → physical for every
+    * column whose names differ; `dead` = tombstoned physical names of
+    * dropped columns (a re-added logical name must map to a FRESH
+    * physical name, never a tombstoned one).
+    */
+  private[graft] case class ColMap(map: Map[String, String],
+                                   dead: Seq[String]) {
+    def isIdentity: Boolean =
+      dead.isEmpty && map.forall { case (l, p) => l == p }
+    def phys(logical: String): String = map.getOrElse(logical, logical)
+  }
+  private[graft] object ColMap {
+    val empty: ColMap = ColMap(Map.empty, Seq.empty)
+  }
+
+  private[sources] def colmapToJson(cm: ColMap): String = {
+    val o = consMapper.createObjectNode()
+    val m = o.putObject("m")
+    cm.map.toSeq.sortBy(_._1).foreach { case (l, p) => m.put(l, p); () }
+    val d = o.putArray("d")
+    cm.dead.foreach { p => d.add(p); () }
+    consMapper.writeValueAsString(o)
+  }
+
+  private[sources] def colmapFromJson(j: String): ColMap = {
+    val r = consMapper.readTree(j)
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val it = r.get("m").fields()
+    while (it.hasNext) { val e = it.next(); m += e.getKey -> e.getValue.asText }
+    val d = r.get("d")
+    ColMap(m.toMap, (0 until d.size).map(i => d.get(i).asText))
   }
 
   private[sources] def bloomIdxToJson(cs: Seq[(String, Long)]): String = {
