@@ -363,6 +363,55 @@ object Relational {
         count(when(col("o_orderstatus") === "P", lit(1))).as("cnt_pending"))
       .orderBy("o_orderpriority")
 
+  // q88: the reference's ACTUAL demand table end-to-end —
+  // Files/Master_data.csv's exact schema (Country, Level, SKU, quant,
+  // Yearmonth, Source; ~40k rows of monthly demand that shaped
+  // q13/q14/q55 but was never itself ingested) through the CSV
+  // reader into its monthly-demand pivot. The CSV content derives
+  // deterministically from `orders` (the driver's tables are the
+  // only inputs), lands once per (session, dataset), reads back
+  // through Readers.csv with the reference schema (FAILFAST, header
+  // on, empty Level like the real file), then pivots per
+  // (Country, Yearmonth) with per-Source quantity sums — so the CSV
+  // round-trip (quoting, typed re-parse, null Level) is inside the
+  // oracle-hashed path, not just the algebra.
+  private val masterCsvDir =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q88MasterCsv(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val masterShape = Tables.orders(s, d).select(
+      concat(lit("country_"), pmod(col("o_custkey"), lit(8L))).as("Country"),
+      lit(null).cast("string").as("Level"),
+      concat(lit("SKU"), pmod(col("o_orderkey"), lit(20L))).as("SKU"),
+      pmod(floor(col("o_totalprice")).cast("long"), lit(997L)).as("quant"),
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("Yearmonth"),
+      when(col("o_orderkey") % 3 === 0, "VPD").otherwise("IMD").as("Source"))
+    val path = masterCsvDir.synchronized {
+      masterCsvDir.getOrElseUpdate(
+        s.sparkContext.applicationId + "|" + d, {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_master_csv").toString + "/master"
+          masterShape.write.option("header", "true").csv(dir)
+          dir
+        })
+    }
+    val schema = StructType(Seq(
+      StructField("Country", StringType), StructField("Level", StringType),
+      StructField("SKU", StringType), StructField("quant", LongType),
+      StructField("Yearmonth", LongType), StructField("Source", StringType)))
+    graft.sources.Readers.csv(s, path, schema)
+      .groupBy("Country", "Yearmonth")
+      .agg(
+        sum(when(col("Source") === "VPD", col("quant")).otherwise(0L))
+          .as("vpd_quant"),
+        sum(when(col("Source") === "IMD", col("quant")).otherwise(0L))
+          .as("imd_quant"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("Country", "Yearmonth")
+  }
+
   // q14: ROLLUP subtotal hierarchy.
   def q14Rollup(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -640,6 +689,7 @@ object Relational {
     "q11_classify_regex" -> (q11ClassifyRegex _),
     "q12_having" -> (q12Having _),
     "q13_pivot" -> (q13Pivot _),
+    "q88_master_csv" -> (q88MasterCsv _),
     "q14_rollup" -> (q14Rollup _),
     "q15_date_agg" -> (q15DateAgg _),
     "q16_star_join" -> (q16StarJoin _),
@@ -868,6 +918,22 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
         |FROM orders GROUP BY o_custkey
         |HAVING COUNT(*) >= 12 ORDER BY o_custkey""".stripMargin,
+    "q88_master_csv" ->
+      """WITH m AS (
+        |  SELECT 'country_' || CAST(o_custkey % 8 AS VARCHAR) AS Country,
+        |    CAST(FLOOR(o_totalprice) AS BIGINT) % 997 AS quant,
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+        |      AS Yearmonth,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'VPD' ELSE 'IMD' END AS Source
+        |  FROM orders)
+        |SELECT Country, Yearmonth,
+        |  CAST(SUM(CASE WHEN Source = 'VPD' THEN quant ELSE 0 END)
+        |    AS BIGINT) AS vpd_quant,
+        |  CAST(SUM(CASE WHEN Source = 'IMD' THEN quant ELSE 0 END)
+        |    AS BIGINT) AS imd_quant,
+        |  COUNT(*) AS n_rows
+        |FROM m GROUP BY Country, Yearmonth
+        |ORDER BY Country, Yearmonth""".stripMargin,
     "q13_pivot" ->
       """SELECT o_orderpriority,
         |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS cnt_open,

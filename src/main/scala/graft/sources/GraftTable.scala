@@ -2271,8 +2271,34 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   def vacuum(retainVersions: Int = 2,
              orphanGraceMillis: Long = 10L * 60 * 1000): Unit = {
+    val plan = vacuumPlan(retainVersions, orphanGraceMillis)
+    if (versions().isEmpty) return // nothing committed: nothing to reclaim
+    // checkpoint the horizon so resolution (and the tag ledger) never
+    // needs dropped entries
+    if (!fs.exists(ckptPath(plan.horizon)))
+      publish(ckptPath(plan.horizon), checkpointBody(plan.horizon))
+    plan.files.foreach { case (rel, _) =>
+      fs.delete(new Path(rootPath, rel), false) }
+    plan.commits.foreach(v => fs.delete(commitPath(v), false))
+    plan.checkpoints.foreach(v => fs.delete(ckptPath(v), false))
+  }
+
+  /** What vacuum WOULD reclaim — the DRY RUN an operator checks
+    * before the destructive verb (Delta's `vacuum(dryRun=true)`):
+    * (relpath, bytes) of every unreferenced data/cdf/dv parquet past
+    * the grace window (superseded dv sidecars, crash-orphaned stages,
+    * files only dropped versions reference) plus the commit and
+    * checkpoint log files behind the retention horizon. Read-only:
+    * nothing is deleted, no checkpoint is published. `vacuum` itself
+    * executes exactly this plan, so dry-run and execution can never
+    * disagree on a snapshot.
+    */
+  def vacuumPlan(retainVersions: Int = 2,
+                 orphanGraceMillis: Long = 10L * 60 * 1000)
+      : GraftTable.VacuumPlan = {
     val vs = versions()
-    if (vs.isEmpty) return // nothing committed: nothing to reclaim
+    if (vs.isEmpty)
+      return GraftTable.VacuumPlan(0L, Seq.empty, Seq.empty, Seq.empty)
     val keep = vs.takeRight(math.max(1, retainVersions))
     val keptMeta = keep.map(resolveMeta)
     val referenced = keptMeta.flatMap(_.keys).toSet
@@ -2281,19 +2307,16 @@ class GraftTable private (val s: SparkSession, val root: String) {
     // data files): any parquet under a retained version's dv dir lives
     val referencedDv = keptMeta
       .flatMap(_.values.flatMap(_.dv.map(_.path))).toSet
-    // checkpoint the horizon so resolution (and the tag ledger) never
-    // needs dropped entries
     val horizon = keep.head
-    if (!fs.exists(ckptPath(horizon)))
-      publish(ckptPath(horizon), checkpointBody(horizon))
     // full recursive sweep (partitioned tables nest value dirs under
     // data/<uuid>/). The grace window protects an IN-FLIGHT writer:
     // staged-but-not-yet-committed files are unreferenced by design
     // (data lands before the commit), and deleting them instantly
     // would let a vacuum racing a slow writer corrupt the commit that
     // writer is about to publish — only unreferenced files OLDER than
-    // the window die (Delta's retention-age rule).
+    // the window are reclaimed (Delta's retention-age rule).
     val now = System.currentTimeMillis()
+    val out = Seq.newBuilder[(String, Long)]
     def sweep(p: Path, rel: String, refs: String => Boolean): Unit =
       fs.listStatus(p).foreach { st =>
         val r = s"$rel/${st.getPath.getName}"
@@ -2301,7 +2324,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
         else if (st.getPath.getName.endsWith(".parquet") &&
           !refs(r) &&
           now - st.getModificationTime >= orphanGraceMillis)
-          fs.delete(st.getPath, false)
+          out += ((r, st.getLen))
       }
     val dataRoot = new Path(rootPath, DataDir)
     if (fs.exists(dataRoot)) sweep(dataRoot, DataDir, referenced)
@@ -2310,9 +2333,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val dvRoot = new Path(rootPath, DvDir)
     if (fs.exists(dvRoot)) sweep(dvRoot, DvDir,
       r => referencedDv.exists(d => r.startsWith(d + "/")))
-    vs.filter(_ < horizon).foreach { v => fs.delete(commitPath(v), false) }
-    checkpointVersions().filter(_ < horizon)
-      .foreach(v => fs.delete(ckptPath(v), false))
+    GraftTable.VacuumPlan(horizon, out.result().sorted,
+      vs.filter(_ < horizon), checkpointVersions().filter(_ < horizon))
   }
 }
 
@@ -2329,6 +2351,14 @@ object GraftTable {
   /** The CDF change-type / commit-version column names (Delta's). */
   val ChangeTypeCol = "_change_type"
   val VersionCol = "_commit_version"
+
+  /** A vacuum's reclaim set: unreferenced (relpath, bytes) files past
+    * the grace window, plus the log files behind `horizon`.
+    */
+  case class VacuumPlan(horizon: Long, files: Seq[(String, Long)],
+                        commits: Seq[Long], checkpoints: Seq[Long]) {
+    def bytes: Long = files.map(_._2).sum
+  }
   /** Schemes whose fail-if-exists rename/link is single-winner. */
   private val AtomicRenameSchemes = Set("file", "hdfs", "viewfs")
 

@@ -237,6 +237,44 @@ class GraftDvSpec extends SparkSpec {
     assert(multiset(t.read()) == want, "vacuum broke the live dv read")
   }
 
+  test("vacuum dry-run lists exactly the reclaim set and deletes nothing") {
+    val t = rangedTable()
+    t.deleteWhere(pmod(col("o_orderkey"), lit(23)) === 1, mor = true) // v2
+    t.deleteWhere(pmod(col("o_orderkey"), lit(23)) === 2, mor = true) // v3
+    def walkParquet(): Set[String] = {
+      def w(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toIndexedSeq.flatMap(w) else Seq(f)
+      w(new java.io.File(t.root))
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).toSet
+    }
+    val before = walkParquet()
+    val plan = t.vacuumPlan(retainVersions = 1, orphanGraceMillis = 0)
+    // READ-ONLY: the dry run changed nothing on disk, not even a
+    // checkpoint
+    assert(walkParquet() == before, "vacuumPlan deleted files")
+    assert(plan.files.nonEmpty && plan.bytes > 0,
+      "superseded gen-1 sidecars should be reclaimable")
+    assert(plan.commits == Seq(1L, 2L),
+      s"log horizon wrong: ${plan.commits}")
+    // live files never appear in the plan
+    val live = t.liveFiles().map(_._1).toSet ++
+      t.readCommit(3).dvs.map(_._2.path).flatMap(d =>
+        before.filter(_.contains(d)).map(_ => d))
+    assert(plan.files.map(_._1).forall(r => !live.contains(r)),
+      "dry run listed a live file")
+    // execution reclaims EXACTLY the plan (same snapshot, no writers)
+    val want = multiset(t.read())
+    t.vacuum(retainVersions = 1, orphanGraceMillis = 0)
+    val after = walkParquet()
+    val gone = before -- after
+    val planned = plan.files.map(f => s"${t.root}/${f._1}").toSet
+    assert(gone == planned,
+      s"vacuum diverged from its dry run: extra=${(gone -- planned).take(3)}" +
+        s" missed=${(planned -- gone).take(3)}")
+    assert(multiset(t.read()) == want)
+    ()
+  }
+
   test("MoR refuses on hive-partitioned tables") {
     val root = freshRoot()
     val t = GraftTable.forPath(spark, root)
