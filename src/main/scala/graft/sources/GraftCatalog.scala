@@ -75,9 +75,55 @@ class GraftCatalog extends TableCatalog {
       "graft tables are created by their first commit " +
         "(GraftTable.create / df.write.format(\"graft\")), not catalog DDL")
 
+  /** SQL DDL → metadata-only commits (the one class of "mutation"
+    * the catalog accepts, because each change IS a single logged
+    * commit, never an unlogged write):
+    *
+    * {{{
+    *   ALTER TABLE gt.`/root` RENAME COLUMN a TO b
+    *   ALTER TABLE gt.`/root` DROP COLUMN a
+    *   ALTER TABLE gt.`/root` ADD COLUMN c BIGINT
+    *   ALTER TABLE gt.`/root` SET TBLPROPERTIES ('constraint.pos' = 'x >= 0')
+    *   ALTER TABLE gt.`/root` UNSET TBLPROPERTIES ('constraint.pos')
+    * }}}
+    *
+    * Rename/drop ride column mapping (files untouched, epoch-correct
+    * time travel); add is a schema widen (old files read null);
+    * `constraint.<name>` properties route into add/dropConstraint
+    * (Delta's CHECK-constraint-as-property convention). Anything
+    * else — type changes, nested fields, comments, DML-shaped
+    * property games — refuses loudly.
+    */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+                          changes: TableChange*): Table = {
+    val t = GraftTable.forPath(SparkSession.active, rootOf(ident))
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      if (fieldNames.length != 1) throw new UnsupportedOperationException(
+        s"$what supports top-level columns only, got " +
+          fieldNames.mkString("."))
+      fieldNames.head
+    }
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        t.renameColumn(topLevel(r.fieldNames(), "RENAME COLUMN"),
+          r.newName())
+      case d: TableChange.DeleteColumn =>
+        t.dropColumn(topLevel(d.fieldNames(), "DROP COLUMN"))
+      case a: TableChange.AddColumn =>
+        t.addColumn(topLevel(a.fieldNames(), "ADD COLUMN"), a.dataType())
+      case p: TableChange.SetProperty
+          if p.property().startsWith("constraint.") =>
+        t.addConstraint(p.property().stripPrefix("constraint."), p.value())
+      case p: TableChange.RemoveProperty
+          if p.property().startsWith("constraint.") =>
+        t.dropConstraint(p.property().stripPrefix("constraint."))
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog cannot apply $other — supported DDL: " +
+          "RENAME/DROP/ADD COLUMN, SET/UNSET 'constraint.<name>' " +
+          "properties")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException("graft catalog is read-only")

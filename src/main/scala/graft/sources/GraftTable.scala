@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import java.nio.charset.StandardCharsets.UTF_8
 
 /** Transactional parquet table — ONE commit-log discipline for every
@@ -439,6 +439,33 @@ class GraftTable private (val s: SparkSession, val root: String) {
       if (f.name == oldName) f.copy(name = newName) else f))
     commit(s"colmap:rename:$oldName>$newName", Seq.empty, Seq.empty,
       basedOn = Some(base), schema = Some(nextSchema), colmap = Some(next))
+  }
+
+  /** ADD COLUMN as a metadata-only commit (`ALTER TABLE … ADD
+    * COLUMN`): the schema widens, every existing file reads null in
+    * the new column, no data moves. Tombstone-aware: re-adding a
+    * DROPPED name maps to a fresh physical column (never the old
+    * data), same rule as the mergeSchema append path.
+    */
+  def addColumn(name: String, dt: DataType): Long = {
+    val base = latestVersion
+    require(base > 0, s"no graft table at $root")
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n'),
+      s"bad column name: $name")
+    val sc = schemaAt(base).getOrElse(throw new IllegalStateException(
+      "addColumn needs a recorded schema (legacy log)"))
+    require(!sc.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"column '$name' already exists")
+    val cm = colmapAt(base)
+    val usedPhys = sc.fieldNames.map(cm.phys).toSet ++ cm.dead
+    val next =
+      if (!usedPhys.contains(name)) cm
+      else cm.copy(map = cm.map +
+        (name -> s"${name}_${java.util.UUID.randomUUID.toString.take(8)}"))
+    commit(s"colmap:addcol:$name", Seq.empty, Seq.empty,
+      basedOn = Some(base),
+      schema = Some(StructType(sc.fields :+ StructField(name, dt))),
+      colmap = Some(next))
   }
 
   /** DROP COLUMN as a metadata-only commit: the files keep the

@@ -179,6 +179,51 @@ class GraftColMapSpec extends SparkSpec {
     ()
   }
 
+  test("SQL ALTER TABLE DDL routes into metadata-only commits") {
+    import spark.implicits._
+    val root = fresh("ddl")
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0))
+        .toDF("tag_no", "description", "price"))            // v1
+    spark.conf.set("spark.sql.catalog.gddl",
+      classOf[graft.sources.GraftCatalog].getName)
+    val files = t.liveFiles().map(_._1).toSet
+    spark.sql(s"ALTER TABLE gddl.`$root` RENAME COLUMN description TO item_desc")
+    spark.sql(s"ALTER TABLE gddl.`$root` ADD COLUMN qty BIGINT")
+    assert(t.read().schema.fieldNames.toSeq ==
+      Seq("tag_no", "item_desc", "price", "qty"))
+    assert(t.read().filter(col("qty").isNull).count() == 2,
+      "existing rows must read null in an ALTER-added column")
+    spark.sql(s"ALTER TABLE gddl.`$root` DROP COLUMN price")
+    assert(t.read().schema.fieldNames.toSeq ==
+      Seq("tag_no", "item_desc", "qty"))
+    assert(t.liveFiles().map(_._1).toSet == files,
+      "ALTER DDL must be metadata-only — it touched data files")
+    // CHECK constraints through the property convention
+    spark.sql(s"ALTER TABLE gddl.`$root` SET TBLPROPERTIES " +
+      "('constraint.has_tag' = 'tag_no > 0')")
+    assert(t.constraints() == Map("has_tag" -> "tag_no > 0"))
+    intercept[IllegalArgumentException] {
+      t.append(Seq((-5L, "x", 1L)).toDF("tag_no", "item_desc", "qty"))
+    }
+    spark.sql(s"ALTER TABLE gddl.`$root` UNSET TBLPROPERTIES " +
+      "('constraint.has_tag')")
+    assert(t.constraints().isEmpty)
+    // unsupported DDL refuses loudly, the table untouched
+    val v = t.latestVersion
+    val e = intercept[Throwable] {
+      spark.sql(s"ALTER TABLE gddl.`$root` ALTER COLUMN qty TYPE INT")
+    }
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ chain(x.getCause)
+    val msg = chain(e).mkString(" ").toLowerCase
+    assert(msg.contains("not supported") || msg.contains("cannot") ||
+      msg.contains("supported ddl"), chain(e).mkString(" | "))
+    assert(t.latestVersion == v)
+    ()
+  }
+
   test("the HeaderMapper upload flow survives a registry column rename") {
     import spark.implicits._
     // the reference's motivating scenario (map_excel_to_db_columns,
