@@ -79,7 +79,14 @@ object Bench {
     // atomic commit, billed end-to-end through the q78 lifecycle) and
     // the commit log served as a stream (s16: per-version micro-batch
     // planning through the DSv2 source — the table-to-stream cost)
-    "q78_merge_into", "s16_stream_table_feed")
+    "q78_merge_into", "s16_stream_table_feed",
+    // round-11 additions: the NATIVE DSv2 streaming sink end-to-end
+    // (per-epoch executor staging + tagged epoch commits + bootstrap
+    // — s15's discipline behind writeStream.format("graft"), so the
+    // pair shows what the native sink costs vs foreachBatch) and the
+    // SQL MERGE INTO statement path (analysis rewrite + key-pruned
+    // merge commit + SQL readback, billed through the q87 lifecycle)
+    "s18_stream_native_sink", "q87_sql_merge")
 
   /** 1-minute load average, -1.0 if unreadable (non-Linux). */
   private def loadavg(): Double =

@@ -19,6 +19,7 @@ object DmlProbe {
     val sfDir = args(0)
     val nFiles = if (args.length >= 2) args(1).toInt else 16
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

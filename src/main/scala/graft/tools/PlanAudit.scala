@@ -16,6 +16,7 @@ object PlanAudit {
     // queries would execute every iterative loop's build step)
     val only = args.drop(1).toSet
     val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "false")  // show final WSCG stages statically
       .config("spark.sql.session.timeZone", "UTC")

@@ -55,6 +55,7 @@ object ScaleData {
     require(args.length == 3, "usage: ScaleData <srcDir> <outDir> <n>")
     val (src, out, n) = (args(0), args(1), args(2).toInt)
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
