@@ -42,7 +42,7 @@ class GraftCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table =
     GraftDataSource.snapshotTable(SparkSession.active, rootOf(ident),
-      None, CaseInsensitiveStringMap.empty())
+      None, CaseInsensitiveStringMap.empty(), batchWritable = true)
 
   /** `VERSION AS OF <n>` — Spark routes the literal here. */
   override def loadTable(ident: Identifier, version: String): Table =
@@ -68,12 +68,34 @@ class GraftCatalog extends TableCatalog {
   override def tableExists(ident: Identifier): Boolean =
     GraftTable.forPath(SparkSession.active, rootOf(ident)).latestVersion > 0
 
+  /** SQL `CREATE TABLE gt.\`/root\` (cols…)` and the create step of
+    * CTAS: version 1 is a schema-only commit; CTAS then lands the
+    * query result through the v2 batch write as ONE append commit.
+    * Flat tables only (partition transforms refuse — partitioned
+    * layouts go through the appendPartitioned verb family), and the
+    * only accepted property is Spark's own `provider` (constraints
+    * arrive via ALTER TABLE … SET TBLPROPERTIES afterwards).
+    */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are created by their first commit " +
-        "(GraftTable.create / df.write.format(\"graft\")), not catalog DDL")
+                           properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "graft catalog tables are FLAT — partitioned layouts go through " +
+        "GraftTable.appendPartitioned / replacePartitions")
+    import scala.jdk.CollectionConverters._
+    val unknown = properties.asScala.keySet --
+      Set("provider", "owner", "location", "external")
+    if (unknown.nonEmpty) throw new UnsupportedOperationException(
+      s"unsupported CREATE TABLE properties: ${unknown.mkString(",")}")
+    val spark = SparkSession.active
+    val root = rootOf(ident)
+    if (GraftTable.forPath(spark, root).latestVersion > 0)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (ident.namespace() :+ ident.name()).toIndexedSeq)
+    GraftTable.createEmpty(spark, root, schema)
+    loadTable(ident)
+  }
 
   /** SQL DDL → metadata-only commits (the one class of "mutation"
     * the catalog accepts, because each change IS a single logged

@@ -131,7 +131,8 @@ object GraftDataSource {
   private class ReadOnlySnapshot(underlying: Table, spark: SparkSession,
                                  path: String,
                                  fileMeta: Seq[(String, Option[String])],
-                                 readRefusal: Option[String] = None)
+                                 readRefusal: Option[String] = None,
+                                 batchWritable: Boolean = false)
       extends Table
       with org.apache.spark.sql.connector.catalog.SupportsRead
       with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -145,18 +146,23 @@ object GraftDataSource {
     // commits per SaveMode); streaming rides the native epoch-commit
     // sink (GraftStreamingWrite — exactly-once via the tag ledger)
     override def capabilities(): util.Set[
-        org.apache.spark.sql.connector.catalog.TableCapability] =
-      java.util.EnumSet.of(
-        org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ,
-        org.apache.spark.sql.connector.catalog.TableCapability
-          .MICRO_BATCH_READ,
-        org.apache.spark.sql.connector.catalog.TableCapability
-          .STREAMING_WRITE)
+        org.apache.spark.sql.connector.catalog.TableCapability] = {
+      import org.apache.spark.sql.connector.catalog.TableCapability._
+      val caps = java.util.EnumSet.of(BATCH_READ, MICRO_BATCH_READ,
+        STREAMING_WRITE)
+      // catalog-resolved tables additionally take SQL INSERT INTO /
+      // INSERT OVERWRITE / CTAS through the v2 batch write (one
+      // staged-files commit); the path-based format deliberately
+      // does NOT advertise BATCH_WRITE so df.write keeps its v1
+      // atomic-commit fallback
+      if (batchWritable) { caps.add(BATCH_WRITE); caps.add(TRUNCATE); () }
+      caps
+    }
 
     override def newWriteBuilder(
         info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
         : org.apache.spark.sql.connector.write.WriteBuilder =
-      new GraftWriteBuilder(spark, path, info)
+      new GraftWriteBuilder(spark, path, info, allowBatch = batchWritable)
 
     /** LOG-LEVEL DATA SKIPPING for the SQL/DataFrame read path: once
       * Spark pushes the data filters, drop every file whose logged
@@ -312,7 +318,8 @@ object GraftDataSource {
     */
   private[sources] def snapshotTable(spark: SparkSession, path: String,
                                      versionOpt: Option[Long],
-                                     options: CaseInsensitiveStringMap)
+                                     options: CaseInsensitiveStringMap,
+                                     batchWritable: Boolean = false)
       : Table = {
     val t = GraftTable.forPath(spark, path)
     val version = versionOpt.getOrElse(t.latestVersion)
@@ -346,7 +353,9 @@ object GraftDataSource {
       new ReadOnlySnapshot(org.apache.spark.sql.graft.shim.parquetTable(
         s"graft:$path@v$version", spark, options, t.filesAsOf(version),
         t.schemaAt(version)),
-        spark, path, t.fileMetaAsOf(version), readRefusal)
+        spark, path, t.fileMetaAsOf(version), readRefusal,
+        // time-travel snapshots are never insert targets
+        batchWritable && versionOpt.isEmpty)
     }
   }
 }

@@ -45,17 +45,77 @@ import org.apache.spark.sql.types.StructType
   * create-on-first-write convention).
   */
 private[sources] class GraftWriteBuilder(spark: SparkSession, path: String,
-                                         info: LogicalWriteInfo)
-    extends WriteBuilder {
+                                         info: LogicalWriteInfo,
+                                         allowBatch: Boolean = false)
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  // INSERT OVERWRITE arrives as truncate() + write: the batch commit
+  // becomes a serializable whole-set replace instead of an append
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
   override def build(): Write = new Write {
-    override def toStreaming: StreamingWrite =
+    override def toStreaming: StreamingWrite = {
+      if (overwrite) throw new UnsupportedOperationException(
+        "graft streaming writes are APPEND-mode only (Complete/Update " +
+          "need a replace per epoch — use foreachBatch + overwrite/" +
+          "replacePartitions)")
       new GraftStreamingWrite(spark, path, info.schema(),
         info.queryId())
+    }
+    /** SQL `INSERT INTO` / `INSERT OVERWRITE` / CTAS through
+      * [[GraftCatalog]]. Deliberately NOT reachable from the
+      * path-based format (`allowBatch=false` there): df.write keeps
+      * its documented v1 fallback into the atomic-commit save modes.
+      */
     override def toBatch: BatchWrite =
-      throw new UnsupportedOperationException(
-        "graft v2 batch writes go through df.write.format(\"graft\") " +
-          "(the v1 commit path); only streaming uses the v2 write")
+      if (allowBatch) new GraftBatchWrite(spark, path, info.schema(),
+        overwrite)
+      else throw new UnsupportedOperationException(
+        "graft v2 batch writes are catalog-scoped (INSERT INTO / " +
+          "CTAS); df.write.format(\"graft\") rides the v1 commit path")
   }
+}
+
+/** One SQL batch write = one atomic commit: executors stage parquet
+  * under the table root (never visible until referenced), the driver
+  * lands every staged file as ONE append — or, for INSERT OVERWRITE,
+  * ONE serializable whole-set replace. Constraints gate the batch;
+  * abort deletes the staged files.
+  */
+private class GraftBatchWrite(spark: SparkSession, path: String,
+                              schema: StructType, overwrite: Boolean)
+    extends BatchWrite {
+  private val t = GraftTable.forPath(spark, path)
+  // fail fast at planning on an incompatible insert schema (an
+  // overwrite may legitimately change the schema, like the verb)
+  if (!overwrite) t.validateAppendSchema(schema)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    val sub = s"data/${java.util.UUID.randomUUID.toString.take(12)}"
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    // an overwrite RESETS column mapping with the live set, so its
+    // files stage under the new schema's own (logical) names; appends
+    // stage under the active physical names
+    val physical =
+      if (overwrite) schema else t.physicalWriteSchema(schema)
+    val factory = new ParquetFileFormat()
+      .prepareWrite(spark, job, Map.empty, physical)
+    new GraftStagedWriterFactory(path, sub, physical, factory,
+      new SerializableConf(job.getConfiguration))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.toSeq.collect { case GraftStagedFile(rel) => rel }
+    t.commitStagedFiles(staged, schema, tag = None, overwrite = overwrite)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.toSeq.collect { case GraftStagedFile(rel) => rel }
+      .foreach(t.deleteStaged)
 }
 
 private class GraftStreamingWrite(spark: SparkSession, path: String,
@@ -82,7 +142,7 @@ private class GraftStreamingWrite(spark: SparkSession, path: String,
     val physical = t.physicalWriteSchema(schema)
     val factory = new ParquetFileFormat()
       .prepareWrite(spark, job, Map.empty, physical)
-    new GraftStreamWriterFactory(path, sub, physical, factory,
+    new GraftStagedWriterFactory(path, sub, physical, factory,
       new SerializableConf(job.getConfiguration))
   }
 
@@ -108,20 +168,32 @@ private class GraftStreamingWrite(spark: SparkSession, path: String,
 /** One staged parquet file, named by its table-relative path. */
 private case class GraftStagedFile(rel: String) extends WriterCommitMessage
 
-private class GraftStreamWriterFactory(root: String, sub: String,
+private class GraftStagedWriterFactory(root: String, sub: String,
                                        schema: StructType,
                                        factory: OutputWriterFactory,
                                        conf: SerializableConf)
-    extends StreamingDataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long,
-                            epochId: Long): DataWriter[InternalRow] = {
+    extends StreamingDataWriterFactory
+    with org.apache.spark.sql.connector.write.DataWriterFactory {
+
+  private def mk(partitionId: Int, taskId: Long,
+                 slot: String): DataWriter[InternalRow] = {
     val ctx = new TaskAttemptContextImpl(conf.value,
-      new TaskAttemptID(new TaskID(new JobID("graft-stream", 0),
+      new TaskAttemptID(new TaskID(new JobID("graft-stage", 0),
         TaskType.MAP, partitionId), (taskId % Int.MaxValue).toInt))
-    val rel = s"$sub/part-$epochId-$partitionId-$taskId" +
+    val rel = s"$sub/part-$slot-$partitionId-$taskId" +
       factory.getFileExtension(ctx)
     new GraftStreamDataWriter(root, rel, schema, factory, ctx, conf.value)
   }
+
+  // streaming: files name their epoch so replays never collide
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    mk(partitionId, taskId, epochId.toString)
+
+  // batch: one slot per write job (the sub dir is already unique)
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    mk(partitionId, taskId, "b")
 }
 
 private class GraftStreamDataWriter(root: String, rel: String,

@@ -1443,7 +1443,23 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * aborts the epoch with the staged files removed.
     */
   private[sources] def commitStreamEpoch(staged: Seq[String], tag: String,
-                                         sch: StructType): Option[Long] = {
+                                         sch: StructType): Option[Long] =
+    commitStagedFiles(staged, sch, tag = Some(tag), overwrite = false)
+
+  /** Land executor-staged parquet files (already under the table
+    * root, PHYSICAL column names) as ONE commit — the shared tail of
+    * the DSv2 STREAMING SINK (tagged epoch append) and the DSv2
+    * BATCH WRITE (SQL `INSERT INTO` append / `INSERT OVERWRITE`
+    * whole-set replace / CTAS). Constraints are enforced against the
+    * staged files before the commit (one column-pruned scan of the
+    * BATCH, never the table); a violation removes the staged files
+    * and aborts.
+    */
+  private[sources] def commitStagedFiles(staged: Seq[String],
+                                         sch: StructType,
+                                         tag: Option[String] = None,
+                                         overwrite: Boolean = false)
+      : Option[Long] = {
     val adds = staged.sorted.map { rel =>
       (rel, fs.getFileStatus(new Path(rootPath, rel)).getLen)
     }
@@ -1460,17 +1476,34 @@ class GraftTable private (val s: SparkSession, val root: String) {
           else raw.select(sch.fields.map(f =>
             org.apache.spark.sql.functions.col(cm.phys(f.name))
               .as(f.name)).toIndexedSeq: _*)
-        enforceConstraints(logical, "streamingWrite")
+        enforceConstraints(logical, "stagedWrite")
       }
     } catch {
       case e: Throwable =>
         adds.foreach(a => deleteStaged(a._1)); throw e
     }
-    tagged("append", tag,
-      onReplay = () => adds.foreach(a => deleteStaged(a._1))) { a =>
-      commit(a, adds, Seq.empty, stats = statsOf(adds),
-        reschema = Some(prev =>
-          appendSchema(sch, mergeSchema = false, prev)))
+    if (overwrite) {
+      // whole-set replace (INSERT OVERWRITE): serializable like the
+      // overwrite verb — any intervening commit aborts. Column
+      // mapping resets with the live set, matching `overwrite`.
+      val base = latestVersion
+      val removes = resolveMeta(base).keys.toSeq
+      Some(commit("overwrite", adds, removes, basedOn = Some(base),
+        stats = statsOf(adds),
+        schema = Some(org.apache.spark.sql.graft.shim.nullable(sch)),
+        colmap = Some(GraftTable.ColMap.empty)))
+    } else tag match {
+      case Some(t) =>
+        tagged("append", t,
+          onReplay = () => adds.foreach(a => deleteStaged(a._1))) { a =>
+          commit(a, adds, Seq.empty, stats = statsOf(adds),
+            reschema = Some(prev =>
+              appendSchema(sch, mergeSchema = false, prev)))
+        }
+      case None =>
+        Some(commit("append", adds, Seq.empty, stats = statsOf(adds),
+          reschema = Some(prev =>
+            appendSchema(sch, mergeSchema = false, prev))))
     }
   }
 
@@ -2473,6 +2506,21 @@ object GraftTable {
     val t = new GraftTable(s, root)
     require(t.latestVersion == 0, s"table already exists at $root")
     t.append(df)
+    t
+  }
+
+  /** CREATE TABLE without data: version 1 is a schema-only commit —
+    * the table reads as an empty frame under the declared schema
+    * until the first insert (the SQL `CREATE TABLE` / CTAS-create
+    * step through [[GraftCatalog]]).
+    */
+  def createEmpty(s: SparkSession, root: String,
+                  schema: StructType): GraftTable = {
+    val t = new GraftTable(s, root)
+    require(t.latestVersion == 0, s"table already exists at $root")
+    require(schema.nonEmpty, "CREATE TABLE needs at least one column")
+    t.commit("create", Seq.empty, Seq.empty,
+      schema = Some(org.apache.spark.sql.graft.shim.nullable(schema)))
     t
   }
 

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.GraftTable
+import java.nio.file.Files
+
+/** SQL write statements through the catalog: `CREATE TABLE`,
+  * `CREATE TABLE AS SELECT`, `INSERT INTO`, `INSERT OVERWRITE` —
+  * each landing as atomic commits through the v2 batch write
+  * (executor-staged parquet + one driver commit), while
+  * `df.write.format("graft")` keeps its v1 atomic-commit fallback.
+  */
+class GraftSqlWriteSpec extends SparkSpec {
+
+  private def multiset(df: DataFrame) =
+    df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+
+  private def fresh(tag: String) =
+    Files.createTempDirectory(s"graft_$tag").toString + "/t"
+
+  spark.conf.set("spark.sql.catalog.gw",
+    classOf[graft.sources.GraftCatalog].getName)
+
+  test("CREATE TABLE + INSERT INTO land as schema commit + one append commit") {
+    val root = fresh("sqlins")
+    spark.sql(s"CREATE TABLE gw.`$root` (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE)")
+    val t = GraftTable.forPath(spark, root)
+    assert(t.latestVersion == 1 && t.readCommit(1).action == "create")
+    assert(t.read().count() == 0 &&
+      t.read().schema.fieldNames.toSeq ==
+        Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+    // INSERT INTO ... SELECT: one append commit, rows exact
+    val src = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    src.createOrReplaceTempView("sqlins_src")
+    spark.sql(s"INSERT INTO gw.`$root` SELECT * FROM sqlins_src")
+    assert(t.latestVersion == 2 && t.readCommit(2).action == "append")
+    assert(multiset(t.read()) == multiset(src))
+    // INSERT INTO ... VALUES appends too
+    spark.sql(s"INSERT INTO gw.`$root` VALUES (-1, 'Z', 0.5)")
+    assert(t.latestVersion == 3)
+    assert(t.read().filter(col("o_orderkey") === -1).count() == 1)
+    // the add-actions carry footer stats like every other commit, so
+    // log-level skipping works on SQL-inserted data
+    assert(t.readCommit(2).adds.forall(_.stats.isDefined))
+    assert(t.prunedFiles(col("o_orderkey") === -1).size <
+      t.liveFiles().size)
+    ()
+  }
+
+  test("CREATE TABLE AS SELECT materializes the query into a fresh table") {
+    val root = fresh("ctas")
+    val want = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "O")
+      .select("o_orderkey", "o_totalprice")
+    want.createOrReplaceTempView("ctas_src")
+    spark.sql(s"CREATE TABLE gw.`$root` AS " +
+      "SELECT o_orderkey, o_totalprice FROM ctas_src")
+    val t = GraftTable.forPath(spark, root)
+    assert(multiset(t.read()) == multiset(want))
+    assert(multiset(spark.sql(s"SELECT * FROM gw.`$root`")) ==
+      multiset(want))
+    // create + one append
+    assert(t.latestVersion == 2)
+    // creating over an existing table refuses
+    val e = intercept[Throwable] {
+      spark.sql(s"CREATE TABLE gw.`$root` (x BIGINT)")
+    }
+    assert(Option(e.getMessage).exists(m =>
+      m.contains("already exists") || m.contains("TABLE_OR_VIEW")), e.getMessage)
+    ()
+  }
+
+  test("INSERT OVERWRITE replaces the whole live set in one serializable commit") {
+    import spark.implicits._
+    val root = fresh("sqlovw")
+    val t = GraftTable.create(spark, root, Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    val v1Files = t.liveFiles().map(_._1).toSet
+    Seq((1L, "A", 1.0), (2L, "B", 2.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("sqlovw_src")
+    spark.sql(s"INSERT OVERWRITE gw.`$root` SELECT * FROM sqlovw_src")
+    assert(t.latestVersion == 2 && t.readCommit(2).action == "overwrite")
+    assert(t.read().count() == 2)
+    assert(t.liveFiles().map(_._1).toSet.intersect(v1Files).isEmpty,
+      "overwrite left old files live")
+    // time travel still serves the pre-overwrite snapshot
+    assert(t.readVersion(1).count() ==
+      Tables.orders(spark, sf).count())
+    ()
+  }
+
+  test("SQL inserts enforce CHECK constraints and schema compatibility") {
+    import spark.implicits._
+    val root = fresh("sqlck")
+    spark.sql(s"CREATE TABLE gw.`$root` (id BIGINT, score BIGINT)")
+    spark.sql(s"ALTER TABLE gw.`$root` SET TBLPROPERTIES " +
+      "('constraint.pos' = 'score >= 0')")
+    val t = GraftTable.forPath(spark, root)
+    val v = t.latestVersion
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ chain(x.getCause)
+    val e = intercept[Throwable] {
+      spark.sql(s"INSERT INTO gw.`$root` VALUES (1, -5)")
+    }
+    assert(chain(e).mkString(" ").contains("pos"), chain(e).mkString(" | "))
+    assert(t.latestVersion == v, "a violating INSERT must not commit")
+    assert(t.read().count() == 0)
+    // and no staged orphans survive the abort
+    val orphans = {
+      val dir = new java.io.File(new java.io.File(root), "data")
+      def w(f: java.io.File): Seq[java.io.File] =
+        if (!f.exists) Seq.empty
+        else if (f.isDirectory) f.listFiles().toIndexedSeq.flatMap(w)
+        else Seq(f)
+      w(dir).filter(_.getName.endsWith(".parquet"))
+    }
+    assert(orphans.isEmpty, s"violating INSERT left staged files: $orphans")
+    // valid insert lands
+    spark.sql(s"INSERT INTO gw.`$root` VALUES (1, 5)")
+    assert(t.read().count() == 1)
+    ()
+  }
+
+  test("the path-based format keeps the v1 atomic write; time-travel snapshots refuse inserts") {
+    import spark.implicits._
+    val root = fresh("sqlv1")
+    // df.write must still ride createRelation (v1): one append commit
+    Seq((1L, "x")).toDF("k", "s").write.format("graft").save(root)
+    val t = GraftTable.forPath(spark, root)
+    assert(t.latestVersion == 1 && t.readCommit(1).action == "append")
+    // INSERT into VERSION AS OF is refused (not an insert target)
+    spark.sql(s"INSERT INTO gw.`$root` VALUES (2, 'y')")
+    val e = intercept[Throwable] {
+      spark.sql(s"INSERT INTO gw.`$root` VERSION AS OF 1 VALUES (3, 'z')")
+    }
+    assert(e != null)
+    assert(t.read().count() == 2)
+    ()
+  }
+}
