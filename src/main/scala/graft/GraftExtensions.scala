@@ -28,5 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // and routed into the table's atomic verbs (Delta's technique)
     e.injectResolutionRule(session =>
       new graft.sources.GraftRowLevelSql(session))
+    // commit-log introspection as SQL table functions
+    // (graft_history / graft_files / graft_vacuum_plan)
+    graft.sources.GraftTvf.tableFunctions.foreach(e.injectTableFunction)
   }
 }

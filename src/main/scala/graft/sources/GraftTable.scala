@@ -754,6 +754,15 @@ class GraftTable private (val s: SparkSession, val root: String) {
   /** Live parquet files (relative path, bytes) at the latest version. */
   def liveFiles(): Seq[(String, Long)] = resolve(latestVersion).toSeq.sorted
 
+  /** Live files with their logged row counts and dv state —
+    * (path, bytes, n_rows from the stats token or null, has_dv) —
+    * the `graft_files` SQL table function's payload.
+    */
+  def liveFileMeta(): Seq[(String, Long, Option[Long], Boolean)] =
+    resolveMeta(latestVersion).toSeq.sortBy(_._1).map { case (p, m) =>
+      (p, m.bytes, m.stats.flatMap(FileStats.numRows), m.dv.isDefined)
+    }
+
   /** Table statistics FROM THE LOG — no file is opened: (row count if
     * every live file carries stats, total bytes, file count). The
     * metadata-only `COUNT(*)` every lakehouse serves (Delta answers

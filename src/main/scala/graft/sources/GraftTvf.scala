@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** SQL TABLE FUNCTIONS over the commit log — the operational
+  * introspection surface (Delta's `DESCRIBE HISTORY` / `DESCRIBE
+  * DETAIL` family) as plain `SELECT`-able relations, injected by
+  * [[graft.GraftExtensions]]:
+  *
+  * {{{
+  *   SELECT * FROM graft_history('/data/t')         -- the audit trail
+  *   SELECT * FROM graft_files('/data/t')           -- live files + stats
+  *   SELECT * FROM graft_vacuum_plan('/data/t')     -- vacuum DRY RUN
+  *   SELECT * FROM graft_vacuum_plan('/data/t', 4)  --   retain 4 versions
+  * }}}
+  *
+  * All three are DRIVER-SIDE metadata reads (O(log), bounded by
+  * versions × checkpoint interval — no cluster job, no file scan)
+  * materialized as local relations during analysis; at 100 TB the
+  * cost is reading O(checkpointEvery) log files, never the table.
+  */
+object GraftTvf {
+
+  private def pathArg(args: Seq[Expression], fn: String): String =
+    args.headOption.collect {
+      case l: Literal if l.value != null => l.value.toString
+    }.getOrElse(throw new IllegalArgumentException(
+      s"$fn needs a table root string literal as its first argument"))
+
+  private def intArg(args: Seq[Expression], i: Int,
+                     default: Int): Int =
+    if (args.length <= i) default
+    else args(i) match {
+      case l: Literal if l.value != null => l.value.toString.toInt
+      case other => throw new IllegalArgumentException(
+        s"argument ${i + 1} must be an integer literal, got $other")
+    }
+
+  private def plan(df: DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** (version, action, n_added, n_removed, bytes_added,
+    * committed_at_ms) — [[GraftTable.history]] as SQL.
+    */
+  def history(args: Seq[Expression]): LogicalPlan = {
+    val s = SparkSession.active
+    plan(GraftTable.forPath(s, pathArg(args, "graft_history")).history())
+  }
+
+  /** (path, bytes, n_rows, has_dv) for every live file at the latest
+    * version, row counts from the logged stats (null on legacy adds).
+    */
+  def files(args: Seq[Expression]): LogicalPlan = {
+    val s = SparkSession.active
+    import s.implicits._
+    val t = GraftTable.forPath(s, pathArg(args, "graft_files"))
+    plan(t.liveFileMeta().toDF("path", "bytes", "n_rows", "has_dv"))
+  }
+
+  /** The vacuum DRY RUN as SQL: (kind, path, bytes) for every
+    * reclaimable artifact — data/cdf/dv parquet past the grace
+    * window plus `commit`/`checkpoint` log files behind the
+    * retention horizon. Reclaims nothing.
+    */
+  def vacuumPlan(args: Seq[Expression]): LogicalPlan = {
+    val s = SparkSession.active
+    import s.implicits._
+    val t = GraftTable.forPath(s, pathArg(args, "graft_vacuum_plan"))
+    val p = t.vacuumPlan(retainVersions = intArg(args, 1, 2),
+      orphanGraceMillis = 0L)
+    val rows =
+      p.files.map { case (rel, b) => ("file", rel, b) } ++
+        p.commits.map(v => ("commit", f"v$v%012d", 0L)) ++
+        p.checkpoints.map(v => ("checkpoint", f"ckpt-v$v%012d", 0L))
+    plan(rows.toDF("kind", "path", "bytes"))
+  }
+
+  /** The injection tuples for [[graft.GraftExtensions]]. */
+  def tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_history"),
+      new ExpressionInfo("graft", null, "graft_history",
+        "graft_history(root) - the commit log audit trail", ""),
+      history _),
+    (FunctionIdentifier("graft_files"),
+      new ExpressionInfo("graft", null, "graft_files",
+        "graft_files(root) - live files with logged stats", ""),
+      files _),
+    (FunctionIdentifier("graft_vacuum_plan"),
+      new ExpressionInfo("graft", null, "graft_vacuum_plan",
+        "graft_vacuum_plan(root[, retainVersions]) - vacuum dry run", ""),
+      vacuumPlan _))
+}

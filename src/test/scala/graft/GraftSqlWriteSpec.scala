@@ -126,6 +126,36 @@ class GraftSqlWriteSpec extends SparkSpec {
     ()
   }
 
+  test("introspection table functions: graft_history / graft_files / graft_vacuum_plan") {
+    import spark.implicits._
+    val root = fresh("tvf")
+    val t = GraftTable.create(spark, root, Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice").repartition(4))  // v1
+    t.deleteWhere(col("o_orderkey") % 2 === 0)               // v2
+    // history as SQL ≡ the API verb
+    val h = spark.sql(s"SELECT * FROM graft_history('$root')")
+      .orderBy("version").collect()
+    assert(h.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "append"), (2L, "delete")))
+    // files as SQL: paths/bytes/rows match the log, and the logged
+    // row counts sum to the live count
+    val f = spark.sql(s"SELECT * FROM graft_files('$root')")
+    assert(f.count() == t.liveFiles().size)
+    assert(f.agg(sum("n_rows")).head.getLong(0) == t.read().count())
+    assert(f.filter(col("has_dv")).count() == 0)
+    // the vacuum dry run as SQL lists v1's replaced files and
+    // reclaims nothing
+    val before = t.liveFiles()
+    val vp = spark.sql(
+      s"SELECT * FROM graft_vacuum_plan('$root', 1)").collect()
+    assert(vp.exists(_.getString(0) == "file"),
+      "replaced v1 files should be reclaimable")
+    assert(vp.exists(_.getString(0) == "commit"))
+    assert(t.liveFiles() == before, "the dry run must reclaim nothing")
+    assert(t.readVersion(1).count() > 0, "dry run deleted nothing")
+    ()
+  }
+
   test("the path-based format keeps the v1 atomic write; time-travel snapshots refuse inserts") {
     import spark.implicits._
     val root = fresh("sqlv1")
