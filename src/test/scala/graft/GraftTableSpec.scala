@@ -321,8 +321,10 @@ class GraftTableSpec extends SparkSpec {
       def record(v: Long): Unit = { versionRows(v) = current }
       val (d0, m0) = slice()
       current = m0; record(t.append(d0.repartition(3)))
-      (1 to 10).foreach { _ =>
-        rnd.nextInt(10) match {
+      spark.conf.set("spark.sql.catalog.gmw",
+        classOf[graft.sources.GraftCatalog].getName)
+      (1 to 12).foreach { _ =>
+        rnd.nextInt(14) match {
           case 0 =>
             val (df, m) = slice()
             current = (current.keySet ++ m.keySet).map(k =>
@@ -376,6 +378,41 @@ class GraftTableSpec extends SparkSpec {
               Map("l_quantity" -> (col("l_quantity") + 1.0)), mor = true))
           case 9 => // PURGE: content-neutral dv materialization
             record(t.purge())
+          case 10 => // SQL UPDATE statement ≡ the update verb's model
+            val m = rnd.nextInt(4) + 2; val r = rnd.nextInt(m)
+            current = current.toSeq.map { case (row, n) =>
+              val key =
+                if (row.head.asInstanceOf[Long] % m == r)
+                  row.updated(2, row(2).asInstanceOf[Double] + 1.0)
+                else row
+              key -> n
+            }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+            spark.sql(s"UPDATE gmw.`${t.root}` SET " +
+              s"l_quantity = l_quantity + 1.0 WHERE l_orderkey % $m = $r")
+            record(t.latestVersion)
+          case 11 => // SQL DELETE FROM statement ≡ the delete verb
+            // (range predicate: SupportsDelete only accepts shapes
+            // expressible as v1 source filters — modulo arithmetic
+            // is correctly REFUSED, which GraftDmlSpec pins)
+            val cut = rnd.nextInt(3000).toLong
+            current = current.filter { case (row, _) =>
+              row.head.asInstanceOf[Long] > cut }
+            spark.sql(
+              s"DELETE FROM gmw.`${t.root}` WHERE l_orderkey <= $cut")
+            record(t.latestVersion)
+          case 12 => // SQL INSERT INTO statement ≡ append
+            val (df, m) = slice()
+            current = (current.keySet ++ m.keySet).map(k =>
+              k -> (current.getOrElse(k, 0) + m.getOrElse(k, 0))).toMap
+            df.createOrReplaceTempView("gmw_walk_src")
+            spark.sql(s"INSERT INTO gmw.`${t.root}` " +
+              "SELECT * FROM gmw_walk_src")
+            record(t.latestVersion)
+          case 13 => // rename + rename back: two row-neutral commits
+            // exercising column mapping MID-history (time travel
+            // across the pair must still serve every version)
+            record(t.renameColumn("l_quantity", "qty_walk"))
+            record(t.renameColumn("qty_walk", "l_quantity"))
         }
       }
       versionRows.toSeq.sortBy(_._1).foreach { case (v, want) =>
