@@ -135,7 +135,29 @@ class GraftTable private (val s: SparkSession, val root: String) {
                                    bloomIdxJson: Option[String] = None,
                                    colmapJson: Option[String] = None)
 
-  private[graft] def readCommit(v: Long): Commit = {
+  /** Commit files and checkpoints are IMMUTABLE once published
+    * (single-winner atomic publish; vacuum only ever deletes behind
+    * the retention horizon, and resolution never consults versions
+    * the fresh listing doesn't return) — so their PARSES are cached
+    * per table instance. At a million-commit log this turns the
+    * repeated metadata resolutions of one DML flow (live set +
+    * schema + constraints + bloom index + column mapping each walk
+    * the post-checkpoint tail) from five log re-reads into one.
+    * `versions()`/`latestVersion` stay uncached: they are the
+    * freshness signal a concurrent writer advances.
+    */
+  private val commitCache =
+    scala.collection.concurrent.TrieMap.empty[Long, Commit]
+  private val ckptCache =
+    scala.collection.concurrent.TrieMap.empty[Long, Seq[String]]
+
+  private def ckptLines(v: Long): Seq[String] =
+    ckptCache.getOrElseUpdate(v, readLines(ckptPath(v)))
+
+  private[graft] def readCommit(v: Long): Commit =
+    commitCache.getOrElseUpdate(v, readCommitUncached(v))
+
+  private def readCommitUncached(v: Long): Commit = {
     val lines = readLines(commitPath(v))
     // header: graft-commit \t version \t action [\t epoch-millis]
     // (the timestamp field is round-9; older logs read as ts = -1)
@@ -181,7 +203,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val start: Map[String, FileMeta] = base match {
       case None => Map.empty
       case Some(cv) =>
-        val lines = readLines(ckptPath(cv))
+        val lines = ckptLines(cv)
         val files = lines.flatMap { l =>
           val f = l.split("\t", 4)
           if (f(0) == "file")
@@ -239,7 +261,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       .flatMap(x => readCommit(x).schemaJson)
       .nextOption()
     fromCommits.orElse(base.flatMap { cv =>
-      readLines(ckptPath(cv)).collectFirst {
+      ckptLines(cv).collectFirst {
         case l if l.startsWith("schema\t") => l.split("\t", 2)(1)
       }
     }).map(j => DataType.fromJson(j).asInstanceOf[StructType])
@@ -260,7 +282,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       .flatMap(x => readCommit(x).constraintsJson)
       .nextOption()
     fromCommits.orElse(base.flatMap { cv =>
-      readLines(ckptPath(cv)).collectFirst {
+      ckptLines(cv).collectFirst {
         case l if l.startsWith("constraints\t") => l.split("\t", 2)(1)
       }
     }).map(GraftTable.constraintsFromJson).getOrElse(Seq.empty)
@@ -312,7 +334,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       .flatMap(x => readCommit(x).bloomIdxJson)
       .nextOption()
     fromCommits.orElse(base.flatMap { cv =>
-      readLines(ckptPath(cv)).collectFirst {
+      ckptLines(cv).collectFirst {
         case l if l.startsWith("bloomidx\t") => l.split("\t", 2)(1)
       }
     }).map(GraftTable.bloomIdxFromJson).getOrElse(Seq.empty)
@@ -342,7 +364,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       .flatMap(x => readCommit(x).colmapJson)
       .nextOption()
     fromCommits.orElse(base.flatMap { cv =>
-      readLines(ckptPath(cv)).collectFirst {
+      ckptLines(cv).collectFirst {
         case l if l.startsWith("colmap\t") => l.split("\t", 2)(1)
       }
     }).map(GraftTable.colmapFromJson).getOrElse(GraftTable.ColMap.empty)
@@ -970,7 +992,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
   private def tagsAsOf(v: Long): collection.mutable.Set[String] = {
     val s0 = scala.collection.mutable.Set.empty[String]
     val base = checkpointVersions().filter(_ <= v).lastOption.filter { cv =>
-      val lines = readLines(ckptPath(cv))
+      val lines = ckptLines(cv)
       val ledgered = lines.headOption.exists(_.startsWith("graft-ckpt\t"))
       if (ledgered) lines.foreach { l =>
         if (l.startsWith("tag\t")) s0 += l.split("\t", 2)(1)
