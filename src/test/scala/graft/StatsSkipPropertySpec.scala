@@ -86,4 +86,59 @@ class StatsSkipPropertySpec extends SparkSpec {
     assert(prunedSomething > 50,
       s"sweep too weak: only $prunedSomething file-prunes across 60 trials")
   }
+
+  test("skipping stays sound through COLUMN MAPPING (renamed predicates vs physical stats)") {
+    import spark.implicits._
+    // same corpus shape, but every column is RENAMED after the create:
+    // predicates arrive under the new logical names while the stats
+    // tokens are keyed by the original physical names — the
+    // translation layer (physPred) is what this sweep pins
+    val rnd = new scala.util.Random(4321)
+    val rows = (1 to 2500).map { i =>
+      val k = rnd.nextInt(2000).toLong
+      val v: java.lang.Double =
+        if (rnd.nextInt(10) == 0) null else rnd.nextDouble() * 1000 - 500
+      val s0: String =
+        if (rnd.nextInt(12) == 0) null
+        else ('a' + rnd.nextInt(6)).toChar.toString +
+          rnd.alphanumeric.take(rnd.nextInt(8)).mkString
+      (k, v, s0)
+    }
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_prop_cm").toString + "/t",
+      rows.toDF("k", "v", "s").repartitionByRange(6, col("k")))
+    t.renameColumn("k", "kk")
+    t.renameColumn("v", "vv")
+    t.renameColumn("s", "ss")
+    val live = t.liveFiles().map(_._1)
+    def randPred(): Column = rnd.nextInt(6) match {
+      case 0 => col("kk") <= lit(rnd.nextInt(2200).toLong - 100)
+      case 1 => col("kk") === lit(rnd.nextInt(2200).toLong - 100)
+      case 2 => col("vv") < lit(rnd.nextDouble() * 1200 - 600)
+      case 3 => col("ss").startsWith(('a' + rnd.nextInt(8)).toChar.toString)
+      case 4 => col("kk") > lit(rnd.nextInt(2200).toLong - 100) &&
+        col("ss").isNotNull
+      case 5 => col("vv").isNull || col("kk") === lit(rnd.nextInt(2000).toLong)
+    }
+    var pruned = 0
+    (1 to 40).foreach { trial =>
+      val pred = randPred()
+      val survivors = t.prunedFiles(pred).toSet
+      live.filterNot(p => survivors.contains(s"${t.root}/$p")).foreach { p =>
+        pruned += 1
+        // the file's rows, read under PHYSICAL names and projected
+        // back to the renamed logical schema, must contain zero
+        // matches — a UTF-16/keying/translation slip would fail here
+        val matches = spark.read.parquet(s"${t.root}/$p")
+          .select(col("k").as("kk"), col("v").as("vv"), col("s").as("ss"))
+          .filter(pred).count()
+        assert(matches == 0,
+          s"trial $trial UNSOUND through mapping: pruned $p but " +
+            s"$matches rows match $pred")
+      }
+      assert(t.readWhere(pred).count() == t.read().filter(pred).count(),
+        s"trial $trial: readWhere diverged under mapping for $pred")
+    }
+    assert(pruned > 20, s"mapping sweep too weak: $pruned prunes")
+  }
 }
