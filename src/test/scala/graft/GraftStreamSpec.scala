@@ -287,6 +287,65 @@ class GraftStreamSpec extends SparkSpec {
     ()
   }
 
+  test("native sink streams while concurrent DML rewrites land (WriteSerializable interplay)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // seed keys are NEGATIVE, streamed keys positive — the DML verbs
+    // target only the seed space, so the final state is deterministic
+    // regardless of how epochs and rewrites interleave: the sink's
+    // blind appends are tolerated by the DML conflict rule, and the
+    // DML's file-scoped rewrites never invalidate an epoch commit
+    val dir = Files.createTempDirectory("graft_sink_dml")
+    val root = dir.resolve("t").toString
+    val seed = (1 to 40).map(i => (-i.toLong, i.toDouble))
+      .toDF("l_orderkey", "l_quantity")
+    val t = GraftTable.create(spark, root,
+      seed.repartitionByRange(4, col("l_orderkey")))
+    val src = dir.resolve("src")
+    Files.createDirectory(src)
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity").limit(1200).cache()
+    val slices = (0 until 4).map(i => li.filter(col("l_orderkey") % 4 === i))
+    val schema = StructType(Seq(StructField("l_orderkey", LongType),
+      StructField("l_quantity", DoubleType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .writeStream.format("graft")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .start(root)
+    try {
+      slices.zipWithIndex.foreach { case (s0, i) =>
+        val stage = dir.resolve(s"stage$i").toString
+        s0.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, src.resolve(s"slice$i.parquet"))
+        // interleave a seed-space rewrite with the in-flight stream
+        if (i % 2 == 0) t.deleteWhere(col("l_orderkey") === -(i + 1L))
+        else t.update(col("l_orderkey") === -(i + 20L),
+          Map("l_quantity" -> (col("l_quantity") + 1000.0)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // deterministic final state: every streamed row exactly once, the
+    // seed space with exactly the issued deletes/updates applied
+    val want = multiset(li) ++ multiset(
+      seed.filter(!col("l_orderkey").isin(-1L, -3L))
+        .withColumn("l_quantity",
+          when(col("l_orderkey").isin(-21L, -23L),
+            col("l_quantity") + 1000.0).otherwise(col("l_quantity"))))
+    assert(multiset(t.read()) == want,
+      "concurrent sink epochs + DML rewrites diverged")
+    // and the log holds every epoch as a tagged append plus the DML
+    val actions = (1L to t.latestVersion).map(v => t.readCommit(v).action)
+    assert(actions.count(_.startsWith("append@stream:")) == 4,
+      s"expected 4 epoch commits, got: $actions")
+    assert(actions.count(_ == "delete") == 2 &&
+      actions.count(_ == "update") == 2, actions.toString)
+    li.unpersist()
+    ()
+  }
+
   test("native sink: an incompatible stream schema is refused at query start") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sink_sch")
