@@ -31,7 +31,7 @@ object Lakehouse {
 
   /** The four-version lifecycle table for dataset `d`, built once. */
   private[graft] def lifecycle(s: SparkSession, d: String): GraftTable =
-    built.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+    built.synchronized { built.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
       val root = java.nio.file.Files
         .createTempDirectory("graft_lakehouse").toString + "/orders_t"
       val orders = Tables.orders(s, d).select(
@@ -47,7 +47,7 @@ object Lakehouse {
       t.compact(target)                                                    // v3
       t.overwrite(orders.filter(col("o_orderstatus") === "P"))             // v4
       t
-    })
+    }) }
 
   // q74: time travel — the table AS OF version 2 (F + O rows),
   // aggregated per status, even though the live version 4 holds only
@@ -100,7 +100,7 @@ object Lakehouse {
   // again. Own table instance so the shared q74/q75 lifecycle's
   // audit history stays untouched.
   def q77Restore(s: SparkSession, d: String): DataFrame = {
-    val t = restored.getOrElseUpdate(
+    val t = restored.synchronized { restored.getOrElseUpdate(
       s.sparkContext.applicationId + "|" + d, {
         val root = java.nio.file.Files
           .createTempDirectory("graft_lakehouse_r").toString + "/t"
@@ -112,7 +112,7 @@ object Lakehouse {
         t0.overwrite(orders.filter(col("o_orderstatus") === "P"))     // v3
         t0.restore(2)                                                 // v4
         t0
-      })
+      }) }
     t.read()
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
@@ -141,7 +141,7 @@ object Lakehouse {
   private val dml = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
 
   private[graft] def dmlLifecycle(s: SparkSession, d: String): GraftTable =
-    dml.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+    dml.synchronized { dml.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
       val root = java.nio.file.Files
         .createTempDirectory("graft_lakehouse_dml").toString + "/t"
       val orders = Tables.orders(s, d).select(
@@ -157,7 +157,7 @@ object Lakehouse {
       t.deleteWhere(col("o_orderkey") <= lit(keyMax / 4) &&
         pmod(col("o_orderkey"), lit(7)) === 3)                     // v3
       t
-    })
+    }) }
 
   // q78: MERGE INTO — the post-merge table read back from the commit
   // log at version 2: matched 'F' keys carry the doubled price,
@@ -214,7 +214,7 @@ object Lakehouse {
   private val upd = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
 
   def q83UpdateWhere(s: SparkSession, d: String): DataFrame = {
-    val t = upd.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+    val t = upd.synchronized { upd.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
       val root = java.nio.file.Files
         .createTempDirectory("graft_lakehouse_upd").toString + "/t"
       val orders = Tables.orders(s, d).select(
@@ -228,7 +228,7 @@ object Lakehouse {
         Map("o_totalprice" -> (col("o_totalprice") * 1.5),
           "o_orderstatus" -> lit("U")))                          // v2
       t0
-    })
+    }) }
     t.read().orderBy("o_orderkey")
   }
 
@@ -268,7 +268,7 @@ object Lakehouse {
   private def morLifecycle(s: SparkSession, d: String,
                            cache: scala.collection.concurrent.TrieMap[String, GraftTable],
                            tag: String): GraftTable =
-    cache.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+    cache.synchronized { cache.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
       val root = java.nio.file.Files
         .createTempDirectory(s"graft_lakehouse_$tag").toString + "/t"
       val orders = Tables.orders(s, d).select(
@@ -284,7 +284,7 @@ object Lakehouse {
         Map("o_totalprice" -> (col("o_totalprice") * 0.5),
           "o_orderstatus" -> lit("M")), mor = true)               // v3
       t0
-    })
+    }) }
 
   def q84DeleteVectors(s: SparkSession, d: String): DataFrame =
     morLifecycle(s, d, morT, "mor").read().orderBy("o_orderkey")

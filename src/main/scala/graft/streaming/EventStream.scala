@@ -874,12 +874,12 @@ object EventStream {
     // the index builds once per (session, dataset) — serving is the
     // per-call work; repeated invocations probe the stored artifact
     // (read-only) instead of re-paying the offline build per call
-    val idx = s14Index.getOrElseUpdate(
+    val idx = s14Index.synchronized { s14Index.getOrElseUpdate(
       s.sparkContext.applicationId + "|" + d, {
         val p = dir.resolve("idx").toString
         graft.operators.Similarity.e8WriteIndex(s, d, p)
         p
-      })
+      }) }
     streamAnnServe(s, landQuerySlices(s, d, dir), d, idx,
       dir.resolve("serve").toString)
   }
