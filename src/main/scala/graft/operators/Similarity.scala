@@ -74,6 +74,31 @@ object Similarity {
     topKPerQuery(scored, 5)
   }
 
+  // e14: FILTERED vector search — the metadata-predicate k-NN every
+  // retrieval stack needs ("nearest neighbors among docs WHERE …"):
+  // the predicate applies BEFORE scoring, so it pushes into the
+  // parquet scan and only the matching corpus slice is ever scored —
+  // cost O(Q·|filter|), never O(Q·N)-then-post-filter (which
+  // under-fills k whenever the filter is selective). Exact and
+  // oracled; at index scale the same predicate rides the stored IVF
+  // cells (e4/e8's layout carries the payload columns, so the cell
+  // probe just gains the filter — partition-pruned and pushed).
+  def e14FilteredKnn(s: SparkSession, d: String): DataFrame = {
+    val emb = quantized(s, d)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+    val scored = emb
+      .filter(pmod(col("label"), lit(3)) === 1) // the metadata predicate
+      .select(col("vec_id").as("nid"), col("q"), col("nrm"))
+      .crossJoin(broadcast(qs))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("dot", GraftFunctions.long_dot(col("q"), col("qq")))
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          (sqrt(col("nrm").cast("double")) * sqrt(col("qn").cast("double"))))
+    topKPerQuery(scored, 5)
+  }
+
   // e2: LSH-bucketed ANN — the 100 TB path: random-hyperplane signs
   // (hash-derived ±1 weights, no RNG state) bucket the corpus; probes
   // touch one bucket instead of N. Uses the codegen'd CosineSim.
@@ -1605,6 +1630,7 @@ object Similarity {
     "d24_semantic_dedup" -> ((s: SparkSession, d: String) => d24SemanticDedup(s, d)),
     "m2_frame_sample" -> (m2FrameSample _),
     "e1_knn_brute" -> (e1KnnBrute _),
+    "e14_filtered_knn" -> (e14FilteredKnn _),
     "e2_knn_lsh" -> (e2KnnLsh _),
     "e4_knn_ivf" -> ((s: SparkSession, d: String) => e4KnnIvf(s, d)),
     "e6_mmr_rerank" -> ((s: SparkSession, d: String) => e6MmrRerank(s, d)),
@@ -1722,6 +1748,27 @@ object Similarity {
         |                     i -> CAST(unicode(text[CAST(i * k + 1 AS INTEGER)]) AS BIGINT))),
         |    (a, c) -> (a * 31 + c) % 1000000007) AS thumb_hash
         |FROM dims ORDER BY doc_id""".stripMargin,
+    "e14_filtered_knn" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings, range(1, 65) t(i) WHERE i <= len(embedding)),
+        |n AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nrm FROM v GROUP BY 1),
+        |d AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+        |  FROM v a JOIN v b ON a.i = b.i AND a.vec_id < 10
+        |    AND b.vec_id <> a.vec_id AND b.label % 3 = 1
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT qid, nid,
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cosine
+        |  FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = nid)
+        |SELECT qid, nid, cosine, rnk FROM (
+        |  SELECT qid, nid, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+        |  FROM c) t
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "e1_knn_brute" ->
       """WITH v AS (
         |  SELECT vec_id, i,
