@@ -99,6 +99,64 @@ object Similarity {
     topKPerQuery(scored, 5)
   }
 
+  // e15: HYBRID RETRIEVAL via reciprocal-rank fusion — the standard
+  // two-arm serving stack (dense cosine + sparse lexical overlap)
+  // fused with RRF: score(q,n) = Σ_arms 1/(60 + rank_arm). Each arm
+  // is an existing exact ranking (e1's codegen'd cosine, e5's
+  // df-capped shingle overlap) over the SAME bounded query batch, so
+  // the whole pipeline is oracled end-to-end — rank algebra included.
+  // Scale shape: the query batch broadcasts (it is answer-sized —
+  // the online serving case), each arm is one corpus-linear pass,
+  // and the fusion is a per-(q,n) two-row aggregate over the two
+  // K-bounded rank lists — nothing corpus-sized crosses an exchange
+  // after the arms' own bounded top-K aggregates.
+  def e15HybridRrf(s: SparkSession, d: String): DataFrame = {
+    val armK = 10
+    // dense arm (e1's algebra, top-armK)
+    val emb = quantized(s, d)
+    val qsD = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+    val dense = topKPerQuery(
+      emb.select(col("vec_id").as("nid"), col("q"), col("nrm"))
+        .crossJoin(broadcast(qsD))
+        .filter(col("nid") =!= col("qid"))
+        .withColumn("dot", GraftFunctions.long_dot(col("q"), col("qq")))
+        .withColumn("cosine",
+          col("dot").cast("double") /
+            (sqrt(col("nrm").cast("double")) * sqrt(col("qn").cast("double")))),
+      armK)
+    // sparse arm (e5's algebra, same query ids, top-armK)
+    val sh = TextOps.shinglePostings(s, d)
+    val n = sh.select(countDistinct(col("doc_id")).as("n"))
+    val keep = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") * 10 <= col("n")).select("g")
+    val t = sh.join(keep, Seq("g"), "left_semi")
+    val qsS = t.filter(col("doc_id") < 10)
+      .select(col("g"), col("doc_id").as("qid"))
+    val sparse = t.join(broadcast(qsS), Seq("g"))
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id").as("nid"))
+      .agg(count(lit(1)).as("score"))
+      .groupBy("qid")
+      .agg(GraftFunctions.top_k(col("score").cast("double"), col("nid"),
+        armK).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t.id").as("nid"),
+        (col("pos") + 1).cast("long").as("rnk"))
+    // RRF fusion over the two bounded rank lists, final top-5
+    val fused = dense.select(col("qid"), col("nid"), col("rnk"))
+      .unionByName(sparse)
+      .groupBy("qid", "nid")
+      .agg(sum(lit(1.0) / (lit(60.0) + col("rnk"))).as("rrf"))
+    fused.groupBy("qid")
+      .agg(GraftFunctions.top_k(col("rrf"), col("nid"), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t.id").as("nid"), col("t.score").as("rrf"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   // e2: LSH-bucketed ANN — the 100 TB path: random-hyperplane signs
   // (hash-derived ±1 weights, no RNG state) bucket the corpus; probes
   // touch one bucket instead of N. Uses the codegen'd CosineSim.
@@ -1631,6 +1689,7 @@ object Similarity {
     "m2_frame_sample" -> (m2FrameSample _),
     "e1_knn_brute" -> (e1KnnBrute _),
     "e14_filtered_knn" -> (e14FilteredKnn _),
+    "e15_hybrid_rrf" -> (e15HybridRrf _),
     "e2_knn_lsh" -> (e2KnnLsh _),
     "e4_knn_ivf" -> ((s: SparkSession, d: String) => e4KnnIvf(s, d)),
     "e6_mmr_rerank" -> ((s: SparkSession, d: String) => e6MmrRerank(s, d)),
@@ -1748,6 +1807,58 @@ object Similarity {
         |                     i -> CAST(unicode(text[CAST(i * k + 1 AS INTEGER)]) AS BIGINT))),
         |    (a, c) -> (a * 31 + c) % 1000000007) AS thumb_hash
         |FROM dims ORDER BY doc_id""".stripMargin,
+    "e15_hybrid_rrf" ->
+      """WITH v AS (
+        |  SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings, range(1, 65) t(i) WHERE i <= len(embedding)),
+        |nm AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nrm FROM v GROUP BY 1),
+        |dd AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+        |  FROM v a JOIN v b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2),
+        |dc AS (
+        |  SELECT qid, nid,
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cosine
+        |  FROM dd JOIN nm na ON na.vec_id = qid JOIN nm nb ON nb.vec_id = nid),
+        |dr AS (
+        |  SELECT qid, nid,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+        |  FROM dc),
+        |t0 AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(0, len(w)-2),
+        |    i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), x -> x != '') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 3),
+        |sp AS (SELECT doc_id, unnest(sh) AS g FROM t0),
+        |nc AS (SELECT COUNT(DISTINCT doc_id) AS n FROM sp),
+        |df AS (SELECT g, COUNT(*) AS df FROM sp GROUP BY 1),
+        |keep AS (SELECT g FROM df CROSS JOIN nc WHERE df.df * 10 <= nc.n),
+        |tt AS (SELECT * FROM sp WHERE g IN (SELECT g FROM keep)),
+        |sc AS (
+        |  SELECT q.doc_id AS qid, c.doc_id AS nid, COUNT(*) AS score
+        |  FROM tt q JOIN tt c ON q.g = c.g
+        |  WHERE q.doc_id < 10 AND c.doc_id <> q.doc_id
+        |  GROUP BY 1, 2),
+        |sr AS (
+        |  SELECT qid, nid,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+        |  FROM sc),
+        |u AS (
+        |  SELECT qid, nid, rnk FROM dr WHERE rnk <= 10
+        |  UNION ALL
+        |  SELECT qid, nid, rnk FROM sr WHERE rnk <= 10),
+        |f AS (
+        |  SELECT qid, nid, SUM(1.0 / (60.0 + rnk)) AS rrf
+        |  FROM u GROUP BY 1, 2)
+        |SELECT qid, nid, rrf, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT qid, nid, rrf,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS rnk
+        |  FROM f) z
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "e14_filtered_knn" ->
       """WITH v AS (
         |  SELECT vec_id, label, i,
