@@ -320,6 +320,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // d37: CONTAMINATION RATE — the graded form of d11's binary flag
+  // (the GPT-3/PaLM decontamination rule scores the FRACTION of a
+  // training doc's n-grams that appear in the held-out set, then
+  // thresholds): per training doc, its distinct 4-gram count, how
+  // many of them the benchmark set contains, and the ratio. The
+  // benchmark's distinct-shingle set is the only thing joined
+  // against — at 100 TB it is fixed-size (the eval suite) and
+  // broadcasts, making the pass map-only over the corpus; here the
+  // deterministic %23 slice stands in, so the join stays hash-keyed
+  // and AQE-broadcast like d11/e5.
+  def d37ContaminationScore(s: SparkSession, d: String): DataFrame = {
+    val sh4 = docs(s, d).filter(size(col("toks")) >= 4)
+      .withColumn("shingles", GraftFunctions.shingle_hashes(col("toks"), 4))
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+    val bench = sh4.filter(pmod(col("doc_id"), lit(23)) === 7)
+      .select("g").distinct()
+    val train = sh4.filter(pmod(col("doc_id"), lit(23)) =!= 7)
+    val perDoc = train.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"))
+    val bad = train.join(bench, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    perDoc.join(bad, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_ngrams")).as("contamination_rate"))
+      .orderBy("doc_id")
+  }
+
   // d12: PII detection + redaction — the scrubbing pass every
   // training-data release runs (emails, phone numbers) as codegen'd
   // regexp_replace/extract_all, patterns kept in the RE2 ∩ Java
@@ -1386,6 +1415,7 @@ object TextOps {
     "d9_token_count" -> (d9TokenCount _),
     "d10_vocab_topk" -> (d10VocabTopK _),
     "d11_contamination" -> (d11Contamination _),
+    "d37_contamination_score" -> (d37ContaminationScore _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_dedup_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_text_stats" -> (d3TextStats _),
@@ -1624,6 +1654,25 @@ object TextOps {
         |    AS token
         |  FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "d37_contamination_score" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(0, len(w)-3),
+        |    i -> array_to_string(w[i+1:i+4], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), x -> x != '') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 4),
+        |s AS (SELECT doc_id, unnest(sh) AS g FROM t0),
+        |bench AS (SELECT DISTINCT g FROM s WHERE doc_id % 23 = 7),
+        |train AS (SELECT * FROM s WHERE doc_id % 23 <> 7),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_ngrams,
+        |    CAST(SUM(CASE WHEN g IN (SELECT g FROM bench)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+        |  FROM train GROUP BY 1)
+        |SELECT doc_id, n_ngrams, n_contaminated,
+        |  CAST(n_contaminated AS DOUBLE) / n_ngrams AS contamination_rate
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "d11_contamination" ->
       """WITH t AS (
         |  SELECT doc_id,
