@@ -349,6 +349,28 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // d36: QUALITY-KEEP near-dup dedup — p3 keeps each near-dup
+  // cluster's MIN-id member; production corpora keep the BEST one
+  // (a crawl usually holds the same article once well-formatted and
+  // N times mangled): d18's clusters + the d3 quality vote pick the
+  // survivor (quality desc, ties to min doc_id), every other member
+  // drops. Costs exactly p3's plan plus one broadcastable join of
+  // the cluster membership (|near-dup docs|, tiny vs the corpus)
+  // against per-doc quality — the map-only annotate pass.
+  def d36QualityDedup(s: SparkSession, d: String): DataFrame = {
+    val quality = graft.operators.Pipeline
+      .annotate(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), col("quality"))
+    val clusters = d18DupClusters(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("quality").desc, col("doc_id"))
+    val losers = clusters.join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1).select("doc_id")
+    quality.join(losers, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   // d12: PII detection + redaction — the scrubbing pass every
   // training-data release runs (emails, phone numbers) as codegen'd
   // regexp_replace/extract_all, patterns kept in the RE2 ∩ Java
@@ -1416,6 +1438,7 @@ object TextOps {
     "d10_vocab_topk" -> (d10VocabTopK _),
     "d11_contamination" -> (d11Contamination _),
     "d37_contamination_score" -> (d37ContaminationScore _),
+    "d36_quality_dedup" -> (d36QualityDedup _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_dedup_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_text_stats" -> (d3TextStats _),
@@ -1654,6 +1677,31 @@ object TextOps {
         |    AS token
         |  FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "d36_quality_dedup" ->
+      s"""WITH RECURSIVE ${D2PairsCte},
+        |cl AS (
+        |  SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster
+        |  FROM reach GROUP BY x),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |    CAST((CASE WHEN len(toks) BETWEEN 12 AND 80 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN CAST(len(list_filter(toks,
+        |          x -> x IN ('the','a','data','row'))) AS DOUBLE)
+        |          / len(toks) < 0.3 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS quality
+        |  FROM (SELECT doc_id, lang, n_chars,
+        |          list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |        FROM documents)),
+        |losers AS (
+        |  SELECT doc_id FROM (
+        |    SELECT cl.doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY cl.cluster
+        |        ORDER BY q.quality DESC, cl.doc_id) AS rn
+        |    FROM cl JOIN q USING (doc_id)) z WHERE rn > 1)
+        |SELECT doc_id, lang, quality FROM q
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
     "d37_contamination_score" ->
       """WITH t0 AS (
         |  SELECT doc_id, list_distinct(list_transform(range(0, len(w)-3),
