@@ -283,7 +283,37 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  // p8: the RAG INGESTION pipeline — what a retrieval stack runs
+  // before embedding: d13's strided chunking (24-token stride,
+  // 32-token window) → EXACT CHUNK DEDUP (m5's digest rule at chunk
+  // grain: survivor = min (doc_id, chunk_idx) per distinct chunk
+  // text, keyed on the 32-byte sha so the corpus-wide exchange never
+  // carries chunk text and a hash collision cannot fuse two distinct
+  // chunks) → per-chunk serving metadata: owner doc's language, the
+  // chunk token count, and the rolling-hash fingerprint that keys
+  // the embedding cache (re-embedding only NEW chunks is the whole
+  // economics of incremental RAG ingestion). One window exchange at
+  // chunk grain + one doc_id-keyed join; oracled end-to-end.
+  def p8RagCorpus(s: SparkSession, d: String): DataFrame = {
+    val chunks = TextOps.d13ChunkTokens(s, d)
+    val w = Window.partitionBy("sha")
+    val owned = chunks
+      .withColumn("sha", sha2(col("chunk_text"), 256))
+      .withColumn("keeper",
+        min(struct(col("doc_id"), col("chunk_idx"))).over(w))
+      .filter(col("keeper.doc_id") === col("doc_id") &&
+        col("keeper.chunk_idx") === col("chunk_idx"))
+    owned
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+        col("lang"),
+        GraftFunctions.rolling_hash(col("chunk_text")).as("embed_key"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p8_rag_corpus" -> (p8RagCorpus _),
     "p7_lakehouse_corpus" -> (p7LakehouseCorpus _),
     "p6_media_corpus" -> (p6MediaCorpus _),
     "p1_clean_corpus" -> (p1CleanCorpus _),
@@ -294,6 +324,31 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    // d13's chunk algebra + first-(doc,idx)-per-distinct-chunk dedup
+    // + lang join + the rolling-hash fingerprint, composed
+    "p8_rag_corpus" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |    array_to_string(w[24*i+1 : 24*i+32], ' ') AS chunk_text,
+        |    CAST(len(w[24*i+1 : 24*i+32]) AS BIGINT) AS n_chunk_tokens
+        |  FROM t, unnest(range(0, (len(w)-1)//24 + 1)) AS u(i)
+        |  WHERE len(w) >= 1),
+        |own AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk_text
+        |      ORDER BY doc_id, chunk_idx) AS rn
+        |    FROM ch) z WHERE rn = 1)
+        |SELECT o.doc_id, o.chunk_idx, o.n_chunk_tokens, dd.lang,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(o.chunk_text) + 1),
+        |                     i -> CAST(unicode(o.chunk_text[i]) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS embed_key
+        |FROM own o JOIN documents dd ON dd.doc_id = o.doc_id
+        |ORDER BY o.doc_id, o.chunk_idx""".stripMargin,
     // the lakehouse lifecycle replayed as plain algebra: delete slice
     // removed, update slice re-tagged, exact dedup keeps the min
     // doc_id per distinct text, per-lang rollup
