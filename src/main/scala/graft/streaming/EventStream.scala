@@ -1006,6 +1006,58 @@ object EventStream {
       .orderBy("doc_bucket")
   }
 
+  // s19: INCREMENTAL RAG INGESTION as a stream — p8's pipeline the
+  // way a retrieval stack actually runs it: every arriving doc batch
+  // chunks (d13's stride), dedups WITHIN the batch (min
+  // (doc, chunk_idx) per 32-byte digest), then probes the STORED
+  // chunk index for digests already admitted — only genuinely-new
+  // chunks append (one idempotent-tagged commit per batch). The
+  // probe is O(batch) against the digest column (stats/bloom-prunable
+  // at scale); the base is never re-chunked or re-shuffled. Because
+  // slices arrive in doc_id order and each batch admits its min
+  // owner, the converged table equals batch p8's keeper rule exactly
+  // — the oracle replays that algebra, so a chunk lost, duplicated
+  // or re-owned across restarts cannot pass.
+  def s19StreamRagIngest(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_s19")
+    val src = landDocSlices(s, d, dir)
+    val t = graft.sources.GraftTable.forPath(s, dir.resolve("chunks").toString)
+    val ckpt = dir.resolve("ckpt").toString
+    val streamNs = java.util.UUID
+      .nameUUIDFromBytes(ckpt.getBytes("UTF-8")).toString.take(8)
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val chunks = batch
+          .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+          .filter(size(col("toks")) >= 1)
+          .select(col("doc_id"),
+            posexplode(expr(
+              "transform(sequence(0, (size(toks)-1) div 24), " +
+                "i -> array_join(slice(toks, 24*i+1, 32), ' '))")))
+          .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+            sha2(col("col"), 256).as("sha"),
+            expr("cast(size(filter(split(col, ' '), x -> x != '')) as bigint)")
+              .as("n_chunk_tokens"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("sha")
+        val inBatch = chunks
+          .withColumn("keeper",
+            min(struct(col("doc_id"), col("chunk_idx"))).over(w))
+          .filter(col("keeper.doc_id") === col("doc_id") &&
+            col("keeper.chunk_idx") === col("chunk_idx"))
+          .drop("keeper")
+        val fresh =
+          if (t.latestVersion == 0) inBatch
+          else inBatch.join(t.read().select("sha"), Seq("sha"), "left_anti")
+        t.appendIdempotent(fresh, s"$streamNs-batch-$id")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    t.read().select("doc_id", "chunk_idx", "n_chunk_tokens")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   def s15StreamTableIngest(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_s15")
     val src = landDocSlices(s, d, dir)
@@ -1032,6 +1084,7 @@ object EventStream {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s18_stream_native_sink" -> (s18StreamNativeSink _),
+    "s19_stream_rag_ingest" -> (s19StreamRagIngest _),
     "s15_stream_table_ingest" -> (s15StreamTableIngest _),
     "s16_stream_table_feed" -> (s16StreamTableFeed _),
     "s17_stream_cdf" -> (s17StreamCdf _),
@@ -1060,6 +1113,24 @@ object EventStream {
       """SELECT doc_id % 10 AS doc_bucket, COUNT(*) AS n_docs,
         |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY doc_bucket""".stripMargin,
+    // the incremental chunk index converges to batch p8's keeper rule
+    // (slices arrive in doc_id order; per-batch min owner + stored
+    // digest probe = global min owner)
+    "s19_stream_rag_ingest" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |    array_to_string(w[24*i+1 : 24*i+32], ' ') AS chunk_text,
+        |    CAST(len(w[24*i+1 : 24*i+32]) AS BIGINT) AS n_chunk_tokens
+        |  FROM t, unnest(range(0, (len(w)-1)//24 + 1)) AS u(i)
+        |  WHERE len(w) >= 1)
+        |SELECT doc_id, chunk_idx, n_chunk_tokens FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk_text
+        |    ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM ch) z WHERE rn = 1
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     // the native sink converges to the identical aggregate: epoch
     // commits, bootstrap and the tag ledger are all content-neutral
     "s18_stream_native_sink" ->
