@@ -360,7 +360,55 @@ object Lakehouse {
     s.sql(s"SELECT * FROM gsql.`$root` ORDER BY o_orderkey")
   }
 
+  // q89: SHALLOW CLONE (Delta CLONE) — a zero-copy metadata-only
+  // commit references the source's files by absolute path, then the
+  // clone diverges through its own copy-on-write DML while the source
+  // stays bit-identical. The result hashes BOTH sides' aggregates, so
+  // a clone that copied nothing but leaked DML into the source (or a
+  // clone that silently re-read the live source instead of its own
+  // log) flips the 'source' rows and cannot match. Zero-copy is
+  // asserted at build time: not one parquet lands under the clone
+  // root before its first DML. At 100 TB this is the whole point —
+  // cloning costs one O(files) log write, and only the files the
+  // clone's own DML touches are ever rewritten (localized).
+  private val cloned = scala.collection.concurrent.TrieMap
+    .empty[String, (GraftTable, GraftTable)]
+
+  def q89ShallowClone(s: SparkSession, d: String): DataFrame = {
+    val (src, cl) = cloned.synchronized {
+      cloned.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_clone_q").toString
+        val orders = Tables.orders(s, d).select(
+          "o_orderkey", "o_orderstatus", "o_totalprice")
+        val t = GraftTable.create(s, s"$base/src",
+          orders.filter(col("o_orderstatus") === "F")
+            .repartitionByRange(6, col("o_orderkey")))             // v1
+        t.append(orders.filter(col("o_orderstatus") === "O"))      // v2
+        val c = t.cloneTo(s"$base/clone")                          // clone v1
+        require(!java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$base/clone")).toArray.exists(
+          _.toString.endsWith(".parquet")),
+          "shallow clone staged data files — not zero-copy")
+        c.deleteWhere(pmod(col("o_orderkey"), lit(7)) === 0)       // clone v2
+        require(t.latestVersion == 2,
+          s"clone DML advanced the source log to v${t.latestVersion}")
+        (t, c)
+      })
+    }
+    def side(t: GraftTable, tag: String) = t.read()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("total_price"))
+      .select(lit(tag).as("side"), col("o_orderstatus"),
+        col("n_orders"), col("total_price"))
+    side(src, "source").unionByName(side(cl, "clone"))
+      .orderBy("side", "o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_shallow_clone" -> (q89ShallowClone _),
     "q86_sql_update" -> (q86SqlUpdate _),
     "q87_sql_merge" -> (q87SqlMerge _),
     "q84_delete_vectors" -> (q84DeleteVectors _),
@@ -419,6 +467,24 @@ object Lakehouse {
         |    AS total_price
         |FROM orders WHERE o_orderstatus IN ('F', 'O')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q89_shallow_clone" ->
+      """WITH fo AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        |cl AS (SELECT * FROM fo WHERE o_orderkey % 7 <> 0),
+        |agg AS (
+        |  SELECT 'source' AS side, o_orderstatus,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_price
+        |  FROM fo GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'clone' AS side, o_orderstatus,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_price
+        |  FROM cl GROUP BY o_orderstatus)
+        |SELECT * FROM agg ORDER BY side, o_orderstatus""".stripMargin,
     "q86_sql_update" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)

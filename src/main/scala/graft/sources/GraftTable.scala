@@ -610,8 +610,18 @@ class GraftTable private (val s: SparkSession, val root: String) {
   def filesAsOf(v: Long): Seq[String] = {
     require(v >= 1 && fs.exists(commitPath(v)),
       s"version $v does not exist (have: ${versions().mkString(",")})")
-    resolveMeta(v).keys.toSeq.sorted.map(rel => s"$root/$rel")
+    resolveMeta(v).keys.toSeq.sorted.map(absOf)
   }
+
+  /** Absolute path of a recorded add path: EXTERNAL entries (a
+    * shallow clone's references into its source table) are stored
+    * absolute and pass through; table-local entries resolve under
+    * root. Every consumer of a live-set path goes through this, so
+    * a clone's external files read/prune/probe/rewrite exactly like
+    * local ones.
+    */
+  private[sources] def absOf(rel: String): String =
+    if (GraftTable.isExternal(rel)) rel else s"$root/$rel"
 
   /** (absolute path, add-time stats token) of version `v`'s live
     * files — what the DSv2 scan's log-level data skipping evaluates
@@ -619,7 +629,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   private[sources] def fileMetaAsOf(v: Long): Seq[(String, Option[String])] =
     resolveMeta(v).toSeq.sortBy(_._1)
-      .map { case (p, m) => (s"$root/$p", m.stats) }
+      .map { case (p, m) => (absOf(p), m.stats) }
 
   /** Time travel: the table exactly as committed at version `v`.
     * Reads through the schema RECORDED at `v` when the log has one —
@@ -688,8 +698,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
         val raw = sc match {
           case Some(st) =>
             s.read.schema(physSchema(st, cm))
-              .parquet(paths.map(p => s"$root/$p"): _*)
-          case None => s.read.parquet(paths.map(p => s"$root/$p"): _*)
+              .parquet(paths.map(absOf): _*)
+          case None => s.read.parquet(paths.map(absOf): _*)
         }
         val withPos =
           if (pos) raw.withColumn("__fn",
@@ -717,7 +727,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       // to: a superseded dv shared across files may carry positions
       // for a file that re-attached elsewhere (restore)
       val dead = s.read
-        .parquet(dvd.flatMap(_._2.dv.map(d => s"$root/${d.path}"))
+        .parquet(dvd.flatMap(_._2.dv.map(d => absOf(d.path)))
           .distinct: _*)
         .join(names.toDF("__file"), "__file")
       val d0 = readP(dvd.map(_._1), pos = true)
@@ -821,7 +831,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val e = physPred(org.apache.spark.sql.graft.shim.catalystExpression(pred),
       colmapAt(latestVersion))
     resolveMeta(latestVersion).toSeq.sortBy(_._1).collect {
-      case (p, m) if FileStats.mayMatch(m.stats, e) => s"$root/$p"
+      case (p, m) if FileStats.mayMatch(m.stats, e) => absOf(p)
     }
   }
 
@@ -1361,7 +1371,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val tokens = values.map(v => s"/$partCol=$v/")
     val files = live.filter(p => tokens.exists(p.contains)).toSeq.sorted
     if (files.isEmpty) None
-    else Some(s.read.parquet(files.map(f => s"$root/$f"): _*)
+    else Some(s.read.parquet(files.map(absOf): _*)
       .withColumn(partCol,
         regexp_extract(input_file_name(),
           java.util.regex.Pattern.quote(s"/$partCol=") + "(-?\\d+)/", 1)
@@ -1423,7 +1433,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     if (files.isEmpty) None
     // no basePath/partition recovery: callers key on real columns and
     // re-derive the partition value (s7 recomputes pmod(user_id, n))
-    else Some(s.read.parquet(files.map(f => s"$root/$f"): _*))
+    else Some(s.read.parquet(files.map(absOf): _*))
   }
 
   /** Exactly-once streaming append: the tag (a micro-batch id) is
@@ -2078,7 +2088,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val smallBytes = small.map(_._2).sum
     val nOut = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
     val merged = s.read
-      .parquet(small.map(f => s"$root/${f._1}"): _*)
+      .parquet(small.map(f => absOf(f._1)): _*)
       .withColumn(partCol,
         regexp_extract(input_file_name(),
           java.util.regex.Pattern.quote(s"/$partCol=") + "(-?\\d+)/", 1)
@@ -2346,6 +2356,78 @@ class GraftTable private (val s: SparkSession, val root: String) {
       dvs = readds.flatMap { case (p, m) => m.dv.map(p -> _) })
   }
 
+  /** SHALLOW CLONE (Delta's `CLONE`): a zero-copy table at `destRoot`
+    * whose first commit references THIS table's live files at
+    * `version` by ABSOLUTE path — a metadata-only commit; no data
+    * file is read or copied, so cloning a 100 TB table costs one
+    * O(files) log write. Schema, CHECK constraints, column mapping,
+    * per-file stats (so data skipping keeps pruning), deletion
+    * vectors and the bloom-index config all carry over.
+    *
+    * The clone then lives its own life: copy-on-write DML rewrites
+    * externally-referenced files into clone-local files as rows are
+    * touched, compaction localizes wholesale, and `vacuum` on the
+    * clone sweeps only under the clone's root — it can never delete
+    * source data. The flip side is Delta's exact caveat: `vacuum`
+    * on the SOURCE does not know about clones, so retain source
+    * history at least as long as any clone references its files.
+    * The change feed refuses ranges crossing the clone commit
+    * (whole-scope, like overwrite/restore).
+    */
+  def cloneTo(destRoot: String, version: Long = -1L): GraftTable = {
+    val v = if (version < 0) latestVersion else version
+    require(v >= 1 && fs.exists(commitPath(v)),
+      s"cannot clone unknown version $v")
+    val dest = new GraftTable(s, destRoot)
+    require(dest.latestVersion == 0,
+      s"clone destination $destRoot already holds a table")
+    val meta = resolveMeta(v)
+    val adds = meta.toSeq.sortBy(_._1)
+      .map { case (p, m) => (absOf(p), m.bytes) }
+    dest.commit(s"clone:$root@$v", adds, Seq.empty,
+      stats = meta.collect {
+        case (p, m) if m.stats.isDefined => absOf(p) -> m.stats.get },
+      schema = schemaAt(v),
+      constraints = Some(constraintsAt(v)),
+      dvs = meta.toSeq.sortBy(_._1).flatMap { case (p, m) =>
+        m.dv.map(d => absOf(p) -> d.copy(path = absOf(d.path))) },
+      bloomIdx = Some(bloomIndexAt(v)),
+      colmap = Some(colmapAt(v)))
+    dest
+  }
+
+  /** SYMLINK-MANIFEST export (Delta's `GENERATE
+    * symlink_format_manifest`): write a text manifest under
+    * `root/_graft_manifest/` listing the absolute data-file paths of
+    * version `v` (newline-separated, sorted), so an external engine
+    * that speaks parquet-but-not-the-commit-log (Trino / Presto /
+    * DuckDB / Athena-style) can read the snapshot from the manifest
+    * alone. Refuses when the version carries deletion vectors or an
+    * active column mapping — raw files would resurrect deleted rows
+    * or expose physical column names (the reader-feature gate, same
+    * rule as the DSv2 raw path). Returns the manifest file's path.
+    */
+  def exportManifest(version: Long = -1L): String = {
+    val v = if (version < 0) latestVersion else version
+    require(v >= 1 && fs.exists(commitPath(v)),
+      s"cannot export manifest for unknown version $v")
+    require(!hasDvAsOf(v),
+      "manifest export refused: version has deletion vectors — raw " +
+        "parquet readers would resurrect deleted rows; run purge() " +
+        "first")
+    require(colmapAt(v).isIdentity,
+      "manifest export refused: active column mapping — raw parquet " +
+        "readers would see physical column names")
+    val dir = new Path(rootPath, ManifestDir)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val out = new Path(dir, f"manifest-v$v%012d.txt")
+    val body = filesAsOf(v).sorted.mkString("", "\n", "\n")
+      .getBytes(UTF_8)
+    val os = fs.create(out, true)
+    os.write(body); os.close()
+    out.toString
+  }
+
   /** Physically delete data files unreferenced by every retained
     * version (the newest `retainVersions`) and drop the older log
     * entries. Time travel before the horizon is gone after this —
@@ -2431,7 +2513,13 @@ class GraftTable private (val s: SparkSession, val root: String) {
 
 object GraftTable {
   private val LogDir = "_graft_log"
+  private val ManifestDir = "_graft_manifest"
   private val DataDir = "data"
+  /** An add path recorded ABSOLUTE — a shallow clone's reference into
+    * its source table. Everything else is root-relative.
+    */
+  private[sources] def isExternal(p: String): Boolean =
+    p.startsWith("/") || p.contains("://")
   private val CdfDir = "cdf"
   private val DvDir = "dv"
   private val VerPrefix = "v"

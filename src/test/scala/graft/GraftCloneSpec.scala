@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.GraftTable
+import java.nio.file.Files
+
+/** SHALLOW CLONE + MANIFEST EXPORT: `cloneTo` publishes a zero-copy
+  * metadata-only commit referencing the source's files by absolute
+  * path (Delta CLONE); the clone diverges through its own DML without
+  * perturbing the source; vacuum on the clone can never reclaim
+  * source data; compaction localizes external references; dvs,
+  * constraints and column mapping carry over. `exportManifest` writes
+  * the symlink-style file list an external parquet engine reads, and
+  * refuses the dv / column-mapped versions raw readers would misread.
+  */
+class GraftCloneSpec extends SparkSpec {
+
+  private def multiset(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+
+  private def freshRoot(tag: String) =
+    Files.createTempDirectory(s"graft_clone_$tag").toString + "/t"
+
+  private def orders() = Tables.orders(spark, sf)
+    .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    .repartitionByRange(6, col("o_orderkey"))
+
+  /** Every data file physically under `root` (recursive). */
+  private def filesUnder(root: String): Set[String] = {
+    val base = new java.io.File(root)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    if (!base.exists()) Set.empty
+    else walk(base).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+  }
+
+  test("clone is metadata-only, reads identically, then diverges without touching the source") {
+    val srcRoot = freshRoot("src")
+    val src = GraftTable.create(spark, srcRoot, orders())     // v1
+    src.append(orders().filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2))   // v2
+    val srcV = src.latestVersion
+    val want = multiset(src.read())
+    val srcBytes = filesUnder(srcRoot)
+
+    val cloneRoot = freshRoot("dst")
+    val c = src.cloneTo(cloneRoot)
+    // metadata-only: not one data file landed under the clone root
+    assert(filesUnder(cloneRoot).isEmpty,
+      "shallow clone copied data files")
+    assert(multiset(c.read()) == want, "clone read differs from source")
+    // stats carried: data skipping still prunes on the clone
+    val hi = Tables.orders(spark, sf).agg(max("o_orderkey")).head.getLong(0)
+    val pruned = c.prunedFiles(col("o_orderkey") === lit(hi))
+    assert(pruned.nonEmpty && pruned.size < c.liveFiles().size,
+      s"clone lost its file stats: ${pruned.size} of ${c.liveFiles().size}")
+
+    // diverge the clone: CoW delete + append
+    c.deleteWhere(pmod(col("o_orderkey"), lit(7)) === 0)
+    c.append(orders().filter(col("o_orderstatus") === "P")
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+    val cloneWant = want // source state unchanged by clone DML
+    assert(multiset(src.read()) == cloneWant, "clone DML leaked into source")
+    assert(src.latestVersion == srcV, "clone DML advanced the source log")
+    assert(filesUnder(srcRoot) == srcBytes,
+      "clone DML created/removed files under the source root")
+    // and the clone serves its own diverged state
+    val expect = multiset(
+      src.read().filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .unionByName(orders().filter(col("o_orderstatus") === "P")
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))))
+    assert(multiset(c.read()) == expect, "diverged clone state wrong")
+    // time travel on the clone: v1 is the cloned snapshot
+    assert(multiset(c.readVersion(1)) == want, "clone v1 not the snapshot")
+    // change feed refuses ranges crossing the clone commit
+    intercept[IllegalStateException] { c.changeFeed(0) }
+  }
+
+  test("vacuum on a clone never reclaims source files; compaction localizes") {
+    val srcRoot = freshRoot("vsrc")
+    val src = GraftTable.create(spark, srcRoot,
+      orders().repartition(8)) // many small files: compactable
+    val srcBytes = filesUnder(srcRoot)
+    val c = src.cloneTo(freshRoot("vdst"))
+    val want = multiset(c.read())
+    // localize: compact rewrites every undersized (external) file
+    // into clone-local files and the external refs leave the live set
+    c.compact(targetBytes = 1L << 30)
+    assert(c.liveFiles().map(_._1).forall(p => !p.startsWith("/")),
+      s"compaction left external references: ${c.liveFiles().map(_._1)}")
+    assert(multiset(c.read()) == want, "localizing compaction changed content")
+    // vacuum the clone's history aggressively: the dropped version 1
+    // referenced ONLY source files — none may be deleted
+    c.vacuum(retainVersions = 1, orphanGraceMillis = 0L)
+    assert(filesUnder(srcRoot) == srcBytes,
+      "vacuum on the clone deleted source files")
+    assert(multiset(src.read()) == want, "source corrupted by clone vacuum")
+    assert(multiset(c.read()) == want, "clone corrupted by its own vacuum")
+  }
+
+  test("clone carries dvs, constraints and column mapping; manifest gates both") {
+    val srcRoot = freshRoot("dsrc")
+    val src = GraftTable.create(spark, srcRoot, orders())
+    src.addConstraint("price_pos", "o_totalprice > 0")
+    src.deleteWhere(pmod(col("o_orderkey"), lit(5)) === 1, mor = true)
+    val want = multiset(src.read())
+    val c = src.cloneTo(freshRoot("ddst"))
+    assert(multiset(c.read()) == want, "dv'd clone read differs")
+    assert(c.hasDvAsOf(c.latestVersion), "clone dropped the dvs")
+    // the cloned constraint enforces on the CLONE's writes
+    intercept[Exception] {
+      c.append(spark.range(1).selectExpr("id as o_orderkey",
+        "'F' as o_orderstatus", "cast(-1.0 as double) as o_totalprice"))
+    }
+    // manifest: refused while dvs are live, served after purge
+    intercept[IllegalArgumentException] { c.exportManifest() }
+    c.purge()
+    val mf = c.exportManifest()
+    val paths = scala.io.Source.fromFile(mf).getLines().toSeq
+    assert(paths.nonEmpty && paths.forall(_.endsWith(".parquet")))
+    assert(multiset(spark.read.parquet(paths: _*)) == want,
+      "manifest readback differs from the table read")
+    // column mapping: a renamed source clones with logical names…
+    val src2 = GraftTable.create(spark, freshRoot("csrc"), orders())
+    src2.renameColumn("o_totalprice", "price")
+    val c2 = src2.cloneTo(freshRoot("cdst"))
+    assert(c2.read().columns.toSeq ==
+      Seq("o_orderkey", "o_orderstatus", "price"),
+      "clone lost the column mapping")
+    // …and the manifest refuses (raw readers would see physical names)
+    intercept[IllegalArgumentException] { c2.exportManifest() }
+    // a non-empty destination refuses
+    intercept[IllegalArgumentException] { src2.cloneTo(srcRoot) }
+  }
+}
