@@ -331,6 +331,47 @@ object Events {
       .orderBy(col("common").desc, col("part_a"), col("part_b")).limit(k)
   }
 
+  // g15: LINK PREDICTION — Adamic-Adar + Jaccard scores for the
+  // non-adjacent pairs of the co-purchase graph (g16's "customers
+  // also buy" candidate generator given its standard scoring): each
+  // shared neighbor z contributes 1/ln(deg(z)) — rare hubs count
+  // more — and Jaccard normalizes common-neighbor count by the
+  // union degree. The AA weight is FIXED-POINT quantized
+  // (floor(1e9/ln deg) per wedge, summed as exact longs) so the
+  // score is summation-order-independent — double-summed floats
+  // would hash-flicker across partitionings; the quotient only
+  // becomes a double once, at the end, identically in DuckDB.
+  // Scale shape = g10/g16's wedge join: per-z cost is deg², the
+  // documented hub control; the anti-join drops existing edges;
+  // TakeOrderedAndProject keeps O(k) rows per partition.
+  def g15LinkPredict(s: SparkSession, d: String, k: Int = 100): DataFrame = {
+    val e = coPurchaseSym(s, d).localCheckpoint()
+    val deg = e.groupBy("x").agg(count(lit(1)).as("deg"))
+    // deg-1 hubs can't close a wedge (one neighbor) but ANSI mode
+    // evaluates the projection for their rows too — guard ln(1)=0
+    val ez = e.join(deg, "x")
+      .select(col("x").as("z"), col("y").as("n"),
+        expr("if(deg < 2, 0L, " +
+          "cast(floor(1000000000.0 / ln(cast(deg as double))) as bigint))")
+          .as("aaq"))
+    val pairs = ez.alias("l")
+      .join(ez.alias("r"),
+        col("l.z") === col("r.z") && col("l.n") < col("r.n"))
+      .groupBy(col("l.n").as("part_a"), col("r.n").as("part_b"))
+      .agg(count(lit(1)).as("common"), sum(col("l.aaq")).as("aa_q"))
+    val existing = e.select(col("x").as("part_a"), col("y").as("part_b"))
+    pairs.join(existing, Seq("part_a", "part_b"), "left_anti")
+      .filter(col("common") >= 2)
+      .join(deg.select(col("x").as("part_a"), col("deg").as("deg_a")), "part_a")
+      .join(deg.select(col("x").as("part_b"), col("deg").as("deg_b")), "part_b")
+      .withColumn("adamic_adar", col("aa_q").cast("double") / lit(1.0e9))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("deg_a") + col("deg_b") - col("common")).cast("double"))
+      .select("part_a", "part_b", "common", "adamic_adar", "jaccard")
+      .orderBy(col("adamic_adar").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
   // q69: point-in-time (PIT) join — the feature-store correctness
   // primitive: each fact row joins the dimension VERSION that was
   // valid AT fact time (here: each purchase joins the user's activity
@@ -812,6 +853,8 @@ object Events {
     "q69_pit_join" -> (q69PitJoin _),
     "g16_common_neighbors" ->
       ((s: SparkSession, d: String) => g16CommonNeighbors(s, d)),
+    "g15_link_predict" ->
+      ((s: SparkSession, d: String) => g15LinkPredict(s, d)),
     "g12_sssp" -> ((s: SparkSession, d: String) => {
       val edges = g12Graph(s, d, maxUser = 60)
       g12Sssp(edges,
@@ -922,6 +965,38 @@ object Events {
         |  AND f.purchase_ts_us >= dim.valid_from
         |  AND (dim.valid_to IS NULL OR f.purchase_ts_us < dim.valid_to)
         |ORDER BY purchase_id""".stripMargin,
+    "g15_link_predict" ->
+      """WITH items AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM items a JOIN items b
+        |    ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS MATERIALIZED (
+        |  SELECT a AS x, b AS y FROM e0 UNION ALL SELECT b, a FROM e0),
+        |deg AS MATERIALIZED (SELECT x, COUNT(*) AS deg FROM e GROUP BY 1),
+        |ez AS MATERIALIZED (
+        |  SELECT e.x AS z, e.y AS n,
+        |    CAST(floor(1000000000.0 / ln(CAST(deg.deg AS DOUBLE)))
+        |         AS BIGINT) AS aaq
+        |  FROM e JOIN deg ON deg.x = e.x),
+        |cn AS (
+        |  SELECT l.n AS a, r.n AS b, COUNT(*) AS common,
+        |    CAST(SUM(l.aaq) AS BIGINT) AS aa_q
+        |  FROM ez l JOIN ez r ON r.z = l.z AND l.n < r.n
+        |  GROUP BY 1, 2),
+        |ne AS (
+        |  SELECT cn.a, cn.b, cn.common, cn.aa_q FROM cn
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM e WHERE e.x = cn.a AND e.y = cn.b))
+        |SELECT ne.a AS part_a, ne.b AS part_b, ne.common,
+        |  CAST(ne.aa_q AS DOUBLE) / 1000000000.0 AS adamic_adar,
+        |  CAST(ne.common AS DOUBLE) /
+        |    CAST(da.deg + db.deg - ne.common AS DOUBLE) AS jaccard
+        |FROM ne JOIN deg da ON da.x = ne.a JOIN deg db ON db.x = ne.b
+        |WHERE ne.common >= 2
+        |ORDER BY adamic_adar DESC, part_a, part_b LIMIT 100""".stripMargin,
     "g16_common_neighbors" ->
       """WITH items AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

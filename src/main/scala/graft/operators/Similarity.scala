@@ -157,6 +157,45 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  // e16: two-stage RERANK CASCADE — the production retrieval shape
+  // (FAISS/ScaNN's "coarse scorer prunes, exact scorer reranks"):
+  // stage 1 scores the WHOLE corpus with an 8-of-64-dim prefix dot —
+  // with columnar vectors that pass reads 1/8 of the embedding
+  // bytes (the ADC/PQ cost model, kept exact here so DuckDB can
+  // replay it) — and keeps top-C=50 candidates per query via the
+  // bounded top_k aggregate (O(partitions·Q·C) exchange, never the
+  // scored corpus). Stage 2 computes the full 64-dim cosine ONLY on
+  // the C survivors — Q·C rows, answer-scale — and reranks to the
+  // final top-5. At 100 TB the cascade is the point: the corpus-wide
+  // pass is the cheap one, and the expensive exact scorer never sees
+  // more than C rows per query. Hash-exact oracled end-to-end
+  // (ROW_NUMBER replay in DuckDB; both stages tie-break by id, the
+  // top_k rule).
+  def e16RerankCascade(s: SparkSession, d: String): DataFrame = {
+    val emb = quantized(s, d).withColumn("qp", expr("slice(q, 1, 8)"))
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("nrm").as("qn"), col("qp").as("qqp"))
+    val C = 50
+    // stage 1: prefix dot over the first 8 dims, top-C per query
+    val cands = topKPerQuery(
+      emb.select(col("vec_id").as("nid"), col("qp"))
+        .crossJoin(broadcast(qs.select(col("qid"), col("qqp"))))
+        .filter(col("nid") =!= col("qid"))
+        .withColumn("cosine",
+          GraftFunctions.long_dot(col("qp"), col("qqp")).cast("double")),
+      C).select("qid", "nid")
+    // stage 2: exact full-width cosine on the survivors only
+    val full = cands
+      .join(emb.select(col("vec_id").as("nid"), col("q"), col("nrm")), "nid")
+      .join(broadcast(qs.select(col("qid"), col("qq"), col("qn"))), "qid")
+      .withColumn("dot", GraftFunctions.long_dot(col("q"), col("qq")))
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          (sqrt(col("nrm").cast("double")) * sqrt(col("qn").cast("double"))))
+    topKPerQuery(full, 5)
+  }
+
   // e2: LSH-bucketed ANN — the 100 TB path: random-hyperplane signs
   // (hash-derived ±1 weights, no RNG state) bucket the corpus; probes
   // touch one bucket instead of N. Uses the codegen'd CosineSim.
@@ -1690,6 +1729,7 @@ object Similarity {
     "e1_knn_brute" -> (e1KnnBrute _),
     "e14_filtered_knn" -> (e14FilteredKnn _),
     "e15_hybrid_rrf" -> (e15HybridRrf _),
+    "e16_rerank_cascade" -> (e16RerankCascade _),
     "e2_knn_lsh" -> (e2KnnLsh _),
     "e4_knn_ivf" -> ((s: SparkSession, d: String) => e4KnnIvf(s, d)),
     "e6_mmr_rerank" -> ((s: SparkSession, d: String) => e6MmrRerank(s, d)),
@@ -1807,6 +1847,38 @@ object Similarity {
         |                     i -> CAST(unicode(text[CAST(i * k + 1 AS INTEGER)]) AS BIGINT))),
         |    (a, c) -> (a * 31 + c) % 1000000007) AS thumb_hash
         |FROM dims ORDER BY doc_id""".stripMargin,
+    "e16_rerank_cascade" ->
+      """WITH v AS (
+        |  SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings, range(1, 65) t(i) WHERE i <= len(embedding)),
+        |n AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nrm FROM v GROUP BY 1),
+        |p AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid, CAST(SUM(a.q * b.q) AS BIGINT) AS pdot
+        |  FROM v a JOIN v b ON a.i = b.i AND a.i <= 8
+        |    AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY CAST(pdot AS DOUBLE) DESC, nid) AS crnk
+        |    FROM p) t WHERE crnk <= 50),
+        |d AS (
+        |  SELECT c.qid, c.nid, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+        |  FROM cand c JOIN v a ON a.vec_id = c.qid
+        |    JOIN v b ON b.vec_id = c.nid AND b.i = a.i
+        |  GROUP BY 1, 2),
+        |cs AS (
+        |  SELECT qid, nid,
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cosine
+        |  FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = nid)
+        |SELECT qid, nid, cosine, rnk FROM (
+        |  SELECT qid, nid, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+        |  FROM cs) t
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "e15_hybrid_rrf" ->
       """WITH v AS (
         |  SELECT vec_id, i,

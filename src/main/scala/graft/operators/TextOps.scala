@@ -330,6 +330,71 @@ object TextOps {
   // broadcasts, making the pass map-only over the corpus; here the
   // deterministic %23 slice stands in, so the join stays hash-keyed
   // and AQE-broadcast like d11/e5.
+  // d38: TOKENIZER FERTILITY by language — the multilingual-pipeline
+  // health metric (tokens per word, chars per token): a language the
+  // tokenizer fragments shows fertility far above the corpus mean
+  // and silently eats context budget, so mixture designers track it
+  // per lang before weighting. Reuses d9's two tokenizers verbatim
+  // (whitespace words + the BPE-ish regex segmenter), aggregates as
+  // exact longs per language, and divides ONCE at the end — one
+  // map-side-combinable pass over the corpus, output is |langs| rows.
+  def d38TokenizerFertility(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ws",
+        expr("cast(size(filter(split(text, ' '), x -> x != '')) as bigint)"))
+      .withColumn("bpe", expr(
+        "aggregate(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0), " +
+          "0L, (acc, m) -> acc + (length(m) + 3) div 4)"))
+      .withColumn("chars", length(col("text")).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws").as("ws_tokens"),
+        sum("bpe").as("bpe_tokens"),
+        sum("chars").as("n_chars"))
+      .withColumn("fertility",
+        col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("bpe_tokens").cast("double"))
+      .orderBy("lang")
+
+  // d39: DATASET CARD — the per-source release profile every corpus
+  // publication carries (docs, token mass, language mix, exact-dup
+  // share): one groupBy over the corpus plus a |sources×langs|-sized
+  // majority-language window — the second pass aggregates counts,
+  // never rows. All ratios divide exact longs once at the end, so
+  // the card is hash-stable. At 100 TB: two map-combinable
+  // aggregations; nothing corpus-sized crosses the exchange except
+  // the per-(source,lang) count rows.
+  def d39DatasetCard(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .withColumn("ws",
+        expr("cast(size(filter(split(text, ' '), x -> x != '')) as bigint)"))
+      .withColumn("chars", length(col("text")).cast("long"))
+    val bySrc = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("text")).as("n_unique_texts"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum("ws").as("ws_tokens"),
+      sum("chars").as("n_chars"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("n").desc, col("lang"))
+    val top = base.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("n").as("top_lang_docs"))
+    bySrc.join(top, "source")
+      .withColumn("dup_share",
+        (col("n_docs") - col("n_unique_texts")).cast("double") /
+          col("n_docs").cast("double"))
+      .withColumn("top_lang_share",
+        col("top_lang_docs").cast("double") / col("n_docs").cast("double"))
+      .withColumn("mean_chars",
+        col("n_chars").cast("double") / col("n_docs").cast("double"))
+      .select("source", "n_docs", "n_langs", "top_lang", "top_lang_share",
+        "dup_share", "ws_tokens", "mean_chars")
+      .orderBy("source")
+  }
+
   def d37ContaminationScore(s: SparkSession, d: String): DataFrame = {
     val sh4 = docs(s, d).filter(size(col("toks")) >= 4)
       .withColumn("shingles", GraftFunctions.shingle_hashes(col("toks"), 4))
@@ -1438,6 +1503,8 @@ object TextOps {
     "d10_vocab_topk" -> (d10VocabTopK _),
     "d11_contamination" -> (d11Contamination _),
     "d37_contamination_score" -> (d37ContaminationScore _),
+    "d38_tokenizer_fertility" -> (d38TokenizerFertility _),
+    "d39_dataset_card" -> (d39DatasetCard _),
     "d36_quality_dedup" -> (d36QualityDedup _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_dedup_ngram_jaccard" -> (d2NgramJaccard _),
@@ -1702,6 +1769,54 @@ object TextOps {
         |SELECT doc_id, lang, quality FROM q
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY doc_id""".stripMargin,
+    "d38_tokenizer_fertility" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+        |         AS BIGINT) AS ws,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
+        |                     m -> CAST((length(m) + 3) // 4 AS BIGINT))),
+        |      (a, b) -> a + b) AS BIGINT) AS bpe,
+        |    CAST(length(text) AS BIGINT) AS chars
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+        |  CAST(SUM(chars) AS BIGINT) AS n_chars,
+        |  CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) AS fertility,
+        |  CAST(SUM(chars) AS DOUBLE) / CAST(SUM(bpe) AS DOUBLE)
+        |    AS chars_per_token
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "d39_dataset_card" ->
+      """WITH base AS (
+        |  SELECT source, lang, text,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+        |         AS BIGINT) AS ws,
+        |    CAST(length(text) AS BIGINT) AS chars
+        |  FROM documents),
+        |by_src AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    COUNT(DISTINCT text) AS n_unique_texts,
+        |    COUNT(DISTINCT lang) AS n_langs,
+        |    CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+        |    CAST(SUM(chars) AS BIGINT) AS n_chars
+        |  FROM base GROUP BY source),
+        |top AS (
+        |  SELECT source, lang AS top_lang, n AS top_lang_docs FROM (
+        |    SELECT source, lang, COUNT(*) AS n,
+        |      ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY COUNT(*) DESC, lang) AS rn
+        |    FROM base GROUP BY source, lang) t WHERE rn = 1)
+        |SELECT b.source, b.n_docs, b.n_langs, t.top_lang,
+        |  CAST(t.top_lang_docs AS DOUBLE) / CAST(b.n_docs AS DOUBLE)
+        |    AS top_lang_share,
+        |  CAST(b.n_docs - b.n_unique_texts AS DOUBLE)
+        |    / CAST(b.n_docs AS DOUBLE) AS dup_share,
+        |  b.ws_tokens,
+        |  CAST(b.n_chars AS DOUBLE) / CAST(b.n_docs AS DOUBLE) AS mean_chars
+        |FROM by_src b JOIN top t ON t.source = b.source
+        |ORDER BY b.source""".stripMargin,
     "d37_contamination_score" ->
       """WITH t0 AS (
         |  SELECT doc_id, list_distinct(list_transform(range(0, len(w)-3),
