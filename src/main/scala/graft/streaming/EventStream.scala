@@ -1058,6 +1058,73 @@ object EventStream {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  // s20: INCREMENTAL BACKFILL via Trigger.AvailableNow — the
+  // batch/stream unification every scheduled ingest job runs: each
+  // invocation plans its OWN termination (process everything that
+  // exists in bounded maxFilesPerTrigger micro-batches, commit the
+  // checkpoint, exit — no processAllAvailable babysitter, no
+  // always-on cluster), and the NEXT invocation resumes from the
+  // checkpoint reading only files landed since. Run 1 ingests the
+  // initial three drops and self-terminates; a fourth drop lands;
+  // run 2 — same checkpoint, same sink — ingests exactly that one
+  // file (asserted: the log advances by precisely its commits, and
+  // the AvailableNow query terminates on its own). The converged
+  // graft table equals one batch read of all four drops — the
+  // oracle replays that. At 100 TB this is the nightly-catch-up
+  // shape: cost is O(new files) per invocation, bounded batches
+  // cap executor memory, and exactly-once across the restart
+  // boundary comes from the checkpoint + the sink's tagged epochs.
+  def s20StreamBackfill(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_s20")
+    val srcDir = dir.resolve("src")
+    java.nio.file.Files.createDirectory(srcDir)
+    val docs = graft.Tables.documents(s, d).select("doc_id", "text")
+    val mm = docs.agg(min("doc_id"), max("doc_id")).head
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val w = (hi - lo) / 4 + 1
+    def land(i: Int): Unit = {
+      val stage = dir.resolve(s"stage$i").toString
+      docs.filter(col("doc_id") >= lo + i * w &&
+          col("doc_id") < lo + (i + 1) * w)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        srcDir.resolve(s"slice$i.parquet"))
+      ()
+    }
+    (0 until 3).foreach(land)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val root = dir.resolve("table").toString
+    def runOnce(): Unit = {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+        .select(col("doc_id"), octet_length(col("text")).as("n_bytes"))
+        .writeStream.format("graft")
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(root)
+      // the AvailableNow contract: the query plans its own end —
+      // await, never stop()
+      q.awaitTermination()
+    }
+    runOnce()
+    val t = graft.sources.GraftTable.forPath(s, root)
+    val afterFirst = t.latestVersion
+    require(afterFirst > 0, "first backfill run committed nothing")
+    land(3)
+    runOnce()
+    val advanced = t.latestVersion - afterFirst
+    require(advanced == 1,
+      s"second backfill run should commit exactly the one new file's " +
+        s"batch, committed $advanced")
+    t.read()
+      .groupBy(pmod(col("doc_id"), lit(10L)).as("doc_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"))
+      .orderBy("doc_bucket")
+  }
+
   def s15StreamTableIngest(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_s15")
     val src = landDocSlices(s, d, dir)
@@ -1085,6 +1152,7 @@ object EventStream {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s18_stream_native_sink" -> (s18StreamNativeSink _),
     "s19_stream_rag_ingest" -> (s19StreamRagIngest _),
+    "s20_stream_backfill" -> (s20StreamBackfill _),
     "s15_stream_table_ingest" -> (s15StreamTableIngest _),
     "s16_stream_table_feed" -> (s16StreamTableFeed _),
     "s17_stream_cdf" -> (s17StreamCdf _),
@@ -1134,6 +1202,10 @@ object EventStream {
     // the native sink converges to the identical aggregate: epoch
     // commits, bootstrap and the tag ledger are all content-neutral
     "s18_stream_native_sink" ->
+      """SELECT doc_id % 10 AS doc_bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY doc_bucket""".stripMargin,
+    "s20_stream_backfill" ->
       """SELECT doc_id % 10 AS doc_bucket, COUNT(*) AS n_docs,
         |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY doc_bucket""".stripMargin,
