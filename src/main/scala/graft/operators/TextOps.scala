@@ -395,6 +395,39 @@ object TextOps {
       .orderBy("source")
   }
 
+  // d40: LEAKAGE-SAFE train/val/test split — the eval-hygiene rule
+  // naive random splits break: two copies of one document must land
+  // in the SAME split or the test set leaks into training through
+  // duplicates. Assignment is therefore by DUP CLUSTER, not by doc:
+  // each exact-text group moves wholesale with its keeper's
+  // (min doc_id) deterministic hash — pmod(keeper, 10) → 8/1/1
+  // train/val/test. The output carries the proof: `leaked_texts`
+  // counts texts spanning >1 split and the oracle hashes it, so a
+  // broken assignment cannot match even if the split sizes happen
+  // to. One text-keyed exchange (d1's shape — xxhash-prunable at
+  // scale) plus answer-sized aggregates; nothing corpus-sized
+  // crosses a second exchange.
+  def d40LeakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val assigned = Tables.documents(s, d)
+      .withColumn("ws",
+        expr("cast(size(filter(split(text, ' '), x -> x != '')) as bigint)"))
+      .withColumn("keeper",
+        min(col("doc_id")).over(Window.partitionBy("text")))
+      .withColumn("split",
+        when(pmod(col("keeper"), lit(10)) < 8, "train")
+          .when(pmod(col("keeper"), lit(10)) === 8, "val")
+          .otherwise("test"))
+    val leaks = assigned.groupBy("text")
+      .agg(countDistinct(col("split")).as("ns"))
+      .agg(count(when(col("ns") > 1, 1)).as("leaked_texts"))
+    assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_clusters"),
+        sum("ws").as("ws_tokens"))
+      .crossJoin(broadcast(leaks))
+      .orderBy("split")
+  }
+
   def d37ContaminationScore(s: SparkSession, d: String): DataFrame = {
     val sh4 = docs(s, d).filter(size(col("toks")) >= 4)
       .withColumn("shingles", GraftFunctions.shingle_hashes(col("toks"), 4))
@@ -1505,6 +1538,7 @@ object TextOps {
     "d37_contamination_score" -> (d37ContaminationScore _),
     "d38_tokenizer_fertility" -> (d38TokenizerFertility _),
     "d39_dataset_card" -> (d39DatasetCard _),
+    "d40_leakage_safe_split" -> (d40LeakageSafeSplit _),
     "d36_quality_dedup" -> (d36QualityDedup _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_dedup_ngram_jaccard" -> (d2NgramJaccard _),
@@ -1769,6 +1803,27 @@ object TextOps {
         |SELECT doc_id, lang, quality FROM q
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY doc_id""".stripMargin,
+    "d40_leakage_safe_split" ->
+      """WITH a AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+        |         AS BIGINT) AS ws,
+        |    MIN(doc_id) OVER (PARTITION BY text) AS keeper
+        |  FROM documents),
+        |asg AS (
+        |  SELECT doc_id, text, ws,
+        |    CASE WHEN keeper % 10 < 8 THEN 'train'
+        |         WHEN keeper % 10 = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM a),
+        |lk AS (
+        |  SELECT COUNT(*) FILTER (WHERE ns > 1) AS leaked_texts FROM (
+        |    SELECT text, COUNT(DISTINCT split) AS ns FROM asg GROUP BY text))
+        |SELECT split, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT text) AS n_clusters,
+        |  CAST(SUM(ws) AS BIGINT) AS ws_tokens, lk.leaked_texts
+        |FROM asg CROSS JOIN lk
+        |GROUP BY split, lk.leaked_texts ORDER BY split""".stripMargin,
     "d38_tokenizer_fertility" ->
       """WITH t AS (
         |  SELECT lang,
