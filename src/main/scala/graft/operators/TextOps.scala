@@ -1508,7 +1508,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // d41: QUALITY PRUNE CURVE — the threshold-sweep every filtering
+  // pipeline plots before committing to a cutoff: docs and token
+  // mass per fixed-width score band of d31's classifier, with the
+  // cumulative-from-the-top retention ("keep everything scoring
+  // above X costs Y% of tokens"). Bands are fixed-width
+  // (floor(score/100)), NOT ntile deciles: a decile needs a global
+  // sort of the corpus into one partition, a band is map-side
+  // arithmetic — one groupBy exchange of |bands| rows, then an
+  // answer-sized cumulative window. Score is an exact-long ratio
+  // (d31's), so banding and the retention floats replay bit-exact
+  // in DuckDB.
+  def d41QualityPruneCurve(s: SparkSession, d: String): DataFrame = {
+    val scored = d31QualityClassifier(s, d)
+      .withColumn("band",
+        floor(col("score") / lit(100.0)).cast("long"))
+    val per = scored.groupBy("band")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val w = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("cum_docs", sum("n_docs").over(w))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .crossJoin(broadcast(
+        per.agg(sum(col("n_tokens")).as("total_tokens"))))
+      .withColumn("token_retention",
+        col("cum_tokens").cast("double") / col("total_tokens").cast("double"))
+      .select("band", "n_docs", "n_tokens", "cum_docs", "cum_tokens",
+        "token_retention")
+      .orderBy(col("band").desc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d41_quality_prune_curve" ->
+      ((s: SparkSession, d: String) => d41QualityPruneCurve(s, d)),
     "d30_bpe_pairs" -> ((s: SparkSession, d: String) => d30BpePairs(s, d)),
     "d33_bpe_train" -> ((s: SparkSession, d: String) => d33BpeTrainBatched(s, d)),
     "d34_bpe_encode" -> ((s: SparkSession, d: String) => d34BpeEncode(s, d)),
@@ -1597,6 +1630,45 @@ object TextOps {
         |  FROM v WHERE length(word) >= 2)
         |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    "d41_quality_prune_curve" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(token) + 1),
+        |                       i -> CAST(unicode(token[i]) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007) % 512 AS b
+        |  FROM t),
+        |w AS (SELECT b, (b * 2654435761) % 1000003 - 500001 AS w
+        |      FROM (SELECT unnest(range(0, 512)) AS b)),
+        |sc AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |    CAST(SUM(w.w) AS BIGINT) AS score_sum
+        |  FROM h JOIN w ON h.b = w.b GROUP BY doc_id),
+        |band AS (
+        |  SELECT CAST(floor((CAST(score_sum AS DOUBLE) / n_tokens) / 100.0)
+        |              AS BIGINT) AS band,
+        |    doc_id, n_tokens
+        |  FROM sc),
+        |per AS (
+        |  SELECT band, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM band GROUP BY band),
+        |cum AS (
+        |  SELECT band, n_docs, n_tokens,
+        |    CAST(SUM(n_docs) OVER (ORDER BY band DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY band DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |    CAST((SELECT SUM(n_tokens) FROM per) AS BIGINT) AS total_tokens
+        |  FROM per)
+        |SELECT band, n_docs, n_tokens, cum_docs, cum_tokens,
+        |  CAST(cum_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+        |    AS token_retention
+        |FROM cum ORDER BY band DESC""".stripMargin,
     "d31_quality_classifier" ->
       """WITH t AS (
         |  SELECT doc_id,
