@@ -86,7 +86,14 @@ object Bench {
     // pair shows what the native sink costs vs foreachBatch) and the
     // SQL MERGE INTO statement path (analysis rewrite + key-pruned
     // merge commit + SQL readback, billed through the q87 lifecycle)
-    "s18_stream_native_sink", "q87_sql_merge")
+    "s18_stream_native_sink", "q87_sql_merge",
+    // late round-11 additions: the two-stage rerank cascade (the
+    // corpus-wide prefix-dot pass + bounded exact rerank — the
+    // serving-stack shape whose stage-1 cost must stay the linear
+    // term) and weighted link prediction (the wedge join's Σdeg²
+    // fan-out with exact-long Adamic-Adar sums — the heaviest new
+    // graph-family shape)
+    "e16_rerank_cascade", "g15_link_predict")
 
   /** 1-minute load average, -1.0 if unreadable (non-Linux). */
   private def loadavg(): Double =

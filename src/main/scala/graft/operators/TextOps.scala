@@ -370,12 +370,33 @@ object TextOps {
       .withColumn("ws",
         expr("cast(size(filter(split(text, ' '), x -> x != '')) as bigint)"))
       .withColumn("chars", length(col("text")).cast("long"))
+    // exact distinct-text count per source WITHOUT a text-keyed
+    // exchange (countDistinct(text) would group the corpus' text
+    // bytes): d1's discipline — count per (source, xxhash64(text)),
+    // unique-hash groups are distinct already, and only the
+    // hash-collided rows move their text to split within the hash
+    // partition. PlanInvariantsSpec enforces this shape globally.
+    val hdocs = base.withColumn("h", xxhash64(col("text")))
+    val perH = hdocs.groupBy("source", "h").agg(count(lit(1)).as("nh"))
+    val multiKeys = perH.filter(col("nh") > 1).select("source", "h")
+    val singles = perH.join(multiKeys, Seq("source", "h"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("u1"))
+    val grpW = Window.partitionBy("source", "h").orderBy("text")
+    val collided = hdocs.join(multiKeys, Seq("source", "h"), "left_semi")
+      .select(col("source"), col("h"), col("text"))
+      .withColumn("grp", dense_rank().over(grpW))
+      .groupBy("source", "h").agg(max("grp").cast("long").as("ng"))
+      .groupBy("source").agg(sum("ng").as("u2"))
+    val uniq = singles.join(collided, Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("u1"), lit(0L)) + coalesce(col("u2"), lit(0L)))
+          .as("n_unique_texts"))
     val bySrc = base.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
-      countDistinct(col("text")).as("n_unique_texts"),
       countDistinct(col("lang")).as("n_langs"),
       sum("ws").as("ws_tokens"),
       sum("chars").as("n_chars"))
+      .join(uniq, "source")
     val w = Window.partitionBy("source")
       .orderBy(col("n").desc, col("lang"))
     val top = base.groupBy("source", "lang").agg(count(lit(1)).as("n"))
@@ -408,21 +429,37 @@ object TextOps {
   // scale) plus answer-sized aggregates; nothing corpus-sized
   // crosses a second exchange.
   def d40LeakageSafeSplit(s: SparkSession, d: String): DataFrame = {
-    val assigned = Tables.documents(s, d)
+    // cluster on xxhash64(text), never on text (d1's discipline,
+    // PlanInvariantsSpec-enforced): unique-hash docs are their own
+    // cluster; collided hashes split into exact-text groups inside
+    // the hash partition (dense_rank over text there is fine — the
+    // EXCHANGE is keyed on the 8-byte hash), so only duplicated-hash
+    // rows ever move their text bytes.
+    val docsB = Tables.documents(s, d)
       .withColumn("ws",
         expr("cast(size(filter(split(text, ' '), x -> x != '')) as bigint)"))
-      .withColumn("keeper",
-        min(col("doc_id")).over(Window.partitionBy("text")))
+      .withColumn("h", xxhash64(col("text")))
+    val multiH = docsB.groupBy("h").agg(count(lit(1)).as("nh"))
+      .filter(col("nh") > 1).select("h")
+    val grpW = Window.partitionBy("h").orderBy("text")
+    val collided = docsB.join(multiH, Seq("h"), "left_semi")
+      .withColumn("grp", dense_rank().over(grpW).cast("long"))
+      .select("h", "grp", "doc_id", "ws")
+    val single = docsB.join(multiH, Seq("h"), "left_anti")
+      .select(col("h"), lit(1L).as("grp"), col("doc_id"), col("ws"))
+    val kW = Window.partitionBy("h", "grp")
+    val assigned = single.unionByName(collided)
+      .withColumn("keeper", min(col("doc_id")).over(kW))
       .withColumn("split",
         when(pmod(col("keeper"), lit(10)) < 8, "train")
           .when(pmod(col("keeper"), lit(10)) === 8, "val")
           .otherwise("test"))
-    val leaks = assigned.groupBy("text")
+    val leaks = assigned.groupBy("h", "grp")
       .agg(countDistinct(col("split")).as("ns"))
       .agg(count(when(col("ns") > 1, 1)).as("leaked_texts"))
     assigned.groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("text")).as("n_clusters"),
+        countDistinct(col("h"), col("grp")).as("n_clusters"),
         sum("ws").as("ws_tokens"))
       .crossJoin(broadcast(leaks))
       .orderBy("split")
@@ -1525,11 +1562,18 @@ object TextOps {
         floor(col("score") / lit(100.0)).cast("long"))
     val per = scored.groupBy("band")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
-    val w = Window.orderBy(col("band").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    per
-      .withColumn("cum_docs", sum("n_docs").over(w))
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
+    // cumulative-from-the-top over the band table: a hinted
+    // broadcast theta-join, NOT a global window — the band domain is
+    // fixed by d31's weight modulus (|score| < 500001 ⇒ ≤ ~10k
+    // bands regardless of corpus size), so the |bands|² pair space
+    // is corpus-independent and the plan never funnels corpus rows
+    // through one task (PlanInvariantsSpec would flag the window
+    // form).
+    val perB = per.select(col("band").as("b2"),
+      col("n_docs").as("nd2"), col("n_tokens").as("nt2"))
+    per.join(broadcast(perB), col("b2") >= col("band"))
+      .groupBy("band", "n_docs", "n_tokens")
+      .agg(sum("nd2").as("cum_docs"), sum("nt2").as("cum_tokens"))
       .crossJoin(broadcast(
         per.agg(sum(col("n_tokens")).as("total_tokens"))))
       .withColumn("token_retention",
