@@ -341,11 +341,29 @@ object Events {
   // score is summation-order-independent — double-summed floats
   // would hash-flicker across partitionings; the quotient only
   // becomes a double once, at the end, identically in DuckDB.
-  // Scale shape = g10/g16's wedge join: per-z cost is deg², the
-  // documented hub control; the anti-join drops existing edges;
-  // TakeOrderedAndProject keeps O(k) rows per partition.
-  def g15LinkPredict(s: SparkSession, d: String, k: Int = 100): DataFrame = {
-    val e = coPurchaseSym(s, d).localCheckpoint()
+  // Scale shape: the wedge join's cost is Σdeg², and the co-purchase
+  // graph DENSIFIES with corpus size (same parts, more orders ⇒ deg
+  // grows ∝ corpus ⇒ Σdeg² grows quadratically — measured 15×/decade
+  // before the control). The control is standard k-NN-graph
+  // SPARSIFICATION: each node keeps only its `cap` strongest
+  // partners (support desc, partner asc — deterministic), kept
+  // symmetric by the either-side union, bounding wedge cost at
+  // nodes·(2·cap)². Provably a no-op at test SFs (max degree is 6
+  // at sf0.1 — EventsSpec asserts capped ≡ uncapped), so the DuckDB
+  // oracle needn't model it; at 100 TB the cap is the knob that
+  // trades tail-partner wedges for linearity, and AA already weights
+  // the dropped hub wedges near zero. The anti-join drops existing
+  // edges; TakeOrderedAndProject keeps O(k) rows per partition.
+  def g15LinkPredict(s: SparkSession, d: String, k: Int = 100,
+                     cap: Int = 32): DataFrame = {
+    val rnW = Window.partitionBy("x").orderBy(col("sup").desc, col("y"))
+    val kept = coPurchaseSymW(s, d)
+      .withColumn("rn", row_number().over(rnW))
+      .filter(col("rn") <= cap).select("x", "y")
+    val e = kept
+      .unionByName(kept.select(col("y").as("x"), col("x").as("y")))
+      .distinct()
+      .localCheckpoint()
     val deg = e.groupBy("x").agg(count(lit(1)).as("deg"))
     // deg-1 hubs can't close a wedge (one neighbor) but ANSI mode
     // evaluates the projection for their rows too — guard ln(1)=0

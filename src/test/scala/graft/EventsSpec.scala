@@ -420,6 +420,18 @@ class EventsSpec extends SparkSpec {
     assert(byNode == again, "pagerank must be bit-deterministic")
   }
 
+  test("g15 sparsification cap is unhit at test SF: capped == uncapped") {
+    // the scale control (top-cap strongest partners per node) must be
+    // a provable NO-OP at oracle SFs — otherwise the DuckDB oracle,
+    // which models the uncapped graph, would diverge
+    val capped = Events.g15LinkPredict(spark, sf).collect().map(_.toSeq)
+    val uncapped = Events.g15LinkPredict(spark, sf, cap = Int.MaxValue)
+      .collect().map(_.toSeq)
+    assert(capped.toSeq == uncapped.toSeq,
+      "g15's default cap binds at test SF — oracle exactness broken")
+    assert(capped.nonEmpty)
+  }
+
   test("g1 components are canonical min labels") {
     // operator takes the graph unbounded — run it on the full membership
     val rows = Events.g1ConnectedComponents(Events.membership(spark, sf)).collect()
