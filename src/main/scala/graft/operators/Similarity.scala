@@ -196,6 +196,54 @@ object Similarity {
     topKPerQuery(full, 5)
   }
 
+  // e17: REMOVAL REQUESTS against a served vector index — the
+  // right-to-be-forgotten path every production retrieval stack
+  // needs and most bolt on late: the index is a transactional
+  // GraftTable of exact quantized rows (vec_id, q, nrm, cell), a
+  // removal batch is ONE stats-pruned copy-on-write deleteWhere
+  // commit on it (only the files whose vec_id range may contain
+  // removed ids are touched — at 100 TB the delete costs the
+  // removal batch's file coverage, never the index), and the very
+  // next serving read answers from the post-delete snapshot with no
+  // rebuild, no tombstone side-table, no index downtime. Queries
+  // here probe ALL cells (exact — the index stores full-width
+  // quantized vectors), so DuckDB replays the answer over the
+  // surviving corpus bit-exactly: a leaked deleted vector, or one
+  // over-deleted neighbor, flips the hash. Production probes
+  // nProbe<cells (e4's path on the same layout); correctness of the
+  // removal propagation is what this entry pins.
+  private val removalIdx = scala.collection.concurrent.TrieMap
+    .empty[String, graft.sources.GraftTable]
+
+  def e17IndexRemoval(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.GraftTable
+    val t = removalIdx.synchronized {
+      removalIdx.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_e17").toString + "/idx"
+        val rows = quantized(s, d)
+          .withColumn("cell", pmod(col("vec_id"), lit(8L)))
+          .select("vec_id", "q", "nrm", "cell")
+          .repartitionByRange(8, col("vec_id")) // vec_id file stats
+        val t0 = GraftTable.create(s, root, rows)            // v1
+        t0.deleteWhere(pmod(col("vec_id"), lit(9)) === 2)    // v2: removal
+        t0
+      })
+    }
+    val emb = quantized(s, d)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+    val scored = t.read()
+      .select(col("vec_id").as("nid"), col("q"), col("nrm"))
+      .crossJoin(broadcast(qs))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("dot", GraftFunctions.long_dot(col("q"), col("qq")))
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          (sqrt(col("nrm").cast("double")) * sqrt(col("qn").cast("double"))))
+    topKPerQuery(scored, 5)
+  }
+
   // e2: LSH-bucketed ANN — the 100 TB path: random-hyperplane signs
   // (hash-derived ±1 weights, no RNG state) bucket the corpus; probes
   // touch one bucket instead of N. Uses the codegen'd CosineSim.
@@ -1730,6 +1778,7 @@ object Similarity {
     "e14_filtered_knn" -> (e14FilteredKnn _),
     "e15_hybrid_rrf" -> (e15HybridRrf _),
     "e16_rerank_cascade" -> (e16RerankCascade _),
+    "e17_index_removal" -> (e17IndexRemoval _),
     "e2_knn_lsh" -> (e2KnnLsh _),
     "e4_knn_ivf" -> ((s: SparkSession, d: String) => e4KnnIvf(s, d)),
     "e6_mmr_rerank" -> ((s: SparkSession, d: String) => e6MmrRerank(s, d)),
@@ -1847,6 +1896,27 @@ object Similarity {
         |                     i -> CAST(unicode(text[CAST(i * k + 1 AS INTEGER)]) AS BIGINT))),
         |    (a, c) -> (a * 31 + c) % 1000000007) AS thumb_hash
         |FROM dims ORDER BY doc_id""".stripMargin,
+    "e17_index_removal" ->
+      """WITH v AS (
+        |  SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings, range(1, 65) t(i) WHERE i <= len(embedding)),
+        |n AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nrm FROM v GROUP BY 1),
+        |d AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+        |  FROM v a JOIN v b ON a.i = b.i AND a.vec_id < 10
+        |    AND b.vec_id <> a.vec_id AND b.vec_id % 9 <> 2
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT qid, nid,
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cosine
+        |  FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = nid)
+        |SELECT qid, nid, cosine, rnk FROM (
+        |  SELECT qid, nid, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+        |  FROM c) t
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "e16_rerank_cascade" ->
       """WITH v AS (
         |  SELECT vec_id, i,
