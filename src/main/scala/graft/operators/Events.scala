@@ -996,8 +996,9 @@ object Events {
         |deg AS MATERIALIZED (SELECT x, COUNT(*) AS deg FROM e GROUP BY 1),
         |ez AS MATERIALIZED (
         |  SELECT e.x AS z, e.y AS n,
-        |    CAST(floor(1000000000.0 / ln(CAST(deg.deg AS DOUBLE)))
-        |         AS BIGINT) AS aaq
+        |    CASE WHEN deg.deg < 2 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(floor(1000000000.0 / ln(CAST(deg.deg AS DOUBLE)))
+        |              AS BIGINT) END AS aaq
         |  FROM e JOIN deg ON deg.x = e.x),
         |cn AS (
         |  SELECT l.n AS a, r.n AS b, COUNT(*) AS common,

@@ -386,10 +386,11 @@ object Lakehouse {
             .repartitionByRange(6, col("o_orderkey")))             // v1
         t.append(orders.filter(col("o_orderstatus") === "O"))      // v2
         val c = t.cloneTo(s"$base/clone")                          // clone v1
-        require(!java.nio.file.Files.walk(
-          java.nio.file.Paths.get(s"$base/clone")).toArray.exists(
-          _.toString.endsWith(".parquet")),
-          "shallow clone staged data files — not zero-copy")
+        val walk = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$base/clone"))
+        val copied = try walk.toArray.exists(
+          _.toString.endsWith(".parquet")) finally walk.close()
+        require(!copied, "shallow clone staged data files — not zero-copy")
         c.deleteWhere(pmod(col("o_orderkey"), lit(7)) === 0)       // clone v2
         require(t.latestVersion == 2,
           s"clone DML advanced the source log to v${t.latestVersion}")

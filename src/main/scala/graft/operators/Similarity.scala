@@ -160,9 +160,11 @@ object Similarity {
   // e16: two-stage RERANK CASCADE — the production retrieval shape
   // (FAISS/ScaNN's "coarse scorer prunes, exact scorer reranks"):
   // stage 1 scores the WHOLE corpus with an 8-of-64-dim prefix dot —
-  // with columnar vectors that pass reads 1/8 of the embedding
-  // bytes (the ADC/PQ cost model, kept exact here so DuckDB can
-  // replay it) — and keeps top-C=50 candidates per query via the
+  // 1/8 of e1's quantization + dot compute (and with a dims-split
+  // vector layout, 1/8 of the bytes too; parquet stores the array
+  // column whole, so here the win is compute — the ADC/PQ cost
+  // model, kept exact so DuckDB can replay it) — and keeps
+  // top-C=50 candidates per query via the
   // bounded top_k aggregate (O(partitions·Q·C) exchange, never the
   // scored corpus). Stage 2 computes the full 64-dim cosine ONLY on
   // the C survivors — Q·C rows, answer-scale — and reranks to the
@@ -172,7 +174,13 @@ object Similarity {
   // (ROW_NUMBER replay in DuckDB; both stages tie-break by id, the
   // top_k rule).
   def e16RerankCascade(s: SparkSession, d: String): DataFrame = {
-    val emb = quantized(s, d).withColumn("qp", expr("slice(q, 1, 8)"))
+    // qp quantizes ONLY the 8-dim slice (transform over slice, not
+    // slice of the full-width transform — Catalyst can't rewrite the
+    // latter, which would pay e1's full quantization in the corpus
+    // pass); bit-identical values either way, 1/8 the stage-1 compute
+    val emb = quantized(s, d).withColumn("qp", expr(
+      "transform(slice(embedding, 1, 8), " +
+        "x -> cast(floor(cast(x as double) * 1000) as bigint))"))
     val qs = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("q").as("qq"),
         col("nrm").as("qn"), col("qp").as("qqp"))

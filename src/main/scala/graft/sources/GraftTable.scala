@@ -1027,7 +1027,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
   /** Checkpoint body at `v`: header, schema, the full live set (with
     * stats) and the committed-tag ledger.
     */
-  private def checkpointBody(v: Long): Array[Byte] = {
+  private def checkpointBody(v: Long,
+                             extraTags: Iterable[String] = Nil)
+      : Array[Byte] = {
     val b = new StringBuilder(s"graft-ckpt\t$v\n")
     schemaAt(v).foreach(sc => b.append(s"schema\t${sc.json}\n"))
     val cons = constraintsAt(v)
@@ -1047,7 +1049,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
       m.dv.foreach(d =>
         b.append(s"filedv\t$p\t${d.path}\t${d.bytes}\t${d.nDeleted}\n"))
     }
-    tagsAsOf(v).toSeq.sorted.foreach(t => b.append(s"tag\t$t\n"))
+    (tagsAsOf(v) ++ extraTags).toSeq.distinct.sorted
+      .foreach(t => b.append(s"tag\t$t\n"))
     b.toString.getBytes(UTF_8)
   }
 
@@ -1743,7 +1746,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
     def readDv(dirs: Seq[String]) = s.read
       .schema(new StructType().add("__file", StringType)
         .add("__pos", LongType)) // explicit: an empty stage stays readable
-      .parquet(dirs.map(d => s"$root/$d"): _*)
+      .parquet(dirs.map(absOf): _*) // absOf: a clone's INHERITED dvs
+      // are absolute source paths — resolving them under this root
+      // would fail (or worse, silently resurrect the masked rows)
     def stageDv(df: DataFrame, ways: Int): String = {
       val sub = s"$DvDir/${java.util.UUID.randomUUID.toString.take(12)}"
       // repartition, not coalesce: coalesce would collapse the
@@ -2393,6 +2398,18 @@ class GraftTable private (val s: SparkSession, val root: String) {
         m.dv.map(d => absOf(p) -> d.copy(path = absOf(d.path))) },
       bloomIdx = Some(bloomIndexAt(v)),
       colmap = Some(colmapAt(v)))
+    // carry the COMMITTED-TAG LEDGER (Delta CLONE copies txn
+    // identifiers for exactly this): a streaming query repointed at
+    // the clone with its old checkpoint must see its already-landed
+    // epochs as committed, or replay would double-land them. Seeded
+    // as a v1 checkpoint so later checkpoints (which fold the newest
+    // ledger forward) and vacuum both preserve it.
+    val srcTags = tagsAsOf(v)
+    if (srcTags.nonEmpty) {
+      dest.publish(dest.ckptPath(1L), dest.checkpointBody(1L, srcTags))
+      dest.tagCache = None // rebuilt from the seeded ledger on next read
+      ()
+    }
     dest
   }
 
@@ -2418,6 +2435,14 @@ class GraftTable private (val s: SparkSession, val root: String) {
     require(colmapAt(v).isIdentity,
       "manifest export refused: active column mapping — raw parquet " +
         "readers would see physical column names")
+    // partition values live in the PATH, not the files (partitionBy
+    // strips the column): a raw reader over bare manifest paths would
+    // silently lose the partition column — same refusal class
+    partColOf(resolveMeta(v).keys).foreach { pc =>
+      throw new IllegalArgumentException(
+        s"manifest export refused: table is hive-partitioned on '$pc' " +
+          "— raw manifest readers would lose the partition column")
+    }
     val dir = new Path(rootPath, ManifestDir)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val out = new Path(dir, f"manifest-v$v%012d.txt")

@@ -132,4 +132,51 @@ class GraftCloneSpec extends SparkSpec {
     // a non-empty destination refuses
     intercept[IllegalArgumentException] { src2.cloneTo(srcRoot) }
   }
+
+  test("MoR DML on a clone supersedes INHERITED (absolute-path) dvs correctly") {
+    val src = GraftTable.create(spark, freshRoot("msrc"), orders())
+    val hi = Tables.orders(spark, sf).agg(max("o_orderkey")).head.getLong(0)
+    src.deleteWhere(pmod(col("o_orderkey"), lit(5)) === 1, mor = true)
+    val c = src.cloneTo(freshRoot("mdst"))
+    // a second MoR delete on the CLONE must fold the inherited dv's
+    // positions in (supersede) — resolving the inherited sidecar's
+    // absolute path under the clone root would fail or resurrect
+    val want = multiset(src.read()
+      .filter(!(col("o_orderkey") <= lit(hi / 2) &&
+        pmod(col("o_orderkey"), lit(7)) === 3)))
+    c.deleteWhere(col("o_orderkey") <= lit(hi / 2) &&
+      pmod(col("o_orderkey"), lit(7)) === 3, mor = true)
+    assert(multiset(c.read()) == want,
+      "MoR delete on a dv-carrying clone lost or resurrected rows")
+    // neither delete generation leaked: the first MoR delete's rows
+    // stay dead too
+    assert(c.read().filter(pmod(col("o_orderkey"), lit(5)) === 1).count()
+      == 0, "inherited dv positions resurrected")
+  }
+
+  test("clone carries the committed-tag ledger: replayed epochs no-op") {
+    val src = GraftTable.create(spark, freshRoot("tsrc"), orders())
+    val batch = orders().filter(col("o_orderstatus") === "P")
+      .withColumn("o_orderkey", col("o_orderkey") + lit(200000000L))
+    assert(src.appendIdempotent(batch, "epoch-7").isDefined)
+    val c = src.cloneTo(freshRoot("tdst"))
+    val want = multiset(c.read())
+    // the stream repointed at the clone replays its checkpointed
+    // epoch: the ledger carried over, so the re-land must NO-OP
+    assert(c.appendIdempotent(batch, "epoch-7").isEmpty,
+      "clone lost the source's committed-tag ledger — epoch re-landed")
+    assert(multiset(c.read()) == want, "replayed epoch changed the clone")
+    // a genuinely new epoch still lands
+    assert(c.appendIdempotent(batch
+      .withColumn("o_orderkey", col("o_orderkey") + lit(1L)), "epoch-8")
+      .isDefined)
+  }
+
+  test("manifest export refuses a hive-partitioned table") {
+    val root = freshRoot("psrc")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(orders()
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(4L))), "bucket")
+    intercept[IllegalArgumentException] { t.exportManifest() }
+  }
 }
