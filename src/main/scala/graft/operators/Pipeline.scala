@@ -312,7 +312,44 @@ object Pipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  // p9: GOVERNED RELEASE — the pre-publication pass a dataset
+  // release runs end-to-end, composing the round's governance
+  // operators: exact dedup (d1's min-doc_id keeper rule), benchmark
+  // DECONTAMINATION (any survivor sharing a 4-gram shingle with the
+  // held-out slice is dropped, and the held-out slice itself never
+  // ships — d11/d37's rule), leakage-safe SPLIT assignment (d40's
+  // discipline; survivors ARE cluster keepers, so assignment is
+  // direct arithmetic on doc_id), and the per-split release card.
+  // Cost shape: one hash-keyed dedup exchange, one shingle pass with
+  // the benchmark side broadcast (map-only probe at scale), then
+  // answer-sized aggregates — the corpus crosses exactly two
+  // exchanges end-to-end.
+  def p9ReleaseCorpus(s: SparkSession, d: String): DataFrame = {
+    val kept = dedupKeepFirst(Tables.documents(s, d))
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+    val sh = kept.filter(size(col("toks")) >= 4)
+      .withColumn("g",
+        explode(GraftFunctions.shingle_hashes(col("toks"), 4)))
+      .select("doc_id", "g")
+    val bench = sh.filter(pmod(col("doc_id"), lit(23)) === 7)
+      .select("g").distinct()
+    val contaminated = sh.filter(pmod(col("doc_id"), lit(23)) =!= 7)
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    kept.filter(pmod(col("doc_id"), lit(23)) =!= 7)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("ws", size(col("toks")).cast("long"))
+      .withColumn("split",
+        when(pmod(col("doc_id"), lit(10)) < 8, "train")
+          .when(pmod(col("doc_id"), lit(10)) === 8, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("ws").as("ws_tokens"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p9_release_corpus" -> (p9ReleaseCorpus _),
     "p8_rag_corpus" -> (p8RagCorpus _),
     "p7_lakehouse_corpus" -> (p7LakehouseCorpus _),
     "p6_media_corpus" -> (p6MediaCorpus _),
@@ -326,6 +363,32 @@ object Pipeline {
   val oracles: Map[String, String] = Map(
     // d13's chunk algebra + first-(doc,idx)-per-distinct-chunk dedup
     // + lang join + the rolling-hash fingerprint, composed
+    "p9_release_corpus" ->
+      """WITH k AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+        |kd AS (
+        |  SELECT d.doc_id, d.text,
+        |    list_filter(string_split(d.text, ' '), x -> x != '') AS w
+        |  FROM documents d JOIN k USING (doc_id)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(0, len(w)-3),
+        |      i -> array_to_string(w[i+1:i+4], ' ')))) AS g
+        |  FROM kd WHERE len(w) >= 4),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 23 = 7),
+        |cont AS (
+        |  SELECT DISTINCT doc_id FROM sh
+        |  WHERE doc_id % 23 <> 7 AND g IN (SELECT g FROM bench)),
+        |rel AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS ws,
+        |    CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |         WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split
+        |  FROM kd
+        |  WHERE doc_id % 23 <> 7
+        |    AND doc_id NOT IN (SELECT doc_id FROM cont))
+        |SELECT split, COUNT(*) AS n_docs,
+        |  CAST(SUM(ws) AS BIGINT) AS ws_tokens
+        |FROM rel GROUP BY split ORDER BY split""".stripMargin,
     "p8_rag_corpus" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
