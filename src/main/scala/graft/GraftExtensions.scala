@@ -31,5 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // commit-log introspection as SQL table functions
     // (graft_history / graft_files / graft_vacuum_plan)
     graft.sources.GraftTvf.tableFunctions.foreach(e.injectTableFunction)
+    // maintenance STATEMENTS (Delta's VACUUM/OPTIMIZE/CLONE/GENERATE
+    // family): GRAFT VACUUM / OPTIMIZE / CLONE / GENERATE MANIFEST,
+    // parsed by a thin wrapper that delegates everything else
+    e.injectParser((_, delegate) =>
+      new graft.sources.GraftSqlParser(delegate))
   }
 }

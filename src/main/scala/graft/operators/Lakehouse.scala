@@ -408,7 +408,54 @@ object Lakehouse {
       .orderBy("side", "o_orderstatus")
   }
 
+  // q90: the MAINTENANCE-STATEMENT SQL surface end-to-end — the
+  // operations-engineer flow issued exactly as SQL: ingest lands
+  // fragmented (8 undersized files), `GRAFT OPTIMIZE` compacts them
+  // in one content-neutral commit, `GRAFT CLONE` forks a dev copy,
+  // a DML diverges the clone, and the result reads BOTH tables back
+  // through the SQL catalog — so the hash covers the injected
+  // parser, the runnable commands, the clone isolation AND the
+  // serving reads. The oracle replays the content algebra (OPTIMIZE
+  // is content-neutral by contract; a compaction that leaked or
+  // duplicated a row cannot match).
+  private val sqlMaint = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  def q90SqlMaintenance(s: SparkSession, d: String): DataFrame = {
+    val (src, cl) = sqlMaint.synchronized {
+      sqlMaint.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_sql_maint").toString
+        val orders = Tables.orders(s, d).select(
+          "o_orderkey", "o_orderstatus", "o_totalprice")
+        val t = GraftTable.create(s, s"$base/src",
+          orders.filter(col("o_orderstatus") =!= "P").repartition(8)) // v1
+        s.sql(s"GRAFT OPTIMIZE '$base/src'")                          // v2
+        require(t.liveFiles().size < 8,
+          "GRAFT OPTIMIZE left the fragmented layout in place")
+        s.sql(s"GRAFT CLONE '$base/src' TO '$base/dev'")              // dev v1
+        GraftTable.forPath(s, s"$base/dev")
+          .deleteWhere(pmod(col("o_orderkey"), lit(3)) === 0)         // dev v2
+        require(t.latestVersion == 2,
+          "clone DML advanced the source log")
+        (s"$base/src", s"$base/dev")
+      })
+    }
+    s.conf.set("spark.sql.catalog.gsql",
+      classOf[graft.sources.GraftCatalog].getName)
+    def side(root: String, tag: String) =
+      s.sql(s"SELECT * FROM gsql.`$root`")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total_price"))
+        .select(lit(tag).as("side"), col("o_orderstatus"),
+          col("n_orders"), col("total_price"))
+    side(src, "source").unionByName(side(cl, "dev"))
+      .orderBy("side", "o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_sql_maintenance" -> (q90SqlMaintenance _),
     "q89_shallow_clone" -> (q89ShallowClone _),
     "q86_sql_update" -> (q86SqlUpdate _),
     "q87_sql_merge" -> (q87SqlMerge _),
@@ -468,6 +515,24 @@ object Lakehouse {
         |    AS total_price
         |FROM orders WHERE o_orderstatus IN ('F', 'O')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q90_sql_maintenance" ->
+      """WITH np AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderstatus <> 'P'),
+        |dev AS (SELECT * FROM np WHERE o_orderkey % 3 <> 0),
+        |agg AS (
+        |  SELECT 'source' AS side, o_orderstatus,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_price
+        |  FROM np GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'dev' AS side, o_orderstatus,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_price
+        |  FROM dev GROUP BY o_orderstatus)
+        |SELECT * FROM agg ORDER BY side, o_orderstatus""".stripMargin,
     "q89_shallow_clone" ->
       """WITH fo AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -1,0 +1,161 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+
+/** The MAINTENANCE-STATEMENT SQL surface (Delta's `VACUUM` /
+  * `OPTIMIZE` / `CLONE` / `GENERATE` statements): a tiny injected
+  * parser recognizes the `GRAFT …` statement family and routes each
+  * into the corresponding [[GraftTable]] verb as a runnable command —
+  * execution happens exactly once at command run (never at analysis,
+  * which Spark may repeat), and every other statement falls through
+  * to Spark's own parser untouched.
+  *
+  * {{{
+  *   GRAFT VACUUM '/data/t'                          -- verb defaults
+  *   GRAFT VACUUM '/data/t' RETAIN 4 VERSIONS DRY RUN
+  *   GRAFT OPTIMIZE '/data/t'                        -- 1 GiB target
+  *   GRAFT OPTIMIZE '/data/t' TARGET 268435456
+  *   GRAFT CLONE '/data/t' TO '/data/t_dev'          -- shallow clone
+  *   GRAFT CLONE '/data/t' TO '/data/t_dev' VERSION AS OF 3
+  *   GRAFT GENERATE MANIFEST FOR '/data/t'
+  * }}}
+  *
+  * All four are driver-side O(log) metadata operations (OPTIMIZE
+  * additionally runs the undersized-file rewrite job) — the
+  * statements cost what their verbs cost, nothing more.
+  */
+object GraftSqlCommands {
+
+  private val VacuumRe =
+    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
+  private val OptimizeRe =
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+TARGET\s+(\d+))?\s*;?\s*""".r
+  private val CloneRe =
+    """(?is)\s*GRAFT\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val ManifestRe =
+    """(?is)\s*GRAFT\s+GENERATE\s+MANIFEST\s+FOR\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+
+  /** Some(plan) when `sqlText` is a graft maintenance statement. A
+    * text that LEADS with GRAFT but matches no statement shape is a
+    * loud error, never a silent fall-through to Spark (which would
+    * produce a baffling parse error against the wrong grammar).
+    */
+  def maintenancePlan(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case VacuumRe(path, retain, dry) =>
+        Some(GraftVacuumCommand(path,
+          Option(retain).map(_.toInt).getOrElse(2), dry != null))
+      case OptimizeRe(path, target) =>
+        Some(GraftOptimizeCommand(path,
+          Option(target).map(_.toLong).getOrElse(1L << 30)))
+      case CloneRe(src, dst, v) =>
+        Some(GraftCloneCommand(src, dst,
+          Option(v).map(_.toLong).getOrElse(-1L)))
+      case ManifestRe(path, v) =>
+        Some(GraftManifestCommand(path,
+          Option(v).map(_.toLong).getOrElse(-1L)))
+      case t if t.trim.toUpperCase.startsWith("GRAFT ") =>
+        throw new IllegalArgumentException(
+          "unrecognized GRAFT statement — supported: GRAFT VACUUM " +
+            "'<path>' [RETAIN n VERSIONS] [DRY RUN] | GRAFT OPTIMIZE " +
+            "'<path>' [TARGET bytes] | GRAFT CLONE '<src>' TO '<dst>' " +
+            "[VERSION AS OF n] | GRAFT GENERATE MANIFEST FOR '<path>' " +
+            "[VERSION AS OF n]")
+      case _ => None
+    }
+}
+
+/** `GRAFT VACUUM`: the reclaim list (dry run) or the reclaim itself —
+  * rows are the plan vacuum executes verbatim (vacuumPlan's
+  * dry-run/execution can't-disagree contract). Uses the verb's
+  * default 10-minute orphan grace: a DRY RUN shows exactly what an
+  * immediate VACUUM would delete.
+  */
+case class GraftVacuumCommand(path: String, retain: Int,
+                              dryRun: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] = {
+    val t = GraftTable.forPath(s, path)
+    val p = t.vacuumPlan(retain)
+    if (!dryRun) t.vacuum(retain)
+    p.files.map { case (r, b) => Row("file", r, b) } ++
+      p.commits.map(v => Row("commit", f"v$v%012d", 0L)) ++
+      p.checkpoints.map(v => Row("checkpoint", f"ckpt-v$v%012d", 0L))
+  }
+}
+
+/** `GRAFT OPTIMIZE`: [[GraftTable.compact]] — one atomic commit
+  * swapping undersized files, compliant files untouched. Returns the
+  * table version after the command (unchanged when nothing was
+  * undersized — compact's no-op contract).
+  */
+case class GraftOptimizeCommand(path: String, targetBytes: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(GraftTable.forPath(s, path).compact(targetBytes)))
+}
+
+/** `GRAFT CLONE`: [[GraftTable.cloneTo]] — the zero-copy shallow
+  * clone as a statement. Returns (source_version, dest_root).
+  */
+case class GraftCloneCommand(src: String, dst: String, version: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("source_version", LongType, nullable = false)(),
+    AttributeReference("dest_root", StringType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] = {
+    val t = GraftTable.forPath(s, src)
+    val v = if (version < 0) t.latestVersion else version
+    t.cloneTo(dst, version)
+    Seq(Row(v, dst))
+  }
+}
+
+/** `GRAFT GENERATE MANIFEST FOR`: [[GraftTable.exportManifest]] —
+  * returns the manifest file's path; inherits the verb's dv /
+  * column-mapping / hive-partitioning refusals.
+  */
+case class GraftManifestCommand(path: String, version: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("manifest_path", StringType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(GraftTable.forPath(s, path).exportManifest(version)))
+}
+
+/** The injected parser: claims the `GRAFT …` statement family,
+  * delegates EVERYTHING else (expressions, identifiers, schemas,
+  * every non-GRAFT statement) to Spark's own parser unchanged.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlCommands.maintenancePlan(sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
