@@ -21,6 +21,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   GRAFT VACUUM '/data/t' RETAIN 4 VERSIONS DRY RUN
   *   GRAFT OPTIMIZE '/data/t'                        -- 1 GiB target
   *   GRAFT OPTIMIZE '/data/t' TARGET 268435456
+  *   GRAFT OPTIMIZE '/data/t' ZORDER BY (x, y)       -- Morton re-cluster
+  *   GRAFT OPTIMIZE '/data/t' ZORDER BY (x, y) FILES 16
   *   GRAFT CLONE '/data/t' TO '/data/t_dev'          -- shallow clone
   *   GRAFT CLONE '/data/t' TO '/data/t_dev' VERSION AS OF 3
   *   GRAFT GENERATE MANIFEST FOR '/data/t'
@@ -36,6 +38,8 @@ object GraftSqlCommands {
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val OptimizeRe =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+TARGET\s+(\d+))?\s*;?\s*""".r
+  private val ZOrderRe =
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
   private val CloneRe =
     """(?is)\s*GRAFT\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val ManifestRe =
@@ -51,6 +55,10 @@ object GraftSqlCommands {
       case VacuumRe(path, retain, dry) =>
         Some(GraftVacuumCommand(path,
           Option(retain).map(_.toInt).getOrElse(2), dry != null))
+      case ZOrderRe(path, dimA, dimB, files) => // before plain OPTIMIZE:
+        // the broader regex would otherwise reject the ZORDER suffix
+        Some(GraftZOrderCommand(path, dimA, dimB,
+          Option(files).map(_.toInt).getOrElse(8)))
       case OptimizeRe(path, target) =>
         Some(GraftOptimizeCommand(path,
           Option(target).map(_.toLong).getOrElse(1L << 30)))
@@ -64,9 +72,9 @@ object GraftSqlCommands {
         throw new IllegalArgumentException(
           "unrecognized GRAFT statement — supported: GRAFT VACUUM " +
             "'<path>' [RETAIN n VERSIONS] [DRY RUN] | GRAFT OPTIMIZE " +
-            "'<path>' [TARGET bytes] | GRAFT CLONE '<src>' TO '<dst>' " +
-            "[VERSION AS OF n] | GRAFT GENERATE MANIFEST FOR '<path>' " +
-            "[VERSION AS OF n]")
+            "'<path>' [TARGET bytes | ZORDER BY (a, b) [FILES n]] | " +
+            "GRAFT CLONE '<src>' TO '<dst>' [VERSION AS OF n] | " +
+            "GRAFT GENERATE MANIFEST FOR '<path>' [VERSION AS OF n]")
       case _ => None
     }
 }
@@ -104,6 +112,19 @@ case class GraftOptimizeCommand(path: String, targetBytes: Long)
     AttributeReference("version", LongType, nullable = false)())
   override def run(s: SparkSession): Seq[Row] =
     Seq(Row(GraftTable.forPath(s, path).compact(targetBytes)))
+}
+
+/** `GRAFT OPTIMIZE … ZORDER BY (a, b)`: [[GraftTable.compactZOrder]]
+  * — Delta's OPTIMIZE ZORDER as a statement: one atomic commit
+  * swapping the live set for ~FILES Morton-clustered files whose
+  * footer stats prune on BOTH dimensions. Returns the new version.
+  */
+case class GraftZOrderCommand(path: String, dimA: String, dimB: String,
+                              numFiles: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(GraftTable.forPath(s, path).compactZOrder(dimA, dimB, numFiles)))
 }
 
 /** `GRAFT CLONE`: [[GraftTable.cloneTo]] — the zero-copy shallow

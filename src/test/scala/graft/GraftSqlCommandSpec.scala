@@ -78,6 +78,20 @@ class GraftSqlCommandSpec extends SparkSpec {
     assert(e.getMessage.contains("deletion vectors"))
   }
 
+  test("GRAFT OPTIMIZE ZORDER BY re-clusters content-neutrally") {
+    val root = freshRoot("zord")
+    val t = GraftTable.create(spark, root,
+      orders().withColumn("k2", pmod(col("o_orderkey"), lit(97L)))
+        .repartition(8))
+    val want = multiset(t.read())
+    val v = spark
+      .sql(s"GRAFT OPTIMIZE '$root' ZORDER BY (o_orderkey, k2) FILES 4")
+      .collect().head.getLong(0)
+    assert(v == 2, s"ZORDER should commit v2, got v$v")
+    assert(multiset(t.read()) == want, "ZORDER changed content")
+    assert(t.liveFiles().size <= 4, "FILES bound not honored")
+  }
+
   test("unknown GRAFT statements fail loudly; ordinary SQL falls through") {
     val e = intercept[IllegalArgumentException] {
       spark.sql("GRAFT FROBNICATE '/x'") }
