@@ -397,16 +397,25 @@ object Lakehouse {
         (t, c)
       })
     }
-    def side(t: GraftTable, tag: String) = t.read()
-      .groupBy("o_orderstatus")
+    sideBySide(statusAgg(src.read(), "source"),
+      statusAgg(cl.read(), "clone"))
+  }
+
+  /** The shared two-table comparison shape q89/q90 hash: per-status
+    * counts and decimal-exact totals, tagged by side. ONE definition
+    * so the rounding/cast contract cannot silently diverge between
+    * the clone entries.
+    */
+  private def statusAgg(df: DataFrame, tag: String): DataFrame =
+    df.groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(18,2)"))
           .cast("double").as("total_price"))
       .select(lit(tag).as("side"), col("o_orderstatus"),
         col("n_orders"), col("total_price"))
-    side(src, "source").unionByName(side(cl, "clone"))
-      .orderBy("side", "o_orderstatus")
-  }
+
+  private def sideBySide(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).orderBy("side", "o_orderstatus")
 
   // q90: the MAINTENANCE-STATEMENT SQL surface end-to-end — the
   // operations-engineer flow issued exactly as SQL: ingest lands
@@ -429,7 +438,12 @@ object Lakehouse {
           "o_orderkey", "o_orderstatus", "o_totalprice")
         val t = GraftTable.create(s, s"$base/src",
           orders.filter(col("o_orderstatus") =!= "P").repartition(8)) // v1
-        s.sql(s"GRAFT OPTIMIZE '$base/src'")                          // v2
+        // target derived from the actual staged sizes (the q74
+        // lifecycle's rule): a fixed 1 GiB default would NO-OP once
+        // the 8 files each outgrow half of it, and the require below
+        // would abort the query at a large-enough SF
+        val target = math.max(1L << 30, t.liveFiles().map(_._2).max * 4)
+        s.sql(s"GRAFT OPTIMIZE '$base/src' TARGET $target")           // v2
         require(t.liveFiles().size < 8,
           "GRAFT OPTIMIZE left the fragmented layout in place")
         s.sql(s"GRAFT CLONE '$base/src' TO '$base/dev'")              // dev v1
@@ -442,16 +456,9 @@ object Lakehouse {
     }
     s.conf.set("spark.sql.catalog.gsql",
       classOf[graft.sources.GraftCatalog].getName)
-    def side(root: String, tag: String) =
-      s.sql(s"SELECT * FROM gsql.`$root`")
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double").as("total_price"))
-        .select(lit(tag).as("side"), col("o_orderstatus"),
-          col("n_orders"), col("total_price"))
-    side(src, "source").unionByName(side(cl, "dev"))
-      .orderBy("side", "o_orderstatus")
+    sideBySide(
+      statusAgg(s.sql(s"SELECT * FROM gsql.`$src`"), "source"),
+      statusAgg(s.sql(s"SELECT * FROM gsql.`$cl`"), "dev"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -68,13 +68,18 @@ object GraftSqlCommands {
       case ManifestRe(path, v) =>
         Some(GraftManifestCommand(path,
           Option(v).map(_.toLong).getOrElse(-1L)))
-      case t if t.trim.toUpperCase.startsWith("GRAFT ") =>
+      case t if t.matches("""(?is)\s*GRAFT\s.*""") =>
+        // any whitespace after GRAFT, matching the shape regexes — a
+        // tab/newline-separated typo must hit THIS message, not fall
+        // through to Spark's parser and its baffling generic error
         throw new IllegalArgumentException(
           "unrecognized GRAFT statement — supported: GRAFT VACUUM " +
             "'<path>' [RETAIN n VERSIONS] [DRY RUN] | GRAFT OPTIMIZE " +
             "'<path>' [TARGET bytes | ZORDER BY (a, b) [FILES n]] | " +
             "GRAFT CLONE '<src>' TO '<dst>' [VERSION AS OF n] | " +
-            "GRAFT GENERATE MANIFEST FOR '<path>' [VERSION AS OF n]")
+            "GRAFT GENERATE MANIFEST FOR '<path>' [VERSION AS OF n]. " +
+            "Paths are single-quoted and may not contain a quote " +
+            "character — use the Scala verb API for such paths")
       case _ => None
     }
 }
@@ -94,7 +99,11 @@ case class GraftVacuumCommand(path: String, retain: Int,
   override def run(s: SparkSession): Seq[Row] = {
     val t = GraftTable.forPath(s, path)
     val p = t.vacuumPlan(retain)
-    if (!dryRun) t.vacuum(retain)
+    // execute the EXACT plan the rows report — recomputing inside
+    // vacuum() could reclaim files that aged past the grace window
+    // (or a shifted horizon) between the two passes, making the
+    // destructive statement under-report what it deleted
+    if (!dryRun) t.vacuumExecute(p)
     p.files.map { case (r, b) => Row("file", r, b) } ++
       p.commits.map(v => Row("commit", f"v$v%012d", 0L)) ++
       p.checkpoints.map(v => Row("checkpoint", f"ckpt-v$v%012d", 0L))
@@ -137,8 +146,11 @@ case class GraftCloneCommand(src: String, dst: String, version: Long)
     AttributeReference("dest_root", StringType, nullable = false)())
   override def run(s: SparkSession): Seq[Row] = {
     val t = GraftTable.forPath(s, src)
+    // resolve latest ONCE and clone exactly that version — resolving
+    // again inside cloneTo could clone a concurrent writer's newer
+    // snapshot while reporting the older version number
     val v = if (version < 0) t.latestVersion else version
-    t.cloneTo(dst, version)
+    t.cloneTo(dst, v)
     Seq(Row(v, dst))
   }
 }

@@ -2468,12 +2468,20 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * ledger, so replay-idempotence survives the dropped commits.
     */
   def vacuum(retainVersions: Int = 2,
-             orphanGraceMillis: Long = 10L * 60 * 1000): Unit = {
-    val plan = vacuumPlan(retainVersions, orphanGraceMillis)
+             orphanGraceMillis: Long = 10L * 60 * 1000): Unit =
+    vacuumExecute(vacuumPlan(retainVersions, orphanGraceMillis))
+
+  /** Execute EXACTLY `plan` — the dry-run/execution can't-disagree
+    * contract made literal: a caller that showed a plan to an
+    * operator (the `GRAFT VACUUM DRY RUN` flow) then executes that
+    * same plan object, never a recomputation whose grace-window
+    * clock or retention horizon may have drifted in between.
+    */
+  def vacuumExecute(plan: GraftTable.VacuumPlan): Unit = {
     if (versions().isEmpty) return // nothing committed: nothing to reclaim
     // checkpoint the horizon so resolution (and the tag ledger) never
     // needs dropped entries
-    if (!fs.exists(ckptPath(plan.horizon)))
+    if (plan.horizon > 0 && !fs.exists(ckptPath(plan.horizon)))
       publish(ckptPath(plan.horizon), checkpointBody(plan.horizon))
     plan.files.foreach { case (rel, _) =>
       fs.delete(new Path(rootPath, rel), false) }
