@@ -416,6 +416,32 @@ object TextOps {
       .orderBy("source")
   }
 
+  // d42: N-GRAM NOVELTY — the memorization-risk metric: per doc, the
+  // fraction of its DISTINCT 4-grams appearing in no other document
+  // (corpus df == 1). Low novelty means the doc is assembled from
+  // corpus-common n-grams (template/boilerplate — a model reproducing
+  // it memorized nothing); high novelty marks unique text whose
+  // verbatim reproduction IS memorization — the score train-data
+  // audits rank by. Cost: one shingle-hash df aggregate (8-byte
+  // exchange keys, map-side combined) + the join back, both corpus-
+  // linear; the ratio divides exact longs once. Hash-shingled like
+  // d2/d37 (the oracle replays with strings — identical join result
+  // absent 64-bit collisions, the blessed precedent).
+  def d42NgramNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = docs(s, d).filter(size(col("toks")) >= 4)
+      .withColumn("g",
+        explode(GraftFunctions.shingle_hashes(col("toks"), 4)))
+      .select("doc_id", "g")
+    val df4 = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    sh.join(df4, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") === 1, 1)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+      .orderBy("doc_id")
+  }
+
   // d40: LEAKAGE-SAFE train/val/test split — the eval-hygiene rule
   // naive random splits break: two copies of one document must land
   // in the SAME split or the test set leaks into training through
@@ -1616,6 +1642,7 @@ object TextOps {
     "d38_tokenizer_fertility" -> (d38TokenizerFertility _),
     "d39_dataset_card" -> (d39DatasetCard _),
     "d40_leakage_safe_split" -> (d40LeakageSafeSplit _),
+    "d42_ngram_novelty" -> (d42NgramNovelty _),
     "d36_quality_dedup" -> (d36QualityDedup _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_dedup_ngram_jaccard" -> (d2NgramJaccard _),
@@ -1919,6 +1946,23 @@ object TextOps {
         |SELECT doc_id, lang, quality FROM q
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY doc_id""".stripMargin,
+    "d42_ngram_novelty" ->
+      """WITH t0 AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(0, len(w)-3),
+        |      i -> array_to_string(w[i+1:i+4], ' ')))) AS g
+        |  FROM t0 WHERE len(w) >= 4),
+        |df AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g)
+        |SELECT sh.doc_id, COUNT(*) AS n_grams,
+        |  COUNT(*) FILTER (WHERE df.df = 1) AS n_novel,
+        |  CAST(COUNT(*) FILTER (WHERE df.df = 1) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+        |FROM sh JOIN df USING (g)
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
     "d40_leakage_safe_split" ->
       """WITH a AS (
         |  SELECT doc_id, text,

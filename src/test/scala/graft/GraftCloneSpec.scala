@@ -172,6 +172,20 @@ class GraftCloneSpec extends SparkSpec {
       .isDefined)
   }
 
+  test("clone of a clone references the ORIGINAL files (absOf pass-through)") {
+    val srcRoot = freshRoot("ccsrc")
+    val src = GraftTable.create(spark, srcRoot, orders())
+    val want = multiset(src.read())
+    val c1 = src.cloneTo(freshRoot("cc1"))
+    val c2 = c1.cloneTo(freshRoot("cc2"))
+    assert(multiset(c2.read()) == want, "second-generation clone differs")
+    // the grandchild's live set points at the ORIGINAL table's files —
+    // external paths pass through absOf unchanged, so a clone chain
+    // never builds indirection through intermediate roots
+    assert(c2.filesAsOf(1).forall(_.startsWith(srcRoot)),
+      s"clone-of-clone references non-original paths: ${c2.filesAsOf(1).take(2)}")
+  }
+
   test("manifest export refuses a hive-partitioned table") {
     val root = freshRoot("psrc")
     val t = GraftTable.forPath(spark, root)
