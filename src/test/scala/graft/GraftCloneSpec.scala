@@ -193,4 +193,33 @@ class GraftCloneSpec extends SparkSpec {
       .withColumn("bucket", pmod(col("o_orderkey"), lit(4L))), "bucket")
     intercept[IllegalArgumentException] { t.exportManifest() }
   }
+
+  test("a PARTITIONED table clones: pruned reads and partition-scoped DML work on external paths") {
+    val srcRoot = freshRoot("parts")
+    val src = GraftTable.forPath(spark, srcRoot)
+    src.appendPartitioned(orders()
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(4L))), "bucket")
+    val c = src.cloneTo(freshRoot("partd"))
+    // external rel paths keep their bucket=<v> components, so the
+    // partition-pruned reader plans only the probed value's files
+    val pruned = c.readPartitionedColumn("bucket", Seq(2L)).get
+    val want2 = multiset(src.read()
+      .filter(pmod(col("o_orderkey"), lit(4L)) === 2)
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(4L))))
+    assert(multiset(pruned) == want2, "pruned read on a partitioned clone wrong")
+    // partition-scoped CoW delete on the clone: rewrites restore the
+    // partition column from the EXTERNAL path and re-stage locally,
+    // leaving the source untouched
+    val before = multiset(src.read())
+    c.deleteWhere(pmod(col("o_orderkey"), lit(9)) === 4)
+    assert(multiset(src.read()) == before, "partitioned clone DML leaked")
+    assert(multiset(c.read()) == multiset(
+      src.read().filter(pmod(col("o_orderkey"), lit(9)) =!= 4)),
+      "partitioned clone delete wrong")
+    // and the pruned read still works on the mixed external+local set
+    val after2 = c.readPartitionedColumn("bucket", Seq(2L)).get
+    assert(multiset(after2) == multiset(pruned.filter(
+      pmod(col("o_orderkey"), lit(9)) =!= 4)),
+      "post-DML pruned read on the clone wrong")
+  }
 }
