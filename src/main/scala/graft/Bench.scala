@@ -245,7 +245,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val baseJson = baselinePath.map("\"" + _ + "\"").getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"plans":$plans,"sf":"$sfDir","iterations":$iters,"loadavg":{"start":$loadStart,"end":$loadEnd},"contended":$contended,"suspect":$suspectJson,"baseline":$baseJson,"captured_at":"$capturedAt"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"plans":$plans,"sf":"$sfDir","iterations":$iters,"loadavg":{"start":$loadStart,"end":$loadEnd},"contended":$contended,"suspect":$suspectJson,"baseline":$baseJson,"captured_at":"$capturedAt"}"""
+    // The driver's parser reads the LAST stdout line, and under sbt
+    // that line is the "[success] Total time" trailer — which is why
+    // BENCH_r10/r11.json both carried "parsed": null. Persist the JSON
+    // to a file the driver (and anyone else) can read unambiguously,
+    // and ALSO print it after spark.stop() so it's the final line this
+    // program itself emits.
+    val out = new java.io.PrintWriter("BENCH.json")
+    try out.println(json) finally out.close()
     spark.stop()
+    println(json)
   }
 }

@@ -426,7 +426,8 @@ object Pipeline {
         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY text
         |      ORDER BY doc_id) AS rn
         |    FROM corpus) WHERE rn = 1)
-        |SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  min(doc_id) AS first_doc
         |FROM keep GROUP BY lang ORDER BY lang""".stripMargin,
     // m7's chunk replay + m5's keeper rule at chunk grain + m8's

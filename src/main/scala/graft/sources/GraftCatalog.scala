@@ -89,6 +89,20 @@ class GraftCatalog extends TableCatalog {
       s"unsupported CREATE TABLE properties: ${unknown.mkString(",")}")
     val spark = SparkSession.active
     val root = rootOf(ident)
+    // `location`/`external` are allowed only as Spark's own injected
+    // defaults for a path-addressed identifier. A USER-written
+    // `CREATE TABLE … LOCATION '/x'` that differs from the identifier
+    // root must refuse, not silently land the table at the identifier
+    // path (the table would not be where the user said it is).
+    properties.asScala.get("location").foreach { loc =>
+      def norm(p: String) =
+        p.stripPrefix("file:").replaceAll("/+$", "").replaceAll("/+", "/")
+      if (norm(loc) != norm(root))
+        throw new UnsupportedOperationException(
+          s"graft catalog tables live at their identifier path ($root); " +
+            s"LOCATION '$loc' differs — address the table by its path " +
+            "instead of LOCATION")
+    }
     if (GraftTable.forPath(spark, root).latestVersion > 0)
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(
@@ -132,6 +146,22 @@ class GraftCatalog extends TableCatalog {
       case d: TableChange.DeleteColumn =>
         t.dropColumn(topLevel(d.fieldNames(), "DROP COLUMN"))
       case a: TableChange.AddColumn =>
+        // nullable-only is the SOUND contract: every pre-existing file
+        // reads null in the new column, so NOT NULL could never hold;
+        // positions/comments aren't recorded in the log either.
+        // Refuse loudly rather than silently recording a weaker column
+        // than the DDL declared.
+        if (!a.isNullable) throw new UnsupportedOperationException(
+          "ADD COLUMN … NOT NULL is unsupported: old files read null " +
+            "in the new column, so the constraint could never hold — " +
+            "add the column nullable, backfill, then add a CHECK " +
+            "constraint via SET TBLPROPERTIES")
+        if (a.position() != null) throw new UnsupportedOperationException(
+          "ADD COLUMN with a position (FIRST/AFTER) is unsupported — " +
+            "new columns append at the end of the schema")
+        if (a.comment() != null) throw new UnsupportedOperationException(
+          "ADD COLUMN with a comment is unsupported — the commit log " +
+            "records name and type only")
         t.addColumn(topLevel(a.fieldNames(), "ADD COLUMN"), a.dataType())
       case p: TableChange.SetProperty
           if p.property().startsWith("constraint.") =>

@@ -1509,8 +1509,15 @@ class GraftTable private (val s: SparkSession, val root: String) {
     }
     try {
       if (constraintsAt(latestVersion).nonEmpty && adds.nonEmpty) {
-        // staged files carry PHYSICAL names; constraints are logical
-        val cm = colmapAt(latestVersion)
+        // staged files carry PHYSICAL names; constraints are logical.
+        // EXCEPT on overwrite: the batch writer stages overwrite files
+        // under the new schema's own LOGICAL names (the commit resets
+        // column mapping with the live set — GraftStreamingWrite
+        // `if (overwrite) schema`), so the constraint read must use
+        // the identity mapping or a renamed column reads back all-null
+        // and a valid INSERT OVERWRITE aborts on a phantom violation.
+        val cm = if (overwrite) GraftTable.ColMap.empty
+                 else colmapAt(latestVersion)
         val raw = s.read
           .schema(physSchema(
             org.apache.spark.sql.graft.shim.nullable(sch), cm))

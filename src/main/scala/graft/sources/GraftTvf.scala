@@ -39,6 +39,15 @@ object GraftTvf {
         s"argument ${i + 1} must be an integer literal, got $other")
     }
 
+  private def longArg(args: Seq[Expression], i: Int,
+                      default: Long): Long =
+    if (args.length <= i) default
+    else args(i) match {
+      case l: Literal if l.value != null => l.value.toString.toLong
+      case other => throw new IllegalArgumentException(
+        s"argument ${i + 1} must be an integer literal, got $other")
+    }
+
   private def plan(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
 
@@ -63,14 +72,18 @@ object GraftTvf {
   /** The vacuum DRY RUN as SQL: (kind, path, bytes) for every
     * reclaimable artifact — data/cdf/dv parquet past the grace
     * window plus `commit`/`checkpoint` log files behind the
-    * retention horizon. Reclaims nothing.
+    * retention horizon. Reclaims nothing. The orphan grace defaults
+    * to the vacuum VERB's 10 minutes (overridable as the third
+    * argument, milliseconds) so the dry run reports exactly what
+    * `GRAFT VACUUM` would delete — a zero grace would list a
+    * concurrent writer's in-flight staged files as reclaimable.
     */
   def vacuumPlan(args: Seq[Expression]): LogicalPlan = {
     val s = SparkSession.active
     import s.implicits._
     val t = GraftTable.forPath(s, pathArg(args, "graft_vacuum_plan"))
     val p = t.vacuumPlan(retainVersions = intArg(args, 1, 2),
-      orphanGraceMillis = 0L)
+      orphanGraceMillis = longArg(args, 2, 10L * 60 * 1000))
     val rows =
       p.files.map { case (rel, b) => ("file", rel, b) } ++
         p.commits.map(v => ("commit", f"v$v%012d", 0L)) ++
@@ -91,6 +104,6 @@ object GraftTvf {
       files _),
     (FunctionIdentifier("graft_vacuum_plan"),
       new ExpressionInfo("graft", null, "graft_vacuum_plan",
-        "graft_vacuum_plan(root[, retainVersions]) - vacuum dry run", ""),
+        "graft_vacuum_plan(root[, retainVersions[, graceMillis]]) - vacuum dry run", ""),
       vacuumPlan _))
 }

@@ -126,6 +126,63 @@ class GraftSqlWriteSpec extends SparkSpec {
     ()
   }
 
+  test("INSERT OVERWRITE into a renamed + constrained table lands (constraint read uses the staged logical names)") {
+    import spark.implicits._
+    val root = fresh("ovwcm")
+    // v1: create under original names, then RENAME (non-identity
+    // column mapping) and add a CHECK constraint
+    val t = GraftTable.create(spark, root,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "val0"))
+    t.renameColumn("val0", "score")
+    t.addConstraint("pos", "score >= 0")
+    // overwrite files are staged under the NEW schema's LOGICAL names
+    // (the commit resets column mapping); the pre-fix constraint read
+    // translated through the OLD mapping, read `score` back all-null,
+    // and aborted this valid overwrite with a phantom violation
+    Seq((3L, 30L), (4L, 40L)).toDF("id", "score")
+      .createOrReplaceTempView("ovwcm_src")
+    spark.sql(s"INSERT OVERWRITE gw.`$root` SELECT * FROM ovwcm_src")
+    assert(t.read().orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 30L), (4L, 40L)))
+    // the constraint still BITES post-overwrite on genuinely bad rows
+    Seq((5L, -1L)).toDF("id", "score")
+      .createOrReplaceTempView("ovwcm_bad")
+    val v = t.latestVersion
+    intercept[Throwable] {
+      spark.sql(s"INSERT OVERWRITE gw.`$root` SELECT * FROM ovwcm_bad")
+    }
+    assert(t.latestVersion == v, "violating overwrite must not commit")
+    ()
+  }
+
+  test("CREATE TABLE LOCATION differing from the identifier path refuses; DDL corners refuse loudly") {
+    val root = fresh("loc")
+    val e = intercept[Throwable] {
+      spark.sql(s"CREATE TABLE gw.`$root` (x BIGINT) LOCATION '/elsewhere/t'")
+    }
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ chain(x.getCause)
+    assert(chain(e).mkString(" ").contains("LOCATION"),
+      chain(e).mkString(" | "))
+    assert(GraftTable.forPath(spark, root).latestVersion == 0,
+      "refused CREATE must not create the table")
+    // a matching LOCATION (Spark's own injected default shape) is fine
+    spark.sql(s"CREATE TABLE gw.`$root` (x BIGINT) LOCATION '$root'")
+    assert(GraftTable.forPath(spark, root).latestVersion == 1)
+    // ADD COLUMN NOT NULL refuses (old files read null — the
+    // constraint could never hold); plain nullable add works
+    val e2 = intercept[Throwable] {
+      spark.sql(s"ALTER TABLE gw.`$root` ADD COLUMN y BIGINT NOT NULL")
+    }
+    assert(chain(e2).mkString(" ").contains("NOT NULL"),
+      chain(e2).mkString(" | "))
+    spark.sql(s"ALTER TABLE gw.`$root` ADD COLUMN y BIGINT")
+    assert(GraftTable.forPath(spark, root).read()
+      .schema.fieldNames.toSeq == Seq("x", "y"))
+    ()
+  }
+
   test("introspection table functions: graft_history / graft_files / graft_vacuum_plan") {
     import spark.implicits._
     val root = fresh("tvf")
@@ -143,13 +200,22 @@ class GraftSqlWriteSpec extends SparkSpec {
     assert(f.count() == t.liveFiles().size)
     assert(f.agg(sum("n_rows")).head.getLong(0) == t.read().count())
     assert(f.filter(col("has_dv")).count() == 0)
-    // the vacuum dry run as SQL lists v1's replaced files and
-    // reclaims nothing
+    // the vacuum dry run as SQL: with the DEFAULT grace (the verb's
+    // 10 minutes) the seconds-old replaced files are NOT yet listed —
+    // the dry run agrees with what GRAFT VACUUM would delete right
+    // now, and never lists an in-flight writer's staged data
     val before = t.liveFiles()
-    val vp = spark.sql(
+    val vpDefault = spark.sql(
       s"SELECT * FROM graft_vacuum_plan('$root', 1)").collect()
+    assert(!vpDefault.exists(_.getString(0) == "file"),
+      "default-grace dry run listed seconds-old files as reclaimable")
+    assert(vpDefault.exists(_.getString(0) == "commit"))
+    // an explicit zero grace (third argument, millis) shows the full
+    // eventual reclaim set
+    val vp = spark.sql(
+      s"SELECT * FROM graft_vacuum_plan('$root', 1, 0)").collect()
     assert(vp.exists(_.getString(0) == "file"),
-      "replaced v1 files should be reclaimable")
+      "replaced v1 files should be reclaimable at grace 0")
     assert(vp.exists(_.getString(0) == "commit"))
     assert(t.liveFiles() == before, "the dry run must reclaim nothing")
     assert(t.readVersion(1).count() > 0, "dry run deleted nothing")
