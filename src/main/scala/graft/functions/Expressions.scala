@@ -50,6 +50,93 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass BPE-ish token-cost estimate: the total
+  * Σ (segment_length + 3) div 4 over the segmentation
+  * `[A-Za-z]+ | [0-9]+ | [^A-Za-z0-9 ]` — the d38 fertility
+  * segmenter — WITHOUT materializing the match array.
+  * `regexp_extract_all` + `aggregate` allocates every segment as a
+  * string per document (measured as the data-linear term at the
+  * 100× probe, SCALE_r11); this expression is the same arithmetic
+  * as a fused byte scan: letters and digits extend maximal runs
+  * costing ⌈len/4⌉, every other non-space CODE POINT (code point,
+  * not UTF-16 unit — regex classes match code points, and the
+  * DuckDB oracle's RE2 agrees) costs 1, spaces are free.
+  */
+case class BpeCountApprox(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_count_approx"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == ' ') i += 1
+      else if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) {
+        var len = 0
+        while (i < n && {
+          val x = s.charAt(i)
+          (x >= 'A' && x <= 'Z') || (x >= 'a' && x <= 'z')
+        }) { len += 1; i += 1 }
+        acc += (len + 3) / 4
+      } else if (c >= '0' && c <= '9') {
+        var len = 0
+        while (i < n && { val x = s.charAt(i); x >= '0' && x <= '9' }) {
+          len += 1; i += 1
+        }
+        acc += (len + 3) / 4
+      } else {
+        // one cost unit per code point: a surrogate PAIR is one match
+        acc += 1
+        i += (if (Character.isHighSurrogate(c) && i + 1 < n &&
+          Character.isLowSurrogate(s.charAt(i + 1))) 2 else 1)
+      }
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.freshName("bpe")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |String ${p}s = $c.toString();
+      |long ${p}acc = 0L;
+      |int ${p}i = 0;
+      |int ${p}n = ${p}s.length();
+      |while (${p}i < ${p}n) {
+      |  char ${p}c = ${p}s.charAt(${p}i);
+      |  if (${p}c == ' ') { ${p}i++; }
+      |  else if ((${p}c >= 'A' && ${p}c <= 'Z') || (${p}c >= 'a' && ${p}c <= 'z')) {
+      |    int ${p}len = 0;
+      |    while (${p}i < ${p}n) {
+      |      char ${p}x = ${p}s.charAt(${p}i);
+      |      if (!((${p}x >= 'A' && ${p}x <= 'Z') || (${p}x >= 'a' && ${p}x <= 'z'))) break;
+      |      ${p}len++; ${p}i++;
+      |    }
+      |    ${p}acc += (${p}len + 3) / 4;
+      |  } else if (${p}c >= '0' && ${p}c <= '9') {
+      |    int ${p}len = 0;
+      |    while (${p}i < ${p}n) {
+      |      char ${p}x = ${p}s.charAt(${p}i);
+      |      if (!(${p}x >= '0' && ${p}x <= '9')) break;
+      |      ${p}len++; ${p}i++;
+      |    }
+      |    ${p}acc += (${p}len + 3) / 4;
+      |  } else {
+      |    ${p}acc += 1L;
+      |    ${p}i += (Character.isHighSurrogate(${p}c) && ${p}i + 1 < ${p}n &&
+      |      Character.isLowSurrogate(${p}s.charAt(${p}i + 1))) ? 2 : 1;
+      |  }
+      |}
+      |${ev.value} = ${p}acc;
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCountApprox =
+    copy(child = newChild)
+}
+
 /** Cosine similarity over two float-array embedding columns, computed
   * in double precision in one fused loop (no intermediate arrays, no
   * UDF serialization). Null/zero-norm inputs yield null.
@@ -280,6 +367,8 @@ object GraftFunctions {
   import org.apache.spark.sql.graft.shim.{column, expression}
 
   def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
+  def bpe_count_approx(c: Column): Column =
+    column(BpeCountApprox(expression(c)))
   def gear_cuts(c: Column): Column = column(GearCuts(expression(c)))
   def gear_chunks(c: Column): Column = column(GearChunks(expression(c)))
   def cosine_sim(a: Column, b: Column): Column =

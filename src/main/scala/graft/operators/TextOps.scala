@@ -462,9 +462,11 @@ object TextOps {
     Tables.documents(s, d)
       .withColumn("ws",
         expr("cast(size(filter(split(text, ' '), x -> x != '')) as bigint)"))
-      .withColumn("bpe", expr(
-        "aggregate(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0), " +
-          "0L, (acc, m) -> acc + (length(m) + 3) div 4)"))
+      // fused one-pass segmenter (BpeCountApprox — same arithmetic as
+      // the regexp_extract_all + aggregate form, spec-pinned equal,
+      // but no per-segment string materialization: SCALE_r11 measured
+      // the regex lexer as d38's 7.1×-decade-2 data-linear term)
+      .withColumn("bpe", GraftFunctions.bpe_count_approx(col("text")))
       .withColumn("chars", length(col("text")).cast("long"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),

@@ -130,6 +130,37 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("bpe_count_approx equals the regex segmenter form, CODEGEN_ONLY") {
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      // corpus rows plus adversarial edges: runs at boundaries,
+      // punctuation clusters, multi-space, empty, non-ASCII incl. a
+      // surrogate pair (one code point -> one cost unit)
+      import spark.implicits._
+      val edge = Seq("", "    ", "abc123!?", "a1b2c3", "....",
+        "abcdefgh 12345678", "café über", "a😀b",
+        "x" * 97 + " " + "9" * 13).toDF("text")
+      val corpus = Tables.documents(spark, sf).select("text")
+        .unionByName(edge)
+      val r = corpus.select(
+        GraftFunctions.bpe_count_approx(col("text")).as("fused"),
+        expr("aggregate(regexp_extract_all(text, " +
+          "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0), " +
+          "0L, (acc, m) -> acc + (length(m) + 3) div 4)").as("regex"))
+        .collect()
+      assert(r.nonEmpty)
+      r.foreach(row => assert(row.getLong(0) == row.getLong(1),
+        s"fused=${row.getLong(0)} regex=${row.getLong(1)}"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("strided_dhash equals the retired HOF phash at every width, CODEGEN_ONLY") {
     val key = "spark.sql.codegen.factoryMode"
     val prev = spark.conf.getOption(key)
