@@ -443,10 +443,14 @@ class GraftTable private (val s: SparkSession, val root: String) {
       s"no column '$oldName' in ${sc.fieldNames.mkString(",")}")
     require(!sc.fieldNames.exists(_.equalsIgnoreCase(newName)),
       s"column '$newName' already exists")
+    // payload renames are fine on a partitioned table (readers
+    // translate); the PARTITION column itself is not in the schema so
+    // renaming it already refuses above — but a payload column must
+    // not take its name, or the path-restored column would mask it
     partColOf(resolveMeta(base).keys).foreach { pc =>
-      throw new IllegalArgumentException(
-        s"table is hive-partitioned on '$pc' — partition-subset readers " +
-          "serve raw paths; column mapping is flat-table only")
+      require(!newName.equalsIgnoreCase(pc),
+        s"'$pc' is the partition column (its values live in the file " +
+          "paths) — a payload column cannot take its name")
     }
     constraintsAt(base).find(c => referencedCols(c._2).contains(oldName))
       .foreach { c =>
@@ -478,6 +482,11 @@ class GraftTable private (val s: SparkSession, val root: String) {
       "addColumn needs a recorded schema (legacy log)"))
     require(!sc.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"column '$name' already exists")
+    partColOf(resolveMeta(base).keys).foreach { pc =>
+      require(!name.equalsIgnoreCase(pc),
+        s"'$pc' is the partition column (its values live in the file " +
+          "paths) — a payload column cannot take its name")
+    }
     val cm = colmapAt(base)
     val usedPhys = sc.fieldNames.map(cm.phys).toSet ++ cm.dead
     val next =
@@ -504,11 +513,6 @@ class GraftTable private (val s: SparkSession, val root: String) {
     require(sc.fieldNames.contains(name),
       s"no column '$name' in ${sc.fieldNames.mkString(",")}")
     require(sc.fields.length > 1, "cannot drop the last column")
-    partColOf(resolveMeta(base).keys).foreach { pc =>
-      throw new IllegalArgumentException(
-        s"table is hive-partitioned on '$pc' — column mapping is " +
-          "flat-table only")
-    }
     constraintsAt(base).find(c => referencedCols(c._2).contains(name))
       .foreach { c =>
         throw new IllegalArgumentException(
@@ -1292,11 +1296,15 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   private def stagePartitioned(df: DataFrame,
                                partCols: Seq[String]): Seq[(String, Long)] = {
-    require(colmapAt(latestVersion).isIdentity,
-      "column mapping is flat-table only — partition-subset readers " +
-        "serve raw paths and would surface physical names")
+    // payload columns stage under PHYSICAL names exactly like the
+    // flat `stage` (the partition column is never in the recorded
+    // schema or the mapping, so its name — and the value dirs — pass
+    // through unchanged); the partition-subset readers translate back
+    // to logical on read
+    val cm = colmapAt(latestVersion)
     val sub = s"$DataDir/${java.util.UUID.randomUUID.toString.take(12)}"
-    bloomWrite(df.write).partitionBy(partCols: _*).parquet(s"$root/$sub")
+    bloomWrite(toPhysical(df, cm).write)
+      .partitionBy(partCols: _*).parquet(s"$root/$sub")
     def walk(p: Path, rel: String): Seq[(String, Long)] =
       fs.listStatus(p).toSeq.flatMap { st =>
         val r = s"$rel/${st.getPath.getName}"
@@ -1374,11 +1382,26 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val tokens = values.map(v => s"/$partCol=$v/")
     val files = live.filter(p => tokens.exists(p.contains)).toSeq.sorted
     if (files.isEmpty) None
-    else Some(s.read.parquet(files.map(absOf): _*)
+    else Some(logicalView(s.read.parquet(files.map(absOf): _*))
       .withColumn(partCol,
         regexp_extract(input_file_name(),
           java.util.regex.Pattern.quote(s"/$partCol=") + "(-?\\d+)/", 1)
           .cast("long")))
+  }
+
+  /** Physical-file frame → LOGICAL column view at the latest version
+    * (identity mapping: pass-through) — what lets the partition-
+    * subset readers serve renamed/dropped-column tables: files always
+    * store physical names; the projection selects exactly the live
+    * logical schema.
+    */
+  private def logicalView(df: DataFrame): DataFrame = {
+    val cm = colmapAt(latestVersion)
+    if (cm.isIdentity) df
+    else schemaAt(latestVersion).fold(df)(sc =>
+      df.select(sc.fields.map(f =>
+        org.apache.spark.sql.functions.col(cm.phys(f.name)).as(f.name))
+        .toIndexedSeq: _*))
   }
 
   /** Dynamic-partition-overwrite as ONE atomic commit (Delta's
@@ -1436,7 +1459,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     if (files.isEmpty) None
     // no basePath/partition recovery: callers key on real columns and
     // re-derive the partition value (s7 recomputes pmod(user_id, n))
-    else Some(s.read.parquet(files.map(absOf): _*))
+    else Some(logicalView(s.read.parquet(files.map(absOf): _*)))
   }
 
   /** Exactly-once streaming append: the tag (a micro-batch id) is
@@ -2442,22 +2465,42 @@ class GraftTable private (val s: SparkSession, val root: String) {
     require(colmapAt(v).isIdentity,
       "manifest export refused: active column mapping — raw parquet " +
         "readers would see physical column names")
-    // partition values live in the PATH, not the files (partitionBy
-    // strips the column): a raw reader over bare manifest paths would
-    // silently lose the partition column — same refusal class
-    partColOf(resolveMeta(v).keys).foreach { pc =>
-      throw new IllegalArgumentException(
-        s"manifest export refused: table is hive-partitioned on '$pc' " +
-          "— raw manifest readers would lose the partition column")
-    }
     val dir = new Path(rootPath, ManifestDir)
     if (!fs.exists(dir)) fs.mkdirs(dir)
-    val out = new Path(dir, f"manifest-v$v%012d.txt")
-    val body = filesAsOf(v).sorted.mkString("", "\n", "\n")
-      .getBytes(UTF_8)
-    val os = fs.create(out, true)
-    os.write(body); os.close()
-    out.toString
+    partColOf(resolveMeta(v).keys) match {
+      case None =>
+        val out = new Path(dir, f"manifest-v$v%012d.txt")
+        val body = filesAsOf(v).sorted.mkString("", "\n", "\n")
+          .getBytes(UTF_8)
+        val os = fs.create(out, true)
+        os.write(body); os.close()
+        out.toString
+      case Some(pc) =>
+        // partition values live in the PATHS, not the files, so a
+        // single flat path list would silently lose the partition
+        // column. The symlink-manifest convention (Delta's
+        // `_symlink_format_manifest`, Presto/Athena's SymlinkTextInput
+        // layout) solves this: ONE manifest per `<pc>=<v>` value dir
+        // under the manifest root — the external engine declares the
+        // table PARTITIONED BY (<pc>) over that root and recovers the
+        // value from each manifest's directory, exactly like
+        // readPartitionedColumn recovers it from data paths.
+        val base = new Path(dir, f"manifest-v$v%012d")
+        if (fs.exists(base)) fs.delete(base, true)
+        val pat = s"/${java.util.regex.Pattern.quote(pc)}=(-?\\d+)/".r
+        filesAsOf(v).groupBy(p =>
+          pat.findFirstMatchIn(p).map(_.group(1)).getOrElse(
+            throw new IllegalStateException(
+              s"live file without a $pc= path component: $p")))
+          .foreach { case (value, files) =>
+            val sub = new Path(base, s"$pc=$value")
+            fs.mkdirs(sub)
+            val os = fs.create(new Path(sub, "manifest.txt"), true)
+            os.write(files.sorted.mkString("", "\n", "\n").getBytes(UTF_8))
+            os.close()
+          }
+        base.toString
+    }
   }
 
   /** Physically delete data files unreferenced by every retained

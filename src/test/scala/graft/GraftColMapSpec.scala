@@ -112,16 +112,8 @@ class GraftColMapSpec extends SparkSpec {
     ()
   }
 
-  test("rename/drop refusals: partitioned tables, constraint references, last column") {
+  test("rename/drop refusals: constraint references, last column") {
     import spark.implicits._
-    val root = fresh("refuse")
-    val t = GraftTable.forPath(spark, root)
-    t.appendPartitioned(spark.range(50)
-      .select(col("id").as("k"), pmod(col("id"), lit(4)).as("bucket"),
-        col("id").cast("string").as("s")), "bucket")
-    intercept[IllegalArgumentException](t.renameColumn("s", "s2"))
-    intercept[IllegalArgumentException](t.dropColumn("s"))
-
     val root2 = fresh("refuse2")
     val t2 = GraftTable.create(spark, root2,
       Seq((1L, 5L)).toDF("id", "score"))
@@ -256,6 +248,54 @@ class GraftColMapSpec extends SparkSpec {
     // were readable without rewrite, so at least the merge's rewrite
     // is the only file change
     assert(t.liveFiles().map(_._1).toSet != before)
+    ()
+  }
+
+  test("column mapping works on a hive-partitioned table: readers translate, DML rewrites, partition column protected") {
+    val root = fresh("pcm")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(seed()
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(4L))), "bucket")
+    val want2 = multiset(seed()
+      .filter(pmod(col("o_orderkey"), lit(4L)) === 2)
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(4L))))
+    // rename a payload column: metadata-only, partition-subset
+    // readers serve the LOGICAL name with values intact
+    val filesBefore = t.liveFiles().map(_._1).toSet
+    t.renameColumn("o_totalprice", "price_usd")
+    assert(t.liveFiles().map(_._1).toSet == filesBefore,
+      "rename on a partitioned table touched files")
+    val pruned = t.readPartitionedColumn("bucket", Seq(2L)).get
+    assert(pruned.schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "o_orderstatus", "price_usd", "bucket"))
+    assert(multiset(pruned.withColumnRenamed("price_usd", "o_totalprice"))
+      == want2, "pruned read after rename lost rows or values")
+    // appends under the NEW logical name land partitioned (staged
+    // under the constant physical name)
+    import spark.implicits._
+    val extraKey = Tables.orders(spark, sf)
+      .agg(max("o_orderkey")).head.getLong(0) + 1
+    t.appendPartitioned(Seq((extraKey, "Z", 9.99, extraKey % 4))
+      .toDF("o_orderkey", "o_orderstatus", "price_usd", "bucket"), "bucket")
+    assert(t.readPartitions("bucket", Seq(extraKey % 4)).get
+      .filter(col("price_usd") === 9.99).count() == 1)
+    // copy-on-write DML through the renamed column stays
+    // partition-preserving
+    t.deleteWhere(col("o_orderkey") === extraKey)
+    assert(t.read().filter(col("price_usd") === 9.99).count() == 0)
+    assert(t.readPartitionedColumn("bucket", Seq(2L)).isDefined)
+    // drop translates too: the column vanishes from subset reads,
+    // files untouched
+    t.dropColumn("o_orderstatus")
+    assert(t.readPartitions("bucket", Seq(2L)).get
+      .schema.fieldNames.toSeq == Seq("o_orderkey", "price_usd"))
+    // the partition column's NAME is protected: a payload column may
+    // not take it (path-restored values would mask real data)
+    intercept[IllegalArgumentException] {
+      t.renameColumn("price_usd", "bucket")
+    }
+    intercept[IllegalArgumentException] { t.addColumn("bucket",
+      org.apache.spark.sql.types.LongType) }
     ()
   }
 }
