@@ -1374,12 +1374,13 @@ object Similarity {
       .orderBy("label", "i")
 
   // m1: multimodal plumbing — documents as opaque binary blobs with
-  // typed metadata. The byte-level work (digest, stubbed decode) runs
-  // in mapPartitions over batched rows, the shape a real image/audio
-  // decoder needs; the "decode" is a deterministic stub (container has
-  // no codec libs — SURVEY.md §2.8) whose arithmetic the oracle
-  // reproduces.
-  def m1BinaryMeta(s: SparkSession, d: String): DataFrame = {
+  // typed metadata. The byte-level work (digest, decode) runs in
+  // mapPartitions over batched rows, the shape a real image/audio
+  // decoder needs; decode goes through the PLUGGABLE [[BlobDecoder]]
+  // contract, default [[StubDecoder]] (deterministic arithmetic the
+  // oracle reproduces — no codec libs in this container, SURVEY §2.8).
+  def m1BinaryMeta(s: SparkSession, d: String,
+                   dec: BlobDecoder = StubDecoder): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("n_bytes", LongType, nullable = false),
@@ -1396,10 +1397,8 @@ object Similarity {
         val blob = r.getAs[Array[Byte]](1)
         md.reset()
         val hex = md.digest(blob).map("%02x".format(_)).mkString
-        val n = blob.length.toLong
-        // decode stub: a real decoder would parse the container header;
-        // the fake dimensions keep the pipeline shape + oracle parity.
-        Row(id, n, hex, n % 64 + 16, n % 48 + 12)
+        val (w, h) = dec.dimensions(blob)
+        Row(id, blob.length.toLong, hex, w, h)
       }
     }(enc)
     out.orderBy("doc_id")
@@ -1579,11 +1578,12 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  // m2: multimodal frame sampler — each 64-byte chunk of the blob becomes
-  // a "frame" row with its digest, emitted from mapPartitions (the
-  // batched shape a video frame-sampler needs; decode itself is the
-  // documented stub).
-  def m2FrameSample(s: SparkSession, d: String): DataFrame = {
+  // m2: multimodal frame sampler — each decoder-emitted frame becomes
+  // a row with its digest, from mapPartitions (the batched shape a
+  // video frame-sampler needs); frames come from the [[BlobDecoder]]
+  // (StubDecoder: 64-byte slices, the documented deterministic fake).
+  def m2FrameSample(s: SparkSession, d: String,
+                    dec: BlobDecoder = StubDecoder): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("frame_idx", LongType, nullable = false),
@@ -1596,39 +1596,36 @@ object Similarity {
       rows.flatMap { r =>
         val id = r.getLong(0)
         val blob = r.getAs[Array[Byte]](1)
-        val nFrames = (blob.length + 63) / 64
-        (0 until nFrames).iterator.map { i =>
-          val from = i * 64
-          val until = math.min(from + 64, blob.length)
+        dec.frames(blob).zipWithIndex.map { case (frame, i) =>
           md.reset()
-          val hex = md.digest(java.util.Arrays.copyOfRange(blob, from, until))
-            .map("%02x".format(_)).mkString
+          val hex = md.digest(frame).map("%02x".format(_)).mkString
           Row(id, i.toLong, hex)
         }
       }
     }(enc).orderBy("doc_id", "frame_idx")
   }
 
-  // m3: multimodal feature extraction — a 16-bin code-point histogram
-  // per blob, the fixed-length feature-vector shape a real extractor
-  // (CLIP embedding, color histogram) produces. Runs in mapPartitions
-  // like m1/m2 (batched decoder shape); emitted as (doc_id, bin, n)
-  // rows so downstream joins/aggs stay columnar. Deterministic, so
-  // the oracle reproduces it with unicode() arithmetic.
-  def m3FeatureExtract(s: SparkSession, d: String): DataFrame = {
+  // m3: multimodal feature extraction — a fixed-width feature vector
+  // per blob (StubDecoder: a 16-bin byte histogram; a real extractor
+  // returns a CLIP pooled embedding or color histogram through the
+  // same contract). Runs in mapPartitions like m1/m2 (batched decoder
+  // shape); emitted as (doc_id, bin, n) rows so downstream joins/aggs
+  // stay columnar. The stub is deterministic, so the oracle
+  // reproduces it with unicode() arithmetic (byte == code point on
+  // the ASCII corpus).
+  def m3FeatureExtract(s: SparkSession, d: String,
+                       dec: BlobDecoder = StubDecoder): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("bin", LongType, nullable = false),
       StructField("n", LongType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    Tables.documents(s, d).select(col("doc_id"), col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getLong(0)
-          val hist = new Array[Long](16)
-          r.getString(1).foreach { ch =>
-            val b = math.min(ch.toInt / 8, 15); hist(b) += 1
-          }
+          val hist = dec.features(r.getAs[Array[Byte]](1))
           hist.iterator.zipWithIndex.collect {
             case (c, b) if c > 0 => Row(id, b.toLong, c)
           }
@@ -1743,12 +1740,15 @@ object Similarity {
       .orderBy("doc_a", "doc_b")
   }
 
-  // m4: multimodal resize — scale the stub-decoded (width, height) to
+  // m4: multimodal resize — scale the decoder's (width, height) to
   // fit a 32×32 box preserving aspect (integer arithmetic), plus a
   // "thumbnail" digest: every k-th code point (k = ceil(len/64))
   // rolling-hashed — the sample-then-summarize shape of a real
   // thumbnailer, with arithmetic the oracle replays exactly.
-  def m4Resize(s: SparkSession, d: String): DataFrame = {
+  // Dimensions come from the [[BlobDecoder]] (m1's contract); the
+  // thumbnail sampling is operator logic, not decode.
+  def m4Resize(s: SparkSession, d: String,
+               dec: BlobDecoder = StubDecoder): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("out_w", LongType, nullable = false),
@@ -1761,8 +1761,8 @@ object Similarity {
           val id = r.getLong(0)
           val text = r.getString(1)
           val n = text.length.toLong
-          val w = n % 64 + 16 // m1's stub-decoded dimensions
-          val h = n % 48 + 12
+          val (w, h) = dec.dimensions(
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           val side = math.max(w, h)
           val k = ((n + 63) / 64).toInt // sample stride
           var hash = 0L
@@ -1777,11 +1777,11 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m3_feature_extract" -> (m3FeatureExtract _),
-    "m4_resize" -> (m4Resize _),
+    "m3_feature_extract" -> ((s: SparkSession, d: String) => m3FeatureExtract(s, d)),
+    "m4_resize" -> ((s: SparkSession, d: String) => m4Resize(s, d)),
     "d8_embedding_neardup" -> (d8EmbeddingNearDup _),
     "d24_semantic_dedup" -> ((s: SparkSession, d: String) => d24SemanticDedup(s, d)),
-    "m2_frame_sample" -> (m2FrameSample _),
+    "m2_frame_sample" -> ((s: SparkSession, d: String) => m2FrameSample(s, d)),
     "e1_knn_brute" -> (e1KnnBrute _),
     "e14_filtered_knn" -> (e14FilteredKnn _),
     "e15_hybrid_rrf" -> (e15HybridRrf _),
@@ -1793,7 +1793,7 @@ object Similarity {
     "e7_pq_ann" -> ((s: SparkSession, d: String) => e7PqAnn(s, d)),
     "e8_knn_ivfpq" -> ((s: SparkSession, d: String) => e8KnnIvfPq(s, d)),
     "e3_centroids" -> (e3Centroids _),
-    "m1_binary_meta" -> (m1BinaryMeta _),
+    "m1_binary_meta" -> ((s: SparkSession, d: String) => m1BinaryMeta(s, d)),
     "m5_blob_dedup" -> (m5BlobDedup _),
     "m6_base64" -> (m6Base64 _),
     "m7_cdc_chunks" -> (m7CdcChunks _),

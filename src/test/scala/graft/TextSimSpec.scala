@@ -570,6 +570,43 @@ class TextSimSpec extends SparkSpec {
     assert(r.getAs[Long]("n_bytes") == text.getBytes("UTF-8").length.toLong)
   }
 
+  test("a custom BlobDecoder plugs into m1-m4 without touching the operators") {
+    // the pluggable-decode contract: a user's real codec replaces the
+    // stub by argument — shapes identical, values the decoder's own
+    object TestDecoder extends graft.operators.BlobDecoder {
+      override def dimensions(blob: Array[Byte]) = (640L, 480L)
+      override def frames(blob: Array[Byte]) =
+        Iterator(blob.take(8), blob.takeRight(8))
+      override val featureBins = 4
+      override def features(blob: Array[Byte]) =
+        Array(blob.length.toLong, 0L, 0L, 1L)
+    }
+    val m1 = Similarity.m1BinaryMeta(spark, sf, TestDecoder).collect()
+    assert(m1.nonEmpty && m1.forall(r =>
+      r.getAs[Long]("width") == 640L && r.getAs[Long]("height") == 480L))
+    // digests stay REAL under any decoder (operator logic, not decode)
+    assert(m1.forall(_.getAs[String]("sha_hex").length == 64))
+    val m2 = Similarity.m2FrameSample(spark, sf, TestDecoder)
+    assert(m2.groupBy("doc_id").count().collect()
+      .forall(_.getAs[Long]("count") == 2L),
+      "custom decoder emits exactly two frames per blob")
+    val m3 = Similarity.m3FeatureExtract(spark, sf, TestDecoder)
+    assert(m3.select("bin").distinct().collect()
+      .map(_.getLong(0)).toSet.subsetOf(Set(0L, 3L)),
+      "custom 4-bin features: only bins 0 and 3 are non-zero")
+    val m4 = Similarity.m4Resize(spark, sf, TestDecoder).collect()
+    // 640x480 in a 32x32 box -> 32x24, for every blob
+    assert(m4.forall(r => r.getAs[Long]("out_w") == 32L &&
+      r.getAs[Long]("out_h") == 24L))
+    // and the default path is the stub, bit-identical to passing it
+    // explicitly (the oracle pins the stub's arithmetic)
+    val viaDefault = Similarity.m1BinaryMeta(spark, sf).collect().map(_.toSeq)
+    val viaStub = Similarity
+      .m1BinaryMeta(spark, sf, graft.operators.StubDecoder)
+      .collect().map(_.toSeq)
+    assert(viaDefault.toSeq == viaStub.toSeq)
+  }
+
   test("m5 blob dedup groups agree exactly with d1's text dedup") {
     // text and blob are byte-identical here, so the SHA-256 grouping
     // must reproduce d1's (keeper, copies) group set exactly — a
