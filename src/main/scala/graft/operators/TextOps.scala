@@ -127,14 +127,16 @@ object TextOps {
     // STATS-BASED PLAN SWITCH (what a CBO does, keyed off the same
     // footer-metadata count e9Bits uses — no Spark job): below the
     // threshold the naive form's single exchange beats the prefix
-    // plan's verification joins (measured 1.3 s vs 2.6 s at 5k docs);
-    // above it the Σdf² pair fan-out dominates everything (113 M
-    // candidate rows vs 8 M at 500k docs — 17 s vs 9 s) and the
-    // prefix plan wins, with the gap widening every decade. Both
-    // plans produce bit-identical pairs (the filter is lossless and
+    // plan's verification joins (measured 1.3 s vs 2.6 s at 5k docs
+    // and 2.1 s vs 3.3 s at 50k); above it the Σdf² pair fan-out
+    // dominates everything (113 M candidate rows vs 8 M at 500k docs
+    // — 17 s vs 9 s) and the prefix plan wins, with the gap widening
+    // every decade. The threshold sits between the measured 50k-doc
+    // (naive wins) and 500k-doc (prefix wins) points. Both plans
+    // produce bit-identical pairs (the filter is lossless and
     // verification exact — TextSimSpec asserts equality), so the
     // switch is invisible to the oracle.
-    val big = Tables.parquetRowCount(s, s"$d/documents.parquet") > 20000L
+    val big = Tables.parquetRowCount(s, s"$d/documents.parquet") > 150000L
     if (big) d2NgramJaccardPrefix(s, d, dfCap)
     else sharedShinglePairs(s, d, dfCap)
       .withColumn("jaccard",
