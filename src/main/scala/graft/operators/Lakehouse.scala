@@ -461,7 +461,46 @@ object Lakehouse {
       statusAgg(s.sql(s"SELECT * FROM gsql.`$cl`"), "dev"))
   }
 
+  private val conv = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
+
+  // q91: CONVERT — adopt a PLAIN parquet directory into the commit
+  // log in place (Delta's CONVERT TO DELTA; the migration verb a
+  // reference user runs first), then prove the converted table is a
+  // full citizen: a copy-on-write DELETE retires converted originals
+  // logically (v2), and the final read serves the post-DML snapshot
+  // through the log. A convert that dropped/duplicated files, a DML
+  // that resurrected retired originals, or stats recorded against
+  // the wrong paths cannot hash-match. Built once per (session,
+  // dataset) like the other lifecycle entries; the adoption itself
+  // is the SQL statement (`GRAFT CONVERT`), so the statement path is
+  // what verify exercises.
+  private def convertedTable(s: SparkSession, d: String): GraftTable =
+    conv.synchronized { conv.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_convert").toString + "/plain"
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+        .repartition(4).write.parquet(dir)                         // plain
+      // Spark's parquet job leaves a _SUCCESS marker — convert must
+      // skip non-parquet/underscore entries (part of the contract)
+      s.sql(s"GRAFT CONVERT '$dir'")                               // v1
+      val t = GraftTable.forPath(s, dir)
+      t.deleteWhere(pmod(col("l_orderkey"), lit(10)) === 3)        // v2
+      t
+    }) }
+
+  def q91ConvertRead(s: SparkSession, d: String): DataFrame =
+    convertedTable(s, d).read()
+      .filter(col("l_quantity") >= 25)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sum_qty"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_convert_read" -> (q91ConvertRead _),
     "q90_sql_maintenance" -> (q90SqlMaintenance _),
     "q89_shallow_clone" -> (q89ShallowClone _),
     "q86_sql_update" -> (q86SqlUpdate _),
@@ -499,6 +538,14 @@ object Lakehouse {
       |FROM surv ORDER BY o_orderkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q91_convert_read" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem
+        |WHERE l_orderkey % 10 <> 3 AND l_quantity >= 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q84_delete_vectors" -> morSql,
     "q85_reorg_purge" -> morSql,
     "q74_time_travel" ->

@@ -26,6 +26,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   GRAFT CLONE '/data/t' TO '/data/t_dev'          -- shallow clone
   *   GRAFT CLONE '/data/t' TO '/data/t_dev' VERSION AS OF 3
   *   GRAFT GENERATE MANIFEST FOR '/data/t'
+  *   GRAFT CONVERT '/data/plain_parquet_dir'        -- adopt in place
   * }}}
   *
   * All four are driver-side O(log) metadata operations (OPTIMIZE
@@ -44,6 +45,8 @@ object GraftSqlCommands {
     """(?is)\s*GRAFT\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val ManifestRe =
     """(?is)\s*GRAFT\s+GENERATE\s+MANIFEST\s+FOR\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val ConvertRe =
+    """(?is)\s*GRAFT\s+CONVERT\s+'([^']+)'\s*;?\s*""".r
 
   /** Some(plan) when `sqlText` is a graft maintenance statement. A
     * text that LEADS with GRAFT but matches no statement shape is a
@@ -68,6 +71,8 @@ object GraftSqlCommands {
       case ManifestRe(path, v) =>
         Some(GraftManifestCommand(path,
           Option(v).map(_.toLong).getOrElse(-1L)))
+      case ConvertRe(path) =>
+        Some(GraftConvertCommand(path))
       case t if t.matches("""(?is)\s*GRAFT\s.*""") =>
         // any whitespace after GRAFT, matching the shape regexes — a
         // tab/newline-separated typo must hit THIS message, not fall
@@ -77,7 +82,8 @@ object GraftSqlCommands {
             "'<path>' [RETAIN n VERSIONS] [DRY RUN] | GRAFT OPTIMIZE " +
             "'<path>' [TARGET bytes | ZORDER BY (a, b) [FILES n]] | " +
             "GRAFT CLONE '<src>' TO '<dst>' [VERSION AS OF n] | " +
-            "GRAFT GENERATE MANIFEST FOR '<path>' [VERSION AS OF n]. " +
+            "GRAFT GENERATE MANIFEST FOR '<path>' [VERSION AS OF n] | " +
+            "GRAFT CONVERT '<dir>'. " +
             "Paths are single-quoted and may not contain a quote " +
             "character — use the Scala verb API for such paths")
       case _ => None
@@ -165,6 +171,22 @@ case class GraftManifestCommand(path: String, version: Long)
     AttributeReference("manifest_path", StringType, nullable = false)())
   override def run(s: SparkSession): Seq[Row] =
     Seq(Row(GraftTable.forPath(s, path).exportManifest(version)))
+}
+
+/** `GRAFT CONVERT '<dir>'`: [[GraftTable.convert]] — Delta's
+  * `CONVERT TO DELTA` as a statement: adopt an existing plain-parquet
+  * directory (flat or hive-partitioned) into the commit log in place,
+  * no data rewritten. Returns the created version (always 1) and the
+  * number of adopted files.
+  */
+case class GraftConvertCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] = {
+    val t = GraftTable.convert(s, path)
+    Seq(Row(t.latestVersion, t.liveFiles().size.toLong))
+  }
 }
 
 /** The injected parser: claims the `GRAFT …` statement family,

@@ -658,9 +658,18 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * staging dir (or value dir + job uuid) disambiguates.
     */
   private def fileKey(rel: String): String = {
-    val i = rel.lastIndexOf('/')
-    val j = if (i <= 0) -1 else rel.lastIndexOf('/', i - 1)
-    rel.substring(j + 1)
+    // derive from the ABSOLUTE path: probe-side keys (`__fn` =
+    // substring_index(_metadata.file_path, '/', -2), bloom tokens
+    // keyed by input_file_name) are always two components of the abs
+    // path, and a CONVERTED flat table's rel paths have only ONE
+    // component ("part-….parquet" at the table root), so keying on
+    // the rel string would never match the probe. For staged layouts
+    // (data/<uuid>/…) the last two components of rel and abs are
+    // identical, so this is a strict generalization.
+    val a = absOf(rel)
+    val i = a.lastIndexOf('/')
+    val j = if (i <= 0) -1 else a.lastIndexOf('/', i - 1)
+    a.substring(j + 1)
   }
 
   /** The payload rows of `metaSeq`'s files with every DELETION VECTOR
@@ -1365,7 +1374,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
   def partitionValues(partCol: String): Seq[Long] = {
     val pat = s"/${java.util.regex.Pattern.quote(partCol)}=(-?\\d+)/".r
     resolveMeta(latestVersion).keys
-      .flatMap(p => pat.findFirstMatchIn(p).map(_.group(1).toLong))
+      .flatMap(p => pat.findFirstMatchIn("/" + p).map(_.group(1).toLong))
       .toSeq.distinct.sorted
   }
 
@@ -1380,7 +1389,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
     val live = resolveMeta(latestVersion).keys
     val tokens = values.map(v => s"/$partCol=$v/")
-    val files = live.filter(p => tokens.exists(p.contains)).toSeq.sorted
+    val files = live.filter(p => tokens.exists(("/" + p).contains)).toSeq.sorted
     if (files.isEmpty) None
     else Some(logicalView(s.read.parquet(files.map(absOf): _*))
       .withColumn(partCol,
@@ -1424,7 +1433,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       val base = latestVersion
       val tokens = values.map(v => s"/$partCol=$v/")
       val removes = resolveMeta(base).keys
-        .filter(p => tokens.exists(p.contains)).toSeq
+        .filter(p => tokens.exists(("/" + p).contains)).toSeq
       enforceConstraints(df, "replacePartitions")
       // files of OTHER partitions survive this commit, so the payload
       // schema must stay compatible with what they were written under
@@ -1432,7 +1441,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
         mergeSchema = false, base)
       val adds = stagePartitioned(df, Seq(partCol))
       val outOfScope = adds.map(_._1)
-        .filterNot(p => tokens.exists(p.contains))
+        .filterNot(p => tokens.exists(("/" + p).contains))
       if (outOfScope.nonEmpty) {
         adds.map(_._1.split("/").take(2).mkString("/")).distinct
           .foreach(sub => fs.delete(new Path(rootPath, sub), true))
@@ -1455,7 +1464,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
   def readPartitions(partCol: String, values: Seq[Long]): Option[DataFrame] = {
     val tokens = values.map(v => s"/$partCol=$v/")
     val files = resolveMeta(latestVersion).keys
-      .filter(p => tokens.exists(p.contains)).toSeq.sorted
+      .filter(p => tokens.exists(("/" + p).contains)).toSeq.sorted
     if (files.isEmpty) None
     // no basePath/partition recovery: callers key on real columns and
     // re-derive the partition value (s7 recomputes pmod(user_id, n))
@@ -2103,9 +2112,12 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * the logged relpaths (stagePartitioned's construction).
     */
   private def partColOf(files: Iterable[String]): Option[String] = {
+    // match against a VIRTUAL leading slash: a converted table's value
+    // dirs sit at the table root ("bucket=2/part-…") with no parent
+    // path component, unlike staged layouts ("data/<uuid>/bucket=2/…")
     val pat = "/([A-Za-z_][A-Za-z0-9_]*)=[^/]+/".r
-    files.iterator.flatMap(f => pat.findFirstMatchIn(f).map(_.group(1)))
-      .nextOption()
+    files.iterator.flatMap(f =>
+      pat.findFirstMatchIn("/" + f).map(_.group(1))).nextOption()
   }
 
   /** OPTIMIZE for a hive-partitioned table: undersized files rewrite
@@ -2729,4 +2741,63 @@ object GraftTable {
   /** Open an existing table (or a root about to receive version 1). */
   def forPath(s: SparkSession, root: String): GraftTable =
     new GraftTable(s, root)
+
+  /** IN-PLACE CONVERT (Delta's `CONVERT TO DELTA`): adopt an
+    * existing plain-parquet directory — flat or hive-partitioned —
+    * into the commit log WITHOUT rewriting a byte: version 1 is a
+    * `convert` commit whose adds reference the directory's parquet
+    * files at their existing relative paths, with footer min/max
+    * stats read during the walk (so log-level skipping works on
+    * day one). After conversion the full surface applies — DSv2/SQL
+    * reads, time travel, DML (copy-on-write rewrites land under
+    * `data/` and logically retire converted originals), constraints,
+    * clone, manifest export, partition-subset readers (hive
+    * `col=value` paths are recognized exactly like
+    * appendPartitioned's layout).
+    *
+    * The recorded schema is the FILES' OWN schema (no partition
+    * column — its values stay path-borne, matching the partitioned
+    * staging convention). Converted originals that DML later retires
+    * are vacuum-EXEMPT (the orphan sweep walks only the table-managed
+    * `data/`/`cdf/`/`dv/` dirs) — the same conservatism that keeps a
+    * clone from reclaiming its source's files; reclaiming them is an
+    * explicit rm after the log horizon passes, exactly Delta's
+    * guidance for converted tables.
+    *
+    * At 100 TB this is the migration verb: a petabyte-scale parquet
+    * lake becomes transactional in one O(files) driver-side metadata
+    * pass — no data job at all.
+    */
+  def convert(s: SparkSession, root: String): GraftTable = {
+    val t = new GraftTable(s, root)
+    require(t.latestVersion == 0, s"table already exists at $root")
+    val fs = t.fs
+    val rootPath = t.rootPath
+    require(fs.exists(rootPath) && fs.getFileStatus(rootPath).isDirectory,
+      s"convert needs an existing directory, got $root")
+    def walk(p: Path, rel: String): Seq[(String, Long)] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        val r = if (rel.isEmpty) name else s"$rel/$name"
+        if (st.isDirectory) {
+          // never adopt table-managed or hidden dirs (a half-created
+          // log, Spark _temporary dirs, .crc sidecars)
+          if (name == LogDir || name == ManifestDir ||
+            name.startsWith("_") || name.startsWith(".")) Seq.empty
+          else walk(st.getPath, r)
+        } else if (name.endsWith(".parquet") && !name.startsWith(".") &&
+          !name.startsWith("_")) Seq((r, st.getLen))
+        else Seq.empty
+      }
+    val adds = walk(rootPath, "").sortBy(_._1)
+    require(adds.nonEmpty, s"no parquet files to convert under $root")
+    // schema from the FILES (explicit paths, so Spark does not infer
+    // a hive partition column into it — partition values stay in the
+    // paths, the partitioned-staging convention)
+    val schema = s.read.parquet(
+      adds.map(a => s"$root/${a._1}"): _*).schema
+    t.commit("convert", adds, Seq.empty, stats = t.statsOf(adds),
+      schema = Some(org.apache.spark.sql.graft.shim.nullable(schema)))
+    t
+  }
 }

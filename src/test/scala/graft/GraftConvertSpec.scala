@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.GraftTable
+import java.nio.file.Files
+
+/** IN-PLACE CONVERT (Delta's `CONVERT TO DELTA`): adopt an existing
+  * plain-parquet directory into the commit log without rewriting a
+  * byte, after which the full surface (reads, stats skipping, DML,
+  * time travel, vacuum conservatism) applies.
+  */
+class GraftConvertSpec extends SparkSpec {
+
+  private def multiset(df: DataFrame) =
+    df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+
+  private def fresh(tag: String) =
+    Files.createTempDirectory(s"graft_$tag").toString + "/t"
+
+  test("convert adopts a flat parquet dir in place: no rewrite, stats skipping, DML, time travel") {
+    val dir = fresh("cvflat")
+    val src = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    // range-partitioned landing: files carry disjoint key ranges, so
+    // the footer stats recorded at convert can actually prune
+    src.repartitionByRange(5, col("o_orderkey")).write.parquet(dir)
+    val want = multiset(src)
+    val filesBefore = {
+      def w(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toIndexedSeq.flatMap(w) else Seq(f)
+      w(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.lastModified)).toSet
+    }
+    val t = GraftTable.convert(spark, dir)
+    assert(t.latestVersion == 1 && t.readCommit(1).action == "convert")
+    // adoption is metadata-only: the original files are byte-for-byte
+    // untouched (same paths, same mtimes)
+    val filesAfter = {
+      def w(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toIndexedSeq.flatMap(w) else Seq(f)
+      w(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.lastModified)).toSet
+    }
+    assert(filesAfter == filesBefore, "convert touched data files")
+    assert(multiset(t.read()) == want, "converted read differs from source")
+    // footer stats were recorded during the walk: log-level skipping
+    // prunes on a key predicate without any re-scan
+    val hi = src.agg(max("o_orderkey")).head.getLong(0)
+    val pruned = t.prunedFiles(col("o_orderkey") <= hi / 10)
+    assert(pruned.size < t.liveFiles().size,
+      s"no skipping on converted table: ${pruned.size}/${t.liveFiles().size}")
+    // copy-on-write DML retires converted originals LOGICALLY
+    t.deleteWhere(col("o_orderstatus") === "F") // v2
+    assert(t.read().filter(col("o_orderstatus") === "F").count() == 0)
+    assert(multiset(t.readVersion(1)) == want,
+      "time travel to the convert version lost the original rows")
+    // ...and vacuum stays conservative: converted originals live
+    // OUTSIDE the table-managed data/ dir, so the orphan sweep never
+    // reclaims them even after DML retired them (clone-source rule)
+    val plan = t.vacuumPlan(retainVersions = 1, orphanGraceMillis = 0L)
+    assert(plan.files.isEmpty,
+      s"vacuum would reclaim converted originals: ${plan.files.take(3)}")
+    assert(t.readVersion(1).count() == src.count(), "originals intact")
+    ()
+  }
+
+  test("convert adopts a hive-partitioned dir: payload schema, pruned partition reads") {
+    val dir = fresh("cvpart")
+    val src = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        pmod(col("o_orderkey"), lit(4L)).as("bucket"))
+    src.write.partitionBy("bucket").parquet(dir)
+    val t = GraftTable.convert(spark, dir)
+    // recorded schema is the FILES' payload schema — the partition
+    // column stays path-borne (appendPartitioned's convention)
+    assert(t.read().schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "o_totalprice"))
+    assert(t.read().count() == src.count())
+    // the partition-subset reader prunes from the log and restores
+    // the value from the adopted paths
+    val want2 = multiset(src.filter(col("bucket") === 2))
+    val got2 = multiset(t.readPartitionedColumn("bucket", Seq(2L)).get
+      .select("o_orderkey", "o_totalprice", "bucket"))
+    assert(got2 == want2, "partition-pruned read on converted table wrong")
+    ()
+  }
+
+  test("GRAFT CONVERT statement: returns (version, n_files); refusals fire") {
+    val dir = fresh("cvsql")
+    Tables.region(spark, sf).write.parquet(dir)
+    val r = spark.sql(s"GRAFT CONVERT '$dir'").collect()
+    assert(r.length == 1 && r.head.getLong(0) == 1L && r.head.getLong(1) >= 1L)
+    assert(GraftTable.forPath(spark, dir).read().count() ==
+      Tables.region(spark, sf).count())
+    // converting a graft table refuses (it already has a log)
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.convert(spark, dir)
+    }
+    assert(e.getMessage.contains("already"), e.getMessage)
+    // converting an empty dir refuses
+    val empty = Files.createTempDirectory("graft_cvempty").toString
+    val e2 = intercept[IllegalArgumentException] {
+      GraftTable.convert(spark, empty)
+    }
+    assert(e2.getMessage.contains("no parquet"), e2.getMessage)
+    ()
+  }
+}
