@@ -27,11 +27,13 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   GRAFT CLONE '/data/t' TO '/data/t_dev' VERSION AS OF 3
   *   GRAFT GENERATE MANIFEST FOR '/data/t'
   *   GRAFT CONVERT '/data/plain_parquet_dir'        -- adopt in place
+  *   GRAFT FSCK '/data/t' [DRY RUN]                 -- drop missing refs
   * }}}
   *
-  * All four are driver-side O(log) metadata operations (OPTIMIZE
-  * additionally runs the undersized-file rewrite job) — the
-  * statements cost what their verbs cost, nothing more.
+  * All of these are driver-side O(log)-or-O(files) metadata
+  * operations (OPTIMIZE additionally runs the undersized-file
+  * rewrite job) — the statements cost what their verbs cost,
+  * nothing more.
   */
 object GraftSqlCommands {
 
@@ -45,6 +47,8 @@ object GraftSqlCommands {
     """(?is)\s*GRAFT\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val ManifestRe =
     """(?is)\s*GRAFT\s+GENERATE\s+MANIFEST\s+FOR\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val FsckRe =
+    """(?is)\s*GRAFT\s+FSCK\s+'([^']+)'(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val ConvertRe =
     """(?is)\s*GRAFT\s+CONVERT\s+'([^']+)'\s*;?\s*""".r
 
@@ -73,6 +77,8 @@ object GraftSqlCommands {
           Option(v).map(_.toLong).getOrElse(-1L)))
       case ConvertRe(path) =>
         Some(GraftConvertCommand(path))
+      case FsckRe(path, dry) =>
+        Some(GraftFsckCommand(path, dry != null))
       case t if t.matches("""(?is)\s*GRAFT\s.*""") =>
         // any whitespace after GRAFT, matching the shape regexes — a
         // tab/newline-separated typo must hit THIS message, not fall
@@ -83,7 +89,7 @@ object GraftSqlCommands {
             "'<path>' [TARGET bytes | ZORDER BY (a, b) [FILES n]] | " +
             "GRAFT CLONE '<src>' TO '<dst>' [VERSION AS OF n] | " +
             "GRAFT GENERATE MANIFEST FOR '<path>' [VERSION AS OF n] | " +
-            "GRAFT CONVERT '<dir>'. " +
+            "GRAFT CONVERT '<dir>' | GRAFT FSCK '<path>' [DRY RUN]. " +
             "Paths are single-quoted and may not contain a quote " +
             "character — use the Scala verb API for such paths")
       case _ => None
@@ -187,6 +193,19 @@ case class GraftConvertCommand(path: String) extends LeafRunnableCommand {
     val t = GraftTable.convert(s, path)
     Seq(Row(t.latestVersion, t.liveFiles().size.toLong))
   }
+}
+
+/** `GRAFT FSCK '<path>' [DRY RUN]`: [[GraftTable.fsck]] — drop
+  * live-set references to data files deleted out-of-band so reads
+  * stop failing; rows are the missing paths (dry run reports the
+  * same rows and commits nothing).
+  */
+case class GraftFsckCommand(path: String, dryRun: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("missing_path", StringType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    GraftTable.forPath(s, path).fsck(dryRun).map(Row(_))
 }
 
 /** The injected parser: claims the `GRAFT …` statement family,

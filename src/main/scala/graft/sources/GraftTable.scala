@@ -2515,6 +2515,29 @@ class GraftTable private (val s: SparkSession, val root: String) {
     }
   }
 
+  /** FSCK (Delta's `FSCK REPAIR TABLE`): drop live-set references to
+    * data files that no longer exist on storage (deleted out-of-band
+    * — an over-eager lifecycle policy, a converted table whose
+    * originals were removed, a restore over a vacuumed horizon), so
+    * reads stop failing on the missing files. One metadata-only
+    * `fsck` commit removing exactly the missing references; returns
+    * them (dry run: report only, commit nothing). Rows in missing
+    * files are LOST by definition — fsck makes the loss explicit and
+    * the table servable, it cannot recover data. Cost: one
+    * O(live files) driver-side existence sweep, no Spark job.
+    */
+  def fsck(dryRun: Boolean = false): Seq[String] = {
+    val base = latestVersion
+    require(base > 0, s"no graft table at $root")
+    val missing = resolveMeta(base).keys.toSeq
+      .filterNot(p => fs.exists(new Path(absOf(p)))).sorted
+    if (!dryRun && missing.nonEmpty) {
+      commit("fsck", Seq.empty, missing, basedOn = Some(base))
+      ()
+    }
+    missing
+  }
+
   /** Physically delete data files unreferenced by every retained
     * version (the newest `retainVersions`) and drop the older log
     * entries. Time travel before the horizon is gone after this —

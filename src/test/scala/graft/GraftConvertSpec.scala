@@ -86,6 +86,37 @@ class GraftConvertSpec extends SparkSpec {
     ()
   }
 
+  test("fsck drops references to files deleted out-of-band; dry run reports without committing") {
+    val root = fresh("fsck")
+    val src = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus")
+      .repartitionByRange(4, col("o_orderkey"))
+    val t = GraftTable.create(spark, root, src)
+    val total = src.count()
+    // delete one data file BEHIND the log's back (an out-of-band
+    // lifecycle policy, the failure fsck exists for)
+    val victim = t.liveFiles().map(_._1).min
+    val lostRows = spark.read.parquet(s"$root/$victim").count()
+    new java.io.File(root, victim).delete()
+    // the read now fails on the missing file
+    intercept[Throwable] { t.read().count() }
+    // dry run reports the missing reference, commits nothing
+    val v = t.latestVersion
+    assert(spark.sql(s"GRAFT FSCK '$root' DRY RUN").collect()
+      .map(_.getString(0)).toSeq == Seq(victim))
+    assert(t.latestVersion == v, "dry run must not commit")
+    // repair: one fsck commit, table servable, loss explicit
+    assert(spark.sql(s"GRAFT FSCK '$root'").collect()
+      .map(_.getString(0)).toSeq == Seq(victim))
+    assert(t.latestVersion == v + 1 &&
+      t.readCommit(v + 1).action == "fsck")
+    assert(t.read().count() == total - lostRows)
+    // a healthy table fscks to an empty report and no commit
+    assert(spark.sql(s"GRAFT FSCK '$root'").collect().isEmpty)
+    assert(t.latestVersion == v + 1)
+    ()
+  }
+
   test("GRAFT CONVERT statement: returns (version, n_files); refusals fire") {
     val dir = fresh("cvsql")
     Tables.region(spark, sf).write.parquet(dir)
