@@ -1891,8 +1891,8 @@ object Similarity {
     "m4_resize" ->
       """WITH dims AS (
         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
-        |    CAST(length(text) % 64 + 16 AS BIGINT) AS w,
-        |    CAST(length(text) % 48 + 12 AS BIGINT) AS h,
+        |    CAST(octet_length(CAST(text AS BLOB)) % 64 + 16 AS BIGINT) AS w,
+        |    CAST(octet_length(CAST(text AS BLOB)) % 48 + 12 AS BIGINT) AS h,
         |    CAST((length(text) + 63) // 64 AS BIGINT) AS k
         |  FROM documents)
         |SELECT doc_id,

@@ -2529,8 +2529,14 @@ class GraftTable private (val s: SparkSession, val root: String) {
   def fsck(dryRun: Boolean = false): Seq[String] = {
     val base = latestVersion
     require(base > 0, s"no graft table at $root")
-    val missing = resolveMeta(base).keys.toSeq
-      .filterNot(p => fs.exists(new Path(absOf(p)))).sorted
+    // a live file whose DV SIDECAR is missing is lost too: serving it
+    // raw would RESURRECT rows a takedown deleted (unsound), so the
+    // sound repair is dropping the whole reference — conservative
+    // (surviving rows go with it), explicit, never a resurrection
+    val missing = resolveMeta(base).toSeq.collect {
+      case (p, m) if !fs.exists(new Path(absOf(p))) ||
+        m.dv.exists(d => !fs.exists(new Path(absOf(d.path)))) => p
+    }.sorted
     if (!dryRun && missing.nonEmpty) {
       commit("fsck", Seq.empty, missing, basedOn = Some(base))
       ()
@@ -2814,6 +2820,22 @@ object GraftTable {
       }
     val adds = walk(rootPath, "").sortBy(_._1)
     require(adds.nonEmpty, s"no parquet files to convert under $root")
+    // the partition layer is INTEGER-VALUED by design (partition
+    // restoration parses `col=(-?\d+)` and casts long — the
+    // appendPartitioned contract): adopting a string-valued hive
+    // layout would make DML restore null partition values and
+    // re-stage rows under col=null, silently corrupting the layout.
+    // Refuse loudly instead.
+    val partPat = "/([A-Za-z_][A-Za-z0-9_]*)=([^/]+)/".r
+    adds.iterator
+      .flatMap(a => partPat.findAllMatchIn("/" + a._1))
+      .find(m => scala.util.Try(m.group(2).toLong).isFailure)
+      .foreach { m =>
+        throw new IllegalArgumentException(
+          s"cannot convert: partition value '${m.group(1)}=${m.group(2)}' " +
+            "is not integral — the partition layer is integer-valued " +
+            "(convert a flat copy, or re-land with an integral key)")
+      }
     // schema from the FILES (explicit paths, so Spark does not infer
     // a hive partition column into it — partition values stay in the
     // paths, the partitioned-staging convention)

@@ -117,6 +117,48 @@ class GraftConvertSpec extends SparkSpec {
     ()
   }
 
+  test("convert refuses string-valued hive partition dirs (integer-valued partition layer)") {
+    val dir = fresh("cvstr")
+    Tables.documents(spark, sf).select("doc_id", "text", "lang")
+      .write.partitionBy("lang").parquet(dir)
+    // DML on a string-partitioned adoptee would restore null partition
+    // values (the restore parses integers) and re-stage under
+    // lang=null — refuse at adoption, not corrupt later
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.convert(spark, dir)
+    }
+    assert(e.getMessage.contains("not integral"), e.getMessage)
+    ()
+  }
+
+  test("fsck drops a file whose DV sidecar is missing (no resurrection)") {
+    val root = fresh("fsckdv")
+    val t = GraftTable.create(spark, root, Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus")
+      .repartitionByRange(4, col("o_orderkey")))
+    t.deleteWhere(pmod(col("o_orderkey"), lit(5)) === 1, mor = true)
+    val afterDelete = t.read().count()
+    // remove the dv sidecar directory out-of-band (the realistic
+    // loss: a lifecycle rule deleting by prefix)
+    val dvDir = new java.io.File(root, "dv")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    assert(dvDir.exists, "expected a dv sidecar dir")
+    rm(dvDir)
+    intercept[Throwable] { t.read().count() }
+    // fsck drops EVERY file attached to the lost sidecar — surviving
+    // rows go with it (conservative), deleted rows can never come back
+    val dropped = t.fsck()
+    assert(dropped.nonEmpty)
+    val served = t.read()
+    assert(served.count() < afterDelete)
+    assert(served.filter(pmod(col("o_orderkey"), lit(5)) === 1).count()
+      == 0, "fsck resurrected MoR-deleted rows")
+    ()
+  }
+
   test("GRAFT CONVERT statement: returns (version, n_files); refusals fire") {
     val dir = fresh("cvsql")
     Tables.region(spark, sf).write.parquet(dir)
