@@ -93,7 +93,15 @@ object Bench {
     // term) and weighted link prediction (the wedge join's Σdeg²
     // fan-out with exact-long Adamic-Adar sums — the heaviest new
     // graph-family shape)
-    "e16_rerank_cascade", "g15_link_predict")
+    "e16_rerank_cascade", "g15_link_predict",
+    // round-12 additions: quality-keeper near-dedup (the round's
+    // scale-riser fix — the LSH-verified pair source behind the
+    // footer-count plan switch; tracking it keeps the switch's
+    // small-SF no-op honest round over round) and the CONVERT
+    // lifecycle (plain landing → in-place adoption → copy-on-write
+    // delete → log-resolved read: the migration verb's end-to-end
+    // cost, billed once per session like the other lifecycle entries)
+    "d36_quality_dedup", "q91_convert_read")
 
   /** 1-minute load average, -1.0 if unreadable (non-Linux). */
   private def loadavg(): Double =
