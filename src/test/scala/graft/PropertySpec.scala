@@ -110,4 +110,81 @@ class PropertySpec extends AnyFunSuite {
       got == h && h >= 0
     })
   }
+
+  test("BpeCountApprox equals the regex segmenter for ANY string") {
+    // the d38 fused segmenter's contract: identical to
+    //   Σ over matches of [A-Za-z]+|[0-9]+|[^A-Za-z0-9 ] of
+    //   (codePointCount(match) + 3) div 4
+    // swept over generated strings: letter/digit runs at boundaries,
+    // punctuation clusters, spaces, non-ASCII, surrogate pairs
+    val piece = Gen.oneOf(
+      Gen.choose(1, 9).flatMap(n => Gen.listOfN(n, Gen.alphaChar).map(_.mkString)),
+      Gen.choose(1, 9).flatMap(n => Gen.listOfN(n, Gen.numChar).map(_.mkString)),
+      Gen.oneOf(" ", "  ", "!", "?!", "...", "é", "世界", "👍", "a👍9"))
+    val strGen = Gen.choose(0, 30)
+      .flatMap(n => Gen.listOfN(n, piece)).map(_.mkString)
+    val pat = java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")
+    check("bpe", Prop.forAll(strGen) { s =>
+      val got = graft.functions.BpeCountApprox(
+        Literal(UTF8String.fromString(s))).eval(null).asInstanceOf[Long]
+      val m = pat.matcher(s)
+      var want = 0L
+      while (m.find()) {
+        val cp = s.codePointCount(m.start, m.end)
+        want += (cp + 3) / 4
+      }
+      got == want
+    })
+  }
+
+  test("d2's prefix filter is LOSSLESS for Jaccard >= 0.8 on ANY shingle-set family") {
+    // the exact arithmetic of the scale plan, modelled element-wise:
+    //   plen = sz - (4*sz + 4) div 5 + 1   (ascending-hash prefix)
+    //   size filter 5*min >= 4*max
+    //   exact verify shared/(sa+sb-shared) >= 0.8
+    // must produce the SAME pair set as all-pairs exact Jaccard —
+    // the theorem the plan switch's oracle-invisibility rests on.
+    // Families are generated near-dup-rich: a base set plus mutated
+    // copies (drop/add up to ~25% of elements) so threshold-grazing
+    // pairs actually occur.
+    val baseGen = Gen.choose(5, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 40L)).map(_.toSet))
+    val famGen = for {
+      base <- baseGen
+      k <- Gen.choose(2, 7)
+      muts <- Gen.listOfN(k, for {
+        drops <- Gen.someOf(base)
+        adds <- Gen.listOfN(3, Gen.choose(41L, 60L))
+        keepDrop <- Gen.choose(0, math.max(1, base.size / 4))
+      } yield (base -- drops.take(keepDrop) ++ adds.take(
+        if (base.size > 8) 2 else 0)).toSet)
+    } yield (base +: muts).filter(_.nonEmpty).zipWithIndex
+      .map { case (s0, i) => (i.toLong, s0) }
+    check("prefix", Prop.forAll(famGen) { docs =>
+      def jacc(a: Set[Long], b: Set[Long]): Double =
+        (a intersect b).size.toDouble / (a union b).size
+      val naive = (for {
+        (ia, sa) <- docs; (ib, sb) <- docs
+        if ia < ib && jacc(sa, sb) >= 0.8
+      } yield (ia, ib)).toSet
+      // prefix plan: candidates from prefix intersection + size
+      // filter, then EXACT verification
+      def prefix(s0: Set[Long]): Set[Long] = {
+        val sz = s0.size
+        val plen = sz - (4 * sz + 4) / 5 + 1
+        s0.toSeq.sorted.take(plen).toSet
+      }
+      val cands = (for {
+        (ia, sa) <- docs; (ib, sb) <- docs
+        if ia < ib &&
+          (prefix(sa) intersect prefix(sb)).nonEmpty &&
+          sb.size * 5 >= sa.size * 4 && sa.size * 5 >= sb.size * 4
+      } yield (ia, ib)).toSet
+      val viaPrefix = cands.filter { case (ia, ib) =>
+        jacc(docs.find(_._1 == ia).get._2,
+             docs.find(_._1 == ib).get._2) >= 0.8
+      }
+      viaPrefix == naive
+    })
+  }
 }
