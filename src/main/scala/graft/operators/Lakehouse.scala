@@ -489,6 +489,50 @@ object Lakehouse {
       t
     }) }
 
+  private val fscked = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
+
+  // q92: FSCK — the out-of-band-loss repair lifecycle, oracled. The
+  // loss is made DETERMINISTIC by partition layout: a hive-
+  // partitioned landing puts every bucket=3 row in the bucket=3
+  // value dirs, the "lifecycle policy" removes exactly those dirs
+  // behind the log's back, and `GRAFT FSCK` drops the now-missing
+  // references in one metadata commit. The serving read is then
+  // EXACTLY the corpus minus bucket 3 — an oracle only the correct
+  // sweep (every missing ref dropped, no live ref dropped, no
+  // resurrection) can match.
+  private def fsckTable(s: SparkSession, d: String): GraftTable =
+    fscked.synchronized { fscked.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_fsck").toString + "/t"
+      val t = GraftTable.forPath(s, root)
+      t.appendPartitioned(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          pmod(col("o_orderkey"), lit(4L)).as("bucket")), "bucket") // v1
+      // the out-of-band loss: every bucket=3 data dir vanishes
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      def sweep(f: java.io.File): Unit =
+        if (f.isDirectory) {
+          if (f.getName == "bucket=3") rm(f)
+          else f.listFiles().foreach(sweep)
+        }
+      sweep(new java.io.File(root, "data"))
+      s.sql(s"GRAFT FSCK '$root'")                                 // v2
+      t
+    }) }
+
+  def q92FsckRead(s: SparkSession, d: String): DataFrame =
+    fsckTable(s, d).read()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("total_price"),
+        min("o_orderkey").as("first_key"))
+      .orderBy("o_orderstatus")
+
   def q91ConvertRead(s: SparkSession, d: String): DataFrame =
     convertedTable(s, d).read()
       .filter(col("l_quantity") >= 25)
@@ -500,6 +544,7 @@ object Lakehouse {
       .orderBy("l_returnflag")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_fsck_read" -> (q92FsckRead _),
     "q91_convert_read" -> (q91ConvertRead _),
     "q90_sql_maintenance" -> (q90SqlMaintenance _),
     "q89_shallow_clone" -> (q89ShallowClone _),
@@ -538,6 +583,13 @@ object Lakehouse {
       |FROM surv ORDER BY o_orderkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q92_fsck_read" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  min(o_orderkey) AS first_key
+        |FROM orders WHERE o_orderkey % 4 <> 3
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q91_convert_read" ->
       """SELECT l_returnflag, count(*) AS n_items,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
