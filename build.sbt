@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round bench driver parses the LAST stdout line as JSON;
+// under sbt that line is the "[success] Total time" trailer, which is
+// why BENCH_r10..r12 all carried "parsed": null even though
+// graft.Bench prints its JSON as the final program line. Suppress the
+// trailer so the program's own last line IS the process's last line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,4 +34,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the container's default locale is C (ASCII): without a UTF-8
+  // jnu encoding the JVM cannot CREATE files whose names carry
+  // non-ASCII characters — which unicode partition values
+  // (country=南) legitimately do under the hive layout (the escape
+  // set covers only ASCII specials)
+  "-Dsun.jnu.encoding=UTF-8", "-Dfile.encoding=UTF-8",
 )
+Test / envVars += ("LANG" -> "C.utf8")
+run / envVars += ("LANG" -> "C.utf8")

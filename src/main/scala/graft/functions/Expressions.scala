@@ -363,10 +363,53 @@ case class GearChunks(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Hive-path partition-value UNESCAPE (`%XX` hex sequences → chars) —
+  * the read half of the convention `DataFrameWriter.partitionBy`
+  * writes value dirs with (Spark's `ExternalCatalogUtils
+  * .escapePathName`, the Hive layout rule): `country=South%3A1` reads
+  * back as `South:1`. Deliberately NOT `url_decode`: the Hive escape
+  * set never encodes `+`, so URL decoding would corrupt a literal
+  * `a+b` into `a b`. Used by the partition-restore projection on
+  * string-partitioned tables — per-row, hence codegen'd; the
+  * no-`%` fast path returns the input UTF8String untouched.
+  */
+case class PathUnescape(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "path_unescape"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"path_unescape needs a string child, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    PathUnescape.unescape(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PathUnescape.unescape($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PathUnescape =
+    copy(child = newChild)
+}
+
+object PathUnescape {
+  /** Static entry point the generated code calls. */
+  def unescape(u: UTF8String): UTF8String = {
+    val s = u.toString
+    if (s.indexOf('%') < 0) u
+    else UTF8String.fromString(
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(s))
+  }
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graft.shim.{column, expression}
 
   def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
+  def path_unescape(c: Column): Column = column(PathUnescape(expression(c)))
   def bpe_count_approx(c: Column): Column =
     column(BpeCountApprox(expression(c)))
   def gear_cuts(c: Column): Column = column(GearCuts(expression(c)))

@@ -489,6 +489,46 @@ object Lakehouse {
       t
     }) }
 
+  private val strParted = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
+
+  // q93: STRING-VALUED PARTITION COLUMNS end-to-end (the round-13
+  // capability wall: the reference's Master_data is string-keyed —
+  // Country/Source columns, app.py's Master_data.csv — and real lakes
+  // are full of lang=en/ layouts). The lifecycle: a plain parquet
+  // landing hive-partitioned by c_mktsegment (string value dirs),
+  // adopted in place by GRAFT CONVERT (which RECORDS the key's type —
+  // the partmeta row), then a copy-on-write DELETE whose rewrite must
+  // restore the string values from the paths and re-stage survivors
+  // UNDER their value dirs, and finally a log-PRUNED read of three
+  // named segments with the partition column restored. An adoption
+  // that inferred long (null values), a DML that restaged under
+  // c_mktsegment=null, or a pruned read that missed rewritten files
+  // cannot hash-match the oracle. Built once per (session, dataset).
+  private def strPartTable(s: SparkSession, d: String): GraftTable =
+    strParted.synchronized { strParted.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_strpart").toString + "/plain"
+      Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .write.partitionBy("c_mktsegment").parquet(dir)            // plain
+      s.sql(s"GRAFT CONVERT '$dir' PARTITIONED BY (c_mktsegment string)")
+      val t = GraftTable.forPath(s, dir)                           // v1
+      t.deleteWhere(col("c_acctbal") < 0)                          // v2
+      t
+    }) }
+
+  def q93StringPartition(s: SparkSession, d: String): DataFrame =
+    strPartTable(s, d)
+      .readPartitionedColumnString("c_mktsegment",
+        Seq("AUTOMOBILE", "BUILDING", "MACHINERY"))
+      .get
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast("decimal(18,2)"))
+          .cast("double").as("total_bal"),
+        min("c_custkey").as("first_key"))
+      .orderBy("c_mktsegment")
+
   private val fscked = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
 
   // q92: FSCK — the out-of-band-loss repair lifecycle, oracled. The
@@ -544,6 +584,7 @@ object Lakehouse {
       .orderBy("l_returnflag")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_string_partition" -> (q93StringPartition _),
     "q92_fsck_read" -> (q92FsckRead _),
     "q91_convert_read" -> (q91ConvertRead _),
     "q90_sql_maintenance" -> (q90SqlMaintenance _),
@@ -583,6 +624,15 @@ object Lakehouse {
       |FROM surv ORDER BY o_orderkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q93_string_partition" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_bal,
+        |  min(c_custkey) AS first_key
+        |FROM customer
+        |WHERE c_acctbal >= 0
+        |  AND c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q92_fsck_read" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -333,18 +333,7 @@ object GraftDataSource {
       // the WRITE surfaces (the streaming sink, SQL DML routing)
       // still resolve the table; the verb API reads apply both.
       val readRefusal: Option[String] =
-        if (t.hasDvAsOf(version)) Some(
-          s"graft table at $path (v$version) has live DELETION VECTORS — " +
-            "a reader feature this raw-parquet path does not apply. Read " +
-            "through GraftTable.read()/readVersion()/readWhere(), or run " +
-            "purge() to materialize the deletes first")
-        else if (t.hasColMapAsOf(version)) Some(
-          s"graft table at $path (v$version) reads through COLUMN " +
-            "MAPPING (renamed/dropped columns) — a reader feature this " +
-            "raw-parquet path does not apply (it would surface physical " +
-            "names). Read through GraftTable.read()/readVersion()/" +
-            "readWhere()")
-        else None
+        t.rawReadRefusal(version, "graft raw-parquet scan")
       // pass the RECORDED schema: filesAsOf may legitimately be empty
       // (deleteWhere/TRUNCATE emptied the table) and parquet inference
       // over zero paths would fail with an opaque error instead of

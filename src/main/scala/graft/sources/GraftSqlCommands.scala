@@ -25,8 +25,12 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   GRAFT OPTIMIZE '/data/t' ZORDER BY (x, y) FILES 16
   *   GRAFT CLONE '/data/t' TO '/data/t_dev'          -- shallow clone
   *   GRAFT CLONE '/data/t' TO '/data/t_dev' VERSION AS OF 3
+  *   GRAFT VACUUM '/data/t' RETAIN 48 HOURS          -- wall-clock window
   *   GRAFT GENERATE MANIFEST FOR '/data/t'
   *   GRAFT CONVERT '/data/plain_parquet_dir'        -- adopt in place
+  *   GRAFT CONVERT '/data/d' PARTITIONED BY (country string)
+  *   GRAFT RESTORE '/data/t' TO VERSION AS OF 3     -- roll-forward undo
+  *   GRAFT RESTORE '/data/t' TO TIMESTAMP AS OF 1755…  -- epoch millis
   *   GRAFT FSCK '/data/t' [DRY RUN]                 -- drop missing refs
   * }}}
   *
@@ -38,7 +42,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 object GraftSqlCommands {
 
   private val VacuumRe =
-    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(VERSIONS|HOURS))?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val OptimizeRe =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+TARGET\s+(\d+))?\s*;?\s*""".r
   private val ZOrderRe =
@@ -50,7 +54,9 @@ object GraftSqlCommands {
   private val FsckRe =
     """(?is)\s*GRAFT\s+FSCK\s+'([^']+)'(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val ConvertRe =
-    """(?is)\s*GRAFT\s+CONVERT\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+CONVERT\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s+(\w+)\s*\))?\s*;?\s*""".r
+  private val RestoreRe =
+    """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
 
   /** Some(plan) when `sqlText` is a graft maintenance statement. A
     * text that LEADS with GRAFT but matches no statement shape is a
@@ -59,9 +65,11 @@ object GraftSqlCommands {
     */
   def maintenancePlan(sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case VacuumRe(path, retain, dry) =>
+      case VacuumRe(path, retain, unit, dry) =>
         Some(GraftVacuumCommand(path,
-          Option(retain).map(_.toInt).getOrElse(2), dry != null))
+          Option(retain).map(_.toDouble).getOrElse(2.0),
+          Option(unit).forall(_.equalsIgnoreCase("VERSIONS")),
+          dry != null))
       case ZOrderRe(path, dimA, dimB, files) => // before plain OPTIMIZE:
         // the broader regex would otherwise reject the ZORDER suffix
         Some(GraftZOrderCommand(path, dimA, dimB,
@@ -75,8 +83,12 @@ object GraftSqlCommands {
       case ManifestRe(path, v) =>
         Some(GraftManifestCommand(path,
           Option(v).map(_.toLong).getOrElse(-1L)))
-      case ConvertRe(path) =>
-        Some(GraftConvertCommand(path))
+      case ConvertRe(path, pCol, pType) =>
+        Some(GraftConvertCommand(path,
+          Option(pCol).map(c => (c, Option(pType).getOrElse("string")))))
+      case RestoreRe(path, kind, n) =>
+        Some(GraftRestoreCommand(path, n.toLong,
+          kind.equalsIgnoreCase("TIMESTAMP")))
       case FsckRe(path, dry) =>
         Some(GraftFsckCommand(path, dry != null))
       case t if t.matches("""(?is)\s*GRAFT\s.*""") =>
@@ -85,11 +97,13 @@ object GraftSqlCommands {
         // through to Spark's parser and its baffling generic error
         throw new IllegalArgumentException(
           "unrecognized GRAFT statement — supported: GRAFT VACUUM " +
-            "'<path>' [RETAIN n VERSIONS] [DRY RUN] | GRAFT OPTIMIZE " +
-            "'<path>' [TARGET bytes | ZORDER BY (a, b) [FILES n]] | " +
-            "GRAFT CLONE '<src>' TO '<dst>' [VERSION AS OF n] | " +
-            "GRAFT GENERATE MANIFEST FOR '<path>' [VERSION AS OF n] | " +
-            "GRAFT CONVERT '<dir>' | GRAFT FSCK '<path>' [DRY RUN]. " +
+            "'<path>' [RETAIN n VERSIONS|HOURS] [DRY RUN] | GRAFT " +
+            "OPTIMIZE '<path>' [TARGET bytes | ZORDER BY (a, b) " +
+            "[FILES n]] | GRAFT CLONE '<src>' TO '<dst>' [VERSION AS " +
+            "OF n] | GRAFT GENERATE MANIFEST FOR '<path>' [VERSION AS " +
+            "OF n] | GRAFT CONVERT '<dir>' [PARTITIONED BY (col type)] " +
+            "| GRAFT RESTORE '<path>' TO VERSION|TIMESTAMP AS OF n | " +
+            "GRAFT FSCK '<path>' [DRY RUN]. " +
             "Paths are single-quoted and may not contain a quote " +
             "character — use the Scala verb API for such paths")
       case _ => None
@@ -102,7 +116,8 @@ object GraftSqlCommands {
   * default 10-minute orphan grace: a DRY RUN shows exactly what an
   * immediate VACUUM would delete.
   */
-case class GraftVacuumCommand(path: String, retain: Int,
+case class GraftVacuumCommand(path: String, retain: Double,
+                              retainIsVersions: Boolean,
                               dryRun: Boolean) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("kind", StringType, nullable = false)(),
@@ -110,7 +125,13 @@ case class GraftVacuumCommand(path: String, retain: Int,
     AttributeReference("bytes", LongType, nullable = false)())
   override def run(s: SparkSession): Seq[Row] = {
     val t = GraftTable.forPath(s, path)
-    val p = t.vacuumPlan(retain)
+    // RETAIN n HOURS (Delta's retention window) maps to a version
+    // horizon via the commit wall-clocks, resolved ONCE here so the
+    // dry-run rows and the execution below can't disagree
+    val retainVersions =
+      if (retainIsVersions) retain.toInt
+      else t.retainVersionsForHours(retain)
+    val p = t.vacuumPlan(retainVersions)
     // execute the EXACT plan the rows report — recomputing inside
     // vacuum() could reclaim files that aged past the grace window
     // (or a shifted horizon) between the two passes, making the
@@ -185,13 +206,44 @@ case class GraftManifestCommand(path: String, version: Long)
   * no data rewritten. Returns the created version (always 1) and the
   * number of adopted files.
   */
-case class GraftConvertCommand(path: String) extends LeafRunnableCommand {
+case class GraftConvertCommand(path: String,
+                               partBy: Option[(String, String)] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("n_files", LongType, nullable = false)())
   override def run(s: SparkSession): Seq[Row] = {
-    val t = GraftTable.convert(s, path)
+    // PARTITIONED BY (col type) — Delta CONVERT's explicit partition
+    // schema: the declared column must match the layout's key, and
+    // the declared type overrides the integral-vs-string inference
+    val pType = partBy.map { case (_, tn) =>
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(tn)
+    }
+    val t = GraftTable.convert(s, path, pType)
+    partBy.foreach { case (col, _) =>
+      val rec = t.partMetaAt(t.latestVersion)
+      require(rec.exists(_.col == col),
+        s"CONVERT declared partition column '$col' but the layout " +
+          s"carries ${rec.map(_.col).getOrElse("no partition key")}")
+    }
     Seq(Row(t.latestVersion, t.liveFiles().size.toLong))
+  }
+}
+
+/** `GRAFT RESTORE '<path>' TO VERSION|TIMESTAMP AS OF n`: Delta's
+  * RESTORE statement — a roll-forward undo commit
+  * ([[GraftTable.restore]] / [[GraftTable.restoreTimestamp]]).
+  * Returns the new version.
+  */
+case class GraftRestoreCommand(path: String, n: Long,
+                               byTimestamp: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] = {
+    val t = GraftTable.forPath(s, path)
+    Seq(Row(if (byTimestamp) t.restoreTimestamp(n) else t.restore(n)))
   }
 }
 

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import java.nio.charset.StandardCharsets.UTF_8
 
 /** Transactional parquet table — ONE commit-log discipline for every
@@ -133,7 +133,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
                                    tsMillis: Long,
                                    dvs: Seq[(String, DvRef)] = Seq.empty,
                                    bloomIdxJson: Option[String] = None,
-                                   colmapJson: Option[String] = None)
+                                   colmapJson: Option[String] = None,
+                                   partMetaJson: Option[String] = None,
+                                   protocolJson: Option[String] = None)
 
   /** Commit files and checkpoints are IMMUTABLE once published
     * (single-winner atomic publish; vacuum only ever deletes behind
@@ -172,6 +174,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
     var constraints: Option[String] = None
     var bloomIdx: Option[String] = None
     var colmap: Option[String] = None
+    var partMeta: Option[String] = None
+    var protocol: Option[String] = None
     lines.tail.foreach { l =>
       val f = l.split("\t", 5)
       f(0) match {
@@ -186,11 +190,14 @@ class GraftTable private (val s: SparkSession, val root: String) {
         case "constraints" => constraints = Some(l.split("\t", 2)(1))
         case "bloomidx"    => bloomIdx = Some(l.split("\t", 2)(1))
         case "colmap"      => colmap = Some(l.split("\t", 2)(1))
+        case "partmeta"    => partMeta = Some(l.split("\t", 2)(1))
+        case "protocol"    => protocol = Some(l.split("\t", 2)(1))
         case other => sys.error(s"corrupt commit v$v: unknown action $other")
       }
     }
     Commit(ver.toLong, action, adds.result(), rems.result(), cdfs.result(),
-      schema, constraints, ts, dvs.result(), bloomIdx, colmap)
+      schema, constraints, ts, dvs.result(), bloomIdx, colmap, partMeta,
+      protocol)
   }
 
   /** The live (relpath → meta) set at version `v` — checkpoint ≤ v
@@ -376,6 +383,81 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * would surface PHYSICAL column names and must refuse instead.
     */
   def hasColMapAsOf(v: Long): Boolean = !colmapAt(v).isIdentity
+
+  /** The recorded partition metadata at `v` — the newest `partmeta`
+    * row in (checkpoint, v], else the checkpoint's (colmapAt's
+    * resolution). None on flat tables and legacy partitioned logs.
+    */
+  private[graft] def partMetaAt(v: Long): Option[GraftTable.PartMeta] = {
+    if (v <= 0) return None
+    val base = checkpointVersions().filter(_ <= v).lastOption
+    val fromCommits = versions()
+      .filter(x => x > base.getOrElse(0L) && x <= v)
+      .reverseIterator
+      .flatMap(x => readCommit(x).partMetaJson)
+      .nextOption()
+    fromCommits.orElse(base.flatMap { cv =>
+      ckptLines(cv).collectFirst {
+        case l if l.startsWith("partmeta\t") => l.split("\t", 2)(1)
+      }
+    }).map(GraftTable.partMetaFromJson)
+  }
+
+  /** The recorded protocol feature set at `v` (Delta's protocol row):
+    * monotone — the high-water mark of every feature any commit ≤ v
+    * activated. Empty on legacy logs.
+    */
+  def protocolAt(v: Long): Set[String] = {
+    if (v <= 0) return Set.empty
+    val base = checkpointVersions().filter(_ <= v).lastOption
+    val fromCommits = versions()
+      .filter(x => x > base.getOrElse(0L) && x <= v)
+      .reverseIterator
+      .flatMap(x => readCommit(x).protocolJson)
+      .nextOption()
+    fromCommits.orElse(base.flatMap { cv =>
+      ckptLines(cv).collectFirst {
+        case l if l.startsWith("protocol\t") => l.split("\t", 2)(1)
+      }
+    }).map(GraftTable.protocolFromJson).getOrElse(Set.empty)
+  }
+
+  /** The reader features ACTIVE at version `v` — derived from actual
+    * state, not the (monotone) protocol row: a purge that cleared the
+    * last DV leaves `deletionVectors` in the protocol but inactive
+    * here, and the raw-parquet paths serve the version again. The
+    * refusal messages below speak the protocol row's vocabulary.
+    */
+  def activeReaderFeatures(v: Long): Set[String] = {
+    val b = Set.newBuilder[String]
+    if (hasDvAsOf(v)) b += GraftTable.Features.DeletionVectors
+    if (hasColMapAsOf(v)) b += GraftTable.Features.ColumnMapping
+    if (partMetaAt(v).exists(_.tpe == StringType))
+      b += GraftTable.Features.StringPartitionValues
+    b.result()
+  }
+
+  /** The ONE reader-feature gate for raw-parquet serving paths (the
+    * DSv2 snapshot scan, manifest export): refuses when any ACTIVE
+    * feature of `v` is one a raw reader cannot apply, naming the
+    * features in the recorded protocol vocabulary — new features add
+    * a name here instead of re-inventing the gate (VERDICT r12 item
+    * 6). Returns the refusal message rather than throwing so callers
+    * that must defer the error to scan construction (the DSv2 path)
+    * can.
+    */
+  private[sources] def rawReadRefusal(v: Long, who: String): Option[String] = {
+    val blocking = activeReaderFeatures(v) intersect GraftTable.Features.RawBlocking
+    if (blocking.isEmpty) None
+    else Some(
+      s"$who refused: graft table at $root (v$v) requires active reader " +
+        s"features [${blocking.toSeq.sorted.mkString(", ")}] (protocol " +
+        s"[${protocolAt(v).toSeq.sorted.mkString(", ")}]) that a " +
+        "raw-parquet reader cannot apply — deletionVectors would " +
+        "resurrect deleted rows (run purge() first), columnMapping would " +
+        "surface physical column names. Read through GraftTable.read()/" +
+        "readVersion()/readWhere() instead")
+  }
 
   /** The logical→physical column mapping (empty = identity). */
   def columnMapping(): Map[String, String] = colmapAt(latestVersion).map
@@ -714,10 +796,18 @@ class GraftTable private (val s: SparkSession, val root: String) {
               .parquet(paths.map(absOf): _*)
           case None => s.read.parquet(paths.map(absOf): _*)
         }
+        // _metadata.file_path serves the URI form — the on-disk name
+        // percent-ENCODED once more (a string-partition value dir
+        // `c=a%3Db` arrives as `c=a%253Db`) — while fileKey/byBaseName
+        // key on the raw path, so the probe key decodes that one URI
+        // layer (URI encoding never encodes '/', so splitting first is
+        // component-safe; under integer-valued layouts the decode is a
+        // no-op)
         val withPos =
           if (pos) raw.withColumn("__fn",
-            org.apache.spark.sql.functions.substring_index(
-              col("_metadata.file_path"), "/", -2))
+            graft.functions.GraftFunctions.path_unescape(
+              org.apache.spark.sql.functions.substring_index(
+                col("_metadata.file_path"), "/", -2)))
             .withColumn("__ri", col("_metadata.row_index"))
           else raw
         sc match {
@@ -969,7 +1059,10 @@ class GraftTable private (val s: SparkSession, val root: String) {
               if (present(c) == StringType) "string" else "long")
           }
         }.toMap
-        fileKey(r.getString(0)) -> cols
+        // input_file_name is URI-encoded on top of the on-disk name
+        // (readMeta's __fn rule) — decode that layer so the key
+        // matches fileKey(relpath) under escaped partition dirs
+        fileKey(GraftTable.unescapePartValue(r.getString(0))) -> cols
       }.toMap
   }
 
@@ -1054,6 +1147,11 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val cmV = colmapAt(v)
     if (!cmV.isIdentity)
       b.append(s"colmap\t${GraftTable.colmapToJson(cmV)}\n")
+    partMetaAt(v).foreach(pm =>
+      b.append(s"partmeta\t${GraftTable.partMetaToJson(pm)}\n"))
+    val protoV = protocolAt(v)
+    if (protoV.nonEmpty)
+      b.append(s"protocol\t${GraftTable.protocolToJson(protoV)}\n")
     val live = resolveMeta(v).toSeq.sortBy(_._1)
     live.foreach { case (p, m) =>
       b.append(s"file\t$p\t${m.bytes}${m.stats.map("\t" + _).getOrElse("")}\n")
@@ -1120,7 +1218,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
                             readFiles: Seq[String] = Seq.empty,
                             bloomIdx: Option[Seq[(String, Long)]] = None,
                             reschema: Option[Long => StructType] = None,
-                            colmap: Option[GraftTable.ColMap] = None)
+                            colmap: Option[GraftTable.ColMap] = None,
+                            partMeta: Option[GraftTable.PartMeta] = None)
       : Long = {
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
     var attempt = 0
@@ -1195,6 +1294,20 @@ class GraftTable private (val s: SparkSession, val root: String) {
         .getOrElse(if (prev > 0) bloomIndexAt(prev) else Seq.empty)
       val cm = colmap
         .getOrElse(if (prev > 0) colmapAt(prev) else GraftTable.ColMap.empty)
+      val pm = partMeta
+        .orElse(if (prev > 0) partMetaAt(prev) else None)
+      // the protocol row is MONOTONE: the predecessor's features plus
+      // whatever this commit activates (Delta's protocol discipline —
+      // a feature, once required, stays recorded even if later state
+      // deactivates it; the gates refuse on ACTIVE state only)
+      val proto = (if (prev > 0) protocolAt(prev) else Set.empty[String]) ++
+        (if (dvs.nonEmpty) Set(GraftTable.Features.DeletionVectors)
+         else Set.empty) ++
+        (if (!cm.isIdentity) Set(GraftTable.Features.ColumnMapping)
+         else Set.empty) ++
+        (if (pm.exists(_.tpe == StringType))
+          Set(GraftTable.Features.StringPartitionValues)
+         else Set.empty)
       val body = new StringBuilder(
         s"graft-commit\t$v\t$action\t${System.currentTimeMillis()}\n")
       sch.foreach(sc => body.append(s"schema\t${sc.json}\n"))
@@ -1205,6 +1318,10 @@ class GraftTable private (val s: SparkSession, val root: String) {
         body.append(s"bloomidx\t${GraftTable.bloomIdxToJson(bIdx)}\n")
       if (!cm.isIdentity || colmap.isDefined)
         body.append(s"colmap\t${GraftTable.colmapToJson(cm)}\n")
+      pm.foreach(p =>
+        body.append(s"partmeta\t${GraftTable.partMetaToJson(p)}\n"))
+      if (proto.nonEmpty)
+        body.append(s"protocol\t${GraftTable.protocolToJson(proto)}\n")
       adds.foreach { case (p, b) =>
         body.append(s"add\t$p\t$b${stats.get(p).map("\t" + _).getOrElse("")}\n")
       }
@@ -1333,17 +1450,119 @@ class GraftTable private (val s: SparkSession, val root: String) {
     org.apache.spark.sql.graft.shim.nullable(
       StructType(df.schema.fields.filterNot(f => partCols.contains(f.name))))
 
+  /** Partition-column types the layer supports: integral and date
+    * values are path-safe verbatim; STRING values stage escaped
+    * (Spark's own hive-path escaping) and restore through the
+    * codegen'd unescape. Anything else (float, decimal, binary,
+    * nested) refuses — lossy path round-trips would corrupt restore.
+    */
+  private def partMetaOf(df: DataFrame, partCol: String)
+      : GraftTable.PartMeta = {
+    val f = df.schema.fields.find(_.name == partCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"no partition column '$partCol' in ${df.columns.mkString(",")}"))
+    f.dataType match {
+      case LongType | IntegerType | ShortType | ByteType | StringType |
+           DateType => GraftTable.PartMeta(partCol, f.dataType)
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition column type $other for '$partCol' — " +
+          "partition values live in file paths; integral, string and " +
+          "date columns round-trip, others would corrupt on restore")
+    }
+  }
+
+  /** The log-level match token of one partition value: escaped
+    * exactly as partitionBy stages the value dir. Long/date values
+    * are escape fixed points, so one code path serves every type.
+    */
+  private def partToken(partCol: String, value: String): String =
+    s"/$partCol=${GraftTable.escapePartValue(value)}/"
+
+  /** The partition column's restore TYPE: the recorded partmeta row
+    * when present; else (legacy pre-partmeta log) LONG — after
+    * validating every live token of `pc` is integral, so a legacy
+    * string layout fails loudly instead of restoring null.
+    */
+  private def partTypeOf(pc: String, live: Iterable[String],
+                         v: Long): DataType =
+    partMetaAt(v).filter(_.col == pc).map(_.tpe).getOrElse {
+      val pat = s"/${java.util.regex.Pattern.quote(pc)}=([^/]+)/".r
+      live.iterator
+        .flatMap(p => pat.findFirstMatchIn("/" + p).map(_.group(1)))
+        .find(t => scala.util.Try(t.toLong).isFailure)
+        .foreach(t => throw new IllegalStateException(
+          s"partition token '$pc=$t' is not integral and the log records " +
+            "no partition metadata — re-land through appendPartitioned " +
+            "or adopt with CONVERT (both record the partition type)"))
+      LongType
+    }
+
+  /** The partition column RESTORED from each row's file path: raw
+    * token via one regexp_extract, then cast (integral/date) or
+    * unescape (string, codegen'd; the null-sentinel dir maps back to
+    * null — Hive/Delta's convention). `input_file_name` serves the
+    * path in URI form — the hive-escaped dir name URI-ENCODED on top
+    * (measured: dir `c=a%3Db` arrives as `c=a%253Db`, a space as
+    * `%20`, while `+` and non-ASCII pass through raw) — so the exact
+    * inverse is the `%XX` hex decode applied TWICE: each encode layer
+    * escapes '%' itself, so double-decode inverts double-encode for
+    * every value, including values containing literal '%XX' text.
+    * (NOT `url_decode`, which would corrupt a literal '+' to a space
+    * — neither encoding layer touches '+'.)
+    */
+  private def partRestore(pc: String, tpe: DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{input_file_name, lit, regexp_extract, when}
+    val raw = regexp_extract(input_file_name(),
+      java.util.regex.Pattern.quote(s"/$pc=") + "([^/]+)/", 1)
+    tpe match {
+      case StringType =>
+        val unesc = graft.functions.GraftFunctions.path_unescape(
+          graft.functions.GraftFunctions.path_unescape(raw))
+        when(unesc === GraftTable.HiveDefaultPartition,
+          lit(null).cast("string")).otherwise(unesc)
+      case t =>
+        when(raw === GraftTable.HiveDefaultPartition,
+          lit(null).cast(t.catalogString))
+          .otherwise(raw.cast(t.catalogString))
+    }
+  }
+
+  /** Guard a partitioned write against the existing layout: on a
+    * non-empty table the incoming partition column must be the SAME
+    * column with the SAME recorded type — mixing `bucket=…` and
+    * `country=…` value dirs (or re-typing a key) would make restore
+    * ambiguous for every reader at once.
+    */
+  private def requirePartConsistent(pm: GraftTable.PartMeta,
+                                    base: Long): Unit = {
+    partColOf(resolveMeta(base).keys).foreach { existing =>
+      require(existing == pm.col,
+        s"table is hive-partitioned on '$existing' — cannot stage a " +
+          s"batch partitioned on '${pm.col}'")
+    }
+    partMetaAt(base).foreach { rec =>
+      require(rec.col != pm.col || rec.tpe == pm.tpe,
+        s"partition column '${pm.col}' is recorded as ${rec.tpe
+          .catalogString} — cannot re-type it to ${pm.tpe.catalogString}")
+    }
+  }
+
   /** Hive-partitioned append as ONE atomic (optionally
     * tagged-idempotent) commit — the partition-preserving form of
     * `append`/`appendIdempotent` for tables whose readers prune on a
     * partition column (the ANN index's cell-routed codes): the
     * commit's adds carry the partition directories, so
     * [[readPartitions]]/[[readPartitionedColumn]] prune at the log.
+    * Records the partition column's name and TYPE (partmeta row), so
+    * string-valued keys (`country=India`) restore as strings.
     */
   def appendPartitioned(df: DataFrame, partCol: String,
                         tag: String = null): Option[Long] =
     tagged("append", tag) { a =>
       enforceConstraints(df, "appendPartitioned")
+      val pm = partMetaOf(df, partCol)
+      requirePartConsistent(pm, latestVersion)
       val payload = partitionedSchema(df, Seq(partCol))
       appendSchema(payload, mergeSchema = false) // fail fast
       val adds = stagePartitioned(df, Seq(partCol))
@@ -1352,7 +1571,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
       // NOT silently re-record the schema and retroactively change
       // how earlier files read
       commit(a, adds, Seq.empty, stats = statsOf(adds),
-        reschema = Some(prev => appendSchema(payload, false, prev)))
+        reschema = Some(prev => appendSchema(payload, false, prev)),
+        partMeta = Some(pm))
     }
 
   /** Replace the whole live set with `df`, hive-partitioned — the
@@ -1360,12 +1580,14 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   def overwritePartitioned(df: DataFrame, partCol: String): Long = {
     enforceConstraints(df, "overwritePartitioned")
+    val pm = partMetaOf(df, partCol)
     val base = latestVersion
     val removes = resolveMeta(base).keys.toSeq
     val adds = stagePartitioned(df, Seq(partCol))
     commit("overwrite", adds, removes, basedOn = Some(base),
       stats = statsOf(adds),
-      schema = Some(partitionedSchema(df, Seq(partCol))))
+      schema = Some(partitionedSchema(df, Seq(partCol))),
+      partMeta = Some(pm))
   }
 
   /** The distinct values of a partition column across the live set,
@@ -1378,6 +1600,41 @@ class GraftTable private (val s: SparkSession, val root: String) {
       .toSeq.distinct.sorted
   }
 
+  /** [[partitionValues]] for string-keyed layouts: the distinct
+    * UNESCAPED values (the null-sentinel dir reports as null).
+    */
+  def partitionValuesString(partCol: String): Seq[String] = {
+    val pat = s"/${java.util.regex.Pattern.quote(partCol)}=([^/]+)/".r
+    resolveMeta(latestVersion).keys
+      .flatMap(p => pat.findFirstMatchIn("/" + p).map(_.group(1)))
+      .toSeq.distinct
+      .map(t => if (t == GraftTable.HiveDefaultPartition) null
+                else GraftTable.unescapePartValue(t))
+      .sortBy(v => Option(v)) // nulls first, stable
+  }
+
+  /** Token-match core of the partition-subset readers: live files
+    * whose path carries any of `tokens`, read through the RECORDED
+    * physical schema (readMeta's rule — without it a colmapped or
+    * schema-evolved subset would unresolved-column-fail on files that
+    * predate an addColumn, ADVICE r12) and projected to logical names.
+    */
+  private def readPartitionFiles(tokens: Seq[String])
+      : Option[(Seq[String], DataFrame)] = {
+    val files = resolveMeta(latestVersion).keys
+      .filter(p => tokens.exists(("/" + p).contains)).toSeq.sorted
+    if (files.isEmpty) None
+    else {
+      val cm = colmapAt(latestVersion)
+      val raw = schemaAt(latestVersion) match {
+        case Some(st) => s.read.schema(physSchema(st, cm))
+          .parquet(files.map(absOf): _*)
+        case None => s.read.parquet(files.map(absOf): _*)
+      }
+      Some((files, logicalView(raw)))
+    }
+  }
+
   /** Read the named partitions WITH the partition column restored:
     * ONE scan over the log-pruned file list, the value parsed back
     * from each row's file path (the partition dir is in the path by
@@ -1385,18 +1642,26 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * no directory listing. None if nothing matches.
     */
   def readPartitionedColumn(partCol: String,
-                            values: Seq[Long]): Option[DataFrame] = {
-    import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
-    val live = resolveMeta(latestVersion).keys
-    val tokens = values.map(v => s"/$partCol=$v/")
-    val files = live.filter(p => tokens.exists(("/" + p).contains)).toSeq.sorted
-    if (files.isEmpty) None
-    else Some(logicalView(s.read.parquet(files.map(absOf): _*))
-      .withColumn(partCol,
-        regexp_extract(input_file_name(),
-          java.util.regex.Pattern.quote(s"/$partCol=") + "(-?\\d+)/", 1)
-          .cast("long")))
-  }
+                            values: Seq[Long]): Option[DataFrame] =
+    readPartitionedColumnTokens(partCol, values.map(_.toString))
+
+  /** [[readPartitionedColumn]] for string-keyed layouts: `values` are
+    * the logical (unescaped) strings; matching and restore go through
+    * the hive escaping, so `country=South:1` prunes and restores
+    * exactly.
+    */
+  def readPartitionedColumnString(partCol: String,
+                                  values: Seq[String]): Option[DataFrame] =
+    readPartitionedColumnTokens(partCol, values)
+
+  private def readPartitionedColumnTokens(partCol: String,
+                                          values: Seq[String])
+      : Option[DataFrame] =
+    readPartitionFiles(values.map(v => partToken(partCol, v))).map {
+      case (files, df) =>
+        df.withColumn(partCol,
+          partRestore(partCol, partTypeOf(partCol, files, latestVersion)))
+    }
 
   /** Physical-file frame → LOGICAL column view at the latest version
     * (identity mapping: pass-through) — what lets the partition-
@@ -1429,9 +1694,24 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   def replacePartitions(df: DataFrame, partCol: String, values: Seq[Long],
                         tag: String = null): Option[Long] =
+    replacePartitionTokens(df, partCol, values.map(_.toString), tag)
+
+  /** [[replacePartitions]] for string-keyed layouts (`values` are the
+    * logical, unescaped strings).
+    */
+  def replacePartitionsString(df: DataFrame, partCol: String,
+                              values: Seq[String],
+                              tag: String = null): Option[Long] =
+    replacePartitionTokens(df, partCol, values, tag)
+
+  private def replacePartitionTokens(df: DataFrame, partCol: String,
+                                     values: Seq[String],
+                                     tag: String): Option[Long] =
     tagged("replace", tag) { action =>
       val base = latestVersion
-      val tokens = values.map(v => s"/$partCol=$v/")
+      val pm = partMetaOf(df, partCol)
+      requirePartConsistent(pm, base)
+      val tokens = values.map(v => partToken(partCol, v))
       val removes = resolveMeta(base).keys
         .filter(p => tokens.exists(("/" + p).contains)).toSeq
       enforceConstraints(df, "replacePartitions")
@@ -1452,7 +1732,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
       }
       commit(action, adds, removes, basedOn = Some(base),
         stats = statsOf(adds),
-        schema = Some(partitionedSchema(df, Seq(partCol))))
+        schema = Some(partitionedSchema(df, Seq(partCol))),
+        partMeta = Some(pm))
     }
 
   /** Read ONLY the named partitions' live files — pruned from the
@@ -1461,15 +1742,16 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * partitions yet) returns None — the caller supplies its own
     * empty frame with the right schema.
     */
-  def readPartitions(partCol: String, values: Seq[Long]): Option[DataFrame] = {
-    val tokens = values.map(v => s"/$partCol=$v/")
-    val files = resolveMeta(latestVersion).keys
-      .filter(p => tokens.exists(("/" + p).contains)).toSeq.sorted
-    if (files.isEmpty) None
+  def readPartitions(partCol: String, values: Seq[Long]): Option[DataFrame] =
     // no basePath/partition recovery: callers key on real columns and
     // re-derive the partition value (s7 recomputes pmod(user_id, n))
-    else Some(logicalView(s.read.parquet(files.map(absOf): _*)))
-  }
+    readPartitionFiles(values.map(v => partToken(partCol, v.toString)))
+      .map(_._2)
+
+  /** [[readPartitions]] for string-keyed layouts. */
+  def readPartitionsString(partCol: String,
+                           values: Seq[String]): Option[DataFrame] =
+    readPartitionFiles(values.map(v => partToken(partCol, v))).map(_._2)
 
   /** Exactly-once streaming append: the tag (a micro-batch id) is
     * recorded in the commit action, and a replayed batch whose tag is
@@ -1678,15 +1960,12 @@ class GraftTable private (val s: SparkSession, val root: String) {
                       keepPos: Boolean = false,
                       cm: GraftTable.ColMap = GraftTable.ColMap.empty)
       : DataFrame = {
-    import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
     // dv-aware: a CoW/MoR pass over files an earlier MoR commit marked
     // must not resurrect (or re-mark) already-dead rows
     val base = readMeta(meta, sc, keepPos, cm)
     partCol.fold(base) { pc =>
       base.withColumn(pc,
-        regexp_extract(input_file_name(),
-          java.util.regex.Pattern.quote(s"/$pc=") + "(-?\\d+)/", 1)
-          .cast("long"))
+        partRestore(pc, partTypeOf(pc, meta.map(_._1), latestVersion)))
     }
   }
 
@@ -2127,7 +2406,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   def compactPartitioned(partCol: String, targetBytes: Long): Long = {
     require(targetBytes > 0, "targetBytes must be positive")
-    import org.apache.spark.sql.functions.{col, input_file_name, regexp_extract}
+    import org.apache.spark.sql.functions.col
     val base = latestVersion
     val live = resolve(base).toSeq
     val small = live.filter(_._2 < targetBytes / 2)
@@ -2137,9 +2416,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val merged = s.read
       .parquet(small.map(f => absOf(f._1)): _*)
       .withColumn(partCol,
-        regexp_extract(input_file_name(),
-          java.util.regex.Pattern.quote(s"/$partCol=") + "(-?\\d+)/", 1)
-          .cast("long"))
+        partRestore(partCol, partTypeOf(partCol, small.map(_._1), base)))
       .repartition(nOut, col(partCol))
     val adds = stagePartitioned(merged, Seq(partCol))
     commit("compact", adds, small.map(_._1), basedOn = Some(base),
@@ -2378,6 +2655,18 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * restored state gets a fresh version, and no data file moves
     * (the old files are still on disk because removes are logical).
     */
+  /** RESTORE to the newest version committed at or before `tsMillis`
+    * (Delta's `RESTORE … TO TIMESTAMP AS OF`): resolved through the
+    * same commit wall-clocks `timestampAsOf` reads use, then
+    * delegated to [[restore]] — one resolution rule for both the
+    * read and the undo verb.
+    */
+  def restoreTimestamp(tsMillis: Long): Long =
+    restore(versionAt(tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot restore: no commit at or before timestamp $tsMillis " +
+          s"(epoch millis) in $root")))
+
   def restore(v: Long): Long = {
     require(v >= 1 && fs.exists(commitPath(v)),
       s"cannot restore to unknown version $v")
@@ -2470,13 +2759,10 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val v = if (version < 0) latestVersion else version
     require(v >= 1 && fs.exists(commitPath(v)),
       s"cannot export manifest for unknown version $v")
-    require(!hasDvAsOf(v),
-      "manifest export refused: version has deletion vectors — raw " +
-        "parquet readers would resurrect deleted rows; run purge() " +
-        "first")
-    require(colmapAt(v).isIdentity,
-      "manifest export refused: active column mapping — raw parquet " +
-        "readers would see physical column names")
+    // the ONE reader-feature gate (protocol-row vocabulary) — shared
+    // with the DSv2 raw scan path
+    rawReadRefusal(v, "manifest export").foreach(m =>
+      throw new IllegalArgumentException(m))
     val dir = new Path(rootPath, ManifestDir)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     partColOf(resolveMeta(v).keys) match {
@@ -2499,7 +2785,11 @@ class GraftTable private (val s: SparkSession, val root: String) {
         // readPartitionedColumn recovers it from data paths.
         val base = new Path(dir, f"manifest-v$v%012d")
         if (fs.exists(base)) fs.delete(base, true)
-        val pat = s"/${java.util.regex.Pattern.quote(pc)}=(-?\\d+)/".r
+        // value dirs go into the manifest layout in their ESCAPED
+        // (on-disk) form — exactly the symlink-manifest convention:
+        // the external engine's partition discovery unescapes them
+        // the same way it unescapes data paths
+        val pat = s"/${java.util.regex.Pattern.quote(pc)}=([^/]+)/".r
         filesAsOf(v).groupBy(p =>
           pat.findFirstMatchIn(p).map(_.group(1)).getOrElse(
             throw new IllegalStateException(
@@ -2561,6 +2851,30 @@ class GraftTable private (val s: SparkSession, val root: String) {
   def vacuum(retainVersions: Int = 2,
              orphanGraceMillis: Long = 10L * 60 * 1000): Unit =
     vacuumExecute(vacuumPlan(retainVersions, orphanGraceMillis))
+
+  /** Retention as a WALL-CLOCK window (Delta's `RETAIN n HOURS`),
+    * mapped to [[vacuumPlan]]'s version-count horizon through the
+    * commit header wall-clocks: every version committed within the
+    * last `hours` is retained (plus always the newest), and legacy
+    * pre-timestamp commits (ts = -1) count as in-window — a clock
+    * they don't carry must never age them out. O(versions × one
+    * header line), the same cost class as [[versionAt]].
+    */
+  def retainVersionsForHours(hours: Double): Int = {
+    require(hours >= 0, s"RETAIN hours must be non-negative, got $hours")
+    val cutoff = System.currentTimeMillis() - (hours * 3600 * 1000).toLong
+    val vs = versions()
+    if (vs.isEmpty) 1
+    else math.max(1, vs.count { v =>
+      val ts = readHeaderTs(v)
+      ts < 0 || ts >= cutoff
+    })
+  }
+
+  /** [[vacuum]] with an hours-based retention window. */
+  def vacuumHours(hours: Double,
+                  orphanGraceMillis: Long = 10L * 60 * 1000): Unit =
+    vacuum(retainVersionsForHours(hours), orphanGraceMillis)
 
   /** Execute EXACTLY `plan` — the dry-run/execution can't-disagree
     * contract made literal: a caller that showed a plan to an
@@ -2730,6 +3044,90 @@ object GraftTable {
     ColMap(m.toMap, (0 until d.size).map(i => d.get(i).asText))
   }
 
+  /** Recorded partition metadata: the hive-partition column's name
+    * and TYPE. The partition column is never in the recorded payload
+    * schema (its values live in the file PATHS), so without this row
+    * a reader cannot know whether `country=India` restores as a
+    * string or `bucket=3` as a long — the commit that stages a
+    * partitioned layout records it, and every later commit carries it
+    * forward (colmap's rule). Legacy logs without the row restore as
+    * LONG after validating every live token is integral — the
+    * pre-partmeta contract, enforced loudly instead of casting a
+    * string token to null.
+    */
+  private[graft] case class PartMeta(col: String, tpe: DataType)
+
+  private[sources] def partMetaToJson(pm: PartMeta): String = {
+    val o = consMapper.createObjectNode()
+    o.put("col", pm.col)
+    o.put("type", pm.tpe.catalogString)
+    consMapper.writeValueAsString(o)
+  }
+
+  private[sources] def partMetaFromJson(j: String): PartMeta = {
+    val r = consMapper.readTree(j)
+    PartMeta(r.get("col").asText,
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(r.get("type").asText))
+  }
+
+  /** Reader-feature names for the per-commit `protocol` row (Delta's
+    * protocol/feature discipline): a commit that first activates a
+    * feature records the grown set, and every reader path that cannot
+    * serve a feature refuses THROUGH the recorded vocabulary instead
+    * of each gate inventing its own condition. The set is monotone
+    * (features are never silently dropped — Delta's rule; purging the
+    * last DV leaves the feature enabled but inactive, and the gates
+    * below refuse only on ACTIVE state).
+    */
+  private[graft] object Features {
+    val DeletionVectors = "deletionVectors"
+    val ColumnMapping = "columnMapping"
+    val StringPartitionValues = "stringPartitionValues"
+    /** Features a raw-parquet reader (DSv2 snapshot, manifest export)
+      * cannot apply when ACTIVE: DVs would resurrect deleted rows,
+      * column mapping would surface physical names. String partition
+      * values are NOT raw-blocking — partition values ride the paths
+      * for every reader alike.
+      */
+    val RawBlocking: Set[String] = Set(DeletionVectors, ColumnMapping)
+  }
+
+  private[sources] def protocolToJson(fs: Set[String]): String = {
+    val arr = consMapper.createArrayNode()
+    fs.toSeq.sorted.foreach { f => arr.add(f); () }
+    consMapper.writeValueAsString(arr)
+  }
+
+  private[sources] def protocolFromJson(j: String): Set[String] = {
+    val r = consMapper.readTree(j)
+    (0 until r.size).map(i => r.get(i).asText).toSet
+  }
+
+  /** Hive-path escaping for partition VALUES — delegating to Spark's
+    * own `ExternalCatalogUtils` (the exact code
+    * `DataFrameWriter.partitionBy` escapes value dirs with), so the
+    * log-level token matching below and the staged directory names
+    * can never disagree on a single character. Integral values are
+    * fixed points (digits and '-' are never escaped).
+    */
+  private[graft] def escapePartValue(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(v)
+
+  private[graft] def unescapePartValue(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(v)
+
+  /** The sentinel `partitionBy` writes for a null (or empty-string)
+    * partition value; restore maps it back to null — Hive/Delta's
+    * convention, including its known wart that an EMPTY STRING value
+    * round-trips as null.
+    */
+  private[graft] val HiveDefaultPartition: String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .DEFAULT_PARTITION_NAME
+
   private[sources] def bloomIdxToJson(cs: Seq[(String, Long)]): String = {
     val arr = consMapper.createArrayNode()
     cs.foreach { case (c, b) =>
@@ -2797,7 +3195,8 @@ object GraftTable {
     * lake becomes transactional in one O(files) driver-side metadata
     * pass — no data job at all.
     */
-  def convert(s: SparkSession, root: String): GraftTable = {
+  def convert(s: SparkSession, root: String,
+              partitionType: Option[DataType] = None): GraftTable = {
     val t = new GraftTable(s, root)
     require(t.latestVersion == 0, s"table already exists at $root")
     val fs = t.fs
@@ -2820,29 +3219,73 @@ object GraftTable {
       }
     val adds = walk(rootPath, "").sortBy(_._1)
     require(adds.nonEmpty, s"no parquet files to convert under $root")
-    // the partition layer is INTEGER-VALUED by design (partition
-    // restoration parses `col=(-?\d+)` and casts long — the
-    // appendPartitioned contract): adopting a string-valued hive
-    // layout would make DML restore null partition values and
-    // re-stage rows under col=null, silently corrupting the layout.
-    // Refuse loudly instead.
-    val partPat = "/([A-Za-z_][A-Za-z0-9_]*)=([^/]+)/".r
-    adds.iterator
-      .flatMap(a => partPat.findAllMatchIn("/" + a._1))
-      .find(m => scala.util.Try(m.group(2).toLong).isFailure)
-      .foreach { m =>
-        throw new IllegalArgumentException(
-          s"cannot convert: partition value '${m.group(1)}=${m.group(2)}' " +
-            "is not integral — the partition layer is integer-valued " +
-            "(convert a flat copy, or re-land with an integral key)")
+    // Partition-layout validation over EVERY path SEGMENT (a
+    // consuming regex misses every second component — ADVICE r12):
+    // each file's directory components are split and every `k=v`
+    // segment is examined, so a multi-level layout
+    // (`date=…/hour=…`) or a mixed flat/partitioned tree refuses
+    // loudly instead of being half-adopted (the DML re-stage and the
+    // subset readers handle exactly ONE partition level).
+    val segPat = "^([A-Za-z_][A-Za-z0-9_]*)=(.+)$".r
+    val kvByFile: Seq[(String, Seq[(String, String)])] = adds.map { a =>
+      a._1 -> a._1.split("/").dropRight(1).toSeq.collect {
+        case segPat(k, v) => (k, v)
       }
+    }
+    val keys = kvByFile.flatMap(_._2.map(_._1)).distinct.sorted
+    require(keys.size <= 1,
+      s"cannot convert: multi-level hive layout (partition keys " +
+        s"${keys.mkString(", ")}) — the partition layer handles exactly " +
+        "one partition key; re-land with a single key or convert per " +
+        "leaf")
+    val pm: Option[PartMeta] = keys.headOption.map { key =>
+      kvByFile.find(_._2.size != 1).foreach { case (p, kvs) =>
+        throw new IllegalArgumentException(
+          s"cannot convert: '$p' carries ${kvs.size} '$key=…' path " +
+            "segments where the partitioned layout requires exactly " +
+            "one — a mixed flat/partitioned (or nested same-key) tree " +
+            "cannot be adopted")
+      }
+      // the on-disk tokens are the ESCAPED form (Spark/Hive path
+      // escaping); type inference looks at the logical values with
+      // the null-sentinel dir excluded
+      val tokens = kvByFile.map(_._2.head._2).distinct
+      val vals = tokens.filterNot(_ == HiveDefaultPartition)
+        .map(unescapePartValue)
+      val tpe = partitionType.getOrElse(
+        if (vals.forall(v => scala.util.Try(v.toLong).isSuccess)) LongType
+        else StringType)
+      tpe match {
+        case LongType | IntegerType | ShortType | ByteType =>
+          vals.find(v => scala.util.Try(v.toLong).isFailure).foreach(v =>
+            throw new IllegalArgumentException(
+              s"cannot convert: partition value '$key=$v' is not " +
+                s"integral but ${tpe.catalogString} was requested"))
+        case StringType => ()
+        case DateType =>
+          vals.find(v =>
+            scala.util.Try(java.sql.Date.valueOf(v)).isFailure)
+            .foreach(v => throw new IllegalArgumentException(
+              s"cannot convert: partition value '$key=$v' does not " +
+                "parse as a date"))
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition type ${other.catalogString} — " +
+            "integral, string and date keys round-trip through paths")
+      }
+      PartMeta(key, tpe)
+    }
     // schema from the FILES (explicit paths, so Spark does not infer
     // a hive partition column into it — partition values stay in the
     // paths, the partitioned-staging convention)
     val schema = s.read.parquet(
       adds.map(a => s"$root/${a._1}"): _*).schema
+    pm.foreach(p => require(!schema.fieldNames.exists(
+      _.equalsIgnoreCase(p.col)),
+      s"cannot convert: files already contain a column named " +
+        s"'${p.col}' that the partition dirs would shadow"))
     t.commit("convert", adds, Seq.empty, stats = t.statsOf(adds),
-      schema = Some(org.apache.spark.sql.graft.shim.nullable(schema)))
+      schema = Some(org.apache.spark.sql.graft.shim.nullable(schema)),
+      partMeta = pm)
     t
   }
 }

@@ -30,11 +30,27 @@ object GraftTvf {
     }.getOrElse(throw new IllegalArgumentException(
       s"$fn needs a table root string literal as its first argument"))
 
+  /** An integral-typed literal's long value, or None — matching on
+    * the literal's TYPE, not `toString.toLong`: a decimal or string
+    * literal (`graft_vacuum_plan(root, 1, 1.5)`) must earn the
+    * declared "must be an integer literal" error, not a raw
+    * NumberFormatException out of the parse.
+    */
+  private def integralValue(l: Literal): Option[Long] = l.dataType match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType if l.value != null =>
+      Some(l.value.toString.toLong)
+    case _ => None
+  }
+
   private def intArg(args: Seq[Expression], i: Int,
                      default: Int): Int =
     if (args.length <= i) default
     else args(i) match {
-      case l: Literal if l.value != null => l.value.toString.toInt
+      case l: Literal if integralValue(l).isDefined =>
+        integralValue(l).get.toInt
       case other => throw new IllegalArgumentException(
         s"argument ${i + 1} must be an integer literal, got $other")
     }
@@ -43,7 +59,7 @@ object GraftTvf {
                       default: Long): Long =
     if (args.length <= i) default
     else args(i) match {
-      case l: Literal if l.value != null => l.value.toString.toLong
+      case l: Literal if integralValue(l).isDefined => integralValue(l).get
       case other => throw new IllegalArgumentException(
         s"argument ${i + 1} must be an integer literal, got $other")
     }

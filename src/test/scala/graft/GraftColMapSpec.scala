@@ -102,7 +102,7 @@ class GraftColMapSpec extends SparkSpec {
     def chain(x: Throwable): Seq[String] =
       if (x == null) Seq.empty
       else Option(x.getMessage).toSeq ++ chain(x.getCause)
-    assert(chain(e).mkString(" ").contains("COLUMN MAPPING"),
+    assert(chain(e).mkString(" ").contains("columnMapping"),
       s"wrong refusal: ${chain(e)}")
     // the verb path serves it fine
     assert(t.read().columns.contains("status"))

@@ -117,17 +117,97 @@ class GraftConvertSpec extends SparkSpec {
     ()
   }
 
-  test("convert refuses string-valued hive partition dirs (integer-valued partition layer)") {
+  test("convert adopts a string-partitioned hive layout: partmeta recorded, DML restores strings, pruned reads work") {
     val dir = fresh("cvstr")
-    Tables.documents(spark, sf).select("doc_id", "text", "lang")
-      .write.partitionBy("lang").parquet(dir)
-    // DML on a string-partitioned adoptee would restore null partition
-    // values (the restore parses integers) and re-stage under
-    // lang=null — refuse at adoption, not corrupt later
+    val src = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+    src.write.partitionBy("lang").parquet(dir)
+    val t = GraftTable.convert(spark, dir)
+    // the partition TYPE is recorded in the log (r12's refusal is
+    // replaced by Delta-style adoption): restore knows lang is string
+    val pm = t.partMetaAt(t.latestVersion)
+    assert(pm.map(p => (p.col, p.tpe.catalogString)) ==
+      Some(("lang", "string")))
+    assert(t.protocolAt(t.latestVersion)
+      .contains("stringPartitionValues"))
+    // pruned read restores the string value from the paths
+    val langs = t.partitionValuesString("lang")
+    assert(langs.nonEmpty && langs.forall(_ != null))
+    val one = t.readPartitionedColumnString("lang", Seq(langs.head)).get
+    assert(multiset(one) ==
+      multiset(src.filter(col("lang") === langs.head)))
+    // copy-on-write DML restores the partition value from the path
+    // and re-stages survivors UNDER their value dirs — the exact
+    // corruption the r12 refusal guarded against, now done right
+    val want = multiset(src.filter(col("lang") =!= langs.head))
+    t.deleteWhere(col("lang") === langs.head)
+    assert(multiset(t.read()
+      .join(src.select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "text", "lang")) == want)
+    // the rewritten files still carry value dirs: pruning keeps working
+    val rest = t.readPartitionedColumnString("lang", langs.tail).get
+    assert(rest.select("lang").distinct().collect().map(_.getString(0))
+      .toSet == langs.tail.toSet)
+    ()
+  }
+
+  test("convert refuses multi-level hive layouts on EVERY segment (not every second one)") {
+    // two-level layout: date=…/hour=… — the DML re-stage handles
+    // exactly one level; adopting this would restage under date only
+    // and silently drop hour from rewritten paths (ADVICE r12)
+    val dir = fresh("cvml")
+    Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        (col("o_orderkey") % 3).as("a"),
+        (col("o_orderkey") % 2).as("b"))
+      .write.partitionBy("a", "b").parquet(dir)
     val e = intercept[IllegalArgumentException] {
       GraftTable.convert(spark, dir)
     }
-    assert(e.getMessage.contains("not integral"), e.getMessage)
+    assert(e.getMessage.contains("multi-level"), e.getMessage)
+    // the r12 guard's consuming regex checked only 'a=…' on
+    // '/a=1/b=xyz/': a STRING second level must also refuse, never
+    // be silently adopted under the first level
+    val dir2 = fresh("cvml2")
+    Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        (col("o_orderkey") % 3).as("a"),
+        concat(lit("x"), (col("o_orderkey") % 2)).as("b"))
+      .write.partitionBy("a", "b").parquet(dir2)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftTable.convert(spark, dir2)
+    }
+    assert(e2.getMessage.contains("multi-level"), e2.getMessage)
+    ()
+  }
+
+  test("convert PARTITIONED BY type override; declared-column mismatch refuses") {
+    // an all-integral layout whose key is LOGICALLY a string (the
+    // reference's Master_data SKU-style codes): inference would say
+    // long; the explicit partition schema pins string — Delta
+    // CONVERT's PARTITIONED BY contract
+    val dir = fresh("cvdecl")
+    Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        (col("o_orderkey") % 3).cast("string").as("code"))
+      .write.partitionBy("code").parquet(dir)
+    val t = GraftTable.convert(spark, dir,
+      Some(org.apache.spark.sql.types.StringType))
+    assert(t.partMetaAt(t.latestVersion)
+      .map(_.tpe.catalogString) == Some("string"))
+    val vs = t.partitionValuesString("code")
+    assert(vs.toSet == Set("0", "1", "2"))
+    // SQL statement flavor, with the declared column checked
+    val dir3 = fresh("cvdecl3")
+    Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        (col("o_orderkey") % 2).cast("string").as("half"))
+      .write.partitionBy("half").parquet(dir3)
+    val e = intercept[Exception] {
+      spark.sql(s"GRAFT CONVERT '$dir3' PARTITIONED BY (wrong string)")
+        .collect()
+    }
+    assert(e.getMessage.contains("declared partition column"),
+      e.getMessage)
     ()
   }
 

@@ -174,7 +174,7 @@ class GraftDvSpec extends SparkSpec {
     val e = intercept[UnsupportedOperationException] {
       spark.read.format("graft").load(t.root).count()
     }
-    assert(e.getMessage.contains("DELETION VECTORS"), e.getMessage)
+    assert(e.getMessage.contains("deletionVectors"), e.getMessage)
     // SQL time travel through the catalog refuses the same way
     spark.conf.set("spark.sql.catalog.gdv",
       classOf[graft.sources.GraftCatalog].getName)
@@ -184,7 +184,7 @@ class GraftDvSpec extends SparkSpec {
     def chain(x: Throwable): Seq[String] =
       if (x == null) Seq.empty
       else Option(x.getMessage).toSeq ++ chain(x.getCause)
-    assert(chain(e2).exists(_.contains("DELETION VECTORS")),
+    assert(chain(e2).exists(_.contains("deletionVectors")),
       chain(e2).mkString("|"))
     val want = multiset(t.read())
     val vPurge = t.purge()

@@ -75,7 +75,7 @@ class GraftSqlCommandSpec extends SparkSpec {
     t.deleteWhere(pmod(col("o_orderkey"), lit(5)) === 1, mor = true)
     val e = intercept[Exception] {
       spark.sql(s"GRAFT GENERATE MANIFEST FOR '$srcRoot'").collect() }
-    assert(e.getMessage.contains("deletion vectors"))
+    assert(e.getMessage.contains("deletionVectors"))
   }
 
   test("GRAFT OPTIMIZE ZORDER BY re-clusters content-neutrally") {

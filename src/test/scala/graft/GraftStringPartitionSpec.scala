@@ -1,0 +1,267 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.GraftTable
+import java.nio.file.Files
+
+/** String-valued partition columns end-to-end (VERDICT r12 item 1):
+  * the partition layer records the key's TYPE in the log (`partmeta`
+  * row), stages values through Spark's own hive-path escaping, and
+  * restores them with the codegen'd unescape — so `country=India`
+  * layouts (the reference's Master_data shape) land, convert, DML
+  * and prune exactly like integer buckets. Also pins the ADVICE r12
+  * partition-subset-reader fix (read through the recorded physical
+  * schema) and the per-commit protocol row.
+  */
+class GraftStringPartitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def multiset(df: DataFrame) =
+    df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+
+  private def fresh(tag: String) =
+    Files.createTempDirectory(s"graft_$tag").toString + "/t"
+
+  // values exercising the full escape surface: '=' and '/' (hive
+  // escape set), space (NOT escaped — must survive verbatim), '%'
+  // (the escape character itself), ':' and unicode
+  private val hardValues = Seq(
+    "India", "South Africa", "a=b", "a/b", "100%", "k:v", "ap—南")
+
+  private def hardDf = {
+    val rows = for {
+      (v, i) <- hardValues.zipWithIndex
+      j <- 0 until 4
+    } yield (i * 10 + j, s"payload_${i}_$j", v)
+    rows.toDF("id", "payload", "country")
+  }
+
+  test("appendPartitioned stages escaped string dirs and every reader round-trips them") {
+    val root = fresh("strpart")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(hardDf, "country")
+    // partmeta + protocol recorded at v1
+    assert(t.partMetaAt(1).map(p => (p.col, p.tpe.catalogString)) ==
+      Some(("country", "string")))
+    assert(t.protocolAt(1).contains("stringPartitionValues"))
+    // values round-trip UNESCAPED through the distinct-values reader
+    assert(t.partitionValuesString("country").toSet == hardValues.toSet)
+    // the escaped tokens really are on disk (the '=' value dir is not
+    // a literal '=': that would break hive layout parsing)
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.listFiles().toIndexedSeq.flatMap(walk)
+      else Seq(f.getPath)
+    val paths = walk(new java.io.File(root)).mkString("\n")
+    assert(paths.contains("country=a%3Db"), paths.take(500))
+    assert(paths.contains("country=a%2Fb"))
+    assert(paths.contains("country=South Africa"))
+    // subset read restores the exact logical values
+    for (v <- hardValues) {
+      val got = t.readPartitionedColumnString("country", Seq(v)).get
+      assert(multiset(got.select("id", "payload", "country")) ==
+        multiset(hardDf.filter(col("country") === v)), s"value '$v'")
+    }
+    // the payload-only subset reader prunes on the same tokens
+    val two = t.readPartitionsString("country", hardValues.take(2)).get
+    assert(two.count() == 8)
+    ()
+  }
+
+  test("copy-on-write DML restores string partition values and re-stages under value dirs") {
+    val root = fresh("strdml")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(hardDf, "country")
+    // delete one row of ONE country by a payload predicate: the
+    // rewrite must land survivors back under 'country=a=b' (escaped),
+    // not under country=null — the exact corruption the r12 integer-
+    // only contract refused to risk
+    t.deleteWhere(col("country") === "a=b" && col("id") === 20)
+    val want = multiset(
+      hardDf.filter(!(col("country") === "a=b" && col("id") === 20)))
+    val all = t.readPartitionedColumnString("country", hardValues).get
+    assert(multiset(all.select("id", "payload", "country")) == want)
+    // update referencing + preserving the partition column
+    t.update(col("country") === "100%", Map("payload" -> lit("pct")))
+    val pct = t.readPartitionedColumnString("country", Seq("100%")).get
+    assert(pct.select("payload").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("pct"))
+    // compaction keeps the layout
+    t.compactPartitioned("country", 1L << 30)
+    assert(t.partitionValuesString("country").toSet == hardValues.toSet)
+    ()
+  }
+
+  test("replacePartitionsString swaps exactly the named string partitions") {
+    val root = fresh("strrepl")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(hardDf, "country")
+    val repl = Seq((999, "fresh", "South Africa"))
+      .toDF("id", "payload", "country")
+    t.replacePartitionsString(repl, "country", Seq("South Africa"))
+    val sa = t.readPartitionedColumnString("country",
+      Seq("South Africa")).get
+    assert(sa.select("id").collect().map(_.getInt(0)).toSeq == Seq(999))
+    // out-of-scope rows still refuse (the declared-scope contract)
+    val e = intercept[IllegalArgumentException] {
+      t.replacePartitionsString(
+        Seq((1, "x", "India")).toDF("id", "payload", "country"),
+        "country", Seq("South Africa"))
+    }
+    assert(e.getMessage.contains("outside the declared scope"))
+    ()
+  }
+
+  test("partition key re-type and key mixing refuse; payload column cannot shadow a string key") {
+    val root = fresh("strguard")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(hardDf, "country")
+    // re-typing the key refuses (recorded partmeta is the contract)
+    val retyped = Seq((1, "x", 7L)).toDF("id", "payload", "country")
+    val e1 = intercept[IllegalArgumentException] {
+      t.appendPartitioned(retyped, "country")
+    }
+    assert(e1.getMessage.contains("cannot re-type"), e1.getMessage)
+    // partitioning the same table on another column refuses
+    val other = Seq((1, "x", "y")).toDF("id", "country2", "payload")
+    val e2 = intercept[IllegalArgumentException] {
+      t.appendPartitioned(other, "country2")
+    }
+    assert(e2.getMessage.contains("hive-partitioned on 'country'"),
+      e2.getMessage)
+    // the colmap name-protection rule extends to string keys: a
+    // payload column cannot take the partition column's name
+    val e3 = intercept[IllegalArgumentException] {
+      t.addColumn("country", org.apache.spark.sql.types.StringType)
+    }
+    assert(e3.getMessage.contains("partition column"), e3.getMessage)
+    // unsupported partition types refuse loudly
+    val e4 = intercept[IllegalArgumentException] {
+      GraftTable.forPath(spark, fresh("strbad")).appendPartitioned(
+        Seq((1, 1.5)).toDF("id", "w"), "w")
+    }
+    assert(e4.getMessage.contains("unsupported partition column type"))
+    ()
+  }
+
+  test("subset readers read through the recorded physical schema (colmap + addColumn, ADVICE r12)") {
+    val root = fresh("strcolmap")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(hardDf, "country")
+    // rename a payload column (non-identity mapping), then WIDEN the
+    // schema: pre-add files have no physical column for the new name.
+    // Before the fix, readPartitions selected the missing physical
+    // column and failed with an unresolved-column error (or read
+    // nondeterministically under identity mapping).
+    t.renameColumn("payload", "body")
+    t.addColumn("note", org.apache.spark.sql.types.StringType)
+    val one = t.readPartitionsString("country", Seq("India")).get
+    assert(one.columns.toSeq == Seq("id", "body", "note"))
+    assert(one.count() == 4)
+    assert(one.filter(col("note").isNull).count() == 4) // null-filled
+    val restored = t.readPartitionedColumnString("country",
+      Seq("India")).get
+    assert(restored.select("country").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("India"))
+    ()
+  }
+
+  test("null string partition values stage as the hive sentinel and restore as null") {
+    val root = fresh("strnull")
+    val t = GraftTable.forPath(spark, root)
+    val df = Seq((1, Option("India")), (2, Option.empty[String]))
+      .toDF("id", "country")
+    t.appendPartitioned(df, "country")
+    assert(t.partitionValuesString("country").toSeq ==
+      Seq(null, "India"))
+    val nulls = t.readPartitionedColumnString("country",
+      Seq(GraftTable.HiveDefaultPartition)).get
+    assert(nulls.select("id").collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(nulls.filter(col("country").isNull).count() == 1)
+    ()
+  }
+
+  test("per-partition manifest export serves string layouts in escaped dir form") {
+    val root = fresh("strmani")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(hardDf, "country")
+    val base = t.exportManifest()
+    val dirs = new java.io.File(base).listFiles().map(_.getName).toSet
+    assert(dirs.contains("country=a%3Db"), dirs.mkString(","))
+    assert(dirs.contains("country=South Africa"))
+    // each manifest's files really belong to its value dir
+    val mf = new java.io.File(base, "country=a%3Db/manifest.txt")
+    val listed = scala.io.Source.fromFile(mf).getLines().toSeq
+    assert(listed.nonEmpty && listed.forall(_.contains("/country=a%3Db/")))
+    ()
+  }
+
+  test("protocol row: monotone feature set, gates refuse on ACTIVE features only") {
+    val root = fresh("proto")
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+        .repartition(2))
+    assert(t.protocolAt(t.latestVersion).isEmpty) // plain table
+    t.deleteWhere(col("k") === 2L, mor = true)
+    val vDv = t.latestVersion
+    assert(t.protocolAt(vDv).contains("deletionVectors"))
+    assert(t.activeReaderFeatures(vDv).contains("deletionVectors"))
+    // raw path refuses in protocol vocabulary
+    val e = intercept[Exception] {
+      spark.read.format("graft").load(root).count()
+    }
+    assert(e.getMessage.contains("deletionVectors"), e.getMessage)
+    assert(e.getMessage.contains("protocol"), e.getMessage)
+    // purge deactivates the feature: protocol row KEEPS it (monotone,
+    // Delta's rule) but the gate reopens because it checks ACTIVE state
+    t.purge()
+    val vP = t.latestVersion
+    assert(t.protocolAt(vP).contains("deletionVectors"))
+    assert(!t.activeReaderFeatures(vP).contains("deletionVectors"))
+    assert(spark.read.format("graft").load(root).count() == 2)
+    ()
+  }
+
+  test("restoreTimestamp resolves through commit wall-clocks; SQL RESTORE statement routes both forms") {
+    val root = fresh("restts")
+    val t = GraftTable.create(spark, root, Seq((1, "a")).toDF("k", "v"))
+    val ts1 = t.readCommit(1).tsMillis
+    Thread.sleep(5)
+    t.append(Seq((2, "b")).toDF("k", "v"))
+    val v = t.restoreTimestamp(ts1) // newest commit at/before ts1 = v1
+    assert(t.readCommit(v).action == "restore:1")
+    assert(t.read().count() == 1)
+    // unknown horizon refuses
+    val e = intercept[IllegalArgumentException] {
+      t.restoreTimestamp(ts1 - 1000000)
+    }
+    assert(e.getMessage.contains("no commit at or before"))
+    // the SQL statement flavors
+    val got = spark.sql(s"GRAFT RESTORE '$root' TO VERSION AS OF 2")
+      .collect().head.getLong(0)
+    assert(got == t.latestVersion && t.read().count() == 2)
+    val ts2 = t.readCommit(2).tsMillis
+    spark.sql(s"GRAFT RESTORE '$root' TO TIMESTAMP AS OF $ts1")
+      .collect()
+    assert(t.read().count() == 1)
+    assert(ts2 >= ts1) // wall-clocks are monotone in the log
+    ()
+  }
+
+  test("GRAFT VACUUM RETAIN n HOURS maps the wall-clock window to a version horizon") {
+    val root = fresh("vach")
+    val t = GraftTable.create(spark, root, Seq((1, "a")).toDF("k", "v"))
+    t.overwrite(Seq((2, "b")).toDF("k", "v"))
+    t.overwrite(Seq((3, "c")).toDF("k", "v"))
+    // everything committed milliseconds ago: a 1000-hour window keeps
+    // every version — the dry run reclaims no commit files
+    val rows = spark.sql(
+      s"GRAFT VACUUM '$root' RETAIN 1000 HOURS DRY RUN").collect()
+    assert(!rows.exists(_.getString(0) == "commit"),
+      rows.mkString(","))
+    assert(t.retainVersionsForHours(1000.0) == 3)
+    // a zero-hour window keeps only the newest (never less than 1)
+    assert(t.retainVersionsForHours(0.0) >= 1)
+    ()
+  }
+}
