@@ -18,6 +18,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Events.oracles ++ TextOps.oracles ++
+    Relational.oracles ++ Events.oracles ++ Events.bucketedOracles ++
+      TextOps.oracles ++
       Similarity.oracles ++ EventStream.oracles ++ Geometry.oracles ++ Skew.oracles ++ Analytics.oracles ++ Typed.oracles ++ Pipeline.oracles ++ Upsert.oracles ++ Lakehouse.oracles
 }

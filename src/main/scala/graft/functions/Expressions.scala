@@ -438,6 +438,11 @@ object GraftFunctions {
   def capped_collect_pairs(id: Column, sz: Column, cap: Int): Column =
     column(CappedCollectPairs(expression(id), expression(sz), cap)
       .toAggregateExpression(isDistinct = false))
+  def capped_collect_pos(id: Column, sz: Column, pos: Column,
+                         cap: Int): Column =
+    column(CappedCollectPos(expression(id), expression(sz),
+      expression(pos), cap)
+      .toAggregateExpression(isDistinct = false))
   def bloom_agg(c: Column, numBits: Int = 1 << 20, numHashes: Int = 5): Column =
     column(BloomBuildAgg(expression(c), numBits, numHashes)
       .toAggregateExpression(isDistinct = false))
@@ -1270,6 +1275,97 @@ case class CappedCollectPairs(
       c: IndexedSeq[Expression]): CappedCollectPairs =
     copy(id = c(0), sz = c(1))
   override def prettyName: String = "capped_collect_pairs"
+}
+
+/** [[CappedCollectPairs]] with a third carried field — the element's
+  * POSITION inside the document's sorted shingle array — for the
+  * PPJoin POSITIONAL filter (Xiao et al. WWW'08): a candidate pair
+  * first meeting at prefix positions (i, j) can share at most
+  * min(i, j) + min(|A| − i, |B| − j) elements (common elements before
+  * the meeting point number ≤ min(i,j) − 1; from it on ≤ 1 +
+  * min(remaining)), so pairs whose bound is below the overlap
+  * threshold α = ⌈t·(|A|+|B|)/(1+t)⌉ are killed BEFORE the
+  * array_intersect verification. Same capped-buffer discipline:
+  * groups past `cap` evaluate to null without buffering more than
+  * cap+1 entries.
+  */
+case class CappedCollectPos(
+    id: Expression, sz: Expression, pos: Expression, cap: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]] {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private type Buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (id.dataType == LongType && sz.dataType == LongType &&
+        pos.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"capped_collect_pos requires (BIGINT, BIGINT, BIGINT), got " +
+          s"(${id.dataType.catalogString}, ${sz.dataType.catalogString}, " +
+          s"${pos.dataType.catalogString})")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sz", LongType, nullable = false),
+    StructField("pos", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(id, sz, pos)
+
+  override def createAggregationBuffer(): Buf = new Buf
+
+  override def update(b: Buf, input: InternalRow): Buf = {
+    val iv = id.eval(input)
+    val sv = sz.eval(input)
+    val pv = pos.eval(input)
+    if (iv != null && sv != null && pv != null && b.length <= cap)
+      b += ((iv.asInstanceOf[Long], sv.asInstanceOf[Long],
+        pv.asInstanceOf[Long]))
+    b
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    val room = (cap + 1) - a.length
+    if (room > 0) a ++= b.take(room)
+    a
+  }
+
+  override def eval(b: Buf): Any =
+    if (b.length > cap) null
+    else new GenericArrayData(b.map { case (i, s, p) =>
+      new GenericInternalRow(Array[Any](i, s, p)): InternalRow
+    }.toArray)
+
+  override def serialize(b: Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + b.length * 24)
+    bb.putInt(b.length)
+    b.foreach { case (i, s, p) =>
+      bb.putLong(i); bb.putLong(s); bb.putLong(p) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = createAggregationBuffer()
+    var i = 0
+    while (i < n) { b += ((bb.getLong, bb.getLong, bb.getLong)); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CappedCollectPos =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CappedCollectPos =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): CappedCollectPos =
+    copy(id = c(0), sz = c(1), pos = c(2))
+  override def prettyName: String = "capped_collect_pos"
 }
 
 /** Bloom-filter builder over a BIGINT column: the aggregation buffer

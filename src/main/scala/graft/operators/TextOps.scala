@@ -93,6 +93,14 @@ object TextOps {
     * should not merge. At test SFs the cap is provably unhit (max df
     * is 25 at sf0.1, TextSimSpec asserts capped == uncapped), so the
     * DuckDB oracle — which does not model the cap — stays bit-exact.
+    *
+    * The cap is defined on FULL document frequency in BOTH plans
+    * (ADVICE r12): the prefix plan excludes over-cap shingles from
+    * its whole universe via a linear pre-pass, so the two plans'
+    * outputs are bit-identical even when the cap binds — `shared`
+    * counts sub-cap shingles only, denominators use full set sizes,
+    * in either plan (PropertySpec pins this with a deliberately
+    * binding cap).
     */
   /** AllPairs/PPJoin-style PREFIX-FILTERED plan (Bayardo et al.
     * WWW'07; Chaudhuri SSJoin): the original one-exchange form
@@ -190,24 +198,62 @@ object TextOps {
     // extra at 500k docs). localCheckpoint once (g13b's hygiene) —
     // at cluster scale this is the staged intermediate a real
     // pipeline lands anyway, and it is O(corpus), not O(pairs).
-    val base = shingled(s, d)
+    val base0 = shingled(s, d)
       .withColumn("sorted", sort_array(col("shingles")))
       .select(col("doc_id"), col("sz"), col("sorted"))
       .localCheckpoint()
+    // FULL-df cap pre-pass (ADVICE r12): the naive plan's capped
+    // collector drops every shingle whose FULL document frequency
+    // exceeds dfCap from the similarity evidence — so this plan must
+    // exclude exactly those shingles from its ENTIRE universe
+    // (candidate prefixes AND the verified intersection), or the two
+    // plans' outputs diverge the moment the cap binds. One linear
+    // map-side-combined count over distinct shingles, collecting
+    // ONLY the over-cap keys (≤ Σdf/cap of them — boilerplate terms,
+    // driver-bounded); at every test/bench SF the set is empty and
+    // the remainder of the plan is byte-identical to the uncapped
+    // form. Jaccard keeps the naive plan's mixed-universe arithmetic
+    // exactly: `shared` counts sub-cap shingles only, the denominator
+    // uses FULL set sizes.
+    val overCap: Array[Long] = base0
+      .select(explode(col("sorted")).as("shh"))
+      .groupBy("shh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .select("shh").collect().map(_.getLong(0))
+    val base = (if (overCap.isEmpty) base0
+      else base0.withColumn("sorted",
+        array_except(col("sorted"), lit(overCap))))
+      .withColumn("szc", size(col("sorted")).cast("long"))
+    // prefix postings over the CAPPED arrays: for J ≥ 0.8 in the
+    // naive plan's arithmetic, shared ≥ (4/9)(szF_a+szF_b) ≥
+    // (4/9)(szc_a+szc_b) ≥ 0.8·max(szc) — so the capped-size prefix
+    // (first szc − ⌈0.8·szc⌉ + 1 elements), the capped-size ratio
+    // filter and the capped-size overlap threshold below are all
+    // lossless. Positions ride along for the PPJoin POSITIONAL
+    // filter (Xiao et al. WWW'08): a pair meeting at 1-based prefix
+    // positions (i, j) shares at most min(i,j) + min(szc_a−i,
+    // szc_b−j) elements (common elements before the meeting point
+    // number ≤ min(i,j)−1, from it on ≤ 1 + the shorter remainder),
+    // so pairs that cannot reach α = ⌈(4/9)(szc_a+szc_b)⌉ die before
+    // the array_intersect — the r12 decade-2 riser was exactly this
+    // candidate volume.
     val pref = base
       .withColumn("plen",
-        expr("cast(sz - (sz * 4 + 4) div 5 + 1 as int)"))
-      .select(col("doc_id"), col("sz"),
-        explode(expr("slice(sorted, 1, plen)")).as("shh"))
+        expr("cast(szc - (szc * 4 + 4) div 5 + 1 as int)"))
+      .select(col("doc_id"), col("szc"),
+        posexplode(expr("slice(sorted, 1, plen)")).as(Seq("pos", "shh")))
     val cands = pref.groupBy("shh")
-      .agg(GraftFunctions.capped_collect_pairs(
-        col("doc_id"), col("sz"),
+      .agg(GraftFunctions.capped_collect_pos(
+        col("doc_id"), col("szc"), col("pos").cast("long"),
         math.min(dfCap, (Int.MaxValue - 1).toLong).toInt).as("members"))
       .filter(col("members").isNotNull)
       .withColumn("a", explode(col("members")))
       .withColumn("b", explode(expr(
         "filter(members, m -> m.doc_id > a.doc_id " +
-          "AND m.sz * 5 >= a.sz * 4 AND a.sz * 5 >= m.sz * 4)")))
+          "AND m.sz * 5 >= a.sz * 4 AND a.sz * 5 >= m.sz * 4 " +
+          "AND least(a.pos, m.pos) + 1 + " +
+          "    least(a.sz - a.pos - 1, m.sz - m.pos - 1) >= " +
+          "    (4 * (a.sz + m.sz) + 8) div 9)")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cands

@@ -160,31 +160,56 @@ class PropertySpec extends AnyFunSuite {
         if (base.size > 8) 2 else 0)).toSet)
     } yield (base +: muts).filter(_.nonEmpty).zipWithIndex
       .map { case (s0, i) => (i.toLong, s0) }
-    check("prefix", Prop.forAll(famGen) { docs =>
-      def jacc(a: Set[Long], b: Set[Long]): Double =
-        (a intersect b).size.toDouble / (a union b).size
+    // the prefix plan's EXACT filter stack, modelled element-wise and
+    // checked against the naive plan's capped arithmetic — at TWO cap
+    // settings: unhit (the production default's regime) and a
+    // deliberately BINDING dfCap=3 (ADVICE r12: the plans must agree
+    // when the cap bites, not only while it is a no-op). Naive-plan
+    // semantics: `shared` counts sub-cap shingles only, denominators
+    // use FULL set sizes.
+    def agree(docs: Seq[(Long, Set[Long])], dfCap: Int): Boolean = {
+      val df = docs.flatMap(_._2).groupBy(identity).view
+        .mapValues(_.size).toMap
+      def capped(s0: Set[Long]): Set[Long] = s0.filter(df(_) <= dfCap)
+      def sharedC(a: Set[Long], b: Set[Long]): Int =
+        (capped(a) intersect capped(b)).size
+      def jaccN(a: Set[Long], b: Set[Long]): Double =
+        sharedC(a, b).toDouble / (a.size + b.size - sharedC(a, b))
       val naive = (for {
         (ia, sa) <- docs; (ib, sb) <- docs
-        if ia < ib && jacc(sa, sb) >= 0.8
+        if ia < ib && jaccN(sa, sb) >= 0.8
       } yield (ia, ib)).toSet
-      // prefix plan: candidates from prefix intersection + size
-      // filter, then EXACT verification
-      def prefix(s0: Set[Long]): Set[Long] = {
-        val sz = s0.size
-        val plen = sz - (4 * sz + 4) / 5 + 1
-        s0.toSeq.sorted.take(plen).toSet
+      // prefix plan: capped-universe prefixes WITH POSITIONS, the
+      // capped-size ratio filter and the PPJoin positional bound
+      // min(i,j) + min(szc_a−i, szc_b−j) >= ceil(4(szc_a+szc_b)/9),
+      // then exact verification in the naive arithmetic
+      def prefixPos(s0: Set[Long]): Map[Long, Int] = {
+        val sc = capped(s0).toSeq.sorted
+        val plen = sc.size - (4 * sc.size + 4) / 5 + 1
+        sc.take(plen).zipWithIndex.map { case (e, p) => e -> (p + 1) }
+          .toMap
       }
       val cands = (for {
         (ia, sa) <- docs; (ib, sb) <- docs
-        if ia < ib &&
-          (prefix(sa) intersect prefix(sb)).nonEmpty &&
-          sb.size * 5 >= sa.size * 4 && sa.size * 5 >= sb.size * 4
+        if ia < ib && {
+          val (pa, pb) = (prefixPos(sa), prefixPos(sb))
+          val (szca, szcb) = (capped(sa).size, capped(sb).size)
+          val alpha = (4 * (szca + szcb) + 8) / 9
+          szcb * 5 >= szca * 4 && szca * 5 >= szcb * 4 &&
+          (pa.keySet intersect pb.keySet).exists { e =>
+            val (i, j) = (pa(e), pb(e))
+            math.min(i, j) + math.min(szca - i, szcb - j) >= alpha
+          }
+        }
       } yield (ia, ib)).toSet
       val viaPrefix = cands.filter { case (ia, ib) =>
-        jacc(docs.find(_._1 == ia).get._2,
-             docs.find(_._1 == ib).get._2) >= 0.8
+        jaccN(docs.find(_._1 == ia).get._2,
+              docs.find(_._1 == ib).get._2) >= 0.8
       }
       viaPrefix == naive
+    }
+    check("prefix", Prop.forAll(famGen) { docs =>
+      agree(docs, dfCap = Int.MaxValue) && agree(docs, dfCap = 3)
     })
   }
 }

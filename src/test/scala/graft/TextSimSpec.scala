@@ -48,6 +48,18 @@ class TextSimSpec extends SparkSpec {
     assert(prefix == naive,
       s"prefix plan diverged: missing=${naive -- prefix} extra=${prefix -- naive}")
     assert(naive.nonEmpty)
+    // ... and stays bit-identical when the df cap BINDS (ADVICE r12:
+    // dfCap is a public parameter — both plans define it on FULL
+    // document frequency, excluding over-cap shingles from `shared`
+    // while keeping full set sizes in the denominator). dfCap=3
+    // genuinely bites on this corpus: assert it changes the answer
+    // so the agreement below is not vacuous.
+    val naive3 = pairs(TextOps.d2NgramJaccardCapped(spark, sf, 3L))
+    val prefix3 = pairs(TextOps.d2NgramJaccardPrefix(spark, sf, 3L))
+    assert(prefix3 == naive3,
+      s"binding-cap divergence: missing=${naive3 -- prefix3} " +
+        s"extra=${prefix3 -- naive3}")
+    assert(naive3 != naive, "dfCap=3 did not bind — the test is vacuous")
   }
 
   test("d36's scale pair source (LSH-verified) matches the exact d2 pairs at test SF") {
