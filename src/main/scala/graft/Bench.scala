@@ -101,7 +101,16 @@ object Bench {
     // lifecycle (plain landing → in-place adoption → copy-on-write
     // delete → log-resolved read: the migration verb's end-to-end
     // cost, billed once per session like the other lifecycle entries)
-    "d36_quality_dedup", "q91_convert_read")
+    "d36_quality_dedup", "q91_convert_read",
+    // round-13 additions: the string-partitioned lifecycle (land →
+    // CONVERT with recorded partition type → copy-on-write DELETE
+    // restoring string values from paths → log-pruned subset read —
+    // the migration verb for string-keyed lakes, billed end-to-end
+    // once per session like q91) and the bucketed co-purchase scorer
+    // (g15's wedge join fed from the l_orderkey-bucketed landing:
+    // tracking it next to g15 shows what the layout buys — the
+    // per-order aggregate's corpus exchange — round over round)
+    "q93_string_partition", "g15b_link_predict_bucketed")
 
   /** 1-minute load average, -1.0 if unreadable (non-Linux). */
   private def loadavg(): Double =

@@ -558,6 +558,19 @@ object Events {
           java.lang.Long.toHexString(
             org.apache.spark.unsafe.types.UTF8String.fromString(d).hashCode()
               .toLong & 0xffffffffL)
+        // a PREVIOUS JVM's landing may have left the warehouse dir
+        // behind while the (in-memory) catalog forgot the table —
+        // saveAsTable would then fail on the existing path; drop both
+        // before landing (single-driver registration, no race)
+        s.sql(s"DROP TABLE IF EXISTS $n")
+        val wh = new java.io.File(
+          java.net.URI.create(
+            s.conf.get("spark.sql.warehouse.dir")).getPath, n)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        if (wh.exists()) rm(wh)
         graft.sources.Readers.writeBucketed(
           Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
           n, "l_orderkey", 32)

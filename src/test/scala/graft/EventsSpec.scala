@@ -9,8 +9,9 @@ class EventsSpec extends SparkSpec {
     // rows-only by design: HLL sketch internals aren't SQL-expressible;
     // the dedicated q52 test below pins estimates + monotonicity
     val rowsOnly = Set("q52_cumulative_distinct")
+    val oracled = Events.oracles.keySet ++ Events.bucketedOracles.keySet
     Events.queries.foreach { case (name, fn) =>
-      assert(rowsOnly.contains(name) || Events.oracles.contains(name),
+      assert(rowsOnly.contains(name) || oracled.contains(name),
         s"$name missing oracle")
       assert(fn(spark, sf).count() > 0, s"$name returned no rows")
     }
