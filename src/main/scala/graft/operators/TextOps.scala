@@ -177,11 +177,18 @@ object TextOps {
             Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+    // same verification-join strategy as the d2 prefix plan
+    // (broadcast under ~1M docs, shuffled-hash above — measured at
+    // the 100× probe; strategy only, identical rows)
+    val small = Tables.parquetRowCount(s, s"$d/documents.parquet") <= 1000000L
+    def vside(idAs: String, shAs: String, szAs: String) = {
+      val p = base.select(col("doc_id").as(idAs),
+        col("shingles").as(shAs), col("sz").as(szAs))
+      if (small) broadcast(p) else p.hint("shuffle_hash")
+    }
     cand
-      .join(base.select(col("doc_id").as("doc_a"),
-        col("shingles").as("sha"), col("sz").as("sa")), Seq("doc_a"))
-      .join(base.select(col("doc_id").as("doc_b"),
-        col("shingles").as("shb"), col("sz").as("sb")), Seq("doc_b"))
+      .join(vside("doc_a", "sha", "sa"), Seq("doc_a"))
+      .join(vside("doc_b", "shb", "sb"), Seq("doc_b"))
       .withColumn("shared",
         size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("jaccard",
@@ -256,11 +263,24 @@ object TextOps {
           "    (4 * (a.sz + m.sz) + 8) div 9)")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // verification-join STRATEGY (measured at the 100× probe,
+    // SCALE_r13): the default sort-merge join SORTS millions of
+    // array-carrying candidate rows twice — the stage was 6–12 s of
+    // the query. Below ~1M docs the shingle-array side fits an
+    // executor broadcast (500k docs ≈ 160 MB measured) and both
+    // verification joins go exchange-free on the candidate side
+    // (6.4 s → 4.0 s); above it, a shuffled-hash hint at least keeps
+    // the array rows out of sort buffers. Strategy only — same rows
+    // either way.
+    val small = Tables.parquetRowCount(s, s"$d/documents.parquet") <= 1000000L
+    def vside(idAs: String, shAs: String, szAs: String) = {
+      val p = base.select(col("doc_id").as(idAs),
+        col("sorted").as(shAs), col("sz").as(szAs))
+      if (small) broadcast(p) else p.hint("shuffle_hash")
+    }
     cands
-      .join(base.select(col("doc_id").as("doc_a"),
-        col("sorted").as("sha"), col("sz").as("sa")), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"),
-        col("sorted").as("shb"), col("sz").as("sb")), "doc_b")
+      .join(vside("doc_a", "sha", "sa"), "doc_a")
+      .join(vside("doc_b", "shb", "sb"), "doc_b")
       .withColumn("shared",
         size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("jaccard",
