@@ -189,8 +189,11 @@ object TextOps {
     cand
       .join(vside("doc_a", "sha", "sa"), Seq("doc_a"))
       .join(vside("doc_b", "shb", "sb"), Seq("doc_b"))
+      // sorted-merge shared count with the J ≥ 0.8 bail (d2's rule;
+      // ShingleHashes emits sorted-distinct arrays)
       .withColumn("shared",
-        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        GraftFunctions.sorted_intersect_count(col("sha"), col("shb"),
+          expr("greatest(0L, (4 * (sa + sb)) div 9 - 1)")))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("sa") + col("sb") - col("shared")))
       .filter(col("jaccard") >= 0.8)
@@ -278,11 +281,20 @@ object TextOps {
         col("sorted").as(shAs), col("sz").as(szAs))
       if (small) broadcast(p) else p.hint("shuffle_hash")
     }
+    // `shared` via the zero-allocation sorted-merge count (the arrays
+    // are sorted-distinct by ShingleHashes' contract, and array_except
+    // preserves that): ArrayIntersect's per-row OpenHashSet + output
+    // array dominated the verification stage at the 100× probe. The
+    // bail threshold under-estimates the J ≥ 0.8 requirement by a
+    // full unit, so every SURVIVING pair runs the merge to completion
+    // (exact count, exact jaccard — oracle-identical) and every
+    // bailed pair was going to be filtered anyway.
     cands
       .join(vside("doc_a", "sha", "sa"), "doc_a")
       .join(vside("doc_b", "shb", "sb"), "doc_b")
       .withColumn("shared",
-        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        GraftFunctions.sorted_intersect_count(col("sha"), col("shb"),
+          expr("greatest(0L, (4 * (sa + sb)) div 9 - 1)")))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("sa") + col("sb") - col("shared")))
       .filter(col("jaccard") >= 0.8)

@@ -137,6 +137,28 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("SortedIntersectCount: exact without a threshold; bail-safe with one, for ANY sorted-distinct arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val arrGen = Gen.listOf(Gen.choose(0L, 120L)).map(_.distinct.sorted)
+    def cnt(a: Seq[Long], b: Seq[Long], needed: Long): Long =
+      graft.functions.SortedIntersectCount.count(
+        new GenericArrayData(a.toArray),
+        new GenericArrayData(b.toArray), needed)
+    check("sic", Prop.forAll(arrGen, arrGen, Gen.choose(0L, 40L)) {
+      (a, b, n) =>
+        val exact = (a.toSet intersect b.toSet).size.toLong
+        val full = cnt(a, b, 0L)
+        val bailed = cnt(a, b, n)
+        // no threshold -> exact; with one -> never over-counts, and
+        // the pass/fail verdict vs the threshold matches exact's
+        // (a pair that can reach `n` is counted EXACTLY — the
+        // verification-join contract)
+        full == exact && bailed <= exact &&
+          ((bailed >= n) == (exact >= n)) &&
+          (exact < n || bailed == exact)
+    })
+  }
+
   test("d2's prefix filter is LOSSLESS for Jaccard >= 0.8 on ANY shingle-set family") {
     // the exact arithmetic of the scale plan, modelled element-wise:
     //   plen = sz - (4*sz + 4) div 5 + 1   (ascending-hash prefix)
