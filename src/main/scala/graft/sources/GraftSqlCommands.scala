@@ -31,6 +31,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   GRAFT CONVERT '/data/d' PARTITIONED BY (country string)
   *   GRAFT RESTORE '/data/t' TO VERSION AS OF 3     -- roll-forward undo
   *   GRAFT RESTORE '/data/t' TO TIMESTAMP AS OF 1755…  -- epoch millis
+  *   GRAFT DROP FEATURE deletionVectors FOR '/data/t'  -- protocol downgrade
   *   GRAFT FSCK '/data/t' [DRY RUN]                 -- drop missing refs
   * }}}
   *
@@ -57,6 +58,8 @@ object GraftSqlCommands {
     """(?is)\s*GRAFT\s+CONVERT\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s+(\w+)\s*\))?\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val DropFeatureRe =
+    """(?is)\s*GRAFT\s+DROP\s+FEATURE\s+(\w+)\s+FOR\s+'([^']+)'\s*;?\s*""".r
 
   /** Some(plan) when `sqlText` is a graft maintenance statement. A
     * text that LEADS with GRAFT but matches no statement shape is a
@@ -89,6 +92,8 @@ object GraftSqlCommands {
       case RestoreRe(path, kind, n) =>
         Some(GraftRestoreCommand(path, n.toLong,
           kind.equalsIgnoreCase("TIMESTAMP")))
+      case DropFeatureRe(feature, path) =>
+        Some(GraftDropFeatureCommand(path, feature))
       case FsckRe(path, dry) =>
         Some(GraftFsckCommand(path, dry != null))
       case t if t.matches("""(?is)\s*GRAFT\s.*""") =>
@@ -103,6 +108,7 @@ object GraftSqlCommands {
             "OF n] | GRAFT GENERATE MANIFEST FOR '<path>' [VERSION AS " +
             "OF n] | GRAFT CONVERT '<dir>' [PARTITIONED BY (col type)] " +
             "| GRAFT RESTORE '<path>' TO VERSION|TIMESTAMP AS OF n | " +
+            "GRAFT DROP FEATURE <name> FOR '<path>' | " +
             "GRAFT FSCK '<path>' [DRY RUN]. " +
             "Paths are single-quoted and may not contain a quote " +
             "character — use the Scala verb API for such paths")
@@ -244,6 +250,23 @@ case class GraftRestoreCommand(path: String, n: Long,
   override def run(s: SparkSession): Seq[Row] = {
     val t = GraftTable.forPath(s, path)
     Seq(Row(if (byTimestamp) t.restoreTimestamp(n) else t.restore(n)))
+  }
+}
+
+/** `GRAFT DROP FEATURE <name> FOR '<path>'`: Delta's `ALTER TABLE …
+  * DROP FEATURE` — the explicit protocol-row downgrade, refused while
+  * the feature is still active ([[GraftTable.dropFeature]]). Returns
+  * the new version and the remaining protocol row.
+  */
+case class GraftDropFeatureCommand(path: String, feature: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("protocol", StringType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] = {
+    val t = GraftTable.forPath(s, path)
+    val v = t.dropFeature(feature)
+    Seq(Row(v, t.protocolAt(v).toSeq.sorted.mkString(",")))
   }
 }
 

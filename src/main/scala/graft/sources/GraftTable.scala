@@ -400,7 +400,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       ckptLines(cv).collectFirst {
         case l if l.startsWith("partmeta\t") => l.split("\t", 2)(1)
       }
-    }).map(GraftTable.partMetaFromJson)
+    }).flatMap(GraftTable.partMetaFromJson)
   }
 
   /** The recorded protocol feature set at `v` (Delta's protocol row):
@@ -432,9 +432,39 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val b = Set.newBuilder[String]
     if (hasDvAsOf(v)) b += GraftTable.Features.DeletionVectors
     if (hasColMapAsOf(v)) b += GraftTable.Features.ColumnMapping
-    if (partMetaAt(v).exists(_.tpe == StringType))
-      b += GraftTable.Features.StringPartitionValues
+    // active only while the LIVE LAYOUT actually carries the string
+    // key: a recorded row whose value dirs are gone (epoch change) is
+    // history, not an active requirement
+    partMetaAt(v).filter(_.tpe == StringType).foreach { pm =>
+      if (partColOf(resolveMeta(v).keys).contains(pm.col))
+        b += GraftTable.Features.StringPartitionValues
+    }
     b.result()
+  }
+
+  /** DROP FEATURE (Delta's `ALTER TABLE … DROP FEATURE`): the ONE
+    * sanctioned shrink of the (otherwise monotone) protocol row —
+    * allowed only once the feature is INACTIVE at the latest version
+    * (DVs purged, column mapping back to identity, string-keyed
+    * layout replaced), exactly Delta's two-step contract: deactivate
+    * first, then drop explicitly. A metadata-only commit; returns the
+    * new version.
+    */
+  def dropFeature(name: String): Long = {
+    val base = latestVersion
+    require(base > 0, s"no graft table at $root")
+    val proto = protocolAt(base)
+    require(proto.contains(name),
+      s"feature '$name' is not in the protocol row " +
+        s"[${proto.toSeq.sorted.mkString(", ")}]")
+    val active = activeReaderFeatures(base)
+    require(!active.contains(name),
+      s"cannot drop '$name': the feature is still ACTIVE at v$base — " +
+        "deactivate first (purge() for deletionVectors, restore the " +
+        "identity mapping for columnMapping, replace the string-keyed " +
+        "layout for stringPartitionValues)")
+    commit(s"protocol:drop:$name", Seq.empty, Seq.empty,
+      basedOn = Some(base), protocolOverride = Some(proto - name))
   }
 
   /** The ONE reader-feature gate for raw-parquet serving paths (the
@@ -1219,7 +1249,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
                             bloomIdx: Option[Seq[(String, Long)]] = None,
                             reschema: Option[Long => StructType] = None,
                             colmap: Option[GraftTable.ColMap] = None,
-                            partMeta: Option[GraftTable.PartMeta] = None)
+                            partMeta: Option[GraftTable.PartMeta] = None,
+                            clearPartMeta: Boolean = false,
+                            protocolOverride: Option[Set[String]] = None)
       : Long = {
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
     var attempt = 0
@@ -1294,13 +1326,21 @@ class GraftTable private (val s: SparkSession, val root: String) {
         .getOrElse(if (prev > 0) bloomIndexAt(prev) else Seq.empty)
       val cm = colmap
         .getOrElse(if (prev > 0) colmapAt(prev) else GraftTable.ColMap.empty)
-      val pm = partMeta
-        .orElse(if (prev > 0) partMetaAt(prev) else None)
+      val pm =
+        if (clearPartMeta) partMeta // an epoch change (flat overwrite,
+        // restore to a pre-partitioned version): the caller's value —
+        // possibly none — REPLACES the carried row
+        else partMeta.orElse(if (prev > 0) partMetaAt(prev) else None)
       // the protocol row is MONOTONE: the predecessor's features plus
       // whatever this commit activates (Delta's protocol discipline —
       // a feature, once required, stays recorded even if later state
-      // deactivates it; the gates refuse on ACTIVE state only)
-      val proto = (if (prev > 0) protocolAt(prev) else Set.empty[String]) ++
+      // deactivates it; the gates refuse on ACTIVE state only).
+      // `protocolOverride` is the ONE sanctioned shrink — the explicit
+      // DROP FEATURE verb, which has already checked inactivity; the
+      // implied-features union below still re-adds anything this very
+      // commit activates, so a drop can never race a re-activation.
+      val proto = protocolOverride.getOrElse(
+        if (prev > 0) protocolAt(prev) else Set.empty[String]) ++
         (if (dvs.nonEmpty) Set(GraftTable.Features.DeletionVectors)
          else Set.empty) ++
         (if (!cm.isIdentity) Set(GraftTable.Features.ColumnMapping)
@@ -1318,9 +1358,17 @@ class GraftTable private (val s: SparkSession, val root: String) {
         body.append(s"bloomidx\t${GraftTable.bloomIdxToJson(bIdx)}\n")
       if (!cm.isIdentity || colmap.isDefined)
         body.append(s"colmap\t${GraftTable.colmapToJson(cm)}\n")
-      pm.foreach(p =>
-        body.append(s"partmeta\t${GraftTable.partMetaToJson(p)}\n"))
-      if (proto.nonEmpty)
+      pm match {
+        case Some(p) =>
+          body.append(s"partmeta\t${GraftTable.partMetaToJson(p)}\n")
+        case None if clearPartMeta =>
+          body.append(s"partmeta\t${GraftTable.PartMetaTombstone}\n")
+        case None => ()
+      }
+      // an explicit override must be written even when it shrinks to
+      // EMPTY — "no line" means carry-forward to the resolution, and
+      // a dropped-to-empty row would otherwise resurrect
+      if (proto.nonEmpty || protocolOverride.isDefined)
         body.append(s"protocol\t${GraftTable.protocolToJson(proto)}\n")
       adds.foreach { case (p, b) =>
         body.append(s"add\t$p\t$b${stats.get(p).map("\t" + _).getOrElse("")}\n")
@@ -1917,7 +1965,11 @@ class GraftTable private (val s: SparkSession, val root: String) {
     commit("overwrite", adds, removes, basedOn = Some(base),
       stats = statsOf(adds),
       schema = Some(org.apache.spark.sql.graft.shim.nullable(df.schema)),
-      colmap = Some(GraftTable.ColMap.empty))
+      colmap = Some(GraftTable.ColMap.empty),
+      // ... and a FLAT replace ends the partitioned epoch: no value
+      // dir survives, so the recorded partition metadata must not
+      // carry forward onto a layout that no longer has the column
+      clearPartMeta = true)
   }
 
   // ---- row-level DML (copy-on-write) ----------------------------------
@@ -2514,7 +2566,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
     // constraint add/drop commits are metadata-only: row-neutral for
     // any feed (a stream must not die because a CHECK was added)
     val nonAppend = commits.filterNot(c =>
-      c.action.startsWith("append") || c.action.startsWith("constraint:"))
+      c.action.startsWith("append") || c.action.startsWith("constraint:") ||
+        c.action.startsWith("protocol:"))
     if (nonAppend.nonEmpty) throw new IllegalStateException(
       s"change feed undefined across non-append commits: " +
         nonAppend.map(c => s"v${c.version}=${c.action}").mkString(",") +
@@ -2560,7 +2613,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
         c.action == "delete" || c.action == "update" ||
         c.action == "compact" || c.action == "purge" ||
         c.action.startsWith("zorder:") ||
-        c.action.startsWith("constraint:"))
+        c.action.startsWith("constraint:") ||
+        c.action.startsWith("protocol:"))
     if (unsupported.nonEmpty) throw new IllegalStateException(
       "row-level change feed undefined across whole-scope rewrites: " +
         unsupported.map(c => s"v${c.version}=${c.action}").mkString(",") +
@@ -2614,7 +2668,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
           None))
       } else if (c.action == "compact" || c.action == "purge" ||
           c.action.startsWith("zorder:") ||
-          c.action.startsWith("constraint:")) None
+          c.action.startsWith("constraint:") ||
+        c.action.startsWith("protocol:")) None
       else throw new IllegalStateException(
         "row-level change feed undefined across whole-scope rewrites: " +
           s"v${c.version}=${c.action} — fall back to a snapshot diff")
@@ -2689,6 +2744,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
         case (p, FileMeta(_, Some(st), _)) => p -> st }.toMap,
       schema = schemaAt(v),
       colmap = Some(colmapAt(v)), // epoch-correct names after restore
+      // partition metadata is epoch-correct too: restoring across the
+      // partitioned epoch re-establishes (or clears) the row AS OF v
+      partMeta = partMetaAt(v), clearPartMeta = true,
       dvs = readds.flatMap { case (p, m) => m.dv.map(p -> _) })
   }
 
@@ -3064,11 +3122,19 @@ object GraftTable {
     consMapper.writeValueAsString(o)
   }
 
-  private[sources] def partMetaFromJson(j: String): PartMeta = {
+  /** `{}` is the CLEAR tombstone — resolution treats "no row in this
+    * commit" as carry-forward, so an epoch change (flat overwrite,
+    * restore across the partitioned epoch) must write an explicit
+    * empty row to stop the carry.
+    */
+  private[sources] val PartMetaTombstone = "{}"
+
+  private[sources] def partMetaFromJson(j: String): Option[PartMeta] = {
     val r = consMapper.readTree(j)
-    PartMeta(r.get("col").asText,
+    if (!r.has("col")) None
+    else Some(PartMeta(r.get("col").asText,
       org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-        .parseDataType(r.get("type").asText))
+        .parseDataType(r.get("type").asText)))
   }
 
   /** Reader-feature names for the per-commit `protocol` row (Delta's

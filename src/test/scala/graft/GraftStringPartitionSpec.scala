@@ -166,6 +166,42 @@ class GraftStringPartitionSpec extends SparkSpec {
     ()
   }
 
+  test("date-typed partition keys round-trip: land, convert-infer, restore, prune") {
+    val root = fresh("datepart")
+    val t = GraftTable.forPath(spark, root)
+    val df = Seq(
+      (1, java.sql.Date.valueOf("2026-08-01")),
+      (2, java.sql.Date.valueOf("2026-08-01")),
+      (3, java.sql.Date.valueOf("2026-08-15"))).toDF("id", "day")
+    t.appendPartitioned(df, "day")
+    assert(t.partMetaAt(1).map(_.tpe.catalogString) == Some("date"))
+    // date values are escape fixed points: plain value dirs on disk
+    val dirs = new java.io.File(root, "data").listFiles()
+      .flatMap(_.listFiles()).map(_.getName).filter(_.startsWith("day="))
+    assert(dirs.toSet == Set("day=2026-08-01", "day=2026-08-15"), dirs.toSeq)
+    // restore comes back as a real DATE column
+    val one = t.readPartitionedColumnString("day", Seq("2026-08-01")).get
+    assert(one.schema("day").dataType ==
+      org.apache.spark.sql.types.DateType)
+    assert(one.count() == 2)
+    // DML referencing the date key restores + restages under dirs
+    t.deleteWhere(col("day") === lit(java.sql.Date.valueOf("2026-08-01"))
+      && col("id") === 1)
+    assert(t.readPartitionedColumnString("day", Seq("2026-08-01")).get
+      .select("id").collect().map(_.getInt(0)).toSeq == Seq(2))
+    // CONVERT of a date-keyed plain layout infers... strings parse as
+    // longs? no — dates are non-integral, inference says string; the
+    // explicit PARTITIONED BY pins date (Delta's contract)
+    val dir = fresh("datecv")
+    df.write.partitionBy("day").parquet(dir)
+    val t2 = GraftTable.convert(spark, dir,
+      Some(org.apache.spark.sql.types.DateType))
+    assert(t2.partMetaAt(1).map(_.tpe.catalogString) == Some("date"))
+    assert(t2.readPartitionedColumnString("day", Seq("2026-08-15")).get
+      .schema("day").dataType == org.apache.spark.sql.types.DateType)
+    ()
+  }
+
   test("null string partition values stage as the hive sentinel and restore as null") {
     val root = fresh("strnull")
     val t = GraftTable.forPath(spark, root)
@@ -219,6 +255,48 @@ class GraftStringPartitionSpec extends SparkSpec {
     assert(t.protocolAt(vP).contains("deletionVectors"))
     assert(!t.activeReaderFeatures(vP).contains("deletionVectors"))
     assert(spark.read.format("graft").load(root).count() == 2)
+    ()
+  }
+
+  test("DROP FEATURE: refused while active, allowed after deactivation; partmeta epochs clear correctly") {
+    val root = fresh("dropfeat")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(hardDf, "country")                        // v1
+    assert(t.protocolAt(1).contains("stringPartitionValues"))
+    assert(t.activeReaderFeatures(1).contains("stringPartitionValues"))
+    // active -> the drop refuses with the deactivation hint
+    val e = intercept[IllegalArgumentException] {
+      t.dropFeature("stringPartitionValues")
+    }
+    assert(e.getMessage.contains("still ACTIVE"), e.getMessage)
+    // a FLAT overwrite ends the partitioned epoch: partmeta clears
+    // (tombstone row), the feature goes inactive, protocol keeps it
+    import spark.implicits._
+    t.overwrite(Seq((1, "flat")).toDF("id", "payload"))           // v2
+    assert(t.partMetaAt(2).isEmpty, "flat overwrite must clear partmeta")
+    assert(t.partMetaAt(1).isDefined, "time travel still sees the row")
+    assert(t.protocolAt(2).contains("stringPartitionValues"))
+    assert(!t.activeReaderFeatures(2).contains("stringPartitionValues"))
+    // now the SQL drop statement shrinks the protocol row
+    val row = spark.sql(
+      s"GRAFT DROP FEATURE stringPartitionValues FOR '$root'")
+      .collect().head
+    assert(!row.getString(1).contains("stringPartitionValues"))
+    assert(!t.protocolAt(t.latestVersion)
+      .contains("stringPartitionValues"))
+    // unknown / never-enabled features refuse
+    val e2 = intercept[IllegalArgumentException] {
+      t.dropFeature("stringPartitionValues")
+    }
+    assert(e2.getMessage.contains("not in the protocol row"))
+    // RESTORE back across the epoch re-establishes the row AS OF the
+    // target version (and re-grows the protocol via the implied set)
+    t.restore(1)
+    assert(t.partMetaAt(t.latestVersion)
+      .map(_.col) == Some("country"))
+    assert(t.protocolAt(t.latestVersion)
+      .contains("stringPartitionValues"))
+    assert(t.partitionValuesString("country").toSet == hardValues.toSet)
     ()
   }
 
