@@ -1432,6 +1432,17 @@ class GraftTable private (val s: SparkSession, val root: String) {
   def append(df: DataFrame, mergeSchema: Boolean = false): Long = {
     appendSchema(df.schema, mergeSchema) // fail fast, before staging
     enforceConstraints(df, "append")
+    // a FLAT append onto a hive-partitioned layout stages files with
+    // no value dirs — the partition-subset readers (token-matched at
+    // the log) would silently MISS those rows on every pruned read.
+    // Refuse loudly (the round-13 self-review's gap; compact() and
+    // the z-order rewrite already had this guard).
+    partColOf(resolveMeta(latestVersion).keys).foreach { pc =>
+      throw new IllegalArgumentException(
+        s"table is hive-partitioned on '$pc' — a flat append would " +
+          "stage files outside the value dirs and pruned reads would " +
+          s"miss them; use appendPartitioned(df, \"$pc\")")
+    }
     // physical names for columns NEW to the table: identity unless
     // the name is TOMBSTONED (a dropped column once stored under it —
     // its data must never resurrect) or already used physically by a
@@ -2521,6 +2532,14 @@ class GraftTable private (val s: SparkSession, val root: String) {
     // replay: the segment is already in — drop the re-staged copy
     tagged("append", tag, onReplay = () => { fs.delete(staged, true); () }) {
       action =>
+        // flat-append guard (append's rule): adopted segments are
+        // listed flat, so they cannot serve a partitioned layout
+        partColOf(resolveMeta(latestVersion).keys).foreach { pc =>
+          throw new IllegalArgumentException(
+            s"table is hive-partitioned on '$pc' — adoptDir stages a " +
+              "FLAT segment that pruned reads would miss; land through " +
+              s"appendPartitioned(df, \"$pc\") instead")
+        }
         // schema recorded from the segment's own footers (no DataFrame
         // here), enforced against the table like any other append
         val segment = s.read.parquet(stagedDir)

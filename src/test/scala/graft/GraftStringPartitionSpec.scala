@@ -326,6 +326,50 @@ class GraftStringPartitionSpec extends SparkSpec {
     ()
   }
 
+  test("partmeta and protocol rows survive checkpointing and vacuum; flat append/adopt refuse on partitioned layouts") {
+    // CheckpointEvery = 8: drive the table past a checkpoint, then
+    // vacuum the pre-checkpoint commits away — the recorded partition
+    // type and the protocol row must resolve from the CHECKPOINT
+    // lines alone, or a vacuumed string-keyed table silently falls
+    // back to the legacy integer contract
+    val root = fresh("ckptmeta")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(hardDf, "country") // v1 records partmeta
+    for (i <- 0 until 9) { // v2..v10 cross the v8 checkpoint
+      t.appendPartitioned(
+        Seq((1000 + i, s"extra_$i", "India"))
+          .toDF("id", "payload", "country"), "country")
+      ()
+    }
+    assert(t.latestVersion == 10L)
+    t.vacuum(retainVersions = 2, orphanGraceMillis = 0L)
+    val t2 = GraftTable.forPath(spark, root) // fresh instance, no caches
+    assert(t2.versions().head > 1L, "vacuum kept the old commits")
+    assert(t2.partMetaAt(t2.latestVersion)
+      .map(p => (p.col, p.tpe.catalogString)) ==
+      Some(("country", "string")))
+    assert(t2.protocolAt(t2.latestVersion)
+      .contains("stringPartitionValues"))
+    // restore still types the column correctly from the checkpointed
+    // row: a DML referencing the key works post-vacuum
+    t2.deleteWhere(col("country") === "India" && col("id") === 1000)
+    assert(t2.readPartitionedColumnString("country", Seq("India")).get
+      .filter(col("id") === 1000).count() == 0)
+    // the flat-append soundness guard: files without value dirs would
+    // be invisible to every pruned read — refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      t2.append(Seq((1, "x")).toDF("id", "payload"))
+    }
+    assert(e.getMessage.contains("flat append"), e.getMessage)
+    val stagedDir = fresh("adoptseg")
+    Seq((2, "y")).toDF("id", "payload").write.parquet(stagedDir)
+    val e2 = intercept[IllegalArgumentException] {
+      t2.adoptDir(stagedDir)
+    }
+    assert(e2.getMessage.contains("FLAT segment"), e2.getMessage)
+    ()
+  }
+
   test("GRAFT VACUUM RETAIN n HOURS maps the wall-clock window to a version horizon") {
     val root = fresh("vach")
     val t = GraftTable.create(spark, root, Seq((1, "a")).toDF("k", "v"))
