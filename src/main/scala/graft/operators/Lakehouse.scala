@@ -529,6 +529,44 @@ object Lakehouse {
         min("c_custkey").as("first_key"))
       .orderBy("c_mktsegment")
 
+  private val dateParted = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
+
+  // q94: DATE-TYPED partition keys through the same lifecycle as q93
+  // (the other half of the real-lake layout space: date=2026-08-15/
+  // dirs are THE standard fact-table layout). Year-start dates keep
+  // the partition count lifecycle-sized; the CONVERT declares the
+  // type explicitly (dates are non-integral, so inference would say
+  // string — Delta's PARTITIONED BY contract is exactly for this),
+  // the copy-on-write DELETE restores real DATE values from the
+  // paths and restages under them, and the pruned 3-year read
+  // returns the key as a DATE column the oracle groups on.
+  private def datePartTable(s: SparkSession, d: String): GraftTable =
+    dateParted.synchronized { dateParted.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_datepart").toString + "/plain"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          expr("cast(date_trunc('year', o_orderdate) as date)")
+            .as("oyear"))
+        .write.partitionBy("oyear").parquet(dir)                   // plain
+      s.sql(s"GRAFT CONVERT '$dir' PARTITIONED BY (oyear date)")   // v1
+      val t = GraftTable.forPath(s, dir)
+      t.deleteWhere(col("o_totalprice") < 1000.0)                  // v2
+      t
+    }) }
+
+  def q94DatePartition(s: SparkSession, d: String): DataFrame =
+    datePartTable(s, d)
+      .readPartitionedColumnString("oyear",
+        Seq("1996-01-01", "1998-01-01", "2000-01-01"))
+      .get
+      .groupBy("oyear")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("total_price"),
+        min("o_orderkey").as("first_key"))
+      .orderBy("oyear")
+
   private val fscked = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
 
   // q92: FSCK — the out-of-band-loss repair lifecycle, oracled. The
@@ -584,6 +622,7 @@ object Lakehouse {
       .orderBy("l_returnflag")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_date_partition" -> (q94DatePartition _),
     "q93_string_partition" -> (q93StringPartition _),
     "q92_fsck_read" -> (q92FsckRead _),
     "q91_convert_read" -> (q91ConvertRead _),
@@ -624,6 +663,16 @@ object Lakehouse {
       |FROM surv ORDER BY o_orderkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q94_date_partition" ->
+      """SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS oyear,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  min(o_orderkey) AS first_key
+        |FROM orders
+        |WHERE o_totalprice >= 1000
+        |  AND year(o_orderdate) IN (1996, 1998, 2000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q93_string_partition" ->
       """SELECT c_mktsegment, count(*) AS n_cust,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
