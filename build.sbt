@@ -18,6 +18,10 @@ run / fork := true
 // trailer so the program's own last line IS the process's last line.
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// ... and forward the forked program's stdout VERBATIM (no "[info] "
+// logger prefix): the driver parses the last stdout line as JSON, and
+// a prefixed line may not parse depending on its parser
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
