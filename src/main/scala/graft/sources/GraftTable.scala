@@ -1659,6 +1659,35 @@ class GraftTable private (val s: SparkSession, val root: String) {
       .toSeq.distinct.sorted
   }
 
+  /** Per-partition summary of the LATEST live set — (column, type,
+    * logical value, n_files, bytes) — parsed from the logged
+    * relpaths with the recorded partmeta type (the `graft_partitions`
+    * TVF's payload). Empty on flat tables; the null-sentinel dir
+    * reports as null. Driver-side O(live files), no listing, no scan.
+    */
+  def partitionSummary(): Seq[(String, String, String, Long, Long)] = {
+    val v = latestVersion
+    val live = resolveMeta(v)
+    partColOf(live.keys) match {
+      case None => Seq.empty
+      case Some(pc) =>
+        val tpe = partTypeOf(pc, live.keys, v)
+        val pat = s"/${java.util.regex.Pattern.quote(pc)}=([^/]+)/".r
+        live.toSeq
+          .flatMap { case (p, m) =>
+            pat.findFirstMatchIn("/" + p).map(_.group(1) -> m.bytes) }
+          .groupBy(_._1).toSeq
+          .map { case (tok, fs) =>
+            val value =
+              if (tok == GraftTable.HiveDefaultPartition) null
+              else GraftTable.unescapePartValue(tok)
+            (pc, tpe.catalogString, value, fs.size.toLong,
+              fs.map(_._2).sum)
+          }
+          .sortBy(r => Option(r._3))
+    }
+  }
+
   /** [[partitionValues]] for string-keyed layouts: the distinct
     * UNESCAPED values (the null-sentinel dir reports as null).
     */

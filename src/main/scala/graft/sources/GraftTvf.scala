@@ -107,9 +107,49 @@ object GraftTvf {
     plan(rows.toDF("kind", "path", "bytes"))
   }
 
+  /** (feature, recorded, active) for the latest version — the
+    * protocol row next to the ACTIVE state, so an operator can see
+    * at a glance why a raw reader refuses (recorded && active) or
+    * what a [[GraftTable.dropFeature]] would accept (recorded &&
+    * !active). Driver-side O(log), like the others.
+    */
+  def protocol(args: Seq[Expression]): LogicalPlan = {
+    val s = SparkSession.active
+    import s.implicits._
+    val t = GraftTable.forPath(s, pathArg(args, "graft_protocol"))
+    val v = t.latestVersion
+    val rec = t.protocolAt(v)
+    val act = t.activeReaderFeatures(v)
+    val rows = (rec ++ act).toSeq.sorted
+      .map(f => (f, rec.contains(f), act.contains(f)))
+    plan(rows.toDF("feature", "recorded", "active"))
+  }
+
+  /** (column, type, value, n_files, bytes) per live partition of the
+    * latest version — the partition layer's introspection: values are
+    * the LOGICAL (unescaped) forms, parsed from the logged relpaths
+    * with the recorded partmeta type; a flat table returns no rows.
+    * Driver-side O(live files), no filesystem listing, no scan.
+    */
+  def partitions(args: Seq[Expression]): LogicalPlan = {
+    val s = SparkSession.active
+    import s.implicits._
+    val t = GraftTable.forPath(s, pathArg(args, "graft_partitions"))
+    plan(t.partitionSummary().toDF(
+      "column", "type", "value", "n_files", "bytes"))
+  }
+
   /** The injection tuples for [[graft.GraftExtensions]]. */
   def tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_protocol"),
+      new ExpressionInfo("graft", null, "graft_protocol",
+        "graft_protocol(root) - recorded vs active reader features", ""),
+      protocol _),
+    (FunctionIdentifier("graft_partitions"),
+      new ExpressionInfo("graft", null, "graft_partitions",
+        "graft_partitions(root) - live partition values with file counts", ""),
+      partitions _),
     (FunctionIdentifier("graft_history"),
       new ExpressionInfo("graft", null, "graft_history",
         "graft_history(root) - the commit log audit trail", ""),

@@ -370,6 +370,36 @@ class GraftStringPartitionSpec extends SparkSpec {
     ()
   }
 
+  test("graft_partitions and graft_protocol TVFs introspect the new layers") {
+    val root = fresh("tvfpart")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(hardDf, "country")
+    val parts = spark.sql(s"SELECT * FROM graft_partitions('$root')")
+      .collect()
+    assert(parts.length == hardValues.length)
+    assert(parts.forall(r => r.getString(0) == "country" &&
+      r.getString(1) == "string" && r.getLong(3) >= 1L &&
+      r.getLong(4) > 0L))
+    assert(parts.map(_.getString(2)).toSet == hardValues.toSet)
+    // flat tables: no rows
+    val flat = fresh("tvfflat")
+    import spark.implicits._
+    GraftTable.create(spark, flat, Seq((1, "a")).toDF("k", "v"))
+    assert(spark.sql(s"SELECT * FROM graft_partitions('$flat')")
+      .count() == 0)
+    // protocol TVF: recorded vs active
+    val prot = spark.sql(s"SELECT * FROM graft_protocol('$root')")
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(1), r.getBoolean(2))))
+      .toMap
+    assert(prot("stringPartitionValues") == ((true, true)))
+    t.overwrite(Seq((1, "flat")).toDF("id", "payload")) // deactivate
+    val prot2 = spark.sql(s"SELECT * FROM graft_protocol('$root')")
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(1), r.getBoolean(2))))
+      .toMap
+    assert(prot2("stringPartitionValues") == ((true, false)))
+    ()
+  }
+
   test("GRAFT VACUUM RETAIN n HOURS maps the wall-clock window to a version horizon") {
     val root = fresh("vach")
     val t = GraftTable.create(spark, root, Seq((1, "a")).toDF("k", "v"))
