@@ -263,15 +263,27 @@ object Bench {
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val baseJson = baselinePath.map("\"" + _ + "\"").getOrElse("null")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"plans":$plans,"sf":"$sfDir","iterations":$iters,"loadavg":{"start":$loadStart,"end":$loadEnd},"contended":$contended,"suspect":$suspectJson,"baseline":$baseJson,"captured_at":"$capturedAt"}"""
-    // The driver's parser reads the LAST stdout line, and under sbt
-    // that line is the "[success] Total time" trailer — which is why
-    // BENCH_r10/r11.json both carried "parsed": null. Persist the JSON
-    // to a file the driver (and anyone else) can read unambiguously,
-    // and ALSO print it after spark.stop() so it's the final line this
-    // program itself emits.
+    // The driver's parser reads a bounded TAIL WINDOW (~2,000 chars) of
+    // stdout, and the full artifact line above is ~4.5 KB — so printing
+    // it last leaves the parser staring at a mid-JSON fragment (the
+    // r10-r13 "parsed": null rows). Persist the FULL artifact to
+    // BENCH.json, and print a COMPACT summary (per-query mins rounded
+    // to ms, no medians/plans/baseline — measured well under the
+    // window) after spark.stop() so the final stdout line both fits the
+    // window and parses.
     val out = new java.io.PrintWriter("BENCH.json")
     try out.println(json) finally out.close()
+    // Locale.ROOT: a comma decimal separator would corrupt the JSON
+    def ms(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qsCompact = results
+      .map { case (k, (mn, _)) => "\"" + k + "\":" + ms(mn) }
+      .mkString("{", ",", "}")
+    val compactFull = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","iterations":$iters,"contended":$contended,"suspect":$suspectJson,"n_queries":${results.length},"artifact":"BENCH.json"}"""
+    // hard backstop: if the headline set ever grows past the window,
+    // drop the per-query map rather than overflow again
+    val compact = if (compactFull.length <= 1500) compactFull
+      else s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","iterations":$iters,"contended":$contended,"suspect":$suspectJson,"n_queries":${results.length},"artifact":"BENCH.json"}"""
     spark.stop()
-    println(json)
+    println(compact)
   }
 }

@@ -46,6 +46,8 @@ object GraftSqlCommands {
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(VERSIONS|HOURS))?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val OptimizeRe =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+TARGET\s+(\d+))?\s*;?\s*""".r
+  private val OptimizeWhereRe =
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+WHERE\s*\(\s*(\w+)\s*(?:=\s*('[^']*'|-?\d+)|IN\s*\(([^)]*)\))\s*\)(?:\s+TARGET\s+(\d+))?\s*;?\s*""".r
   private val ZOrderRe =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
   private val CloneRe =
@@ -55,11 +57,19 @@ object GraftSqlCommands {
   private val FsckRe =
     """(?is)\s*GRAFT\s+FSCK\s+'([^']+)'(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val ConvertRe =
-    """(?is)\s*GRAFT\s+CONVERT\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s+(\w+)\s*\))?\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+CONVERT\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val DropFeatureRe =
     """(?is)\s*GRAFT\s+DROP\s+FEATURE\s+(\w+)\s+FOR\s+'([^']+)'\s*;?\s*""".r
+
+  /** `'v'` → `v`; bare tokens pass through (the OPTIMIZE WHERE value
+    * forms).
+    */
+  private def unquote(v: String): String =
+    if (v.length >= 2 && v.head == '\'' && v.last == '\'')
+      v.substring(1, v.length - 1)
+    else v
 
   /** Some(plan) when `sqlText` is a graft maintenance statement. A
     * text that LEADS with GRAFT but matches no statement shape is a
@@ -69,6 +79,14 @@ object GraftSqlCommands {
   def maintenancePlan(sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case VacuumRe(path, retain, unit, dry) =>
+        // a fractional RETAIN count only means something for HOURS —
+        // '1.5 VERSIONS' silently truncating to 1 would widen the
+        // destructive horizon past what the statement said (ADVICE r13)
+        if (Option(unit).forall(_.equalsIgnoreCase("VERSIONS")) &&
+            Option(retain).exists(_.contains(".")))
+          throw new IllegalArgumentException(
+            s"GRAFT VACUUM: RETAIN $retain VERSIONS is not integral — " +
+              "fractional retention only applies to HOURS")
         Some(GraftVacuumCommand(path,
           Option(retain).map(_.toDouble).getOrElse(2.0),
           Option(unit).forall(_.equalsIgnoreCase("VERSIONS")),
@@ -77,6 +95,16 @@ object GraftSqlCommands {
         // the broader regex would otherwise reject the ZORDER suffix
         Some(GraftZOrderCommand(path, dimA, dimB,
           Option(files).map(_.toInt).getOrElse(8)))
+      case OptimizeWhereRe(path, col, eq, inList, target) =>
+        // partition-scoped OPTIMIZE (Delta's `OPTIMIZE ... WHERE`):
+        // values are partition tokens — quoted strings or bare
+        // integrals, single '=' or IN (...)
+        val values =
+          if (eq != null) Seq(unquote(eq))
+          else inList.split(",").toSeq.map(v => unquote(v.trim))
+            .filter(_.nonEmpty)
+        Some(GraftOptimizeWhereCommand(path, col, values,
+          Option(target).map(_.toLong).getOrElse(1L << 30)))
       case OptimizeRe(path, target) =>
         Some(GraftOptimizeCommand(path,
           Option(target).map(_.toLong).getOrElse(1L << 30)))
@@ -86,9 +114,17 @@ object GraftSqlCommands {
       case ManifestRe(path, v) =>
         Some(GraftManifestCommand(path,
           Option(v).map(_.toLong).getOrElse(-1L)))
-      case ConvertRe(path, pCol, pType) =>
-        Some(GraftConvertCommand(path,
-          Option(pCol).map(c => (c, Option(pType).getOrElse("string")))))
+      case ConvertRe(path, partList) =>
+        // PARTITIONED BY (a t1, b t2) — ordered multi-key list
+        val partBy = Option(partList).map(_.split(",").toSeq.map { e =>
+          e.trim.split("\\s+") match {
+            case Array(c, t) => (c, t)
+            case _ => throw new IllegalArgumentException(
+              s"GRAFT CONVERT: bad PARTITIONED BY entry '$e' — " +
+                "expected 'col type'")
+          }
+        }).getOrElse(Seq.empty)
+        Some(GraftConvertCommand(path, partBy))
       case RestoreRe(path, kind, n) =>
         Some(GraftRestoreCommand(path, n.toLong,
           kind.equalsIgnoreCase("TIMESTAMP")))
@@ -106,7 +142,9 @@ object GraftSqlCommands {
             "OPTIMIZE '<path>' [TARGET bytes | ZORDER BY (a, b) " +
             "[FILES n]] | GRAFT CLONE '<src>' TO '<dst>' [VERSION AS " +
             "OF n] | GRAFT GENERATE MANIFEST FOR '<path>' [VERSION AS " +
-            "OF n] | GRAFT CONVERT '<dir>' [PARTITIONED BY (col type)] " +
+            "OF n] | GRAFT CONVERT '<dir>' [PARTITIONED BY (col type" +
+            "[, col type])] | GRAFT OPTIMIZE '<path>' WHERE (col = " +
+            "'v' | col IN ('a','b')) [TARGET bytes] " +
             "| GRAFT RESTORE '<path>' TO VERSION|TIMESTAMP AS OF n | " +
             "GRAFT DROP FEATURE <name> FOR '<path>' | " +
             "GRAFT FSCK '<path>' [DRY RUN]. " +
@@ -213,28 +251,42 @@ case class GraftManifestCommand(path: String, version: Long)
   * number of adopted files.
   */
 case class GraftConvertCommand(path: String,
-                               partBy: Option[(String, String)] = None)
+                               partBy: Seq[(String, String)] = Seq.empty)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("n_files", LongType, nullable = false)())
   override def run(s: SparkSession): Seq[Row] = {
-    // PARTITIONED BY (col type) — Delta CONVERT's explicit partition
-    // schema: the declared column must match the layout's key, and
-    // the declared type overrides the integral-vs-string inference
-    val pType = partBy.map { case (_, tn) =>
-      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+    // PARTITIONED BY (col type[, col type]) — Delta CONVERT's explicit
+    // partition schema: the declared ORDERED columns must match the
+    // layout's key chain (convert validates name+order BEFORE the
+    // commit is written, so a typo'd statement leaves nothing behind),
+    // and each declared type overrides integral-vs-string inference
+    val declared = partBy.map { case (c, tn) =>
+      c -> org.apache.spark.sql.catalyst.parser.CatalystSqlParser
         .parseDataType(tn)
     }
-    val t = GraftTable.convert(s, path, pType)
-    partBy.foreach { case (col, _) =>
-      val rec = t.partMetaAt(t.latestVersion)
-      require(rec.exists(_.col == col),
-        s"CONVERT declared partition column '$col' but the layout " +
-          s"carries ${rec.map(_.col).getOrElse("no partition key")}")
-    }
+    val t = GraftTable.convert(s, path, declared)
     Seq(Row(t.latestVersion, t.liveFiles().size.toLong))
   }
+}
+
+/** `GRAFT OPTIMIZE '<p>' WHERE (col = 'v' | col IN (…)) [TARGET n]`:
+  * partition-scoped compaction (Delta's `OPTIMIZE … WHERE`) —
+  * [[GraftTable.compactPartitions]] rewrites undersized files ONLY
+  * inside the named partitions; every other partition's files stay
+  * byte-identical (not read, not listed). Returns the new version
+  * (unchanged when nothing in scope was undersized).
+  */
+case class GraftOptimizeWhereCommand(path: String, col: String,
+                                     values: Seq[String],
+                                     targetBytes: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(GraftTable.forPath(s, path)
+      .compactPartitions(col, values, targetBytes)))
 }
 
 /** `GRAFT RESTORE '<path>' TO VERSION|TIMESTAMP AS OF n`: Delta's

@@ -384,12 +384,13 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   def hasColMapAsOf(v: Long): Boolean = !colmapAt(v).isIdentity
 
-  /** The recorded partition metadata at `v` — the newest `partmeta`
+  /** The recorded partition keys at `v` — the newest `partmeta`
     * row in (checkpoint, v], else the checkpoint's (colmapAt's
-    * resolution). None on flat tables and legacy partitioned logs.
+    * resolution). Ordered outermost directory first; empty on flat
+    * tables and legacy partitioned logs.
     */
-  private[graft] def partMetaAt(v: Long): Option[GraftTable.PartMeta] = {
-    if (v <= 0) return None
+  private[graft] def partMetaAt(v: Long): Seq[GraftTable.PartMeta] = {
+    if (v <= 0) return Seq.empty
     val base = checkpointVersions().filter(_ <= v).lastOption
     val fromCommits = versions()
       .filter(x => x > base.getOrElse(0L) && x <= v)
@@ -400,7 +401,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       ckptLines(cv).collectFirst {
         case l if l.startsWith("partmeta\t") => l.split("\t", 2)(1)
       }
-    }).flatMap(GraftTable.partMetaFromJson)
+    }).map(GraftTable.partMetaFromJson).getOrElse(Seq.empty)
   }
 
   /** The recorded protocol feature set at `v` (Delta's protocol row):
@@ -432,11 +433,12 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val b = Set.newBuilder[String]
     if (hasDvAsOf(v)) b += GraftTable.Features.DeletionVectors
     if (hasColMapAsOf(v)) b += GraftTable.Features.ColumnMapping
-    // active only while the LIVE LAYOUT actually carries the string
+    // active only while the LIVE LAYOUT actually carries a string
     // key: a recorded row whose value dirs are gone (epoch change) is
     // history, not an active requirement
+    val layoutCols = partColsOf(resolveMeta(v).keys)
     partMetaAt(v).filter(_.tpe == StringType).foreach { pm =>
-      if (partColOf(resolveMeta(v).keys).contains(pm.col))
+      if (layoutCols.contains(pm.col))
         b += GraftTable.Features.StringPartitionValues
     }
     b.result()
@@ -463,8 +465,17 @@ class GraftTable private (val s: SparkSession, val root: String) {
         "deactivate first (purge() for deletionVectors, restore the " +
         "identity mapping for columnMapping, replace the string-keyed " +
         "layout for stringPartitionValues)")
+    // stringPartitionValues: a carried partmeta row that still records
+    // a string key would re-enter the implied-features union in this
+    // very commit (the drop would silently no-op, ADVICE r13) — the
+    // drop declares the string-keyed epoch over, so it also writes the
+    // partmeta tombstone. Inactivity above guarantees no live value
+    // dir carries the key, so no reader loses restore information.
+    val clearPm = name == GraftTable.Features.StringPartitionValues &&
+      partMetaAt(base).exists(_.tpe == StringType)
     commit(s"protocol:drop:$name", Seq.empty, Seq.empty,
-      basedOn = Some(base), protocolOverride = Some(proto - name))
+      basedOn = Some(base), protocolOverride = Some(proto - name),
+      clearPartMeta = clearPm)
   }
 
   /** The ONE reader-feature gate for raw-parquet serving paths (the
@@ -556,12 +567,13 @@ class GraftTable private (val s: SparkSession, val root: String) {
     require(!sc.fieldNames.exists(_.equalsIgnoreCase(newName)),
       s"column '$newName' already exists")
     // payload renames are fine on a partitioned table (readers
-    // translate); the PARTITION column itself is not in the schema so
-    // renaming it already refuses above — but a payload column must
-    // not take its name, or the path-restored column would mask it
-    partColOf(resolveMeta(base).keys).foreach { pc =>
+    // translate); the PARTITION columns themselves are not in the
+    // schema so renaming one already refuses above — but a payload
+    // column must not take a key's name, or the path-restored column
+    // would mask it
+    partColsFor(base).foreach { pc =>
       require(!newName.equalsIgnoreCase(pc),
-        s"'$pc' is the partition column (its values live in the file " +
+        s"'$pc' is a partition column (its values live in the file " +
           "paths) — a payload column cannot take its name")
     }
     constraintsAt(base).find(c => referencedCols(c._2).contains(oldName))
@@ -594,9 +606,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
       "addColumn needs a recorded schema (legacy log)"))
     require(!sc.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"column '$name' already exists")
-    partColOf(resolveMeta(base).keys).foreach { pc =>
+    partColsFor(base).foreach { pc =>
       require(!name.equalsIgnoreCase(pc),
-        s"'$pc' is the partition column (its values live in the file " +
+        s"'$pc' is a partition column (its values live in the file " +
           "paths) — a payload column cannot take its name")
     }
     val cm = colmapAt(base)
@@ -1177,8 +1189,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val cmV = colmapAt(v)
     if (!cmV.isIdentity)
       b.append(s"colmap\t${GraftTable.colmapToJson(cmV)}\n")
-    partMetaAt(v).foreach(pm =>
-      b.append(s"partmeta\t${GraftTable.partMetaToJson(pm)}\n"))
+    val pmk = partMetaAt(v)
+    if (pmk.nonEmpty)
+      b.append(s"partmeta\t${GraftTable.partMetaToJson(pmk)}\n")
     val protoV = protocolAt(v)
     if (protoV.nonEmpty)
       b.append(s"protocol\t${GraftTable.protocolToJson(protoV)}\n")
@@ -1249,7 +1262,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
                             bloomIdx: Option[Seq[(String, Long)]] = None,
                             reschema: Option[Long => StructType] = None,
                             colmap: Option[GraftTable.ColMap] = None,
-                            partMeta: Option[GraftTable.PartMeta] = None,
+                            partMeta: Option[Seq[GraftTable.PartMeta]] = None,
                             clearPartMeta: Boolean = false,
                             protocolOverride: Option[Set[String]] = None)
       : Long = {
@@ -1330,7 +1343,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
         if (clearPartMeta) partMeta // an epoch change (flat overwrite,
         // restore to a pre-partitioned version): the caller's value —
         // possibly none — REPLACES the carried row
-        else partMeta.orElse(if (prev > 0) partMetaAt(prev) else None)
+        else partMeta.orElse(
+          if (prev > 0) Some(partMetaAt(prev)).filter(_.nonEmpty) else None)
       // the protocol row is MONOTONE: the predecessor's features plus
       // whatever this commit activates (Delta's protocol discipline —
       // a feature, once required, stays recorded even if later state
@@ -1345,7 +1359,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
          else Set.empty) ++
         (if (!cm.isIdentity) Set(GraftTable.Features.ColumnMapping)
          else Set.empty) ++
-        (if (pm.exists(_.tpe == StringType))
+        (if (pm.exists(_.exists(_.tpe == StringType)))
           Set(GraftTable.Features.StringPartitionValues)
          else Set.empty)
       val body = new StringBuilder(
@@ -1436,12 +1450,17 @@ class GraftTable private (val s: SparkSession, val root: String) {
     // no value dirs — the partition-subset readers (token-matched at
     // the log) would silently MISS those rows on every pruned read.
     // Refuse loudly (the round-13 self-review's gap; compact() and
-    // the z-order rewrite already had this guard).
-    partColOf(resolveMeta(latestVersion).keys).foreach { pc =>
+    // the z-order rewrite already had this guard). Keyed on the
+    // RECORDED partmeta row, not just live paths (ADVICE r13): a
+    // partitioned table emptied by deleteWhere still refuses until
+    // the epoch is explicitly ended.
+    partColsFor(latestVersion).headOption.foreach { _ =>
+      val pcs = partColsFor(latestVersion)
       throw new IllegalArgumentException(
-        s"table is hive-partitioned on '$pc' — a flat append would " +
-          "stage files outside the value dirs and pruned reads would " +
-          s"miss them; use appendPartitioned(df, \"$pc\")")
+        s"table is hive-partitioned on '${pcs.mkString(", ")}' — a flat " +
+          "append would stage files outside the value dirs and pruned " +
+          "reads would miss them; use appendPartitioned(df, " +
+          s"Seq(${pcs.map("\"" + _ + "\"").mkString(", ")}))")
     }
     // physical names for columns NEW to the table: identity unless
     // the name is TOMBSTONED (a dropped column once stored under it —
@@ -1515,18 +1534,23 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * codegen'd unescape. Anything else (float, decimal, binary,
     * nested) refuses — lossy path round-trips would corrupt restore.
     */
-  private def partMetaOf(df: DataFrame, partCol: String)
-      : GraftTable.PartMeta = {
-    val f = df.schema.fields.find(_.name == partCol).getOrElse(
-      throw new IllegalArgumentException(
-        s"no partition column '$partCol' in ${df.columns.mkString(",")}"))
-    f.dataType match {
-      case LongType | IntegerType | ShortType | ByteType | StringType |
-           DateType => GraftTable.PartMeta(partCol, f.dataType)
-      case other => throw new IllegalArgumentException(
-        s"unsupported partition column type $other for '$partCol' — " +
-          "partition values live in file paths; integral, string and " +
-          "date columns round-trip, others would corrupt on restore")
+  private def partMetaOf(df: DataFrame, partCols: Seq[String])
+      : Seq[GraftTable.PartMeta] = {
+    require(partCols.nonEmpty, "at least one partition column required")
+    require(partCols.distinct.size == partCols.size,
+      s"duplicate partition columns: ${partCols.mkString(",")}")
+    partCols.map { partCol =>
+      val f = df.schema.fields.find(_.name == partCol).getOrElse(
+        throw new IllegalArgumentException(
+          s"no partition column '$partCol' in ${df.columns.mkString(",")}"))
+      f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType | StringType |
+             DateType => GraftTable.PartMeta(partCol, f.dataType)
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition column type $other for '$partCol' — " +
+            "partition values live in file paths; integral, string and " +
+            "date columns round-trip, others would corrupt on restore")
+      }
     }
   }
 
@@ -1544,7 +1568,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   private def partTypeOf(pc: String, live: Iterable[String],
                          v: Long): DataType =
-    partMetaAt(v).filter(_.col == pc).map(_.tpe).getOrElse {
+    partMetaAt(v).find(_.col == pc).map(_.tpe).getOrElse {
       val pat = s"/${java.util.regex.Pattern.quote(pc)}=([^/]+)/".r
       live.iterator
         .flatMap(p => pat.findFirstMatchIn("/" + p).map(_.group(1)))
@@ -1588,22 +1612,27 @@ class GraftTable private (val s: SparkSession, val root: String) {
   }
 
   /** Guard a partitioned write against the existing layout: on a
-    * non-empty table the incoming partition column must be the SAME
-    * column with the SAME recorded type — mixing `bucket=…` and
-    * `country=…` value dirs (or re-typing a key) would make restore
-    * ambiguous for every reader at once.
+    * non-empty (or recorded-partitioned) table the incoming key list
+    * must be the SAME ordered columns with the SAME recorded types —
+    * mixing `bucket=…` and `country=…` value dirs, reordering a
+    * two-key nesting, or re-typing a key would make restore ambiguous
+    * for every reader at once.
     */
-  private def requirePartConsistent(pm: GraftTable.PartMeta,
+  private def requirePartConsistent(pms: Seq[GraftTable.PartMeta],
                                     base: Long): Unit = {
-    partColOf(resolveMeta(base).keys).foreach { existing =>
-      require(existing == pm.col,
-        s"table is hive-partitioned on '$existing' — cannot stage a " +
-          s"batch partitioned on '${pm.col}'")
-    }
-    partMetaAt(base).foreach { rec =>
-      require(rec.col != pm.col || rec.tpe == pm.tpe,
-        s"partition column '${pm.col}' is recorded as ${rec.tpe
-          .catalogString} — cannot re-type it to ${pm.tpe.catalogString}")
+    val existing = partColsFor(base)
+    if (existing.nonEmpty)
+      require(existing == pms.map(_.col),
+        s"table is hive-partitioned on '${existing.mkString(", ")}' — " +
+          s"cannot stage a batch partitioned on " +
+          s"'${pms.map(_.col).mkString(", ")}'")
+    val rec = partMetaAt(base)
+    pms.foreach { pm =>
+      rec.find(_.col == pm.col).foreach { r =>
+        require(r.tpe == pm.tpe,
+          s"partition column '${pm.col}' is recorded as ${r.tpe
+            .catalogString} — cannot re-type it to ${pm.tpe.catalogString}")
+      }
     }
   }
 
@@ -1613,40 +1642,55 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * partition column (the ANN index's cell-routed codes): the
     * commit's adds carry the partition directories, so
     * [[readPartitions]]/[[readPartitionedColumn]] prune at the log.
-    * Records the partition column's name and TYPE (partmeta row), so
+    * Records each partition column's name and TYPE (partmeta row), so
     * string-valued keys (`country=India`) restore as strings.
     */
   def appendPartitioned(df: DataFrame, partCol: String,
                         tag: String = null): Option[Long] =
+    appendPartitioned(df, Seq(partCol), tag)
+
+  /** Multi-key form: `partCols` is the ORDERED key list (outermost
+    * value dir first — `Seq("country", "source")` stages
+    * `country=…/source=…/part-…`). Real fact layouts are multi-key
+    * (`date=…/hour=…`; the reference's Master_data is
+    * (Country, Source)) — every subset reader then prunes on ANY of
+    * the keys.
+    */
+  def appendPartitioned(df: DataFrame, partCols: Seq[String],
+                        tag: String): Option[Long] =
     tagged("append", tag) { a =>
       enforceConstraints(df, "appendPartitioned")
-      val pm = partMetaOf(df, partCol)
-      requirePartConsistent(pm, latestVersion)
-      val payload = partitionedSchema(df, Seq(partCol))
+      val pms = partMetaOf(df, partCols)
+      requirePartConsistent(pms, latestVersion)
+      val payload = partitionedSchema(df, partCols)
       appendSchema(payload, mergeSchema = false) // fail fast
-      val adds = stagePartitioned(df, Seq(partCol))
+      val adds = stagePartitioned(df, partCols)
       // compat is re-checked against the winning predecessor: a
       // partitioned batch with renamed/missing/retyped columns must
       // NOT silently re-record the schema and retroactively change
       // how earlier files read
       commit(a, adds, Seq.empty, stats = statsOf(adds),
         reschema = Some(prev => appendSchema(payload, false, prev)),
-        partMeta = Some(pm))
+        partMeta = Some(pms))
     }
 
   /** Replace the whole live set with `df`, hive-partitioned — the
     * partition-preserving `overwrite` (an index REBUILD commit).
     */
-  def overwritePartitioned(df: DataFrame, partCol: String): Long = {
+  def overwritePartitioned(df: DataFrame, partCol: String): Long =
+    overwritePartitioned(df, Seq(partCol))
+
+  /** Multi-key form of [[overwritePartitioned]] (ordered key list). */
+  def overwritePartitioned(df: DataFrame, partCols: Seq[String]): Long = {
     enforceConstraints(df, "overwritePartitioned")
-    val pm = partMetaOf(df, partCol)
+    val pms = partMetaOf(df, partCols)
     val base = latestVersion
     val removes = resolveMeta(base).keys.toSeq
-    val adds = stagePartitioned(df, Seq(partCol))
+    val adds = stagePartitioned(df, partCols)
     commit("overwrite", adds, removes, basedOn = Some(base),
       stats = statsOf(adds),
-      schema = Some(partitionedSchema(df, Seq(partCol))),
-      partMeta = Some(pm))
+      schema = Some(partitionedSchema(df, partCols)),
+      partMeta = Some(pms))
   }
 
   /** The distinct values of a partition column across the live set,
@@ -1662,29 +1706,29 @@ class GraftTable private (val s: SparkSession, val root: String) {
   /** Per-partition summary of the LATEST live set — (column, type,
     * logical value, n_files, bytes) — parsed from the logged
     * relpaths with the recorded partmeta type (the `graft_partitions`
-    * TVF's payload). Empty on flat tables; the null-sentinel dir
-    * reports as null. Driver-side O(live files), no listing, no scan.
+    * TVF's payload). ONE row per (key, value): a two-key layout
+    * reports each key's value census independently. Empty on flat
+    * tables; the null-sentinel dir reports as null. Driver-side
+    * O(live files × keys), no listing, no scan.
     */
   def partitionSummary(): Seq[(String, String, String, Long, Long)] = {
     val v = latestVersion
     val live = resolveMeta(v)
-    partColOf(live.keys) match {
-      case None => Seq.empty
-      case Some(pc) =>
-        val tpe = partTypeOf(pc, live.keys, v)
-        val pat = s"/${java.util.regex.Pattern.quote(pc)}=([^/]+)/".r
-        live.toSeq
-          .flatMap { case (p, m) =>
-            pat.findFirstMatchIn("/" + p).map(_.group(1) -> m.bytes) }
-          .groupBy(_._1).toSeq
-          .map { case (tok, fs) =>
-            val value =
-              if (tok == GraftTable.HiveDefaultPartition) null
-              else GraftTable.unescapePartValue(tok)
-            (pc, tpe.catalogString, value, fs.size.toLong,
-              fs.map(_._2).sum)
-          }
-          .sortBy(r => Option(r._3))
+    partColsOf(live.keys).flatMap { pc =>
+      val tpe = partTypeOf(pc, live.keys, v)
+      val pat = s"/${java.util.regex.Pattern.quote(pc)}=([^/]+)/".r
+      live.toSeq
+        .flatMap { case (p, m) =>
+          pat.findFirstMatchIn("/" + p).map(_.group(1) -> m.bytes) }
+        .groupBy(_._1).toSeq
+        .map { case (tok, fs) =>
+          val value =
+            if (tok == GraftTable.HiveDefaultPartition) null
+            else GraftTable.unescapePartValue(tok)
+          (pc, tpe.catalogString, value, fs.size.toLong,
+            fs.map(_._2).sum)
+        }
+        .sortBy(r => Option(r._3))
     }
   }
 
@@ -1747,8 +1791,12 @@ class GraftTable private (val s: SparkSession, val root: String) {
       : Option[DataFrame] =
     readPartitionFiles(values.map(v => partToken(partCol, v))).map {
       case (files, df) =>
-        df.withColumn(partCol,
-          partRestore(partCol, partTypeOf(partCol, files, latestVersion)))
+        // restore EVERY layout key, not just the pruned one: on a
+        // multi-key table the caller filtered on `country` but still
+        // needs `source` as a column
+        partColsOf(files).foldLeft(df)((acc, pc) =>
+          acc.withColumn(pc,
+            partRestore(pc, partTypeOf(pc, files, latestVersion))))
     }
 
   /** Physical-file frame → LOGICAL column view at the latest version
@@ -1797,17 +1845,25 @@ class GraftTable private (val s: SparkSession, val root: String) {
                                      tag: String): Option[Long] =
     tagged("replace", tag) { action =>
       val base = latestVersion
-      val pm = partMetaOf(df, partCol)
-      requirePartConsistent(pm, base)
+      // on a multi-key table the replace SCOPE is one key's values,
+      // but the staged files must carry ALL layout keys or pruned
+      // reads on the other keys would miss the rewritten rows
+      val existing = partColsFor(base)
+      val partCols = if (existing.isEmpty) Seq(partCol) else existing
+      require(partCols.contains(partCol),
+        s"'$partCol' is not a partition column of the layout " +
+          s"(${partCols.mkString(", ")})")
+      val pms = partMetaOf(df, partCols)
+      requirePartConsistent(pms, base)
       val tokens = values.map(v => partToken(partCol, v))
       val removes = resolveMeta(base).keys
         .filter(p => tokens.exists(("/" + p).contains)).toSeq
       enforceConstraints(df, "replacePartitions")
       // files of OTHER partitions survive this commit, so the payload
       // schema must stay compatible with what they were written under
-      appendSchema(partitionedSchema(df, Seq(partCol)),
+      appendSchema(partitionedSchema(df, partCols),
         mergeSchema = false, base)
-      val adds = stagePartitioned(df, Seq(partCol))
+      val adds = stagePartitioned(df, partCols)
       val outOfScope = adds.map(_._1)
         .filterNot(p => tokens.exists(("/" + p).contains))
       if (outOfScope.nonEmpty) {
@@ -1820,8 +1876,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
       }
       commit(action, adds, removes, basedOn = Some(base),
         stats = statsOf(adds),
-        schema = Some(partitionedSchema(df, Seq(partCol))),
-        partMeta = Some(pm))
+        schema = Some(partitionedSchema(df, partCols)),
+        partMeta = Some(pms))
     }
 
   /** Read ONLY the named partitions' live files — pruned from the
@@ -2043,31 +2099,33 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * Returns the new version, or the current one if nothing matched.
     */
   /** DML read of specific live files: recorded schema applied, and —
-    * on a hive-partitioned table — the partition column RESTORED from
-    * each row's file path (its values live in the paths, not the file
-    * contents), so predicates and SET expressions may reference it.
+    * on a hive-partitioned table — EVERY partition column RESTORED
+    * from each row's file path (their values live in the paths, not
+    * the file contents), so predicates and SET expressions may
+    * reference any key.
     */
   private def dmlRead(meta: Seq[(String, FileMeta)], sc: Option[StructType],
-                      partCol: Option[String],
+                      partCols: Seq[String],
                       keepPos: Boolean = false,
                       cm: GraftTable.ColMap = GraftTable.ColMap.empty)
       : DataFrame = {
     // dv-aware: a CoW/MoR pass over files an earlier MoR commit marked
     // must not resurrect (or re-mark) already-dead rows
     val base = readMeta(meta, sc, keepPos, cm)
-    partCol.fold(base) { pc =>
-      base.withColumn(pc,
+    partCols.foldLeft(base) { (acc, pc) =>
+      acc.withColumn(pc,
         partRestore(pc, partTypeOf(pc, meta.map(_._1), latestVersion)))
     }
   }
 
   /** DML re-stage: partition-preserving on a partitioned table (the
-    * rewritten rows land back under their value dirs, keeping pruned
-    * reads working — compactPartitioned's rule), flat otherwise.
+    * rewritten rows land back under their full value-dir chain,
+    * keeping pruned reads on every key working —
+    * compactPartitioned's rule), flat otherwise.
     */
   private def dmlStage(df: DataFrame,
-                       partCol: Option[String]): Seq[(String, Long)] =
-    partCol.fold(stage(df))(pc => stagePartitioned(df, Seq(pc)))
+                       partCols: Seq[String]): Seq[(String, Long)] =
+    if (partCols.isEmpty) stage(df) else stagePartitioned(df, partCols)
 
   def deleteWhere(pred: Column, cdfImages: Boolean = true,
                   mor: Boolean = false): Long = {
@@ -2076,7 +2134,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     require(base > 0, s"no graft table at $root")
     val sc = schemaAt(base)
     val live = resolveMeta(base)
-    val pc = partColOf(live.keys)
+    val pc = partColsOf(live.keys)
     val cm = colmapAt(base)
     val e = physPred(
       org.apache.spark.sql.graft.shim.catalystExpression(pred), cm)
@@ -2241,7 +2299,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val sc = schemaAt(base)
     require(set.nonEmpty, "update needs at least one SET column")
     val live = resolveMeta(base)
-    val pc = partColOf(live.keys)
+    val pc = partColsOf(live.keys)
     pc.foreach { p =>
       require(!set.contains(p),
         s"cannot SET hive-partition column '$p' — the row would move to " +
@@ -2352,7 +2410,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     require(base > 0, s"no graft table at $root — append the batch instead")
     val sc = schemaAt(base)
     val liveM = resolveMeta(base)
-    partColOf(liveM.keys).foreach { p =>
+    partColsFor(base).headOption.foreach { p =>
       throw new IllegalArgumentException(
         s"table is hive-partitioned on '$p' — merged rows could move " +
           "across partitions; use replacePartitions (the partition-scoped " +
@@ -2433,7 +2491,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     require(targetBytes > 0, "targetBytes must be positive")
     val base = latestVersion
     val liveM = resolveMeta(base)
-    partColOf(liveM.keys).foreach { pc =>
+    partColsFor(base).headOption.foreach { pc =>
       throw new IllegalArgumentException(
         s"table is hive-partitioned on '$pc' — a flat rewrite would drop " +
           s"the partition paths and break pruned reads; use " +
@@ -2471,7 +2529,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val dvd = live.toSeq.filter(_._2.dv.isDefined).sortBy(_._1)
     if (dvd.isEmpty) return base
     val sc = schemaAt(base)
-    require(partColOf(live.keys).isEmpty,
+    require(partColsOf(live.keys).isEmpty,
       "dv on a hive-partitioned table should be impossible (MoR refuses)")
     val survivors = readMeta(dvd, sc, cm = colmapAt(base))
     val adds = stage(survivors)
@@ -2479,38 +2537,86 @@ class GraftTable private (val s: SparkSession, val root: String) {
       stats = statsOf(adds), schema = sc, tolerateAppends = true)
   }
 
-  /** The hive-partition column of the live set, if any — parsed from
-    * the logged relpaths (stagePartitioned's construction).
+  /** The ORDERED hive-partition columns of the live set (outermost
+    * value dir first; empty = flat) — parsed from the logged relpaths
+    * (stagePartitioned's construction). Every `k=v` DIRECTORY
+    * component counts, so a two-key layout (`country=…/source=…`)
+    * reports both keys; a converted table's value dirs may sit at the
+    * table root with no parent component, which segment-splitting
+    * handles uniformly.
     */
-  private def partColOf(files: Iterable[String]): Option[String] = {
-    // match against a VIRTUAL leading slash: a converted table's value
-    // dirs sit at the table root ("bucket=2/part-…") with no parent
-    // path component, unlike staged layouts ("data/<uuid>/bucket=2/…")
-    val pat = "/([A-Za-z_][A-Za-z0-9_]*)=[^/]+/".r
-    files.iterator.flatMap(f =>
-      pat.findFirstMatchIn("/" + f).map(_.group(1))).nextOption()
+  private def partColsOf(files: Iterable[String]): Seq[String] = {
+    files.iterator
+      .map(f => f.split("/").dropRight(1).toSeq.collect {
+        case GraftTable.PartSegment(k, _) => k
+      })
+      .find(_.nonEmpty).getOrElse(Seq.empty)
+  }
+
+  /** The partition columns GOVERNING version `v`: the recorded
+    * partmeta keys when present — so an emptied-but-still-partitioned
+    * table (a deleteWhere that removed every file) keeps refusing
+    * flat appends until the epoch is explicitly ended (overwrite /
+    * DROP FEATURE write the tombstone) — else the live layout's
+    * parse (legacy pre-partmeta logs).
+    */
+  private def partColsFor(v: Long): Seq[String] = {
+    val rec = partMetaAt(v).map(_.col)
+    if (rec.nonEmpty) rec else partColsOf(resolveMeta(v).keys)
   }
 
   /** OPTIMIZE for a hive-partitioned table: undersized files rewrite
-    * WITH their partition value (restored from the path, re-staged
-    * under partition dirs), so pruned reads keep working — compact's
-    * contract, partition-aware. One atomic commit.
+    * WITH their partition values (every key restored from the path,
+    * re-staged under the full value-dir chain), so pruned reads keep
+    * working — compact's contract, partition-aware. One atomic
+    * commit. `partCol` names any one key of the layout (legacy
+    * single-key signature); the rewrite always preserves ALL keys.
     */
-  def compactPartitioned(partCol: String, targetBytes: Long): Long = {
+  def compactPartitioned(partCol: String, targetBytes: Long): Long =
+    compactPartitionedScoped(targetBytes, None, Seq.empty,
+      anchor = Some(partCol))
+
+  /** Partition-SCOPED OPTIMIZE (Delta's `OPTIMIZE … WHERE`): compact
+    * only the partitions where `scopeCol` ∈ `values` (logical,
+    * unescaped string tokens — the partToken contract), in one
+    * commit. Files of non-matching partitions are not read, not
+    * rewritten, not even listed beyond the log resolution — a hot
+    * ingest partition compacts without touching cold history.
+    */
+  def compactPartitions(scopeCol: String, values: Seq[String],
+                        targetBytes: Long): Long = {
+    require(values.nonEmpty, "partition-scoped OPTIMIZE needs values")
+    compactPartitionedScoped(targetBytes, Some(scopeCol), values,
+      anchor = Some(scopeCol))
+  }
+
+  private def compactPartitionedScoped(targetBytes: Long,
+                                       scopeCol: Option[String],
+                                       values: Seq[String],
+                                       anchor: Option[String]): Long = {
     require(targetBytes > 0, "targetBytes must be positive")
     import org.apache.spark.sql.functions.col
     val base = latestVersion
+    val pcs = partColsFor(base)
+    anchor.foreach { a =>
+      require(pcs.contains(a),
+        s"'$a' is not a partition column of the layout " +
+          s"(${pcs.mkString(", ")})")
+    }
+    val tokens = scopeCol.map(c => values.map(v => partToken(c, v)))
     val live = resolve(base).toSeq
-    val small = live.filter(_._2 < targetBytes / 2)
+    val inScope = tokens.fold(live)(ts =>
+      live.filter(f => ts.exists(("/" + f._1).contains)))
+    val small = inScope.filter(_._2 < targetBytes / 2)
     if (small.size <= 1) return base
     val smallBytes = small.map(_._2).sum
     val nOut = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
-    val merged = s.read
-      .parquet(small.map(f => absOf(f._1)): _*)
-      .withColumn(partCol,
-        partRestore(partCol, partTypeOf(partCol, small.map(_._1), base)))
-      .repartition(nOut, col(partCol))
-    val adds = stagePartitioned(merged, Seq(partCol))
+    val merged = pcs.foldLeft(s.read
+      .parquet(small.map(f => absOf(f._1)): _*)) { (acc, pc) =>
+      acc.withColumn(pc,
+        partRestore(pc, partTypeOf(pc, small.map(_._1), base)))
+    }.repartition(nOut, pcs.map(col): _*)
+    val adds = stagePartitioned(merged, pcs)
     commit("compact", adds, small.map(_._1), basedOn = Some(base),
       stats = statsOf(adds), tolerateAppends = true)
   }
@@ -2529,7 +2635,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val base = latestVersion
     val live = resolveMeta(base)
     require(live.nonEmpty, "cannot z-order an empty table")
-    partColOf(live.keys).foreach { pc =>
+    partColsFor(base).headOption.foreach { pc =>
       throw new IllegalArgumentException(
         s"table is hive-partitioned on '$pc' — a flat z-order rewrite " +
           "would drop the partition paths and break pruned reads")
@@ -2563,7 +2669,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       action =>
         // flat-append guard (append's rule): adopted segments are
         // listed flat, so they cannot serve a partitioned layout
-        partColOf(resolveMeta(latestVersion).keys).foreach { pc =>
+        partColsFor(latestVersion).headOption.foreach { pc =>
           throw new IllegalArgumentException(
             s"table is hive-partitioned on '$pc' — adoptDir stages a " +
               "FLAT segment that pruned reads would miss; land through " +
@@ -2794,7 +2900,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       colmap = Some(colmapAt(v)), // epoch-correct names after restore
       // partition metadata is epoch-correct too: restoring across the
       // partitioned epoch re-establishes (or clears) the row AS OF v
-      partMeta = partMetaAt(v), clearPartMeta = true,
+      partMeta = Some(partMetaAt(v)).filter(_.nonEmpty), clearPartMeta = true,
       dvs = readds.flatMap { case (p, m) => m.dv.map(p -> _) })
   }
 
@@ -2871,42 +2977,46 @@ class GraftTable private (val s: SparkSession, val root: String) {
       throw new IllegalArgumentException(m))
     val dir = new Path(rootPath, ManifestDir)
     if (!fs.exists(dir)) fs.mkdirs(dir)
-    partColOf(resolveMeta(v).keys) match {
-      case None =>
+    partColsOf(resolveMeta(v).keys) match {
+      case Seq() =>
         val out = new Path(dir, f"manifest-v$v%012d.txt")
         val body = filesAsOf(v).sorted.mkString("", "\n", "\n")
           .getBytes(UTF_8)
         val os = fs.create(out, true)
         os.write(body); os.close()
         out.toString
-      case Some(pc) =>
+      case pcs =>
         // partition values live in the PATHS, not the files, so a
         // single flat path list would silently lose the partition
-        // column. The symlink-manifest convention (Delta's
+        // columns. The symlink-manifest convention (Delta's
         // `_symlink_format_manifest`, Presto/Athena's SymlinkTextInput
-        // layout) solves this: ONE manifest per `<pc>=<v>` value dir
+        // layout) solves this: ONE manifest per value-dir CHAIN
+        // (`country=…/source=…/manifest.txt` on a two-key layout)
         // under the manifest root — the external engine declares the
-        // table PARTITIONED BY (<pc>) over that root and recovers the
-        // value from each manifest's directory, exactly like
-        // readPartitionedColumn recovers it from data paths.
+        // table PARTITIONED BY (<keys…>) over that root and recovers
+        // every value from each manifest's directory chain, exactly
+        // like readPartitionedColumn recovers them from data paths.
         val base = new Path(dir, f"manifest-v$v%012d")
         if (fs.exists(base)) fs.delete(base, true)
         // value dirs go into the manifest layout in their ESCAPED
         // (on-disk) form — exactly the symlink-manifest convention:
         // the external engine's partition discovery unescapes them
         // the same way it unescapes data paths
-        val pat = s"/${java.util.regex.Pattern.quote(pc)}=([^/]+)/".r
-        filesAsOf(v).groupBy(p =>
-          pat.findFirstMatchIn(p).map(_.group(1)).getOrElse(
-            throw new IllegalStateException(
-              s"live file without a $pc= path component: $p")))
-          .foreach { case (value, files) =>
-            val sub = new Path(base, s"$pc=$value")
-            fs.mkdirs(sub)
-            val os = fs.create(new Path(sub, "manifest.txt"), true)
-            os.write(files.sorted.mkString("", "\n", "\n").getBytes(UTF_8))
-            os.close()
+        filesAsOf(v).groupBy { p =>
+          val segs = p.split("/").dropRight(1).toSeq.collect {
+            case seg @ GraftTable.PartSegment(_, _) => seg
           }
+          if (segs.size != pcs.size) throw new IllegalStateException(
+            s"live file without the full ${pcs.mkString("/")} " +
+              s"value-dir chain: $p")
+          segs.mkString("/")
+        }.foreach { case (chain, files) =>
+          val sub = new Path(base, chain)
+          fs.mkdirs(sub)
+          val os = fs.create(new Path(sub, "manifest.txt"), true)
+          os.write(files.sorted.mkString("", "\n", "\n").getBytes(UTF_8))
+          os.close()
+        }
         base.toString
     }
   }
@@ -3150,23 +3260,32 @@ object GraftTable {
     ColMap(m.toMap, (0 until d.size).map(i => d.get(i).asText))
   }
 
-  /** Recorded partition metadata: the hive-partition column's name
-    * and TYPE. The partition column is never in the recorded payload
-    * schema (its values live in the file PATHS), so without this row
-    * a reader cannot know whether `country=India` restores as a
-    * string or `bucket=3` as a long — the commit that stages a
-    * partitioned layout records it, and every later commit carries it
-    * forward (colmap's rule). Legacy logs without the row restore as
-    * LONG after validating every live token is integral — the
-    * pre-partmeta contract, enforced loudly instead of casting a
-    * string token to null.
+  /** Recorded partition metadata: ONE hive-partition key's column
+    * name and TYPE. A layout may carry SEVERAL keys (`country=…/
+    * source=…` — Delta records partitionColumns as a LIST for the
+    * same reason), so the `partmeta` row stores an ORDERED list of
+    * these, outermost directory first. Partition columns are never in
+    * the recorded payload schema (their values live in the file
+    * PATHS), so without this row a reader cannot know whether
+    * `country=India` restores as a string or `bucket=3` as a long —
+    * the commit that stages a partitioned layout records the list,
+    * and every later commit carries it forward (colmap's rule).
+    * Legacy logs without the row restore each key as LONG after
+    * validating every live token is integral — the pre-partmeta
+    * contract, enforced loudly instead of casting a string token to
+    * null.
     */
   private[graft] case class PartMeta(col: String, tpe: DataType)
 
-  private[sources] def partMetaToJson(pm: PartMeta): String = {
+  private[sources] def partMetaToJson(keys: Seq[PartMeta]): String = {
     val o = consMapper.createObjectNode()
-    o.put("col", pm.col)
-    o.put("type", pm.tpe.catalogString)
+    val arr = o.putArray("keys")
+    keys.foreach { k =>
+      val e = arr.addObject()
+      e.put("col", k.col)
+      e.put("type", k.tpe.catalogString)
+      ()
+    }
     consMapper.writeValueAsString(o)
   }
 
@@ -3177,12 +3296,22 @@ object GraftTable {
     */
   private[sources] val PartMetaTombstone = "{}"
 
-  private[sources] def partMetaFromJson(j: String): Option[PartMeta] = {
+  /** Parses both the list form (`{"keys":[{"col":…,"type":…},…]}`)
+    * and the legacy single-key form (`{"col":…,"type":…}`, written by
+    * pre-multi-key logs) — the tombstone and unknown shapes read as
+    * the empty list.
+    */
+  private[sources] def partMetaFromJson(j: String): Seq[PartMeta] = {
     val r = consMapper.readTree(j)
-    if (!r.has("col")) None
-    else Some(PartMeta(r.get("col").asText,
-      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-        .parseDataType(r.get("type").asText)))
+    def parse(n: com.fasterxml.jackson.databind.JsonNode) =
+      PartMeta(n.get("col").asText,
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseDataType(n.get("type").asText))
+    if (r.has("keys")) {
+      val a = r.get("keys")
+      (0 until a.size).map(i => parse(a.get(i)))
+    } else if (r.has("col")) Seq(parse(r))
+    else Seq.empty
   }
 
   /** Reader-feature names for the per-commit `protocol` row (Delta's
@@ -3228,6 +3357,12 @@ object GraftTable {
   private[graft] def escapePartValue(v: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .escapePathName(v)
+
+  /** One hive `col=value` path SEGMENT (a full directory component —
+    * anchored, so a file name containing '=' never matches).
+    */
+  private[sources] val PartSegment =
+    "^([A-Za-z_][A-Za-z0-9_]*)=(.+)$".r
 
   private[graft] def unescapePartValue(v: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -3310,7 +3445,8 @@ object GraftTable {
     * pass — no data job at all.
     */
   def convert(s: SparkSession, root: String,
-              partitionType: Option[DataType] = None): GraftTable = {
+              partitionBy: Seq[(String, DataType)] = Seq.empty)
+      : GraftTable = {
     val t = new GraftTable(s, root)
     require(t.latestVersion == 0, s"table already exists at $root")
     val fs = t.fs
@@ -3336,37 +3472,50 @@ object GraftTable {
     // Partition-layout validation over EVERY path SEGMENT (a
     // consuming regex misses every second component — ADVICE r12):
     // each file's directory components are split and every `k=v`
-    // segment is examined, so a multi-level layout
-    // (`date=…/hour=…`) or a mixed flat/partitioned tree refuses
-    // loudly instead of being half-adopted (the DML re-stage and the
-    // subset readers handle exactly ONE partition level).
-    val segPat = "^([A-Za-z_][A-Za-z0-9_]*)=(.+)$".r
+    // segment is examined. Multi-level layouts (`date=…/hour=…`)
+    // adopt as an ORDERED key list; every file must carry the SAME
+    // key chain in the SAME nesting order — a mixed flat/partitioned
+    // or inconsistently-nested tree refuses loudly instead of being
+    // half-adopted.
     val kvByFile: Seq[(String, Seq[(String, String)])] = adds.map { a =>
       a._1 -> a._1.split("/").dropRight(1).toSeq.collect {
-        case segPat(k, v) => (k, v)
+        case PartSegment(k, v) => (k, v)
       }
     }
-    val keys = kvByFile.flatMap(_._2.map(_._1)).distinct.sorted
-    require(keys.size <= 1,
-      s"cannot convert: multi-level hive layout (partition keys " +
-        s"${keys.mkString(", ")}) — the partition layer handles exactly " +
-        "one partition key; re-land with a single key or convert per " +
-        "leaf")
-    val pm: Option[PartMeta] = keys.headOption.map { key =>
-      kvByFile.find(_._2.size != 1).foreach { case (p, kvs) =>
-        throw new IllegalArgumentException(
-          s"cannot convert: '$p' carries ${kvs.size} '$key=…' path " +
-            "segments where the partitioned layout requires exactly " +
-            "one — a mixed flat/partitioned (or nested same-key) tree " +
-            "cannot be adopted")
-      }
+    val keys = kvByFile.map(_._2.map(_._1)).find(_.nonEmpty)
+      .getOrElse(Seq.empty)
+    kvByFile.find(_._2.map(_._1) != keys).foreach { case (p, kvs) =>
+      throw new IllegalArgumentException(
+        s"cannot convert: '$p' carries partition chain " +
+          s"[${kvs.map(_._1).mkString("/")}] where the layout's first " +
+          s"file carries [${keys.mkString("/")}] — a mixed " +
+          "flat/partitioned or inconsistently-nested tree cannot be " +
+          "adopted")
+    }
+    require(keys.distinct == keys,
+      s"cannot convert: a key repeats in the partition chain " +
+        s"[${keys.mkString("/")}] — nested same-key dirs make restore " +
+        "ambiguous")
+    // A declared PARTITIONED BY must match the discovered layout BY
+    // NAME AND ORDER, validated BEFORE the commit is written (ADVICE
+    // r13: the post-commit check left a typo'd statement with a
+    // converted directory a corrected re-run then refused).
+    if (partitionBy.nonEmpty)
+      require(partitionBy.map(_._1) == keys,
+        s"CONVERT declared PARTITIONED BY " +
+          s"(${partitionBy.map(_._1).mkString(", ")}) but the layout " +
+          s"carries ${if (keys.isEmpty) "no partition key"
+            else s"(${keys.mkString(", ")})"}")
+    val declared = partitionBy.toMap
+    val pm: Seq[PartMeta] = keys.map { key =>
       // the on-disk tokens are the ESCAPED form (Spark/Hive path
       // escaping); type inference looks at the logical values with
       // the null-sentinel dir excluded
-      val tokens = kvByFile.map(_._2.head._2).distinct
+      val tokens = kvByFile
+        .flatMap(_._2.collect { case (k, v) if k == key => v }).distinct
       val vals = tokens.filterNot(_ == HiveDefaultPartition)
         .map(unescapePartValue)
-      val tpe = partitionType.getOrElse(
+      val tpe = declared.getOrElse(key,
         if (vals.forall(v => scala.util.Try(v.toLong).isSuccess)) LongType
         else StringType)
       tpe match {
@@ -3399,7 +3548,7 @@ object GraftTable {
         s"'${p.col}' that the partition dirs would shadow"))
     t.commit("convert", adds, Seq.empty, stats = t.statsOf(adds),
       schema = Some(org.apache.spark.sql.graft.shim.nullable(schema)),
-      partMeta = pm)
+      partMeta = if (pm.isEmpty) None else Some(pm))
     t
   }
 }

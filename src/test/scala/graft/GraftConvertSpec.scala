@@ -126,7 +126,7 @@ class GraftConvertSpec extends SparkSpec {
     // replaced by Delta-style adoption): restore knows lang is string
     val pm = t.partMetaAt(t.latestVersion)
     assert(pm.map(p => (p.col, p.tpe.catalogString)) ==
-      Some(("lang", "string")))
+      Seq(("lang", "string")))
     assert(t.protocolAt(t.latestVersion)
       .contains("stringPartitionValues"))
     // pruned read restores the string value from the paths
@@ -150,33 +150,44 @@ class GraftConvertSpec extends SparkSpec {
     ()
   }
 
-  test("convert refuses multi-level hive layouts on EVERY segment (not every second one)") {
-    // two-level layout: date=…/hour=… — the DML re-stage handles
-    // exactly one level; adopting this would restage under date only
-    // and silently drop hour from rewritten paths (ADVICE r12)
+  test("convert adopts multi-level hive layouts: ordered key list recorded, per-key types inferred") {
+    // two-level layout: a=…/b=… (the date=…/hour=… shape) — round 14
+    // replaces the r12/r13 single-key refusal with full adoption:
+    // partmeta records the ORDERED key chain and each key's type
     val dir = fresh("cvml")
     Tables.orders(spark, sf)
       .select(col("o_orderkey"),
         (col("o_orderkey") % 3).as("a"),
         (col("o_orderkey") % 2).as("b"))
       .write.partitionBy("a", "b").parquet(dir)
-    val e = intercept[IllegalArgumentException] {
-      GraftTable.convert(spark, dir)
-    }
-    assert(e.getMessage.contains("multi-level"), e.getMessage)
-    // the r12 guard's consuming regex checked only 'a=…' on
-    // '/a=1/b=xyz/': a STRING second level must also refuse, never
-    // be silently adopted under the first level
+    val t = GraftTable.convert(spark, dir)
+    assert(t.partMetaAt(1).map(p => (p.col, p.tpe.catalogString)) ==
+      Seq(("a", "bigint"), ("b", "bigint")))
+    // a mixed per-key type chain: long outer, string inner
     val dir2 = fresh("cvml2")
     Tables.orders(spark, sf)
       .select(col("o_orderkey"),
         (col("o_orderkey") % 3).as("a"),
         concat(lit("x"), (col("o_orderkey") % 2)).as("b"))
       .write.partitionBy("a", "b").parquet(dir2)
-    val e2 = intercept[IllegalArgumentException] {
-      GraftTable.convert(spark, dir2)
+    val t2 = GraftTable.convert(spark, dir2)
+    assert(t2.partMetaAt(1).map(p => (p.col, p.tpe.catalogString)) ==
+      Seq(("a", "bigint"), ("b", "string")))
+    assert(t2.protocolAt(1).contains("stringPartitionValues"))
+    // an INCONSISTENTLY-nested tree still refuses: one leaf flat,
+    // the rest two-level (half-adoption would lose pruned reads)
+    val dir3 = fresh("cvml3")
+    Tables.orders(spark, sf).limit(50)
+      .select(col("o_orderkey"), (col("o_orderkey") % 2).as("a"),
+        (col("o_orderkey") % 3).as("b"))
+      .write.partitionBy("a", "b").parquet(dir3)
+    Tables.orders(spark, sf).limit(10).select(col("o_orderkey"))
+      .write.mode("append").parquet(dir3)
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.convert(spark, dir3)
     }
-    assert(e2.getMessage.contains("multi-level"), e2.getMessage)
+    assert(e.getMessage.contains("inconsistently-nested") ||
+      e.getMessage.contains("partition chain"), e.getMessage)
     ()
   }
 
@@ -191,9 +202,9 @@ class GraftConvertSpec extends SparkSpec {
         (col("o_orderkey") % 3).cast("string").as("code"))
       .write.partitionBy("code").parquet(dir)
     val t = GraftTable.convert(spark, dir,
-      Some(org.apache.spark.sql.types.StringType))
+      Seq("code" -> org.apache.spark.sql.types.StringType))
     assert(t.partMetaAt(t.latestVersion)
-      .map(_.tpe.catalogString) == Some("string"))
+      .map(_.tpe.catalogString) == Seq("string"))
     val vs = t.partitionValuesString("code")
     assert(vs.toSet == Set("0", "1", "2"))
     // SQL statement flavor, with the declared column checked
@@ -206,8 +217,17 @@ class GraftConvertSpec extends SparkSpec {
       spark.sql(s"GRAFT CONVERT '$dir3' PARTITIONED BY (wrong string)")
         .collect()
     }
-    assert(e.getMessage.contains("declared partition column"),
+    assert(e.getMessage.contains("declared PARTITIONED BY"),
       e.getMessage)
+    // the typo'd statement must leave NOTHING behind (ADVICE r13: the
+    // old post-commit check left v1 converted, and the corrected
+    // re-run then hit 'table already exists')
+    assert(GraftTable.forPath(spark, dir3).latestVersion == 0,
+      "a refused CONVERT must not leave a committed table")
+    spark.sql(s"GRAFT CONVERT '$dir3' PARTITIONED BY (half string)")
+      .collect()
+    assert(GraftTable.forPath(spark, dir3)
+      .partitionValuesString("half").toSet == Set("0", "1"))
     ()
   }
 

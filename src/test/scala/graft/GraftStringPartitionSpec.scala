@@ -43,7 +43,7 @@ class GraftStringPartitionSpec extends SparkSpec {
     t.appendPartitioned(hardDf, "country")
     // partmeta + protocol recorded at v1
     assert(t.partMetaAt(1).map(p => (p.col, p.tpe.catalogString)) ==
-      Some(("country", "string")))
+      Seq(("country", "string")))
     assert(t.protocolAt(1).contains("stringPartitionValues"))
     // values round-trip UNESCAPED through the distinct-values reader
     assert(t.partitionValuesString("country").toSet == hardValues.toSet)
@@ -174,7 +174,7 @@ class GraftStringPartitionSpec extends SparkSpec {
       (2, java.sql.Date.valueOf("2026-08-01")),
       (3, java.sql.Date.valueOf("2026-08-15"))).toDF("id", "day")
     t.appendPartitioned(df, "day")
-    assert(t.partMetaAt(1).map(_.tpe.catalogString) == Some("date"))
+    assert(t.partMetaAt(1).map(_.tpe.catalogString) == Seq("date"))
     // date values are escape fixed points: plain value dirs on disk
     val dirs = new java.io.File(root, "data").listFiles()
       .flatMap(_.listFiles()).map(_.getName).filter(_.startsWith("day="))
@@ -195,8 +195,8 @@ class GraftStringPartitionSpec extends SparkSpec {
     val dir = fresh("datecv")
     df.write.partitionBy("day").parquet(dir)
     val t2 = GraftTable.convert(spark, dir,
-      Some(org.apache.spark.sql.types.DateType))
-    assert(t2.partMetaAt(1).map(_.tpe.catalogString) == Some("date"))
+      Seq("day" -> org.apache.spark.sql.types.DateType))
+    assert(t2.partMetaAt(1).map(_.tpe.catalogString) == Seq("date"))
     assert(t2.readPartitionedColumnString("day", Seq("2026-08-15")).get
       .schema("day").dataType == org.apache.spark.sql.types.DateType)
     ()
@@ -274,7 +274,7 @@ class GraftStringPartitionSpec extends SparkSpec {
     import spark.implicits._
     t.overwrite(Seq((1, "flat")).toDF("id", "payload"))           // v2
     assert(t.partMetaAt(2).isEmpty, "flat overwrite must clear partmeta")
-    assert(t.partMetaAt(1).isDefined, "time travel still sees the row")
+    assert(t.partMetaAt(1).nonEmpty, "time travel still sees the row")
     assert(t.protocolAt(2).contains("stringPartitionValues"))
     assert(!t.activeReaderFeatures(2).contains("stringPartitionValues"))
     // now the SQL drop statement shrinks the protocol row
@@ -293,7 +293,7 @@ class GraftStringPartitionSpec extends SparkSpec {
     // target version (and re-grows the protocol via the implied set)
     t.restore(1)
     assert(t.partMetaAt(t.latestVersion)
-      .map(_.col) == Some("country"))
+      .map(_.col) == Seq("country"))
     assert(t.protocolAt(t.latestVersion)
       .contains("stringPartitionValues"))
     assert(t.partitionValuesString("country").toSet == hardValues.toSet)
@@ -347,7 +347,7 @@ class GraftStringPartitionSpec extends SparkSpec {
     assert(t2.versions().head > 1L, "vacuum kept the old commits")
     assert(t2.partMetaAt(t2.latestVersion)
       .map(p => (p.col, p.tpe.catalogString)) ==
-      Some(("country", "string")))
+      Seq(("country", "string")))
     assert(t2.protocolAt(t2.latestVersion)
       .contains("stringPartitionValues"))
     // restore still types the column correctly from the checkpointed
@@ -414,6 +414,174 @@ class GraftStringPartitionSpec extends SparkSpec {
     assert(t.retainVersionsForHours(1000.0) == 3)
     // a zero-hour window keeps only the newest (never less than 1)
     assert(t.retainVersionsForHours(0.0) >= 1)
+    ()
+  }
+
+  // ---- multi-column partition keys (VERDICT r13 item 2) --------------
+
+  private def twoKeyDf = {
+    val rows = for {
+      (c, i) <- Seq("India", "South Africa", "a=b").zipWithIndex
+      src <- Seq("web", "s3://x", "api v2")
+      j <- 0 until 3
+    } yield (i * 100 + j, s"p_${c}_${src}_$j", c, src)
+    rows.toDF("id", "payload", "country", "source")
+  }
+
+  test("two-key layouts: appendPartitioned(Seq) records the ordered list, escapes per segment, prunes on any key") {
+    val root = fresh("twokey")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(twoKeyDf, Seq("country", "source"), null)
+    // partmeta records BOTH keys, in nesting order
+    assert(t.partMetaAt(1).map(p => (p.col, p.tpe.catalogString)) ==
+      Seq(("country", "string"), ("source", "string")))
+    assert(t.protocolAt(1).contains("stringPartitionValues"))
+    // both levels' value dirs escape on disk ('a=b' outer, 's3://x'
+    // and 'api v2' inner)
+    val rels = t.liveFiles().map(_._1)
+    assert(rels.exists(_.contains("/country=a%3Db/")), rels.take(3))
+    assert(rels.exists(_.contains("/source=s3%3A%2F%2Fx/")), rels.take(3))
+    // pruning works on EITHER key, and the read restores BOTH columns
+    val byCountry = t.readPartitionedColumnString("country",
+      Seq("South Africa")).get
+    assert(byCountry.columns.toSet.contains("source"))
+    assert(byCountry.count() == 9)
+    assert(byCountry.select("source").distinct().collect()
+      .map(_.getString(0)).toSet == Set("web", "s3://x", "api v2"))
+    val bySource = t.readPartitionedColumnString("source",
+      Seq("api v2")).get
+    assert(bySource.count() == 9)
+    assert(bySource.select("country").distinct().collect()
+      .map(_.getString(0)).toSet == Set("India", "South Africa", "a=b"))
+    // the inner-key prune opened only the matching files at the log
+    assert(t.liveFiles().map(_._1)
+      .count(p => ("/" + p).contains("/source=api%20v2/"))
+      < t.liveFiles().size,
+      "inner-key value dirs must subset the live files")
+    ()
+  }
+
+  test("two-key DML restores ALL keys from paths and re-stages under the full value-dir chain") {
+    val root = fresh("twokeydml")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(twoKeyDf, Seq("country", "source"), null)
+    val before = multiset(t.readPartitionedColumnString("country",
+      Seq("India", "South Africa", "a=b")).get)
+    // predicate references BOTH keys — only restorable if DML
+    // restores both columns
+    t.deleteWhere(col("country") === "India" &&
+      col("source") === "s3://x" && col("id") === 1)
+    val after = t.readPartitionedColumnString("country",
+      Seq("India", "South Africa", "a=b")).get
+    assert(after.count() == before.values.sum - 1)
+    // the rewritten survivors re-staged under BOTH value dirs:
+    // an inner-key pruned read still finds them
+    val slice = t.readPartitionedColumnString("source", Seq("s3://x")).get
+      .filter(col("country") === "India")
+    assert(slice.collect().map(_.getAs[Int]("id")).sorted.toSeq ==
+      Seq(0, 2))
+    // update referencing the inner key, restaged correctly
+    t.update(col("source") === "api v2" && col("country") === "a=b",
+      Map("payload" -> lit("patched")))
+    val patched = t.readPartitionedColumnString("source", Seq("api v2"))
+      .get.filter(col("country") === "a=b")
+    assert(patched.collect().forall(_.getAs[String]("payload") == "patched"))
+    // SET on ANY partition key refuses
+    val e = intercept[IllegalArgumentException] {
+      t.update(col("id") === 0, Map("source" -> lit("x")))
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    ()
+  }
+
+  test("two-key CONVERT via SQL, mismatched order refuses pre-commit, manifest exports the chain") {
+    val dir = fresh("twokeycv")
+    twoKeyDf.write.partitionBy("country", "source").parquet(dir)
+    // declared in the WRONG order: refuse, nothing committed
+    val e = intercept[Exception] {
+      spark.sql(
+        s"GRAFT CONVERT '$dir' PARTITIONED BY (source string, country string)")
+        .collect()
+    }
+    assert(e.getMessage.contains("declared PARTITIONED BY"), e.getMessage)
+    assert(GraftTable.forPath(spark, dir).latestVersion == 0)
+    spark.sql(
+      s"GRAFT CONVERT '$dir' PARTITIONED BY (country string, source string)")
+      .collect()
+    val t = GraftTable.forPath(spark, dir)
+    assert(t.partMetaAt(1).map(_.col) == Seq("country", "source"))
+    // pruned read on the inner key of a CONVERTED layout
+    assert(t.readPartitionedColumnString("source", Seq("web")).get
+      .count() == 9)
+    // manifest: one manifest per country=…/source=… chain
+    val mf = t.exportManifest()
+    val chains = new java.io.File(mf).listFiles().flatMap(c =>
+      c.listFiles().map(sc => s"${c.getName}/${sc.getName}"))
+    assert(chains.length == 9, chains.toSeq)
+    assert(chains.forall(c =>
+      c.startsWith("country=") && c.contains("/source=")), chains.toSeq)
+    // graft_partitions: one row per (key, value) — 3 + 3 values
+    val tvf = spark.sql(s"SELECT * FROM graft_partitions('$dir')")
+      .collect()
+    assert(tvf.map(_.getString(0)).toSet == Set("country", "source"))
+    assert(tvf.length == 6, tvf.mkString(","))
+    ()
+  }
+
+  test("flat append refuses on an EMPTIED partitioned table (recorded partmeta governs, ADVICE r13)") {
+    val root = fresh("emptiedpart")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(Seq((1, "x", "IN")).toDF("id", "p", "c"),
+      "c")                                                       // v1
+    t.deleteWhere(lit(true))                                     // v2: empty
+    assert(t.read().count() == 0)
+    // live set is empty but the partmeta row still records the key:
+    // a flat append would poison later pruned reads — refuse
+    val e = intercept[IllegalArgumentException] {
+      t.append(Seq((2, "y")).toDF("id", "p"))
+    }
+    assert(e.getMessage.contains("hive-partitioned"), e.getMessage)
+    // the partitioned verb resumes the epoch fine
+    t.appendPartitioned(Seq((3, "z", "ZA")).toDF("id", "p", "c"), "c")
+    assert(t.readPartitionedColumnString("c", Seq("ZA")).get.count() == 1)
+    // a flat OVERWRITE legitimately ends the epoch (tombstone), after
+    // which flat appends work
+    t.overwrite(Seq((4, "w")).toDF("id", "p"))
+    assert(t.partMetaAt(t.latestVersion).isEmpty)
+    t.append(Seq((5, "v")).toDF("id", "p"))
+    assert(t.read().count() == 2)
+    ()
+  }
+
+  test("partition-scoped OPTIMIZE WHERE compacts only matching partitions, others stay byte-identical") {
+    val root = fresh("optwhere")
+    val t = GraftTable.forPath(spark, root)
+    // fragment two partitions: 4 undersized files each
+    val df = (0 until 32).map(i =>
+      (i, s"pay_$i", if (i % 2 == 0) "hot" else "cold"))
+      .toDF("id", "payload", "seg").repartition(4)
+    t.appendPartitioned(df, "seg")
+    val before = t.liveFiles().toMap
+    val coldBefore = before.filter(f => ("/" + f._1).contains("/seg=cold/"))
+    assert(coldBefore.size == 4)
+    val v = spark.sql(
+      s"GRAFT OPTIMIZE '$root' WHERE (seg = 'hot') TARGET ${1L << 20}")
+      .collect().head.getLong(0)
+    assert(v == 2L, s"scoped OPTIMIZE should commit v2, got v$v")
+    val after = t.liveFiles().toMap
+    // cold partition: exactly the same files, byte for byte
+    assert(after.filter(f => ("/" + f._1).contains("/seg=cold/")) ==
+      coldBefore, "non-matching partition files must stay untouched")
+    // hot partition compacted to fewer files, content preserved
+    val hotAfter = after.keySet.filter(p => ("/" + p).contains("/seg=hot/"))
+    assert(hotAfter.size < 4, s"hot partition still has ${hotAfter.size}")
+    assert(t.readPartitionedColumnString("seg", Seq("hot")).get
+      .count() == 16)
+    // IN-list form and no-op on an already-compacted scope
+    val v2 = spark.sql(
+      s"GRAFT OPTIMIZE '$root' WHERE (seg IN ('hot')) TARGET ${1L << 20}")
+      .collect().head.getLong(0)
+    assert(v2 == 2L, "no-op scoped OPTIMIZE must not commit")
     ()
   }
 }
