@@ -567,6 +567,61 @@ object Lakehouse {
         min("o_orderkey").as("first_key"))
       .orderBy("oyear")
 
+  private val twoKeyParted = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
+
+  // q95: MULTI-COLUMN partition keys end-to-end (the round-14
+  // capability wall, one dimension up from q93/q94's single keys: the
+  // reference's Master_data is (Country, Source)-keyed, and real fact
+  // layouts are date=…/hour=…). The lifecycle: a plain parquet
+  // landing hive-partitioned by (ostatus string, oyear date) — a
+  // two-level, mixed-TYPE value-dir chain — adopted in place by GRAFT
+  // CONVERT PARTITIONED BY (a t1, b t2) (which records the ORDERED
+  // key list in the partmeta row), then a copy-on-write DELETE whose
+  // rewrite must restore BOTH keys from the paths and re-stage
+  // survivors under the full two-level chain, and finally two
+  // log-PRUNED reads — one keyed on the OUTER key, one on the INNER —
+  // each restoring both partition columns. An adoption that dropped a
+  // key, a DML that restaged under one level, or an inner-key prune
+  // that missed rewritten files cannot hash-match the oracle.
+  private def twoKeyTable(s: SparkSession, d: String): GraftTable =
+    twoKeyParted.synchronized { twoKeyParted.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_twokey").toString + "/plain"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").as("ostatus"),
+          expr("cast(date_trunc('year', o_orderdate) as date)")
+            .as("oyear"))
+        .write.partitionBy("ostatus", "oyear").parquet(dir)        // plain
+      s.sql(s"GRAFT CONVERT '$dir' " +
+        "PARTITIONED BY (ostatus string, oyear date)")             // v1
+      val t = GraftTable.forPath(s, dir)
+      t.deleteWhere(col("o_totalprice") < 1000.0)                  // v2
+      t
+    }) }
+
+  def q95MultiPartition(s: SparkSession, d: String): DataFrame = {
+    val t = twoKeyTable(s, d)
+    def shaped(df: DataFrame, probe: String) = df
+      .groupBy("ostatus", "oyear")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("total_price"),
+        min("o_orderkey").as("first_key"))
+      .select(lit(probe).as("probe"), col("ostatus"), col("oyear"),
+        col("n_orders"), col("total_price"), col("first_key"))
+    // prune on the OUTER key alone, then on the INNER key alone —
+    // both reads restore both columns from the paths
+    val byStatus = shaped(
+      t.readPartitionedColumnString("ostatus", Seq("F")).get,
+      "by_status")
+    val byYear = shaped(
+      t.readPartitionedColumnString("oyear",
+        Seq("1996-01-01", "1997-01-01")).get,
+      "by_year")
+    byStatus.unionByName(byYear).orderBy("probe", "ostatus", "oyear")
+  }
+
   private val fscked = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
 
   // q92: FSCK — the out-of-band-loss repair lifecycle, oracled. The
@@ -622,6 +677,7 @@ object Lakehouse {
       .orderBy("l_returnflag")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_multi_partition" -> (q95MultiPartition _),
     "q94_date_partition" -> (q94DatePartition _),
     "q93_string_partition" -> (q93StringPartition _),
     "q92_fsck_read" -> (q92FsckRead _),
@@ -663,6 +719,27 @@ object Lakehouse {
       |FROM surv ORDER BY o_orderkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q95_multi_partition" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    o_orderstatus AS ostatus,
+        |    CAST(date_trunc('year', o_orderdate) AS DATE) AS oyear
+        |  FROM orders WHERE o_totalprice >= 1000),
+        |shaped AS (
+        |  SELECT 'by_status' AS probe, ostatus, oyear,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_price,
+        |    min(o_orderkey) AS first_key
+        |  FROM base WHERE ostatus = 'F' GROUP BY 2, 3
+        |  UNION ALL
+        |  SELECT 'by_year' AS probe, ostatus, oyear,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_price,
+        |    min(o_orderkey) AS first_key
+        |  FROM base WHERE year(oyear) IN (1996, 1997) GROUP BY 2, 3)
+        |SELECT * FROM shaped ORDER BY probe, ostatus, oyear""".stripMargin,
     "q94_date_partition" ->
       """SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS oyear,
         |  count(*) AS n_orders,
