@@ -1404,6 +1404,59 @@ object Similarity {
     out.orderBy("doc_id")
   }
 
+  // m9: the REAL codec inside an ORACLED path (VERDICT r13 item 5) —
+  // m1-m4 stay pinned to StubDecoder's arithmetic, so until this
+  // entry the JDK ImageIoDecoder never sat inside a hash-matched
+  // query. The plan GENERATES a deterministic tiny PNG per document
+  // (gray level g(x,y) = (doc_id·31 + x·7 + y·13) mod 256 — gray
+  // pixels make ITU-601 luminance ≡ g exactly), ENCODES it with the
+  // JDK PNG writer, then decodes it back through [[ImageIoDecoder]]:
+  // header-only dimensions + the real luminance histogram. The DuckDB
+  // oracle replays the GENERATING formula (it cannot decode PNG), so
+  // a wrong encode, a wrong decode, or a wrong histogram bin all
+  // hash-mismatch. Everything runs map-side in ONE mapPartitions pass
+  // (blob bytes never shuffle — the m-family's 100 TB discipline);
+  // the 16-bin explode happens in-plan after the decode.
+  def m9ImageioHistogram(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("bin", LongType, nullable = false),
+      StructField("n_px", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val out = Tables.documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        val dec = new ImageIoDecoder(featureBins = 16)
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val w = (id % 7 + 8).toInt
+          val h = (id % 5 + 6).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val os = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", os)
+          val blob = os.toByteArray
+          val (dw, dh) = dec.dimensions(blob) // real header parse
+          val hist = dec.features(blob)       // real decode + histogram
+          hist.iterator.zipWithIndex.map { case (n, b) =>
+            Row(id, dw, dh, b.toLong, n)
+          }
+        }
+      }(enc)
+    out.orderBy("doc_id", "bin")
+  }
+
   // m5: exact MEDIA dedup — byte-identical blobs collapsed by SHA-256
   // (the multimodal counterpart of d1: re-crawled images / re-encoded
   // copies of the same file). The digest is computed map-side in the
@@ -1798,6 +1851,7 @@ object Similarity {
     "m6_base64" -> (m6Base64 _),
     "m7_cdc_chunks" -> (m7CdcChunks _),
     "m8_phash_neardup" -> ((s: SparkSession, d: String) => m8PhashNeardup(s, d)),
+    "m9_imageio_histogram" -> (m9ImageioHistogram _),
     "e10_diversity_sample" ->
       ((s: SparkSession, d: String) => e10DiversitySample(s, d)),
     "e9_knn_graph" -> (e9KnnGraph _),
@@ -2068,6 +2122,23 @@ object Similarity {
       """SELECT doc_id, base64(encode(text)) AS b64,
         |  decode(from_base64(base64(encode(text)))) = text AS roundtrip_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m9_imageio_histogram" ->
+      """WITH docs AS (
+        |  SELECT doc_id, doc_id % 7 + 8 AS w, doc_id % 5 + 6 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id,
+        |    ((d.doc_id * 31 + x.i * 7 + y.i * 13) % 256) // 16 AS bin
+        |  FROM docs d, range(0, 16) x(i), range(0, 16) y(i)
+        |  WHERE x.i < d.w AND y.i < d.h),
+        |counts AS (
+        |  SELECT doc_id, bin, count(*) AS n_px FROM px GROUP BY 1, 2)
+        |SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+        |  CAST(d.h AS BIGINT) AS height, CAST(b.i AS BIGINT) AS bin,
+        |  COALESCE(c.n_px, 0) AS n_px
+        |FROM docs d CROSS JOIN range(0, 16) b(i)
+        |LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = b.i
+        |ORDER BY d.doc_id, bin""".stripMargin,
     "m1_binary_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha_hex,
