@@ -156,6 +156,121 @@ class GraftTable private (val s: SparkSession, val root: String) {
   private def ckptLines(v: Long): Seq[String] =
     ckptCache.getOrElseUpdate(v, readLines(ckptPath(v)))
 
+  // ---- parquet checkpoint sidecar -------------------------------------
+  //
+  // Delta writes checkpoints as PARQUET because the bulk of a
+  // checkpoint is O(live files): at 100 TB (~800k files at 128 MB)
+  // a cold snapshot resolution over a text checkpoint parses hundreds
+  // of MB of tab-separated lines, every time. The sidecar stores the
+  // file/filedv rows columnar next to the text form; resolution reads
+  // newest-format-first and falls back to the text body when the
+  // sidecar is missing (pre-r14 logs, torn write — it publishes via
+  // tmp+rename). The text checkpoint remains the source of truth for
+  // the O(1) rows (schema, constraints, colmap, partmeta, protocol)
+  // and the tag ledger, and stays byte-compatible for older readers.
+
+  private def ckptParquetPath(v: Long) =
+    new Path(logDir, f"$CkptPrefix$v%012d.parquet")
+
+  private val ckptMetaCache =
+    scala.collection.concurrent.TrieMap.empty[Long, Map[String, FileMeta]]
+
+  /** The live (relpath → meta) set RECORDED by checkpoint `cv` —
+    * parquet sidecar when present, else the text body's file/filedv
+    * lines. Cached like the line parse (checkpoints are immutable).
+    */
+  private def ckptFileMeta(cv: Long): Map[String, FileMeta] =
+    ckptMetaCache.getOrElseUpdate(cv, {
+      val fromSidecar =
+        if (!fs.exists(ckptParquetPath(cv))) None
+        else scala.util.Try {
+          val rd = org.apache.parquet.hadoop.ParquetReader
+            .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+              ckptParquetPath(cv))
+            .withConf(conf).build()
+          try {
+            val b = Map.newBuilder[String, FileMeta]
+            var g = rd.read()
+            while (g != null) {
+              val stats =
+                if (g.getFieldRepetitionCount("stats") > 0)
+                  Some(g.getString("stats", 0))
+                else None
+              val dv =
+                if (g.getFieldRepetitionCount("dv_path") > 0)
+                  Some(DvRef(g.getString("dv_path", 0),
+                    g.getLong("dv_bytes", 0), g.getLong("dv_deleted", 0)))
+                else None
+              b += g.getString("path", 0) ->
+                FileMeta(g.getLong("bytes", 0), stats, dv)
+              g = rd.read()
+            }
+            b.result()
+          } finally rd.close()
+        }.toOption
+      fromSidecar.getOrElse {
+        val lines = ckptLines(cv)
+        val files = lines.flatMap { l =>
+          val f = l.split("\t", 4)
+          if (f(0) == "file")
+            Some((f(1), FileMeta(f(2).toLong,
+              if (f.length >= 4 && f(3).nonEmpty) Some(f(3)) else None)))
+          else None // header / tag ledger / schema / filedv lines
+        }.toMap
+        // filedv lines re-attach deletion vectors to their data files
+        lines.foldLeft(files) { (m, l) =>
+          val f = l.split("\t", 5)
+          if (f(0) == "filedv" && m.contains(f(1)))
+            m.updated(f(1), m(f(1)).copy(dv =
+              Some(DvRef(f(2), f(3).toLong, f(4).toLong))))
+          else m
+        }
+      }
+    })
+
+  /** Write the parquet sidecar for an already-published checkpoint.
+    * Non-critical by design: a failure leaves the text checkpoint
+    * fully authoritative (the read path falls back), so the commit
+    * that triggered the checkpoint never aborts on sidecar IO.
+    */
+  private def writeCkptParquet(v: Long): Unit =
+    try {
+      val dst = ckptParquetPath(v)
+      if (fs.exists(dst)) return
+      val schema = org.apache.parquet.schema.MessageTypeParser
+        .parseMessageType(GraftTable.CkptParquetSchema)
+      val tmp = new Path(logDir,
+        s".${dst.getName}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+          .fromPath(tmp, conf))
+        .withType(schema)
+        .build()
+      val gf = new org.apache.parquet.example.data.simple
+        .SimpleGroupFactory(schema)
+      try {
+        resolveMeta(v).toSeq.sortBy(_._1).foreach { case (p, m) =>
+          val g = gf.newGroup()
+          g.append("path", p)
+          g.append("bytes", m.bytes)
+          m.stats.foreach { st => g.append("stats", st); () }
+          m.dv.foreach { d =>
+            g.append("dv_path", d.path)
+            g.append("dv_bytes", d.bytes)
+            g.append("dv_deleted", d.nDeleted)
+            ()
+          }
+          w.write(g)
+        }
+      } finally w.close()
+      if (!fs.rename(tmp, dst)) { fs.delete(tmp, false); () }
+    } catch {
+      case e: Exception =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"parquet checkpoint sidecar v$v not written " +
+            s"(text checkpoint remains authoritative): $e")
+    }
+
   private[graft] def readCommit(v: Long): Commit =
     commitCache.getOrElseUpdate(v, readCommitUncached(v))
 
@@ -209,23 +324,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val base = checkpointVersions().filter(_ <= v).lastOption
     val start: Map[String, FileMeta] = base match {
       case None => Map.empty
-      case Some(cv) =>
-        val lines = ckptLines(cv)
-        val files = lines.flatMap { l =>
-          val f = l.split("\t", 4)
-          if (f(0) == "file")
-            Some((f(1), FileMeta(f(2).toLong,
-              if (f.length >= 4 && f(3).nonEmpty) Some(f(3)) else None)))
-          else None // header / tag ledger / schema / filedv lines
-        }.toMap
-        // filedv lines re-attach deletion vectors to their data files
-        lines.foldLeft(files) { (m, l) =>
-          val f = l.split("\t", 5)
-          if (f(0) == "filedv" && m.contains(f(1)))
-            m.updated(f(1), m(f(1)).copy(dv =
-              Some(DvRef(f(2), f(3).toLong, f(4).toLong))))
-          else m
-        }
+      case Some(cv) => ckptFileMeta(cv) // sidecar-first, text fallback
     }
     val from = base.getOrElse(0L)
     versions().filter(x => x > from && x <= v)
@@ -1393,7 +1492,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
         body.append(s"dv\t$p\t${d.path}\t${d.bytes}\t${d.nDeleted}\n")
       }
       if (publish(commitPath(v), body.toString.getBytes(UTF_8))) {
-        if (v % CheckpointEvery == 0) publish(ckptPath(v), checkpointBody(v))
+        if (v % CheckpointEvery == 0) {
+          if (publish(ckptPath(v), checkpointBody(v))) writeCkptParquet(v)
+        }
         return v
       }
       attempt += 1 // lost the race — re-resolve and try the next version
@@ -2949,7 +3050,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
     // ledger forward) and vacuum both preserve it.
     val srcTags = tagsAsOf(v)
     if (srcTags.nonEmpty) {
-      dest.publish(dest.ckptPath(1L), dest.checkpointBody(1L, srcTags))
+      if (dest.publish(dest.ckptPath(1L), dest.checkpointBody(1L, srcTags)))
+        dest.writeCkptParquet(1L)
       dest.tagCache = None // rebuilt from the seeded ledger on next read
       ()
     }
@@ -3102,12 +3204,18 @@ class GraftTable private (val s: SparkSession, val root: String) {
     if (versions().isEmpty) return // nothing committed: nothing to reclaim
     // checkpoint the horizon so resolution (and the tag ledger) never
     // needs dropped entries
-    if (plan.horizon > 0 && !fs.exists(ckptPath(plan.horizon)))
-      publish(ckptPath(plan.horizon), checkpointBody(plan.horizon))
+    if (plan.horizon > 0 && !fs.exists(ckptPath(plan.horizon))) {
+      if (publish(ckptPath(plan.horizon), checkpointBody(plan.horizon)))
+        writeCkptParquet(plan.horizon)
+    }
     plan.files.foreach { case (rel, _) =>
       fs.delete(new Path(rootPath, rel), false) }
     plan.commits.foreach(v => fs.delete(commitPath(v), false))
-    plan.checkpoints.foreach(v => fs.delete(ckptPath(v), false))
+    plan.checkpoints.foreach { v =>
+      fs.delete(ckptPath(v), false)
+      fs.delete(ckptParquetPath(v), false)
+      ()
+    }
   }
 
   /** What vacuum WOULD reclaim — the DRY RUN an operator checks
@@ -3363,6 +3471,20 @@ object GraftTable {
     */
   private[sources] val PartSegment =
     "^([A-Za-z_][A-Za-z0-9_]*)=(.+)$".r
+
+  /** The parquet checkpoint sidecar's schema: the file/filedv rows of
+    * a text checkpoint, columnar. Optional dv columns are set only on
+    * dv-carrying files.
+    */
+  private[sources] val CkptParquetSchema: String =
+    """message graft_ckpt {
+      |  required binary path (UTF8);
+      |  required int64 bytes;
+      |  optional binary stats (UTF8);
+      |  optional binary dv_path (UTF8);
+      |  optional int64 dv_bytes;
+      |  optional int64 dv_deleted;
+      |}""".stripMargin
 
   private[graft] def unescapePartValue(v: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
