@@ -130,9 +130,12 @@ object GraftDataSource {
     */
   private class ReadOnlySnapshot(underlying: Table, spark: SparkSession,
                                  path: String,
-                                 fileMeta: Seq[(String, Option[String])],
+                                 fileMeta: Seq[(String, Long, Option[String])],
                                  readRefusal: Option[String] = None,
-                                 batchWritable: Boolean = false)
+                                 batchWritable: Boolean = false,
+                                 tableOver: Option[
+                                   (Seq[(String, Long)], String) => Table] =
+                                   None)
       extends Table
       with org.apache.spark.sql.connector.catalog.SupportsRead
       with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -181,15 +184,22 @@ object GraftDataSource {
         org.apache.spark.sql.catalyst.expressions.And)
       pred.flatMap { p =>
         val survivors = fileMeta.collect {
-          case (f, st) if FileStats.mayMatch(st, p) => f
+          case (f, b, st) if FileStats.mayMatch(st, p) => (f, b)
         }
         if (survivors.size >= fileMeta.size) None
-        else Some(org.apache.spark.sql.graft.shim.parquetTable(
-          s"${underlying.name()}@skip${fileMeta.size - survivors.size}",
-          spark, CaseInsensitiveStringMap.empty(), survivors,
-          Some(underlying.schema()))
-          .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
-          .newScanBuilder(CaseInsensitiveStringMap.empty()))
+        else {
+          val label =
+            s"${underlying.name()}@skip${fileMeta.size - survivors.size}"
+          // partitioned snapshots rebuild through the log-backed
+          // index factory so the restored columns keep serving
+          val t2 = tableOver.map(f => f(survivors, label)).getOrElse(
+            org.apache.spark.sql.graft.shim.parquetTable(
+              label, spark, CaseInsensitiveStringMap.empty(),
+              survivors.map(_._1), Some(underlying.schema())))
+          Some(t2
+            .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+            .newScanBuilder(CaseInsensitiveStringMap.empty()))
+        }
       }
     }
 
@@ -299,6 +309,15 @@ object GraftDataSource {
       // log (falling back to inference for legacy logs)
       val t = GraftTable.forPath(spark, path)
       require(t.latestVersion > 0, s"no graft table at $path (empty log)")
+      // partition values live in PATHS; the cdf stream mixes append
+      // slices (no stored key column) with image files (key stored by
+      // the DML restore) — serving both under one schema would read
+      // nulls for every appended row's key. Refuse loudly; the table
+      // stream (plain readStream.format("graft")) restores the keys.
+      require(t.partMetaAt(t.latestVersion).isEmpty,
+        s"the cdf stream cannot restore hive-partition columns of the " +
+          s"table at $path — stream the table itself " +
+          "(readStream.format(\"graft\").load(root)), which serves them")
       val payload = t.schemaAt(t.latestVersion)
         .getOrElse(t.readVersion(t.latestVersion).schema)
       return new GraftCdfStreamTable(spark, path, payload)
@@ -334,17 +353,36 @@ object GraftDataSource {
       // still resolve the table; the verb API reads apply both.
       val readRefusal: Option[String] =
         t.rawReadRefusal(version, "graft raw-parquet scan")
-      // pass the RECORDED schema: filesAsOf may legitimately be empty
-      // (deleteWhere/TRUNCATE emptied the table) and parquet inference
-      // over zero paths would fail with an opaque error instead of
-      // serving an empty DataFrame; an explicit schema also keeps
-      // mixed-evolution file lists reading under the table's schema
-      new ReadOnlySnapshot(org.apache.spark.sql.graft.shim.parquetTable(
-        s"graft:$path@v$version", spark, options, t.filesAsOf(version),
-        t.schemaAt(version)),
-        spark, path, t.fileMetaAsOf(version), readRefusal,
+      val meta = t.fileMetaAsOf(version)
+      // HIVE-PARTITIONED snapshots serve the partition columns too
+      // (Delta's contract — the values live in the paths, and a read
+      // that silently dropped the key column would lose data): the
+      // recorded partmeta keys append to the schema and a LOG-BACKED
+      // file index (no listing, no directory inference — Delta's
+      // TahoeFileIndex design) serves each file's partition values
+      // parsed from its value-dir chain, so staged (data/<uuid>/k=v),
+      // converted (k=v at root) and cloned (absolute external paths)
+      // layouts all restore uniformly.
+      val pcs = t.partMetaAt(version)
+      val payload = t.schemaAt(version)
+      val tableOver: Option[(Seq[(String, Long)], String) => Table] =
+        if (pcs.isEmpty || payload.isEmpty) None
+        else {
+          val partSchema = StructType(pcs.map(p =>
+            org.apache.spark.sql.types.StructField(p.col, p.tpe)).toArray)
+          Some((fs, label) =>
+            org.apache.spark.sql.graft.shim.partitionedParquetTable(
+              label, spark, options, fs, payload.get, partSchema,
+              dir => GraftTable.partDirValues(pcs, dir)))
+        }
+      val underlying = tableOver.map(f =>
+          f(meta.map(m => (m._1, m._2)), s"graft:$path@v$version"))
+        .getOrElse(org.apache.spark.sql.graft.shim.parquetTable(
+          s"graft:$path@v$version", spark, options, meta.map(_._1),
+          payload))
+      new ReadOnlySnapshot(underlying, spark, path, meta, readRefusal,
         // time-travel snapshots are never insert targets
-        batchWritable && versionOpt.isEmpty)
+        batchWritable && versionOpt.isEmpty, tableOver)
     }
   }
 }

@@ -72,12 +72,36 @@ class GraftMicroBatchStream(spark: SparkSession, root: String,
                                    end: Offset): Array[InputPartition] = {
     val s0 = start.asInstanceOf[GraftOffset].version
     val e0 = end.asInstanceOf[GraftOffset].version
-    val files = table.appendSliceFiles(s0, e0)
-    if (files.isEmpty) Array.empty
-    else org.apache.spark.sql.graft.shim
-      .parquetTable(s"graft-stream:$root@($s0,$e0]", spark, options, files)
-      .asInstanceOf[SupportsRead]
-      .newScanBuilder(options).build().toBatch.planInputPartitions()
+    val files = table.appendSliceFileSizes(s0, e0)
+    if (files.isEmpty) return Array.empty
+    // partitioned tables stream their partition COLUMNS too (the
+    // snapshot table's restoration contract): the slice plans through
+    // the same LOG-BACKED partition-value index the snapshot scan
+    // uses, then prunes to the template's read schema — so the
+    // PartitionedFiles this slice emits carry partition values of
+    // exactly the arity the template's reader factory expects.
+    val pcs = table.partMetaAt(e0)
+    val payload = table.schemaAt(e0)
+    val label = s"graft-stream:$root@($s0,$e0]"
+    val slice =
+      if (pcs.isEmpty || payload.isEmpty)
+        org.apache.spark.sql.graft.shim
+          .parquetTable(label, spark, options, files.map(_._1))
+      else {
+        val partSchema = org.apache.spark.sql.types.StructType(pcs.map(p =>
+          org.apache.spark.sql.types.StructField(p.col, p.tpe)).toArray)
+        org.apache.spark.sql.graft.shim.partitionedParquetTable(
+          label, spark, options, files, payload.get, partSchema,
+          dir => GraftTable.partDirValues(pcs, dir))
+      }
+    val sb = slice.asInstanceOf[SupportsRead].newScanBuilder(options)
+    sb match {
+      case p: org.apache.spark.sql.connector.read
+          .SupportsPushDownRequiredColumns =>
+        p.pruneColumns(template.readSchema())
+      case _ => ()
+    }
+    sb.build().toBatch.planInputPartitions()
   }
 
   /** ONE factory serves every micro-batch: ParquetScan's reader

@@ -854,9 +854,10 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * files — what the DSv2 scan's log-level data skipping evaluates
     * pushed filters against.
     */
-  private[sources] def fileMetaAsOf(v: Long): Seq[(String, Option[String])] =
+  private[sources] def fileMetaAsOf(v: Long)
+      : Seq[(String, Long, Option[String])] =
     resolveMeta(v).toSeq.sortBy(_._1)
-      .map { case (p, m) => (absOf(p), m.stats) }
+      .map { case (p, m) => (absOf(p), m.bytes, m.stats) }
 
   /** Time travel: the table exactly as committed at version `v`.
     * Reads through the schema RECORDED at `v` when the log has one —
@@ -2816,7 +2817,16 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * existing rows, not new data).
     */
   private[sources] def appendSliceFiles(sinceVersion: Long,
-                                        untilVersion: Long): Seq[String] = {
+                                        untilVersion: Long): Seq[String] =
+    appendSliceFileSizes(sinceVersion, untilVersion).map(_._1)
+
+  /** [[appendSliceFiles]] with the log-recorded byte sizes — what the
+    * streaming source's log-backed file index plans splits from
+    * (no filesystem stat per micro-batch file).
+    */
+  private[sources] def appendSliceFileSizes(sinceVersion: Long,
+                                            untilVersion: Long)
+      : Seq[(String, Long)] = {
     val commits = commitRange(sinceVersion, untilVersion)
     // constraint add/drop commits are metadata-only: row-neutral for
     // any feed (a stream must not die because a CHECK was added)
@@ -2827,7 +2837,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       s"change feed undefined across non-append commits: " +
         nonAppend.map(c => s"v${c.version}=${c.action}").mkString(",") +
         " — use changeFeed() for row-level images")
-    commits.flatMap(_.adds.map(a => s"$root/${a.path}")).sorted
+    commits.flatMap(_.adds.map(a => (s"$root/${a.path}", a.bytes))).sortBy(_._1)
   }
 
   /** The commits in (since, until∧latest], refusing a vacuumed gap:
@@ -3471,6 +3481,41 @@ object GraftTable {
     */
   private[sources] val PartSegment =
     "^([A-Za-z_][A-Za-z0-9_]*)=(.+)$".r
+
+  /** Catalyst-encoded partition values of one value-dir chain: the
+    * `k=v` segments of `dir` matched to the recorded keys, unescaped,
+    * null-sentinel-mapped, and cast to each key's recorded type —
+    * what the log-backed file index serves as PartitionPath values
+    * (Delta's TahoeFileIndex contract). Strings become UTF8String,
+    * dates epoch-day ints (Catalyst's internal encodings).
+    */
+  private[graft] def partDirValues(pcs: Seq[PartMeta],
+                                   dir: String): Seq[Any] = {
+    val kvs = dir.split("/").collect {
+      case PartSegment(k, v) => (k, v)
+    }.toMap
+    pcs.map { pm =>
+      val tok = kvs.getOrElse(pm.col, throw new IllegalStateException(
+        s"data dir '$dir' lacks a '${pm.col}=' component — partitioned " +
+          "layout violated"))
+      if (tok == HiveDefaultPartition) null
+      else {
+        val raw = unescapePartValue(tok)
+        pm.tpe match {
+          case StringType =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+          case DateType =>
+            java.sql.Date.valueOf(raw).toLocalDate.toEpochDay.toInt
+          case LongType => raw.toLong
+          case IntegerType => raw.toInt
+          case ShortType => raw.toShort
+          case ByteType => raw.toByte
+          case other => throw new IllegalStateException(
+            s"unsupported partition type ${other.catalogString}")
+        }
+      }
+    }
+  }
 
   /** The parquet checkpoint sidecar's schema: the file/filedv rows of
     * a text checkpoint, columnar. Optional dv columns are set only on

@@ -366,4 +366,84 @@ class GraftStreamSpec extends SparkSpec {
     assert(GraftTable.forPath(spark, root).latestVersion == 1)
     ()
   }
+
+  test("streaming a string-partitioned table restores the partition columns per micro-batch") {
+    import spark.implicits._
+    val root = freshDir("graft_stream_part") + "/t"
+    val t = GraftTable.forPath(spark, root)
+    def batch(tag: String, vals: Seq[String]) =
+      vals.zipWithIndex.map { case (c, i) => (s"${tag}_$i", 10 + i, c) }
+        .toDF("payload", "qty", "country")
+    t.appendPartitioned(batch("a", Seq("India", "South Africa")),
+      "country")                                            // v1
+    t.appendPartitioned(batch("b", Seq("a=b", "India")), "country") // v2
+    val out = freshDir("graft_stream_part_out")
+    val ckpt = freshDir("graft_stream_part_ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$out/b$id")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    val got0 = spark.read.parquet(s"$out/b0")
+    // the streamed micro-batch carries the RESTORED string key — the
+    // hive-escaped value dirs ('a=b') unescape exactly
+    assert(got0.columns.toSet == Set("payload", "qty", "country"))
+    assert(multiset(got0) ==
+      multiset(batch("a", Seq("India", "South Africa"))
+        .unionByName(batch("b", Seq("a=b", "India")))))
+    // a post-stream commit restores through the SAME template factory
+    t.appendPartitioned(batch("c", Seq("South Africa")), "country") // v3
+    drain()
+    assert(multiset(spark.read.parquet(s"$out/b1")) ==
+      multiset(batch("c", Seq("South Africa"))))
+    // the DSv2 BATCH read serves the key column too (the snapshot
+    // restoration contract the stream templates from), with pushdown
+    // on the restored column still working
+    val snap = spark.read.format("graft").load(root)
+    assert(snap.columns.toSet == Set("payload", "qty", "country"))
+    assert(snap.filter(col("country") === "a=b").count() == 1)
+    assert(snap.filter(col("country") === "India").count() == 2)
+    // the cdf stream refuses (it cannot restore path-borne keys)
+    val e2 = intercept[Exception] {
+      spark.readStream.format("graft")
+        .option(graft.sources.GraftCdfStream.Options, "true")
+        .load(root)
+    }
+    assert(e2.getMessage.contains("cannot restore hive-partition"),
+      e2.getMessage)
+    ()
+  }
+
+  test("streaming a two-key (string+date) partitioned table restores both keys") {
+    import spark.implicits._
+    val root = freshDir("graft_stream_2k") + "/t"
+    val t = GraftTable.forPath(spark, root)
+    val df = Seq(
+      ("x", "IN", java.sql.Date.valueOf("2026-01-01")),
+      ("y", "ZA", java.sql.Date.valueOf("2026-01-01")),
+      ("z", "IN", java.sql.Date.valueOf("2027-01-01")))
+      .toDF("payload", "country", "day")
+    t.appendPartitioned(df, Seq("country", "day"), null)    // v1
+    val out = freshDir("graft_stream_2k_out")
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream
+      .option("checkpointLocation", freshDir("graft_stream_2k_ck"))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$out/b$id")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$out/b0")
+    assert(got.schema("day").dataType ==
+      org.apache.spark.sql.types.DateType)
+    assert(multiset(got) == multiset(df))
+    ()
+  }
 }
