@@ -580,21 +580,64 @@ object Events {
     s.table(name)
   }
 
-  /** [[g15LinkPredict]] over the bucketed lineitem landing — same
-    * controls, same scores, one fewer corpus exchange.
+  private val coEdgeTables =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The co-purchase EDGE ARTIFACT (VERDICT r13 item 4): the
+    * symmetric weighted pair table — coPurchasePairsFrom over the
+    * bucketed lineitem landing — MATERIALIZED once per (session,
+    * dataset) as a bucketed managed table keyed on `x`. The r13
+    * measurement showed the bucketed-scan twins removed only ~14% of
+    * the 100× cost because the dominant term is the corpus-linear
+    * pair-support aggregate itself; materializing the AGGREGATED
+    * edge table moves that term into a once-per-layout build (the
+    * ANN-index precedent: e11 serves queries from a stored pruned
+    * adjacency), so every consuming run pays only the
+    * pair-table-sized wedge work. Build cost amortizes exactly like
+    * the lineitem bucketing one layer down; edge values are
+    * identical to the from-scratch form by construction, so the
+    * bucketed twins keep hashing against g15/g16's own oracles.
+    */
+  private[graft] def storedCoPurchaseEdges(s: SparkSession,
+                                           d: String): DataFrame = {
+    val key = s.sparkContext.applicationId + "|" + d
+    val name = coEdgeTables.synchronized {
+      coEdgeTables.getOrElseUpdate(key, {
+        val n = "graft_coedge_bkt_" +
+          java.lang.Long.toHexString(
+            org.apache.spark.unsafe.types.UTF8String.fromString(d).hashCode()
+              .toLong & 0xffffffffL)
+        s.sql(s"DROP TABLE IF EXISTS $n")
+        val wh = new java.io.File(
+          java.net.URI.create(
+            s.conf.get("spark.sql.warehouse.dir")).getPath, n)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        if (wh.exists()) rm(wh)
+        graft.sources.Readers.writeBucketed(
+          coPurchasePairsFrom(bucketedLineitem(s, d), relMinSup(s, d)),
+          n, "x", 32)
+        n
+      })
+    }
+    s.table(name)
+  }
+
+  /** [[g15LinkPredict]] over the STORED co-purchase edge artifact —
+    * same controls, same scores; the corpus-linear pair-support
+    * aggregate is paid once at layout time, not per run.
     */
   def g15LinkPredictBucketed(s: SparkSession, d: String,
                              k: Int = 100): DataFrame =
-    g15Scored(s, d,
-      coPurchasePairsFrom(bucketedLineitem(s, d), relMinSup(s, d)), k)
+    g15Scored(s, d, storedCoPurchaseEdges(s, d), k)
 
-  /** [[g16CommonNeighbors]] over the bucketed lineitem landing. */
+  /** [[g16CommonNeighbors]] over the stored edge artifact. */
   def g16CommonNeighborsBucketed(s: SparkSession, d: String,
                                  cap: Int = 512,
                                  k: Int = 100): DataFrame =
-    g16Wedges(
-      coPurchasePairsFrom(bucketedLineitem(s, d), relMinSup(s, d)),
-      cap, k)
+    g16Wedges(storedCoPurchaseEdges(s, d), cap, k)
 
   // g14: weighted label propagation — community DETECTION next to
   // g1's component labelling (components answer "connected at all?";
