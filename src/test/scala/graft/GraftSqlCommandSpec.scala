@@ -101,4 +101,22 @@ class GraftSqlCommandSpec extends SparkSpec {
     assert(spark.sql("SELECT 'graft vacuum' AS s").head.getString(0)
       == "graft vacuum") // only statement POSITION claims the prefix
   }
+
+  test("VACUUM rejects fractional RETAIN n VERSIONS (ADVICE r13); fractional HOURS stays legal") {
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("GRAFT VACUUM '/tmp/nowhere' RETAIN 1.5 VERSIONS DRY RUN")
+    }
+    assert(e.getMessage.contains("not integral"), e.getMessage)
+    // the HOURS unit legitimately takes a fractional window — parse
+    // must succeed (the statement then runs against a real table)
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vacfrac").toString + "/t"
+    graft.sources.GraftTable.create(spark, root,
+      Seq((1, "a")).toDF("k", "v"))
+    val rows = spark.sql(
+      s"GRAFT VACUUM '$root' RETAIN 0.5 HOURS DRY RUN").collect()
+    assert(!rows.exists(_.getString(0) == "commit"))
+    ()
+  }
 }
