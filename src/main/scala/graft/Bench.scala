@@ -110,7 +110,15 @@ object Bench {
     // (g15's wedge join fed from the l_orderkey-bucketed landing:
     // tracking it next to g15 shows what the layout buys — the
     // per-order aggregate's corpus exchange — round over round)
-    "q93_string_partition", "g15b_link_predict_bucketed")
+    "q93_string_partition", "g15b_link_predict_bucketed",
+    // round-14 additions: the multi-key partition lifecycle (two-key
+    // mixed-type land → CONVERT → CoW DELETE → pruned reads on each
+    // key — the migration verb for real fact layouts, billed
+    // end-to-end once per session like q91/q93) and the real-codec
+    // image pass (per-doc PNG encode + ImageIO decode + histogram in
+    // one mapPartitions sweep — raw pixel throughput, the m-family's
+    // heaviest per-row byte work)
+    "q95_multi_partition", "m9_imageio_histogram")
 
   /** 1-minute load average, -1.0 if unreadable (non-Linux). */
   private def loadavg(): Double =

@@ -31,11 +31,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *     batch feed's honesty rule.
   *
   * Both row shapes ride Spark's own parquet reader: two template
-  * ParquetScans (payload schema; payload+_change_type schema) supply
-  * the reader factories, and a tagging wrapper appends the constant
-  * columns (`_change_type` for add-slices, `_commit_version` for
-  * both) per partition — row-based (columnar off), since the
-  * constants join row-by-row.
+  * scans (append slices: payload + path-restored partition keys via
+  * the log-backed index; image files: payload + stored keys +
+  * _change_type) supply the reader factories, and a tagging wrapper
+  * appends the constant columns (`_change_type` for add-slices,
+  * `_commit_version` for both) per partition — row-based (columnar
+  * off), since the constants join row-by-row.
   */
 object GraftCdfStream {
   val Options = "readChangeFeed"
@@ -46,11 +47,21 @@ object GraftCdfStream {
       .add(GraftTable.VersionCol, LongType)
 }
 
+/** `partCols` are the table's recorded partition keys (empty on flat
+  * tables): their values ride file PATHS on append slices (restored
+  * through the log-backed partitioned index) and STORED COLUMNS on
+  * DML image files (the dmlRead restore wrote them), so both slice
+  * shapes serve `payload ++ partCols` uniformly.
+  */
 class GraftCdfStreamTable(spark: SparkSession, path: String,
-                          payload: StructType) extends Table
+                          payload: StructType,
+                          partCols: Seq[GraftTable.PartMeta] = Seq.empty)
+    extends Table
     with SupportsRead {
+  private val full = StructType(payload.fields ++ partCols.map(p =>
+    org.apache.spark.sql.types.StructField(p.col, p.tpe)))
   override def name(): String = s"graft-cdf:$path"
-  override def schema(): StructType = GraftCdfStream.cdfSchema(payload)
+  override def schema(): StructType = GraftCdfStream.cdfSchema(full)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
@@ -59,7 +70,7 @@ class GraftCdfStreamTable(spark: SparkSession, path: String,
     override def description(): String = name()
     override def toMicroBatchStream(checkpointLocation: String)
         : MicroBatchStream =
-      new GraftCdfMicroBatchStream(spark, path, payload, options)
+      new GraftCdfMicroBatchStream(spark, path, payload, partCols, options)
   }
 }
 
@@ -76,14 +87,20 @@ case class CdfTaggedPartition(inner: InputPartition,
 
 class GraftCdfMicroBatchStream(spark: SparkSession, root: String,
                                payload: StructType,
+                               partCols: Seq[GraftTable.PartMeta],
                                options: CaseInsensitiveStringMap)
     extends MicroBatchStream {
 
   private val table = GraftTable.forPath(spark, root)
   private val starting =
     Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
-  private val imageSchema =
-    payload.add(GraftTable.ChangeTypeCol, StringType)
+  private val partSchema = StructType(partCols.map(p =>
+    org.apache.spark.sql.types.StructField(p.col, p.tpe)).toArray)
+  // image files STORE the partition columns (the DML restore wrote
+  // them), so the image schema reads them as plain columns
+  private val imageSchema = StructType(
+    payload.fields ++ partSchema.fields)
+    .add(GraftTable.ChangeTypeCol, StringType)
 
   override def initialOffset(): Offset = GraftOffset(starting)
   override def latestOffset(): Offset = GraftOffset(table.latestVersion)
@@ -92,8 +109,8 @@ class GraftCdfMicroBatchStream(spark: SparkSession, root: String,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  /** A slice scan over `files` read at `schema` (empty list is fine —
-    * the explicit schema spares inference).
+  /** A slice scan over DML image `files` read at `schema` (empty
+    * list is fine — the explicit schema spares inference).
     */
   private def scanOf(files: Seq[String], schema: StructType): Scan =
     org.apache.spark.sql.graft.shim
@@ -102,20 +119,42 @@ class GraftCdfMicroBatchStream(spark: SparkSession, root: String,
       .asInstanceOf[SupportsRead]
       .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
 
+  /** A slice scan over append `files`: on a partitioned table the
+    * keys live in the file paths — the log-backed partitioned index
+    * restores them (the table-stream source's machinery), so the
+    * scan's output is payload ++ partCols.
+    */
+  private def appendScanOf(files: Seq[(String, Long)]): Scan = {
+    val t =
+      if (partCols.isEmpty)
+        org.apache.spark.sql.graft.shim.parquetTable(
+          s"graft-cdf-slice:$root", spark,
+          CaseInsensitiveStringMap.empty(), files.map(_._1), Some(payload))
+      else
+        org.apache.spark.sql.graft.shim.partitionedParquetTable(
+          s"graft-cdf-slice:$root", spark,
+          CaseInsensitiveStringMap.empty(), files, payload, partSchema,
+          dir => GraftTable.partDirValues(partCols, dir))
+    t.asInstanceOf[SupportsRead]
+      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+  }
+
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
     val s0 = start.asInstanceOf[GraftOffset].version
     val e0 = end.asInstanceOf[GraftOffset].version
     table.cdfSlices(s0, e0).flatMap { case (v, files, changeType) =>
-      val schema = if (changeType.isDefined) payload else imageSchema
-      scanOf(files, schema).toBatch.planInputPartitions()
+      val scan =
+        if (changeType.isDefined) appendScanOf(files)
+        else scanOf(files.map(_._1), imageSchema)
+      scan.toBatch.planInputPartitions()
         .map(p => CdfTaggedPartition(p, changeType, v))
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CdfTaggingReaderFactory(
-      scanOf(Seq.empty, payload).toBatch.createReaderFactory(),
+      appendScanOf(Seq.empty).toBatch.createReaderFactory(),
       scanOf(Seq.empty, imageSchema).toBatch.createReaderFactory())
 }
 

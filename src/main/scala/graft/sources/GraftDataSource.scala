@@ -309,18 +309,13 @@ object GraftDataSource {
       // log (falling back to inference for legacy logs)
       val t = GraftTable.forPath(spark, path)
       require(t.latestVersion > 0, s"no graft table at $path (empty log)")
-      // partition values live in PATHS; the cdf stream mixes append
-      // slices (no stored key column) with image files (key stored by
-      // the DML restore) — serving both under one schema would read
-      // nulls for every appended row's key. Refuse loudly; the table
-      // stream (plain readStream.format("graft")) restores the keys.
-      require(t.partMetaAt(t.latestVersion).isEmpty,
-        s"the cdf stream cannot restore hive-partition columns of the " +
-          s"table at $path — stream the table itself " +
-          "(readStream.format(\"graft\").load(root)), which serves them")
       val payload = t.schemaAt(t.latestVersion)
         .getOrElse(t.readVersion(t.latestVersion).schema)
-      return new GraftCdfStreamTable(spark, path, payload)
+      // partitioned tables serve their keys too: append slices
+      // restore them from paths through the log-backed index, DML
+      // image files store them as columns (the dmlRead restore)
+      return new GraftCdfStreamTable(spark, path, payload,
+        t.partMetaAt(t.latestVersion))
     }
     val version = Option(options.get("versionAsOf")).map(_.toLong)
       .orElse(Option(options.get("timestampAsOf")).map { ts =>

@@ -2895,7 +2895,13 @@ class GraftTable private (val s: SparkSession, val root: String) {
               .parquet(files.map(f => s"$root/$f"): _*)
             case None => s.read.parquet(files.map(f => s"$root/$f"): _*)
           }
-          Some(base.withColumn(ChangeTypeCol, lit("insert"))
+          // partitioned appends carry their keys in the PATHS; the
+          // image slices store them as columns (the DML restore) —
+          // restore here too or the union would null-fill the keys
+          // on exactly the inserted rows
+          val withKeys = partMetaAt(c.version).foldLeft(base)((acc, pm) =>
+            acc.withColumn(pm.col, partRestore(pm.col, pm.tpe)))
+          Some(withKeys.withColumn(ChangeTypeCol, lit("insert"))
             .withColumn(VersionCol, lit(c.version)))
         }
       } else if (c.action == "merge" || c.action == "delete" ||
@@ -2921,15 +2927,17 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * micro-batch partitions from exactly this.
     */
   private[sources] def cdfSlices(since: Long, until: Long)
-      : Seq[(Long, Seq[String], Option[String])] =
+      : Seq[(Long, Seq[(String, Long)], Option[String])] =
     commitRange(since, until).flatMap { c =>
       if (c.action.startsWith("append")) {
-        val fs = c.adds.map(a => s"$root/${a.path}").sorted
+        val fs = c.adds.map(a => (s"$root/${a.path}", a.bytes))
+          .sortBy(_._1)
         if (fs.isEmpty) None else Some((c.version, fs, Some("insert")))
       } else if (c.action == "merge" || c.action == "delete" ||
           c.action == "update") {
         if (c.cdf.isEmpty) None
-        else Some((c.version, c.cdf.map(f => s"$root/${f._1}").sorted,
+        else Some((c.version,
+          c.cdf.map(f => (s"$root/${f._1}", f._2)).sortBy(_._1),
           None))
       } else if (c.action == "compact" || c.action == "purge" ||
           c.action.startsWith("zorder:") ||

@@ -409,14 +409,43 @@ class GraftStreamSpec extends SparkSpec {
     assert(snap.columns.toSet == Set("payload", "qty", "country"))
     assert(snap.filter(col("country") === "a=b").count() == 1)
     assert(snap.filter(col("country") === "India").count() == 2)
-    // the cdf stream refuses (it cannot restore path-borne keys)
-    val e2 = intercept[Exception] {
-      spark.readStream.format("graft")
-        .option(graft.sources.GraftCdfStream.Options, "true")
-        .load(root)
-    }
-    assert(e2.getMessage.contains("cannot restore hive-partition"),
-      e2.getMessage)
+    ()
+  }
+
+  test("cdf stream over a string-partitioned table: inserts restore keys from paths, delete images carry stored keys") {
+    import spark.implicits._
+    val root = freshDir("graft_cdf_part") + "/t"
+    val t = GraftTable.forPath(spark, root)
+    val df = Seq((1, "p1", "India"), (2, "p2", "a=b"), (3, "p3", "India"))
+      .toDF("id", "payload", "country")
+    t.appendPartitioned(df, "country")                       // v1
+    t.deleteWhere(col("country") === "India" && col("id") === 1) // v2
+    val out = freshDir("graft_cdf_part_out")
+    val q = spark.readStream.format("graft")
+      .option(graft.sources.GraftCdfStream.Options, "true")
+      .load(root)
+      .writeStream
+      .option("checkpointLocation", freshDir("graft_cdf_part_ck"))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$out/b$id")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$out/b0")
+    assert(got.columns.toSet ==
+      Set("id", "payload", "country", "_change_type", "_commit_version"))
+    // inserts: all three rows, keys restored from the escaped paths
+    val ins = got.filter(col("_change_type") === "insert")
+    assert(ins.count() == 3)
+    assert(ins.filter(col("country") === "a=b").count() == 1)
+    assert(ins.select("_commit_version").distinct().head.getLong(0) == 1L)
+    // the delete image carries the stored key column
+    val del = got.filter(col("_change_type") === "delete")
+    assert(del.count() == 1)
+    val dr = del.head
+    assert(dr.getAs[Int]("id") == 1 &&
+      dr.getAs[String]("country") == "India")
     ()
   }
 
