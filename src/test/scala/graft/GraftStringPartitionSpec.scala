@@ -553,6 +553,38 @@ class GraftStringPartitionSpec extends SparkSpec {
     ()
   }
 
+  test("SQL UPDATE and DELETE route into the partitioned CoW verbs; predicates on restored keys work") {
+    val root = fresh("sqlpartdml")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(
+      Seq((1, "a", "India"), (2, "b", "India"), (3, "c", "a=b"))
+        .toDF("id", "payload", "country"), "country")
+    spark.conf.set("spark.sql.catalog.gsql",
+      classOf[graft.sources.GraftCatalog].getName)
+    // the catalog table's schema includes the restored key column
+    val viaSql = spark.sql(s"SELECT * FROM gsql.`$root`")
+    assert(viaSql.columns.toSet == Set("id", "payload", "country"))
+    // SQL UPDATE with a predicate on the PATH-BORNE key
+    spark.sql(
+      s"UPDATE gsql.`$root` SET payload = 'patched' " +
+        "WHERE country = 'India' AND id = 2")
+    assert(t.readPartitionedColumnString("country", Seq("India")).get
+      .filter(col("id") === 2).head.getAs[String]("payload") == "patched")
+    // SQL DELETE keyed on the escaped-value partition
+    spark.sql(s"DELETE FROM gsql.`$root` WHERE country = 'a=b'")
+    assert(t.read().count() == 2)
+    assert(t.readPartitionedColumnString("country", Seq("a=b")).isEmpty)
+    // survivors still live under their value dirs (pruned read works)
+    assert(t.readPartitionedColumnString("country", Seq("India")).get
+      .count() == 2)
+    // SET on the partition key refuses through SQL too
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE gsql.`$root` SET country = 'ZA' WHERE id = 1")
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    ()
+  }
+
   test("partition-scoped OPTIMIZE WHERE compacts only matching partitions, others stay byte-identical") {
     val root = fresh("optwhere")
     val t = GraftTable.forPath(spark, root)
