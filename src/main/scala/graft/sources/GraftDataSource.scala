@@ -55,11 +55,27 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
       sys.error("the graft format needs a table root: .save(<root>)"))
     val t = GraftTable.forPath(data.sparkSession, path)
     val exists = t.latestVersion > 0
+    // `.partitionBy(cols…)` arrives in the v1 bridge as the encoded
+    // `__partition_columns` option (Spark's own convention for v1
+    // relation providers) — route it into the PARTITIONED verbs
+    // instead of silently landing a flat layout with the keys as
+    // data columns (measured: without this the intent is dropped
+    // without a warning — the exact pattern a Delta user migrates
+    // with, `df.write.format(…).partitionBy("date").save(root)`)
+    val partCols: Seq[String] =
+      parameters.get(GraftDataSource.PartitioningColumnsKey)
+        .map { j =>
+          val r = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(j)
+          (0 until r.size).map(i => r.get(i).asText)
+        }.getOrElse(Seq.empty)
     // appends must match the table's schema (names + types, order
     // free): a mismatched commit would poison every later read —
     // s.read.parquet over a mixed file list silently takes ONE
-    // file's schema (Delta rejects this at write time; so do we)
-    if (exists && mode == Append) {
+    // file's schema (Delta rejects this at write time; so do we).
+    // Partitioned appends validate through appendPartitioned's own
+    // payload-schema + key-consistency gates instead.
+    if (exists && mode == Append && partCols.isEmpty) {
       def sig(sch: StructType) =
         sch.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
       val existing = t.read().schema
@@ -67,15 +83,21 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
         s"schema mismatch appending to graft table at $path: table has " +
           s"${existing.simpleString}, batch has ${data.schema.simpleString}")
     }
+    def land(): Unit =
+      if (partCols.isEmpty) { t.append(data); () }
+      else { t.appendPartitioned(data, partCols, null); () }
     mode match {
+      case Append if partCols.nonEmpty => t.appendPartitioned(data, partCols, null)
       case Append                     => t.append(data)
+      case Overwrite if exists && partCols.nonEmpty =>
+        t.overwritePartitioned(data, partCols)
       case Overwrite if exists        => t.overwrite(data)
-      case Overwrite                  => t.append(data)
+      case Overwrite                  => land()
       case ErrorIfExists if exists =>
         throw new IllegalStateException(s"graft table already exists at $path")
-      case ErrorIfExists              => t.append(data)
+      case ErrorIfExists              => land()
       case Ignore if exists           => ()
-      case Ignore                     => t.append(data)
+      case Ignore                     => land()
     }
     // the relation handed back is the committed snapshot
     val outer = sqlContext
@@ -105,6 +127,13 @@ trait GraftSnapshotTable {
 }
 
 object GraftDataSource {
+
+  /** Spark's v1-bridge option key carrying `.partitionBy` columns as
+    * a JSON string array (DataSourceUtils.PARTITIONING_COLUMNS_KEY —
+    * the constant is `private[sql]`, the WIRE KEY is Spark's stable
+    * v1-provider convention).
+    */
+  private[sources] val PartitioningColumnsKey = "__partition_columns"
 
   /** A READ-ONLY view of the snapshot table. Deliberately not
     * SupportsWrite even though the underlying ParquetTable is: a v2

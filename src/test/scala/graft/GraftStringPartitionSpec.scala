@@ -553,6 +553,56 @@ class GraftStringPartitionSpec extends SparkSpec {
     ()
   }
 
+  test("df.write.format(graft).partitionBy routes into the partitioned verbs (never a silent flat landing)") {
+    val root = fresh("v1pb")
+    val df1 = Seq((1, "x", "IN"), (2, "y", "ZA"))
+      .toDF("id", "payload", "country")
+    // first save CREATES the partitioned layout
+    df1.write.format("graft").partitionBy("country").save(root)
+    val t = GraftTable.forPath(spark, root)
+    assert(t.partMetaAt(1).map(_.col) == Seq("country"),
+      "partitionBy intent must be recorded, not dropped")
+    assert(t.liveFiles().forall(_._1.contains("/country=")),
+      t.liveFiles().map(_._1))
+    // append mode stages under the SAME layout
+    Seq((3, "z", "IN")).toDF("id", "payload", "country")
+      .write.format("graft").partitionBy("country").mode("append")
+      .save(root)
+    assert(t.readPartitionedColumnString("country", Seq("IN")).get
+      .count() == 2)
+    // a FLAT append against the partitioned table still refuses:
+    // payload-shaped (passes the v1 schema check, hits the guard) …
+    val e = intercept[Exception] {
+      Seq((4, "w")).toDF("id", "payload")
+        .write.format("graft").mode("append").save(root)
+    }
+    assert(e.getMessage.contains("hive-partitioned"), e.getMessage)
+    // … and full-shaped (the key as a data column): the schema gate
+    // refuses before a flat landing can poison pruned reads
+    val eFull = intercept[Exception] {
+      Seq((4, "w", "IN")).toDF("id", "payload", "country")
+        .write.format("graft").mode("append").save(root)
+    }
+    assert(eFull.getMessage.contains("schema mismatch"), eFull.getMessage)
+    // a MISMATCHED key refuses through the verb's consistency gate
+    val e2 = intercept[Exception] {
+      Seq((5, "v", "IN")).toDF("id", "country", "payload")
+        .write.format("graft").partitionBy("payload").mode("append")
+        .save(root)
+    }
+    assert(e2.getMessage.contains("cannot stage a batch partitioned"),
+      e2.getMessage)
+    // overwrite replaces the whole layout (two-key this time)
+    Seq((9, "o", "IN", 7L)).toDF("id", "payload", "country", "bucket")
+      .write.format("graft").partitionBy("country", "bucket")
+      .mode("overwrite").save(root)
+    assert(t.partMetaAt(t.latestVersion).map(_.col) ==
+      Seq("country", "bucket"))
+    assert(spark.read.format("graft").load(root).columns.toSet ==
+      Set("id", "payload", "country", "bucket"))
+    ()
+  }
+
   test("SQL UPDATE and DELETE route into the partitioned CoW verbs; predicates on restored keys work") {
     val root = fresh("sqlpartdml")
     val t = GraftTable.forPath(spark, root)
