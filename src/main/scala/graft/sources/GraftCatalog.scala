@@ -79,9 +79,21 @@ class GraftCatalog extends TableCatalog {
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      "graft catalog tables are FLAT — partitioned layouts go through " +
-        "GraftTable.appendPartitioned / replacePartitions")
+    // PARTITIONED BY (col, …) — identity transforms only (hive value
+    // dirs; bucket/temporal transforms have no path encoding here).
+    // The declared keys split out of the payload schema and land in
+    // the create commit's partmeta row (round 14).
+    val partCols: Seq[String] = partitions.toSeq.map { t =>
+      if (t.name() != "identity" || t.references().length != 1)
+        throw new UnsupportedOperationException(
+          s"unsupported partition transform $t — only " +
+            "PARTITIONED BY (col, …) identity keys")
+      val names = t.references()(0).fieldNames()
+      if (names.length != 1) throw new UnsupportedOperationException(
+        s"PARTITIONED BY supports top-level columns only, got " +
+          names.mkString("."))
+      names.head
+    }
     import scala.jdk.CollectionConverters._
     val unknown = properties.asScala.keySet --
       Set("provider", "owner", "location", "external")
@@ -107,7 +119,18 @@ class GraftCatalog extends TableCatalog {
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(
           (ident.namespace() :+ ident.name()).toIndexedSeq)
-    GraftTable.createEmpty(spark, root, schema)
+    if (partCols.isEmpty) GraftTable.createEmpty(spark, root, schema)
+    else {
+      val partBy = partCols.map { c =>
+        val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"PARTITIONED BY column '$c' is not in the declared schema"))
+        (f.name, f.dataType)
+      }
+      val payload = StructType(schema.fields.filterNot(f =>
+        partCols.exists(_.equalsIgnoreCase(f.name))))
+      GraftTable.createEmptyPartitioned(spark, root, payload, partBy)
+    }
     loadTable(ident)
   }
 

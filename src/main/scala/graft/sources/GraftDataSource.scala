@@ -164,7 +164,8 @@ object GraftDataSource {
                                  batchWritable: Boolean = false,
                                  tableOver: Option[
                                    (Seq[(String, Long)], String) => Table] =
-                                   None)
+                                   None,
+                                 partitionNames: Seq[String] = Seq.empty)
       extends Table
       with org.apache.spark.sql.connector.catalog.SupportsRead
       with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -173,6 +174,13 @@ object GraftDataSource {
     override def tablePath: String = path
     override def name(): String = underlying.name()
     override def schema(): StructType = underlying.schema()
+    // report the recorded keys as identity transforms: DESCRIBE
+    // shows the layout and INSERT ... PARTITION resolves
+    override def partitioning()
+        : Array[org.apache.spark.sql.connector.expressions.Transform] =
+      partitionNames.map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions
+          .identity(c)).toArray
     // STREAMING_WRITE but deliberately NOT BATCH_WRITE: batch saves
     // keep the documented v1 fallback into createRelation (atomic
     // commits per SaveMode); streaming rides the native epoch-commit
@@ -406,7 +414,7 @@ object GraftDataSource {
           payload))
       new ReadOnlySnapshot(underlying, spark, path, meta, readRefusal,
         // time-travel snapshots are never insert targets
-        batchWritable && versionOpt.isEmpty, tableOver)
+        batchWritable && versionOpt.isEmpty, tableOver, pcs.map(_.col))
     }
   }
 }

@@ -3589,6 +3589,41 @@ object GraftTable {
     t
   }
 
+  /** CREATE TABLE … PARTITIONED BY without data: version 1 records
+    * the PAYLOAD schema and the ordered partition-key list (partmeta
+    * row), so the first partitioned insert — the DSv2 batch write's
+    * dynamic-partition staging, appendPartitioned, a streaming epoch
+    * — validates against a declared layout instead of defining one
+    * implicitly. `payload` excludes the keys (their values live in
+    * paths, the layer's invariant).
+    */
+  def createEmptyPartitioned(s: SparkSession, root: String,
+                             payload: StructType,
+                             partBy: Seq[(String, DataType)])
+      : GraftTable = {
+    val t = new GraftTable(s, root)
+    require(t.latestVersion == 0, s"table already exists at $root")
+    require(payload.nonEmpty,
+      "CREATE TABLE needs at least one non-partition column")
+    require(partBy.nonEmpty, "use createEmpty for flat tables")
+    partBy.foreach { case (c, dt) =>
+      require(!payload.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"partition column '$c' must not repeat in the payload schema")
+      dt match {
+        case LongType | IntegerType | ShortType | ByteType | StringType |
+             DateType => ()
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition column type ${other.catalogString} " +
+            s"for '$c' — integral, string and date keys round-trip " +
+            "through paths")
+      }
+    }
+    t.commit("create", Seq.empty, Seq.empty,
+      schema = Some(org.apache.spark.sql.graft.shim.nullable(payload)),
+      partMeta = Some(partBy.map { case (c, dt) => PartMeta(c, dt) }))
+    t
+  }
+
   /** Open an existing table (or a root about to receive version 1). */
   def forPath(s: SparkSession, root: String): GraftTable =
     new GraftTable(s, root)

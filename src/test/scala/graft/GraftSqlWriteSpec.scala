@@ -238,4 +238,79 @@ class GraftSqlWriteSpec extends SparkSpec {
     assert(t.read().count() == 2)
     ()
   }
+
+  test("CREATE TABLE PARTITIONED BY + INSERT INTO stage dynamic partitions; OVERWRITE replaces") {
+    import spark.implicits._
+    val root = fresh("sqlpart")
+    spark.sql(s"CREATE TABLE gw.`$root` (id BIGINT, payload STRING, " +
+      "country STRING, day DATE) PARTITIONED BY (country, day)")
+    val t = GraftTable.forPath(spark, root)
+    assert(t.partMetaAt(1).map(p => (p.col, p.tpe.catalogString)) ==
+      Seq(("country", "string"), ("day", "date")))
+    // payload schema excludes the keys; the catalog table serves all
+    assert(t.readVersion(1).columns.toSeq == Seq("id", "payload"))
+    assert(spark.table(s"gw.`$root`").columns.toSet ==
+      Set("id", "payload", "country", "day"))
+    // dynamic-partition INSERT: rows route under escaped value dirs
+    spark.sql(s"INSERT INTO gw.`$root` VALUES " +
+      "(1, 'a', 'India', DATE'2026-01-01'), " +
+      "(2, 'b', 'a=b',   DATE'2026-01-01'), " +
+      "(3, 'c', 'India', DATE'2027-06-15'), " +
+      "(4, 'd', null,    DATE'2026-01-01')")
+    val rels = t.liveFiles().map(_._1)
+    assert(rels.forall(r => r.contains("/country=") && r.contains("/day=")),
+      rels)
+    assert(rels.exists(_.contains("/country=a%3Db/")), rels)
+    assert(rels.exists(_.contains("__HIVE_DEFAULT_PARTITION__")), rels)
+    // the read restores both keys (null row included)
+    val got = spark.table(s"gw.`$root`")
+    assert(got.count() == 4)
+    assert(got.filter(col("country").isNull).head.getAs[Long]("id") == 4L)
+    assert(got.filter(col("day") === java.sql.Date.valueOf("2027-06-15"))
+      .head.getAs[Long]("id") == 3L)
+    // pruned subset readers work against the SQL-landed layout
+    assert(t.readPartitionedColumnString("country", Seq("India")).get
+      .count() == 2)
+    // a by-name insert omitting a key: Spark null-fills the column,
+    // which legally lands under the sentinel dir as a NULL key
+    spark.sql(s"INSERT INTO gw.`$root` (id, payload, country) " +
+      "VALUES (9, 'x', 'ZA')")
+    assert(spark.table(s"gw.`$root`")
+      .filter(col("id") === 9).head.getAs[java.sql.Date]("day") == null)
+    // INSERT OVERWRITE replaces the whole live set, layout preserved
+    spark.sql(s"INSERT OVERWRITE gw.`$root` VALUES " +
+      "(7, 'z', 'ZA', DATE'2026-02-02')")
+    assert(spark.table(s"gw.`$root`").collect().map(_.getLong(0)).toSeq ==
+      Seq(7L))
+    assert(t.partMetaAt(t.latestVersion).map(_.col) ==
+      Seq("country", "day"))
+    assert(t.liveFiles().map(_._1).forall(_.contains("/country=ZA/")))
+    ()
+  }
+
+  test("writeStream.format(graft) stages partitioned epochs into a partitioned table") {
+    import spark.implicits._
+    val root = fresh("streampart")
+    spark.sql(s"CREATE TABLE gw.`$root` (id BIGINT, payload STRING, " +
+      "country STRING) PARTITIONED BY (country)")
+    val t = GraftTable.forPath(spark, root)
+    val dir = Files.createTempDirectory("graft_sp_src").toString
+    Seq((1L, "x", "IN"), (2L, "y", "ZA"), (3L, "z", "IN"))
+      .toDF("id", "payload", "country")
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.readStream
+      .schema("id BIGINT, payload STRING, country STRING").parquet(dir)
+    val q = src.writeStream.format("graft")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_sp_ck").toString)
+      .start(root)
+    try q.processAllAvailable() finally q.stop()
+    assert(t.liveFiles().map(_._1).forall(_.contains("/country=")),
+      t.liveFiles().map(_._1))
+    assert(t.readPartitionedColumnString("country", Seq("IN")).get
+      .count() == 2)
+    assert(spark.read.format("graft").load(root).columns.toSet ==
+      Set("id", "payload", "country"))
+    ()
+  }
 }
