@@ -567,6 +567,50 @@ object Lakehouse {
         min("o_orderkey").as("first_key"))
       .orderBy("oyear")
 
+  private val sqlParted = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  // q96: the PARTITIONED SQL WRITE lifecycle end-to-end (round 14):
+  // `CREATE TABLE … PARTITIONED BY (ostatus)` records the key at
+  // create, a dynamic-partition `INSERT INTO … SELECT` routes every
+  // order under its escaped status value dir through the v2 batch
+  // writer (clustered distribution + one staged-files commit), a SQL
+  // UPDATE keyed on the PATH-BORNE column rewrites only the matched
+  // partition's files copy-on-write, and the serving read comes back
+  // through the catalog with the key restored by the log-backed
+  // index. A writer that dropped the partition routing, an UPDATE
+  // that lost the key column, or a restore that mis-parsed the value
+  // dirs cannot hash-match DuckDB replaying the same algebra on
+  // `orders`. Built once per (session, dataset).
+  private def sqlPartTable(s: SparkSession, d: String): String =
+    sqlParted.synchronized { sqlParted.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqlpart").toString + "/t"
+      s.conf.set("spark.sql.catalog.gsqlw",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.sql(s"CREATE TABLE gsqlw.`$root` (o_orderkey BIGINT, " +
+        "o_totalprice DOUBLE, ostatus STRING) " +
+        "PARTITIONED BY (ostatus)")                                // v1
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").as("ostatus"))
+        .createOrReplaceTempView("q96_src")
+      s.sql(s"INSERT INTO gsqlw.`$root` SELECT * FROM q96_src")    // v2
+      s.sql(s"UPDATE gsqlw.`$root` SET o_totalprice = " +
+        "o_totalprice * 2 WHERE ostatus = 'P'")                    // v3
+      root
+    }) }
+
+  def q96SqlPartitioned(s: SparkSession, d: String): DataFrame = {
+    val root = sqlPartTable(s, d)
+    s.sql(s"SELECT * FROM gsqlw.`$root`")
+      .groupBy("ostatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("total_price"),
+        min("o_orderkey").as("first_key"))
+      .orderBy("ostatus")
+  }
+
   private val twoKeyParted = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
 
   // q95: MULTI-COLUMN partition keys end-to-end (the round-14
@@ -677,6 +721,7 @@ object Lakehouse {
       .orderBy("l_returnflag")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_sql_partitioned" -> (q96SqlPartitioned _),
     "q95_multi_partition" -> (q95MultiPartition _),
     "q94_date_partition" -> (q94DatePartition _),
     "q93_string_partition" -> (q93StringPartition _),
@@ -719,6 +764,13 @@ object Lakehouse {
       |FROM surv ORDER BY o_orderkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q96_sql_partitioned" ->
+      """SELECT o_orderstatus AS ostatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(CASE WHEN o_orderstatus = 'P'
+        |    THEN o_totalprice * 2 ELSE o_totalprice END
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  min(o_orderkey) AS first_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q95_multi_partition" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_totalprice,
