@@ -118,7 +118,12 @@ object Bench {
     // image pass (per-doc PNG encode + ImageIO decode + histogram in
     // one mapPartitions sweep — raw pixel throughput, the m-family's
     // heaviest per-row byte work)
-    "q95_multi_partition", "m9_imageio_histogram")
+    "q95_multi_partition", "m9_imageio_histogram",
+    // late round-14 addition: the partitioned SQL write lifecycle
+    // (CREATE PARTITIONED -> dynamic-partition INSERT -> CoW UPDATE
+    // on the path-borne key -> catalog read, billed end-to-end once
+    // per session like q91/q93/q95)
+    "q96_sql_partitioned")
 
   /** 1-minute load average, -1.0 if unreadable (non-Linux). */
   private def loadavg(): Double =

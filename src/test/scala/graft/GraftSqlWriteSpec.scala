@@ -313,4 +313,22 @@ class GraftSqlWriteSpec extends SparkSpec {
       Set("id", "payload", "country"))
     ()
   }
+
+  test("partitioned CTAS: CREATE TABLE ... PARTITIONED BY ... AS SELECT lands dynamic partitions") {
+    import spark.implicits._
+    val root = fresh("sqlctaspart")
+    Seq((1L, "a", "IN"), (2L, "b", "ZA"), (3L, "c", "IN"))
+      .toDF("id", "payload", "country")
+      .createOrReplaceTempView("ctas_part_src")
+    spark.sql(s"CREATE TABLE gw.`$root` PARTITIONED BY (country) " +
+      "AS SELECT * FROM ctas_part_src")
+    val t = GraftTable.forPath(spark, root)
+    assert(t.partMetaAt(1).map(_.col) == Seq("country"))
+    assert(t.liveFiles().map(_._1).forall(_.contains("/country=")),
+      t.liveFiles().map(_._1))
+    assert(t.readPartitionedColumnString("country", Seq("IN")).get
+      .count() == 2)
+    assert(spark.table(s"gw.`$root`").count() == 3)
+    ()
+  }
 }
