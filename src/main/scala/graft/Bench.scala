@@ -207,10 +207,20 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     }.getOrElse(Map.empty)
-    // one warm-up touch so JVM/codegen startup isn't billed to q1
-    run(build("q1_agg"), "q1_agg")
     val suspects = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = bench.map { name =>
+      // PRE-WARM, untimed (round-14 verdict item 4): lifecycle queries
+      // (q7x/q8x/q9x tables, the stored ANN/edge artifacts) build
+      // their table or index on FIRST touch and serve from it
+      // thereafter — the amortization contract the b-twins/e11 already
+      // document. Paying that one-time build inside a timed sample
+      // makes min-of-N mix build and serve (the driver's r14 capture
+      // self-tagged q95 exactly this way), so every query gets one
+      // untimed full execution first; the timed samples below then
+      // measure serve-only work. This also absorbs JVM/codegen
+      // startup, which the old single q1 warm-up only did for q1.
+      spark.catalog.clearCache()
+      run(build(name), name)
       def sample(): Option[Double] = {
         // drop any per-query persisted data (d6/d7 cache their
         // signatures) so every iteration times the FULL computation —

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.SupportsRead
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -15,14 +15,28 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     .writeStream.option("checkpointLocation", …)…
   * }}}
   *
-  * Offsets ARE commit versions: micro-batch (start, end] serves
-  * exactly the files the append commits in that version range added —
-  * resolved from the log, never by listing. Because commits are
-  * immutable and data files are add-once, a (start, end] slice is
-  * DETERMINISTIC forever: Spark's checkpointed offset log + this
-  * source's version arithmetic give exactly-once delivery across
-  * restarts with no source-side state at all (the replay-safety
-  * [[GraftTable.changesSince]] proved in batch, as a stream).
+  * Offsets are log POSITIONS — (commit version, file index within the
+  * commit's path-sorted adds): micro-batch (start, end] serves exactly
+  * the files between the two positions — resolved from the log, never
+  * by listing. Because commits are immutable and the intra-commit sort
+  * is total, a (start, end] slice is DETERMINISTIC forever: Spark's
+  * checkpointed offset log + this source's position arithmetic give
+  * exactly-once delivery across restarts with no source-side state at
+  * all (the replay-safety [[GraftTable.changesSince]] proved in batch,
+  * as a stream).
+  *
+  * ADMISSION CONTROL (Delta's maxFilesPerTrigger/maxBytesPerTrigger):
+  * without a cap, a version-0 bootstrap — or a catch-up after
+  * downtime — plans ONE micro-batch covering everything that landed,
+  * which at 100 TB defeats checkpointed incremental recovery (a
+  * failure at 99% replays the whole batch). `option
+  * ("maxFilesPerTrigger", n)` / `option("maxBytesPerTrigger", b)`
+  * bound each micro-batch to n files / b log-recorded bytes (always
+  * admitting at least one file so the stream can never stall on an
+  * oversized file), turning the bootstrap into a SEQUENCE of bounded,
+  * individually-checkpointed batches. The file-granular offset is
+  * what makes the cap sound: a batch may end mid-commit and the next
+  * one resumes at exactly that file.
   *
   * The rows are read through Spark's own vectorized parquet reader:
   * the reader FACTORY comes from the same ParquetScan the batch path
@@ -48,31 +62,124 @@ class GraftScanWithStream(under: Scan, spark: SparkSession, root: String,
     new GraftMicroBatchStream(spark, root, options, under)
 }
 
-/** A commit-version offset; json round-trip is the bare number. */
-case class GraftOffset(version: Long) extends Offset {
-  override def json(): String = version.toString
+/** A log position: `index == -1` means every append file of commits
+  * ≤ `version` is served (the commit-boundary shape — its json
+  * round-trip is the bare number, so pre-admission-control
+  * checkpoints deserialize unchanged); `index >= 0` means all commits
+  * < `version` are fully served plus the FIRST `index` files of
+  * commit `version`'s path-sorted adds (the mid-commit shape an
+  * admission cap can end a batch at). Delta's DeltaSourceOffset is
+  * the design reference for the (version, index) form.
+  */
+case class GraftOffset(version: Long, index: Long = -1L) extends Offset {
+  override def json(): String =
+    if (index < 0L) version.toString
+    else s"""{"version":$version,"index":$index}"""
+}
+
+object GraftOffset {
+  private val JsonRe =
+    """\s*\{\s*"version"\s*:\s*(\d+)\s*,\s*"index"\s*:\s*(\d+)\s*\}\s*""".r
+  def fromJson(json: String): GraftOffset = json match {
+    case JsonRe(v, i) => GraftOffset(v.toLong, i.toLong)
+    case bare => GraftOffset(bare.trim.toLong)
+  }
 }
 
 class GraftMicroBatchStream(spark: SparkSession, root: String,
                             options: CaseInsensitiveStringMap,
-                            template: Scan) extends MicroBatchStream {
+                            template: Scan)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val table = GraftTable.forPath(spark, root)
   private val starting =
     Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
+  private val maxFiles =
+    Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+  private val maxBytes =
+    Option(options.get("maxBytesPerTrigger")).map(_.toLong)
+  maxFiles.foreach(n => require(n > 0, s"maxFilesPerTrigger must be > 0: $n"))
+  maxBytes.foreach(b => require(b > 0, s"maxBytesPerTrigger must be > 0: $b"))
 
   override def initialOffset(): Offset = GraftOffset(starting)
-  override def latestOffset(): Offset = GraftOffset(table.latestVersion)
   override def deserializeOffset(json: String): Offset =
-    GraftOffset(json.trim.toLong)
+    GraftOffset.fromJson(json)
   override def commit(end: Offset): Unit = () // offsets live in Spark's log
   override def stop(): Unit = ()
 
+  /** The options' caps as Spark's ReadLimit vocabulary, so the engine
+    * (and AvailableNow's catch-up planner) sees the same bounds the
+    * source enforces.
+    */
+  override def getDefaultReadLimit: ReadLimit = {
+    val ls = maxFiles.map(ReadLimit.maxFiles(_)).toSeq ++
+      maxBytes.map(ReadLimit.maxBytes(_)).toSeq
+    ls match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = GraftOffset(table.latestVersion)
+
+  /** Legacy single-arg form (MicroBatchStream's contract): the engine
+    * calls the two-arg admission form when SupportsAdmissionControl is
+    * implemented, but keep this total — uncapped latest.
+    */
+  override def latestOffset(): Offset = GraftOffset(table.latestVersion)
+
+  /** The admission walk: starting at `start`'s position, admit
+    * path-sorted files version by version until a cap binds, and
+    * return the position reached. Ends are CANONICALIZED to the
+    * commit-boundary shape whenever a commit's files are exhausted
+    * (never `index == 0` or `index == nFiles`), so an uncapped run
+    * emits exactly the bare-number offsets the pre-admission source
+    * did — old and new checkpoints interoperate both ways.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s0 = start.asInstanceOf[GraftOffset]
+    val latest = table.latestVersion
+    val floor = if (s0.index < 0L) s0.version else s0.version - 1L
+    if (latest <= floor) return s0
+    val (fCap, bCap) = capsOf(limit)
+    if (fCap.isEmpty && bCap.isEmpty)
+      return GraftOffset(latest) // uncapped: everything in one batch
+    val perV = table.appendSliceByVersion(floor, latest)
+    var admitted = 0L
+    var bytes = 0L
+    var pos: GraftOffset = s0
+    var stopped = false
+    perV.foreach { case (v, files) =>
+      if (!stopped) {
+        val skip = if (s0.index >= 0L && v == s0.version) s0.index.toInt else 0
+        var i = skip
+        val it = files.iterator.drop(skip)
+        while (!stopped && it.hasNext) {
+          val b = it.next()._2
+          // at-least-one rule: the bytes cap never blocks the batch's
+          // FIRST file (an oversized file must not stall the stream)
+          if (fCap.exists(admitted >= _) ||
+              bCap.exists(c => admitted > 0L && bytes + b > c))
+            stopped = true
+          else { admitted += 1L; bytes += b; i += 1 }
+        }
+        // a fully-consumed version — every file admitted, or metadata-
+        // only with none — advances the boundary (canonical bare shape);
+        // a cap mid-version ends at (v, filesServed), and a cap binding
+        // before v's first file leaves pos at the prior boundary
+        if (!stopped) pos = GraftOffset(v)
+        else if (i > 0) pos = GraftOffset(v, i.toLong)
+      }
+    }
+    pos
+  }
+
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
-    val s0 = start.asInstanceOf[GraftOffset].version
-    val e0 = end.asInstanceOf[GraftOffset].version
-    val files = table.appendSliceFileSizes(s0, e0)
+    val s0 = start.asInstanceOf[GraftOffset]
+    val e0 = end.asInstanceOf[GraftOffset]
+    val files = filesBetween(s0, e0)
     if (files.isEmpty) return Array.empty
     // partitioned tables stream their partition COLUMNS too (the
     // snapshot table's restoration contract): the slice plans through
@@ -80,9 +187,9 @@ class GraftMicroBatchStream(spark: SparkSession, root: String,
     // uses, then prunes to the template's read schema — so the
     // PartitionedFiles this slice emits carry partition values of
     // exactly the arity the template's reader factory expects.
-    val pcs = table.partMetaAt(e0)
-    val payload = table.schemaAt(e0)
-    val label = s"graft-stream:$root@($s0,$e0]"
+    val pcs = table.partMetaAt(e0.version)
+    val payload = table.schemaAt(e0.version)
+    val label = s"graft-stream:$root@(${s0.json()},${e0.json()}]"
     val slice =
       if (pcs.isEmpty || payload.isEmpty)
         org.apache.spark.sql.graft.shim
@@ -103,6 +210,38 @@ class GraftMicroBatchStream(spark: SparkSession, root: String,
     }
     sb.build().toBatch.planInputPartitions()
   }
+
+  /** The files strictly between two positions — per-version
+    * path-sorted, mid-commit bounds honored on both ends.
+    */
+  private def filesBetween(s0: GraftOffset,
+                           e0: GraftOffset): Seq[(String, Long)] = {
+    val floor = if (s0.index < 0L) s0.version else s0.version - 1L
+    if (e0.version <= floor && e0.index < 0L) return Seq.empty
+    table.appendSliceByVersion(floor, e0.version).flatMap {
+      case (v, files) =>
+        val from = if (s0.index >= 0L && v == s0.version) s0.index else 0L
+        val until =
+          if (e0.index >= 0L && v == e0.version) e0.index
+          else files.length.toLong
+        files.slice(from.toInt, until.toInt)
+    }
+  }
+
+  private def capsOf(limit: ReadLimit): (Option[Int], Option[Long]) =
+    limit match {
+      case f: ReadMaxFiles => (Some(f.maxFiles()), maxBytes)
+      case b: ReadMaxBytes => (maxFiles, Some(b.maxBytes()))
+      case c: CompositeReadLimit =>
+        val fs = c.getReadLimits.collect { case f: ReadMaxFiles => f.maxFiles() }
+        val bs = c.getReadLimits.collect { case b: ReadMaxBytes => b.maxBytes() }
+        (fs.minOption.orElse(maxFiles), bs.minOption.orElse(maxBytes))
+      case _: ReadAllAvailable =>
+        // Trigger.Once hands allAvailable regardless of the default
+        // limit — Spark's documented escape hatch; honor it
+        (None, None)
+      case _ => (maxFiles, maxBytes)
+    }
 
   /** ONE factory serves every micro-batch: ParquetScan's reader
     * factory binds (schema, pushed filters, conf) — never a file

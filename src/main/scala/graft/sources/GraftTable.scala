@@ -2826,7 +2826,23 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   private[sources] def appendSliceFileSizes(sinceVersion: Long,
                                             untilVersion: Long)
-      : Seq[(String, Long)] = {
+      : Seq[(String, Long)] =
+    appendSliceByVersion(sinceVersion, untilVersion)
+      .flatMap(_._2).sortBy(_._1)
+
+  /** [[appendSliceFileSizes]] WITH the version structure kept:
+    * one (version, path-sorted files) entry per commit in (since,
+    * until]. The per-version intra-commit file ORDER is what makes a
+    * file-granular stream offset (version, fileIndex) deterministic
+    * forever — commits are immutable and the sort is total, so the
+    * same offset always names the same file across restarts (the
+    * admission-controlled source's replay contract). Metadata-only
+    * commits contribute an empty file list; non-append commits refuse
+    * (their adds are rewrites, not new data).
+    */
+  private[sources] def appendSliceByVersion(sinceVersion: Long,
+                                            untilVersion: Long)
+      : Seq[(Long, Seq[(String, Long)])] = {
     val commits = commitRange(sinceVersion, untilVersion)
     // constraint add/drop commits are metadata-only: row-neutral for
     // any feed (a stream must not die because a CHECK was added)
@@ -2837,7 +2853,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
       s"change feed undefined across non-append commits: " +
         nonAppend.map(c => s"v${c.version}=${c.action}").mkString(",") +
         " — use changeFeed() for row-level images")
-    commits.flatMap(_.adds.map(a => (s"$root/${a.path}", a.bytes))).sortBy(_._1)
+    commits.map(c => (c.version,
+      c.adds.map(a => (s"$root/${a.path}", a.bytes)).sortBy(_._1)))
   }
 
   /** The commits in (since, until∧latest], refusing a vacuumed gap:

@@ -475,4 +475,131 @@ class GraftStreamSpec extends SparkSpec {
     assert(multiset(got) == multiset(df))
     ()
   }
+
+  private def writtenBatches(out: String): Seq[String] =
+    Option(new java.io.File(out).listFiles).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(d => Option(d.listFiles).exists(
+        _.exists(_.getName.endsWith(".parquet"))))
+      .map(_.toString).sorted
+
+  test("maxFilesPerTrigger bounds each micro-batch; a bootstrap is a sequence of checkpointed batches, exactly-once across a mid-stream failure") {
+    import spark.implicits._
+    val root = freshDir("graft_stream_adm") + "/t"
+    // 8 data files across 3 commits: v1 = 3 files, v2 = 2, v3 = 3
+    val rows = (1 to 80).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    val t = GraftTable.create(spark, root,
+      rows.filter(col("id") <= 30).repartition(3))           // v1
+    t.append(rows.filter(col("id") > 30 && col("id") <= 50)
+      .repartition(2))                                       // v2
+    t.append(rows.filter(col("id") > 50).repartition(3))     // v3
+    val out = freshDir("graft_stream_adm_out")
+    val ckpt = freshDir("graft_stream_adm_ckpt")
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def drain(failAtBatch: Long): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", "3")
+        .load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (id == failAtBatch && failOnce.getAndSet(false))
+            sys.error(s"injected failure at batch $id")
+          b.write.mode("overwrite").parquet(s"$out/b$id")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // run 1 dies mid-bootstrap: batch 0 lands, batch 1's first attempt
+    // fails AFTER the offset was checkpointed — the crash-at-99% shape
+    // admission control exists for
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(failAtBatch = 1)
+    }
+    assert(writtenBatches(out).size == 1,
+      "only batch 0 should have landed before the injected failure")
+    // restart from the checkpoint: batch 1 REPLAYS deterministically
+    // (same offsets → same files), then the rest of the bootstrap
+    drain(failAtBatch = -1)
+    val dirs = writtenBatches(out)
+    // 8 files at 3 per trigger = ceil(8/3) = 3 bounded batches — not
+    // one corpus-sized batch
+    assert(dirs.size == 3, s"expected 3 bounded micro-batches, got $dirs")
+    assert(multiset(spark.read.parquet(dirs: _*)) == multiset(rows),
+      "bounded bootstrap diverged: rows lost or duplicated")
+    // tail behavior unchanged: a post-bootstrap append streams bounded
+    val more = (81 to 90).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    t.append(more.repartition(4))                            // v4
+    drain(failAtBatch = -1)
+    val dirs2 = writtenBatches(out)
+    assert(dirs2.size == 5, s"4 new files at 3/trigger = 2 more batches: $dirs2")
+    assert(multiset(spark.read.parquet(dirs2: _*)) ==
+      multiset(rows.unionByName(more)))
+    ()
+  }
+
+  test("maxBytesPerTrigger bounds by log-recorded size and always admits at least one file") {
+    import spark.implicits._
+    val root = freshDir("graft_stream_admb") + "/t"
+    val rows = (1 to 40).map(i => (i.toLong, s"x$i")).toDF("id", "v")
+    GraftTable.create(spark, root, rows.repartition(4))      // v1: 4 files
+    val out = freshDir("graft_stream_admb_out")
+    val q = spark.readStream.format("graft")
+      // 1 byte < any parquet file: the at-least-one rule must admit
+      // exactly one file per trigger instead of stalling forever
+      .option("maxBytesPerTrigger", "1")
+      .load(root)
+      .writeStream
+      .option("checkpointLocation", freshDir("graft_stream_admb_ck"))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$out/b$id")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val dirs = writtenBatches(out)
+    assert(dirs.size == 4, s"4 files at 1 oversized file/trigger: $dirs")
+    assert(multiset(spark.read.parquet(dirs: _*)) == multiset(rows))
+    ()
+  }
+
+  test("admission-controlled stream over a partitioned table restores keys on mid-commit slices") {
+    import spark.implicits._
+    val root = freshDir("graft_stream_admp") + "/t"
+    val t = GraftTable.forPath(spark, root)
+    val df = Seq(("a", 1, "India"), ("b", 2, "a=b"), ("c", 3, "ZA"))
+      .toDF("payload", "qty", "country")
+    t.appendPartitioned(df, "country")   // v1: 3 value dirs = 3 files
+    val out = freshDir("graft_stream_admp_out")
+    val q = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "1")
+      .load(root)
+      .writeStream
+      .option("checkpointLocation", freshDir("graft_stream_admp_ck"))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$out/b$id")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val dirs = writtenBatches(out)
+    // one commit, three files: the cap ends batches MID-COMMIT at the
+    // file-granular offset, and every slice still restores the key
+    // from its escaped value dir
+    assert(dirs.size == 3, s"3 files at 1/trigger: $dirs")
+    val got = spark.read.parquet(dirs: _*)
+    assert(got.columns.toSet == Set("payload", "qty", "country"))
+    assert(multiset(got) == multiset(df))
+    ()
+  }
+
+  test("stream offsets round-trip both shapes; pre-admission checkpoints stay readable") {
+    import graft.sources.GraftOffset
+    // legacy bare-number shape (what pre-admission checkpoints hold)
+    assert(GraftOffset.fromJson("7") == GraftOffset(7L, -1L))
+    assert(GraftOffset(7L).json() == "7")
+    // file-granular mid-commit shape
+    val mid = GraftOffset(4L, 2L)
+    assert(GraftOffset.fromJson(mid.json()) == mid)
+    ()
+  }
 }
