@@ -123,7 +123,12 @@ object Bench {
     // (CREATE PARTITIONED -> dynamic-partition INSERT -> CoW UPDATE
     // on the path-borne key -> catalog read, billed end-to-end once
     // per session like q91/q93/q95)
-    "q96_sql_partitioned")
+    "q96_sql_partitioned",
+    // round-15 addition: the daily-backfill lifecycle (partitioned
+    // land -> dynamic partition overwrite of one period -> replaceWhere
+    // restatement of another -> DSv2 serving read, billed end-to-end
+    // once per session like the other lifecycle entries)
+    "q97_backfill")
 
   /** 1-minute load average, -1.0 if unreadable (non-Linux). */
   private def loadavg(): Double =

@@ -666,6 +666,57 @@ object Lakehouse {
     byStatus.unionByName(byYear).orderBy("probe", "ostatus", "oyear")
   }
 
+  private val backfilled = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  // q97: DYNAMIC PARTITION OVERWRITE + replaceWhere — the daily-
+  // backfill lifecycle (round-15 verdict item 2; the reference's
+  // Master_data monthly re-land is the motivating shape): orders land
+  // hive-partitioned by year-period, then period 1996 is RESTATED
+  // dynamically — `overwritePartitionsDynamic` replaces exactly the
+  // chains present in the incoming batch, nothing hand-enumerated —
+  // and period 1997 is restated through `replaceWhere` (the predicate
+  // names the scope; rows violating it refuse before staging). Both
+  // are ONE serializable 'replace' commit each; every other period's
+  // files stay byte-identical (GraftReplaceWhereSpec pins that). The
+  // serving read is the DSv2 snapshot with the key restored by the
+  // log-backed index. A dynamic overwrite that leaked into other
+  // periods, a replaceWhere that dropped unmatched files, or a
+  // restatement applied to the wrong period cannot hash-match DuckDB
+  // replaying the same algebra on `orders`. Built once per
+  // (session, dataset); INTEGER restatement factors (2 / 3) keep the
+  // restated prices exact 2-decimal values, so the oracle's decimal
+  // cast never rounds (fractional factors hit binary-exact
+  // third-decimal-5 ties, where Spark rounds HALF_UP and DuckDB
+  // HALF_EVEN — measured 1.35/2.06 sum drift at sf0.01).
+  private def backfillTable(s: SparkSession, d: String): String =
+    backfilled.synchronized { backfilled.getOrElseUpdate(
+      s.sparkContext.applicationId + "|" + d, {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_backfill").toString + "/t"
+        val t = GraftTable.forPath(s, dir)
+        def src = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            expr("cast(date_trunc('year', o_orderdate) as date)")
+              .as("oyear"))
+        t.appendPartitioned(src, "oyear")                          // v1
+        t.overwritePartitionsDynamic(
+          src.filter(expr("year(oyear) = 1996"))
+            .withColumn("o_totalprice", col("o_totalprice") * 2.0))  // v2
+        t.replaceWhere(col("oyear") === lit("1997-01-01").cast("date"),
+          src.filter(expr("year(oyear) = 1997"))
+            .withColumn("o_totalprice", col("o_totalprice") * 3.0))  // v3
+        dir
+      }) }
+
+  def q97Backfill(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft").load(backfillTable(s, d))
+      .groupBy("oyear")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("total_price"),
+        min("o_orderkey").as("first_key"))
+      .orderBy("oyear")
+
   private val fscked = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
 
   // q92: FSCK — the out-of-band-loss repair lifecycle, oracled. The
@@ -721,6 +772,7 @@ object Lakehouse {
       .orderBy("l_returnflag")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_backfill" -> (q97Backfill _),
     "q96_sql_partitioned" -> (q96SqlPartitioned _),
     "q95_multi_partition" -> (q95MultiPartition _),
     "q94_date_partition" -> (q94DatePartition _),
@@ -764,6 +816,16 @@ object Lakehouse {
       |FROM surv ORDER BY o_orderkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q97_backfill" ->
+      """SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS oyear,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(CASE
+        |    WHEN year(o_orderdate) = 1996 THEN o_totalprice * 2
+        |    WHEN year(o_orderdate) = 1997 THEN o_totalprice * 3
+        |    ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  min(o_orderkey) AS first_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q96_sql_partitioned" ->
       """SELECT o_orderstatus AS ostatus, count(*) AS n_orders,
         |  CAST(sum(CAST(CASE WHEN o_orderstatus = 'P'

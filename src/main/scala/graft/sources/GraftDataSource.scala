@@ -195,7 +195,12 @@ object GraftDataSource {
       // staged-files commit); the path-based format deliberately
       // does NOT advertise BATCH_WRITE so df.write keeps its v1
       // atomic-commit fallback
-      if (batchWritable) { caps.add(BATCH_WRITE); caps.add(TRUNCATE); () }
+      if (batchWritable) {
+        caps.add(BATCH_WRITE); caps.add(TRUNCATE)
+        // partitionOverwriteMode=dynamic: INSERT OVERWRITE replaces
+        // exactly the incoming value-dir chains (one 'replace' commit)
+        caps.add(OVERWRITE_DYNAMIC); ()
+      }
       caps
     }
 

@@ -48,12 +48,20 @@ private[sources] class GraftWriteBuilder(spark: SparkSession, path: String,
                                          info: LogicalWriteInfo,
                                          allowBatch: Boolean = false)
     extends WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
+    with org.apache.spark.sql.connector.write.SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
   // INSERT OVERWRITE arrives as truncate() + write: the batch commit
   // becomes a serializable whole-set replace instead of an append
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
+  // under partitionOverwriteMode=dynamic the analyzer plans
+  // OverwritePartitionsDynamic instead: replace exactly the incoming
+  // value-dir chains (Spark's dynamic overwrite contract)
+  private var dynamic = false
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamic = true; this
+  }
 
   override def build(): Write = new Write
       with RequiresDistributionAndOrdering {
@@ -79,7 +87,7 @@ private[sources] class GraftWriteBuilder(spark: SparkSession, path: String,
         : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
       Array.empty
     override def toStreaming: StreamingWrite = {
-      if (overwrite) throw new UnsupportedOperationException(
+      if (overwrite || dynamic) throw new UnsupportedOperationException(
         "graft streaming writes are APPEND-mode only (Complete/Update " +
           "need a replace per epoch — use foreachBatch + overwrite/" +
           "replacePartitions)")
@@ -93,7 +101,7 @@ private[sources] class GraftWriteBuilder(spark: SparkSession, path: String,
       */
     override def toBatch: BatchWrite =
       if (allowBatch) new GraftBatchWrite(spark, path, info.schema(),
-        overwrite)
+        overwrite, dynamic)
       else throw new UnsupportedOperationException(
         "graft v2 batch writes are catalog-scoped (INSERT INTO / " +
           "CTAS); df.write.format(\"graft\") rides the v1 commit path")
@@ -140,7 +148,8 @@ private object GraftPartitionedStaging {
   * abort deletes the staged files.
   */
 private class GraftBatchWrite(spark: SparkSession, path: String,
-                              schema: StructType, overwrite: Boolean)
+                              schema: StructType, overwrite: Boolean,
+                              dynamic: Boolean = false)
     extends BatchWrite {
   private val t = GraftTable.forPath(spark, path)
   private val keys = GraftPartitionedStaging.partCols(t)
@@ -151,7 +160,9 @@ private class GraftBatchWrite(spark: SparkSession, path: String,
     else GraftPartitionedStaging.split(schema, keys)
   // fail fast at planning on an incompatible insert schema (an
   // overwrite may legitimately change the schema, like the verb —
-  // though a partitioned overwrite keeps the recorded key layout)
+  // though a partitioned overwrite keeps the recorded key layout;
+  // a DYNAMIC overwrite behaves like an append here: other
+  // partitions' files survive, so the schema must stay compatible)
   if (!overwrite) t.validateAppendSchema(payload)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
@@ -179,7 +190,8 @@ private class GraftBatchWrite(spark: SparkSession, path: String,
       case GraftStagedFiles(rels) => rels
       case _ => Seq.empty
     }
-    t.commitStagedFiles(staged, payload, tag = None, overwrite = overwrite)
+    t.commitStagedFiles(staged, payload, tag = None, overwrite = overwrite,
+      dynamic = dynamic)
     ()
   }
 

@@ -1982,6 +1982,163 @@ class GraftTable private (val s: SparkSession, val root: String) {
         partMeta = Some(pms))
     }
 
+  /** The escaped value-dir CHAIN of one relpath under the layout's
+    * ordered keys, as an exact containment token ("/c1=v1/c2=v2/") —
+    * the unit dynamic overwrite and replaceWhere address. None when
+    * the path carries no full chain (flat staging), which the
+    * partitioned-layout guards make unreachable for live files.
+    */
+  private def chainTokenOf(rel: String, pcs: Seq[String]): Option[String] = {
+    val segs = rel.split("/").dropRight(1).toSeq.collect {
+      case GraftTable.PartSegment(k, v) if pcs.contains(k) => (k, v)
+    }
+    if (segs.map(_._1) == pcs)
+      Some(segs.map { case (k, v) => s"$k=$v" }.mkString("/", "/", "/"))
+    else None
+  }
+
+  /** Filter escaped value-dir chains by a partition predicate: one
+    * driver-local row per chain (typed values, null-sentinel mapped),
+    * the predicate evaluated by Spark itself over that local frame —
+    * O(live partitions) rows, no table scan, and the evaluation
+    * semantics (null handling, casts, date comparisons) are exactly
+    * the engine's own.
+    */
+  private def evalChainPredicate(chains: Seq[String],
+                                 pms: Seq[GraftTable.PartMeta],
+                                 predicate: Column): Set[String] = {
+    if (chains.isEmpty) return Set.empty
+    val schema = StructType(
+      StructField("__chain", StringType, nullable = false) +:
+        pms.map(pm => StructField(pm.col, pm.tpe, nullable = true)))
+    val rows = chains.map { ch =>
+      val kvs = ch.split("/").collect {
+        case GraftTable.PartSegment(k, v) => (k, v)
+      }.toMap
+      val vals = pms.map { pm =>
+        val tok = kvs(pm.col)
+        if (tok == GraftTable.HiveDefaultPartition) null
+        else {
+          val raw = GraftTable.unescapePartValue(tok)
+          pm.tpe match {
+            case StringType => raw
+            case DateType => java.sql.Date.valueOf(raw)
+            case LongType => java.lang.Long.valueOf(raw.toLong)
+            case IntegerType => java.lang.Integer.valueOf(raw.toInt)
+            case ShortType => java.lang.Short.valueOf(raw.toShort)
+            case ByteType => java.lang.Byte.valueOf(raw.toByte)
+            case other => throw new IllegalStateException(
+              s"unsupported partition type ${other.catalogString}")
+          }
+        }
+      }
+      org.apache.spark.sql.Row.fromSeq(ch +: vals)
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .filter(predicate).select("__chain")
+      .collect().map(_.getString(0)).toSet
+  }
+
+  /** Delta's `replaceWhere`, partition-predicate form: every live
+    * file whose value-dir chain satisfies `predicate` is logically
+    * removed and `df`'s freshly-partitioned files take their place —
+    * ONE serializable commit, untouched partitions' files never read,
+    * rewritten, or copied. This is the daily-backfill verb
+    * [[replacePartitions]]' hand-enumerated values can't express:
+    * "restate everything in this date range" is one predicate, and on
+    * a multi-key table a conjunction (`ostatus = 'F' AND oyear = …`)
+    * addresses a single CELL of the layout — single-key scoping
+    * can't.
+    *
+    * Contract (Delta's): the predicate may reference ONLY partition
+    * columns (refused otherwise — a payload-column replaceWhere
+    * would need a row-level rewrite of matched files, which is
+    * [[deleteWhere]] + append territory); every incoming row must
+    * satisfy the predicate (refused before staging — silently landing
+    * out-of-scope rows inside a 'replace' would corrupt partitions
+    * the commit claims untouched). Rows may target chains with no
+    * live files yet (a backfill that introduces a new period replaces
+    * nothing there, it just lands). `tag` gives micro-batch replay
+    * idempotence; null for untagged.
+    */
+  def replaceWhere(predicate: Column, df: DataFrame,
+                   tag: String = null): Option[Long] =
+    tagged("replace", tag) { action =>
+      import org.apache.spark.sql.functions.{coalesce, lit, not}
+      val base = latestVersion
+      val pcs = partColsFor(base)
+      require(pcs.nonEmpty,
+        "replaceWhere needs a hive-partitioned table — on a flat table " +
+          "use overwrite() (whole-set replace) or deleteWhere() + append")
+      // unresolved-tree walk, not .references: the predicate's columns
+      // aren't bound to any plan yet
+      val refs = org.apache.spark.sql.graft.shim
+        .catalystExpression(predicate).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+        case a: org.apache.spark.sql.catalyst.expressions
+            .AttributeReference => a.name
+      }.distinct
+      val outside = refs.filterNot(r => pcs.exists(_.equalsIgnoreCase(r)))
+      require(outside.isEmpty,
+        s"replaceWhere predicate references non-partition column(s) " +
+          s"${outside.mkString(", ")} — only the layout keys " +
+          s"(${pcs.mkString(", ")}) scope a replace; rewrite payload " +
+          "rows with deleteWhere() + append or merge()")
+      val pms = partMetaOf(df, pcs)
+      requirePartConsistent(pms, base)
+      enforceConstraints(df, "replaceWhere")
+      val bad = df.filter(not(coalesce(predicate, lit(false))))
+        .limit(1).count()
+      require(bad == 0L,
+        "replaceWhere got rows violating the predicate — they would be " +
+          "silently committed outside the declared replace scope " +
+          "(Delta's replaceWhere validation)")
+      val live = resolveMeta(base).keys.toSeq
+      val matched = evalChainPredicate(
+        live.flatMap(p => chainTokenOf(p, pcs)).distinct, pms, predicate)
+      val removes = live.filter(p =>
+        chainTokenOf(p, pcs).exists(matched.contains))
+      // files of non-matching partitions survive this commit: the
+      // payload schema must stay compatible with what they carry
+      appendSchema(partitionedSchema(df, pcs), mergeSchema = false, base)
+      val adds = stagePartitioned(df, pcs)
+      commit(action, adds, removes, basedOn = Some(base),
+        stats = statsOf(adds),
+        schema = Some(partitionedSchema(df, pcs)),
+        partMeta = Some(pms))
+    }
+
+  /** Spark's `partitionOverwriteMode=dynamic` as a verb: replace
+    * exactly the value-dir chains PRESENT in `df` — the standard
+    * daily-backfill shape ("overwrite the partitions of the incoming
+    * batch, list nothing by hand") — in one serializable commit.
+    * Untouched chains' files are never read or restaged. The scope is
+    * discovered from the STAGED files themselves, so it is exactly
+    * the set of chains the incoming rows actually produced.
+    */
+  def overwritePartitionsDynamic(df: DataFrame,
+                                 tag: String = null): Option[Long] =
+    tagged("replace", tag) { action =>
+      val base = latestVersion
+      val pcs = partColsFor(base)
+      require(pcs.nonEmpty,
+        "dynamic partition overwrite needs a hive-partitioned table — " +
+          "on a flat table use overwrite() (whole-set replace)")
+      val pms = partMetaOf(df, pcs)
+      requirePartConsistent(pms, base)
+      enforceConstraints(df, "overwritePartitionsDynamic")
+      appendSchema(partitionedSchema(df, pcs), mergeSchema = false, base)
+      val adds = stagePartitioned(df, pcs)
+      val incoming = adds.map(_._1).flatMap(chainTokenOf(_, pcs)).toSet
+      val removes = resolveMeta(base).keys.toSeq.filter(p =>
+        chainTokenOf(p, pcs).exists(incoming.contains))
+      commit(action, adds, removes, basedOn = Some(base),
+        stats = statsOf(adds),
+        schema = Some(partitionedSchema(df, pcs)),
+        partMeta = Some(pms))
+    }
+
   /** Read ONLY the named partitions' live files — pruned from the
     * log, so a probe of 2 of 1000 buckets opens 2 buckets' files and
     * never lists or plans the other 998. Empty result (no such
@@ -2062,7 +2219,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
   private[sources] def commitStagedFiles(staged: Seq[String],
                                          sch: StructType,
                                          tag: Option[String] = None,
-                                         overwrite: Boolean = false)
+                                         overwrite: Boolean = false,
+                                         dynamic: Boolean = false)
       : Option[Long] = {
     val adds = staged.sorted.map { rel =>
       (rel, fs.getFileStatus(new Path(rootPath, rel)).getLen)
@@ -2093,7 +2251,30 @@ class GraftTable private (val s: SparkSession, val root: String) {
       case e: Throwable =>
         adds.foreach(a => deleteStaged(a._1)); throw e
     }
-    if (overwrite) {
+    if (dynamic) {
+      // dynamic INSERT OVERWRITE (partitionOverwriteMode=dynamic):
+      // replace exactly the value-dir chains the batch's staged files
+      // landed under — one serializable commit, untouched chains'
+      // files never read or restaged. Files staged under PHYSICAL
+      // names like an append (other partitions' files survive, so the
+      // recorded schema and mapping must keep serving them).
+      val base = latestVersion
+      val pcs = partColsFor(base)
+      if (pcs.isEmpty) {
+        adds.foreach(a => deleteStaged(a._1))
+        throw new UnsupportedOperationException(
+          "dynamic partition overwrite needs a hive-partitioned table — " +
+            "this table is flat; INSERT OVERWRITE (static) replaces it")
+      }
+      val incoming = adds.map(_._1)
+        .flatMap(p => chainTokenOf(p, pcs)).toSet
+      val removes = resolveMeta(base).keys.toSeq.filter(p =>
+        chainTokenOf(p, pcs).exists(incoming.contains))
+      Some(commit("replace", adds, removes, basedOn = Some(base),
+        stats = statsOf(adds),
+        reschema = Some(prev =>
+          appendSchema(sch, mergeSchema = false, prev))))
+    } else if (overwrite) {
       // whole-set replace (INSERT OVERWRITE): serializable like the
       // overwrite verb — any intervening commit aborts. Column
       // mapping resets with the live set, matching `overwrite`.

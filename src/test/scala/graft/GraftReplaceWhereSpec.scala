@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.GraftTable
+import java.nio.file.Files
+
+/** Dynamic partition overwrite + `replaceWhere` (round-15 verdict
+  * item 2) — the daily-backfill verbs: restate exactly the partitions
+  * a predicate (or the incoming batch itself) addresses, in ONE
+  * serializable 'replace' commit, with every untouched partition's
+  * live files BYTE-IDENTICAL afterwards (same relpaths, same sizes —
+  * never read, rewritten, or restaged).
+  */
+class GraftReplaceWhereSpec extends SparkSpec {
+
+  private def multiset(df: DataFrame) =
+    df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+
+  private def freshRoot(tag: String) =
+    Files.createTempDirectory(tag).toString + "/t"
+
+  /** The serving read: the DSv2 snapshot scan, which restores the
+    * partition columns through the log-backed file index.
+    */
+  private def serve(root: String): DataFrame =
+    spark.read.format("graft").load(root)
+
+  /** (relpath, bytes) of the live set — the byte-identity witness. */
+  private def live(t: GraftTable): Set[(String, Long)] =
+    t.liveFileMeta().map(f => (f._1, f._2)).toSet
+
+  private def seg(status: String, n: Int, price: Double) = {
+    import spark.implicits._
+    (1 to n).map(i => (s"${status}_$i", price, status))
+      .toDF("okey", "price", "status")
+  }
+
+  test("replaceWhere restates exactly the matched partition; untouched partitions' files stay byte-identical") {
+    val root = freshRoot("graft_rw")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(
+      seg("F", 5, 10.0).unionByName(seg("O", 4, 20.0))
+        .unionByName(seg("P", 3, 30.0)), "status")            // v1
+    val before = live(t)
+    val untouched = before.filterNot(_._1.contains("/status=F/"))
+    val restated = seg("F", 2, 99.0)
+    val v = t.replaceWhere(col("status") === "F", restated)
+    assert(v.contains(2L))
+    val after = live(t)
+    // every non-matched live file survived EXACTLY (path + bytes)
+    assert(untouched.subsetOf(after),
+      "replaceWhere restaged files of partitions the predicate never matched")
+    // no old F file survived
+    assert(!after.exists(f => before.contains(f) &&
+      f._1.contains("/status=F/")),
+      "replaceWhere left the replaced partition's old files live")
+    assert(multiset(serve(root)) == multiset(
+      restated.unionByName(seg("O", 4, 20.0)).unionByName(seg("P", 3, 30.0))))
+    ()
+  }
+
+  test("replaceWhere refuses rows violating the predicate, refuses payload-column predicates, and lands new chains") {
+    val root = freshRoot("graft_rw_ref")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(seg("F", 3, 10.0), "status")          // v1
+    // rows outside the declared scope: refused BEFORE staging
+    val e1 = intercept[IllegalArgumentException] {
+      t.replaceWhere(col("status") === "F",
+        seg("F", 1, 1.0).unionByName(seg("O", 1, 1.0)))
+    }
+    assert(e1.getMessage.contains("violating the predicate"), e1.getMessage)
+    assert(t.latestVersion == 1L, "a refused replace must commit nothing")
+    // payload-column predicate: partition-predicate form only
+    val e2 = intercept[IllegalArgumentException] {
+      t.replaceWhere(col("price") > 5.0, seg("F", 1, 9.0))
+    }
+    assert(e2.getMessage.contains("non-partition column"), e2.getMessage)
+    // a predicate matching NO live chain introduces the partition:
+    // nothing removed, the batch lands (backfill of a new period)
+    val before = live(t)
+    t.replaceWhere(col("status") === "Z", seg("Z", 2, 7.0))   // v2
+    assert(before.subsetOf(live(t)))
+    assert(multiset(serve(root)) ==
+      multiset(seg("F", 3, 10.0).unionByName(seg("Z", 2, 7.0))))
+    ()
+  }
+
+  test("replaceWhere addresses a single CELL of a two-key layout; every other cell stays byte-identical") {
+    import spark.implicits._
+    val root = freshRoot("graft_rw_2k")
+    val t = GraftTable.forPath(spark, root)
+    def cell(st: String, yr: String, n: Int, price: Double) =
+      (1 to n).map(i => (s"${st}_${yr}_$i", price, st,
+        java.sql.Date.valueOf(yr))).toDF("okey", "price", "ostatus", "oyear")
+    val land = cell("F", "1996-01-01", 3, 10.0)
+      .unionByName(cell("F", "1997-01-01", 2, 11.0))
+      .unionByName(cell("O", "1996-01-01", 4, 12.0))
+    t.appendPartitioned(land, Seq("ostatus", "oyear"), null)  // v1
+    val before = live(t)
+    val cellTok = "/ostatus=F/oyear=1996-01-01/"
+    val others = before.filterNot(_._1.contains(cellTok))
+    // the conjunction addresses ONE (outer, inner) cell — the shape
+    // single-key replacePartitions cannot express (r14 verdict item 6)
+    t.replaceWhere(
+      col("ostatus") === "F" &&
+        col("oyear") === lit("1996-01-01").cast("date"),
+      cell("F", "1996-01-01", 1, 99.0))                       // v2
+    val after = live(t)
+    assert(others.subsetOf(after),
+      "a cell-scoped replace restaged files outside the matched cell")
+    assert(!after.exists(f => before.contains(f) && f._1.contains(cellTok)))
+    assert(multiset(serve(root)) == multiset(
+      cell("F", "1996-01-01", 1, 99.0)
+        .unionByName(cell("F", "1997-01-01", 2, 11.0))
+        .unionByName(cell("O", "1996-01-01", 4, 12.0))))
+    // a RANGE predicate on the typed inner key spans cells: both
+    // 1996 cells replace, the 1997 cell survives byte-identical
+    val keep97 = live(t).filter(_._1.contains("/oyear=1997-01-01/"))
+    t.replaceWhere(col("oyear") < lit("1997-01-01").cast("date"),
+      cell("F", "1996-01-01", 1, 50.0)
+        .unionByName(cell("O", "1996-01-01", 1, 51.0)))       // v3
+    assert(keep97.subsetOf(live(t)))
+    assert(multiset(serve(root)) == multiset(
+      cell("F", "1996-01-01", 1, 50.0)
+        .unionByName(cell("O", "1996-01-01", 1, 51.0))
+        .unionByName(cell("F", "1997-01-01", 2, 11.0))))
+    ()
+  }
+
+  test("overwritePartitionsDynamic replaces exactly the incoming chains") {
+    val root = freshRoot("graft_dyn")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(
+      seg("F", 3, 10.0).unionByName(seg("O", 2, 20.0)), "status") // v1
+    val before = live(t)
+    val oFiles = before.filter(_._1.contains("/status=O/"))
+    // the batch carries F rows and a NEW status Z: F's chain replaces,
+    // Z's lands fresh, O — absent from the batch — is untouched
+    t.overwritePartitionsDynamic(
+      seg("F", 1, 77.0).unionByName(seg("Z", 2, 88.0)))       // v2
+    val after = live(t)
+    assert(oFiles.subsetOf(after),
+      "dynamic overwrite touched a partition absent from the batch")
+    assert(!after.exists(f => before.contains(f) &&
+      f._1.contains("/status=F/")))
+    assert(multiset(serve(root)) == multiset(
+      seg("F", 1, 77.0).unionByName(seg("O", 2, 20.0))
+        .unionByName(seg("Z", 2, 88.0))))
+    // replay idempotence rides the same tag ledger as every verb
+    assert(t.overwritePartitionsDynamic(seg("F", 1, 1.0), tag = "b1")
+      .isDefined)                                             // v3
+    assert(t.overwritePartitionsDynamic(seg("F", 9, 9.0), tag = "b1")
+      .isEmpty, "a replayed tag must no-op")
+    ()
+  }
+
+  test("SQL INSERT OVERWRITE honors partitionOverwriteMode: dynamic replaces incoming chains, static replaces the set") {
+    val root = freshRoot("graft_dyn_sql")
+    spark.conf.set("spark.sql.catalog.grw",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.sql(s"CREATE TABLE grw.`$root` (okey STRING, price DOUBLE, " +
+      "status STRING) PARTITIONED BY (status)")               // v1
+    seg("F", 3, 10.0).unionByName(seg("O", 2, 20.0))
+      .createOrReplaceTempView("rw_src1")
+    spark.sql(s"INSERT INTO grw.`$root` SELECT * FROM rw_src1") // v2
+    val t = GraftTable.forPath(spark, root)
+    val before = live(t)
+    val oFiles = before.filter(_._1.contains("/status=O/"))
+    seg("F", 1, 70.0).createOrReplaceTempView("rw_src2")
+    val mode = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.get(mode)
+    try {
+      spark.conf.set(mode, "dynamic")
+      spark.sql(s"INSERT OVERWRITE grw.`$root` SELECT * FROM rw_src2") // v3
+      assert(oFiles.subsetOf(live(t)),
+        "dynamic INSERT OVERWRITE replaced a partition absent from the batch")
+      assert(multiset(spark.sql(s"SELECT * FROM grw.`$root`")) ==
+        multiset(seg("F", 1, 70.0).unionByName(seg("O", 2, 20.0))))
+      // static mode (the default) stays a whole-set replace
+      spark.conf.set(mode, "static")
+      spark.sql(s"INSERT OVERWRITE grw.`$root` SELECT * FROM rw_src2") // v4
+      assert(multiset(spark.sql(s"SELECT * FROM grw.`$root`")) ==
+        multiset(seg("F", 1, 70.0)))
+    } finally spark.conf.set(mode, saved)
+    ()
+  }
+}
