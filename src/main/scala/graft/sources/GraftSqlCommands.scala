@@ -47,7 +47,26 @@ object GraftSqlCommands {
   private val OptimizeRe =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+TARGET\s+(\d+))?\s*;?\s*""".r
   private val OptimizeWhereRe =
-    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+WHERE\s*\(\s*(\w+)\s*(?:=\s*('[^']*'|-?\d+)|IN\s*\(([^)]*)\))\s*\)(?:\s+TARGET\s+(\d+))?\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+WHERE\s*\((.+?)\)\s*(?:ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?(?:\s+(TARGET|FILES)\s+(\d+))?\s*;?\s*""".r
+  /** One `col = v | col IN (…)` conjunct, optionally followed by
+    * `AND <rest>` — the scope grammar of OPTIMIZE WHERE, parsed
+    * sequentially so multi-key conjunctions address layout cells.
+    */
+  private val ConjRe =
+    """(?is)^\s*(\w+)\s*(?:=\s*('[^']*'|-?\d+)|IN\s*\(([^)]*)\))\s*(?:AND\s+(.+))?$""".r
+
+  private def parseScope(txt: String): Seq[(String, Seq[String])] =
+    txt match {
+      case ConjRe(c, eq, inList, rest) =>
+        val vs =
+          if (eq != null) Seq(unquote(eq))
+          else inList.split(",").toSeq.map(v => unquote(v.trim))
+            .filter(_.nonEmpty)
+        (c -> vs) +: Option(rest).map(parseScope).getOrElse(Seq.empty)
+      case _ => throw new IllegalArgumentException(
+        s"GRAFT OPTIMIZE WHERE: cannot parse scope at '$txt' — expected " +
+          "col = 'v' | col IN (…) [AND …]")
+    }
   private val ZOrderRe =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
   private val CloneRe =
@@ -95,16 +114,26 @@ object GraftSqlCommands {
         // the broader regex would otherwise reject the ZORDER suffix
         Some(GraftZOrderCommand(path, dimA, dimB,
           Option(files).map(_.toInt).getOrElse(8)))
-      case OptimizeWhereRe(path, col, eq, inList, target) =>
+      case OptimizeWhereRe(path, scopeTxt, dimA, dimB, kw, n) =>
         // partition-scoped OPTIMIZE (Delta's `OPTIMIZE ... WHERE`):
-        // values are partition tokens — quoted strings or bare
-        // integrals, single '=' or IN (...)
-        val values =
-          if (eq != null) Seq(unquote(eq))
-          else inList.split(",").toSeq.map(v => unquote(v.trim))
-            .filter(_.nonEmpty)
-        Some(GraftOptimizeWhereCommand(path, col, values,
-          Option(target).map(_.toLong).getOrElse(1L << 30)))
+        // conjuncts of `col = v | col IN (...)` — multi-key ANDs
+        // address a single cell — optionally composed with ZORDER BY
+        // to re-cluster the matched partitions in place (round 15)
+        val scope = parseScope(scopeTxt)
+        if (dimA != null) {
+          if (kw != null && kw.equalsIgnoreCase("TARGET"))
+            throw new IllegalArgumentException(
+              "GRAFT OPTIMIZE … WHERE … ZORDER BY takes FILES n, not " +
+                "TARGET — a scoped z-order rewrites every matched file")
+          Some(GraftZOrderWhereCommand(path, scope, dimA, dimB,
+            Option(n).map(_.toInt).getOrElse(8)))
+        } else {
+          if (kw != null && kw.equalsIgnoreCase("FILES"))
+            throw new IllegalArgumentException(
+              "GRAFT OPTIMIZE … WHERE takes TARGET n (bytes), not FILES")
+          Some(GraftOptimizeWhereCommand(path, scope,
+            Option(n).map(_.toLong).getOrElse(1L << 30)))
+        }
       case OptimizeRe(path, target) =>
         Some(GraftOptimizeCommand(path,
           Option(target).map(_.toLong).getOrElse(1L << 30)))
@@ -278,15 +307,33 @@ case class GraftConvertCommand(path: String,
   * byte-identical (not read, not listed). Returns the new version
   * (unchanged when nothing in scope was undersized).
   */
-case class GraftOptimizeWhereCommand(path: String, col: String,
-                                     values: Seq[String],
+case class GraftOptimizeWhereCommand(path: String,
+                                     scope: Seq[(String, Seq[String])],
                                      targetBytes: Long)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)())
   override def run(s: SparkSession): Seq[Row] =
     Seq(Row(GraftTable.forPath(s, path)
-      .compactPartitions(col, values, targetBytes)))
+      .compactPartitionsWhere(scope, targetBytes)))
+}
+
+/** `GRAFT OPTIMIZE '<p>' WHERE (…) ZORDER BY (a, b) [FILES n]`:
+  * [[GraftTable.zorderPartitions]] — re-cluster the matched
+  * partitions in place (every matched file rewritten Morton-clustered
+  * under its value-dir chain; out-of-scope files byte-identical).
+  * Returns the new version.
+  */
+case class GraftZOrderWhereCommand(path: String,
+                                   scope: Seq[(String, Seq[String])],
+                                   dimA: String, dimB: String,
+                                   numFiles: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(GraftTable.forPath(s, path)
+      .zorderPartitions(scope, dimA, dimB, numFiles)))
 }
 
 /** `GRAFT RESTORE '<path>' TO VERSION|TIMESTAMP AS OF n`: Delta's

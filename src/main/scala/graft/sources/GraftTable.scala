@@ -2856,8 +2856,22 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * single-key signature); the rewrite always preserves ALL keys.
     */
   def compactPartitioned(partCol: String, targetBytes: Long): Long =
-    compactPartitionedScoped(targetBytes, None, Seq.empty,
-      anchor = Some(partCol))
+    compactPartitionedScoped(targetBytes, Seq.empty,
+      anchor = Seq(partCol))
+
+  /** The live files EVERY scope conjunct matches (token containment
+    * per conjunct, conjuncts ANDed) — the shared scope semantics of
+    * partition-scoped OPTIMIZE and its ZORDER form. An empty scope
+    * matches everything.
+    */
+  private def scopeFilter[A](live: Seq[(String, A)],
+                             scope: Seq[(String, Seq[String])])
+      : Seq[(String, A)] = {
+    val tokenSets = scope.map { case (c, vs) => vs.map(v => partToken(c, v)) }
+    if (tokenSets.isEmpty) live
+    else live.filter(f =>
+      tokenSets.forall(_.exists(("/" + f._1).contains)))
+  }
 
   /** Partition-SCOPED OPTIMIZE (Delta's `OPTIMIZE … WHERE`): compact
     * only the partitions where `scopeCol` ∈ `values` (logical,
@@ -2867,16 +2881,26 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * ingest partition compacts without touching cold history.
     */
   def compactPartitions(scopeCol: String, values: Seq[String],
-                        targetBytes: Long): Long = {
-    require(values.nonEmpty, "partition-scoped OPTIMIZE needs values")
-    compactPartitionedScoped(targetBytes, Some(scopeCol), values,
-      anchor = Some(scopeCol))
+                        targetBytes: Long): Long =
+    compactPartitionsWhere(Seq(scopeCol -> values), targetBytes)
+
+  /** Multi-conjunct form (round 15): a live file is in scope when
+    * EVERY (col, values) conjunct matches one of its value-dir
+    * tokens — `WHERE (a = 'x' AND b = 'y')` addresses a single CELL
+    * of a two-key layout, which the single-key form could only
+    * over-approximate (it restages every `a = 'x'` cell).
+    */
+  def compactPartitionsWhere(scope: Seq[(String, Seq[String])],
+                             targetBytes: Long): Long = {
+    require(scope.nonEmpty && scope.forall(_._2.nonEmpty),
+      "partition-scoped OPTIMIZE needs a non-empty scope")
+    compactPartitionedScoped(targetBytes, scope,
+      anchor = scope.map(_._1))
   }
 
   private def compactPartitionedScoped(targetBytes: Long,
-                                       scopeCol: Option[String],
-                                       values: Seq[String],
-                                       anchor: Option[String]): Long = {
+                                       scope: Seq[(String, Seq[String])],
+                                       anchor: Seq[String]): Long = {
     require(targetBytes > 0, "targetBytes must be positive")
     import org.apache.spark.sql.functions.col
     val base = latestVersion
@@ -2886,10 +2910,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
         s"'$a' is not a partition column of the layout " +
           s"(${pcs.mkString(", ")})")
     }
-    val tokens = scopeCol.map(c => values.map(v => partToken(c, v)))
     val live = resolve(base).toSeq
-    val inScope = tokens.fold(live)(ts =>
-      live.filter(f => ts.exists(("/" + f._1).contains)))
+    val inScope = scopeFilter(live, scope)
     val small = inScope.filter(_._2 < targetBytes / 2)
     if (small.size <= 1) return base
     val smallBytes = small.map(_._2).sum
@@ -2932,6 +2954,59 @@ class GraftTable private (val s: SparkSession, val root: String) {
       s"$root/$sub", numFiles)
     val adds = listStaged(sub)
     commit(s"zorder:$dimA,$dimB", adds, live.keys.toSeq,
+      basedOn = Some(base), stats = statsOf(adds), tolerateAppends = true)
+  }
+
+  /** Partition-SCOPED OPTIMIZE ZORDER (round 15): rewrite every live
+    * file the scope matches, Morton-clustered on (dimA, dimB), and
+    * restage under the full value-dir chains — re-cluster a HOT
+    * partition in place while every out-of-scope file stays
+    * byte-identical (not read, not listed beyond the log resolution).
+    * This is the composition [[compactZOrder]] (whole-table, refuses
+    * partitioned layouts) and [[compactPartitionsWhere]] (scoped, but
+    * size-driven) individually can't express: a two-key table's
+    * `date=…/hour=…` cell accretes arrival-ordered files under
+    * streaming ingest, and the downstream slices want both payload
+    * dimensions clustered WITHIN that cell. Layout-driven like
+    * compactZOrder — ALL matched files rewrite, not just undersized
+    * ones; content-neutral (`zorder:` commit — the change feed skips
+    * it). The range exchange on the z-value spans the scope; each
+    * value-dir chain's rows land z-range-split within the chain (one
+    * chain in scope ⇒ exactly the per-partition re-cluster).
+    */
+  def zorderPartitions(scope: Seq[(String, Seq[String])], dimA: String,
+                       dimB: String, numFiles: Int): Long = {
+    require(scope.nonEmpty && scope.forall(_._2.nonEmpty),
+      "partition-scoped ZORDER needs a WHERE scope (whole-table " +
+        "z-order refuses on partitioned layouts)")
+    require(numFiles > 0, "numFiles must be positive")
+    import org.apache.spark.sql.functions.col
+    val base = latestVersion
+    val pcs = partColsFor(base)
+    scope.map(_._1).foreach { a =>
+      require(pcs.contains(a),
+        s"'$a' is not a partition column of the layout " +
+          s"(${pcs.mkString(", ")})")
+    }
+    require(!(pcs.contains(dimA) || pcs.contains(dimB)),
+      s"z-order dimensions must be payload columns — " +
+        s"'$dimA'/'$dimB' overlap the partition keys " +
+        s"(${pcs.mkString(", ")}), whose clustering the value dirs " +
+        "already provide")
+    val live = resolveMeta(base).keys.toSeq.sorted.map(p => (p, ()))
+    val inScope = scopeFilter(live, scope).map(_._1)
+    if (inScope.isEmpty) return base
+    val restored = pcs.foldLeft(
+      s.read.parquet(inScope.map(absOf): _*)) { (acc, pc) =>
+      acc.withColumn(pc, partRestore(pc, partTypeOf(pc, inScope, base)))
+    }
+    val clustered = restored
+      .withColumn("__z", ZOrderLayout.zval(col(dimA), col(dimB)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    val adds = stagePartitioned(clustered, pcs)
+    commit(s"zorder:$dimA,$dimB", adds, inScope,
       basedOn = Some(base), stats = statsOf(adds), tolerateAppends = true)
   }
 

@@ -685,4 +685,98 @@ class GraftStringPartitionSpec extends SparkSpec {
     assert(v2 == 2L, "no-op scoped OPTIMIZE must not commit")
     ()
   }
+
+  test("two-key OPTIMIZE WHERE conjunction scopes to a single cell (round 15)") {
+    val root = fresh("optwhere2k")
+    val t = GraftTable.forPath(spark, root)
+    // 2×2 cells, 4 undersized files each
+    val df = (0 until 64).map(i =>
+      (i, s"pay_$i", if (i % 2 == 0) "hot" else "cold", (i / 2) % 2))
+      .toDF("id", "payload", "seg", "bucket").repartition(4)
+    t.appendPartitioned(df, Seq("seg", "bucket"), null)
+    val before = t.liveFiles().toMap
+    val cellTok = "/seg=hot/bucket=1/"
+    val others = before.filterNot(f => ("/" + f._1).contains(cellTok))
+    val v = spark.sql(s"GRAFT OPTIMIZE '$root' WHERE " +
+      s"(seg = 'hot' AND bucket = 1) TARGET ${1L << 20}")
+      .collect().head.getLong(0)
+    assert(v == 2L)
+    val after = t.liveFiles().toMap
+    assert(after.filterNot(f => ("/" + f._1).contains(cellTok)) == others,
+      "a cell-scoped OPTIMIZE touched files outside the matched cell")
+    val cellAfter = after.keySet.filter(p => ("/" + p).contains(cellTok))
+    assert(cellAfter.size < 4 && cellAfter.nonEmpty,
+      s"matched cell should compact, has ${cellAfter.size} files")
+    // two-level restage intact: both keys still prune and restore
+    assert(t.readPartitionedColumnString("bucket", Seq("1")).get
+      .filter(col("seg") === "hot").count() == 16)
+    ()
+  }
+
+  test("scoped OPTIMIZE ZORDER BY re-clusters only the matched partition (round 15)") {
+    val root = fresh("optzw")
+    val t = GraftTable.forPath(spark, root)
+    // payload carries two scan dimensions; files land arrival-ordered
+    val df = (0 until 4096).map { i =>
+      val x = (i * 769) % 1024; val y = (i * 257) % 1024
+      (x.toLong, y.toLong, s"p_$i", if (i % 2 == 0) "hot" else "cold")
+    }.toDF("x", "y", "payload", "seg").repartition(8)
+    t.appendPartitioned(df, "seg")
+    val before = t.liveFiles().toMap
+    val coldBefore = before.filter(f => ("/" + f._1).contains("/seg=cold/"))
+    val contentBefore = multiset(
+      t.readPartitionedColumnString("seg", Seq("hot", "cold")).get)
+    val v = spark.sql(s"GRAFT OPTIMIZE '$root' WHERE (seg = 'hot') " +
+      "ZORDER BY (x, y) FILES 4").collect().head.getLong(0)
+    assert(v == 2L)
+    val after = t.liveFiles().toMap
+    // cold: byte-identical; hot: every file rewritten, z-range-split
+    assert(after.filter(f => ("/" + f._1).contains("/seg=cold/")) ==
+      coldBefore, "scoped zorder touched the unmatched partition")
+    val hotAfter = after.keySet.filter(p => ("/" + p).contains("/seg=hot/"))
+    assert(hotAfter.size == 4, s"FILES 4 should land 4 files: $hotAfter")
+    assert(hotAfter.forall(p => !before.contains(p)),
+      "scoped zorder must rewrite every matched file")
+    // content-neutral, keys restored
+    assert(multiset(t.readPartitionedColumnString("seg",
+      Seq("hot", "cold")).get) == contentBefore)
+    // the layout did what z-order promises INSIDE the cell: each
+    // rewritten file covers a compact rectangle, so per-file x-spans
+    // shrink vs the arrival-ordered landing (which spanned ~everything)
+    def spans(paths: Iterable[String]) = paths.toSeq.map { p =>
+      val r = spark.read.parquet(s"$root/$p").agg(min("x"), max("x")).head
+      r.getLong(1) - r.getLong(0)
+    }
+    val hotBefore = before.keySet.filter(p => ("/" + p).contains("/seg=hot/"))
+    assert(spans(hotAfter).sum < spans(hotBefore).sum,
+      "z-ordered files should cover tighter x-ranges than arrival order")
+    ()
+  }
+
+  test("OPTIMIZE WHERE grammar refusals are loud and specific (round 15)") {
+    val root = fresh("optref")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(
+      (0 until 8).map(i => (i, i.toLong, "s" + (i % 2)))
+        .toDF("id", "x", "seg"), "seg")
+    def msg(sql: String): String =
+      intercept[Exception](spark.sql(sql)).getMessage
+    assert(msg(s"GRAFT OPTIMIZE '$root' WHERE (seg = 's0') " +
+      "ZORDER BY (id, x) TARGET 100").contains("FILES n, not TARGET"))
+    assert(msg(s"GRAFT OPTIMIZE '$root' WHERE (seg = 's0') FILES 4")
+      .contains("TARGET n (bytes), not FILES"))
+    assert(msg(s"GRAFT OPTIMIZE '$root' WHERE (seg = 's0' AND AND x = 1) " +
+      "TARGET 100").contains("cannot parse scope"))
+    // z-order dims must be payload columns
+    val e = intercept[IllegalArgumentException] {
+      t.zorderPartitions(Seq("seg" -> Seq("s0")), "seg", "x", 4)
+    }
+    assert(e.getMessage.contains("payload columns"), e.getMessage)
+    // scope column must be a layout key
+    val e2 = intercept[IllegalArgumentException] {
+      t.compactPartitionsWhere(Seq("nope" -> Seq("1")), 1L << 20)
+    }
+    assert(e2.getMessage.contains("not a partition column"), e2.getMessage)
+    ()
+  }
 }
