@@ -290,7 +290,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val baseJson = baselinePath.map("\"" + _ + "\"").getOrElse("null")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"plans":$plans,"sf":"$sfDir","iterations":$iters,"loadavg":{"start":$loadStart,"end":$loadEnd},"contended":$contended,"suspect":$suspectJson,"baseline":$baseJson,"captured_at":"$capturedAt"}"""
+    // one-time layout/build costs the pre-warm paid (stored-artifact
+    // amortization: the timed samples are serve-only, so the artifact
+    // must carry the build side of the story too — r14 verdict item 7)
+    val buildJson = graft.tools.BuildCosts.snapshot().toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"plans":$plans,"build_costs":$buildJson,"sf":"$sfDir","iterations":$iters,"loadavg":{"start":$loadStart,"end":$loadEnd},"contended":$contended,"suspect":$suspectJson,"baseline":$baseJson,"captured_at":"$capturedAt"}"""
     // The driver's parser reads a bounded TAIL WINDOW (~2,000 chars) of
     // stdout, and the full artifact line above is ~4.5 KB — so printing
     // it last leaves the parser staring at a mid-JSON fragment (the

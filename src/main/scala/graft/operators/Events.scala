@@ -553,7 +553,8 @@ object Events {
                                       d: String): DataFrame = {
     val key = s.sparkContext.applicationId + "|" + d
     val name = bucketedLiTables.synchronized {
-      bucketedLiTables.getOrElseUpdate(key, {
+      bucketedLiTables.getOrElseUpdate(key,
+        graft.tools.BuildCosts.timed("build:li_bucketed_landing") {
         val n = "graft_li_bkt_" +
           java.lang.Long.toHexString(
             org.apache.spark.unsafe.types.UTF8String.fromString(d).hashCode()
@@ -602,7 +603,8 @@ object Events {
                                            d: String): DataFrame = {
     val key = s.sparkContext.applicationId + "|" + d
     val name = coEdgeTables.synchronized {
-      coEdgeTables.getOrElseUpdate(key, {
+      coEdgeTables.getOrElseUpdate(key,
+        graft.tools.BuildCosts.timed("build:copurchase_edge_artifact") {
         val n = "graft_coedge_bkt_" +
           java.lang.Long.toHexString(
             org.apache.spark.unsafe.types.UTF8String.fromString(d).hashCode()

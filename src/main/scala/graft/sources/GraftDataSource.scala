@@ -69,6 +69,28 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
             .readTree(j)
           (0 until r.size).map(i => r.get(i).asText)
         }.getOrElse(Seq.empty)
+    // Delta's per-write overwrite scoping options (round 15):
+    // .option("replaceWhere", "<partition predicate>") replaces
+    // exactly the matched chains; .option("partitionOverwriteMode",
+    // "dynamic") replaces exactly the incoming batch's chains. Both
+    // require Overwrite mode — on any other mode the intent would be
+    // silently dropped, so refuse loudly (Delta's rule).
+    val replaceWhereOpt = parameters.get("replaceWhere")
+    val dynamicOpt = parameters.get("partitionOverwriteMode")
+      .map { m =>
+        require(m.equalsIgnoreCase("dynamic") ||
+          m.equalsIgnoreCase("static"),
+          s"partitionOverwriteMode must be static or dynamic, got '$m'")
+        m.equalsIgnoreCase("dynamic")
+      }.getOrElse(false)
+    if ((replaceWhereOpt.isDefined || dynamicOpt) && mode != Overwrite)
+      throw new IllegalArgumentException(
+        "replaceWhere / partitionOverwriteMode=dynamic require " +
+          "mode(\"overwrite\") — on any other SaveMode the scoping " +
+          "intent would be silently dropped")
+    require(replaceWhereOpt.isEmpty || !dynamicOpt,
+      "replaceWhere and partitionOverwriteMode=dynamic are mutually " +
+        "exclusive — one names the scope, the other discovers it")
     // appends must match the table's schema (names + types, order
     // free): a mismatched commit would poison every later read —
     // s.read.parquet over a mixed file list silently takes ONE
@@ -89,6 +111,10 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
     mode match {
       case Append if partCols.nonEmpty => t.appendPartitioned(data, partCols, null)
       case Append                     => t.append(data)
+      case Overwrite if replaceWhereOpt.isDefined =>
+        t.replaceWhere(
+          org.apache.spark.sql.functions.expr(replaceWhereOpt.get), data)
+      case Overwrite if dynamicOpt    => t.overwritePartitionsDynamic(data)
       case Overwrite if exists && partCols.nonEmpty =>
         t.overwritePartitioned(data, partCols)
       case Overwrite if exists        => t.overwrite(data)

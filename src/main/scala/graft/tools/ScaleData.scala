@@ -45,6 +45,19 @@ import org.apache.spark.sql.functions._
   * events.ts reads through Tables.events' encoding normalization and
   * re-lands as plain int64 nanos — exactly what every events operator
   * consumes.
+  *
+  * PINNED LAYOUT (round 15, verdict item 5): cross-round sf1 bench
+  * comparisons were layout-confounded because a regenerated scale dir
+  * carried whatever file counts and intra-file row order the union
+  * write happened to produce (input splits vary; RangePartitioner's
+  * sample seed varies by RDD id). Every fact table now lands through
+  * an EXPLICIT hash repartition on its unique key (murmur3 — fixed
+  * across runs) with a total in-partition sort, and dims land as one
+  * sorted file — so two generations of the same source are
+  * file-for-file identical in (row count, byte size). The generation
+  * writes `MANIFEST.tsv` (table, n_files, n_rows, sorted per-file
+  * (rows, bytes) list) next to the tables; SCALE docs compare
+  * manifests to declare a cross-round capture comparable or not.
   */
 object ScaleData {
   private val Off = 1000000000L
@@ -66,13 +79,27 @@ object ScaleData {
     def read(t: String): DataFrame =
       if (t == "events") graft.Tables.events(spark, src)
       else spark.read.parquet(s"$src/$t.parquet")
+    // the pinned layout: fact tables hash-repartition on their unique
+    // sort key (deterministic murmur3 assignment) and sort within
+    // partitions (deterministic bytes); dims and events land as one
+    // sorted file. ~8 files per replica keeps per-file sizes in the
+    // source's own range at any n.
+    val sortKeys = Map(
+      "region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey"),
+      "part" -> Seq("p_partkey"), "supplier" -> Seq("s_suppkey"),
+      "customer" -> Seq("c_custkey"), "orders" -> Seq("o_orderkey"),
+      "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+      "events" -> Seq("event_id"), "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"))
     // events must land as a single FILE named events.parquet — the
     // streaming readers select it with pathGlobFilter=events.parquet,
     // which never matches part-files inside a directory of that name
-    def write(df: DataFrame, t: String): Unit =
+    def write(df0: DataFrame, t: String): Unit = {
+      val keys = sortKeys(t).map(col)
       if (t == "events") {
         val stage = s"$out/.events_stage"
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        df0.coalesce(1).sortWithinPartitions(keys: _*)
+          .write.mode("overwrite").parquet(stage)
         val dir = new java.io.File(stage)
         val part = dir.listFiles.find(_.getName.endsWith(".parquet"))
           .getOrElse(sys.error(s"no part file in $stage"))
@@ -80,7 +107,14 @@ object ScaleData {
         java.nio.file.Files.deleteIfExists(dest)
         java.nio.file.Files.move(part.toPath, dest)
         dir.listFiles.foreach(_.delete()); dir.delete()
-      } else df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      } else {
+        val dim = Seq("region", "nation", "part", "supplier").contains(t)
+        val df = if (dim) df0.coalesce(1).sortWithinPartitions(keys: _*)
+          else df0.repartition(8 * n, keys.head)
+            .sortWithinPartitions(keys: _*)
+        df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+    }
     def rep(t: String)(shift: (DataFrame, Int) => DataFrame): Unit =
       write((0 until n).map(i => shift(read(t), i)).reduce(_ unionByName _), t)
     def shiftKeys(df: DataFrame, i: Int, keys: String*): DataFrame =
@@ -112,6 +146,25 @@ object ScaleData {
         s"transform(sequence(0, ${dim - 1}), j -> cast($sign * " +
           s"element_at(embedding, 1 + (j + $shift) % $dim) as float))"))
     }
+    // the layout manifest: per table, file count + total rows + the
+    // sorted per-file (rows, bytes) list — two generations of the
+    // same source must produce byte-identical MANIFEST.tsv, the
+    // comparability witness cross-round SCALE docs cite
+    val manifest = new java.io.PrintWriter(s"$out/MANIFEST.tsv")
+    try {
+      sortKeys.keys.toSeq.sorted.foreach { t =>
+        val files =
+          if (t == "events") Seq(new java.io.File(s"$out/events.parquet"))
+          else new java.io.File(s"$out/$t.parquet").listFiles.toSeq
+            .filter(_.getName.endsWith(".parquet"))
+        val perFile = files.map { f =>
+          val rows = spark.read.parquet(f.getPath).count() // footer-only
+          (rows, f.length())
+        }.sorted
+        manifest.println(s"$t\t${perFile.size}\t${perFile.map(_._1).sum}\t" +
+          perFile.map(p => s"${p._1}:${p._2}").mkString(","))
+      }
+    } finally manifest.close()
     spark.stop()
   }
 }

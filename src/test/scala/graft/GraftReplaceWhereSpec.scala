@@ -155,6 +155,39 @@ class GraftReplaceWhereSpec extends SparkSpec {
     ()
   }
 
+  test("df.write options: replaceWhere and partitionOverwriteMode=dynamic scope the v1 overwrite") {
+    val root = freshRoot("graft_rw_v1")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(
+      seg("F", 3, 10.0).unionByName(seg("O", 2, 20.0)), "status") // v1
+    val oFiles = live(t).filter(_._1.contains("/status=O/"))
+    // Delta's writer surface: scoped overwrite by predicate
+    seg("F", 1, 42.0).write.format("graft").mode("overwrite")
+      .option("replaceWhere", "status = 'F'").save(root)          // v2
+    assert(oFiles.subsetOf(live(t)))
+    assert(multiset(serve(root)) == multiset(
+      seg("F", 1, 42.0).unionByName(seg("O", 2, 20.0))))
+    // ...and by the incoming batch's own chains
+    seg("O", 1, 43.0).write.format("graft").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").save(root)     // v3
+    assert(multiset(serve(root)) == multiset(
+      seg("F", 1, 42.0).unionByName(seg("O", 1, 43.0))))
+    // scoping options on a non-overwrite mode: loud refusal, and the
+    // two scoping forms are mutually exclusive
+    val e = intercept[Exception] {
+      seg("F", 1, 1.0).write.format("graft").mode("append")
+        .option("replaceWhere", "status = 'F'").save(root)
+    }
+    assert(e.getMessage.contains("mode(\"overwrite\")"), e.getMessage)
+    val e2 = intercept[Exception] {
+      seg("F", 1, 1.0).write.format("graft").mode("overwrite")
+        .option("replaceWhere", "status = 'F'")
+        .option("partitionOverwriteMode", "dynamic").save(root)
+    }
+    assert(e2.getMessage.contains("mutually"), e2.getMessage)
+    ()
+  }
+
   test("SQL INSERT OVERWRITE honors partitionOverwriteMode: dynamic replaces incoming chains, static replaces the set") {
     val root = freshRoot("graft_dyn_sql")
     spark.conf.set("spark.sql.catalog.grw",
