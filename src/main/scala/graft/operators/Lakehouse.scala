@@ -690,7 +690,8 @@ object Lakehouse {
   // HALF_EVEN — measured 1.35/2.06 sum drift at sf0.01).
   private def backfillTable(s: SparkSession, d: String): String =
     backfilled.synchronized { backfilled.getOrElseUpdate(
-      s.sparkContext.applicationId + "|" + d, {
+      s.sparkContext.applicationId + "|" + d,
+      graft.tools.BuildCosts.timed("build:q97_backfill_lifecycle") {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_backfill").toString + "/t"
         val t = GraftTable.forPath(s, dir)
