@@ -89,11 +89,33 @@ class GraftCdfMicroBatchStream(spark: SparkSession, root: String,
                                payload: StructType,
                                partCols: Seq[GraftTable.PartMeta],
                                options: CaseInsensitiveStringMap)
-    extends MicroBatchStream {
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow pins the run's target version at query start
+  // (the table-stream source's contract)
+  private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = Some(table.latestVersion)
+  }
 
   private val table = GraftTable.forPath(spark, root)
   private val starting =
     Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
+  // ADMISSION CONTROL — the same option surface as the table stream
+  // (a CDF bootstrap from version 0 is just as corpus-sized): offsets
+  // are file-granular positions into each version's path-sorted CDF
+  // slice, so a bounded batch may end mid-commit and the next one
+  // resumes at exactly that file. Splitting a DML commit's images
+  // across batches keeps exactly-once (immutable files, total sort) —
+  // CDF consumers are change-log-ordered, not commit-atomic.
+  private val maxFiles =
+    Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+  private val maxBytes =
+    Option(options.get("maxBytesPerTrigger")).map(_.toLong)
+  maxFiles.foreach(n => require(n > 0, s"maxFilesPerTrigger must be > 0: $n"))
+  maxBytes.foreach(b => require(b > 0, s"maxBytesPerTrigger must be > 0: $b"))
   private val partSchema = StructType(partCols.map(p =>
     org.apache.spark.sql.types.StructField(p.col, p.tpe)).toArray)
   // image files STORE the partition columns (the DML restore wrote
@@ -105,9 +127,32 @@ class GraftCdfMicroBatchStream(spark: SparkSession, root: String,
   override def initialOffset(): Offset = GraftOffset(starting)
   override def latestOffset(): Offset = GraftOffset(table.latestVersion)
   override def deserializeOffset(json: String): Offset =
-    GraftOffset(json.trim.toLong)
+    GraftOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    GraftAdmission.defaultLimit(maxFiles, maxBytes)
+
+  override def reportLatestOffset(): Offset =
+    GraftOffset(availableNowCap.getOrElse(table.latestVersion))
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val s0 = start.asInstanceOf[GraftOffset]
+    val latest = availableNowCap.getOrElse(table.latestVersion)
+    val floor = if (s0.index < 0L) s0.version else s0.version - 1L
+    if (latest <= floor) return s0
+    val (fCap, bCap) = GraftAdmission.capsOf(limit, maxFiles, maxBytes)
+    if (fCap.isEmpty && bCap.isEmpty) return GraftOffset(latest)
+    val perV = table.cdfSlices(floor, latest).map(s => (s._1, s._2))
+    val (pos, capBound) = GraftAdmission.walk(s0, perV, fCap, bCap)
+    // cdfSlices OMITS content-neutral versions, so an un-capped walk
+    // must still advance the boundary past a metadata-only tail
+    if (capBound) pos else GraftOffset(latest)
+  }
 
   /** A slice scan over DML image `files` read at `schema` (empty
     * list is fine — the explicit schema spares inference).
@@ -141,14 +186,21 @@ class GraftCdfMicroBatchStream(spark: SparkSession, root: String,
 
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
-    val s0 = start.asInstanceOf[GraftOffset].version
-    val e0 = end.asInstanceOf[GraftOffset].version
-    table.cdfSlices(s0, e0).flatMap { case (v, files, changeType) =>
-      val scan =
-        if (changeType.isDefined) appendScanOf(files)
-        else scanOf(files.map(_._1), imageSchema)
-      scan.toBatch.planInputPartitions()
-        .map(p => CdfTaggedPartition(p, changeType, v))
+    val s0 = start.asInstanceOf[GraftOffset]
+    val e0 = end.asInstanceOf[GraftOffset]
+    val floor = if (s0.index < 0L) s0.version else s0.version - 1L
+    table.cdfSlices(floor, e0.version).flatMap {
+      case (v, files, changeType) =>
+        val window = GraftAdmission.window(s0, e0, v, files)
+        if (window.isEmpty) Array.empty[InputPartition]
+        else {
+          val scan =
+            if (changeType.isDefined) appendScanOf(window)
+            else scanOf(window.map(_._1), imageSchema)
+          scan.toBatch.planInputPartitions()
+            .map(p => CdfTaggedPartition(p, changeType, v)
+              : InputPartition)
+        }
     }.toArray
   }
 

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.SupportsRead
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan}
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -86,10 +86,109 @@ object GraftOffset {
   }
 }
 
+/** The ADMISSION arithmetic both streaming sources share (the table
+  * stream and the CDF stream rate-limit identically): walk per-version
+  * path-sorted file lists from a start position, admit until a cap
+  * binds, canonicalize commit boundaries; and slice the file window a
+  * (start, end] offset pair names.
+  */
+private[sources] object GraftAdmission {
+
+  /** The effective (maxFiles, maxBytes) caps: the engine's ReadLimit
+    * vocabulary intersected with the source's own options.
+    * Trigger.Once hands allAvailable regardless of the default limit —
+    * Spark's documented escape hatch; honor it.
+    */
+  def capsOf(limit: ReadLimit, maxFiles: Option[Int],
+             maxBytes: Option[Long]): (Option[Int], Option[Long]) =
+    limit match {
+      case f: ReadMaxFiles => (Some(f.maxFiles()), maxBytes)
+      case b: ReadMaxBytes => (maxFiles, Some(b.maxBytes()))
+      case c: CompositeReadLimit =>
+        val fs = c.getReadLimits.collect { case f: ReadMaxFiles => f.maxFiles() }
+        val bs = c.getReadLimits.collect { case b: ReadMaxBytes => b.maxBytes() }
+        (fs.minOption.orElse(maxFiles), bs.minOption.orElse(maxBytes))
+      case _: ReadAllAvailable => (None, None)
+      case _ => (maxFiles, maxBytes)
+    }
+
+  /** The options' caps as Spark's ReadLimit (the default limit the
+    * engine plans with).
+    */
+  def defaultLimit(maxFiles: Option[Int],
+                   maxBytes: Option[Long]): ReadLimit = {
+    val ls = maxFiles.map(ReadLimit.maxFiles(_)).toSeq ++
+      maxBytes.map(ReadLimit.maxBytes(_)).toSeq
+    ls match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** Walk `perV` (per-version path-sorted (file, bytes)) from the
+    * position `s0`, admitting files until a cap binds. Returns
+    * (position reached, capBound): when capBound is false the caller
+    * advances the boundary to the true latest version itself (its
+    * version enumeration may omit trailing metadata-only commits).
+    * At-least-one rule: the bytes cap never blocks a batch's FIRST
+    * file. Ends are canonicalized — never index == 0 or
+    * index == nFiles — so uncapped runs emit the legacy bare-number
+    * offsets and old/new checkpoints interoperate.
+    */
+  def walk(s0: GraftOffset, perV: Seq[(Long, Seq[(String, Long)])],
+           fCap: Option[Int], bCap: Option[Long]): (GraftOffset, Boolean) = {
+    var admitted = 0L
+    var bytes = 0L
+    var pos: GraftOffset = s0
+    var stopped = false
+    perV.foreach { case (v, files) =>
+      if (!stopped) {
+        val skip = if (s0.index >= 0L && v == s0.version) s0.index.toInt else 0
+        var i = skip
+        val it = files.iterator.drop(skip)
+        while (!stopped && it.hasNext) {
+          val b = it.next()._2
+          if (fCap.exists(admitted >= _) ||
+              bCap.exists(c => admitted > 0L && bytes + b > c))
+            stopped = true
+          else { admitted += 1L; bytes += b; i += 1 }
+        }
+        if (!stopped) pos = GraftOffset(v)
+        else if (i > 0) pos = GraftOffset(v, i.toLong)
+      }
+    }
+    (pos, stopped)
+  }
+
+  /** The per-version window of files strictly between two positions
+    * (mid-commit bounds honored on both ends); entries may come back
+    * empty.
+    */
+  def window[A](s0: GraftOffset, e0: GraftOffset,
+                v: Long, files: Seq[A]): Seq[A] = {
+    val from = if (s0.index >= 0L && v == s0.version) s0.index.toInt else 0
+    val until =
+      if (e0.index >= 0L && v == e0.version) e0.index.toInt
+      else files.length
+    files.slice(from, until)
+  }
+}
+
 class GraftMicroBatchStream(spark: SparkSession, root: String,
                             options: CaseInsensitiveStringMap,
                             template: Scan)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow (Spark's bounded catch-up-then-stop): pin the
+  // run's TARGET version at query start; the admission walk then
+  // drains up to it in capped batches and the query terminates there —
+  // commits landing after the pin belong to the next run.
+  private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = Some(table.latestVersion)
+  }
 
   private val table = GraftTable.forPath(spark, root)
   private val starting =
@@ -111,17 +210,11 @@ class GraftMicroBatchStream(spark: SparkSession, root: String,
     * (and AvailableNow's catch-up planner) sees the same bounds the
     * source enforces.
     */
-  override def getDefaultReadLimit: ReadLimit = {
-    val ls = maxFiles.map(ReadLimit.maxFiles(_)).toSeq ++
-      maxBytes.map(ReadLimit.maxBytes(_)).toSeq
-    ls match {
-      case Seq() => ReadLimit.allAvailable()
-      case Seq(one) => one
-      case many => ReadLimit.compositeLimit(many.toArray)
-    }
-  }
+  override def getDefaultReadLimit: ReadLimit =
+    GraftAdmission.defaultLimit(maxFiles, maxBytes)
 
-  override def reportLatestOffset(): Offset = GraftOffset(table.latestVersion)
+  override def reportLatestOffset(): Offset =
+    GraftOffset(availableNowCap.getOrElse(table.latestVersion))
 
   /** Legacy single-arg form (MicroBatchStream's contract): the engine
     * calls the two-arg admission form when SupportsAdmissionControl is
@@ -139,40 +232,17 @@ class GraftMicroBatchStream(spark: SparkSession, root: String,
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s0 = start.asInstanceOf[GraftOffset]
-    val latest = table.latestVersion
+    val latest = availableNowCap.getOrElse(table.latestVersion)
     val floor = if (s0.index < 0L) s0.version else s0.version - 1L
     if (latest <= floor) return s0
-    val (fCap, bCap) = capsOf(limit)
+    val (fCap, bCap) = GraftAdmission.capsOf(limit, maxFiles, maxBytes)
     if (fCap.isEmpty && bCap.isEmpty)
       return GraftOffset(latest) // uncapped: everything in one batch
     val perV = table.appendSliceByVersion(floor, latest)
-    var admitted = 0L
-    var bytes = 0L
-    var pos: GraftOffset = s0
-    var stopped = false
-    perV.foreach { case (v, files) =>
-      if (!stopped) {
-        val skip = if (s0.index >= 0L && v == s0.version) s0.index.toInt else 0
-        var i = skip
-        val it = files.iterator.drop(skip)
-        while (!stopped && it.hasNext) {
-          val b = it.next()._2
-          // at-least-one rule: the bytes cap never blocks the batch's
-          // FIRST file (an oversized file must not stall the stream)
-          if (fCap.exists(admitted >= _) ||
-              bCap.exists(c => admitted > 0L && bytes + b > c))
-            stopped = true
-          else { admitted += 1L; bytes += b; i += 1 }
-        }
-        // a fully-consumed version — every file admitted, or metadata-
-        // only with none — advances the boundary (canonical bare shape);
-        // a cap mid-version ends at (v, filesServed), and a cap binding
-        // before v's first file leaves pos at the prior boundary
-        if (!stopped) pos = GraftOffset(v)
-        else if (i > 0) pos = GraftOffset(v, i.toLong)
-      }
-    }
-    pos
+    val (pos, capBound) = GraftAdmission.walk(s0, perV, fCap, bCap)
+    // perV covers every version in range (metadata-only included), so
+    // an un-capped walk has already advanced pos to the latest
+    if (capBound) pos else GraftOffset(latest)
   }
 
   override def planInputPartitions(start: Offset,
@@ -219,29 +289,9 @@ class GraftMicroBatchStream(spark: SparkSession, root: String,
     val floor = if (s0.index < 0L) s0.version else s0.version - 1L
     if (e0.version <= floor && e0.index < 0L) return Seq.empty
     table.appendSliceByVersion(floor, e0.version).flatMap {
-      case (v, files) =>
-        val from = if (s0.index >= 0L && v == s0.version) s0.index else 0L
-        val until =
-          if (e0.index >= 0L && v == e0.version) e0.index
-          else files.length.toLong
-        files.slice(from.toInt, until.toInt)
+      case (v, files) => GraftAdmission.window(s0, e0, v, files)
     }
   }
-
-  private def capsOf(limit: ReadLimit): (Option[Int], Option[Long]) =
-    limit match {
-      case f: ReadMaxFiles => (Some(f.maxFiles()), maxBytes)
-      case b: ReadMaxBytes => (maxFiles, Some(b.maxBytes()))
-      case c: CompositeReadLimit =>
-        val fs = c.getReadLimits.collect { case f: ReadMaxFiles => f.maxFiles() }
-        val bs = c.getReadLimits.collect { case b: ReadMaxBytes => b.maxBytes() }
-        (fs.minOption.orElse(maxFiles), bs.minOption.orElse(maxBytes))
-      case _: ReadAllAvailable =>
-        // Trigger.Once hands allAvailable regardless of the default
-        // limit — Spark's documented escape hatch; honor it
-        (None, None)
-      case _ => (maxFiles, maxBytes)
-    }
 
   /** ONE factory serves every micro-batch: ParquetScan's reader
     * factory binds (schema, pushed filters, conf) — never a file

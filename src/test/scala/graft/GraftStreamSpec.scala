@@ -592,6 +592,63 @@ class GraftStreamSpec extends SparkSpec {
     ()
   }
 
+  test("the CDF stream rate-limits with the same option surface; mid-commit image splits stay exactly-once") {
+    import spark.implicits._
+    val root = freshDir("graft_cdf_adm") + "/t"
+    val t = GraftTable.forPath(spark, root)
+    val df = (1 to 30).map(i => (i, s"p$i")).toDF("id", "payload")
+    t.append(df.repartition(3))                              // v1: 3 files
+    t.deleteWhere(col("id") % 3 === 0)                       // v2: images
+    val out = freshDir("graft_cdf_adm_out")
+    def drain(cap: Option[String], outDir: String, ck: String): Int = {
+      val r0 = spark.readStream.format("graft")
+        .option(graft.sources.GraftCdfStream.Options, "true")
+      val q = cap.foldLeft(r0)((r, n) => r.option("maxFilesPerTrigger", n))
+        .load(root)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/b$id")
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      writtenBatches(outDir).size
+    }
+    val nCapped = drain(Some("1"), out, freshDir("graft_cdf_adm_ck"))
+    val outU = freshDir("graft_cdf_adm_outu")
+    drain(None, outU, freshDir("graft_cdf_adm_cku"))
+    // the capped feed is the unbounded feed, just in bounded batches —
+    // including the DELETE commit's image files split across triggers
+    assert(nCapped >= 4, s"3 add files + image file(s) at 1/trigger: $nCapped")
+    assert(multiset(spark.read.parquet(writtenBatches(out): _*)) ==
+      multiset(spark.read.parquet(writtenBatches(outU): _*)),
+      "rate-limited CDF diverged from the unbounded feed")
+    ()
+  }
+
+  test("Trigger.AvailableNow respects the admission caps, then stops") {
+    import spark.implicits._
+    val root = freshDir("graft_stream_avnow") + "/t"
+    val rows = (1 to 40).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    GraftTable.create(spark, root, rows.repartition(5))      // 5 files
+    val out = freshDir("graft_stream_avnow_out")
+    val q = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "2")
+      .load(root)
+      .writeStream
+      .option("checkpointLocation", freshDir("graft_stream_avnow_ck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$out/b$id")
+        ()
+      }.start()
+    assert(q.awaitTermination(120000),
+      "AvailableNow must terminate once caught up")
+    val dirs = writtenBatches(out)
+    assert(dirs.size == 3, s"5 files at 2/trigger = 3 batches: $dirs")
+    assert(multiset(spark.read.parquet(dirs: _*)) == multiset(rows))
+    ()
+  }
+
   test("stream offsets round-trip both shapes; pre-admission checkpoints stay readable") {
     import graft.sources.GraftOffset
     // legacy bare-number shape (what pre-admission checkpoints hold)
