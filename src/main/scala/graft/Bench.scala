@@ -124,11 +124,14 @@ object Bench {
     // on the path-borne key -> catalog read, billed end-to-end once
     // per session like q91/q93/q95)
     "q96_sql_partitioned",
-    // round-15 addition: the daily-backfill lifecycle (partitioned
+    // round-15 additions: the daily-backfill lifecycle (partitioned
     // land -> dynamic partition overwrite of one period -> replaceWhere
-    // restatement of another -> DSv2 serving read, billed end-to-end
-    // once per session like the other lifecycle entries)
-    "q97_backfill")
+    // restatement of another -> DSv2 serving read) and the scoped-
+    // zorder lifecycle (fragmented land -> in-place hot-partition
+    // re-cluster -> multi-conjunct cold compact -> serving read),
+    // both billed end-to-end once per session like the other
+    // lifecycle entries
+    "q97_backfill", "q98_scoped_zorder")
 
   /** 1-minute load average, -1.0 if unreadable (non-Linux). */
   private def loadavg(): Double =
