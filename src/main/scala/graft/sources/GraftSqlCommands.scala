@@ -32,6 +32,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   GRAFT RESTORE '/data/t' TO VERSION AS OF 3     -- roll-forward undo
   *   GRAFT RESTORE '/data/t' TO TIMESTAMP AS OF 1755…  -- epoch millis
   *   GRAFT DROP FEATURE deletionVectors FOR '/data/t'  -- protocol downgrade
+  *   GRAFT REPLACE INTO '/data/t' WHERE (day = DATE '2026-01-01')
+  *     AS SELECT ...                                 -- scoped backfill
   *   GRAFT FSCK '/data/t' [DRY RUN]                 -- drop missing refs
   * }}}
   *
@@ -81,6 +83,8 @@ object GraftSqlCommands {
     """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val DropFeatureRe =
     """(?is)\s*GRAFT\s+DROP\s+FEATURE\s+(\w+)\s+FOR\s+'([^']+)'\s*;?\s*""".r
+  private val ReplaceIntoRe =
+    """(?is)\s*GRAFT\s+REPLACE\s+INTO\s+'([^']+)'\s+WHERE\s*\((.+?)\)\s+AS\s+(SELECT\b.+?)\s*;?\s*""".r
 
   /** `'v'` → `v`; bare tokens pass through (the OPTIMIZE WHERE value
     * forms).
@@ -114,6 +118,12 @@ object GraftSqlCommands {
         // the broader regex would otherwise reject the ZORDER suffix
         Some(GraftZOrderCommand(path, dimA, dimB,
           Option(files).map(_.toInt).getOrElse(8)))
+      case ReplaceIntoRe(path, pred, select) =>
+        // Databricks' `INSERT INTO … REPLACE WHERE …` as a graft
+        // statement: one serializable scoped replace fed by any SELECT
+        // (parsed and planned by Spark itself at command RUN, never at
+        // analysis — the parse-once discipline of the whole family)
+        Some(GraftReplaceIntoCommand(path, pred, select))
       case OptimizeWhereRe(path, scopeTxt, dimA, dimB, kw, n) =>
         // partition-scoped OPTIMIZE (Delta's `OPTIMIZE ... WHERE`):
         // conjuncts of `col = v | col IN (...)` — multi-key ANDs
@@ -316,6 +326,29 @@ case class GraftOptimizeWhereCommand(path: String,
   override def run(s: SparkSession): Seq[Row] =
     Seq(Row(GraftTable.forPath(s, path)
       .compactPartitionsWhere(scope, targetBytes)))
+}
+
+/** `GRAFT REPLACE INTO '<p>' WHERE (<pred>) AS SELECT …`:
+  * [[GraftTable.replaceWhere]] as a statement (Databricks'
+  * `INSERT INTO … REPLACE WHERE`): the SELECT runs through Spark's
+  * own parser/planner at command run, the predicate must reference
+  * only partition columns, incoming rows must satisfy it, untouched
+  * partitions' files stay byte-identical — the verb's whole
+  * contract, one statement. Returns the new version (null when an
+  * idempotence tag made the replay a no-op — not applicable here;
+  * the statement form is untagged).
+  */
+case class GraftReplaceIntoCommand(path: String, predicate: String,
+                                   select: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] = {
+    val df = s.sql(select)
+    val v = GraftTable.forPath(s, path)
+      .replaceWhere(org.apache.spark.sql.functions.expr(predicate), df)
+    Seq(Row(v.getOrElse(-1L)))
+  }
 }
 
 /** `GRAFT OPTIMIZE '<p>' WHERE (…) ZORDER BY (a, b) [FILES n]`:

@@ -188,6 +188,69 @@ class GraftReplaceWhereSpec extends SparkSpec {
     ()
   }
 
+  test("GRAFT REPLACE INTO ... WHERE ... AS SELECT is the statement form of replaceWhere") {
+    val root = freshRoot("graft_rw_sql")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(
+      seg("F", 3, 10.0).unionByName(seg("O", 2, 20.0)), "status") // v1
+    val oFiles = live(t).filter(_._1.contains("/status=O/"))
+    seg("F", 2, 55.0).createOrReplaceTempView("rwsql_src")
+    val v = spark.sql(s"GRAFT REPLACE INTO '$root' WHERE " +
+      "(status = 'F') AS SELECT * FROM rwsql_src")
+      .collect().head.getLong(0)
+    assert(v == 2L)
+    assert(oFiles.subsetOf(live(t)),
+      "the statement form restaged unmatched partitions")
+    assert(multiset(serve(root)) == multiset(
+      seg("F", 2, 55.0).unionByName(seg("O", 2, 20.0))))
+    // the verb's refusals surface through the statement too
+    seg("O", 1, 1.0).createOrReplaceTempView("rwsql_bad")
+    val e = intercept[Exception] {
+      spark.sql(s"GRAFT REPLACE INTO '$root' WHERE (status = 'F') " +
+        "AS SELECT * FROM rwsql_bad")
+    }
+    assert(e.getMessage.contains("violating the predicate"), e.getMessage)
+    ()
+  }
+
+  test("streaming across a replace commit refuses (rewritten rows are not new); startingVersion resumes past it") {
+    val root = freshRoot("graft_rw_stream")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(seg("F", 3, 10.0), "status")          // v1
+    t.replaceWhere(col("status") === "F", seg("F", 2, 9.0))   // v2: replace
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft").load(root)
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("rw_stream_ck").toString)
+        .format("noop").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ chain(x.getCause)
+    assert(chain(e).exists(_.contains("non-append")), chain(e).mkString("|"))
+    // a tail stream past the replace serves only post-replace appends
+    val out = freshDir("rw_stream_out")
+    t.appendPartitioned(seg("Z", 2, 1.0), "status")           // v3
+    val q2 = spark.readStream.format("graft")
+      .option("startingVersion", "2").load(root)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("rw_stream_ck2").toString)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$out/b$id")
+        ()
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(multiset(spark.read.parquet(s"$out/b0")) ==
+      multiset(seg("Z", 2, 1.0)))
+    ()
+  }
+
+  private def freshDir(tag: String) =
+    Files.createTempDirectory(tag).toString
+
   test("SQL INSERT OVERWRITE honors partitionOverwriteMode: dynamic replaces incoming chains, static replaces the set") {
     val root = freshRoot("graft_dyn_sql")
     spark.conf.set("spark.sql.catalog.grw",
