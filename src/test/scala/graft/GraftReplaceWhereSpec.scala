@@ -251,6 +251,58 @@ class GraftReplaceWhereSpec extends SparkSpec {
   private def freshDir(tag: String) =
     Files.createTempDirectory(tag).toString
 
+  test("vacuum reclaims a replaced partition's old files; replaceWhere is serializable against concurrent commits") {
+    val root = freshRoot("graft_rw_vac")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(
+      seg("F", 3, 10.0).unionByName(seg("O", 2, 20.0)), "status") // v1
+    val oldF = live(t).filter(_._1.contains("/status=F/")).map(_._1)
+    t.replaceWhere(col("status") === "F", seg("F", 1, 9.0))       // v2
+    // the replaced files are logical removes — still on disk for time
+    // travel until vacuum's horizon passes them
+    assert(oldF.forall(p => new java.io.File(s"$root/$p").exists()))
+    // zero grace: the statement form keeps the verb's 10-minute
+    // in-flight-writer protection, which would (correctly) spare
+    // these seconds-old files — the verb takes the override
+    t.vacuum(retainVersions = 1, orphanGraceMillis = 0L)
+    assert(oldF.forall(p => !new java.io.File(s"$root/$p").exists()),
+      "vacuum must reclaim the replaced partition's unreferenced files")
+    assert(multiset(serve(root)) == multiset(
+      seg("F", 1, 9.0).unionByName(seg("O", 2, 20.0))))
+    // serializability: a commit landing between the replace's snapshot
+    // and its publish is a write conflict — the replace must abort,
+    // not silently drop the interloper's files from its remove set
+    val t2 = GraftTable.forPath(spark, root)
+    val racing = new Thread(() => { t2.append(seg("O", 1, 30.0)); () })
+    // deterministic interleave: land the conflicting commit FIRST,
+    // then attempt a replace based on the stale snapshot via a fresh
+    // handle pinned before the append
+    val stale = GraftTable.forPath(spark, root)
+    stale.latestVersion // resolve the pre-append snapshot
+    racing.start(); racing.join()
+    // the replace re-reads latestVersion at entry, so to provoke the
+    // conflict we race two replaces: the second one's basedOn is stale
+    // by the time the first publishes
+    val a = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (1 to 2).map(i => new Thread(() => {
+      try { t.replaceWhere(col("status") === "F", seg("F", 1, i.toDouble))
+            a.incrementAndGet(); () }
+      catch { case e: Throwable => errs.add(e); () }
+    }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    // at least one must win; a loser (if any) must be a loud conflict,
+    // never a silent half-applied replace
+    assert(a.get() >= 1)
+    errs.forEach(e => assert(
+      (e.getMessage != null && (e.getMessage.contains("conflict") ||
+        e.getMessage.contains("concurrent"))) || a.get() == 2,
+      s"unexpected failure shape: $e"))
+    assert(serve(root).filter(col("status") === "F").count() == 1,
+      "exactly one replace outcome must be visible")
+    ()
+  }
+
   test("SQL INSERT OVERWRITE honors partitionOverwriteMode: dynamic replaces incoming chains, static replaces the set") {
     val root = freshRoot("graft_dyn_sql")
     spark.conf.set("spark.sql.catalog.grw",
