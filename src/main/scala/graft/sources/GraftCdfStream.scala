@@ -147,7 +147,7 @@ class GraftCdfMicroBatchStream(spark: SparkSession, root: String,
     if (latest <= floor) return s0
     val (fCap, bCap) = GraftAdmission.capsOf(limit, maxFiles, maxBytes)
     if (fCap.isEmpty && bCap.isEmpty) return GraftOffset(latest)
-    val perV = table.cdfSlices(floor, latest).map(s => (s._1, s._2))
+    val perV = table.cdfSliceVersions(floor, latest).map(s => (s._1, s._2))
     val (pos, capBound) = GraftAdmission.walk(s0, perV, fCap, bCap)
     // cdfSlices OMITS content-neutral versions, so an un-capped walk
     // must still advance the boundary past a metadata-only tail

@@ -136,27 +136,30 @@ private[sources] object GraftAdmission {
     * index == nFiles — so uncapped runs emit the legacy bare-number
     * offsets and old/new checkpoints interoperate.
     */
-  def walk(s0: GraftOffset, perV: Seq[(Long, Seq[(String, Long)])],
+  def walk(s0: GraftOffset, perV: Iterator[(Long, Seq[(String, Long)])],
            fCap: Option[Int], bCap: Option[Long]): (GraftOffset, Boolean) = {
     var admitted = 0L
     var bytes = 0L
     var pos: GraftOffset = s0
     var stopped = false
-    perV.foreach { case (v, files) =>
-      if (!stopped) {
-        val skip = if (s0.index >= 0L && v == s0.version) s0.index.toInt else 0
-        var i = skip
-        val it = files.iterator.drop(skip)
-        while (!stopped && it.hasNext) {
-          val b = it.next()._2
-          if (fCap.exists(admitted >= _) ||
-              bCap.exists(c => admitted > 0L && bytes + b > c))
-            stopped = true
-          else { admitted += 1L; bytes += b; i += 1 }
-        }
-        if (!stopped) pos = GraftOffset(v)
-        else if (i > 0) pos = GraftOffset(v, i.toLong)
+    // explicit while, not foreach: once the cap binds the iterator is
+    // never pulled again — with the lazy per-version sources this
+    // keeps each trigger O(admitted commits), not O(backlog), so a
+    // capped bootstrap over a long history does linear total work
+    while (!stopped && perV.hasNext) {
+      val (v, files) = perV.next()
+      val skip = if (s0.index >= 0L && v == s0.version) s0.index.toInt else 0
+      var i = skip
+      val it = files.iterator.drop(skip)
+      while (!stopped && it.hasNext) {
+        val b = it.next()._2
+        if (fCap.exists(admitted >= _) ||
+            bCap.exists(c => admitted > 0L && bytes + b > c))
+          stopped = true
+        else { admitted += 1L; bytes += b; i += 1 }
       }
+      if (!stopped) pos = GraftOffset(v)
+      else if (i > 0) pos = GraftOffset(v, i.toLong)
     }
     (pos, stopped)
   }
@@ -238,7 +241,7 @@ class GraftMicroBatchStream(spark: SparkSession, root: String,
     val (fCap, bCap) = GraftAdmission.capsOf(limit, maxFiles, maxBytes)
     if (fCap.isEmpty && bCap.isEmpty)
       return GraftOffset(latest) // uncapped: everything in one batch
-    val perV = table.appendSliceByVersion(floor, latest)
+    val perV = table.appendSliceVersions(floor, latest)
     val (pos, capBound) = GraftAdmission.walk(s0, perV, fCap, bCap)
     // perV covers every version in range (metadata-only included), so
     // an un-capped walk has already advanced pos to the latest

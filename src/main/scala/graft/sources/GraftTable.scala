@@ -3098,20 +3098,38 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   private[sources] def appendSliceByVersion(sinceVersion: Long,
                                             untilVersion: Long)
-      : Seq[(Long, Seq[(String, Long)])] = {
-    val commits = commitRange(sinceVersion, untilVersion)
-    // constraint add/drop commits are metadata-only: row-neutral for
-    // any feed (a stream must not die because a CHECK was added)
-    val nonAppend = commits.filterNot(c =>
-      c.action.startsWith("append") || c.action.startsWith("constraint:") ||
-        c.action.startsWith("protocol:"))
-    if (nonAppend.nonEmpty) throw new IllegalStateException(
-      s"change feed undefined across non-append commits: " +
-        nonAppend.map(c => s"v${c.version}=${c.action}").mkString(",") +
-        " — use changeFeed() for row-level images")
-    commits.map(c => (c.version,
-      c.adds.map(a => (s"$root/${a.path}", a.bytes)).sortBy(_._1)))
-  }
+      : Seq[(Long, Seq[(String, Long)])] =
+    appendSliceVersions(sinceVersion, untilVersion).toSeq
+
+  /** The LAZY form: commits are read (and the non-append refusal
+    * raised) only as the iterator is PULLED — what keeps an
+    * admission-capped `latestOffset` walk O(admitted commits) per
+    * trigger instead of O(remaining backlog): a 100k-commit bootstrap
+    * at maxFilesPerTrigger=small would otherwise do quadratic work
+    * across its triggers re-materializing the whole tail every time.
+    * The vacuumed-gap check stays EAGER (it's O(version list), and a
+    * gap anywhere in the range poisons the feed's determinism).
+    * Lazy refusal also matches Delta's semantics: batches BEFORE a
+    * historical rewrite still serve; the trigger that reaches the
+    * rewrite fails loudly.
+    */
+  private[sources] def appendSliceVersions(sinceVersion: Long,
+                                           untilVersion: Long)
+      : Iterator[(Long, Seq[(String, Long)])] =
+    rangeVersions(sinceVersion, untilVersion).iterator.map { v =>
+      val c = readCommit(v)
+      // constraint add/drop commits are metadata-only: row-neutral for
+      // any feed (a stream must not die because a CHECK was added)
+      if (!(c.action.startsWith("append") ||
+            c.action.startsWith("constraint:") ||
+            c.action.startsWith("protocol:")))
+        throw new IllegalStateException(
+          s"change feed undefined across non-append commits: " +
+            s"v${c.version}=${c.action} — use changeFeed() for " +
+            "row-level images")
+      (c.version,
+        c.adds.map(a => (s"$root/${a.path}", a.bytes)).sortBy(_._1))
+    }
 
   /** The commits in (since, until∧latest], refusing a vacuumed gap:
     * if vacuum dropped any commit in the range, the feed would
@@ -3119,14 +3137,22 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * non-append commit to refuse it) — throw instead of serving a
     * wrong feed.
     */
-  private def commitRange(since: Long, untilVersion: Long): Seq[Commit] = {
+  private def commitRange(since: Long, untilVersion: Long): Seq[Commit] =
+    rangeVersions(since, untilVersion).map(readCommit)
+
+  /** The gap-checked version list of (since, until∧latest] — the
+    * eager half every feed range shares (a vacuumed gap anywhere in
+    * the range poisons the feed's determinism, so it refuses before
+    * any commit is read).
+    */
+  private def rangeVersions(since: Long, untilVersion: Long): Seq[Long] = {
     val until = math.min(untilVersion, latestVersion)
     val vs = versions().filter(v => v > since && v <= until)
     val missing = ((since + 1) to until).filterNot(vs.contains)
     if (missing.nonEmpty) throw new IllegalStateException(
       s"change feed range ($since, $until] has vacuumed commits: " +
         s"v${missing.head}..v${missing.last}")
-    vs.map(readCommit)
+    vs
   }
 
   /** ROW-LEVEL CHANGE FEED (Delta CDF): every row change committed in
@@ -3201,7 +3227,16 @@ class GraftTable private (val s: SparkSession, val root: String) {
     */
   private[sources] def cdfSlices(since: Long, until: Long)
       : Seq[(Long, Seq[(String, Long)], Option[String])] =
-    commitRange(since, until).flatMap { c =>
+    cdfSliceVersions(since, until).toSeq
+
+  /** The LAZY form of [[cdfSlices]] (appendSliceVersions' rule): the
+    * admission-capped CDF walk reads only the commits it admits per
+    * trigger, and the refusal on a whole-scope rewrite fires when the
+    * walk REACHES it.
+    */
+  private[sources] def cdfSliceVersions(since: Long, until: Long)
+      : Iterator[(Long, Seq[(String, Long)], Option[String])] =
+    rangeVersions(since, until).iterator.map(readCommit).flatMap { c =>
       if (c.action.startsWith("append")) {
         val fs = c.adds.map(a => (s"$root/${a.path}", a.bytes))
           .sortBy(_._1)
