@@ -2064,12 +2064,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
   def replaceWhere(predicate: Column, df: DataFrame,
                    tag: String = null): Option[Long] =
     tagged("replace", tag) { action =>
-      import org.apache.spark.sql.functions.{coalesce, lit, not}
       val base = latestVersion
       val pcs = partColsFor(base)
-      require(pcs.nonEmpty,
-        "replaceWhere needs a hive-partitioned table — on a flat table " +
-          "use overwrite() (whole-set replace) or deleteWhere() + append")
       // unresolved-tree walk, not .references: the predicate's columns
       // aren't bound to any plan yet
       val refs = org.apache.spark.sql.graft.shim
@@ -2079,35 +2075,110 @@ class GraftTable private (val s: SparkSession, val root: String) {
         case a: org.apache.spark.sql.catalyst.expressions
             .AttributeReference => a.name
       }.distinct
-      val outside = refs.filterNot(r => pcs.exists(_.equalsIgnoreCase(r)))
-      require(outside.isEmpty,
-        s"replaceWhere predicate references non-partition column(s) " +
-          s"${outside.mkString(", ")} — only the layout keys " +
-          s"(${pcs.mkString(", ")}) scope a replace; rewrite payload " +
-          "rows with deleteWhere() + append or merge()")
-      val pms = partMetaOf(df, pcs)
-      requirePartConsistent(pms, base)
-      enforceConstraints(df, "replaceWhere")
-      val bad = df.filter(not(coalesce(predicate, lit(false))))
-        .limit(1).count()
-      require(bad == 0L,
-        "replaceWhere got rows violating the predicate — they would be " +
-          "silently committed outside the declared replace scope " +
-          "(Delta's replaceWhere validation)")
-      val live = resolveMeta(base).keys.toSeq
-      val matched = evalChainPredicate(
-        live.flatMap(p => chainTokenOf(p, pcs)).distinct, pms, predicate)
-      val removes = live.filter(p =>
-        chainTokenOf(p, pcs).exists(matched.contains))
-      // files of non-matching partitions survive this commit: the
-      // payload schema must stay compatible with what they carry
-      appendSchema(partitionedSchema(df, pcs), mergeSchema = false, base)
-      val adds = stagePartitioned(df, pcs)
-      commit(action, adds, removes, basedOn = Some(base),
-        stats = statsOf(adds),
-        schema = Some(partitionedSchema(df, pcs)),
-        partMeta = Some(pms))
+      // two regimes, Delta's exact split: a predicate over partition
+      // columns alone replaces whole value-dir CHAINS at the file
+      // level (untouched partitions never read); anything else — a
+      // payload predicate, a mixed one, or any predicate on a FLAT
+      // table — is the ROW-LEVEL form (Delta 2.0's "arbitrary
+      // replaceWhere"): matched rows rewrite copy-on-write, the new
+      // batch lands, one serializable commit
+      if (pcs.nonEmpty &&
+          refs.forall(r => pcs.exists(_.equalsIgnoreCase(r))))
+        replaceChains(action, base, pcs, predicate, df)
+      else
+        replaceRows(action, base, predicate, df)
     }
+
+  /** The file-level (partition-predicate) replaceWhere regime. */
+  private def replaceChains(action: String, base: Long, pcs: Seq[String],
+                            predicate: Column, df: DataFrame): Long = {
+    val pms = partMetaOf(df, pcs)
+    requirePartConsistent(pms, base)
+    enforceConstraints(df, "replaceWhere")
+    requireSatisfies(predicate, df)
+    val live = resolveMeta(base).keys.toSeq
+    val matched = evalChainPredicate(
+      live.flatMap(p => chainTokenOf(p, pcs)).distinct, pms, predicate)
+    val removes = live.filter(p =>
+      chainTokenOf(p, pcs).exists(matched.contains))
+    // files of non-matching partitions survive this commit: the
+    // payload schema must stay compatible with what they carry
+    appendSchema(partitionedSchema(df, pcs), mergeSchema = false, base)
+    val adds = stagePartitioned(df, pcs)
+    commit(action, adds, removes, basedOn = Some(base),
+      stats = statsOf(adds),
+      schema = Some(partitionedSchema(df, pcs)),
+      partMeta = Some(pms))
+  }
+
+  /** The ROW-LEVEL replaceWhere regime (Delta 2.0's arbitrary
+    * predicates): stats-pruned candidate discovery, an exact probe
+    * for the files that actually hold matching rows, a copy-on-write
+    * rewrite keeping each touched file's NON-matching rows (restaged
+    * under their full value-dir chains on partitioned tables), and
+    * the incoming batch — all in ONE serializable 'replace' commit.
+    * Untouched files are never read (deleteWhere's pruning,
+    * replace's atomicity). Works on flat tables too — an atomic
+    * "restate everything in this key range" needs no partition
+    * layout.
+    */
+  private def replaceRows(action: String, base: Long,
+                          predicate: Column, df: DataFrame): Long = {
+    val sc = schemaAt(base)
+    val live = resolveMeta(base)
+    val pc = partColsFor(base)
+    val cm = colmapAt(base)
+    if (pc.nonEmpty) requirePartConsistent(partMetaOf(df, pc), base)
+    enforceConstraints(df, "replaceWhere")
+    requireSatisfies(predicate, df)
+    val payloadSchema =
+      if (pc.isEmpty) org.apache.spark.sql.graft.shim.nullable(df.schema)
+      else partitionedSchema(df, pc)
+    val validated = appendSchema(payloadSchema, mergeSchema = false, base)
+    val e = physPred(
+      org.apache.spark.sql.graft.shim.catalystExpression(predicate), cm)
+    val candidates = live.toSeq.sortBy(_._1).collect {
+      case (p, m) if FileStats.mayMatch(m.stats, e) => p
+    }
+    // exact probe: only files that HOLD matching rows rewrite
+    val touched =
+      if (candidates.isEmpty) Seq.empty[String]
+      else {
+        val byName = byBaseName(live)
+        dmlRead(candidates.map(p => p -> live(p)), sc, pc,
+          keepPos = true, cm = cm).filter(predicate)
+          .select("__fn").distinct().collect().map(_.getString(0))
+          .toSeq.map(byName).sorted
+      }
+    val survivorAdds =
+      if (touched.isEmpty) Seq.empty[(String, Long)]
+      else dmlStage(dmlRead(touched.map(p => p -> live(p)), sc, pc,
+        cm = cm).filter(!predicate), pc)
+    // zero-row rewrite outputs drop (deleteWhere's rule): a fully-
+    // replaced file must shrink the live set, not leave empty shells
+    val st0 = statsOf(survivorAdds)
+    val (kept, emptied) = survivorAdds.partition(a =>
+      st0.get(a._1).flatMap(FileStats.numRows).forall(_ > 0))
+    emptied.foreach(a => fs.delete(new Path(rootPath, a._1), false))
+    val adds = kept ++ dmlStage(df, pc)
+    commit(action, adds, touched, basedOn = Some(base),
+      stats = statsOf(adds), schema = Some(validated),
+      partMeta = if (pc.isEmpty) None else Some(partMetaOf(df, pc)))
+  }
+
+  /** Delta's replaceWhere validation, shared by both regimes: rows
+    * violating the predicate refuse BEFORE staging — they would be
+    * silently committed outside the declared replace scope.
+    */
+  private def requireSatisfies(predicate: Column, df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val bad = df.filter(not(coalesce(predicate, lit(false))))
+      .limit(1).count()
+    require(bad == 0L,
+      "replaceWhere got rows violating the predicate — they would be " +
+        "silently committed outside the declared replace scope " +
+        "(Delta's replaceWhere validation)")
+  }
 
   /** Spark's `partitionOverwriteMode=dynamic` as a verb: replace
     * exactly the value-dir chains PRESENT in `df` — the standard

@@ -60,7 +60,7 @@ class GraftReplaceWhereSpec extends SparkSpec {
     ()
   }
 
-  test("replaceWhere refuses rows violating the predicate, refuses payload-column predicates, and lands new chains") {
+  test("replaceWhere refuses rows violating the predicate and lands new chains") {
     val root = freshRoot("graft_rw_ref")
     val t = GraftTable.forPath(spark, root)
     t.appendPartitioned(seg("F", 3, 10.0), "status")          // v1
@@ -71,11 +71,6 @@ class GraftReplaceWhereSpec extends SparkSpec {
     }
     assert(e1.getMessage.contains("violating the predicate"), e1.getMessage)
     assert(t.latestVersion == 1L, "a refused replace must commit nothing")
-    // payload-column predicate: partition-predicate form only
-    val e2 = intercept[IllegalArgumentException] {
-      t.replaceWhere(col("price") > 5.0, seg("F", 1, 9.0))
-    }
-    assert(e2.getMessage.contains("non-partition column"), e2.getMessage)
     // a predicate matching NO live chain introduces the partition:
     // nothing removed, the batch lands (backfill of a new period)
     val before = live(t)
@@ -83,6 +78,49 @@ class GraftReplaceWhereSpec extends SparkSpec {
     assert(before.subsetOf(live(t)))
     assert(multiset(serve(root)) ==
       multiset(seg("F", 3, 10.0).unionByName(seg("Z", 2, 7.0))))
+    ()
+  }
+
+  test("arbitrary replaceWhere (payload predicate): row-level CoW on flat AND partitioned tables") {
+    import spark.implicits._
+    // FLAT table: restate a key range atomically — no layout needed
+    val root = freshRoot("graft_rw_rows")
+    val t = GraftTable.forPath(spark, root)
+    val base = (1 to 40).map(i => (i.toLong, i * 10.0)).toDF("k", "price")
+    GraftTable.create(spark, root,
+      base.repartitionByRange(4, col("k")))                   // v1: 4 files
+    val before = live(t)
+    val restated = (11 to 20).map(i => (i.toLong, 999.0)).toDF("k", "price")
+    val v = t.replaceWhere(col("k").between(11, 20), restated) // v2
+    assert(v.contains(2L))
+    // range-staged files outside [11,20] are stats-pruned: never read,
+    // never rewritten — byte-identical
+    val untouchedAfter = live(t).intersect(before)
+    assert(untouchedAfter.nonEmpty,
+      "stats pruning should spare at least the far-range files")
+    assert(multiset(serve(root)) == multiset(
+      base.filter(!col("k").between(11, 20)).unionByName(restated)))
+    // violating rows refuse in the row-level regime too
+    val e = intercept[IllegalArgumentException] {
+      t.replaceWhere(col("k") < 5, restated)
+    }
+    assert(e.getMessage.contains("violating the predicate"), e.getMessage)
+    // PARTITIONED table, payload predicate: matched rows rewrite
+    // ACROSS partitions, survivors restage under their value dirs
+    val root2 = freshRoot("graft_rw_rows_p")
+    val t2 = GraftTable.forPath(spark, root2)
+    t2.appendPartitioned(
+      seg("F", 4, 10.0).unionByName(seg("O", 4, 50.0))
+        .unionByName(seg("F", 2, 50.0).withColumn("okey",
+          concat(lit("hi_"), col("okey")))), "status")        // v1
+    val newRows = Seq(("r1", 50.0, "F"), ("r2", 50.0, "O"))
+      .toDF("okey", "price", "status")
+    t2.replaceWhere(col("price") === 50.0, newRows)           // v2
+    assert(multiset(serve(root2)) == multiset(
+      seg("F", 4, 10.0).unionByName(newRows)))
+    // pruned reads on the restaged survivors still work
+    assert(t2.readPartitionedColumnString("status", Seq("F")).get
+      .count() == 5)
     ()
   }
 
