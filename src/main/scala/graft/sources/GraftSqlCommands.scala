@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   GRAFT OPTIMIZE '/data/t'                        -- 1 GiB target
   *   GRAFT OPTIMIZE '/data/t' TARGET 268435456
   *   GRAFT OPTIMIZE '/data/t' ZORDER BY (x, y)       -- Morton re-cluster
-  *   GRAFT OPTIMIZE '/data/t' ZORDER BY (x, y) FILES 16
+  *   GRAFT OPTIMIZE '/data/t' ZORDER BY (x, y, w) FILES 16  -- 2-4 dims
   *   GRAFT CLONE '/data/t' TO '/data/t_dev'          -- shallow clone
   *   GRAFT CLONE '/data/t' TO '/data/t_dev' VERSION AS OF 3
   *   GRAFT VACUUM '/data/t' RETAIN 48 HOURS          -- wall-clock window
@@ -49,7 +49,7 @@ object GraftSqlCommands {
   private val OptimizeRe =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+TARGET\s+(\d+))?\s*;?\s*""".r
   private val OptimizeWhereRe =
-    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+WHERE\s*\((.+?)\)\s*(?:ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?(?:\s+(TARGET|FILES)\s+(\d+))?\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+WHERE\s*\((.+?)\)\s*(?:ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)+)\s*\))?(?:\s+(TARGET|FILES)\s+(\d+))?\s*;?\s*""".r
   /** One `col = v | col IN (…)` conjunct, optionally followed by
     * `AND <rest>` — the scope grammar of OPTIMIZE WHERE, parsed
     * sequentially so multi-key conjunctions address layout cells.
@@ -70,7 +70,7 @@ object GraftSqlCommands {
           "col = 'v' | col IN (…) [AND …]")
     }
   private val ZOrderRe =
-    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)+)\s*\)(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
   private val CloneRe =
     """(?is)\s*GRAFT\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val ManifestRe =
@@ -114,9 +114,10 @@ object GraftSqlCommands {
           Option(retain).map(_.toDouble).getOrElse(2.0),
           Option(unit).forall(_.equalsIgnoreCase("VERSIONS")),
           dry != null))
-      case ZOrderRe(path, dimA, dimB, files) => // before plain OPTIMIZE:
+      case ZOrderRe(path, dimList, files) => // before plain OPTIMIZE:
         // the broader regex would otherwise reject the ZORDER suffix
-        Some(GraftZOrderCommand(path, dimA, dimB,
+        Some(GraftZOrderCommand(path,
+          dimList.split(",").toSeq.map(_.trim),
           Option(files).map(_.toInt).getOrElse(8)))
       case ReplaceIntoRe(path, pred, select) =>
         // Databricks' `INSERT INTO … REPLACE WHERE …` as a graft
@@ -124,18 +125,19 @@ object GraftSqlCommands {
         // (parsed and planned by Spark itself at command RUN, never at
         // analysis — the parse-once discipline of the whole family)
         Some(GraftReplaceIntoCommand(path, pred, select))
-      case OptimizeWhereRe(path, scopeTxt, dimA, dimB, kw, n) =>
+      case OptimizeWhereRe(path, scopeTxt, dimList, kw, n) =>
         // partition-scoped OPTIMIZE (Delta's `OPTIMIZE ... WHERE`):
         // conjuncts of `col = v | col IN (...)` — multi-key ANDs
         // address a single cell — optionally composed with ZORDER BY
         // to re-cluster the matched partitions in place (round 15)
         val scope = parseScope(scopeTxt)
-        if (dimA != null) {
+        if (dimList != null) {
           if (kw != null && kw.equalsIgnoreCase("TARGET"))
             throw new IllegalArgumentException(
               "GRAFT OPTIMIZE … WHERE … ZORDER BY takes FILES n, not " +
                 "TARGET — a scoped z-order rewrites every matched file")
-          Some(GraftZOrderWhereCommand(path, scope, dimA, dimB,
+          Some(GraftZOrderWhereCommand(path, scope,
+            dimList.split(",").toSeq.map(_.trim),
             Option(n).map(_.toInt).getOrElse(8)))
         } else {
           if (kw != null && kw.equalsIgnoreCase("FILES"))
@@ -244,12 +246,12 @@ case class GraftOptimizeCommand(path: String, targetBytes: Long)
   * swapping the live set for ~FILES Morton-clustered files whose
   * footer stats prune on BOTH dimensions. Returns the new version.
   */
-case class GraftZOrderCommand(path: String, dimA: String, dimB: String,
+case class GraftZOrderCommand(path: String, dims: Seq[String],
                               numFiles: Int) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)())
   override def run(s: SparkSession): Seq[Row] =
-    Seq(Row(GraftTable.forPath(s, path).compactZOrder(dimA, dimB, numFiles)))
+    Seq(Row(GraftTable.forPath(s, path).compactZOrder(dims, numFiles)))
 }
 
 /** `GRAFT CLONE`: [[GraftTable.cloneTo]] — the zero-copy shallow
@@ -359,14 +361,14 @@ case class GraftReplaceIntoCommand(path: String, predicate: String,
   */
 case class GraftZOrderWhereCommand(path: String,
                                    scope: Seq[(String, Seq[String])],
-                                   dimA: String, dimB: String,
+                                   dims: Seq[String],
                                    numFiles: Int)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)())
   override def run(s: SparkSession): Seq[Row] =
     Seq(Row(GraftTable.forPath(s, path)
-      .zorderPartitions(scope, dimA, dimB, numFiles)))
+      .zorderPartitions(scope, dims, numFiles)))
 }
 
 /** `GRAFT RESTORE '<path>' TO VERSION|TIMESTAMP AS OF n`: Delta's

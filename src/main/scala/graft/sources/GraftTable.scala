@@ -3007,7 +3007,13 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * driven, not size-driven — run it when downstream scans slice on
     * two columns, after ingest has accreted arrival-ordered files.
     */
-  def compactZOrder(dimA: String, dimB: String, numFiles: Int): Long = {
+  def compactZOrder(dimA: String, dimB: String, numFiles: Int): Long =
+    compactZOrder(Seq(dimA, dimB), numFiles)
+
+  /** The N-dimensional form (2 ≤ N ≤ 4 — ZOrderLayout.zvalN's bit
+    * budget): Delta's `OPTIMIZE ZORDER BY (a, b, c, …)`.
+    */
+  def compactZOrder(dims: Seq[String], numFiles: Int): Long = {
     val base = latestVersion
     val live = resolveMeta(base)
     require(live.nonEmpty, "cannot z-order an empty table")
@@ -3020,11 +3026,10 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val df = readMeta(live.toSeq, schemaAt(base), cm = colmapAt(base))
     val sub = freshSub()
     ZOrderLayout.writeZOrdered(df,
-      org.apache.spark.sql.functions.col(dimA),
-      org.apache.spark.sql.functions.col(dimB),
+      dims.map(org.apache.spark.sql.functions.col),
       s"$root/$sub", numFiles)
     val adds = listStaged(sub)
-    commit(s"zorder:$dimA,$dimB", adds, live.keys.toSeq,
+    commit(s"zorder:${dims.mkString(",")}", adds, live.keys.toSeq,
       basedOn = Some(base), stats = statsOf(adds), tolerateAppends = true)
   }
 
@@ -3046,7 +3051,12 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * chain in scope ⇒ exactly the per-partition re-cluster).
     */
   def zorderPartitions(scope: Seq[(String, Seq[String])], dimA: String,
-                       dimB: String, numFiles: Int): Long = {
+                       dimB: String, numFiles: Int): Long =
+    zorderPartitions(scope, Seq(dimA, dimB), numFiles)
+
+  /** The N-dimensional form (2 ≤ N ≤ 4 dims). */
+  def zorderPartitions(scope: Seq[(String, Seq[String])],
+                       dims: Seq[String], numFiles: Int): Long = {
     require(scope.nonEmpty && scope.forall(_._2.nonEmpty),
       "partition-scoped ZORDER needs a WHERE scope (whole-table " +
         "z-order refuses on partitioned layouts)")
@@ -3059,9 +3069,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
         s"'$a' is not a partition column of the layout " +
           s"(${pcs.mkString(", ")})")
     }
-    require(!(pcs.contains(dimA) || pcs.contains(dimB)),
+    require(!dims.exists(pcs.contains),
       s"z-order dimensions must be payload columns — " +
-        s"'$dimA'/'$dimB' overlap the partition keys " +
+        s"'${dims.mkString("','")}' overlap the partition keys " +
         s"(${pcs.mkString(", ")}), whose clustering the value dirs " +
         "already provide")
     val live = resolveMeta(base).keys.toSeq.sorted.map(p => (p, ()))
@@ -3072,12 +3082,12 @@ class GraftTable private (val s: SparkSession, val root: String) {
       acc.withColumn(pc, partRestore(pc, partTypeOf(pc, inScope, base)))
     }
     val clustered = restored
-      .withColumn("__z", ZOrderLayout.zval(col(dimA), col(dimB)))
+      .withColumn("__z", ZOrderLayout.zvalN(dims.map(col)))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
     val adds = stagePartitioned(clustered, pcs)
-    commit(s"zorder:$dimA,$dimB", adds, inScope,
+    commit(s"zorder:${dims.mkString(",")}", adds, inScope,
       basedOn = Some(base), stats = statsOf(adds), tolerateAppends = true)
   }
 

@@ -49,6 +49,55 @@ object ZOrderLayout {
   def zval(a: Column, b: Column): Column =
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
 
+  // ---- N-dimensional spreads (round 15): the standard 3-D (21 bits,
+  // stride 3) and 4-D (16 bits, stride 4) magic-mask interleaves —
+  // the same shift/mask closed forms as the 2-D spread, so an N-dim
+  // z-value stays pure codegen'd column arithmetic (no UDF, no loop).
+
+  private val Spread3Masks = Seq(
+    32 -> 0x001f00000000ffffL,
+    16 -> 0x001f0000ff0000ffL,
+    8  -> 0x100f00f00f00f00fL,
+    4  -> 0x10c30c30c30c30c3L,
+    2  -> 0x1249249249249249L)
+
+  /** Spread the low 21 bits into positions 0, 3, 6, … */
+  private def spread3(c: Column): Column =
+    Spread3Masks.foldLeft(c.bitwiseAND(lit(0x1fffffL))) {
+      case (x, (s, m)) => x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
+    }
+
+  private val Spread4Masks = Seq(
+    24 -> 0x000000ff000000ffL,
+    12 -> 0x000f000f000f000fL,
+    6  -> 0x0303030303030303L,
+    3  -> 0x1111111111111111L)
+
+  /** Spread the low 16 bits into positions 0, 4, 8, … */
+  private def spread4(c: Column): Column =
+    Spread4Masks.foldLeft(c.bitwiseAND(lit(0xffffL))) {
+      case (x, (s, m)) => x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
+    }
+
+  /** The N-dimensional z-value (2 ≤ N ≤ 4): dim i's bits land at
+    * positions i, i+N, i+2N, …. Per-dim bit budget shrinks with N
+    * (31/21/16) — the usual Morton trade, and also why the refusal
+    * stops at 4: past that, footer stats stop being selective on any
+    * dimension and the layout buys nothing (Delta's own guidance).
+    */
+  def zvalN(dims: Seq[Column]): Column = {
+    require(dims.size >= 2 && dims.size <= 4,
+      s"ZORDER BY takes 2 to 4 dimensions, got ${dims.size} — past 4, " +
+        "per-dimension bits (and footer-stat selectivity) collapse")
+    dims.size match {
+      case 2 => zval(dims(0), dims(1))
+      case 3 => dims.zipWithIndex.map { case (c, i) =>
+        shiftleft(spread3(c), i): Column }.reduce(_ bitwiseOR _)
+      case _ => dims.zipWithIndex.map { case (c, i) =>
+        shiftleft(spread4(c), i): Column }.reduce(_ bitwiseOR _)
+    }
+  }
+
   /** Write `df` parquet z-ordered on (dimA, dimB) into ~numFiles
     * files: one range exchange on the z-value (sampled split points →
     * balanced files regardless of skew), an in-partition sort so
@@ -57,7 +106,12 @@ object ZOrderLayout {
     */
   def writeZOrdered(df: DataFrame, dimA: Column, dimB: Column,
                     outDir: String, numFiles: Int): Unit =
-    df.withColumn("__z", zval(dimA, dimB))
+    writeZOrdered(df, Seq(dimA, dimB), outDir, numFiles)
+
+  /** The N-dimensional form (2 ≤ N ≤ 4 columns). */
+  def writeZOrdered(df: DataFrame, dims: Seq[Column],
+                    outDir: String, numFiles: Int): Unit =
+    df.withColumn("__z", zvalN(dims))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
