@@ -734,7 +734,8 @@ object Lakehouse {
   // plain algebra on `orders`. Built once per (session, dataset).
   private def zorderedTable(s: SparkSession, d: String): String =
     zordered.synchronized { zordered.getOrElseUpdate(
-      s.sparkContext.applicationId + "|" + d, {
+      s.sparkContext.applicationId + "|" + d,
+      graft.tools.BuildCosts.timed("build:q98_zorder_lifecycle") {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_zorder98").toString + "/t"
         val t = GraftTable.forPath(s, dir)
