@@ -111,10 +111,18 @@ class GraftDataSource extends org.apache.spark.sql.connector.catalog.TableProvid
     mode match {
       case Append if partCols.nonEmpty => t.appendPartitioned(data, partCols, null)
       case Append                     => t.append(data)
-      case Overwrite if replaceWhereOpt.isDefined =>
-        t.replaceWhere(
-          org.apache.spark.sql.functions.expr(replaceWhereOpt.get), data)
-      case Overwrite if dynamicOpt    => t.overwritePartitionsDynamic(data)
+      case Overwrite if replaceWhereOpt.isDefined || dynamicOpt =>
+        // scoped overwrite of a table that does not exist yet would
+        // hit the verbs on an empty log (latestVersion 0, no recorded
+        // layout) and fail with a baffling message — refuse explicitly
+        if (!exists) throw new IllegalStateException(
+          s"no graft table at $path — replaceWhere / " +
+            "partitionOverwriteMode=dynamic scope an overwrite of an " +
+            "EXISTING table; create it first (plain overwrite/append)")
+        if (replaceWhereOpt.isDefined)
+          t.replaceWhere(
+            org.apache.spark.sql.functions.expr(replaceWhereOpt.get), data)
+        else t.overwritePartitionsDynamic(data)
       case Overwrite if exists && partCols.nonEmpty =>
         t.overwritePartitioned(data, partCols)
       case Overwrite if exists        => t.overwrite(data)

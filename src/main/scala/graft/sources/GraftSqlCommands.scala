@@ -55,15 +55,34 @@ object GraftSqlCommands {
     * sequentially so multi-key conjunctions address layout cells.
     */
   private val ConjRe =
-    """(?is)^\s*(\w+)\s*(?:=\s*('[^']*'|-?\d+)|IN\s*\(([^)]*)\))\s*(?:AND\s+(.+))?$""".r
+    """(?is)^\s*(\w+)\s*(?:=\s*('[^']*'|-?\d+)|IN\s*\(((?:'[^']*'|[^)'])*)\))\s*(?:AND\s+(.+))?$""".r
+
+  /** Quote-aware IN-list split: a quoted value may contain ',' or
+    * ')' (`IN ('a,b', 'x)y')`) — a bare split(",") would tokenize it
+    * wrong and the misread scope would silently no-op. Commas split
+    * only OUTSIDE quotes; an unterminated quote refuses loudly.
+    */
+  private def splitInList(txt: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    txt.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case ',' if !inQ => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (inQ) throw new IllegalArgumentException(
+      s"GRAFT OPTIMIZE WHERE: unterminated quote in IN-list ($txt)")
+    out += cur.toString
+    out.toSeq.map(v => unquote(v.trim)).filter(_.nonEmpty)
+  }
 
   private def parseScope(txt: String): Seq[(String, Seq[String])] =
     txt match {
       case ConjRe(c, eq, inList, rest) =>
         val vs =
           if (eq != null) Seq(unquote(eq))
-          else inList.split(",").toSeq.map(v => unquote(v.trim))
-            .filter(_.nonEmpty)
+          else splitInList(inList)
         (c -> vs) +: Option(rest).map(parseScope).getOrElse(Seq.empty)
       case _ => throw new IllegalArgumentException(
         s"GRAFT OPTIMIZE WHERE: cannot parse scope at '$txt' — expected " +

@@ -2082,11 +2082,21 @@ class GraftTable private (val s: SparkSession, val root: String) {
       // table — is the ROW-LEVEL form (Delta 2.0's "arbitrary
       // replaceWhere"): matched rows rewrite copy-on-write, the new
       // batch lands, one serializable commit
-      if (pcs.nonEmpty &&
-          refs.forall(r => pcs.exists(_.equalsIgnoreCase(r))))
-        replaceChains(action, base, pcs, predicate, df)
-      else
-        replaceRows(action, base, predicate, df)
+      // persist across the validate-then-stage window: constraints,
+      // requireSatisfies and staging each re-execute the plan — a
+      // non-deterministic batch (rand(), re-read mutable source)
+      // could otherwise PASS validation and then stage different
+      // rows, violating the predicate the commit claims enforced
+      // (Delta enforces replaceWhere on the same evaluation it writes)
+      val pinned = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (pcs.nonEmpty &&
+            refs.forall(r => pcs.exists(_.equalsIgnoreCase(r))))
+          replaceChains(action, base, pcs, predicate, pinned)
+        else
+          replaceRows(action, base, predicate, pinned)
+      } finally { pinned.unpersist(); () }
     }
 
   /** The file-level (partition-predicate) replaceWhere regime. */
@@ -2150,10 +2160,14 @@ class GraftTable private (val s: SparkSession, val root: String) {
           .select("__fn").distinct().collect().map(_.getString(0))
           .toSeq.map(byName).sorted
       }
+    // survivors = rows NOT matching — which includes rows where the
+    // predicate evaluates NULL (Delta keeps them via
+    // Not(EqualNullSafe(cond, true))); a bare !predicate would
+    // silently DROP null-evaluating rows from the CoW rewrite
     val survivorAdds =
       if (touched.isEmpty) Seq.empty[(String, Long)]
       else dmlStage(dmlRead(touched.map(p => p -> live(p)), sc, pc,
-        cm = cm).filter(!predicate), pc)
+        cm = cm).filter(notMatching(predicate)), pc)
     // zero-row rewrite outputs drop (deleteWhere's rule): a fully-
     // replaced file must shrink the live set, not leave empty shells
     val st0 = statsOf(survivorAdds)
@@ -2164,6 +2178,16 @@ class GraftTable private (val s: SparkSession, val root: String) {
     commit(action, adds, touched, basedOn = Some(base),
       stats = statsOf(adds), schema = Some(validated),
       partMeta = if (pc.isEmpty) None else Some(partMetaOf(df, pc)))
+  }
+
+  /** The DML survivor filter: rows where `pred` is FALSE **or NULL**
+    * — SQL's three-valued logic means `!pred` alone would silently
+    * drop null-evaluating rows from a CoW rewrite. Delta expresses
+    * the same set as `Not(EqualNullSafe(cond, true))`.
+    */
+  private def notMatching(pred: Column): Column = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    not(coalesce(pred, lit(false)))
   }
 
   /** Delta's replaceWhere validation, shared by both regimes: rows
@@ -2523,7 +2547,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
       .toSeq.map(byName).sorted
     if (touched.isEmpty) return base
     val touchedDf = dmlRead(touched.map(p => p -> live(p)), sc, pc, cm = cm)
-    val survivors = touchedDf.filter(!pred)
+    // null-evaluating rows SURVIVE a delete (Delta's
+    // Not(EqualNullSafe(cond, true))) — !pred would drop them
+    val survivors = touchedDf.filter(notMatching(pred))
     val adds0 = dmlStage(survivors, pc)
     val st = statsOf(adds0)
     // drop ZERO-ROW rewrite outputs (a fully-deleted file, a truncate):

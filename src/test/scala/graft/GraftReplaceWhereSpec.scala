@@ -341,6 +341,55 @@ class GraftReplaceWhereSpec extends SparkSpec {
     ()
   }
 
+  test("row-level replaceWhere and deleteWhere KEEP rows whose predicate evaluates NULL (round-16 ADVICE)") {
+    import spark.implicits._
+    // one file holding a matching row AND null-predicate rows: a bare
+    // !pred survivor filter would silently DROP the nulls in the CoW
+    // rewrite (three-valued logic); Delta keeps them via
+    // Not(EqualNullSafe(cond, true))
+    def mixed = Seq(("a", Option(50.0)), ("b", Option.empty[Double]),
+      ("c", Option(10.0)), ("d", Option.empty[Double]))
+      .toDF("okey", "price").coalesce(1)
+    val root1 = freshRoot("graft_rw_null")
+    val t1 = GraftTable.forPath(spark, root1)
+    t1.append(mixed)                                          // v1
+    t1.replaceWhere(col("price") === 50.0,
+      Seq(("a2", Option(50.0))).toDF("okey", "price"))        // v2
+    assert(multiset(serve(root1)) == multiset(
+      Seq(("a2", Option(50.0)), ("b", Option.empty[Double]),
+        ("c", Option(10.0)), ("d", Option.empty[Double]))
+        .toDF("okey", "price")),
+      "row-level replaceWhere dropped null-predicate survivors")
+    val root2 = freshRoot("graft_del_null")
+    val t2 = GraftTable.forPath(spark, root2)
+    t2.append(mixed)                                          // v1
+    t2.deleteWhere(col("price") === 50.0)                     // v2
+    assert(multiset(serve(root2)) == multiset(
+      Seq(("b", Option.empty[Double]), ("c", Option(10.0)),
+        ("d", Option.empty[Double])).toDF("okey", "price")),
+      "deleteWhere dropped null-predicate survivors")
+    ()
+  }
+
+  test("df.write scoped overwrite of a nonexistent table refuses loudly instead of hitting an empty log") {
+    val root = freshRoot("graft_rw_nx")
+    val e = intercept[Exception] {
+      seg("F", 1, 1.0).write.format("graft").mode("overwrite")
+        .option("replaceWhere", "status = 'F'").save(root)
+    }
+    assert(e.getMessage != null && e.getMessage.contains("no graft table"),
+      s"wrong refusal shape: $e")
+    val e2 = intercept[Exception] {
+      seg("F", 1, 1.0).write.format("graft").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").save(root)
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("no graft table"),
+      s"wrong refusal shape: $e2")
+    // nothing half-created
+    assert(GraftTable.forPath(spark, root).latestVersion == 0L)
+    ()
+  }
+
   test("SQL INSERT OVERWRITE honors partitionOverwriteMode: dynamic replaces incoming chains, static replaces the set") {
     val root = freshRoot("graft_dyn_sql")
     spark.conf.set("spark.sql.catalog.grw",

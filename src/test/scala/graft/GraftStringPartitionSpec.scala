@@ -686,6 +686,33 @@ class GraftStringPartitionSpec extends SparkSpec {
     ()
   }
 
+  test("OPTIMIZE WHERE values containing ',' or ')' scope correctly — quote-aware IN-list (round-16 ADVICE)") {
+    val root = fresh("optwhereq")
+    val t = GraftTable.forPath(spark, root)
+    val df = (0 until 32).map(i =>
+      (i, s"pay_$i", if (i % 2 == 0) "a,b" else "x)y"))
+      .toDF("id", "payload", "seg").repartition(4)
+    t.appendPartitioned(df, "seg")
+    // a bare split(",") would tokenize 'a,b' into ['a, b'] and the
+    // misread scope would silently no-op (no commit)
+    val v = spark.sql(
+      s"GRAFT OPTIMIZE '$root' WHERE (seg IN ('a,b')) TARGET ${1L << 20}")
+      .collect().head.getLong(0)
+    assert(v == 2L, "quoted-comma IN value must scope, not silently no-op")
+    // a ')' inside a quoted equality value must not terminate the scope
+    val v2 = spark.sql(
+      s"GRAFT OPTIMIZE '$root' WHERE (seg = 'x)y') TARGET ${1L << 20}")
+      .collect().head.getLong(0)
+    assert(v2 == 3L, "quoted-paren value must scope, not silently no-op")
+    assert(t.read().count() == 32)
+    // unterminated quote refuses loudly, never a misread scope
+    val e = intercept[Exception] {
+      spark.sql(s"GRAFT OPTIMIZE '$root' WHERE (seg IN ('a,b)) TARGET 99")
+    }
+    assert(e.getMessage != null, s"expected loud refusal: $e")
+    ()
+  }
+
   test("two-key OPTIMIZE WHERE conjunction scopes to a single cell (round 15)") {
     val root = fresh("optwhere2k")
     val t = GraftTable.forPath(spark, root)
