@@ -31,14 +31,15 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * user wrote):
   *   - UPDATE: any SET columns / predicate the verb accepts
   *     (expressions evaluate against the OLD row, SQL semantics);
-  *   - MERGE: the upsert shape — single equi-key ON, unconditional
-  *     `WHEN MATCHED THEN UPDATE SET` whose assignments all copy the
-  *     same-named source column, optional unconditional
-  *     `WHEN NOT MATCHED THEN INSERT` of every column (absent ⇒ the
-  *     source is pre-filtered to matched keys, update-only);
-  *   - refused: conditional clauses, `WHEN MATCHED THEN DELETE`
-  *     (use `DELETE FROM`), `WHEN NOT MATCHED BY SOURCE`, non-equi
-  *     or multi-key ON, cross-column assignments.
+  *   - MERGE (round 16 — the FULL Delta clause surface, routed into
+  *     [[GraftTable.mergeInto]]): `WHEN MATCHED [AND cond] THEN
+  *     UPDATE/DELETE` (several, ordered), `WHEN NOT MATCHED [AND
+  *     cond] THEN INSERT` (absent columns NULL-fill), `WHEN NOT
+  *     MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE`; arbitrary
+  *     cross-side expressions in conditions and assignments; ON may
+  *     be a conjunction of same-named equi-keys;
+  *   - refused: non-equi / differently-named ON keys (the CoW key
+  *     probe needs an equi-key), `WITH SCHEMA EVOLUTION`.
   */
 class GraftRowLevelSql(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -105,82 +106,65 @@ class GraftRowLevelSql(spark: SparkSession) extends Rule[LogicalPlan] {
             } =>
       val path = graftPath(m.targetTable).get
       val targetAttrs = m.targetTable.outputSet
-      val targetCols = m.targetTable.output.map(_.name)
+      if (m.withSchemaEvolution)
+        refuse("MERGE ... WITH SCHEMA EVOLUTION — evolve the table " +
+          "first (mergeSchema append), then merge")
 
-      // ON must be a single equi-key between same-named columns
-      val key = m.mergeCondition match {
+      // ON: a conjunction of same-named equi-keys (the CoW key probe
+      // prunes and joins on them)
+      def keysOf(e: Expression): Seq[String] = e match {
+        case And(l, r) => keysOf(l) ++ keysOf(r)
         case EqualTo(l, r) =>
           (attrName(l), attrName(r)) match {
-            case (Some(a), Some(b)) if a.equalsIgnoreCase(b) => a
-            case _ => refuse(s"MERGE ON must equate one same-named " +
-              s"column of target and source, got ${m.mergeCondition.sql}")
+            case (Some(a), Some(b)) if a.equalsIgnoreCase(b) => Seq(a)
+            case _ => refuse("MERGE ON equalities must pair same-named " +
+              s"target/source columns, got ${e.sql}")
           }
-        case other => refuse("MERGE ON must be a single equality, got " +
-          other.sql)
+        case other => refuse("MERGE ON must be a conjunction of " +
+          s"same-named column equalities, got ${other.sql}")
       }
+      val keys = keysOf(m.mergeCondition).distinct
 
-      // an assignment is a plain same-named copy from the SOURCE side
-      def strip(e: Expression): Expression = e match {
-        case Alias(c, _) => strip(c)
-        case Cast(c, _, _, _) => strip(c)
-        case other => other
+      // every clause expression re-renders under mergeInto's alias
+      // convention: target attrs → `t.<col>`, source attrs → `s.<col>`
+      def qualify(e: Expression): Expression = e.transform {
+        case a: AttributeReference =>
+          if (targetAttrs.contains(a)) UnresolvedAttribute(Seq("t", a.name))
+          else UnresolvedAttribute(Seq("s", a.name))
       }
-      def isCopy(a: Assignment): Boolean = strip(a.value) match {
-        case ar: AttributeReference =>
-          attrName(a.key).exists(_.equalsIgnoreCase(ar.name)) &&
-            !targetAttrs.contains(ar)
-        case _ => false
-      }
+      def qcol(e: Expression) = shim.column(qualify(e))
+      def setOf(as: Seq[Assignment], what: String) = as.map { a =>
+        val n = attrName(a.key).getOrElse(refuse(
+          s"$what target must be a plain column, got ${a.key.sql}"))
+        n -> qcol(a.value)
+      }.toMap
 
-      if (m.notMatchedBySourceActions.nonEmpty)
-        refuse("WHEN NOT MATCHED BY SOURCE is not supported")
-      m.matchedActions match {
-        case Seq(UpdateAction(None, as, _)) =>
-          val bad = as.filterNot(isCopy)
-          if (bad.nonEmpty) refuse("WHEN MATCHED UPDATE assignments " +
-            "must copy the same-named source column (the upsert " +
-            s"shape); got ${bad.map(_.sql).mkString(", ")}")
-        case Seq(UpdateAction(Some(c), _, _)) =>
-          refuse(s"conditional WHEN MATCHED AND ${c.sql} — the verb " +
-            "has no per-clause conditions")
-        case Seq(DeleteAction(_)) =>
-          refuse("WHEN MATCHED THEN DELETE — use DELETE FROM " +
-            "(SupportsDelete) for key-scoped deletes")
-        case other => refuse(s"exactly one unconditional WHEN MATCHED " +
-          s"THEN UPDATE is required, got ${other.size} matched clauses")
+      val matchedCl: Seq[MergeClauses.Matched] = m.matchedActions.map {
+        case UpdateAction(c, as, _) =>
+          MergeClauses.MatchedUpdate(c.map(qcol), setOf(as, "UPDATE SET"))
+        case DeleteAction(c) => MergeClauses.MatchedDelete(c.map(qcol))
+        case other => refuse(s"WHEN MATCHED action ${other.getClass
+          .getSimpleName} is not UPDATE/DELETE")
       }
-      val insert = m.notMatchedActions match {
-        case Seq() => false
-        case Seq(InsertAction(None, as)) =>
-          val bad = as.filterNot(isCopy)
-          if (bad.nonEmpty) refuse("WHEN NOT MATCHED INSERT must " +
-            "insert every column from its same-named source column; " +
-            s"got ${bad.map(_.sql).mkString(", ")}")
-          val covered = as.flatMap(a => attrName(a.key))
-            .map(_.toLowerCase).toSet
-          val missing = targetCols.filterNot(c =>
-            covered(c.toLowerCase))
-          if (missing.nonEmpty) refuse("WHEN NOT MATCHED INSERT must " +
-            s"cover every target column; missing ${missing.mkString(",")}")
-          true
-        case Seq(InsertAction(Some(c), _)) =>
-          refuse(s"conditional WHEN NOT MATCHED AND ${c.sql}")
-        case other => refuse(s"at most one WHEN NOT MATCHED clause, " +
-          s"got ${other.size}")
+      val notMatchedCl = m.notMatchedActions.map {
+        case InsertAction(c, as) =>
+          MergeClauses.NotMatchedInsert(c.map(qcol), setOf(as, "INSERT"))
+        case other => refuse(s"WHEN NOT MATCHED action ${other.getClass
+          .getSimpleName} is not INSERT")
       }
+      val bySourceCl: Seq[MergeClauses.BySource] =
+        m.notMatchedBySourceActions.map {
+          case UpdateAction(c, as, _) => MergeClauses.BySourceUpdate(
+            c.map(qcol), setOf(as, "NOT MATCHED BY SOURCE UPDATE SET"))
+          case DeleteAction(c) => MergeClauses.BySourceDelete(c.map(qcol))
+          case other => refuse(s"WHEN NOT MATCHED BY SOURCE action " +
+            s"${other.getClass.getSimpleName} is not UPDATE/DELETE")
+        }
       val source = m.sourceTable
       GraftSqlDmlCommand(s"graft MERGE $path", { s =>
-        import org.apache.spark.sql.functions.col
-        val src0 = shim.dataFrame(s, source)
-          .select(targetCols.map(col).toIndexedSeq: _*)
-        val t = GraftTable.forPath(s, path)
-        val src =
-          if (insert) src0
-          // no INSERT clause: update-only — keep source keys that
-          // already exist (one key-column scan of the target)
-          else src0.join(t.read().select(col(key)).distinct(),
-            Seq(key), "left_semi")
-        t.merge(src, key); ()
+        GraftTable.forPath(s, path).mergeInto(
+          shim.dataFrame(s, source), keys,
+          matchedCl, notMatchedCl, bySourceCl); ()
       })
 
     case _ => plan

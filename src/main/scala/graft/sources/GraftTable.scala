@@ -2849,6 +2849,275 @@ class GraftTable private (val s: SparkSession, val root: String) {
       tolerateAppends = true, readFiles = candidates)
   }
 
+  /** Conditional multi-clause MERGE — Delta's FULL `MERGE INTO`
+    * clause surface ([[merge]] covers only the unconditional SET-all
+    * upsert): `WHEN MATCHED [AND cond] THEN UPDATE/DELETE` (several,
+    * ordered, first-match-wins), `WHEN NOT MATCHED [AND cond] THEN
+    * INSERT`, and `WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+    * UPDATE/DELETE`. The reference's approval flow is the motivating
+    * statement — only PENDING rows may transition
+    * (`ApprovalEditData` app.py:5336, `approve-tag-equipment`
+    * app.py:5706). Expression convention: see [[MergeClauses]]
+    * (`t.<col>` / `s.<col>`).
+    *
+    * Copy-on-write, same discipline as [[merge]]:
+    *   1. STATS PRUNE — matched-side candidates from the batch's
+    *      per-key [min,max]; by-source candidates from the OR of the
+    *      by-source conditions (an unconditional by-source clause
+    *      must scan every file: "unmatched-ness" is not
+    *      stats-expressible — Delta's behavior);
+    *   2. EXACT PROBE — only files really holding a matched key (or
+    *      a by-source-eligible row) rewrite;
+    *   3. ONE serializable commit — per-clause predicates fold into
+    *      a single per-row action CASE over the touched-file scan
+    *      joined (broadcast — the batch is endpoint-sized) to the
+    *      source; deletes drop, updates rewrite, inserts append.
+    * Per-outcome CDF images (update_pre/postimage, delete, insert)
+    * stage for [[changeFeed]]. A source with duplicate keys matching
+    * one target row refuses (Delta's multiple-match error). Returns
+    * the committed version, or `base` when no row changed.
+    */
+  def mergeInto(source: DataFrame, keys: Seq[String],
+                matched: Seq[MergeClauses.Matched] = Seq.empty,
+                notMatched: Seq[MergeClauses.NotMatchedInsert] = Seq.empty,
+                notMatchedBySource: Seq[MergeClauses.BySource] = Seq.empty,
+                cdfImages: Boolean = true): Long = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, max, min, when}
+    import MergeClauses._
+    val base = latestVersion
+    require(base > 0, s"no graft table at $root — append the batch instead")
+    val sc = schemaAt(base)
+    val liveM = resolveMeta(base)
+    partColsFor(base).headOption.foreach { p =>
+      throw new IllegalArgumentException(
+        s"table is hive-partitioned on '$p' — merged rows could move " +
+          "across partitions; use replacePartitions (the partition-scoped " +
+          "merge the streaming sinks run) instead")
+    }
+    require(keys.nonEmpty, "mergeInto needs at least one ON key")
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "mergeInto needs at least one clause")
+    val schema = sc.getOrElse(throw new IllegalStateException(
+      s"table at $root has no recorded schema"))
+    val tNames = schema.fieldNames.toSeq
+    val tSet = tNames.map(_.toLowerCase).toSet
+    keys.foreach { k =>
+      require(tSet(k.toLowerCase), s"merge key '$k' is not a table column")
+      require(source.columns.exists(_.equalsIgnoreCase(k)),
+        s"merge key '$k' is not a source column")
+    }
+    def checkCols(m: Map[String, Column], what: String): Unit =
+      m.keys.foreach(c => require(tSet(c.toLowerCase),
+        s"$what names '$c', not a table column"))
+    matched.foreach { case MatchedUpdate(_, set) =>
+      checkCols(set, "WHEN MATCHED UPDATE SET"); case _ => }
+    notMatched.foreach(c => checkCols(c.values, "WHEN NOT MATCHED INSERT"))
+    notMatchedBySource.foreach { case BySourceUpdate(_, set) =>
+      checkCols(set, "WHEN NOT MATCHED BY SOURCE UPDATE SET"); case _ => }
+    val cm = colmapAt(base)
+    val byName = byBaseName(liveM)
+    def probeFiles(paths: Seq[String]) =
+      readMeta(paths.map(p => p -> liveM(p)), sc, keepPos = true, cm = cm)
+
+    // 1a. matched-side stats prune: conjunction of per-key batch
+    // ranges. The probe set is needed whenever matched OR notMatched
+    // clauses exist — even with no matched clause, the insert
+    // anti-join must know which source keys already live in the table
+    val aggs = keys.flatMap(k =>
+      Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
+    val range = source.agg(aggs.head, aggs.tail: _*).head
+    val srcEmpty = range.isNullAt(0)
+    val keyCandidates =
+      if (srcEmpty || (matched.isEmpty && notMatched.isEmpty)) Seq.empty[String]
+      else {
+        val keyPred = keys.zipWithIndex.map { case (k, i) =>
+          col(k) >= lit(range.get(2 * i)) && col(k) <= lit(range.get(2 * i + 1))
+        }.reduce(_ && _)
+        val e = physPred(
+          org.apache.spark.sql.graft.shim.catalystExpression(keyPred), cm)
+        liveM.toSeq.sortBy(_._1).collect {
+          case (p, m) if FileStats.mayMatch(m.stats, e) => p
+        }
+      }
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    // 2a. exact probe: files really holding a matched key
+    val matchedKeyFiles =
+      if (keyCandidates.isEmpty) Seq.empty[String]
+      else probeFiles(keyCandidates)
+        .join(broadcast(srcKeys), keys)
+        .select("__fn").distinct().collect().map(_.getString(0))
+        .toSeq.map(byName).sorted
+    // 1b+2b. by-source side: prune on the OR of the clause conditions
+    // where every clause HAS one (an unconditional clause forces the
+    // full scan — "unmatched-ness" is not stats-expressible); then
+    // exact-probe rows that are key-absent AND clause-eligible
+    def stripT(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+      org.apache.spark.sql.graft.shim.catalystExpression(c).transform {
+        case org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute(parts) if parts.length > 1 =>
+          org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute(Seq(parts.last))
+      }
+    val (bsCandidates, touchedBySource) =
+      if (notMatchedBySource.isEmpty) (Seq.empty[String], Seq.empty[String])
+      else {
+        val conds = notMatchedBySource.map(_.condition)
+        val cands =
+          if (conds.exists(_.isEmpty)) liveM.keys.toSeq.sorted
+          else {
+            val e = physPred(conds.flatten.map(stripT).reduce(
+              org.apache.spark.sql.catalyst.expressions.Or(_, _)), cm)
+            liveM.toSeq.sortBy(_._1).collect {
+              case (p, m) if FileStats.mayMatch(m.stats, e) => p
+            }
+          }
+        if (cands.isEmpty) (cands, Seq.empty[String])
+        else {
+          val eligible = conds.map(_.getOrElse(lit(true))).reduce(_ || _)
+          (cands, probeFiles(cands).alias("t")
+            .join(broadcast(srcKeys), keys, "left_anti")
+            .filter(eligible)
+            .select("__fn").distinct().collect().map(_.getString(0))
+            .toSeq.map(byName).sorted)
+        }
+      }
+    // only matched-clause rewrites touch the key-holding files; with
+    // notMatched alone they are read (for the anti-join) but survive
+    val touched = ((if (matched.nonEmpty) matchedKeyFiles
+                    else Seq.empty) ++ touchedBySource).distinct.sorted
+    if (touched.isEmpty && (srcEmpty || notMatched.isEmpty)) return base
+
+    // 3. one joined pass: per-row action CASE over touched ⟕ source
+    val srcMarked = source.withColumn("__s_exists", lit(true))
+    val joined0 = probeFiles(touched).alias("t")
+      .join(broadcast(srcMarked.alias("s")),
+        keys.map(k => col(s"t.$k") === col(s"s.$k"))
+          .reduceOption(_ && _).getOrElse(lit(false)), "left_outer")
+    val isMatched = coalesce(col("s.__s_exists"), lit(false))
+    val ordered: Seq[(String, Column, Option[Map[String, Column]])] =
+      matched.zipWithIndex.map {
+        case (MatchedUpdate(c, set), i) =>
+          (s"u$i", isMatched && c.getOrElse(lit(true)), Some(set))
+        case (MatchedDelete(c), i) =>
+          (s"d$i", isMatched && c.getOrElse(lit(true)), None)
+      } ++ notMatchedBySource.zipWithIndex.map {
+        case (BySourceUpdate(c, set), i) =>
+          (s"bu$i", !isMatched && c.getOrElse(lit(true)), Some(set))
+        case (BySourceDelete(c), i) =>
+          (s"bd$i", !isMatched && c.getOrElse(lit(true)), None)
+      }
+    val action = ordered.foldRight(lit("keep")) { case ((tag, cnd, _), acc) =>
+      when(cnd, lit(tag)).otherwise(acc)
+    }
+    val joined = joined0.withColumn("__action", action)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Delta's multiple-match refusal: a target ROW (identified by
+      // its (file, position)) hit by >1 source rows cannot
+      // deterministically update/delete
+      if (matched.nonEmpty) {
+        val dup = joined.filter(isMatched)
+          .groupBy(col("t.__fn"), col("t.__ri"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+          .limit(1).count()
+        require(dup == 0L, "MERGE found a target row matched by " +
+          "multiple source rows — the update/delete outcome would be " +
+          "nondeterministic (Delta's multiple-match refusal); " +
+          "de-duplicate the source on the ON keys first")
+      }
+      val updateTags = ordered.collect {
+        case (tag, _, Some(_)) => tag }.toSet
+      val deleteTags = ordered.collect {
+        case (tag, _, None) => tag }.toSet
+      val setOf = ordered.collect {
+        case (tag, _, Some(set)) => tag -> set }.toMap
+      def outCol(f: org.apache.spark.sql.types.StructField): Column = {
+        val keep: Column = col(s"t.${f.name}")
+        setOf.foldLeft(keep) { case (acc, (tag, set)) =>
+          set.find(_._1.equalsIgnoreCase(f.name)).map(_._2) match {
+            case Some(v) => when(col("__action") === tag,
+              v.cast(f.dataType)).otherwise(acc)
+            case None => acc
+          }
+        }.as(f.name)
+      }
+      val survivors = joined
+        .filter(!col("__action").isin(deleteTags.toSeq: _*))
+        .select(schema.fields.map(outCol).toIndexedSeq: _*)
+      // inserts: source keys absent from the table — any key present
+      // anywhere lives in a matchedKeyFiles file by probe
+      // construction, so the anti-join set is one key-column-only
+      // (pruned, pushed-down) scan of those files. First eligible
+      // NOT MATCHED clause wins; absent columns insert NULL
+      val inserts =
+        if (notMatched.isEmpty || srcEmpty) None
+        else {
+          val presentKeys =
+            if (matchedKeyFiles.isEmpty)
+              srcKeys.limit(0) // nothing present: every source key inserts
+            else readMeta(matchedKeyFiles.map(p => p -> liveM(p)), sc,
+              cm = cm).select(keys.map(col): _*)
+              .join(broadcast(srcKeys), keys, "left_semi").distinct()
+          val unmatched = srcMarked.alias("s")
+            .join(broadcast(presentKeys), keys, "left_anti")
+          val iact = notMatched.zipWithIndex.foldRight(lit(-1)) {
+            case ((NotMatchedInsert(c, _), i), acc) =>
+              when(c.getOrElse(lit(true)), lit(i)).otherwise(acc)
+          }
+          def insCol(f: org.apache.spark.sql.types.StructField): Column =
+            notMatched.zipWithIndex.foldRight(
+              lit(null).cast(f.dataType): Column) { case ((cl, i), acc) =>
+              cl.values.find(_._1.equalsIgnoreCase(f.name)).map(_._2) match {
+                case Some(v) => when(col("__iact") === i,
+                  v.cast(f.dataType)).otherwise(acc)
+                case None => acc
+              }
+            }.as(f.name)
+          Some(unmatched.withColumn("__iact", iact)
+            .filter(col("__iact") >= 0)
+            .select(schema.fields.map(insCol).toIndexedSeq: _*))
+        }
+      val outRows = inserts.map(survivors.unionByName(_)).getOrElse(survivors)
+      enforceConstraints(outRows, "merge")
+      val adds = stage(outRows)
+      val st0 = statsOf(adds)
+      // zero-row rewrite outputs drop (deleteWhere's rule); and an
+      // insert-only merge that inserted nothing publishes no commit
+      val (kept, emptied) = adds.partition(a =>
+        st0.get(a._1).flatMap(FileStats.numRows).forall(_ > 0))
+      emptied.foreach(a => fs.delete(new Path(rootPath, a._1), false))
+      if (touched.isEmpty && kept.isEmpty) return base
+      val cdf =
+        if (!cdfImages) Seq.empty
+        else {
+          val tCols = schema.fields.map(f =>
+            col(s"t.${f.name}").as(f.name)).toIndexedSeq
+          val pre = joined
+            .filter(col("__action").isin(updateTags.toSeq: _*))
+            .select(tCols: _*)
+            .withColumn(ChangeTypeCol, lit("update_preimage"))
+          val post = joined
+            .filter(col("__action").isin(updateTags.toSeq: _*))
+            .select(schema.fields.map(outCol).toIndexedSeq: _*)
+            .withColumn(ChangeTypeCol, lit("update_postimage"))
+          val del = joined
+            .filter(col("__action").isin(deleteTags.toSeq: _*))
+            .select(tCols: _*)
+            .withColumn(ChangeTypeCol, lit("delete"))
+          val ins = inserts.map(_.withColumn(ChangeTypeCol, lit("insert")))
+          val all = (if (updateTags.nonEmpty) Seq(pre, post)
+                     else Seq.empty) ++
+            (if (deleteTags.nonEmpty) Seq(del) else Seq.empty) ++ ins
+          if (all.isEmpty) Seq.empty
+          else stageCdf(all.reduce(_ unionByName _))
+        }
+      commit("merge", kept, touched, basedOn = Some(base),
+        stats = st0, schema = sc, cdf = cdf,
+        tolerateAppends = true,
+        readFiles = (keyCandidates ++ bsCandidates).distinct)
+    } finally { joined.unpersist(); () }
+  }
+
   /** Stage row-level change images under `cdf/<uuid>` — immutable
     * like data files, referenced by the commit's `cdf` actions,
     * reclaimed by vacuum when their commit leaves the log.

@@ -683,26 +683,54 @@ class GraftDmlSpec extends SparkSpec {
       assert(msgs.contains("cannot translate") && msgs.contains(needle),
         s"wrong refusal for: $sql -> $msgs")
     }
-    // conditional matched clause
-    refusal(s"MERGE INTO gtr.`$root` t USING refuse_batch s " +
-      "ON t.o_orderkey = s.o_orderkey " +
-      "WHEN MATCHED AND s.o_totalprice > 0 THEN UPDATE SET *",
-      "conditional WHEN MATCHED")
-    // matched DELETE
-    refusal(s"MERGE INTO gtr.`$root` t USING refuse_batch s " +
-      "ON t.o_orderkey = s.o_orderkey " +
-      "WHEN MATCHED THEN DELETE", "DELETE FROM")
-    // non-equi ON
+    // non-equi ON (the CoW key probe needs an equi-key)
     refusal(s"MERGE INTO gtr.`$root` t USING refuse_batch s " +
       "ON t.o_orderkey < s.o_orderkey " +
-      "WHEN MATCHED THEN UPDATE SET *", "single equality")
-    // cross-column assignment
+      "WHEN MATCHED THEN UPDATE SET *", "same-named column equalities")
+    // differently-named ON columns
     refusal(s"MERGE INTO gtr.`$root` t USING refuse_batch s " +
-      "ON t.o_orderkey = s.o_orderkey " +
-      "WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_orderkey + 1",
-      "same-named source column")
+      "ON t.o_orderkey = s.o_totalprice " +
+      "WHEN MATCHED THEN UPDATE SET *", "same-named")
     // the table is untouched by every refusal
     assert(GraftTable.forPath(spark, root).latestVersion == 1)
+    ()
+  }
+
+  test("SQL MERGE full clause surface: conditional transitions, matched DELETE, NOT MATCHED BY SOURCE (round 16)") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, Seq(
+      (1L, "PENDING", 10.0), (2L, "APPROVED", 20.0),
+      (3L, "PENDING", 30.0), (4L, "REJECTED", 40.0),
+      (5L, "PENDING", 50.0))
+      .toDF("id", "status", "price"))                         // v1
+    spark.conf.set("spark.sql.catalog.gtc",
+      classOf[graft.sources.GraftCatalog].getName)
+    // the reference's approval flow as ONE statement: only PENDING
+    // rows may flip; REJECTED matched rows purge; brand-new eligible
+    // rows insert; rows the batch no longer names close out
+    Seq((1L, "APPROVED", 11.0), (4L, "X", 0.0), (6L, "NEW", 60.0),
+      (7L, "NEW", 3.0))
+      .toDF("id", "status", "price")
+      .createOrReplaceTempView("cond_batch")
+    spark.sql(s"MERGE INTO gtc.`$root` t USING cond_batch s " +
+      "ON t.id = s.id " +
+      "WHEN MATCHED AND t.status = 'REJECTED' THEN DELETE " +
+      "WHEN MATCHED AND t.status = 'PENDING' THEN " +
+      "  UPDATE SET status = s.status, price = s.price " +
+      "WHEN NOT MATCHED AND s.price >= 10.0 THEN " +
+      "  INSERT (id, status, price) VALUES (s.id, s.status, s.price) " +
+      "WHEN NOT MATCHED BY SOURCE AND t.status = 'PENDING' THEN " +
+      "  UPDATE SET status = 'EXPIRED'")
+    val t = GraftTable.forPath(spark, root)
+    assert(t.latestVersion == 2, "one statement, one commit")
+    assert(multiset(t.read()) == multiset(Seq(
+      (1L, "APPROVED", 11.0),  // PENDING matched → flipped
+      (2L, "APPROVED", 20.0),  // matched, neither cond → unchanged
+      (3L, "EXPIRED", 30.0),   // unnamed PENDING → closed
+      (5L, "EXPIRED", 50.0),   // unnamed PENDING → closed
+      (6L, "NEW", 60.0))       // eligible insert; 7 skipped; 4 purged
+      .toDF("id", "status", "price")))
     ()
   }
 }

@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.{GraftTable, MergeClauses}
+import graft.sources.MergeClauses._
+import java.nio.file.Files
+
+/** Conditional multi-clause MERGE (round-16 verdict item 1): the full
+  * Delta clause surface — `WHEN MATCHED AND cond THEN UPDATE/DELETE`
+  * (ordered, first-match-wins), conditional `WHEN NOT MATCHED INSERT`
+  * with NULL-fill for absent columns, and `WHEN NOT MATCHED BY SOURCE
+  * THEN UPDATE/DELETE` — on the copy-on-write commit: only files
+  * really holding an affected row rewrite; per-outcome CDF images;
+  * Delta's multiple-match refusal.
+  */
+class GraftMergeIntoSpec extends SparkSpec {
+
+  private def multiset(df: DataFrame) =
+    df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+
+  private def fresh(tag: String) =
+    Files.createTempDirectory(tag).toString + "/t"
+
+  import spark.implicits._
+
+  /** An approval registry (the reference's flow): id, status, price. */
+  private def registry = Seq(
+    (1L, "PENDING", 10.0), (2L, "APPROVED", 20.0),
+    (3L, "PENDING", 30.0), (4L, "REJECTED", 40.0),
+    (5L, "PENDING", 50.0))
+    .toDF("id", "status", "price")
+
+  test("WHEN MATCHED AND cond THEN UPDATE: only eligible rows transition; ineligible matched rows carry through") {
+    val root = fresh("graft_mi_cond")
+    val t = GraftTable.forPath(spark, root)
+    t.append(registry)                                        // v1
+    // approve ids 1,2,4 — but only PENDING rows may flip
+    val batch = Seq((1L, "APPROVED"), (2L, "SHIPPED"), (4L, "APPROVED"))
+      .toDF("id", "status")
+    val v = t.mergeInto(batch, Seq("id"),
+      matched = Seq(MatchedUpdate(Some(expr("t.status = 'PENDING'")),
+        Map("status" -> expr("s.status")))))
+    assert(v == 2L)
+    assert(multiset(t.read()) == multiset(Seq(
+      (1L, "APPROVED", 10.0),  // PENDING → flipped
+      (2L, "APPROVED", 20.0),  // matched but not PENDING → unchanged
+      (3L, "PENDING", 30.0),   // unmatched → unchanged
+      (4L, "REJECTED", 40.0),  // matched but not PENDING → unchanged
+      (5L, "PENDING", 50.0)).toDF("id", "status", "price")))
+    ()
+  }
+
+  test("ordered matched clauses first-match-wins: conditional DELETE then unconditional UPDATE") {
+    val root = fresh("graft_mi_ord")
+    val t = GraftTable.forPath(spark, root)
+    t.append(registry)                                        // v1
+    val batch = Seq((1L, 11.0), (2L, 22.0), (4L, 44.0)).toDF("id", "price")
+    t.mergeInto(batch, Seq("id"),
+      matched = Seq(
+        MatchedDelete(Some(expr("t.status = 'REJECTED'"))),
+        MatchedUpdate(None, Map("price" -> expr("s.price")))))
+    assert(multiset(t.read()) == multiset(Seq(
+      (1L, "PENDING", 11.0), (2L, "APPROVED", 22.0),
+      (3L, "PENDING", 30.0), (5L, "PENDING", 50.0))
+      .toDF("id", "status", "price")),
+      "REJECTED matched row must DELETE (first clause), others UPDATE")
+    ()
+  }
+
+  test("conditional NOT MATCHED INSERT: only eligible source rows land; absent columns NULL-fill") {
+    val root = fresh("graft_mi_ins")
+    val t = GraftTable.forPath(spark, root)
+    t.append(registry)                                        // v1
+    val batch = Seq((6L, 60.0), (7L, 3.0), (1L, 99.0)).toDF("id", "price")
+    t.mergeInto(batch, Seq("id"),
+      notMatched = Seq(NotMatchedInsert(Some(expr("s.price >= 10.0")),
+        Map("id" -> expr("s.id"), "price" -> expr("s.price")))))
+    // id 6 inserts (eligible, status NULL-fills); 7 skipped (< 10);
+    // 1 matched — no matched clause, row unchanged
+    val got = t.read()
+    assert(got.count() == 6)
+    val r6 = got.filter(col("id") === 6L).collect()
+    assert(r6.length == 1 && r6.head.isNullAt(1) &&
+      r6.head.getDouble(2) == 60.0,
+      "insert must NULL-fill the unspecified status column")
+    assert(got.filter(col("id") === 7L).isEmpty)
+    assert(got.filter(col("id") === 1L).head.getDouble(2) == 10.0,
+      "a matched row with no matched clause must carry through unchanged")
+    ()
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE: conditional UPDATE and DELETE close out rows absent from the batch") {
+    val root = fresh("graft_mi_bys")
+    val t = GraftTable.forPath(spark, root)
+    t.append(registry)                                        // v1
+    // batch names ids 1,2 — every other row either closes (PENDING →
+    // EXPIRED) or deletes (REJECTED); matched rows update price
+    val batch = Seq((1L, 100.0), (2L, 200.0)).toDF("id", "price")
+    t.mergeInto(batch, Seq("id"),
+      matched = Seq(MatchedUpdate(None, Map("price" -> expr("s.price")))),
+      notMatchedBySource = Seq(
+        BySourceDelete(Some(expr("t.status = 'REJECTED'"))),
+        BySourceUpdate(Some(expr("t.status = 'PENDING'")),
+          Map("status" -> lit("EXPIRED")))))
+    assert(multiset(t.read()) == multiset(Seq(
+      (1L, "PENDING", 100.0), (2L, "APPROVED", 200.0),
+      (3L, "EXPIRED", 30.0), (5L, "EXPIRED", 50.0))
+      .toDF("id", "status", "price")),
+      "by-source clauses must close unmatched target rows (4 deleted)")
+    ()
+  }
+
+  test("copy-on-write: files holding no affected row stay byte-identical; multiple-match refuses") {
+    val root = fresh("graft_mi_cow")
+    val t = GraftTable.forPath(spark, root)
+    // range-staged: ids 1-100 across 4 files with disjoint ranges
+    val wide = spark.range(1, 101)
+      .select(col("id"), lit("PENDING").as("status"),
+        (col("id") * 1.0).as("price"))
+      .repartitionByRange(4, col("id"))
+    t.append(wide)                                            // v1
+    val before = t.liveFileMeta().map(f => (f._1, f._2)).toSet
+    // batch touches only ids 1-5 (one file's range)
+    val batch = Seq((1L, "APPROVED"), (3L, "APPROVED")).toDF("id", "status")
+    t.mergeInto(batch, Seq("id"),
+      matched = Seq(MatchedUpdate(Some(expr("t.status = 'PENDING'")),
+        Map("status" -> expr("s.status")))))
+    val after = t.liveFileMeta().map(f => (f._1, f._2)).toSet
+    val surviving = before.intersect(after)
+    assert(surviving.size >= 3,
+      s"stats prune failed: only ${surviving.size} of 4 files survived " +
+        "a 2-key merge that touches one range")
+    assert(t.read().filter(col("status") === "APPROVED").count() == 2)
+    // Delta's multiple-match refusal: duplicate source keys that hit
+    // a target row cannot deterministically update
+    val dup = Seq((10L, "A"), (10L, "B")).toDF("id", "status")
+    val e = intercept[Exception] {
+      t.mergeInto(dup, Seq("id"),
+        matched = Seq(MatchedUpdate(None,
+          Map("status" -> expr("s.status")))))
+    }
+    assert(e.getMessage.contains("multiple source rows"), e.getMessage)
+    ()
+  }
+
+  test("per-outcome CDF images: update pre/post pairs, delete, insert in one merge commit") {
+    val root = fresh("graft_mi_cdf")
+    val t = GraftTable.forPath(spark, root)
+    t.append(registry)                                        // v1
+    val batch = Seq((1L, "APPROVED", 10.5), (4L, "X", 0.0),
+      (6L, "NEW", 60.0)).toDF("id", "status", "price")
+    val v = t.mergeInto(batch, Seq("id"),
+      matched = Seq(
+        MatchedDelete(Some(expr("t.status = 'REJECTED'"))),
+        MatchedUpdate(None, Map("status" -> expr("s.status"),
+          "price" -> expr("s.price")))),
+      notMatched = Seq(NotMatchedInsert(None,
+        Map("id" -> expr("s.id"), "status" -> expr("s.status"),
+          "price" -> expr("s.price")))))
+    val feed = t.changeFeed(v - 1, v).get // range is (since, until]
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("update_preimage" -> 1L,
+      "update_postimage" -> 1L, "delete" -> 1L, "insert" -> 1L),
+      s"per-outcome image counts wrong: $byType")
+    val pre = feed.filter(col("_change_type") === "update_preimage").head
+    val post = feed.filter(col("_change_type") === "update_postimage").head
+    assert(pre.getAs[String]("status") == "PENDING" &&
+      post.getAs[String]("status") == "APPROVED")
+    assert(feed.filter(col("_change_type") === "delete").head
+      .getAs[Long]("id") == 4L)
+    assert(feed.filter(col("_change_type") === "insert").head
+      .getAs[Long]("id") == 6L)
+    ()
+  }
+
+  test("unconditional SET-all mergeInto matches merge (the upsert shape both express)") {
+    val rootA = fresh("graft_mi_eq_a")
+    val rootB = fresh("graft_mi_eq_b")
+    val ta = GraftTable.forPath(spark, rootA)
+    val tb = GraftTable.forPath(spark, rootB)
+    ta.append(registry); tb.append(registry)
+    val batch = Seq((1L, "APPROVED", 11.0), (6L, "NEW", 66.0))
+      .toDF("id", "status", "price")
+    ta.merge(batch, "id")
+    tb.mergeInto(batch, Seq("id"),
+      matched = Seq(MatchedUpdate(None,
+        Map("status" -> expr("s.status"), "price" -> expr("s.price")))),
+      notMatched = Seq(NotMatchedInsert(None,
+        Map("id" -> expr("s.id"), "status" -> expr("s.status"),
+          "price" -> expr("s.price")))))
+    assert(multiset(ta.read()) == multiset(tb.read()),
+      "mergeInto(SET-all) must equal merge() on the same batch")
+    ()
+  }
+}
