@@ -131,7 +131,17 @@ object Bench {
     // re-cluster -> multi-conjunct cold compact -> serving read),
     // both billed end-to-end once per session like the other
     // lifecycle entries
-    "q97_backfill", "q98_scoped_zorder")
+    "q97_backfill", "q98_scoped_zorder",
+    // round-16 additions: the conditional multi-clause MERGE lifecycle
+    // (per-clause predicates folded into one CoW CASE rewrite + the
+    // full-row serving read), the CDF-across-replace lifecycle (the
+    // q97 backfill shape writing delete+insert images, feed-served),
+    // the DML schema-evolution lifecycle (additive merge; evolved
+    // full-row read), and the HTML boilerplate strip (the cleaning
+    // family's new first stage: pure codegen'd regex arithmetic over
+    // the corpus — raw string throughput, worth tracking like d17)
+    "q99_conditional_merge", "q100_replace_cdf", "q101_merge_evolve",
+    "d43_html_strip")
 
   /** 1-minute load average, -1.0 if unreadable (non-Linux). */
   private def loadavg(): Double =
@@ -228,7 +238,25 @@ object Bench {
       // measure serve-only work. This also absorbs JVM/codegen
       // startup, which the old single q1 warm-up only did for q1.
       spark.catalog.clearCache()
+      val w0 = System.nanoTime()
       run(build(name), name)
+      val warmS = (System.nanoTime() - w0) / 1e9
+      // SECOND untimed warm when the first one ran long (round-16
+      // verdict item 4): a slow first warm means a lifecycle build
+      // just happened — its dirty-page writeback and freshly-written
+      // (uncached) table files would otherwise contend with the first
+      // TIMED sample. The driver's r14/r15 captures self-tagged
+      // exactly the lifecycle-cached queries (q95, then g15b/q98) at
+      // 2.2-2.5× quiet with identical plans: post-build FS state, not
+      // plans. One more untimed pass reads the table back hot.
+      baseline.get(name).filter(_ > 0).foreach { base =>
+        if (warmS > 2 * base) {
+          System.err.println(
+            f"[bench] $name warm $warmS%.2f s > 2x quiet $base%.2f s — warming again untimed")
+          spark.catalog.clearCache()
+          run(build(name), name)
+        }
+      }
       def sample(): Option[Double] = {
         // drop any per-query persisted data (d6/d7 cache their
         // signatures) so every iteration times the FULL computation —
@@ -246,15 +274,20 @@ object Bench {
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
       var samples = (1 to iters).flatMap(_ => sample())
-      // divergence guard: >2× the quiet baseline → one re-run; still
-      // off → self-tag
+      // divergence guard: >2× the quiet baseline → re-warm untimed
+      // (the divergence itself is evidence the warm state was lost or
+      // never established) and re-run, twice; still off → self-tag
       baseline.get(name).filter(_ > 0).foreach { base =>
-        if (samples.nonEmpty && samples.min > 2 * base) {
+        var retries = 0
+        while (samples.nonEmpty && samples.min > 2 * base && retries < 2) {
           System.err.println(
-            f"[bench] $name ${samples.min}%.2f s > 2x quiet $base%.2f s — re-running once")
+            f"[bench] $name ${samples.min}%.2f s > 2x quiet $base%.2f s — re-warming + re-running")
+          spark.catalog.clearCache()
+          run(build(name), name) // untimed warm before the retry
           samples = samples ++ sample()
-          if (samples.min > 2 * base) suspects += name
+          retries += 1
         }
+        if (samples.nonEmpty && samples.min > 2 * base) suspects += name
       }
       val sorted = samples.sorted
       // -1 marks all-iterations-failed: unmistakably wrong in the

@@ -760,6 +760,92 @@ object Lakehouse {
         countDistinct("o_custkey").as("n_cust"))
       .orderBy("ostatus")
 
+  private val replaceCdfd = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
+
+  // q100: CDF ACROSS A REPLACE COMMIT (round 16, the r15 verdict's
+  // item 2): the q97 backfill shape — orders partitioned by
+  // year-period, period 1997 restated (×3, the integer-factor rule)
+  // through replaceWhere — but written with `cdfImages = true`
+  // (Delta's CDF-enablement), so the commit stages `delete` images
+  // for every replaced row and `insert` images for the incoming
+  // batch, and the row-level feed SERVES the backfill range instead
+  // of refusing. The serving read aggregates the feed per change
+  // type with exact-decimal sums — an incremental consumer downstream
+  // of the monthly re-land (the reference's `sync_tags` app.py:6631)
+  // replays exactly these deltas instead of full-rebuilding. Wrong
+  // image sides, leaked out-of-scope rows, or a missed restatement
+  // factor cannot hash-match DuckDB building both image sets from
+  // `orders` directly.
+  private def replaceCdfTable(s: SparkSession, d: String): GraftTable =
+    replaceCdfd.synchronized { replaceCdfd.getOrElseUpdate(
+      s.sparkContext.applicationId + "|" + d,
+      graft.tools.BuildCosts.timed("build:q100_replace_cdf_lifecycle") {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_replacecdf").toString + "/t"
+        val t = GraftTable.forPath(s, dir)
+        def src = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            expr("cast(date_trunc('year', o_orderdate) as date)")
+              .as("oyear"))
+        t.appendPartitioned(src, "oyear")                          // v1
+        t.replaceWhere(col("oyear") === lit("1997-01-01").cast("date"),
+          src.filter(expr("year(oyear) = 1997"))
+            .withColumn("o_totalprice", col("o_totalprice") * 3.0),
+          cdfImages = true)                                        // v2
+        t
+      }) }
+
+  def q100ReplaceCdf(s: SparkSession, d: String): DataFrame =
+    replaceCdfTable(s, d).changeFeed(1, 2).get
+      .groupBy("_change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("total_price"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("_change_type")
+
+  private val evolveMerged = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
+
+  // q101: DML SCHEMA EVOLUTION (round 16, the r15 verdict's item 3;
+  // the reference's Excel uploads grow columns — `uploadExcel`
+  // app.py:6063 — and the upsert must carry them): a flat orders
+  // registry merges a batch carrying a BRAND-NEW column (`o_flag`)
+  // plus one new key, with `mergeSchema = true` (Delta's
+  // schema.autoMerge). Only touched files rewrite and materialize the
+  // column; untouched files stay byte-identical (GraftDmlSpec pins
+  // that) and the snapshot read null-fills them — so the serving
+  // full-row read has `o_flag` exactly on the batch's rows and NULL
+  // everywhere else. DuckDB replays the same left-join/anti-join
+  // algebra; a merge that dropped the new column, filled it on the
+  // wrong rows, or rewrote untouched files into the new shape
+  // differently cannot hash-match.
+  private def evolveMergeTable(s: SparkSession, d: String): GraftTable =
+    evolveMerged.synchronized { evolveMerged.getOrElseUpdate(
+      s.sparkContext.applicationId + "|" + d,
+      graft.tools.BuildCosts.timed("build:q101_merge_evolve_lifecycle") {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_evolve").toString + "/t"
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val t = GraftTable.create(s, dir,
+          orders.repartitionByRange(8, col("o_orderkey")))         // v1
+        val keyMax = orders.agg(max("o_orderkey")).head().getLong(0)
+        val batch = Tables.orders(s, d)
+          .filter(pmod(col("o_orderkey"), lit(7L)) === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            col("o_orderstatus").as("o_flag"))
+          .unionByName(s.range(1, 2).select(
+            (lit(keyMax) + lit(5L)).as("o_orderkey"),
+            lit(9.75).as("o_totalprice"), lit("Z").as("o_flag")))
+        t.merge(batch, "o_orderkey", mergeSchema = true)           // v2
+        t
+      }) }
+
+  def q101MergeEvolve(s: SparkSession, d: String): DataFrame =
+    evolveMergeTable(s, d).read().orderBy("o_orderkey")
+
   private val condMerged = scala.collection.concurrent.TrieMap.empty[String, String]
 
   // q99: CONDITIONAL MULTI-CLAUSE MERGE — the full Delta clause
@@ -873,6 +959,8 @@ object Lakehouse {
       .orderBy("l_returnflag")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_merge_evolve" -> (q101MergeEvolve _),
+    "q100_replace_cdf" -> (q100ReplaceCdf _),
     "q99_conditional_merge" -> (q99ConditionalMerge _),
     "q98_scoped_zorder" -> (q98ScopedZorder _),
     "q97_backfill" -> (q97Backfill _),
@@ -919,6 +1007,36 @@ object Lakehouse {
       |FROM surv ORDER BY o_orderkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q101_merge_evolve" ->
+      """WITH s AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS p,
+        |    o_orderstatus AS o_flag
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT (SELECT max(o_orderkey) FROM orders) + 5, 9.75, 'Z'),
+        |m AS (
+        |  SELECT t.o_orderkey,
+        |    COALESCE(s.p, t.o_totalprice) AS o_totalprice,
+        |    s.o_flag AS o_flag
+        |  FROM orders t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+        |  UNION ALL
+        |  SELECT s.o_orderkey, s.p, s.o_flag
+        |  FROM s ANTI JOIN orders t USING (o_orderkey))
+        |SELECT * FROM m ORDER BY o_orderkey""".stripMargin,
+    "q100_replace_cdf" ->
+      """WITH y97 AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE year(o_orderdate) = 1997),
+        |images AS (
+        |  SELECT 'delete' AS _change_type, o_orderkey, o_totalprice
+        |  FROM y97
+        |  UNION ALL
+        |  SELECT 'insert', o_orderkey, o_totalprice * 3 FROM y97)
+        |SELECT _change_type, count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM images GROUP BY 1 ORDER BY 1""".stripMargin,
     "q99_conditional_merge" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

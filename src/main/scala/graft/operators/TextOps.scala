@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -881,6 +881,75 @@ object TextOps {
         length(col("text")).cast("long").as("n_chars_raw"),
         length(col("norm_text")).cast("long").as("n_chars_norm"))
       .orderBy("doc_id")
+
+  /** HTML/markup boilerplate strip (round 16 — the missing FIRST step
+    * of the cleaning family: every web-crawl corpus runs tag-strip /
+    * entity-decode / main-content BEFORE d17's normalization). Pure
+    * codegen'd string arithmetic in the RE2 ∩ Java regex dialect (no
+    * backreferences, no lookaround — both engines replay identically):
+    *   1. script/style blocks drop WITH their content (two passes —
+    *      a backreference `</\1>` would leave the RE2 dialect);
+    *   2. comments drop;
+    *   3. block-level tags become newlines (they delimit text blocks);
+    *   4. every remaining tag becomes a space;
+    *   5. the five ubiquitous entities decode, `&amp;` LAST (decoding
+    *      it first would double-decode `&amp;lt;`);
+    *   6. runs of spaces/tabs collapse;
+    *   7. line-level main-content heuristic: lines under `minLine`
+    *      chars after trim (nav crumbs, headings, footers) drop.
+    * Known regex-stripper limit, deterministic in both engines: a
+    * literal '>' inside a quoted attribute value ends the tag early
+    * (HtmlStripSpec pins the behavior).
+    */
+  private[graft] def htmlStrip(html: Column, minLine: Int): Column = {
+    val noScript = regexp_replace(html,
+      lit("(?is)<script[^>]*>.*?</script>"), lit(""))
+    val noStyle = regexp_replace(noScript,
+      lit("(?is)<style[^>]*>.*?</style>"), lit(""))
+    val noComment = regexp_replace(noStyle,
+      lit("(?s)<!--.*?-->"), lit(""))
+    val blocks = regexp_replace(noComment,
+      lit("(?i)</?(p|div|h[1-6]|li|ul|ol|table|tr|td|nav|footer|header|br|section|article)[^>]*>"),
+      lit("\n"))
+    val noTags = regexp_replace(blocks, lit("<[^>]*>"), lit(" "))
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (e, v)) =>
+        regexp_replace(acc, lit(e), lit(v)) }
+    val collapsed = regexp_replace(ent, lit("[ \t]+"), lit(" "))
+    array_join(
+      filter(transform(split(collapsed, "\n"), x => trim(x)),
+        x => length(x) >= minLine), "\n")
+  }
+
+  // d43: the strip ORACLED — documents wrap into a deterministic HTML
+  // template in-query (head/style/script boilerplate, nav crumbs, an
+  // id comment, an h1, the text body, an entity-seeded tail, a
+  // footer — both engines build the SAME string), so the oracle
+  // proves construction AND strip: DuckDB replays every regex with
+  // the 'g' flag and the same lambda line filter. Boilerplate lines
+  // (nav/h1/footer) are short and drop at the line heuristic; the
+  // body and the entity tail survive. A wrong pass order (entities
+  // before tags, &amp; early), a leaked script body, or a mis-split
+  // block tag cannot hash-match.
+  def d43HtmlStrip(s: SparkSession, d: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>T</title><style>body {color: red}</style>"),
+      lit("<script type=\"text/javascript\">var x = 1 < 2;</script></head><body>"),
+      lit("<nav>Home | About | Contact</nav>"),
+      lit("<!-- doc "), col("doc_id").cast("string"), lit(" -->"),
+      lit("<div class=\"main\"><h1>Doc "), col("doc_id").cast("string"),
+      lit("</h1><p>"), col("text"),
+      lit("</p><p>Entity tail kept past the line filter: &lt;tag&gt; &quot;quoted&quot; &#39;s&#39;&nbsp;and &amp;co done</p></div>"),
+      lit("<footer>(c) corp</footer></body></html>"))
+    Tables.documents(s, d)
+      .withColumn("html", html)
+      .select(col("doc_id"),
+        htmlStrip(col("html"), 25).as("main_text"),
+        length(col("html")).cast("long").as("n_chars_html"))
+      .withColumn("n_chars_main", length(col("main_text")).cast("long"))
+      .orderBy("doc_id")
+  }
 
   // d18: near-dup CLUSTERING — pairs are not an actionable dedup
   // decision; clusters are. The d2 pair set (oracled) becomes a graph
@@ -1853,6 +1922,7 @@ object TextOps {
     "d21_heavy_hitters" -> ((s: SparkSession, d: String) => d21HeavyHitters(s, d)),
     "d20_tfidf" -> (d20Tfidf _),
     "d17_normalize" -> (d17Normalize _),
+    "d43_html_strip" -> (d43HtmlStrip _),
     "d18_dup_clusters" -> (d18DupClusters _),
     "d19_split" -> (d19Split _),
     "d12_pii_redact" -> (d12PiiRedact _),
@@ -2080,6 +2150,41 @@ object TextOps {
         |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d43_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>T</title><style>body {color: red}</style>'
+        |    || '<script type="text/javascript">var x = 1 < 2;</script></head><body>'
+        |    || '<nav>Home | About | Contact</nav>'
+        |    || '<!-- doc ' || CAST(doc_id AS VARCHAR) || ' -->'
+        |    || '<div class="main"><h1>Doc ' || CAST(doc_id AS VARCHAR)
+        |    || '</h1><p>' || text
+        |    || '</p><p>Entity tail kept past the line filter: &lt;tag&gt; &quot;quoted&quot; &#39;s&#39;&nbsp;and &amp;co done</p></div>'
+        |    || '<footer>(c) corp</footer></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, html,
+        |  regexp_replace(regexp_replace(regexp_replace(html,
+        |    '(?is)<script[^>]*>.*?</script>', '', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', '', 'g'),
+        |    '(?s)<!--.*?-->', '', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, html,
+        |  regexp_replace(regexp_replace(t,
+        |    '(?i)</?(p|div|h[1-6]|li|ul|ol|table|tr|td|nav|footer|header|br|section|article)[^>]*>',
+        |    chr(10), 'g'), '<[^>]*>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, html,
+        |  replace(replace(replace(replace(replace(replace(t,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t FROM s2),
+        |s4 AS (SELECT doc_id, html,
+        |  regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id, html,
+        |  array_to_string(list_filter(list_transform(
+        |    string_split(t, chr(10)), x -> trim(x)),
+        |    x -> length(x) >= 25), chr(10)) AS main_text FROM s4)
+        |SELECT doc_id, main_text,
+        |  CAST(length(html) AS BIGINT) AS n_chars_html,
+        |  CAST(length(main_text) AS BIGINT) AS n_chars_main
+        |FROM s5 ORDER BY doc_id""".stripMargin,
     "d18_dup_clusters" ->
       s"""WITH RECURSIVE $D2PairsCte
          |SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster

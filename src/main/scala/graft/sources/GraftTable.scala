@@ -2060,9 +2060,27 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * live files yet (a backfill that introduces a new period replaces
     * nothing there, it just lands). `tag` gives micro-batch replay
     * idempotence; null for untagged.
+    *
+    * `cdfImages` (round 16 — Delta's CDF-enablement semantics, OFF by
+    * default exactly because the delete side must READ the replaced
+    * scope, a cost the plain replace never pays): when true the
+    * commit stages row-level images — `delete` for every replaced
+    * row, `insert` for the incoming batch — so [[changeFeed]] and the
+    * CDF stream serve ACROSS the backfill instead of refusing, and an
+    * incremental consumer downstream of a monthly re-land (the
+    * reference's `sync_tags` app.py:6631 over Master_data) replays
+    * deltas instead of full-rebuilding.
+    *
+    * `mergeSchema` (round 16, Delta's schema.autoMerge on DML):
+    * additive new columns in the batch join the recorded schema;
+    * survivor rewrites and untouched files simply lack them and the
+    * snapshot read null-fills (the evolved-append rule); type
+    * conflicts refuse loudly.
     */
   def replaceWhere(predicate: Column, df: DataFrame,
-                   tag: String = null): Option[Long] =
+                   tag: String = null,
+                   cdfImages: Boolean = false,
+                   mergeSchema: Boolean = false): Option[Long] =
     tagged("replace", tag) { action =>
       val base = latestVersion
       val pcs = partColsFor(base)
@@ -2093,32 +2111,66 @@ class GraftTable private (val s: SparkSession, val root: String) {
       try {
         if (pcs.nonEmpty &&
             refs.forall(r => pcs.exists(_.equalsIgnoreCase(r))))
-          replaceChains(action, base, pcs, predicate, pinned)
+          replaceChains(action, base, pcs, predicate, pinned, cdfImages,
+            mergeSchema)
         else
-          replaceRows(action, base, predicate, pinned)
+          replaceRows(action, base, predicate, pinned, cdfImages,
+            mergeSchema)
       } finally { pinned.unpersist(); () }
     }
 
+  /** Stage the row-level images of a replace commit (CDF-enabled
+    * path): every replaced row as `delete`, the incoming batch as
+    * `insert` — Delta serves replaceWhere/dynamic-overwrite exactly
+    * this way when CDF is on. allowMissingColumns: the delete side
+    * reads the PRE-replace schema.
+    */
+  private def replaceCdf(removedRows: Option[DataFrame],
+                         incoming: DataFrame): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.lit
+    val ins = incoming.withColumn(ChangeTypeCol, lit("insert"))
+    val images = removedRows match {
+      case Some(dels) => dels.withColumn(ChangeTypeCol, lit("delete"))
+        .unionByName(ins, allowMissingColumns = true)
+      case None => ins
+    }
+    stageCdf(images)
+  }
+
   /** The file-level (partition-predicate) replaceWhere regime. */
   private def replaceChains(action: String, base: Long, pcs: Seq[String],
-                            predicate: Column, df: DataFrame): Long = {
+                            predicate: Column, df: DataFrame,
+                            cdfImages: Boolean = false,
+                            mergeSchema: Boolean = false): Long = {
     val pms = partMetaOf(df, pcs)
     requirePartConsistent(pms, base)
     enforceConstraints(df, "replaceWhere")
     requireSatisfies(predicate, df)
-    val live = resolveMeta(base).keys.toSeq
+    val liveM = resolveMeta(base)
+    val live = liveM.keys.toSeq
     val matched = evalChainPredicate(
       live.flatMap(p => chainTokenOf(p, pcs)).distinct, pms, predicate)
     val removes = live.filter(p =>
       chainTokenOf(p, pcs).exists(matched.contains))
     // files of non-matching partitions survive this commit: the
     // payload schema must stay compatible with what they carry
-    appendSchema(partitionedSchema(df, pcs), mergeSchema = false, base)
+    // (additive evolution allowed when mergeSchema=true — survivors
+    // simply lack the new columns and the read null-fills)
+    val validated = appendSchema(partitionedSchema(df, pcs),
+      mergeSchema, base)
     val adds = stagePartitioned(df, pcs)
+    // CDF (opt-in): the ONLY read of the replaced files this regime
+    // ever performs — the delete images need their rows
+    val cdf =
+      if (!cdfImages) Seq.empty
+      else replaceCdf(
+        if (removes.isEmpty) None
+        else Some(dmlRead(removes.sorted.map(p => p -> liveM(p)),
+          schemaAt(base), pcs, cm = colmapAt(base))), df)
     commit(action, adds, removes, basedOn = Some(base),
       stats = statsOf(adds),
-      schema = Some(partitionedSchema(df, pcs)),
-      partMeta = Some(pms))
+      schema = Some(validated),
+      partMeta = Some(pms), cdf = cdf)
   }
 
   /** The ROW-LEVEL replaceWhere regime (Delta 2.0's arbitrary
@@ -2133,7 +2185,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * layout.
     */
   private def replaceRows(action: String, base: Long,
-                          predicate: Column, df: DataFrame): Long = {
+                          predicate: Column, df: DataFrame,
+                          cdfImages: Boolean = false,
+                          mergeSchema: Boolean = false): Long = {
     val sc = schemaAt(base)
     val live = resolveMeta(base)
     val pc = partColsFor(base)
@@ -2144,7 +2198,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val payloadSchema =
       if (pc.isEmpty) org.apache.spark.sql.graft.shim.nullable(df.schema)
       else partitionedSchema(df, pc)
-    val validated = appendSchema(payloadSchema, mergeSchema = false, base)
+    val validated = appendSchema(payloadSchema, mergeSchema, base)
     val e = physPred(
       org.apache.spark.sql.graft.shim.catalystExpression(predicate), cm)
     val candidates = live.toSeq.sortBy(_._1).collect {
@@ -2175,9 +2229,18 @@ class GraftTable private (val s: SparkSession, val root: String) {
       st0.get(a._1).flatMap(FileStats.numRows).forall(_ > 0))
     emptied.foreach(a => fs.delete(new Path(rootPath, a._1), false))
     val adds = kept ++ dmlStage(df, pc)
+    // CDF (opt-in): delete images are exactly the matched rows of the
+    // touched files (one more pass over files already rewritten)
+    val cdf =
+      if (!cdfImages) Seq.empty
+      else replaceCdf(
+        if (touched.isEmpty) None
+        else Some(dmlRead(touched.map(p => p -> live(p)), sc, pc,
+          cm = cm).filter(predicate)), df)
     commit(action, adds, touched, basedOn = Some(base),
       stats = statsOf(adds), schema = Some(validated),
-      partMeta = if (pc.isEmpty) None else Some(partMetaOf(df, pc)))
+      partMeta = if (pc.isEmpty) None else Some(partMetaOf(df, pc)),
+      cdf = cdf)
   }
 
   /** The DML survivor filter: rows where `pred` is FALSE **or NULL**
@@ -2213,7 +2276,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
     * the set of chains the incoming rows actually produced.
     */
   def overwritePartitionsDynamic(df: DataFrame,
-                                 tag: String = null): Option[Long] =
+                                 tag: String = null,
+                                 cdfImages: Boolean = false): Option[Long] =
     tagged("replace", tag) { action =>
       val base = latestVersion
       val pcs = partColsFor(base)
@@ -2226,12 +2290,21 @@ class GraftTable private (val s: SparkSession, val root: String) {
       appendSchema(partitionedSchema(df, pcs), mergeSchema = false, base)
       val adds = stagePartitioned(df, pcs)
       val incoming = adds.map(_._1).flatMap(chainTokenOf(_, pcs)).toSet
-      val removes = resolveMeta(base).keys.toSeq.filter(p =>
+      val liveM = resolveMeta(base)
+      val removes = liveM.keys.toSeq.filter(p =>
         chainTokenOf(p, pcs).exists(incoming.contains))
+      // CDF (opt-in): replaceWhere's image rule — replaced chains'
+      // rows as delete, the batch as insert (see replaceCdf)
+      val cdf =
+        if (!cdfImages) Seq.empty
+        else replaceCdf(
+          if (removes.isEmpty) None
+          else Some(dmlRead(removes.sorted.map(p => p -> liveM(p)),
+            schemaAt(base), pcs, cm = colmapAt(base))), df)
       commit(action, adds, removes, basedOn = Some(base),
         stats = statsOf(adds),
         schema = Some(partitionedSchema(df, pcs)),
-        partMeta = Some(pms))
+        partMeta = Some(pms), cdf = cdf)
     }
 
   /** Read ONLY the named partitions' live files — pruned from the
@@ -2784,11 +2857,43 @@ class GraftTable private (val s: SparkSession, val root: String) {
   def merge(updates: DataFrame, key: String,
             strategies: Map[String, graft.operators.Upsert.MergeStrategy] =
               Map.empty,
-            cdfImages: Boolean = true): Long = {
+            cdfImages: Boolean = true,
+            mergeSchema: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit, max, min}
     val base = latestVersion
     require(base > 0, s"no graft table at $root — append the batch instead")
-    val sc = schemaAt(base)
+    val sc0 = schemaAt(base)
+    // DML SCHEMA EVOLUTION (round 16, Delta's schema.autoMerge): with
+    // mergeSchema=true an ADDITIVE batch carries new columns into the
+    // schema — only the touched-file rewrite materializes them
+    // (null-filled on unmatched base rows); untouched files stay
+    // byte-identical and the snapshot read null-fills them, exactly
+    // the evolved-append behavior. Type conflicts on common columns
+    // refuse loudly; without the flag, batch-only columns keep
+    // Upsert.merge's documented ignore rule.
+    val sc =
+      if (!mergeSchema) sc0
+      else sc0.map { cur =>
+        val curNames = cur.fieldNames.map(_.toLowerCase).toSet
+        val incoming = org.apache.spark.sql.graft.shim
+          .nullable(updates.schema)
+        incoming.fields.filter(f => curNames(f.name.toLowerCase))
+          .foreach { f =>
+            val t = cur.fields
+              .find(_.name.equalsIgnoreCase(f.name)).get.dataType
+            require(t == f.dataType,
+              s"mergeSchema cannot change column '${f.name}' from " +
+                s"${t.simpleString} to ${f.dataType.simpleString}")
+          }
+        val fresh = incoming.fields
+          .filterNot(f => curNames(f.name.toLowerCase))
+        val cm0 = colmapAt(base)
+        fresh.foreach(f => require(!cm0.dead.contains(f.name),
+          s"column '${f.name}' was dropped earlier — its physical name " +
+            "is tombstoned; evolve via append(mergeSchema=true), which " +
+            "assigns a fresh physical name"))
+        StructType(cur.fields ++ fresh)
+      }
     val liveM = resolveMeta(base)
     partColsFor(base).headOption.foreach { p =>
       throw new IllegalArgumentException(
@@ -3539,7 +3644,12 @@ class GraftTable private (val s: SparkSession, val root: String) {
     *     staged at commit time ([[merge]]/[[update]]/[[deleteWhere]]
     *     write them);
     *   - compact/zorder commits are content-neutral — no rows;
-    *   - overwrite/restore/replace commits have no row-level images
+    *   - replace commits (replaceWhere / dynamic overwrite) serve
+    *     their staged delete+insert images WHEN the write enabled
+    *     them (`cdfImages = true`, round 16 — Delta's CDF-on
+    *     behavior); a replace WITHOUT images still refuses — the
+    *     feed never lies;
+    *   - overwrite/restore commits have no row-level images
     *     (they rewrite whole scopes) — the feed still REFUSES those
     *     ranges rather than lying; fall back to a snapshot diff.
     * Returns None when the range changed nothing.
@@ -3551,6 +3661,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val unsupported = commits.filterNot(c =>
       c.action.startsWith("append") || c.action == "merge" ||
         c.action == "delete" || c.action == "update" ||
+        (GraftTable.isReplaceAction(c.action) && c.cdf.nonEmpty) ||
         c.action == "compact" || c.action == "purge" ||
         c.action.startsWith("zorder:") ||
         c.action.startsWith("constraint:") ||
@@ -3580,7 +3691,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
             .withColumn(VersionCol, lit(c.version)))
         }
       } else if (c.action == "merge" || c.action == "delete" ||
-          c.action == "update") {
+          c.action == "update" || GraftTable.isReplaceAction(c.action)) {
         if (c.cdf.isEmpty) None
         else Some(s.read.parquet(c.cdf.map(f => s"$root/${f._1}"): _*)
           .withColumn(VersionCol, lit(c.version)))
@@ -3618,7 +3729,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
           .sortBy(_._1)
         if (fs.isEmpty) None else Some((c.version, fs, Some("insert")))
       } else if (c.action == "merge" || c.action == "delete" ||
-          c.action == "update") {
+          c.action == "update" ||
+          (GraftTable.isReplaceAction(c.action) && c.cdf.nonEmpty)) {
         if (c.cdf.isEmpty) None
         else Some((c.version,
           c.cdf.map(f => (s"$root/${f._1}", f._2)).sortBy(_._1),
@@ -3994,6 +4106,12 @@ object GraftTable {
   /** The CDF change-type / commit-version column names (Delta's). */
   val ChangeTypeCol = "_change_type"
   val VersionCol = "_commit_version"
+
+  /** A scoped-replace commit action — plain or tag-suffixed
+    * (`tagged` records micro-batch replays as `replace@<tag>`).
+    */
+  private[sources] def isReplaceAction(a: String): Boolean =
+    a == "replace" || a.startsWith("replace@")
 
   /** A vacuum's reclaim set: unreferenced (relpath, bytes) files past
     * the grace window, plus the log files behind `horizon`.

@@ -696,6 +696,64 @@ class GraftDmlSpec extends SparkSpec {
     ()
   }
 
+  test("DML schema evolution: merge and replaceWhere accept an additive batch; type conflicts refuse (round 16)") {
+    import spark.implicits._
+    // merge with a NEW column (Delta's schema.autoMerge): the batch
+    // carries o_note — matched/inserted rows materialize it, every
+    // other row null-fills, untouched files stay byte-identical
+    val root = freshRoot()
+    val t = GraftTable.create(spark, root, Seq(
+      (1L, 10.0), (2L, 20.0), (50L, 500.0), (60L, 600.0))
+      .toDF("id", "price").repartitionByRange(2, col("id")))   // v1
+    val before = t.liveFileMeta().map(f => (f._1, f._2)).toSet
+    val batch = Seq((1L, 11.0, "edited"), (3L, 33.0, "new"))
+      .toDF("id", "price", "note")
+    // (without the flag, Upsert.merge's documented contract IGNORES
+    // batch-only columns — no evolution; with it the column lands)
+    t.merge(batch, "id", mergeSchema = true)                   // v2
+    assert(multiset(t.read()) == multiset(Seq(
+      (1L, 11.0, Option("edited")), (2L, 20.0, Option.empty[String]),
+      (3L, 33.0, Option("new")), (50L, 500.0, Option.empty[String]),
+      (60L, 600.0, Option.empty[String])).toDF("id", "price", "note")),
+      "evolved merge must null-fill the new column outside the batch")
+    // the high-range file held no matched key: byte-identical
+    assert(before.intersect(t.liveFileMeta().map(f => (f._1, f._2)).toSet)
+      .nonEmpty, "merge evolution rewrote untouched files")
+    // type conflict refuses loudly even with the flag
+    val bad = Seq((1L, "not-a-double", "x")).toDF("id", "price", "note")
+    val e = intercept[IllegalArgumentException] {
+      t.merge(bad, "id", mergeSchema = true)
+    }
+    assert(e.getMessage.contains("cannot change column"), e.getMessage)
+    // replaceWhere: additive batch refuses without the flag, evolves
+    // with it; untouched partition files stay byte-identical
+    val root2 = freshRoot()
+    val t2 = GraftTable.forPath(spark, root2)
+    t2.appendPartitioned(Seq((1L, 1.0, "a"), (2L, 2.0, "b"))
+      .toDF("id", "price", "seg"), "seg")                      // v1
+    val evolved = Seq((9L, 9.0, "a", "fresh"))
+      .toDF("id", "price", "seg", "note")
+    val e2 = intercept[IllegalArgumentException] {
+      t2.replaceWhere(col("seg") === "a", evolved)
+    }
+    assert(e2.getMessage.contains("mergeSchema"), e2.getMessage)
+    val bBefore = t2.liveFileMeta().map(f => (f._1, f._2)).toSet
+      .filter(_._1.contains("/seg=b/"))
+    t2.replaceWhere(col("seg") === "a", evolved,
+      mergeSchema = true)                                      // v2
+    assert(bBefore.subsetOf(t2.liveFileMeta().map(f => (f._1, f._2)).toSet),
+      "replaceWhere evolution restaged the untouched partition")
+    // serving shape: evolved payload columns first, the hive key LAST
+    // (the DSv2 partitioned read restores it at the end)
+    assert(multiset(spark.read.format("graft").load(root2)) == multiset(
+      Seq((9L, 9.0, Option("fresh"), "a"),
+        (2L, 2.0, Option.empty[String], "b"))
+        .toDF("id", "price", "note", "seg")),
+      "evolved replaceWhere must serve the new column, null-filled " +
+        "on the untouched partition")
+    ()
+  }
+
   test("SQL MERGE full clause surface: conditional transitions, matched DELETE, NOT MATCHED BY SOURCE (round 16)") {
     import spark.implicits._
     val root = freshRoot()

@@ -390,6 +390,93 @@ class GraftReplaceWhereSpec extends SparkSpec {
     ()
   }
 
+  test("replaceWhere cdfImages: delete+insert images serve the feed across a backfill; replay reconstructs the table (round 16)") {
+    import org.apache.spark.sql.Row
+    val root = freshRoot("graft_rw_cdf")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(
+      seg("F", 3, 10.0).unionByName(seg("O", 2, 20.0)), "status") // v1
+    val pre = multiset(serve(root))
+    val restated = seg("F", 2, 99.0)
+    t.replaceWhere(col("status") === "F", restated,
+      cdfImages = true)                                           // v2
+    // the feed serves the replace range instead of refusing
+    val feed = t.changeFeed(1, 2).get
+    val dels = feed.filter(col("_change_type") === "delete")
+      .drop("_change_type", "_commit_version")
+    val ins = feed.filter(col("_change_type") === "insert")
+      .drop("_change_type", "_commit_version")
+    assert(multiset(dels) == multiset(seg("F", 3, 10.0)),
+      "delete images must be exactly the replaced partition's rows")
+    assert(multiset(ins) == multiset(restated))
+    // replay: pre − deletes + inserts ≡ the post-replace table
+    def minus(a: Map[Seq[Any], Int], b: Map[Seq[Any], Int]) =
+      (a.keySet ++ b.keySet).map(k =>
+        k -> (a.getOrElse(k, 0) - b.getOrElse(k, 0)))
+        .filter(_._2 != 0).toMap
+    def plus(a: Map[Seq[Any], Int], b: Map[Seq[Any], Int]) =
+      (a.keySet ++ b.keySet).map(k =>
+        k -> (a.getOrElse(k, 0) + b.getOrElse(k, 0)))
+        .filter(_._2 != 0).toMap
+    assert(plus(minus(pre, multiset(dels)), multiset(ins)) ==
+      multiset(serve(root)),
+      "feed replay across the backfill must reconstruct the table")
+    // dynamic overwrite takes the same image rule
+    val restated2 = seg("O", 1, 77.0)
+    t.overwritePartitionsDynamic(restated2, cdfImages = true)     // v3
+    val feed2 = t.changeFeed(2, 3).get
+    assert(multiset(feed2.filter(col("_change_type") === "delete")
+      .drop("_change_type", "_commit_version")) ==
+      multiset(seg("O", 2, 20.0)))
+    assert(multiset(feed2.filter(col("_change_type") === "insert")
+      .drop("_change_type", "_commit_version")) == multiset(restated2))
+    // row-level regime (payload predicate) stages images too
+    val root2 = freshRoot("graft_rw_cdf_row")
+    val t2 = GraftTable.forPath(spark, root2)
+    t2.append(seg("F", 3, 10.0).drop("status"))                   // v1 flat
+    t2.replaceWhere(col("price") === 10.0,
+      seg("F", 1, 10.0).drop("status"), cdfImages = true)         // v2
+    val f2 = t2.changeFeed(1, 2).get
+    assert(f2.filter(col("_change_type") === "delete").count() == 3 &&
+      f2.filter(col("_change_type") === "insert").count() == 1)
+    // a replace WITHOUT images still refuses — the feed never lies
+    t2.replaceWhere(col("price") === 10.0,
+      seg("F", 1, 10.0).drop("status"))                           // v3
+    val e = intercept[IllegalStateException](t2.changeFeed(2, 3))
+    assert(e.getMessage.contains("whole-scope"), e.getMessage)
+    ()
+  }
+
+  test("the CDF stream serves across an image-carrying replace commit (round 16)") {
+    import org.apache.spark.sql.DataFrame
+    val root = freshRoot("graft_rw_cdfs")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(
+      seg("F", 3, 10.0).unionByName(seg("O", 2, 20.0)), "status") // v1
+    t.replaceWhere(col("status") === "F", seg("F", 2, 99.0),
+      cdfImages = true)                                           // v2
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_rw_cdfs_out").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_rw_cdfs_ck").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$out/b$id"); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    val streamed = spark.read.parquet(
+      new java.io.File(out).listFiles.map(_.toString).toIndexedSeq: _*)
+    assert(multiset(streamed) == multiset(
+      t.changeFeed(0).get.select(streamed.columns.map(col).toIndexedSeq: _*)),
+      "the CDF stream across the replace must equal the batch feed")
+    ()
+  }
+
   test("SQL INSERT OVERWRITE honors partitionOverwriteMode: dynamic replaces incoming chains, static replaces the set") {
     val root = freshRoot("graft_dyn_sql")
     spark.conf.set("spark.sql.catalog.grw",
