@@ -3481,8 +3481,12 @@ class GraftTable private (val s: SparkSession, val root: String) {
       s.read.parquet(inScope.map(absOf): _*)) { (acc, pc) =>
       acc.withColumn(pc, partRestore(pc, partTypeOf(pc, inScope, base)))
     }
+    // range-normalized z-value (round 16): raw keys past 2^31 would
+    // alias in the spread masks and the re-cluster would silently
+    // stop pruning — see ZOrderLayout.zvalNormalizedOver
     val clustered = restored
-      .withColumn("__z", ZOrderLayout.zvalN(dims.map(col)))
+      .withColumn("__z",
+        ZOrderLayout.zvalNormalizedOver(restored, dims.map(col)))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -98,6 +98,41 @@ object ZOrderLayout {
     }
   }
 
+  /** Per-dimension bit budget of the N-dim interleave. */
+  private def bitsFor(n: Int): Int =
+    n match { case 2 => 31; case 3 => 21; case _ => 16 }
+
+  /** The z-value with every dimension RANGE-NORMALIZED into its bit
+    * budget first (round 16 — a real 100 TB-scale bug): the spreads
+    * mask to the low 31/21/16 bits, so a raw key past 2^31 (any real
+    * lake's 64-bit ids) ALIASES — key mod 2^31 scrambles the
+    * dimension's order and the layout silently stops clustering
+    * (measured before the fix: the x100 probe read 16/16 files at
+    * EVERY slice width while 1×/10× pruned fine, because the x100
+    * keys live at replica·10⁹ ≫ 2³¹). One tiny agg over the frame
+    * being rewritten finds each dim's [min, max]; the per-dim map
+    * (v − lo) · scale is monotone, which is all Morton clustering
+    * needs. Spans already inside the budget just shift by min — the
+    * original behavior.
+    */
+  def zvalNormalizedOver(df: DataFrame, dims: Seq[Column]): Column = {
+    val cap = ((1L << bitsFor(dims.size)) - 1).toDouble
+    val aggs = dims.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(c.cast("double")).as(s"__zlo$i"),
+        max(c.cast("double")).as(s"__zhi$i"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head
+    val normed = dims.zipWithIndex.map { case (c, i) =>
+      val lo = if (r.isNullAt(2 * i)) 0.0 else r.getDouble(2 * i)
+      val hi = if (r.isNullAt(2 * i + 1)) 0.0 else r.getDouble(2 * i + 1)
+      val span = hi - lo
+      if (!(span > 0) || span.isInfinite) lit(0L) // constant/empty dim
+      else if (span <= cap) (c.cast("double") - lit(lo)).cast("long")
+      else ((c.cast("double") - lit(lo)) * lit(cap / span)).cast("long")
+    }
+    zvalN(normed)
+  }
+
   /** Write `df` parquet z-ordered on (dimA, dimB) into ~numFiles
     * files: one range exchange on the z-value (sampled split points →
     * balanced files regardless of skew), an in-partition sort so
@@ -111,7 +146,7 @@ object ZOrderLayout {
   /** The N-dimensional form (2 ≤ N ≤ 4 columns). */
   def writeZOrdered(df: DataFrame, dims: Seq[Column],
                     outDir: String, numFiles: Int): Unit =
-    df.withColumn("__z", zvalN(dims))
+    df.withColumn("__z", zvalNormalizedOver(df, dims))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

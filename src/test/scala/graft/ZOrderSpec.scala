@@ -151,4 +151,31 @@ class ZOrderSpec extends SparkSpec {
         s"3-dim z-layout did not tighten per-file $d spans")
     }
   }
+
+  test("keys past 2^31 still cluster: range normalization defeats spread-mask aliasing (round 16)") {
+    import graft.sources.GraftTable
+    // the x100 shape that exposed the bug: values at replica * 10^9,
+    // far past the 31-bit spread mask — unnormalized, key mod 2^31
+    // scrambles the order and every file spans everything
+    val wide = spark.range(0, 40000)
+      .select((col("id") % 100 * 1000000000L + col("id")).as("k"),
+        (col("id") % 97 * 1000000000L + col("id") * 7 % 1000).as("c"),
+        (col("id") * 31 % 1000).as("payload"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zwide").toString + "/t"
+    val t = GraftTable.create(spark, root, wide.repartition(8))   // v1
+    t.compactZOrder("k", "c", 16)                                 // v2
+    val total = t.liveFiles().size
+    assert(total >= 8, s"expected a multi-file z layout, got $total")
+    // a centered 2-d slice of ~1/8 of each dimension's RANGE
+    val pred = col("k").between(45L * 1000000000L, 57L * 1000000000L) &&
+      col("c").between(43L * 1000000000L, 55L * 1000000000L)
+    val touched = t.prunedFiles(pred).size
+    assert(touched < total,
+      s"z-order on wide keys pruned nothing ($touched/$total) — " +
+        "spread-mask aliasing is back")
+    // content neutrality of the fixed rewrite
+    assert(t.read().count() == 40000)
+    ()
+  }
 }
