@@ -3182,7 +3182,18 @@ class GraftTable private (val s: SparkSession, val root: String) {
             .filter(col("__iact") >= 0)
             .select(schema.fields.map(insCol).toIndexedSeq: _*))
         }
-      val outRows = inserts.map(survivors.unionByName(_)).getOrElse(survivors)
+      // size the insert side to the rewrite granularity: the anti-join
+      // inherits the SOURCE scan's partitioning (~32 splits), which
+      // would stage dozens of tiny files for an endpoint-sized batch —
+      // every later read then reopens them all (measured: the q87 sf1
+      // serve read 43 files vs 13, +0.16 s). coalesce (shuffle-free)
+      // to the touched-file count; insert-ONLY merges keep the batch's
+      // natural write parallelism (they are appends in disguise)
+      val insertsSized = inserts.map(i =>
+        if (touched.isEmpty) i
+        else i.coalesce(math.max(1, math.min(touched.size, 32))))
+      val outRows = insertsSized.map(survivors.unionByName(_))
+        .getOrElse(survivors)
       enforceConstraints(outRows, "merge")
       val adds = stage(outRows)
       val st0 = statsOf(adds)
