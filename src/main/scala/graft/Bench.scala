@@ -141,7 +141,10 @@ object Bench {
     // family's new first stage: pure codegen'd regex arithmetic over
     // the corpus — raw string throughput, worth tracking like d17)
     "q99_conditional_merge", "q100_replace_cdf", "q101_merge_evolve",
-    "d43_html_strip")
+    "d43_html_strip",
+    // late round-16 addition: MERGE INTO a hive-partitioned table
+    // (chain-pruned probes, chain-preserving restage, null-dir insert)
+    "q102_partitioned_merge")
 
   /** 1-minute load average, -1.0 if unreadable (non-Linux). */
   private def loadavg(): Double =

@@ -846,6 +846,52 @@ object Lakehouse {
   def q101MergeEvolve(s: SparkSession, d: String): DataFrame =
     evolveMergeTable(s, d).read().orderBy("o_orderkey")
 
+  private val partMerged = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  // q102: PARTITIONED-TABLE MERGE (round 16, late addition — the gap
+  // a Delta user hits next after q99: MERGE INTO a hive-partitioned
+  // table). Orders land partitioned by status; a conditional merge
+  // re-prices every 6th key ONLY where the target row's status is
+  // 'O' (a clause condition on the PARTITION column, restored from
+  // the value dirs) and inserts one brand-new key with NO status —
+  // which must land under the hive null-partition dir and serve back
+  // as NULL. Chain pruning, chain-preserving restage, and the
+  // null-dir round-trip all sit inside the hash: a merge that read
+  // or restaged unmatched partitions' files is caught separately by
+  // GraftMergeIntoSpec's byte-identity case.
+  private def partMergeTable(s: SparkSession, d: String): String =
+    partMerged.synchronized { partMerged.getOrElseUpdate(
+      s.sparkContext.applicationId + "|" + d,
+      graft.tools.BuildCosts.timed("build:q102_part_merge_lifecycle") {
+        import graft.sources.MergeClauses._
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_partmerge").toString + "/t"
+        val t = GraftTable.forPath(s, dir)
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus").as("ostatus"))
+        t.appendPartitioned(orders, "ostatus")                     // v1
+        val keyMax = orders.agg(max("o_orderkey")).head().getLong(0)
+        val batch = orders
+          .filter(pmod(col("o_orderkey"), lit(6L)) === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"))
+          .unionByName(s.range(1, 2).select(
+            (lit(keyMax) + lit(7L)).as("o_orderkey"),
+            lit(123.25).as("o_totalprice")))
+        t.mergeInto(batch, Seq("o_orderkey"),
+          matched = Seq(MatchedUpdate(Some(expr("t.ostatus = 'O'")),
+            Map("o_totalprice" -> expr("s.o_totalprice")))),
+          notMatched = Seq(NotMatchedInsert(None,
+            Map("o_orderkey" -> expr("s.o_orderkey"),
+              "o_totalprice" -> expr("s.o_totalprice")))))         // v2
+        dir
+      }) }
+
+  def q102PartitionedMerge(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft").load(partMergeTable(s, d))
+      .orderBy("o_orderkey")
+
   private val condMerged = scala.collection.concurrent.TrieMap.empty[String, String]
 
   // q99: CONDITIONAL MULTI-CLAUSE MERGE — the full Delta clause
@@ -959,6 +1005,7 @@ object Lakehouse {
       .orderBy("l_returnflag")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_partitioned_merge" -> (q102PartitionedMerge _),
     "q101_merge_evolve" -> (q101MergeEvolve _),
     "q100_replace_cdf" -> (q100ReplaceCdf _),
     "q99_conditional_merge" -> (q99ConditionalMerge _),
@@ -1007,6 +1054,23 @@ object Lakehouse {
       |FROM surv ORDER BY o_orderkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q102_partitioned_merge" ->
+      """WITH s AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS p
+        |  FROM orders WHERE o_orderkey % 6 = 0
+        |  UNION ALL
+        |  SELECT (SELECT max(o_orderkey) FROM orders) + 7, 123.25),
+        |m AS (
+        |  SELECT t.o_orderkey,
+        |    CASE WHEN s.o_orderkey IS NOT NULL
+        |      AND t.o_orderstatus = 'O' THEN s.p
+        |      ELSE t.o_totalprice END AS o_totalprice,
+        |    t.o_orderstatus AS ostatus
+        |  FROM orders t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+        |  UNION ALL
+        |  SELECT s.o_orderkey, s.p, CAST(NULL AS VARCHAR)
+        |  FROM s ANTI JOIN orders t USING (o_orderkey))
+        |SELECT * FROM m ORDER BY o_orderkey""".stripMargin,
     "q101_merge_evolve" ->
       """WITH s AS (
         |  SELECT o_orderkey, o_totalprice * 2 AS p,

@@ -2897,9 +2897,10 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val liveM = resolveMeta(base)
     partColsFor(base).headOption.foreach { p =>
       throw new IllegalArgumentException(
-        s"table is hive-partitioned on '$p' — merged rows could move " +
-          "across partitions; use replacePartitions (the partition-scoped " +
-          "merge the streaming sinks run) instead")
+        s"table is hive-partitioned on '$p' — use mergeInto (clause " +
+          "merge, restages under value-dir chains) or " +
+          "replacePartitions (the partition-scoped merge the " +
+          "streaming sinks run) instead")
     }
     require(sc.forall(_.fieldNames.contains(key)),
       s"merge key '$key' is not a column of the table")
@@ -2993,17 +2994,23 @@ class GraftTable private (val s: SparkSession, val root: String) {
     require(base > 0, s"no graft table at $root — append the batch instead")
     val sc = schemaAt(base)
     val liveM = resolveMeta(base)
-    partColsFor(base).headOption.foreach { p =>
-      throw new IllegalArgumentException(
-        s"table is hive-partitioned on '$p' — merged rows could move " +
-          "across partitions; use replacePartitions (the partition-scoped " +
-          "merge the streaming sinks run) instead")
-    }
+    // hive-partitioned tables merge too (round 16 — Delta does): the
+    // probes restore the partition columns from paths (dmlRead), the
+    // rewrite restages under full value-dir chains (dmlStage), so an
+    // update that SETs a partition key simply moves the row to its
+    // new chain, and partition-column ON keys chain-prune candidates
+    val pc = partColsFor(base)
     require(keys.nonEmpty, "mergeInto needs at least one ON key")
     require(matched.nonEmpty || notMatched.nonEmpty ||
       notMatchedBySource.nonEmpty, "mergeInto needs at least one clause")
-    val schema = sc.getOrElse(throw new IllegalStateException(
+    val payload = sc.getOrElse(throw new IllegalStateException(
       s"table at $root has no recorded schema"))
+    // the full logical row = payload fields + path-restored partition
+    // fields (the recorded schema is payload-only on partitioned
+    // layouts — partition values live in the value dirs)
+    val schema = StructType(payload.fields ++ pc.map(p =>
+      org.apache.spark.sql.types.StructField(p,
+        partTypeOf(p, liveM.keys, base))))
     val tNames = schema.fieldNames.toSeq
     val tSet = tNames.map(_.toLowerCase).toSet
     keys.foreach { k =>
@@ -3022,7 +3029,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val cm = colmapAt(base)
     val byName = byBaseName(liveM)
     def probeFiles(paths: Seq[String]) =
-      readMeta(paths.map(p => p -> liveM(p)), sc, keepPos = true, cm = cm)
+      dmlRead(paths.map(p => p -> liveM(p)), sc, pc, keepPos = true, cm = cm)
 
     // 1a. matched-side stats prune: conjunction of per-key batch
     // ranges. The probe set is needed whenever matched OR notMatched
@@ -3032,16 +3039,41 @@ class GraftTable private (val s: SparkSession, val root: String) {
       Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
     val range = source.agg(aggs.head, aggs.tail: _*).head
     val srcEmpty = range.isNullAt(0)
+    // partition-column keys have no file stats (their values live in
+    // the paths) — they prune by CHAIN TOKEN instead: a file whose
+    // value dir for key k is outside the batch's distinct k-values
+    // cannot hold a matched key (the batch is endpoint-sized, so the
+    // distinct collect is bounded; null key values never equi-match)
+    val partKeys = keys.filter(k => pc.exists(_.equalsIgnoreCase(k)))
+    val chainKeep: String => Boolean =
+      if (partKeys.isEmpty) _ => true
+      else {
+        val valueSets = partKeys.map { k =>
+          k -> source.select(col(k).cast("string")).distinct()
+            .collect().flatMap(r => Option(r.getString(0)))
+            .map(v => partToken(k, v)).toSet
+        }
+        p => valueSets.forall { case (k, toks) =>
+          toks.exists(("/" + p).contains) }
+      }
     val keyCandidates =
       if (srcEmpty || (matched.isEmpty && notMatched.isEmpty)) Seq.empty[String]
       else {
-        val keyPred = keys.zipWithIndex.map { case (k, i) =>
-          col(k) >= lit(range.get(2 * i)) && col(k) <= lit(range.get(2 * i + 1))
-        }.reduce(_ && _)
-        val e = physPred(
-          org.apache.spark.sql.graft.shim.catalystExpression(keyPred), cm)
+        val payloadKeys = keys.zipWithIndex.filterNot { case (k, _) =>
+          pc.exists(_.equalsIgnoreCase(k)) }
+        val statsKeep: FileMeta => Boolean =
+          if (payloadKeys.isEmpty) _ => true
+          else {
+            val keyPred = payloadKeys.map { case (k, i) =>
+              col(k) >= lit(range.get(2 * i)) &&
+                col(k) <= lit(range.get(2 * i + 1))
+            }.reduce(_ && _)
+            val e = physPred(org.apache.spark.sql.graft.shim
+              .catalystExpression(keyPred), cm)
+            m => FileStats.mayMatch(m.stats, e)
+          }
         liveM.toSeq.sortBy(_._1).collect {
-          case (p, m) if FileStats.mayMatch(m.stats, e) => p
+          case (p, m) if statsKeep(m) && chainKeep(p) => p
         }
       }
     val srcKeys = source.select(keys.map(col): _*).distinct()
@@ -3160,7 +3192,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
           val presentKeys =
             if (matchedKeyFiles.isEmpty)
               srcKeys.limit(0) // nothing present: every source key inserts
-            else readMeta(matchedKeyFiles.map(p => p -> liveM(p)), sc,
+            else dmlRead(matchedKeyFiles.map(p => p -> liveM(p)), sc, pc,
               cm = cm).select(keys.map(col): _*)
               .join(broadcast(srcKeys), keys, "left_semi").distinct()
           val unmatched = srcMarked.alias("s")
@@ -3195,7 +3227,12 @@ class GraftTable private (val s: SparkSession, val root: String) {
       val outRows = insertsSized.map(survivors.unionByName(_))
         .getOrElse(survivors)
       enforceConstraints(outRows, "merge")
-      val adds = stage(outRows)
+      if (pc.nonEmpty) requirePartConsistent(partMetaOf(outRows, pc), base)
+      // chain-preserving restage on partitioned layouts: rewritten
+      // rows land back under their (possibly UPDATED) value-dir
+      // chains, so pruned reads keep working and a SET on a partition
+      // key moves the row — Delta's partitioned-merge semantics
+      val adds = dmlStage(outRows, pc)
       val st0 = statsOf(adds)
       // zero-row rewrite outputs drop (deleteWhere's rule); and an
       // insert-only merge that inserted nothing publishes no commit
@@ -3230,7 +3267,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
       commit("merge", kept, touched, basedOn = Some(base),
         stats = st0, schema = sc, cdf = cdf,
         tolerateAppends = true,
-        readFiles = (keyCandidates ++ bsCandidates).distinct)
+        readFiles = (keyCandidates ++ bsCandidates).distinct,
+        partMeta = if (pc.isEmpty) None else Some(partMetaOf(outRows, pc)))
     } finally { joined.unpersist(); () }
   }
 

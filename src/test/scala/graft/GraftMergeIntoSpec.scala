@@ -175,6 +175,70 @@ class GraftMergeIntoSpec extends SparkSpec {
     ()
   }
 
+  test("partitioned tables merge: chain pruning on partition keys, byte-identical untouched chains, key-move restage (round 16)") {
+    val root = fresh("graft_mi_part")
+    val t = GraftTable.forPath(spark, root)
+    // bucket = the partition key; (bucket, id) the composite ON key
+    val wide = spark.range(0, 400).select(
+      (col("id") % 4).as("bucket"), col("id"),
+      lit("PENDING").as("status"), (col("id") * 1.0).as("price"))
+    t.appendPartitioned(wide, "bucket")                       // v1
+    val before = t.liveFileMeta().map(f => (f._1, f._2)).toSet
+    import spark.implicits._
+    // the batch names only bucket 1 — chain pruning must keep every
+    // other bucket's files byte-identical (never read, never restaged)
+    val batch = Seq((1L, 5L, "APPROVED"), (1L, 9L, "APPROVED"),
+      (1L, 401L, "NEW")).toDF("bucket", "id", "status")
+    t.mergeInto(batch, Seq("bucket", "id"),
+      matched = Seq(MatchedUpdate(Some(expr("t.status = 'PENDING'")),
+        Map("status" -> expr("s.status")))),
+      notMatched = Seq(NotMatchedInsert(None,
+        Map("bucket" -> expr("s.bucket"), "id" -> expr("s.id"),
+          "status" -> expr("s.status"), "price" -> lit(0.0)))))  // v2
+    val after = t.liveFileMeta().map(f => (f._1, f._2)).toSet
+    val others = before.filterNot(_._1.contains("/bucket=1/"))
+    assert(others.subsetOf(after),
+      "a bucket-1 merge restaged files of other buckets")
+    // updates landed, insert landed under its chain, pruned read works
+    val b1 = t.readPartitionedColumn("bucket", Seq(1L)).get
+    assert(b1.filter(col("status") === "APPROVED").count() == 2)
+    assert(b1.filter(col("id") === 401L).head.getAs[String]("status") == "NEW")
+    assert(t.read().count() == 401)
+    // SET on the partition key MOVES the row to its new chain
+    val mv = Seq((2L, 6L)).toDF("bucket", "id")
+    t.mergeInto(mv, Seq("bucket", "id"),
+      matched = Seq(MatchedUpdate(None, Map("bucket" -> lit(9L)))))  // v3
+    assert(t.readPartitionedColumn("bucket", Seq(9L)).get
+      .filter(col("id") === 6L).count() == 1,
+      "a partition-key SET must land the row under its NEW value dir")
+    assert(t.readPartitionedColumn("bucket", Seq(2L)).get
+      .filter(col("id") === 6L).isEmpty)
+    assert(t.read().count() == 401, "the move must not copy the row")
+    ()
+  }
+
+  test("SQL MERGE INTO a hive-partitioned catalog table routes through the partitioned clause merge (round 16)") {
+    import spark.implicits._
+    val root = fresh("graft_mi_psql")
+    spark.conf.set("spark.sql.catalog.gmp",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.sql(s"CREATE TABLE gmp.`$root` (id BIGINT, price DOUBLE, " +
+      "seg STRING) PARTITIONED BY (seg)")                     // v1
+    Seq((1L, 10.0, "a"), (2L, 20.0, "a"), (3L, 30.0, "b"))
+      .toDF("id", "price", "seg").createOrReplaceTempView("pm_src0")
+    spark.sql(s"INSERT INTO gmp.`$root` SELECT * FROM pm_src0") // v2
+    Seq((1L, 11.0, "a"), (4L, 40.0, "b"))
+      .toDF("id", "price", "seg").createOrReplaceTempView("pm_batch")
+    spark.sql(s"MERGE INTO gmp.`$root` t USING pm_batch s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET price = s.price " +
+      "WHEN NOT MATCHED THEN INSERT (id, price, seg) " +
+      "VALUES (s.id, s.price, s.seg)")                        // v3
+    assert(multiset(spark.sql(s"SELECT * FROM gmp.`$root`")) ==
+      multiset(Seq((1L, 11.0, "a"), (2L, 20.0, "a"),
+        (3L, 30.0, "b"), (4L, 40.0, "b")).toDF("id", "price", "seg")))
+    ()
+  }
+
   test("unconditional SET-all mergeInto matches merge (the upsert shape both express)") {
     val rootA = fresh("graft_mi_eq_a")
     val rootB = fresh("graft_mi_eq_b")
