@@ -233,7 +233,14 @@ object GraftDataSource {
         caps.add(BATCH_WRITE); caps.add(TRUNCATE)
         // partitionOverwriteMode=dynamic: INSERT OVERWRITE replaces
         // exactly the incoming value-dir chains (one 'replace' commit)
-        caps.add(OVERWRITE_DYNAMIC); ()
+        caps.add(OVERWRITE_DYNAMIC)
+        // MERGE ... WITH SCHEMA EVOLUTION (round 16): Spark's
+        // ResolveMergeIntoSchemaEvolution gates on this capability,
+        // then routes the additive changes through the catalog's
+        // alterTable (→ GraftTable.addColumn, a metadata commit) and
+        // re-resolves the merge against the evolved schema — so the
+        // clause rewrite itself needs no special casing
+        caps.add(AUTOMATIC_SCHEMA_EVOLUTION); ()
       }
       caps
     }

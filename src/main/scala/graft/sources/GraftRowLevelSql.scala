@@ -37,9 +37,12 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   *     cond] THEN INSERT` (absent columns NULL-fill), `WHEN NOT
   *     MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE`; arbitrary
   *     cross-side expressions in conditions and assignments; ON may
-  *     be a conjunction of same-named equi-keys;
+  *     be a conjunction of same-named equi-keys; hive-partitioned
+  *     targets (chain-pruned, chain-preserving restage); `WITH
+  *     SCHEMA EVOLUTION` (SET/INSERT columns absent from the table
+  *     add to the schema, null-filled outside their clauses);
   *   - refused: non-equi / differently-named ON keys (the CoW key
-  *     probe needs an equi-key), `WITH SCHEMA EVOLUTION`.
+  *     probe needs an equi-key).
   */
 class GraftRowLevelSql(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -106,9 +109,9 @@ class GraftRowLevelSql(spark: SparkSession) extends Rule[LogicalPlan] {
             } =>
       val path = graftPath(m.targetTable).get
       val targetAttrs = m.targetTable.outputSet
-      if (m.withSchemaEvolution)
-        refuse("MERGE ... WITH SCHEMA EVOLUTION — evolve the table " +
-          "first (mergeSchema append), then merge")
+      // WITH SCHEMA EVOLUTION (round 16): routes into mergeInto's
+      // mergeSchema — SET/INSERT columns absent from the table ADD
+      // to the schema, null-filled outside their defining clauses
 
       // ON: a conjunction of same-named equi-keys (the CoW key probe
       // prunes and joins on them)
@@ -161,10 +164,12 @@ class GraftRowLevelSql(spark: SparkSession) extends Rule[LogicalPlan] {
             s"${other.getClass.getSimpleName} is not UPDATE/DELETE")
         }
       val source = m.sourceTable
+      val evolve = m.withSchemaEvolution
       GraftSqlDmlCommand(s"graft MERGE $path", { s =>
         GraftTable.forPath(s, path).mergeInto(
           shim.dataFrame(s, source), keys,
-          matchedCl, notMatchedCl, bySourceCl); ()
+          matchedCl, notMatchedCl, bySourceCl,
+          mergeSchema = evolve); ()
       })
 
     case _ => plan

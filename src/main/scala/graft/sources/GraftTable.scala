@@ -2987,7 +2987,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
                 matched: Seq[MergeClauses.Matched] = Seq.empty,
                 notMatched: Seq[MergeClauses.NotMatchedInsert] = Seq.empty,
                 notMatchedBySource: Seq[MergeClauses.BySource] = Seq.empty,
-                cdfImages: Boolean = true): Long = {
+                cdfImages: Boolean = true,
+                mergeSchema: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, max, min, when}
     import MergeClauses._
     val base = latestVersion
@@ -3018,15 +3019,35 @@ class GraftTable private (val s: SparkSession, val root: String) {
       require(source.columns.exists(_.equalsIgnoreCase(k)),
         s"merge key '$k' is not a source column")
     }
+    // SCHEMA EVOLUTION through the clause verb (round 16, Delta's
+    // `WITH SCHEMA EVOLUTION`): with mergeSchema=true a SET / INSERT
+    // naming a NON-table column ADDS it to the schema — its type
+    // resolved from the defining expression; target rows outside the
+    // defining clauses null-fill; untouched files stay byte-identical
+    // and the snapshot read null-fills them (the evolved-append rule).
+    // Tombstoned names refuse (a dropped column's data must never
+    // resurrect under its old physical name).
+    val newCols = scala.collection.mutable.LinkedHashMap.empty[String, Column]
     def checkCols(m: Map[String, Column], what: String): Unit =
-      m.keys.foreach(c => require(tSet(c.toLowerCase),
-        s"$what names '$c', not a table column"))
+      m.foreach { case (c, v) =>
+        if (!tSet(c.toLowerCase)) {
+          require(mergeSchema,
+            s"$what names '$c', not a table column — pass " +
+              "mergeSchema=true (WITH SCHEMA EVOLUTION) to add it")
+          if (!newCols.keys.exists(_.equalsIgnoreCase(c)))
+            newCols += c -> v
+        }
+      }
     matched.foreach { case MatchedUpdate(_, set) =>
       checkCols(set, "WHEN MATCHED UPDATE SET"); case _ => }
     notMatched.foreach(c => checkCols(c.values, "WHEN NOT MATCHED INSERT"))
     notMatchedBySource.foreach { case BySourceUpdate(_, set) =>
       checkCols(set, "WHEN NOT MATCHED BY SOURCE UPDATE SET"); case _ => }
     val cm = colmapAt(base)
+    newCols.keys.foreach(n => require(!cm.dead.contains(n),
+      s"column '$n' was dropped earlier — its physical name is " +
+        "tombstoned; evolve via append(mergeSchema=true), which " +
+        "assigns a fresh physical name"))
     val byName = byBaseName(liveM)
     def probeFiles(paths: Seq[String]) =
       dmlRead(paths.map(p => p -> liveM(p)), sc, pc, keepPos = true, cm = cm)
@@ -3130,6 +3151,21 @@ class GraftTable private (val s: SparkSession, val root: String) {
       .join(broadcast(srcMarked.alias("s")),
         keys.map(k => col(s"t.$k") === col(s"s.$k"))
           .reduceOption(_ && _).getOrElse(lit(false)), "left_outer")
+    // evolution: each new column's TYPE resolves from its defining
+    // expression against the joined frame (t.* and s.* both in scope)
+    val newFields = newCols.toSeq.map { case (n, v) =>
+      org.apache.spark.sql.types.StructField(n,
+        joined0.select(v.as(n)).schema.head.dataType, nullable = true)
+    }
+    val newNamesLc = newFields.map(_.name.toLowerCase).toSet
+    // output row shape: evolved payload first, the hive keys LAST
+    val outSchema = StructType(payload.fields ++ newFields ++
+      schema.fields.drop(payload.fields.length))
+    // the target side of a NEW column is always null (old files
+    // cannot carry it)
+    def tSide(f: org.apache.spark.sql.types.StructField): Column =
+      if (newNamesLc(f.name.toLowerCase)) lit(null).cast(f.dataType)
+      else col(s"t.${f.name}")
     val isMatched = coalesce(col("s.__s_exists"), lit(false))
     val ordered: Seq[(String, Column, Option[Map[String, Column]])] =
       matched.zipWithIndex.map {
@@ -3169,7 +3205,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       val setOf = ordered.collect {
         case (tag, _, Some(set)) => tag -> set }.toMap
       def outCol(f: org.apache.spark.sql.types.StructField): Column = {
-        val keep: Column = col(s"t.${f.name}")
+        val keep: Column = tSide(f)
         setOf.foldLeft(keep) { case (acc, (tag, set)) =>
           set.find(_._1.equalsIgnoreCase(f.name)).map(_._2) match {
             case Some(v) => when(col("__action") === tag,
@@ -3180,7 +3216,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       }
       val survivors = joined
         .filter(!col("__action").isin(deleteTags.toSeq: _*))
-        .select(schema.fields.map(outCol).toIndexedSeq: _*)
+        .select(outSchema.fields.map(outCol).toIndexedSeq: _*)
       // inserts: source keys absent from the table — any key present
       // anywhere lives in a matchedKeyFiles file by probe
       // construction, so the anti-join set is one key-column-only
@@ -3212,7 +3248,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
             }.as(f.name)
           Some(unmatched.withColumn("__iact", iact)
             .filter(col("__iact") >= 0)
-            .select(schema.fields.map(insCol).toIndexedSeq: _*))
+            .select(outSchema.fields.map(insCol).toIndexedSeq: _*))
         }
       // size the insert side to the rewrite granularity: the anti-join
       // inherits the SOURCE scan's partitioning (~32 splits), which
@@ -3243,15 +3279,15 @@ class GraftTable private (val s: SparkSession, val root: String) {
       val cdf =
         if (!cdfImages) Seq.empty
         else {
-          val tCols = schema.fields.map(f =>
-            col(s"t.${f.name}").as(f.name)).toIndexedSeq
+          val tCols = outSchema.fields.map(f =>
+            tSide(f).as(f.name)).toIndexedSeq
           val pre = joined
             .filter(col("__action").isin(updateTags.toSeq: _*))
             .select(tCols: _*)
             .withColumn(ChangeTypeCol, lit("update_preimage"))
           val post = joined
             .filter(col("__action").isin(updateTags.toSeq: _*))
-            .select(schema.fields.map(outCol).toIndexedSeq: _*)
+            .select(outSchema.fields.map(outCol).toIndexedSeq: _*)
             .withColumn(ChangeTypeCol, lit("update_postimage"))
           val del = joined
             .filter(col("__action").isin(deleteTags.toSeq: _*))
@@ -3264,8 +3300,14 @@ class GraftTable private (val s: SparkSession, val root: String) {
           if (all.isEmpty) Seq.empty
           else stageCdf(all.reduce(_ unionByName _))
         }
+      // the committed schema carries the evolved PAYLOAD (partition
+      // keys stay path-borne, recorded via partMeta)
+      val evolvedPayload =
+        if (newFields.isEmpty) sc
+        else Some(org.apache.spark.sql.graft.shim.nullable(
+          StructType(payload.fields ++ newFields)))
       commit("merge", kept, touched, basedOn = Some(base),
-        stats = st0, schema = sc, cdf = cdf,
+        stats = st0, schema = evolvedPayload, cdf = cdf,
         tolerateAppends = true,
         readFiles = (keyCandidates ++ bsCandidates).distinct,
         partMeta = if (pc.isEmpty) None else Some(partMetaOf(outRows, pc)))

@@ -239,6 +239,57 @@ class GraftMergeIntoSpec extends SparkSpec {
     ()
   }
 
+  test("mergeSchema: a SET/INSERT naming a new column evolves the schema; SQL WITH SCHEMA EVOLUTION routes (round 16)") {
+    val root = fresh("graft_mi_evo")
+    val t = GraftTable.create(spark, Seq(root).head, Seq(
+      (1L, 10.0), (2L, 20.0), (50L, 500.0))
+      .toDF("id", "price").repartitionByRange(2, col("id")))  // v1
+    val batch = Seq((1L, 11.0, "edited"), (7L, 70.0, "new"))
+      .toDF("id", "price", "note")
+    batch.createOrReplaceTempView("evo_batch")
+    // without the flag: loud refusal naming the escape hatch
+    val e = intercept[Exception] {
+      t.mergeInto(batch, Seq("id"),
+        matched = Seq(MatchedUpdate(None,
+          Map("price" -> expr("s.price"), "note" -> expr("s.note")))))
+    }
+    assert(e.getMessage.contains("mergeSchema"), e.getMessage)
+    // with it: the column lands, typed from its defining expression;
+    // unmatched rows null-fill; untouched files stay byte-identical
+    val before = t.liveFileMeta().map(f => (f._1, f._2)).toSet
+    t.mergeInto(batch, Seq("id"),
+      matched = Seq(MatchedUpdate(None,
+        Map("price" -> expr("s.price"), "note" -> expr("s.note")))),
+      notMatched = Seq(NotMatchedInsert(None,
+        Map("id" -> expr("s.id"), "price" -> expr("s.price"),
+          "note" -> expr("s.note")))),
+      mergeSchema = true)                                     // v2
+    assert(multiset(t.read()) == multiset(Seq(
+      (1L, 11.0, Option("edited")), (2L, 20.0, Option.empty[String]),
+      (7L, 70.0, Option("new")), (50L, 500.0, Option.empty[String]))
+      .toDF("id", "price", "note")))
+    assert(before.intersect(t.liveFileMeta().map(f => (f._1, f._2)).toSet)
+      .nonEmpty, "evolution rewrote untouched files")
+    // the SQL statement form routes the same way
+    val root2 = fresh("graft_mi_evo_sql")
+    spark.conf.set("spark.sql.catalog.gme",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.sql(s"CREATE TABLE gme.`$root2` (id BIGINT, price DOUBLE)")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "price")
+      .createOrReplaceTempView("evo_base")
+    spark.sql(s"INSERT INTO gme.`$root2` SELECT * FROM evo_base")
+    spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO gme.`$root2` t " +
+      "USING evo_batch s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET price = s.price, note = s.note " +
+      "WHEN NOT MATCHED THEN INSERT (id, price, note) " +
+      "VALUES (s.id, s.price, s.note)")
+    assert(multiset(spark.sql(s"SELECT * FROM gme.`$root2`")) ==
+      multiset(Seq((1L, 11.0, Option("edited")),
+        (2L, 2.0, Option.empty[String]), (7L, 70.0, Option("new")))
+        .toDF("id", "price", "note")))
+    ()
+  }
+
   test("unconditional SET-all mergeInto matches merge (the upsert shape both express)") {
     val rootA = fresh("graft_mi_eq_a")
     val rootB = fresh("graft_mi_eq_b")
