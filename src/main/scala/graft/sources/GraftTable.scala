@@ -3868,6 +3868,34 @@ class GraftTable private (val s: SparkSession, val root: String) {
     (df, from, to, commitFn)
   }
 
+  /** [[nextChanges]] for the ROW-LEVEL feed (round 16 — the
+    * reference's `sync_tags` consumer, app.py:6631, downstream of the
+    * monthly Master_data re-land): the cursor loop over
+    * [[changeFeed]] instead of the append-only changesSince, so the
+    * consumer receives update/delete/insert IMAGES — and, when the
+    * backfill was written with `cdfImages = true`, it REPLAYS the
+    * q97 replace shape as deltas instead of refusing (an imageless
+    * replace still propagates changeFeed's loud refusal — the
+    * consumer must full-rebuild, never silently skip). Same
+    * exactly-once discipline: load → process → `commit()`.
+    */
+  def nextRowChanges(cursorDir: String)
+      : (Option[DataFrame], Long, Long, () => Unit) = {
+    val cursor = GraftTable.forPath(s, cursorDir)
+    val from =
+      if (cursor.latestVersion == 0) 0L
+      else cursor.read().agg(org.apache.spark.sql.functions.max("consumed_version"))
+        .head.getLong(0)
+    val to = latestVersion
+    val df = if (to > from) changeFeed(from, to) else None
+    val commitFn = () => {
+      import s.implicits._
+      cursor.append(Seq(to).toDF("consumed_version").coalesce(1))
+      ()
+    }
+    (df, from, to, commitFn)
+  }
+
   /** RESTORE: make version `v`'s live set the CURRENT table state as
     * a new commit (Delta RESTORE) — a roll-forward undo, never a
     * history rewrite: the bad commits stay in the log for audit, the

@@ -298,6 +298,38 @@ class GraftTableSpec extends SparkSpec {
     assert(t.nextChanges(cursorDir)._1.isEmpty)
   }
 
+  test("nextRowChanges: the row-level cursor loop replays an imaged backfill as deltas (round 16)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(Seq((1L, 10.0, "a"), (2L, 20.0, "a"),
+      (3L, 30.0, "b")).toDF("id", "price", "seg"), "seg")     // v1
+    val cursorDir = freshRoot()
+    val (d1, _, _, c1) = t.nextRowChanges(cursorDir)
+    assert(d1.get.filter(col("_change_type") === "insert").count() == 3)
+    c1()
+    // the q97 shape WITH images: the consumer replays deltas
+    t.replaceWhere(col("seg") === "a",
+      Seq((9L, 90.0, "a")).toDF("id", "price", "seg"),
+      cdfImages = true)                                       // v2
+    val (d2, f2, t2, c2) = t.nextRowChanges(cursorDir)
+    assert(f2 == 1 && t2 == 2)
+    val byType = d2.get.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 2L, "insert" -> 1L),
+      s"the imaged backfill must replay as deltas: $byType")
+    c2()
+    // an IMAGELESS replace propagates the loud refusal — the consumer
+    // must full-rebuild, never silently skip the range
+    t.replaceWhere(col("seg") === "a",
+      Seq((7L, 70.0, "a")).toDF("id", "price", "seg"))        // v3
+    val e = intercept[IllegalStateException] {
+      t.nextRowChanges(cursorDir)
+    }
+    assert(e.getMessage.contains("whole-scope"), e.getMessage)
+    ()
+  }
+
   test("randomized op sequences match an in-memory model at every version") {
     // model-based check: a seeded random walk over the verb set
     // (append / overwrite / compact / zorder / restore / deleteWhere)
