@@ -950,6 +950,51 @@ object Lakehouse {
     s.read.format("graft").load(condMergeTable(s, d))
       .orderBy("o_orderkey")
 
+  private val renamedMerged =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  // q103: RENAMED-KEY + NON-EQUI MERGE (round 17 — Delta's arbitrary
+  // ON, the reference's renamed-upload shape: HeaderMapper exists
+  // precisely because Excel batches arrive with different headers,
+  // app.py:5999-6021). The SQL router splits `ON t.o_orderkey =
+  // s.src_key AND t.o_totalprice < 5000.0` into the equi key
+  // (renamed: src_key maps onto o_orderkey before the probe) and the
+  // residual conjunct (folded into the match condition): a key-
+  // matching row at price >= 5000 is NOT matched, so it keeps its
+  // price AND the source row INSERTS alongside it — exactly the
+  // Delta semantics a naive equi-only router gets wrong. The oracle
+  // replays the same left-join/anti-join algebra in DuckDB; a router
+  // that dropped the residual, mis-mapped the rename, or inserted
+  // under the wrong column cannot hash-match.
+  private def renamedMergeTable(s: SparkSession, d: String): String =
+    renamedMerged.synchronized { renamedMerged.getOrElseUpdate(
+      s.sparkContext.applicationId + "|" + d,
+      graft.tools.BuildCosts.timed("build:q103_renamed_merge_lifecycle") {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_renmerge").toString + "/t"
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        GraftTable.create(s, dir,
+          orders.repartitionByRange(8, col("o_orderkey")))         // v1
+        orders.filter(pmod(col("o_orderkey"), lit(7L)) === 0)
+          .select(col("o_orderkey").as("src_key"),
+            (col("o_totalprice") * 2).as("src_price"))
+          .createOrReplaceTempView("q103_batch")
+        s.conf.set("spark.sql.catalog.gsql",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.sql(s"MERGE INTO gsql.`$dir` t USING q103_batch s " +
+          "ON t.o_orderkey = s.src_key AND t.o_totalprice < 5000.0 " +
+          "WHEN MATCHED THEN UPDATE SET o_totalprice = s.src_price " +
+          "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice) " +
+          "VALUES (s.src_key, s.src_price)")                       // v2
+        dir
+      }) }
+
+  def q103RenamedMerge(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft").load(renamedMergeTable(s, d))
+      .orderBy("o_orderkey", "o_totalprice")
+
   private val fscked = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
 
   // q92: FSCK — the out-of-band-loss repair lifecycle, oracled. The
@@ -1005,6 +1050,7 @@ object Lakehouse {
       .orderBy("l_returnflag")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_renamed_key_merge" -> (q103RenamedMerge _),
     "q102_partitioned_merge" -> (q102PartitionedMerge _),
     "q101_merge_evolve" -> (q101MergeEvolve _),
     "q100_replace_cdf" -> (q100ReplaceCdf _),
@@ -1101,6 +1147,31 @@ object Lakehouse {
         |    AS total_price,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM images GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q103_renamed_key_merge" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |b AS (
+        |  SELECT o_orderkey AS src_key, o_totalprice * 2 AS src_price
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |j AS (
+        |  SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice,
+        |    b.src_price
+        |  FROM t LEFT JOIN b
+        |    ON t.o_orderkey = b.src_key AND t.o_totalprice < 5000.0),
+        |surv AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN src_price IS NOT NULL THEN src_price
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM j),
+        |ins AS (
+        |  SELECT b.src_key AS o_orderkey,
+        |    CAST(NULL AS VARCHAR) AS o_orderstatus,
+        |    b.src_price AS o_totalprice
+        |  FROM b WHERE NOT EXISTS (
+        |    SELECT 1 FROM t WHERE t.o_orderkey = b.src_key
+        |      AND t.o_totalprice < 5000.0))
+        |SELECT * FROM surv UNION ALL SELECT * FROM ins
+        |ORDER BY o_orderkey, o_totalprice""".stripMargin,
     "q99_conditional_merge" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

@@ -69,6 +69,33 @@ object Pipeline {
               GraftFunctions.rolling_hash(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  // p10: the WEB-CRAWL corpus pass end-to-end (round 17 — d43
+  // composed into the cleaning family): strip the crawl envelope
+  // (d43) → normalize (d17) → exact dedup keep-first on the
+  // NORMALIZED text (d1's rule, one step stronger: case/punctuation
+  // variants of one page are one page) → d3's quality gate over the
+  // stripped text → d5's fingerprint of the normalized text. Every
+  // stage except the one dedup exchange is a pure map over the
+  // corpus, so the pipeline is corpus-linear with ONE shuffle — the
+  // 100 TB web-crawl shape (strip/normalize never widen rows; the
+  // dedup anti-join ships only the duplicated-hash subset).
+  def p10WebCorpus(s: SparkSession, d: String): DataFrame = {
+    val stripped = Tables.documents(s, d)
+      .withColumn("html",
+        TextOps.crawlEnvelope(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        TextOps.htmlStrip(col("html"), 25).as("main_text"))
+    val normed = stripped.withColumn("text",
+      trim(regexp_replace(regexp_replace(lower(col("main_text")),
+        lit("[^a-z0-9 ]"), lit("")), lit(" +"), lit(" "))))
+    annotate(dedupKeepFirst(normed)
+        .withColumn("n_chars", length(col("main_text")).cast("long")))
+      .filter(col("quality") >= 2)
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        GraftFunctions.rolling_hash(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
   // p2: the fuller pretrain-data pass — dedup, language gate (d4's
   // marker heuristic), quality gate, BPE-ish token budget (d9's
   // counter; drops fragments and over-long docs), fingerprint. Every
@@ -354,6 +381,7 @@ object Pipeline {
     "p7_lakehouse_corpus" -> (p7LakehouseCorpus _),
     "p6_media_corpus" -> (p6MediaCorpus _),
     "p1_clean_corpus" -> (p1CleanCorpus _),
+    "p10_web_corpus" -> (p10WebCorpus _),
     "p2_pretrain_corpus" -> (p2PretrainCorpus _),
     "p3_neardup_corpus" -> (p3NeardupCorpus _),
     "p4_incremental_corpus" -> (p4IncrementalCorpus _),
@@ -607,6 +635,43 @@ object Pipeline {
         |                     i -> CAST(unicode(text[i]) AS BIGINT))),
         |    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
         |FROM scored WHERE quality >= 2 ORDER BY doc_id""".stripMargin,
+    // d43's strip chain + d17's normalization + p1's dedup/gate/
+    // fingerprint algebra, composed end-to-end
+    "p10_web_corpus" ->
+      ("WITH " + TextOps.D43StripCte + ",\n" +
+        """n AS (
+          |  SELECT doc_id, main_text,
+          |    trim(regexp_replace(regexp_replace(lower(main_text),
+          |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS text
+          |  FROM s5),
+          |kept AS (
+          |  SELECT * FROM (
+          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY text
+          |      ORDER BY doc_id) AS rn
+          |    FROM n) t WHERE rn = 1),
+          |ann AS (
+          |  SELECT doc_id, text, length(main_text) AS n_chars,
+          |    CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+          |         AS BIGINT) AS n_tokens,
+          |    CAST(len(list_filter(list_filter(string_split(text, ' '),
+          |           x -> x != ''), x -> x IN ('the', 'a', 'data', 'row')))
+          |         AS BIGINT) AS n_stop
+          |  FROM kept),
+          |scored AS (
+          |  SELECT doc_id, text, n_tokens,
+          |    CAST((CASE WHEN n_tokens BETWEEN 12 AND 80 THEN 1 ELSE 0 END) +
+          |         (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens < 0.3
+          |               THEN 1 ELSE 0 END) +
+          |         (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS quality
+          |  FROM ann)
+          |SELECT doc_id, n_tokens, quality,
+          |  list_reduce(
+          |    list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(range(1, length(text) + 1),
+          |                     i -> CAST(unicode(text[i]) AS BIGINT))),
+          |    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
+          |FROM scored WHERE quality >= 2 ORDER BY doc_id""".stripMargin),
     "p1_clean_corpus" ->
       """WITH kept AS (
         |  SELECT * FROM (

@@ -932,18 +932,24 @@ object TextOps {
   // body and the entity tail survive. A wrong pass order (entities
   // before tags, &amp; early), a leaked script body, or a mis-split
   // block tag cannot hash-match.
-  def d43HtmlStrip(s: SparkSession, d: String): DataFrame = {
-    val html = concat(
+  /** The synthetic crawl envelope d43 and p10 share: every document's
+    * text wrapped in the html boilerplate a real crawler sees (head
+    * noise, nav crumbs, comments, the entity tail, footer).
+    */
+  private[graft] def crawlEnvelope(docId: Column, text: Column): Column =
+    concat(
       lit("<html><head><title>T</title><style>body {color: red}</style>"),
       lit("<script type=\"text/javascript\">var x = 1 < 2;</script></head><body>"),
       lit("<nav>Home | About | Contact</nav>"),
-      lit("<!-- doc "), col("doc_id").cast("string"), lit(" -->"),
-      lit("<div class=\"main\"><h1>Doc "), col("doc_id").cast("string"),
-      lit("</h1><p>"), col("text"),
+      lit("<!-- doc "), docId.cast("string"), lit(" -->"),
+      lit("<div class=\"main\"><h1>Doc "), docId.cast("string"),
+      lit("</h1><p>"), text,
       lit("</p><p>Entity tail kept past the line filter: &lt;tag&gt; &quot;quoted&quot; &#39;s&#39;&nbsp;and &amp;co done</p></div>"),
       lit("<footer>(c) corp</footer></body></html>"))
+
+  def d43HtmlStrip(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
-      .withColumn("html", html)
+      .withColumn("html", crawlEnvelope(col("doc_id"), col("text")))
       .select(col("doc_id"),
         htmlStrip(col("html"), 25).as("main_text"),
         length(col("html")).cast("long").as("n_chars_html"))
@@ -1959,6 +1965,42 @@ object TextOps {
     * rows-only checks for them (d16's containment vs d11 and d21's
     * coverage of d10's exact top-10 are spec-proven instead).
     */
+  /** The d43 strip CTE chain shared by the d43/p10 oracles: envelope
+    * (`h`) through the five strip stages; `s5` exposes
+    * (doc_id, html, main_text).
+    */
+  private[graft] val D43StripCte: String =
+    """h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>T</title><style>body {color: red}</style>'
+      |    || '<script type="text/javascript">var x = 1 < 2;</script></head><body>'
+      |    || '<nav>Home | About | Contact</nav>'
+      |    || '<!-- doc ' || CAST(doc_id AS VARCHAR) || ' -->'
+      |    || '<div class="main"><h1>Doc ' || CAST(doc_id AS VARCHAR)
+      |    || '</h1><p>' || text
+      |    || '</p><p>Entity tail kept past the line filter: &lt;tag&gt; &quot;quoted&quot; &#39;s&#39;&nbsp;and &amp;co done</p></div>'
+      |    || '<footer>(c) corp</footer></body></html>' AS html
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, html,
+      |  regexp_replace(regexp_replace(regexp_replace(html,
+      |    '(?is)<script[^>]*>.*?</script>', '', 'g'),
+      |    '(?is)<style[^>]*>.*?</style>', '', 'g'),
+      |    '(?s)<!--.*?-->', '', 'g') AS t FROM h),
+      |s2 AS (SELECT doc_id, html,
+      |  regexp_replace(regexp_replace(t,
+      |    '(?i)</?(p|div|h[1-6]|li|ul|ol|table|tr|td|nav|footer|header|br|section|article)[^>]*>',
+      |    chr(10), 'g'), '<[^>]*>', ' ', 'g') AS t FROM s1),
+      |s3 AS (SELECT doc_id, html,
+      |  replace(replace(replace(replace(replace(replace(t,
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |    '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t FROM s2),
+      |s4 AS (SELECT doc_id, html,
+      |  regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM s3),
+      |s5 AS (SELECT doc_id, html,
+      |  array_to_string(list_filter(list_transform(
+      |    string_split(t, chr(10)), x -> trim(x)),
+      |    x -> length(x) >= 25), chr(10)) AS main_text FROM s4)""".stripMargin
+
   /** The d2-pair CTE block shared by the d18/p3 oracles (identical to
     * d2's own oracle up to the pair projection).
     */
@@ -2151,40 +2193,11 @@ object TextOps {
         |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d43_html_strip" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    '<html><head><title>T</title><style>body {color: red}</style>'
-        |    || '<script type="text/javascript">var x = 1 < 2;</script></head><body>'
-        |    || '<nav>Home | About | Contact</nav>'
-        |    || '<!-- doc ' || CAST(doc_id AS VARCHAR) || ' -->'
-        |    || '<div class="main"><h1>Doc ' || CAST(doc_id AS VARCHAR)
-        |    || '</h1><p>' || text
-        |    || '</p><p>Entity tail kept past the line filter: &lt;tag&gt; &quot;quoted&quot; &#39;s&#39;&nbsp;and &amp;co done</p></div>'
-        |    || '<footer>(c) corp</footer></body></html>' AS html
-        |  FROM documents),
-        |s1 AS (SELECT doc_id, html,
-        |  regexp_replace(regexp_replace(regexp_replace(html,
-        |    '(?is)<script[^>]*>.*?</script>', '', 'g'),
-        |    '(?is)<style[^>]*>.*?</style>', '', 'g'),
-        |    '(?s)<!--.*?-->', '', 'g') AS t FROM h),
-        |s2 AS (SELECT doc_id, html,
-        |  regexp_replace(regexp_replace(t,
-        |    '(?i)</?(p|div|h[1-6]|li|ul|ol|table|tr|td|nav|footer|header|br|section|article)[^>]*>',
-        |    chr(10), 'g'), '<[^>]*>', ' ', 'g') AS t FROM s1),
-        |s3 AS (SELECT doc_id, html,
-        |  replace(replace(replace(replace(replace(replace(t,
-        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |    '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t FROM s2),
-        |s4 AS (SELECT doc_id, html,
-        |  regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM s3),
-        |s5 AS (SELECT doc_id, html,
-        |  array_to_string(list_filter(list_transform(
-        |    string_split(t, chr(10)), x -> trim(x)),
-        |    x -> length(x) >= 25), chr(10)) AS main_text FROM s4)
-        |SELECT doc_id, main_text,
-        |  CAST(length(html) AS BIGINT) AS n_chars_html,
-        |  CAST(length(main_text) AS BIGINT) AS n_chars_main
-        |FROM s5 ORDER BY doc_id""".stripMargin,
+      ("WITH " + D43StripCte + "\n" +
+        """SELECT doc_id, main_text,
+          |  CAST(length(html) AS BIGINT) AS n_chars_html,
+          |  CAST(length(main_text) AS BIGINT) AS n_chars_main
+          |FROM s5 ORDER BY doc_id""".stripMargin),
     "d18_dup_clusters" ->
       s"""WITH RECURSIVE $D2PairsCte
          |SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster

@@ -36,13 +36,20 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   *     UPDATE/DELETE` (several, ordered), `WHEN NOT MATCHED [AND
   *     cond] THEN INSERT` (absent columns NULL-fill), `WHEN NOT
   *     MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE`; arbitrary
-  *     cross-side expressions in conditions and assignments; ON may
-  *     be a conjunction of same-named equi-keys; hive-partitioned
-  *     targets (chain-pruned, chain-preserving restage); `WITH
-  *     SCHEMA EVOLUTION` (SET/INSERT columns absent from the table
-  *     add to the schema, null-filled outside their clauses);
-  *   - refused: non-equi / differently-named ON keys (the CoW key
-  *     probe needs an equi-key).
+  *     cross-side expressions in conditions and assignments; ON is a
+  *     conjunction with at least one target-column = source-column
+  *     equi key — same-named or RENAMED (`ON t.id = s.src_id`, round
+  *     17: the source key column maps onto the target name before
+  *     the probe — HeaderMapper's renamed uploads, app.py:5999) —
+  *     plus arbitrary residual conjuncts (non-equi comparisons,
+  *     same-side equalities), which fold into the verb's match
+  *     condition; hive-partitioned targets (chain-pruned,
+  *     chain-preserving restage); `WITH SCHEMA EVOLUTION` (SET/INSERT
+  *     columns absent from the table add to the schema, null-filled
+  *     outside their clauses);
+  *   - refused: an ON with NO equi key at all (the CoW key probe
+  *     needs one to prune on), and a rename whose target name
+  *     already exists as a different source column (ambiguous).
   */
 class GraftRowLevelSql(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -113,27 +120,49 @@ class GraftRowLevelSql(spark: SparkSession) extends Rule[LogicalPlan] {
       // mergeSchema — SET/INSERT columns absent from the table ADD
       // to the schema, null-filled outside their defining clauses
 
-      // ON: a conjunction of same-named equi-keys (the CoW key probe
-      // prunes and joins on them)
-      def keysOf(e: Expression): Seq[String] = e match {
-        case And(l, r) => keysOf(l) ++ keysOf(r)
-        case EqualTo(l, r) =>
-          (attrName(l), attrName(r)) match {
-            case (Some(a), Some(b)) if a.equalsIgnoreCase(b) => Seq(a)
-            case _ => refuse("MERGE ON equalities must pair same-named " +
-              s"target/source columns, got ${e.sql}")
-          }
-        case other => refuse("MERGE ON must be a conjunction of " +
-          s"same-named column equalities, got ${other.sql}")
+      // ON: split the conjunction into EQUI KEY pairs (a bare target
+      // column = a bare source column — same-named or renamed; the
+      // CoW key probe prunes and joins on them) and RESIDUAL
+      // conjuncts (everything else — non-equi comparisons, same-side
+      // equalities, casts — folded into the verb's match condition).
+      // At least one equi pair is required: without one the probe
+      // cannot prune and the statement refuses loudly.
+      val equiPairs =
+        scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
+      val residuals = Seq.newBuilder[Expression]
+      def walkOn(e: Expression): Unit = e match {
+        case And(l, r) => walkOn(l); walkOn(r)
+        case eq @ EqualTo(l: AttributeReference, r: AttributeReference)
+            if targetAttrs.contains(l) != targetAttrs.contains(r) =>
+          val (t, srcA) = if (targetAttrs.contains(l)) (l, r) else (r, l)
+          // one source column per target key; a SECOND equality on an
+          // already-paired target column stays a residual conjunct
+          if (!equiPairs.contains(t.name.toLowerCase))
+            equiPairs += t.name.toLowerCase -> (t.name, srcA.name)
+          else residuals += eq
+        case other => residuals += other
       }
-      val keys = keysOf(m.mergeCondition).distinct
+      walkOn(m.mergeCondition)
+      if (equiPairs.isEmpty)
+        refuse("MERGE ON needs at least one target-column = " +
+          s"source-column equality to prune on, got " +
+          s"${m.mergeCondition.sql}")
+      val keys = equiPairs.values.map(_._1).toSeq
+      val srcKeyNames = equiPairs.values.map(_._2).toSeq
+      // renamed source keys are referenced by their TARGET name after
+      // the verb's up-front rename — rewrite source-attr references
+      val renamed = equiPairs.values.collect {
+        case (t, sName) if !t.equalsIgnoreCase(sName) =>
+          sName.toLowerCase -> t
+      }.toMap
 
       // every clause expression re-renders under mergeInto's alias
       // convention: target attrs → `t.<col>`, source attrs → `s.<col>`
       def qualify(e: Expression): Expression = e.transform {
         case a: AttributeReference =>
           if (targetAttrs.contains(a)) UnresolvedAttribute(Seq("t", a.name))
-          else UnresolvedAttribute(Seq("s", a.name))
+          else UnresolvedAttribute(
+            Seq("s", renamed.getOrElse(a.name.toLowerCase, a.name)))
       }
       def qcol(e: Expression) = shim.column(qualify(e))
       def setOf(as: Seq[Assignment], what: String) = as.map { a =>
@@ -165,11 +194,15 @@ class GraftRowLevelSql(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       val source = m.sourceTable
       val evolve = m.withSchemaEvolution
+      val residualCol = residuals.result()
+        .reduceOption(And(_, _)).map(e => shim.column(qualify(e)))
       GraftSqlDmlCommand(s"graft MERGE $path", { s =>
         GraftTable.forPath(s, path).mergeInto(
           shim.dataFrame(s, source), keys,
           matchedCl, notMatchedCl, bySourceCl,
-          mergeSchema = evolve); ()
+          mergeSchema = evolve,
+          sourceKeys = srcKeyNames,
+          residual = residualCol); ()
       })
 
     case _ => plan

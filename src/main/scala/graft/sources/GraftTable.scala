@@ -135,7 +135,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
                                    bloomIdxJson: Option[String] = None,
                                    colmapJson: Option[String] = None,
                                    partMetaJson: Option[String] = None,
-                                   protocolJson: Option[String] = None)
+                                   protocolJson: Option[String] = None,
+                                   info: Option[String] = None)
 
   /** Commit files and checkpoints are IMMUTABLE once published
     * (single-winner atomic publish; vacuum only ever deletes behind
@@ -291,6 +292,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     var colmap: Option[String] = None
     var partMeta: Option[String] = None
     var protocol: Option[String] = None
+    var info: Option[String] = None
     lines.tail.foreach { l =>
       val f = l.split("\t", 5)
       f(0) match {
@@ -307,12 +309,13 @@ class GraftTable private (val s: SparkSession, val root: String) {
         case "colmap"      => colmap = Some(l.split("\t", 2)(1))
         case "partmeta"    => partMeta = Some(l.split("\t", 2)(1))
         case "protocol"    => protocol = Some(l.split("\t", 2)(1))
+        case "info"        => info = Some(l.split("\t", 2)(1))
         case other => sys.error(s"corrupt commit v$v: unknown action $other")
       }
     }
     Commit(ver.toLong, action, adds.result(), rems.result(), cdfs.result(),
       schema, constraints, ts, dvs.result(), bloomIdx, colmap, partMeta,
-      protocol)
+      protocol, info)
   }
 
   /** The live (relpath → meta) set at version `v` — checkpoint ≤ v
@@ -1028,6 +1031,13 @@ class GraftTable private (val s: SparkSession, val root: String) {
       "committed_at_ms")
   }
 
+  /** The free-form `info` line a verb recorded in commit `v` (e.g.
+    * mergeInto's source-strategy choice) — Delta's
+    * operationParameters, queryable per version. None on commits
+    * that recorded nothing.
+    */
+  def commitInfo(v: Long): Option[String] = readCommit(v).info
+
   /** Live parquet files (relative path, bytes) at the latest version. */
   def liveFiles(): Seq[(String, Long)] = resolve(latestVersion).toSeq.sorted
 
@@ -1364,7 +1374,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
                             colmap: Option[GraftTable.ColMap] = None,
                             partMeta: Option[Seq[GraftTable.PartMeta]] = None,
                             clearPartMeta: Boolean = false,
-                            protocolOverride: Option[Set[String]] = None)
+                            protocolOverride: Option[Set[String]] = None,
+                            info: Option[String] = None)
       : Long = {
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
     var attempt = 0
@@ -1378,7 +1389,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
           val baseSchemaJson = schemaAt(b).map(_.json)
           def fileScoped(a: String) = a == "merge" || a == "delete" ||
             a == "update" || a == "compact" || a == "purge" ||
-            a.startsWith("zorder:")
+            a.startsWith("merge@") || a.startsWith("zorder:")
           val inter =
             if (tolerateAppends)
               versions().filter(v => v > b && v <= prev).map(readCommit)
@@ -1464,6 +1475,13 @@ class GraftTable private (val s: SparkSession, val root: String) {
          else Set.empty)
       val body = new StringBuilder(
         s"graft-commit\t$v\t$action\t${System.currentTimeMillis()}\n")
+      // free-form operation parameters (Delta's operationParameters):
+      // key=value pairs a verb wants auditable — e.g. mergeInto's
+      // source-strategy choice. Never load-bearing for resolution.
+      info.foreach { i =>
+        require(!i.contains('\t') && !i.contains('\n'), s"bad info: $i")
+        body.append(s"info\t$i\n")
+      }
       sch.foreach(sc => body.append(s"schema\t${sc.json}\n"))
       if (cons.nonEmpty || constraints.isDefined)
         body.append(
@@ -2158,6 +2176,14 @@ class GraftTable private (val s: SparkSession, val root: String) {
     // simply lack the new columns and the read null-fills)
     val validated = appendSchema(partitionedSchema(df, pcs),
       mergeSchema, base)
+    // evolution guard (ADVICE r16): replaceWhere stages new columns
+    // under identity physical names, so tombstoned / collision names
+    // must refuse here exactly as merge/mergeInto do — an evolved
+    // replace must never resurrect a dropped column's data from the
+    // untouched files
+    requireEvolvableFresh(validated.fieldNames.filterNot(n =>
+      schemaAt(base).exists(_.fieldNames.exists(_.equalsIgnoreCase(n))))
+      .toSeq, base)
     val adds = stagePartitioned(df, pcs)
     // CDF (opt-in): the ONLY read of the replaced files this regime
     // ever performs — the delete images need their rows
@@ -2199,6 +2225,11 @@ class GraftTable private (val s: SparkSession, val root: String) {
       if (pc.isEmpty) org.apache.spark.sql.graft.shim.nullable(df.schema)
       else partitionedSchema(df, pc)
     val validated = appendSchema(payloadSchema, mergeSchema, base)
+    // evolution guard (ADVICE r16): same tombstone/collision refusal
+    // as the chain regime — see replaceChains
+    requireEvolvableFresh(validated.fieldNames.filterNot(n =>
+      schemaAt(base).exists(_.fieldNames.exists(_.equalsIgnoreCase(n))))
+      .toSeq, base)
     val e = physPred(
       org.apache.spark.sql.graft.shim.catalystExpression(predicate), cm)
     val candidates = live.toSeq.sortBy(_._1).collect {
@@ -2241,6 +2272,33 @@ class GraftTable private (val s: SparkSession, val root: String) {
       stats = statsOf(adds), schema = Some(validated),
       partMeta = if (pc.isEmpty) None else Some(partMetaOf(df, pc)),
       cdf = cdf)
+  }
+
+  /** The ONE DML schema-evolution name guard (shared by merge,
+    * mergeInto, replaceWhere both regimes): a column NEW to the table
+    * may not reuse a TOMBSTONED physical name — DML staging stores it
+    * under the identity physical name, so a dropped column's data in
+    * untouched old files would silently RESURRECT under the re-added
+    * name — and may not collide with a renamed column's physical
+    * name (two logical columns would read the same physical field).
+    * `append(mergeSchema=true)` stays the evolution path for those
+    * names: it assigns a fresh suffixed physical name.
+    */
+  private def requireEvolvableFresh(fresh: Seq[String], base: Long): Unit = {
+    if (fresh.isEmpty) return
+    val cm = colmapAt(base)
+    val physInUse = schemaAt(base)
+      .map(_.fieldNames.map(cm.phys).toSet).getOrElse(Set.empty)
+    fresh.foreach { n =>
+      require(!cm.dead.exists(_.equalsIgnoreCase(n)),
+        s"column '$n' was dropped earlier — its physical name is " +
+          "tombstoned; evolve via append(mergeSchema=true), which " +
+          "assigns a fresh physical name")
+      require(!physInUse.exists(_.equalsIgnoreCase(n)),
+        s"column '$n' collides with the physical name of a renamed " +
+          "column; evolve via append(mergeSchema=true), which " +
+          "assigns a fresh physical name")
+    }
   }
 
   /** The DML survivor filter: rows where `pred` is FALSE **or NULL**
@@ -2887,11 +2945,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
           }
         val fresh = incoming.fields
           .filterNot(f => curNames(f.name.toLowerCase))
-        val cm0 = colmapAt(base)
-        fresh.foreach(f => require(!cm0.dead.contains(f.name),
-          s"column '${f.name}' was dropped earlier — its physical name " +
-            "is tombstoned; evolve via append(mergeSchema=true), which " +
-            "assigns a fresh physical name"))
+        requireEvolvableFresh(fresh.map(_.name).toSeq, base)
         StructType(cur.fields ++ fresh)
       }
     val liveM = resolveMeta(base)
@@ -2980,15 +3034,90 @@ class GraftTable private (val s: SparkSession, val root: String) {
     *      source; deletes drop, updates rewrite, inserts append.
     * Per-outcome CDF images (update_pre/postimage, delete, insert)
     * stage for [[changeFeed]]. A source with duplicate keys matching
-    * one target row refuses (Delta's multiple-match error). Returns
-    * the committed version, or `base` when no row changed.
+    * one target row refuses when any MATCHED clause exists (Delta's
+    * multiple-match error); with no matched clause the join
+    * multiplicity collapses instead — a kept row is kept ONCE
+    * (ADVICE r16). Returns the committed version, or `base` when no
+    * row changed.
+    *
+    * Round-17 extensions (Delta parity):
+    *   - `sourceKeys`: renamed ON keys (`ON t.k = s.j`) — pairs 1:1
+    *     with `keys`; each source key column is mapped onto its
+    *     TARGET key name before the probe (HeaderMapper's renamed
+    *     uploads, app.py:5999-6021), so clause expressions reference
+    *     the key as `s.<target name>`;
+    *   - `residual`: a non-equi conjunct ANDed into the match
+    *     condition (`t.`/`s.` convention). The equi keys still prune
+    *     and probe (full match ⊆ equi match, so every file set stays
+    *     a sound superset); the residual decides matched-ness in the
+    *     join, the insert anti-join and the by-source anti-join;
+    *   - `tag`: micro-batch replay idempotence — the commit action
+    *     records `merge@<tag>` and a replayed tag no-ops (the
+    *     foreachBatch streaming-upsert recipe);
+    *   - the SOURCE STRATEGY is size-aware: an endpoint-sized batch
+    *     broadcasts into every probe/rewrite join; a source whose
+    *     optimizer size estimate exceeds
+    *     `spark.graft.merge.broadcastThreshold` (default: the
+    *     session's autoBroadcastJoinThreshold, or 64 MiB if that is
+    *     disabled) leaves join strategy to the planner — a
+    *     corpus-sized backfill merge degrades to shuffle joins
+    *     instead of OOMing the driver. The choice is recorded in the
+    *     commit's info line (`commitInfo`).
     */
   def mergeInto(source: DataFrame, keys: Seq[String],
                 matched: Seq[MergeClauses.Matched] = Seq.empty,
                 notMatched: Seq[MergeClauses.NotMatchedInsert] = Seq.empty,
                 notMatchedBySource: Seq[MergeClauses.BySource] = Seq.empty,
                 cdfImages: Boolean = true,
-                mergeSchema: Boolean = false): Long = {
+                mergeSchema: Boolean = false,
+                sourceKeys: Seq[String] = Seq.empty,
+                residual: Option[Column] = None,
+                tag: String = null): Long = {
+    // renamed ON keys (round 17, Delta's `ON t.k = s.j`): map each
+    // source key column onto its TARGET key name up front, so the
+    // whole equi machinery (stats prune, key probe, every join) sees
+    // one name per key. Clause expressions reference the renamed key
+    // as `s.<target name>`.
+    require(sourceKeys.isEmpty || sourceKeys.length == keys.length,
+      s"sourceKeys must pair 1:1 with keys " +
+        s"(${keys.length} keys, ${sourceKeys.length} sourceKeys)")
+    val src0 =
+      if (sourceKeys.isEmpty) source
+      else keys.zip(sourceKeys).foldLeft(source) { case (df, (tk, sk)) =>
+        if (sk.equalsIgnoreCase(tk)) df
+        else {
+          require(df.columns.exists(_.equalsIgnoreCase(sk)),
+            s"merge source key '$sk' is not a source column")
+          require(!df.columns.exists(_.equalsIgnoreCase(tk)),
+            s"renamed merge key '$sk' -> '$tk': the source already has " +
+              s"a column '$tk' — the mapped key would be ambiguous; " +
+              "rename or drop that column first")
+          df.withColumnRenamed(sk, tk)
+        }
+      }
+    tagged("merge", tag) { commitAction =>
+      // pin the source across the whole validate-then-stage window
+      // (ADVICE r16, replaceWhere's rule): the range agg, both
+      // probes, the dup check, the survivor join, the insert
+      // anti-join and the CDF staging each re-execute this plan — a
+      // non-deterministic source could pass the dup check yet stage
+      // inconsistent survivors/inserts/images
+      val src = src0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try mergeIntoBody(commitAction, src, keys, matched, notMatched,
+        notMatchedBySource, cdfImages, mergeSchema, residual)
+      finally { src.unpersist(); () }
+    }.getOrElse(latestVersion)
+  }
+
+  private def mergeIntoBody(commitAction: String,
+                            source: DataFrame, keys: Seq[String],
+                            matched: Seq[MergeClauses.Matched],
+                            notMatched: Seq[MergeClauses.NotMatchedInsert],
+                            notMatchedBySource: Seq[MergeClauses.BySource],
+                            cdfImages: Boolean,
+                            mergeSchema: Boolean,
+                            residual: Option[Column]): Long = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, max, min, when}
     import MergeClauses._
     val base = latestVersion
@@ -3044,10 +3173,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     notMatchedBySource.foreach { case BySourceUpdate(_, set) =>
       checkCols(set, "WHEN NOT MATCHED BY SOURCE UPDATE SET"); case _ => }
     val cm = colmapAt(base)
-    newCols.keys.foreach(n => require(!cm.dead.contains(n),
-      s"column '$n' was dropped earlier — its physical name is " +
-        "tombstoned; evolve via append(mergeSchema=true), which " +
-        "assigns a fresh physical name"))
+    requireEvolvableFresh(newCols.keys.toSeq, base)
     val byName = byBaseName(liveM)
     def probeFiles(paths: Seq[String]) =
       dmlRead(paths.map(p => p -> liveM(p)), sc, pc, keepPos = true, cm = cm)
@@ -3060,6 +3186,25 @@ class GraftTable private (val s: SparkSession, val root: String) {
       Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
     val range = source.agg(aggs.head, aggs.tail: _*).head
     val srcEmpty = range.isNullAt(0)
+    // size-aware SOURCE STRATEGY (round 17, Delta's merge planning):
+    // an endpoint-sized batch BROADCASTS into every probe/rewrite
+    // join — the fast plan for the documented upload shape. A
+    // corpus-sized backfill source would not refuse under an
+    // unconditional broadcast, it would OOM the DRIVER — so gate on
+    // the optimizer's own size estimate (the source is persisted, so
+    // a materialized cache reports measured bytes) and above the
+    // ceiling leave join strategy to the planner: the CoW algebra is
+    // join-strategy-agnostic and AQE picks shuffle joins. The choice
+    // is recorded in the commit's info line.
+    val srcBytes = source.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bcCeiling = BigInt(s.conf.get(
+      "spark.graft.merge.broadcastThreshold", {
+        val t = s.sessionState.conf.autoBroadcastJoinThreshold
+        (if (t > 0) t else 64L << 20).toString
+      }))
+    val srcSmall = srcBytes <= bcCeiling
+    val bcast: DataFrame => DataFrame =
+      if (srcSmall) df => broadcast(df) else df => df
     // partition-column keys have no file stats (their values live in
     // the paths) — they prune by CHAIN TOKEN instead: a file whose
     // value dir for key k is outside the batch's distinct k-values
@@ -3098,11 +3243,19 @@ class GraftTable private (val s: SparkSession, val root: String) {
         }
       }
     val srcKeys = source.select(keys.map(col): _*).distinct()
-    // 2a. exact probe: files really holding a matched key
+    // the MATCH condition: equi keys (pruning, probing) AND the
+    // optional non-equi residual (round 17, Delta's arbitrary ON) —
+    // the residual decides matched-ness wherever the two sides meet
+    val equiCond = keys.map(k => col(s"t.$k") === col(s"s.$k"))
+      .reduceOption(_ && _).getOrElse(lit(false))
+    val joinCond = residual.map(equiCond && _).getOrElse(equiCond)
+    // 2a. exact probe: files really holding an equi-matched key (a
+    // SUPERSET of full matches when a residual narrows them — sound:
+    // extra files rewrite as all-keep)
     val matchedKeyFiles =
       if (keyCandidates.isEmpty) Seq.empty[String]
       else probeFiles(keyCandidates)
-        .join(broadcast(srcKeys), keys)
+        .join(bcast(srcKeys), keys)
         .select("__fn").distinct().collect().map(_.getString(0))
         .toSeq.map(byName).sorted
     // 1b+2b. by-source side: prune on the OR of the clause conditions
@@ -3132,8 +3285,17 @@ class GraftTable private (val s: SparkSession, val root: String) {
         if (cands.isEmpty) (cands, Seq.empty[String])
         else {
           val eligible = conds.map(_.getOrElse(lit(true))).reduce(_ || _)
-          (cands, probeFiles(cands).alias("t")
-            .join(broadcast(srcKeys), keys, "left_anti")
+          // with a residual, "matched by source" means the FULL
+          // condition — a row equi-matching on keys but failing the
+          // residual is by-source-eligible, so the anti-join must
+          // test the whole condition against the source
+          val unmatchedRows = residual match {
+            case None => probeFiles(cands).alias("t")
+              .join(bcast(srcKeys), keys, "left_anti")
+            case Some(_) => probeFiles(cands).alias("t")
+              .join(bcast(source.alias("s")), joinCond, "left_anti")
+          }
+          (cands, unmatchedRows
             .filter(eligible)
             .select("__fn").distinct().collect().map(_.getString(0))
             .toSeq.map(byName).sorted)
@@ -3148,9 +3310,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     // 3. one joined pass: per-row action CASE over touched ⟕ source
     val srcMarked = source.withColumn("__s_exists", lit(true))
     val joined0 = probeFiles(touched).alias("t")
-      .join(broadcast(srcMarked.alias("s")),
-        keys.map(k => col(s"t.$k") === col(s"s.$k"))
-          .reduceOption(_ && _).getOrElse(lit(false)), "left_outer")
+      .join(bcast(srcMarked.alias("s")), joinCond, "left_outer")
     // evolution: each new column's TYPE resolves from its defining
     // expression against the joined frame (t.* and s.* both in scope)
     val newFields = newCols.toSeq.map { case (n, v) =>
@@ -3182,7 +3342,18 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val action = ordered.foldRight(lit("keep")) { case ((tag, cnd, _), acc) =>
       when(cnd, lit(tag)).otherwise(acc)
     }
-    val joined = joined0.withColumn("__action", action)
+    // a target row hit by SEVERAL source rows: with matched clauses
+    // the dup check below refuses (Delta's rule). With NONE, every
+    // such row's outcome is source-independent ('keep', or a
+    // by-source action that never fires on matched rows) — so the
+    // join multiplicity must COLLAPSE to one output row per target
+    // (file, position), or a dup-keyed source would silently
+    // duplicate kept rows through the left-outer rewrite (ADVICE r16)
+    val joinedDeduped =
+      if (matched.nonEmpty) joined0.withColumn("__action", action)
+      else joined0.withColumn("__action", action)
+        .dropDuplicates(Seq("__fn", "__ri"))
+    val joined = joinedDeduped
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // Delta's multiple-match refusal: a target ROW (identified by
@@ -3225,14 +3396,27 @@ class GraftTable private (val s: SparkSession, val root: String) {
       val inserts =
         if (notMatched.isEmpty || srcEmpty) None
         else {
-          val presentKeys =
-            if (matchedKeyFiles.isEmpty)
-              srcKeys.limit(0) // nothing present: every source key inserts
-            else dmlRead(matchedKeyFiles.map(p => p -> liveM(p)), sc, pc,
-              cm = cm).select(keys.map(col): _*)
-              .join(broadcast(srcKeys), keys, "left_semi").distinct()
-          val unmatched = srcMarked.alias("s")
-            .join(broadcast(presentKeys), keys, "left_anti")
+          val unmatched = residual match {
+            case Some(_) =>
+              // residual ON: a source row equi-matching on keys but
+              // failing the residual is NOT matched and must insert —
+              // the anti-join tests the FULL condition against the
+              // rows of the key-holding files (full match ⊆ equi
+              // match, so those files bound the search)
+              if (matchedKeyFiles.isEmpty) srcMarked.alias("s")
+              else srcMarked.alias("s").join(
+                probeFiles(matchedKeyFiles).alias("t"), joinCond,
+                "left_anti")
+            case None =>
+              val presentKeys =
+                if (matchedKeyFiles.isEmpty)
+                  srcKeys.limit(0) // nothing present: every key inserts
+                else dmlRead(matchedKeyFiles.map(p => p -> liveM(p)), sc,
+                  pc, cm = cm).select(keys.map(col): _*)
+                  .join(bcast(srcKeys), keys, "left_semi").distinct()
+              srcMarked.alias("s")
+                .join(bcast(presentKeys), keys, "left_anti")
+          }
           val iact = notMatched.zipWithIndex.foldRight(lit(-1)) {
             case ((NotMatchedInsert(c, _), i), acc) =>
               when(c.getOrElse(lit(true)), lit(i)).otherwise(acc)
@@ -3306,11 +3490,14 @@ class GraftTable private (val s: SparkSession, val root: String) {
         if (newFields.isEmpty) sc
         else Some(org.apache.spark.sql.graft.shim.nullable(
           StructType(payload.fields ++ newFields)))
-      commit("merge", kept, touched, basedOn = Some(base),
+      commit(commitAction, kept, touched, basedOn = Some(base),
         stats = st0, schema = evolvedPayload, cdf = cdf,
         tolerateAppends = true,
         readFiles = (keyCandidates ++ bsCandidates).distinct,
-        partMeta = if (pc.isEmpty) None else Some(partMetaOf(outRows, pc)))
+        partMeta = if (pc.isEmpty) None else Some(partMetaOf(outRows, pc)),
+        info = Some(s"mergeSourceStrategy=" +
+          s"${if (srcSmall) "broadcast" else "shuffle"} " +
+          s"sourceBytesEst=$srcBytes"))
     } finally { joined.unpersist(); () }
   }
 

@@ -1125,6 +1125,81 @@ object EventStream {
       .orderBy("doc_bucket")
   }
 
+  // s21: STREAMING UPSERT through the transactional clause merge —
+  // the Delta foreachBatch recipe (`stream.foreachBatch { (b, id) =>
+  // t.mergeInto(b, …, tag = epoch) }`, round 17): each micro-batch
+  // lands as ONE idempotent-tagged merge commit — matched keys
+  // update copy-on-write, new keys insert — so a checkpoint-replayed
+  // batch no-ops at the tag ledger instead of double-applying (the
+  // exactly-once-across-restart discipline s18 pins for appends,
+  // here for UPSERTS; the crash-replay twin is spec-pinned in
+  // GraftMergeIntoSpec). The registry bootstraps with the 'O'
+  // orders; the stream re-prices every 3rd key (×2 — integer factor,
+  // the decimal-tie rule) across three ascending key-range slices;
+  // non-'O' keys INSERT carrying their source status. Convergence =
+  // the one-batch answer, which the oracle replays: a lost batch, a
+  // double-applied replay, or an update/insert mis-route cannot
+  // hash-match. s7's hand-rolled bucket merge is the
+  // pre-transactional ancestor; this is what a migrating Delta user
+  // writes on day one. At 100 TB each epoch costs O(matched slice +
+  // batch) — the CoW probe prunes at the log, never the table.
+  def s21StreamMerge(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.MergeClauses._
+    val dir = java.nio.file.Files.createTempDirectory("graft_s21")
+    val orders = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val root = dir.resolve("table").toString
+    val t = graft.sources.GraftTable.create(s, root,
+      orders.filter(col("o_orderstatus") === "O")
+        .repartitionByRange(8, col("o_orderkey")))              // v1
+    // land the re-price stream: every 3rd key, three ascending
+    // key-range slices (the s11/s15 crawler-drop shape)
+    val src = dir.resolve("src")
+    java.nio.file.Files.createDirectory(src)
+    val upd = orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus").as("src_status"),
+        (col("o_totalprice") * 2).as("new_price"))
+    val mm = upd.agg(min("o_orderkey"), max("o_orderkey")).head
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val w = (hi - lo) / 3 + 1
+    (0 until 3).foreach { i =>
+      val stage = dir.resolve(s"stage$i").toString
+      upd.filter(col("o_orderkey") >= lo + i * w &&
+          col("o_orderkey") < lo + (i + 1) * w)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = src.resolve(s"slice$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(1000000L * (i + 1)); ()
+    }
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("src_status", StringType),
+      StructField("new_price", DoubleType)))
+    val ckpt = dir.resolve("ckpt").toString
+    val streamNs = java.util.UUID // per-stream tag namespace (s7's rule)
+      .nameUUIDFromBytes(ckpt.getBytes("UTF-8")).toString.take(8)
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        t.mergeInto(batch, Seq("o_orderkey"),
+          matched = Seq(MatchedUpdate(None,
+            Map("o_totalprice" -> expr("s.new_price")))),
+          notMatched = Seq(NotMatchedInsert(None,
+            Map("o_orderkey" -> expr("s.o_orderkey"),
+              "o_orderstatus" -> expr("s.src_status"),
+              "o_totalprice" -> expr("s.new_price")))),
+          tag = s"$streamNs-batch-$id")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    t.read().orderBy("o_orderkey")
+  }
+
   def s15StreamTableIngest(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_s15")
     val src = landDocSlices(s, d, dir)
@@ -1154,6 +1229,7 @@ object EventStream {
     "s19_stream_rag_ingest" -> (s19StreamRagIngest _),
     "s20_stream_backfill" -> (s20StreamBackfill _),
     "s15_stream_table_ingest" -> (s15StreamTableIngest _),
+    "s21_stream_merge" -> (s21StreamMerge _),
     "s16_stream_table_feed" -> (s16StreamTableFeed _),
     "s17_stream_cdf" -> (s17StreamCdf _),
     "s11_stream_dedup_index" -> (s11StreamDedupIndex _),
@@ -1177,6 +1253,18 @@ object EventStream {
     // the transactional ingest converges to a batch aggregate over
     // documents — commits, replay-dedup, and OPTIMIZE are all
     // content-neutral
+    // the streamed foreachBatch merge converges to the one-batch
+    // upsert: 'O' rows re-price where the stream touched them,
+    // non-'O' touched keys insert with their source status
+    "s21_stream_merge" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice * 2
+        |FROM orders WHERE o_orderstatus <> 'O' AND o_orderkey % 3 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     "s15_stream_table_ingest" ->
       """SELECT doc_id % 10 AS doc_bucket, COUNT(*) AS n_docs,
         |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes

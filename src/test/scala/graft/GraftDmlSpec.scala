@@ -683,14 +683,15 @@ class GraftDmlSpec extends SparkSpec {
       assert(msgs.contains("cannot translate") && msgs.contains(needle),
         s"wrong refusal for: $sql -> $msgs")
     }
-    // non-equi ON (the CoW key probe needs an equi-key)
+    // no equi key at all (round 17: renamed keys and residual
+    // conjuncts route; an ON that gives the CoW probe NOTHING to
+    // prune on still refuses)
     refusal(s"MERGE INTO gtr.`$root` t USING refuse_batch s " +
       "ON t.o_orderkey < s.o_orderkey " +
-      "WHEN MATCHED THEN UPDATE SET *", "same-named column equalities")
-    // differently-named ON columns
+      "WHEN MATCHED THEN UPDATE SET *", "equality to prune on")
     refusal(s"MERGE INTO gtr.`$root` t USING refuse_batch s " +
-      "ON t.o_orderkey = s.o_totalprice " +
-      "WHEN MATCHED THEN UPDATE SET *", "same-named")
+      "ON t.o_orderkey + s.o_orderkey = 2 " +
+      "WHEN MATCHED THEN UPDATE SET *", "equality to prune on")
     // the table is untouched by every refusal
     assert(GraftTable.forPath(spark, root).latestVersion == 1)
     ()

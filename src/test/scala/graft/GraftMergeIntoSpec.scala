@@ -309,4 +309,165 @@ class GraftMergeIntoSpec extends SparkSpec {
       "mergeInto(SET-all) must equal merge() on the same batch")
     ()
   }
+
+  test("by-source-only merge with a dup-keyed source must not duplicate kept rows (ADVICE r17)") {
+    val root = fresh("graft_mi_dupkeep")
+    val t = GraftTable.forPath(spark, root)
+    t.append(registry)                                        // v1
+    // ids 1 and 3 each matched by TWO source rows; no matched clause,
+    // so they are 'keep' — the left-outer rewrite must collapse the
+    // join multiplicity, not emit them twice
+    val batch = Seq((1L, "a"), (1L, "b"), (3L, "c"), (3L, "d"))
+      .toDF("id", "note")
+    t.mergeInto(batch, Seq("id"),
+      notMatchedBySource = Seq(
+        BySourceUpdate(Some(expr("t.status = 'REJECTED'")),
+          Map("status" -> lit("CLOSED")))))
+    assert(multiset(t.read()) == multiset(Seq(
+      (1L, "PENDING", 10.0), (2L, "APPROVED", 20.0),
+      (3L, "PENDING", 30.0), (4L, "CLOSED", 40.0),
+      (5L, "PENDING", 50.0)).toDF("id", "status", "price")),
+      "matched keep rows duplicated through the dup-keyed source join")
+    ()
+  }
+
+  test("renamed ON keys: sourceKeys maps the source column onto the target key name (verb + SQL)") {
+    val root = fresh("graft_mi_ren")
+    val t = GraftTable.forPath(spark, root)
+    t.append(registry)                                        // v1
+    val batch = Seq((1L, 111.0), (6L, 66.0)).toDF("ext_id", "price")
+    t.mergeInto(batch, Seq("id"),
+      matched = Seq(MatchedUpdate(None, Map("price" -> expr("s.price")))),
+      notMatched = Seq(NotMatchedInsert(None,
+        Map("id" -> expr("s.id"), "price" -> expr("s.price")))),
+      sourceKeys = Seq("ext_id"))
+    assert(multiset(t.read()) == multiset(Seq(
+      (1L, Option("PENDING"), 111.0), (2L, Option("APPROVED"), 20.0),
+      (3L, Option("PENDING"), 30.0), (4L, Option("REJECTED"), 40.0),
+      (5L, Option("PENDING"), 50.0), (6L, Option.empty[String], 66.0))
+      .toDF("id", "status", "price")))
+    // ambiguous rename refuses loudly: the source already has an `id`
+    val clash = Seq((1L, 2L, 9.0)).toDF("ext_id", "id", "price")
+    val e = intercept[IllegalArgumentException] {
+      t.mergeInto(clash, Seq("id"),
+        matched = Seq(MatchedUpdate(None, Map("price" -> expr("s.price")))),
+        sourceKeys = Seq("ext_id"))
+    }
+    assert(e.getMessage.contains("ambiguous"))
+    ()
+  }
+
+  test("non-equi residual ON: equi keys prune, the residual decides matched-ness on all three sides") {
+    val root = fresh("graft_mi_resid")
+    val t = GraftTable.forPath(spark, root)
+    t.append(registry)                                        // v1
+    // residual: only rows priced under 35 count as matched. id 1
+    // (10.0) matches → update; id 5 (50.0) equi-matches but FAILS the
+    // residual → not matched, so its source row INSERTS alongside it
+    // and the by-source clause sees the target row as unmatched; id 4
+    // (REJECTED, unmatched by source under the full condition) closes
+    val batch = Seq((1L, 11.0), (5L, 55.0), (9L, 99.0))
+      .toDF("id", "price")
+    t.mergeInto(batch, Seq("id"),
+      matched = Seq(MatchedUpdate(None, Map("price" -> expr("s.price")))),
+      notMatched = Seq(NotMatchedInsert(None,
+        Map("id" -> expr("s.id"), "price" -> expr("s.price")))),
+      notMatchedBySource = Seq(
+        BySourceUpdate(Some(expr("t.status = 'REJECTED'")),
+          Map("status" -> lit("CLOSED")))),
+      residual = Some(expr("t.price < 35.0")))
+    assert(multiset(t.read()) == multiset(Seq(
+      (1L, Option("PENDING"), 11.0),   // full match → updated
+      (2L, Option("APPROVED"), 20.0),  // no source row, price < 35: kept
+      (3L, Option("PENDING"), 30.0),
+      (4L, Option("CLOSED"), 40.0),    // by-source close-out
+      (5L, Option("PENDING"), 50.0),   // equi-matched, residual failed
+      (5L, Option.empty[String], 55.0), // … so the source row inserted
+      (9L, Option.empty[String], 99.0))
+      .toDF("id", "status", "price")))
+    ()
+  }
+
+  test("SQL MERGE ON with no equi key refuses loudly; renamed + residual routes (round 17)") {
+    val root = fresh("graft_mi_sqlren")
+    val t = GraftTable.forPath(spark, root)
+    t.append(registry)                                        // v1
+    spark.conf.set("spark.sql.catalog.gme2",
+      classOf[graft.sources.GraftCatalog].getName)
+    Seq((1L, 111.0), (4L, 444.0)).toDF("ext_id", "price")
+      .createOrReplaceTempView("mi_sqlren_batch")
+    // renamed equi key + residual conjunct, one statement
+    spark.sql(s"MERGE INTO gme2.`$root` t USING mi_sqlren_batch s " +
+      "ON t.id = s.ext_id AND t.status = 'PENDING' " +
+      "WHEN MATCHED THEN UPDATE SET price = s.price")
+    assert(multiset(t.read()) == multiset(Seq(
+      (1L, "PENDING", 111.0), (2L, "APPROVED", 20.0),
+      (3L, "PENDING", 30.0), (4L, "REJECTED", 40.0),
+      (5L, "PENDING", 50.0)).toDF("id", "status", "price")),
+      "the residual must stop the non-PENDING match from updating")
+    // no equi key at all: nothing to prune on — refuse, never run a
+    // different statement than the user wrote
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"MERGE INTO gme2.`$root` t USING mi_sqlren_batch s " +
+        "ON t.price < s.price " +
+        "WHEN MATCHED THEN UPDATE SET price = s.price")
+    }
+    assert(e.getMessage.contains("equality"))
+    ()
+  }
+
+  test("size-aware source strategy: broadcast and shuffle regimes commit identical tables; choice recorded in commit info") {
+    val rootA = fresh("graft_mi_bc")
+    val rootB = fresh("graft_mi_sh")
+    val ta = GraftTable.forPath(spark, rootA)
+    val tb = GraftTable.forPath(spark, rootB)
+    ta.append(registry); tb.append(registry)
+    val batch = Seq((1L, "APPROVED", 11.0), (6L, "NEW", 66.0))
+      .toDF("id", "status", "price")
+    def clauses = (Seq(MatchedUpdate(None,
+      Map("status" -> expr("s.status"), "price" -> expr("s.price")))),
+      Seq(NotMatchedInsert(None,
+        Map("id" -> expr("s.id"), "status" -> expr("s.status"),
+          "price" -> expr("s.price")))))
+    val (m, nm) = clauses
+    val va = ta.mergeInto(batch, Seq("id"), matched = m, notMatched = nm)
+    assert(ta.commitInfo(va).exists(_.contains(
+      "mergeSourceStrategy=broadcast")),
+      s"endpoint-sized batch should broadcast: ${ta.commitInfo(va)}")
+    // force the over-ceiling regime: 1-byte threshold → shuffle joins
+    spark.conf.set("spark.graft.merge.broadcastThreshold", "1")
+    try {
+      val vb = tb.mergeInto(batch, Seq("id"), matched = m, notMatched = nm)
+      assert(tb.commitInfo(vb).exists(_.contains(
+        "mergeSourceStrategy=shuffle")),
+        s"over-ceiling source should shuffle: ${tb.commitInfo(vb)}")
+    } finally spark.conf.unset("spark.graft.merge.broadcastThreshold")
+    assert(multiset(ta.read()) == multiset(tb.read()),
+      "the two regimes must commit identical tables")
+    ()
+  }
+
+  test("tagged mergeInto: a replayed tag no-ops across a fresh table handle (the foreachBatch recipe)") {
+    val root = fresh("graft_mi_tag")
+    val t = GraftTable.forPath(spark, root)
+    t.append(registry)                                        // v1
+    val batch = Seq((1L, 111.0), (6L, 66.0)).toDF("id", "price")
+    def applyIt(h: GraftTable): Long = h.mergeInto(batch, Seq("id"),
+      matched = Seq(MatchedUpdate(None, Map("price" -> expr("s.price")))),
+      notMatched = Seq(NotMatchedInsert(None,
+        Map("id" -> expr("s.id"), "price" -> expr("s.price")))),
+      tag = "epoch-7")
+    val v = applyIt(t)
+    assert(v == 2L)
+    val before = multiset(t.read())
+    // same handle replay
+    assert(applyIt(t) == 2L, "in-handle replay must no-op")
+    // restart-shaped replay: a FRESH handle resolves the tag ledger
+    // from the log (checkpoint + later commits), not from caches
+    val t2 = GraftTable.forPath(spark, root)
+    assert(applyIt(t2) == 2L, "cross-restart replay must no-op")
+    assert(t2.latestVersion == 2L)
+    assert(multiset(t2.read()) == before)
+    ()
+  }
 }

@@ -507,4 +507,47 @@ class GraftReplaceWhereSpec extends SparkSpec {
     } finally spark.conf.set(mode, saved)
     ()
   }
+
+  test("replaceWhere(mergeSchema) refuses tombstoned names: a dropped column must not resurrect from untouched files (ADVICE r17)") {
+    import spark.implicits._
+    // row-level regime on a flat table: drop `note`, then try to
+    // re-add it through an evolved replace. The survivors and the
+    // batch would stage the new column under the identity physical
+    // name — but untouched OLD files still carry the dropped data
+    // under that very name, so the snapshot read would resurrect it.
+    val root = freshRoot("graft_rw_tomb")
+    val t = GraftTable.create(spark, root, Seq(
+      (1L, 10.0, "secret-a"), (2L, 20.0, "secret-b"),
+      (50L, 500.0, "secret-c"))
+      .toDF("id", "price", "note").repartitionByRange(2, col("id"))) // v1
+    t.dropColumn("note")                                             // v2
+    val batch = Seq((1L, 11.0, "fresh")).toDF("id", "price", "note")
+    val e = intercept[IllegalArgumentException] {
+      t.replaceWhere(col("id") === 1L, batch, mergeSchema = true)
+    }
+    assert(e.getMessage.contains("tombstoned"))
+    // chain regime on a partitioned table: same refusal
+    val root2 = freshRoot("graft_rw_tomb_p")
+    val t2 = GraftTable.forPath(spark, root2)
+    t2.appendPartitioned(Seq(
+      (1L, 10.0, "x", "F"), (2L, 20.0, "y", "O"))
+      .toDF("id", "price", "note", "status"), "status")              // v1
+    t2.dropColumn("note")                                            // v2
+    val e2 = intercept[IllegalArgumentException] {
+      t2.replaceWhere(col("status") === "F",
+        Seq((9L, 90.0, "z", "F")).toDF("id", "price", "note", "status"),
+        mergeSchema = true)
+    }
+    assert(e2.getMessage.contains("tombstoned"))
+    // both tables untouched by the refusals; a clean evolved replace
+    // with a FRESH name still lands
+    assert(t.latestVersion == 2L && t2.latestVersion == 2L)
+    t.replaceWhere(col("id") === 1L,
+      Seq((1L, 11.0, "fresh")).toDF("id", "price", "remark"),
+      mergeSchema = true)                                            // v3
+    assert(multiset(t.read()) == multiset(Seq(
+      (1L, 11.0, Option("fresh")), (2L, 20.0, Option.empty[String]),
+      (50L, 500.0, Option.empty[String])).toDF("id", "price", "remark")))
+    ()
+  }
 }
