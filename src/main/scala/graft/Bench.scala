@@ -144,7 +144,40 @@ object Bench {
     "d43_html_strip",
     // late round-16 addition: MERGE INTO a hive-partitioned table
     // (chain-pruned probes, chain-preserving restage, null-dir insert)
-    "q102_partitioned_merge")
+    "q102_partitioned_merge",
+    // round-17 additions: the renamed-key + non-equi MERGE lifecycle
+    // (the SQL router's new ON algebra through the CoW verb), the
+    // composed web-crawl cleaning pipeline (strip → normalize →
+    // dedup → gate: the corpus-linear one-shuffle shape), and the
+    // foreachBatch streaming upsert (per-epoch tagged merge commits)
+    "q103_renamed_key_merge", "p10_web_corpus", "s21_stream_merge")
+
+  /** Round-17 compact-line budget: the driver parses a ~2,000-char
+    * TAIL WINDOW of stdout and this bench prints its compact summary
+    * as the final line, under a 1,500-byte hard backstop. Policy
+    * (r16 verdict item 7): keep ≥ 25% headroom (≤ 1,125 bytes) by
+    * rotating MATURE entries out of the compact per-query map —
+    * oldest-stable first, in this order — until the line fits. A
+    * rotated entry still runs, still sums into `value`, and still
+    * publishes its timing in BENCH.json (and the committed
+    * docs/BENCH_r*_quiet.json); only the stdout map omits it. The
+    * old all-or-nothing backstop stays as the final guard.
+    */
+  private val compactRotation = Seq(
+    // migration lifecycles, plan-stable since r12-r14
+    "q91_convert_read", "q93_string_partition", "q95_multi_partition",
+    "q96_sql_partitioned",
+    // text/token joins stable since r5-r8
+    "d16_bloom_decontaminate", "d25_lm_score", "d27_bigram_lm",
+    "d34_bpe_encode",
+    // multimodal scans stable since r6-r9
+    "m5_blob_dedup", "m7_cdc_chunks",
+    // superseded-by-sibling visibility: g15b/e11/q87+q99 stay
+    "g15_link_predict", "e9_knn_graph", "q78_merge_into",
+    // streaming ingest pair: the native sink s18 stays visible
+    "s15_stream_table_ingest", "s16_stream_table_feed",
+    // backfill lifecycle: q100's CDF variant stays visible
+    "q97_backfill")
 
   /** 1-minute load average, -1.0 if unreadable (non-Linux). */
   private def loadavg(): Double =
@@ -348,13 +381,27 @@ object Bench {
     try out.println(json) finally out.close()
     // Locale.ROOT: a comma decimal separator would corrupt the JSON
     def ms(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qsCompact = results
-      .map { case (k, (mn, _)) => "\"" + k + "\":" + ms(mn) }
-      .mkString("{", ",", "}")
-    val compactFull = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","iterations":$iters,"contended":$contended,"suspect":$suspectJson,"n_queries":${results.length},"artifact":"BENCH.json"}"""
-    // hard backstop: if the headline set ever grows past the window,
-    // drop the per-query map rather than overflow again
-    val compact = if (compactFull.length <= 1500) compactFull
+    def compactLine(names: Set[String]): String = {
+      val qsCompact = results.filter(r => names(r._1))
+        .map { case (k, (mn, _)) => "\"" + k + "\":" + ms(mn) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","iterations":$iters,"contended":$contended,"suspect":$suspectJson,"n_queries":${results.length},"artifact":"BENCH.json"}"""
+    }
+    // budgeted rotation (see compactRotation): rotate mature entries
+    // out of the stdout map — they stay in BENCH.json — until the
+    // line is under 1,125 bytes (25% headroom below the 1,500-byte
+    // parser backstop)
+    val budget = 1125
+    var inCompact = results.map(_._1).toSet
+    val rotation = compactRotation.iterator
+    var compactBudgeted = compactLine(inCompact)
+    while (compactBudgeted.length > budget && rotation.hasNext) {
+      inCompact -= rotation.next()
+      compactBudgeted = compactLine(inCompact)
+    }
+    // hard backstop: if the set STILL overflows the window, drop the
+    // per-query map rather than overflow
+    val compact = if (compactBudgeted.length <= 1500) compactBudgeted
       else s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","iterations":$iters,"contended":$contended,"suspect":$suspectJson,"n_queries":${results.length},"artifact":"BENCH.json"}"""
     spark.stop()
     println(compact)

@@ -114,6 +114,18 @@ object ZOrderLayout {
     * (v − lo) · scale is monotone, which is all Morton clustering
     * needs. Spans already inside the budget just shift by min — the
     * original behavior.
+    *
+    * Above 2^53 (round-17 pin): every dimension routes through
+    * `double`, whose 53-bit mantissa QUANTIZES adjacent long keys —
+    * neighboring 2^62-scale ids may land on the same normalized cell.
+    * That is intentional and safe for everything this value feeds:
+    * the map stays MONOTONE (doubles order like the longs they round
+    * from), so neighbors stay neighbors, files keep tight disjoint
+    * ranges, and stats pruning still works — the quantization only
+    * coarsens WITHIN-cell order, never across-file order. Pruning
+    * correctness never depends on the z-value at all (FileStats
+    * re-checks real min/max); the spec pins clustering + pruning at
+    * 2^62-scale keys.
     */
   def zvalNormalizedOver(df: DataFrame, dims: Seq[Column]): Column = {
     val cap = ((1L << bitsFor(dims.size)) - 1).toDouble

@@ -417,6 +417,32 @@ class GraftStringPartitionSpec extends SparkSpec {
     ()
   }
 
+  test("vacuumHours boundary: in-window commits survive, older reclaim, dry-run and execution agree (round 17)") {
+    val root = fresh("vachb")
+    val t = GraftTable.create(spark, root, Seq((1, "a")).toDF("k", "v"))
+    t.overwrite(Seq((2, "b")).toDF("k", "v"))                      // v2
+    Thread.sleep(1500) // age v1/v2 past the window boundary
+    t.overwrite(Seq((3, "c")).toDF("k", "v"))                      // v3
+    // window ≈ 1.08 s: v3 (just committed) is in-window, v1/v2 are
+    // not — the boundary commit (the newest in-window one) is kept
+    val hrs = 0.0003
+    assert(t.retainVersionsForHours(hrs) == 1,
+      s"expected only v3 in the ${hrs}h window")
+    // dry-run / execution can't-disagree: execute EXACTLY the shown
+    // plan (orphanGraceMillis=0 so the just-superseded files count)
+    val plan = t.vacuumPlan(t.retainVersionsForHours(hrs), 0L)
+    assert(plan.commits == Seq(1L, 2L),
+      s"pre-horizon commits should reclaim, got ${plan.commits}")
+    assert(plan.files.nonEmpty, "superseded files should reclaim")
+    t.vacuumExecute(plan)
+    // the surviving table serves exactly v3's content
+    assert(t.read().collect().map(r => (r.getInt(0), r.getString(1)))
+      .toSeq == Seq((3, "c")))
+    // reclaimed commit files are gone; the horizon checkpoint serves
+    assert(t.latestVersion == 3L)
+    ()
+  }
+
   // ---- multi-column partition keys (VERDICT r13 item 2) --------------
 
   private def twoKeyDf = {

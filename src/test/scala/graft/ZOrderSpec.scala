@@ -178,4 +178,41 @@ class ZOrderSpec extends SparkSpec {
     assert(t.read().count() == 40000)
     ()
   }
+
+  test("keys past 2^53 cluster through the double quantization: monotone map keeps files range-disjoint (round 17)") {
+    import graft.sources.GraftTable
+    // 2^62-scale ids: the normalization's double cast quantizes
+    // adjacent longs (53-bit mantissa), which may merge neighbors
+    // into one normalized cell — but the map stays MONOTONE, so the
+    // layout still clusters and stats pruning still bites. This pins
+    // the documented intent at ZOrderLayout.zvalNormalizedOver.
+    val base = 1L << 62
+    val step = 1L << 40 // strides far apart, all above 2^53
+    val wide = spark.range(0, 20000)
+      .select((lit(base) + col("id") % 100 * step * 100 + col("id"))
+          .as("k"),
+        (lit(base) + col("id") % 97 * step * 97 + col("id") * 7 % 1000)
+          .as("c"),
+        (col("id") * 31 % 1000).as("payload"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zhuge").toString + "/t"
+    val t = GraftTable.create(spark, root, wide.repartition(8))   // v1
+    t.compactZOrder("k", "c", 16)                                 // v2
+    val total = t.liveFiles().size
+    assert(total >= 8, s"expected a multi-file z layout, got $total")
+    // a centered 2-d slice of ~1/8 of each dimension's range
+    val pred =
+      col("k").between(base + 45L * step * 100, base + 57L * step * 100) &&
+      col("c").between(base + 43L * step * 97, base + 55L * step * 97)
+    val touched = t.prunedFiles(pred).size
+    assert(touched < total,
+      s"z-order at 2^62 keys pruned nothing ($touched/$total) — " +
+        "the quantized map lost monotonicity")
+    // exactness is untouched: pruning is an optimization, the read
+    // re-applies the predicate — and the rewrite is content-neutral
+    assert(t.read().count() == 20000)
+    assert(t.readWhere(pred).count() ==
+      t.read().filter(pred).count())
+    ()
+  }
 }
