@@ -1387,9 +1387,9 @@ class GraftTable private (val s: SparkSession, val root: String) {
           // evolution) is a conflict too: committing the DML's staged
           // files under the old schema would silently narrow the table
           val baseSchemaJson = schemaAt(b).map(_.json)
-          def fileScoped(a: String) = a == "merge" || a == "delete" ||
-            a == "update" || a == "compact" || a == "purge" ||
-            a.startsWith("merge@") || a.startsWith("zorder:")
+          def fileScoped(a: String) = GraftTable.isMergeAction(a) ||
+            a == "delete" || a == "update" || a == "compact" ||
+            a == "purge" || a.startsWith("zorder:")
           val inter =
             if (tolerateAppends)
               versions().filter(v => v > b && v <= prev).map(readCommit)
@@ -3941,7 +3941,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
     import org.apache.spark.sql.functions.lit
     val commits = commitRange(sinceVersion, untilVersion)
     val unsupported = commits.filterNot(c =>
-      c.action.startsWith("append") || c.action == "merge" ||
+      c.action.startsWith("append") ||
+        GraftTable.isMergeAction(c.action) ||
         c.action == "delete" || c.action == "update" ||
         (GraftTable.isReplaceAction(c.action) && c.cdf.nonEmpty) ||
         c.action == "compact" || c.action == "purge" ||
@@ -3972,7 +3973,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
           Some(withKeys.withColumn(ChangeTypeCol, lit("insert"))
             .withColumn(VersionCol, lit(c.version)))
         }
-      } else if (c.action == "merge" || c.action == "delete" ||
+      } else if (GraftTable.isMergeAction(c.action) ||
+          c.action == "delete" ||
           c.action == "update" || GraftTable.isReplaceAction(c.action)) {
         if (c.cdf.isEmpty) None
         else Some(s.read.parquet(c.cdf.map(f => s"$root/${f._1}"): _*)
@@ -4010,8 +4012,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
         val fs = c.adds.map(a => (s"$root/${a.path}", a.bytes))
           .sortBy(_._1)
         if (fs.isEmpty) None else Some((c.version, fs, Some("insert")))
-      } else if (c.action == "merge" || c.action == "delete" ||
-          c.action == "update" ||
+      } else if (GraftTable.isMergeAction(c.action) ||
+          c.action == "delete" || c.action == "update" ||
           (GraftTable.isReplaceAction(c.action) && c.cdf.nonEmpty)) {
         if (c.cdf.isEmpty) None
         else Some((c.version,
@@ -4422,6 +4424,14 @@ object GraftTable {
     */
   private[sources] def isReplaceAction(a: String): Boolean =
     a == "replace" || a.startsWith("replace@")
+
+  /** A clause-merge commit — plain or replay-tagged (round 17:
+    * `mergeInto(tag=…)` records `merge@<tag>`, the foreachBatch
+    * streaming-upsert recipe). Every action classifier must accept
+    * both or a tagged merge's CDF images would refuse to serve.
+    */
+  private[sources] def isMergeAction(a: String): Boolean =
+    a == "merge" || a.startsWith("merge@")
 
   /** A vacuum's reclaim set: unreferenced (relpath, bytes) files past
     * the grace window, plus the log files behind `horizon`.

@@ -447,6 +447,26 @@ class GraftMergeIntoSpec extends SparkSpec {
     ()
   }
 
+  test("a tagged merge's CDF images serve through the feed: merge@tag classifies as a merge (round 17)") {
+    val root = fresh("graft_mi_tagcdf")
+    val t = GraftTable.forPath(spark, root)
+    t.append(registry)                                        // v1
+    val batch = Seq((1L, 111.0), (6L, 66.0)).toDF("id", "price")
+    t.mergeInto(batch, Seq("id"),
+      matched = Seq(MatchedUpdate(None, Map("price" -> expr("s.price")))),
+      notMatched = Seq(NotMatchedInsert(None,
+        Map("id" -> expr("s.id"), "price" -> expr("s.price")))),
+      tag = "cdf-epoch-1")                  // v2, action merge@cdf-epoch-1
+    val feed = t.changeFeed(1).getOrElse(
+      fail("tagged merge contributed nothing to the feed"))
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("update_preimage" -> 1L,
+      "update_postimage" -> 1L, "insert" -> 1L),
+      s"tagged merge images mis-served: $byType")
+    ()
+  }
+
   test("tagged mergeInto: a replayed tag no-ops across a fresh table handle (the foreachBatch recipe)") {
     val root = fresh("graft_mi_tag")
     val t = GraftTable.forPath(spark, root)
