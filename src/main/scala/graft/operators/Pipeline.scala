@@ -74,11 +74,13 @@ object Pipeline {
   // (d43) → normalize (d17) → exact dedup keep-first on the
   // NORMALIZED text (d1's rule, one step stronger: case/punctuation
   // variants of one page are one page) → d3's quality gate over the
-  // stripped text → d5's fingerprint of the normalized text. Every
-  // stage except the one dedup exchange is a pure map over the
-  // corpus, so the pipeline is corpus-linear with ONE shuffle — the
-  // 100 TB web-crawl shape (strip/normalize never widen rows; the
-  // dedup anti-join ships only the duplicated-hash subset).
+  // stripped text → d5's fingerprint of the normalized text. p1's
+  // exact plan profile (3 shuffles / 2 bhj: the dedup's dup-count
+  // agg — map-side partial, tiny reduce — the survivor window over
+  // ONLY the duplicated-hash subset, and the oracle orderBy; the
+  // dup-set anti/semi joins broadcast), so the pipeline is
+  // corpus-linear — the 100 TB web-crawl shape (strip/normalize
+  // never widen rows; SCALE_r17 probes the decades).
   def p10WebCorpus(s: SparkSession, d: String): DataFrame = {
     val stripped = Tables.documents(s, d)
       .withColumn("html",

@@ -3148,6 +3148,24 @@ class GraftTable private (val s: SparkSession, val root: String) {
       require(source.columns.exists(_.equalsIgnoreCase(k)),
         s"merge key '$k' is not a source column")
     }
+    // key TYPE alignment (round 17 — the Excel-upload reality one
+    // step past the rename: header-mapped batches arrive with
+    // STRING-typed keys): a source key column whose type differs
+    // from the table's casts to the TABLE type once, up front, so
+    // the stats prune, the chain tokens and every probe compare in
+    // the target's type — raw-typed source ranges racing long file
+    // stats would be unsound. try_cast, not cast: under ANSI a
+    // malformed value would ABORT the merge; here it becomes NULL
+    // and never equi-matches (so the row INSERTs with a NULL key if
+    // a NOT MATCHED clause admits it — the loud-in-data outcome).
+    val src = keys.foldLeft(source) { (df, k) =>
+      val tT = schema.fields.find(_.name.equalsIgnoreCase(k)).get.dataType
+      val sName = df.schema.fields.find(_.name.equalsIgnoreCase(k)).get
+      if (sName.dataType == tT) df
+      else df.withColumn(sName.name,
+        org.apache.spark.sql.functions.expr(
+          s"try_cast(`${sName.name}` AS ${tT.sql})"))
+    }
     // SCHEMA EVOLUTION through the clause verb (round 16, Delta's
     // `WITH SCHEMA EVOLUTION`): with mergeSchema=true a SET / INSERT
     // naming a NON-table column ADDS it to the schema — its type
@@ -3184,7 +3202,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     // anti-join must know which source keys already live in the table
     val aggs = keys.flatMap(k =>
       Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
-    val range = source.agg(aggs.head, aggs.tail: _*).head
+    val range = src.agg(aggs.head, aggs.tail: _*).head
     val srcEmpty = range.isNullAt(0)
     // size-aware SOURCE STRATEGY (round 17, Delta's merge planning):
     // an endpoint-sized batch BROADCASTS into every probe/rewrite
@@ -3196,7 +3214,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     // ceiling leave join strategy to the planner: the CoW algebra is
     // join-strategy-agnostic and AQE picks shuffle joins. The choice
     // is recorded in the commit's info line.
-    val srcBytes = source.queryExecution.optimizedPlan.stats.sizeInBytes
+    val srcBytes = src.queryExecution.optimizedPlan.stats.sizeInBytes
     val bcCeiling = BigInt(s.conf.get(
       "spark.graft.merge.broadcastThreshold", {
         val t = s.sessionState.conf.autoBroadcastJoinThreshold
@@ -3215,7 +3233,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
       if (partKeys.isEmpty) _ => true
       else {
         val valueSets = partKeys.map { k =>
-          k -> source.select(col(k).cast("string")).distinct()
+          k -> src.select(col(k).cast("string")).distinct()
             .collect().flatMap(r => Option(r.getString(0)))
             .map(v => partToken(k, v)).toSet
         }
@@ -3242,7 +3260,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
           case (p, m) if statsKeep(m) && chainKeep(p) => p
         }
       }
-    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val srcKeys = src.select(keys.map(col): _*).distinct()
     // the MATCH condition: equi keys (pruning, probing) AND the
     // optional non-equi residual (round 17, Delta's arbitrary ON) —
     // the residual decides matched-ness wherever the two sides meet
@@ -3293,7 +3311,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
             case None => probeFiles(cands).alias("t")
               .join(bcast(srcKeys), keys, "left_anti")
             case Some(_) => probeFiles(cands).alias("t")
-              .join(bcast(source.alias("s")), joinCond, "left_anti")
+              .join(bcast(src.alias("s")), joinCond, "left_anti")
           }
           (cands, unmatchedRows
             .filter(eligible)
@@ -3308,7 +3326,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     if (touched.isEmpty && (srcEmpty || notMatched.isEmpty)) return base
 
     // 3. one joined pass: per-row action CASE over touched ⟕ source
-    val srcMarked = source.withColumn("__s_exists", lit(true))
+    val srcMarked = src.withColumn("__s_exists", lit(true))
     val joined0 = probeFiles(touched).alias("t")
       .join(bcast(srcMarked.alias("s")), joinCond, "left_outer")
     // evolution: each new column's TYPE resolves from its defining

@@ -357,6 +357,32 @@ class GraftMergeIntoSpec extends SparkSpec {
     ()
   }
 
+  test("key type alignment: a string-typed upload key casts to the table key type up front; uncastable keys insert NULL (round 17)") {
+    val root = fresh("graft_mi_cast")
+    val t = GraftTable.forPath(spark, root)
+    t.append(registry)                                        // v1
+    // the Excel-upload reality: header-mapped batch, string-typed key
+    val batch = Seq(("1", 111.0), ("6", 66.0), ("oops", 1.0))
+      .toDF("ext_id", "price")
+    t.mergeInto(batch, Seq("id"),
+      matched = Seq(MatchedUpdate(None, Map("price" -> expr("s.price")))),
+      notMatched = Seq(NotMatchedInsert(None,
+        Map("id" -> expr("s.id"), "price" -> expr("s.price")))),
+      sourceKeys = Seq("ext_id"))
+    assert(multiset(t.read()) == multiset(Seq(
+      (Option(1L), Option("PENDING"), 111.0),   // "1" casts, matches
+      (Option(2L), Option("APPROVED"), 20.0),
+      (Option(3L), Option("PENDING"), 30.0),
+      (Option(4L), Option("REJECTED"), 40.0),
+      (Option(5L), Option("PENDING"), 50.0),
+      (Option(6L), Option.empty[String], 66.0), // "6" casts, inserts
+      // "oops" is uncastable → NULL key → never equi-matches →
+      // inserts with a NULL id (Delta's non-ANSI cast semantics)
+      (Option.empty[Long], Option.empty[String], 1.0))
+      .toDF("id", "status", "price")))
+    ()
+  }
+
   test("non-equi residual ON: equi keys prune, the residual decides matched-ness on all three sides") {
     val root = fresh("graft_mi_resid")
     val t = GraftTable.forPath(spark, root)
