@@ -139,9 +139,31 @@ object GraftTvf {
       "column", "type", "value", "n_files", "bytes"))
   }
 
+  /** (version, action, info) per commit — the free-form operation
+    * parameters a verb recorded (round 17: mergeInto's source
+    * strategy + row metrics), Delta's DESCRIBE HISTORY
+    * operationParameters column without touching graft_history's
+    * stable schema. NULL info for commits that recorded nothing.
+    * Driver-side O(versions) log reads, no scan.
+    */
+  def commitInfo(args: Seq[Expression]): LogicalPlan = {
+    val s = SparkSession.active
+    import s.implicits._
+    val t = GraftTable.forPath(s, pathArg(args, "graft_commit_info"))
+    val rows = t.versions().map { v =>
+      val c = t.readCommit(v)
+      (v, c.action, c.info.orNull)
+    }
+    plan(rows.toDF("version", "action", "info"))
+  }
+
   /** The injection tuples for [[graft.GraftExtensions]]. */
   def tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_commit_info"),
+      new ExpressionInfo("graft", null, "graft_commit_info",
+        "graft_commit_info(root) - per-commit operation parameters", ""),
+      commitInfo _),
     (FunctionIdentifier("graft_protocol"),
       new ExpressionInfo("graft", null, "graft_protocol",
         "graft_protocol(root) - recorded vs active reader features", ""),

@@ -493,6 +493,34 @@ class GraftMergeIntoSpec extends SparkSpec {
     ()
   }
 
+  test("merge operation metrics land in the commit info; graft_commit_info serves them (round 17)") {
+    val root = fresh("graft_mi_metrics")
+    val t = GraftTable.forPath(spark, root)
+    t.append(registry)                                        // v1
+    val batch = Seq((1L, 11.0), (4L, 44.0), (6L, 66.0)).toDF("id", "price")
+    val v = t.mergeInto(batch, Seq("id"),
+      matched = Seq(
+        MatchedDelete(Some(expr("t.status = 'REJECTED'"))),
+        MatchedUpdate(None, Map("price" -> expr("s.price")))),
+      notMatched = Seq(NotMatchedInsert(None,
+        Map("id" -> expr("s.id"), "price" -> expr("s.price")))))
+    // id 1 updates, id 4 (REJECTED) deletes, id 6 inserts
+    val info = t.commitInfo(v).getOrElse(fail("no info line on the merge"))
+    assert(info.contains("rowsUpdated=1") &&
+      info.contains("rowsDeleted=1") && info.contains("rowsInserted=1"),
+      s"wrong operation metrics: $info")
+    assert(info.contains("mergeSourceStrategy=broadcast"), info)
+    // the SQL face: per-commit operation parameters as a TVF
+    val rows = spark.sql(
+      s"SELECT version, action, info FROM graft_commit_info('$root') " +
+        "ORDER BY version").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(2) == null, "append recorded no info")
+    assert(rows(1).getLong(0) == v && rows(1).getString(1) == "merge" &&
+      rows(1).getString(2) == info)
+    ()
+  }
+
   test("tagged mergeInto: a replayed tag no-ops across a fresh table handle (the foreachBatch recipe)") {
     val root = fresh("graft_mi_tag")
     val t = GraftTable.forPath(spark, root)
