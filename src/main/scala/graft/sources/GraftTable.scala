@@ -2958,10 +2958,29 @@ class GraftTable private (val s: SparkSession, val root: String) {
     }
     require(sc.forall(_.fieldNames.contains(key)),
       s"merge key '$key' is not a column of the table")
+    // pin the batch across the validate-then-stage window (the
+    // mergeInto rule, round 17): range agg, key probe, rewrite,
+    // constraints, staging and CDF each re-execute this plan
+    val upd = updates.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // 1. stats prune on the batch's key range
-    val range = updates.agg(min(col(key)).as("lo"), max(col(key)).as("hi")).head
+    val range = upd.agg(min(col(key)).as("lo"), max(col(key)).as("hi")).head
     val (lo, hi) = (range.get(0), range.get(1))
     if (lo == null) return base // empty batch: nothing to merge, no commit
+    // size-aware batch strategy (mergeInto's gate, round 17): an
+    // endpoint-sized batch broadcasts into the probe and CDF joins;
+    // a corpus-sized one leaves join strategy to the planner instead
+    // of OOMing the driver. Same conf, same default.
+    val updBytes = upd.queryExecution.optimizedPlan.stats.sizeInBytes
+    val updCeiling = BigInt(s.conf.get(
+      "spark.graft.merge.broadcastThreshold", {
+        val t = s.sessionState.conf.autoBroadcastJoinThreshold
+        (if (t > 0) t else 64L << 20).toString
+      }))
+    val updSmall = updBytes <= updCeiling
+    val bcast: DataFrame => DataFrame =
+      if (updSmall) df => broadcast(df) else df => df
     val keyPred = col(key) >= lit(lo) && col(key) <= lit(hi)
     val cmM = colmapAt(base)
     val e = physPred(
@@ -2973,7 +2992,7 @@ class GraftTable private (val s: SparkSession, val root: String) {
     // match as existing keys nor resurrect into the rewrite
     def readRel(paths: Seq[String]): DataFrame =
       readMeta(paths.map(p => p -> liveM(p)), sc, cm = cmM)
-    val updKeys = updates.select(col(key)).distinct()
+    val updKeys = upd.select(col(key)).distinct()
     // 2. exact probe: candidate files really holding a matched key
     // (__fn from the dv-aware read; bounded collect, ≤ #files rows)
     val byName = byBaseName(liveM)
@@ -2982,12 +3001,12 @@ class GraftTable private (val s: SparkSession, val root: String) {
       else readMeta(candidates.map(p => p -> liveM(p)), sc,
         keepPos = true, cm = cmM)
         .select(col(key), col("__fn"))
-        .join(broadcast(updKeys), Seq(key))
+        .join(bcast(updKeys), Seq(key))
         .select("__fn").distinct().collect().map(_.getString(0))
         .toSeq.map(byName).sorted
     // 3. rewrite touched rows merged with the batch (inserts included)
     val baseRows = readRel(touched)
-    val merged = graft.operators.Upsert.merge(baseRows, updates, key, strategies)
+    val merged = graft.operators.Upsert.merge(baseRows, upd, key, strategies)
     enforceConstraints(merged, "merge")
     val adds = stage(merged)
     val cdf =
@@ -2995,18 +3014,22 @@ class GraftTable private (val s: SparkSession, val root: String) {
       else {
         val matched = updKeys.join(baseRows.select(col(key)), Seq(key),
           "left_semi")
-        val pre = baseRows.join(broadcast(matched), Seq(key), "left_semi")
+        val pre = baseRows.join(bcast(matched), Seq(key), "left_semi")
           .withColumn(ChangeTypeCol, lit("update_preimage"))
-        val post = merged.join(broadcast(matched), Seq(key), "left_semi")
+        val post = merged.join(bcast(matched), Seq(key), "left_semi")
           .withColumn(ChangeTypeCol, lit("update_postimage"))
-        val ins = merged.join(broadcast(matched), Seq(key), "left_anti")
-          .join(broadcast(updKeys), Seq(key), "left_semi")
+        val ins = merged.join(bcast(matched), Seq(key), "left_anti")
+          .join(bcast(updKeys), Seq(key), "left_semi")
           .withColumn(ChangeTypeCol, lit("insert"))
         stageCdf(pre.unionByName(post).unionByName(ins))
       }
     commit("merge", adds, touched, basedOn = Some(base),
       stats = statsOf(adds), schema = sc, cdf = cdf,
-      tolerateAppends = true, readFiles = candidates)
+      tolerateAppends = true, readFiles = candidates,
+      info = Some(s"mergeSourceStrategy=" +
+        s"${if (updSmall) "broadcast" else "shuffle"} " +
+        s"sourceBytesEst=$updBytes"))
+    } finally { upd.unpersist(); () }
   }
 
   /** Conditional multi-clause MERGE — Delta's FULL `MERGE INTO`
