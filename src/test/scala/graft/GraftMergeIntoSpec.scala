@@ -493,6 +493,46 @@ class GraftMergeIntoSpec extends SparkSpec {
     ()
   }
 
+  test("renamed key + residual on a hive-partitioned target: chain pruning stays sound, untouched chains byte-identical (round 17)") {
+    val root = fresh("graft_mi_resid_part")
+    val t = GraftTable.forPath(spark, root)
+    t.appendPartitioned(Seq(
+      (1L, 10.0, "F"), (2L, 20.0, "F"),
+      (3L, 30.0, "O"), (4L, 4000.0, "O"),
+      (5L, 50.0, "P"))
+      .toDF("id", "price", "status"), "status")               // v1
+    def live() = t.liveFiles().toSet
+    val before = live()
+    // renamed key + residual: only sub-1000 'O' rows may re-price;
+    // id 4 equi-matches but fails the residual → keeps its price AND
+    // its source row inserts (status NULL → the hive null dir)
+    val batch = Seq((3L, 333.0), (4L, 444.0)).toDF("ext_id", "p")
+    t.mergeInto(batch, Seq("id"),
+      matched = Seq(MatchedUpdate(None, Map("price" -> expr("s.p")))),
+      notMatched = Seq(NotMatchedInsert(None,
+        Map("id" -> expr("s.id"), "price" -> expr("s.p")))),
+      sourceKeys = Seq("ext_id"),
+      residual = Some(expr("t.price < 1000.0")))              // v2
+    def serve() = spark.read.format("graft").load(root)
+    assert(multiset(serve().select("id", "price", "status")) ==
+      multiset(Seq(
+        (1L, 10.0, Option("F")), (2L, 20.0, Option("F")),
+        (3L, 333.0, Option("O")),    // full match → updated in place
+        (4L, 4000.0, Option("O")),   // residual failed → untouched
+        (4L, 444.0, Option.empty[String]), // … source row inserted
+        (5L, 50.0, Option("P")))
+        .toDF("id", "price", "status")))
+    // chains the merge never matched stay byte-identical (F, P);
+    // only the O chain rewrote (plus the null-dir insert)
+    val untouched = before.filter(f =>
+      f._1.contains("/status=F/") || f._1.contains("/status=P/"))
+    assert(untouched.subsetOf(live()),
+      "unmatched chains must not restage")
+    assert(live().exists(_._1.contains("__HIVE_DEFAULT_PARTITION__")) ||
+      serve().filter(col("status").isNull).count() == 1)
+    ()
+  }
+
   test("merge operation metrics land in the commit info; graft_commit_info serves them (round 17)") {
     val root = fresh("graft_mi_metrics")
     val t = GraftTable.forPath(spark, root)
