@@ -135,9 +135,14 @@ class GraftRowLevelSql(spark: SparkSession) extends Rule[LogicalPlan] {
         case eq @ EqualTo(l: AttributeReference, r: AttributeReference)
             if targetAttrs.contains(l) != targetAttrs.contains(r) =>
           val (t, srcA) = if (targetAttrs.contains(l)) (l, r) else (r, l)
-          // one source column per target key; a SECOND equality on an
-          // already-paired target column stays a residual conjunct
-          if (!equiPairs.contains(t.name.toLowerCase))
+          // one source column per target key AND one target key per
+          // source column (ADVICE r17: `ON t.k = s.a AND t.j = s.a`
+          // must not claim `a` twice — the verb's rename consumes
+          // it); a second claim on either side stays a residual
+          // conjunct, which qualify() renders against the post-rename
+          // source, so both equalities still bind every clause join
+          if (!equiPairs.contains(t.name.toLowerCase) &&
+              !equiPairs.values.exists(_._2.equalsIgnoreCase(srcA.name)))
             equiPairs += t.name.toLowerCase -> (t.name, srcA.name)
           else residuals += eq
         case other => residuals += other

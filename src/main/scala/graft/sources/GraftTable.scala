@@ -1472,7 +1472,22 @@ class GraftTable private (val s: SparkSession, val root: String) {
          else Set.empty) ++
         (if (pm.exists(_.exists(_.tpe == StringType)))
           Set(GraftTable.Features.StringPartitionValues)
+         else Set.empty) ++
+        (if (info.isDefined) Set(GraftTable.Features.CommitInfo)
          else Set.empty)
+      // WRITER-feature gate (round 18): refuse to commit to a table
+      // whose protocol row names a `w:` feature this binary does not
+      // implement — the read side stays open (w: features never
+      // block readers), but interleaving commits into a log whose
+      // write invariants we don't know would corrupt it.
+      val unknownW = proto
+        .filter(_.startsWith(GraftTable.Features.WriterPrefix))
+        .diff(GraftTable.Features.SupportedWriter)
+      require(unknownW.isEmpty,
+        s"commit refused: graft table at $root requires writer " +
+          s"features [${unknownW.toSeq.sorted.mkString(", ")}] that " +
+          "this writer does not implement — upgrade the writer binary " +
+          "(reads remain available; writer features never gate reads)")
       val body = new StringBuilder(
         s"graft-commit\t$v\t$action\t${System.currentTimeMillis()}\n")
       // free-form operation parameters (Delta's operationParameters):
@@ -2973,12 +2988,13 @@ class GraftTable private (val s: SparkSession, val root: String) {
     // a corpus-sized one leaves join strategy to the planner instead
     // of OOMing the driver. Same conf, same default.
     val updBytes = upd.queryExecution.optimizedPlan.stats.sizeInBytes
+    // a session that DISABLED broadcast joins (threshold <= 0) keeps
+    // that choice here too (ADVICE r17) — only an explicit graft conf
+    // re-enables the forced-broadcast fast path
     val updCeiling = BigInt(s.conf.get(
-      "spark.graft.merge.broadcastThreshold", {
-        val t = s.sessionState.conf.autoBroadcastJoinThreshold
-        (if (t > 0) t else 64L << 20).toString
-      }))
-    val updSmall = updBytes <= updCeiling
+      "spark.graft.merge.broadcastThreshold",
+      s.sessionState.conf.autoBroadcastJoinThreshold.toString))
+    val updSmall = updCeiling > 0 && updBytes <= updCeiling
     val bcast: DataFrame => DataFrame =
       if (updSmall) df => broadcast(df) else df => df
     val keyPred = col(key) >= lit(lo) && col(key) <= lit(hi)
@@ -3104,6 +3120,19 @@ class GraftTable private (val s: SparkSession, val root: String) {
     require(sourceKeys.isEmpty || sourceKeys.length == keys.length,
       s"sourceKeys must pair 1:1 with keys " +
         s"(${keys.length} keys, ${sourceKeys.length} sourceKeys)")
+    // one target key per source column (ADVICE r17): the rename below
+    // CONSUMES the source column, so a duplicate mapping would refuse
+    // downstream with a misleading "not a source column" — refuse
+    // here with the workaround instead (SQL MERGE routes the second
+    // equality into residual automatically)
+    sourceKeys.map(_.toLowerCase).groupBy(identity).collectFirst {
+      case (n, g) if g.size > 1 => n
+    }.foreach { n =>
+      throw new IllegalArgumentException(
+        s"source column '$n' is mapped onto multiple merge keys — keep " +
+          "one as the key and pass the other equality as residual= " +
+          "(e.g. residual = col(\"t.j\") === col(\"s.<key>\"))")
+    }
     val src0 =
       if (sourceKeys.isEmpty) source
       else keys.zip(sourceKeys).foldLeft(source) { case (df, (tk, sk)) =>
@@ -3181,13 +3210,26 @@ class GraftTable private (val s: SparkSession, val root: String) {
     // malformed value would ABORT the merge; here it becomes NULL
     // and never equi-matches (so the row INSERTs with a NULL key if
     // a NOT MATCHED clause admits it — the loud-in-data outcome).
+    // ADVICE r17: the cast is only sound when it cannot CHANGE a
+    // value — a lossy numeric narrowing (DOUBLE 5.5 -> BIGINT) would
+    // truncate to 5 and silently equi-match (and update!) the wrong
+    // target row, where Spark/Delta's ON comparison widens both
+    // sides and matches nothing. Lossy shapes refuse loudly instead.
     val src = keys.foldLeft(source) { (df, k) =>
       val tT = schema.fields.find(_.name.equalsIgnoreCase(k)).get.dataType
       val sName = df.schema.fields.find(_.name.equalsIgnoreCase(k)).get
       if (sName.dataType == tT) df
-      else df.withColumn(sName.name,
-        org.apache.spark.sql.functions.expr(
-          s"try_cast(`${sName.name}` AS ${tT.sql})"))
+      else {
+        require(GraftTable.losslessKeyCast(sName.dataType, tT),
+          s"merge key '${sName.name}' is ${sName.dataType.sql} in the " +
+            s"source but ${tT.sql} in the table — that cast can change " +
+            "the value (e.g. 5.5 -> 5) and silently match the wrong " +
+            "target row; cast the source key explicitly to the value " +
+            "you intend to merge on")
+        df.withColumn(sName.name,
+          org.apache.spark.sql.functions.expr(
+            s"try_cast(`${sName.name}` AS ${tT.sql})"))
+      }
     }
     // SCHEMA EVOLUTION through the clause verb (round 16, Delta's
     // `WITH SCHEMA EVOLUTION`): with mergeSchema=true a SET / INSERT
@@ -3238,12 +3280,12 @@ class GraftTable private (val s: SparkSession, val root: String) {
     // join-strategy-agnostic and AQE picks shuffle joins. The choice
     // is recorded in the commit's info line.
     val srcBytes = src.queryExecution.optimizedPlan.stats.sizeInBytes
+    // disabled session broadcast threshold (<= 0) means NO forced
+    // broadcast here either (ADVICE r17); the graft conf overrides
     val bcCeiling = BigInt(s.conf.get(
-      "spark.graft.merge.broadcastThreshold", {
-        val t = s.sessionState.conf.autoBroadcastJoinThreshold
-        (if (t > 0) t else 64L << 20).toString
-      }))
-    val srcSmall = srcBytes <= bcCeiling
+      "spark.graft.merge.broadcastThreshold",
+      s.sessionState.conf.autoBroadcastJoinThreshold.toString))
+    val srcSmall = bcCeiling > 0 && srcBytes <= bcCeiling
     val bcast: DataFrame => DataFrame =
       if (srcSmall) df => broadcast(df) else df => df
     // partition-column keys have no file stats (their values live in
@@ -3290,6 +3332,29 @@ class GraftTable private (val s: SparkSession, val root: String) {
     val equiCond = keys.map(k => col(s"t.$k") === col(s"s.$k"))
       .reduceOption(_ && _).getOrElse(lit(false))
     val joinCond = residual.map(equiCond && _).getOrElse(equiCond)
+    // the column sets joinCond references, per side (ADVICE r17): the
+    // residual anti-joins evaluate joinCond ONLY, so their scan/
+    // broadcast sides project to keys + residual attrs instead of the
+    // full width. Alias-qualified attrs bind to their side;
+    // unqualified or pre-resolved ones conservatively count for both.
+    val (residTCols, residSCols) = {
+      val ts = Seq.newBuilder[String]; val ss = Seq.newBuilder[String]
+      residual.foreach { r =>
+        org.apache.spark.sql.graft.shim.catalystExpression(r).foreach {
+          case org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute(parts) =>
+            val q = if (parts.length > 1) Some(parts.head.toLowerCase)
+                    else None
+            if (q.forall(_ == "t")) ts += parts.last
+            if (q.forall(_ == "s")) ss += parts.last
+          case a: org.apache.spark.sql.catalyst.expressions
+              .AttributeReference =>
+            ts += a.name; ss += a.name
+          case _ => ()
+        }
+      }
+      (ts.result().distinct, ss.result().distinct)
+    }
     // 2a. exact probe: files really holding an equi-matched key (a
     // SUPERSET of full matches when a residual narrows them — sound:
     // extra files rewrite as all-keep)
@@ -3333,8 +3398,14 @@ class GraftTable private (val s: SparkSession, val root: String) {
           val unmatchedRows = residual match {
             case None => probeFiles(cands).alias("t")
               .join(bcast(srcKeys), keys, "left_anti")
-            case Some(_) => probeFiles(cands).alias("t")
-              .join(bcast(src.alias("s")), joinCond, "left_anti")
+            case Some(_) =>
+              // the anti-join evaluates joinCond only: ship the keys
+              // + residual source attrs, not the full-width source
+              val sCols = (keys ++ residSCols).flatMap(n =>
+                src.columns.find(_.equalsIgnoreCase(n))).distinct
+              probeFiles(cands).alias("t")
+                .join(bcast(src.select(sCols.map(col): _*).alias("s")),
+                  joinCond, "left_anti")
           }
           (cands, unmatchedRows
             .filter(eligible)
@@ -3447,11 +3518,19 @@ class GraftTable private (val s: SparkSession, val root: String) {
               // failing the residual is NOT matched and must insert —
               // the anti-join tests the FULL condition against the
               // rows of the key-holding files (full match ⊆ equi
-              // match, so those files bound the search)
+              // match, so those files bound the search). The target
+              // side projects to keys + residual attrs so this second
+              // read of the key-holding files stays as narrow as the
+              // non-residual key-only path (ADVICE r17)
               if (matchedKeyFiles.isEmpty) srcMarked.alias("s")
-              else srcMarked.alias("s").join(
-                probeFiles(matchedKeyFiles).alias("t"), joinCond,
-                "left_anti")
+              else {
+                val probe0 = probeFiles(matchedKeyFiles)
+                val tCols = (keys ++ residTCols).flatMap(n =>
+                  probe0.columns.find(_.equalsIgnoreCase(n))).distinct
+                srcMarked.alias("s").join(
+                  probe0.select(tCols.map(col): _*).alias("t"),
+                  joinCond, "left_anti")
+              }
             case None =>
               val presentKeys =
                 if (matchedKeyFiles.isEmpty)
@@ -4650,6 +4729,62 @@ object GraftTable {
       * for every reader alike.
       */
     val RawBlocking: Set[String] = Set(DeletionVectors, ColumnMapping)
+    /** WRITER-feature namespace (round 18, Delta's writerFeatures /
+      * minWriterVersion): `w:`-prefixed protocol entries bind WRITERS
+      * only — readers skip them (they never enter
+      * activeReaderFeatures, so no read path blocks on them). A
+      * binary refuses to COMMIT to a table whose log names a writer
+      * feature outside its vocabulary (mirror of rawReadRefusal, on
+      * the write side): committing blind could break the invariant
+      * the feature protects.
+      */
+    val WriterPrefix = "w:"
+    /** Commits may carry informational `info` lines (ADVICE r17,
+      * Delta's commitInfo): the log grammar grew a line type, so the
+      * first info write activates this writer feature — an older
+      * writer that doesn't know the line refuses to commit instead of
+      * interleaving commits it can't round-trip.
+      */
+    val CommitInfo: String = WriterPrefix + "commitInfo"
+    /** The writer features THIS binary implements. */
+    val SupportedWriter: Set[String] = Set(CommitInfo)
+  }
+
+  /** Key-alignment soundness gate (ADVICE r17): mergeInto casts a
+    * differently-typed source key to the TABLE type once, up front,
+    * so stats prune / chain tokens / every probe compare in one type.
+    * Sound only when the cast cannot change a value. Lossless shapes:
+    * string sources (the header-mapped Excel path — try_cast sends
+    * malformed text to NULL, which never equi-matches), integral
+    * widening, float->double, small integrals into an fp type whose
+    * mantissa covers them, digit-covering decimal widenings, and
+    * date->timestamp. Everything else (double->bigint, long->int,
+    * long->double …) refuses at the verb.
+    */
+  private[sources] def losslessKeyCast(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(d: DataType): Int = d match {
+      case ByteType => 1; case ShortType => 2
+      case IntegerType => 3; case LongType => 4; case _ => -1
+    }
+    def digits(d: DataType): Int = d match {
+      case ByteType => 3; case ShortType => 5
+      case IntegerType => 10; case LongType => 19; case _ => -1
+    }
+    (from, to) match {
+      case (StringType, _) => true
+      case (f, t) if rank(f) > 0 && rank(t) > 0 => rank(f) <= rank(t)
+      case (FloatType, DoubleType) => true
+      // int fits double's 53-bit mantissa; short fits float's 24-bit
+      case (f, DoubleType) if rank(f) > 0 && rank(f) <= 3 => true
+      case (f, FloatType) if rank(f) > 0 && rank(f) <= 2 => true
+      case (f, d: DecimalType) if rank(f) > 0 =>
+        d.scale >= 0 && d.precision - d.scale >= digits(f)
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+      case (DateType, TimestampType) => true
+      case _ => false
+    }
   }
 
   private[sources] def protocolToJson(fs: Set[String]): String = {

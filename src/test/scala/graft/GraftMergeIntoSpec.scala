@@ -584,4 +584,105 @@ class GraftMergeIntoSpec extends SparkSpec {
     assert(multiset(t2.read()) == before)
     ()
   }
+
+  test("lossy source key types refuse; lossless widenings still align (ADVICE r17)") {
+    val root = fresh("graft_mi_losscast")
+    val t = GraftTable.forPath(spark, root)
+    t.append(registry)                                        // id: LONG
+    // DOUBLE 5.5 would truncate to 5 under the old try_cast and
+    // silently update row 5 — Delta's widened ON matches NOTHING
+    val dbl = Seq((5.5, "HIJACK")).toDF("id", "status")
+    val e = intercept[IllegalArgumentException] {
+      t.mergeInto(dbl, Seq("id"), matched =
+        Seq(MatchedUpdate(None, Map("status" -> expr("s.status")))))
+    }
+    assert(e.getMessage.contains("can change the value"), e.getMessage)
+    assert(t.read().filter(col("id") === 5L).head.getString(1) == "PENDING",
+      "the refused merge must not have touched any row")
+    // INT -> LONG widening is lossless and keeps the aligned fast path
+    val ints = Seq((5, "APPROVED")).toDF("id", "status")
+    t.mergeInto(ints, Seq("id"), matched =
+      Seq(MatchedUpdate(None, Map("status" -> expr("s.status")))))
+    assert(t.read().filter(col("id") === 5L).head.getString(1) == "APPROVED")
+    ()
+  }
+
+  test("a session that disabled broadcast joins gets no forced merge broadcast; the graft conf re-enables it (ADVICE r17)") {
+    val root = fresh("graft_mi_nobc")
+    val t = GraftTable.forPath(spark, root)
+    t.append(registry)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val v = t.mergeInto(Seq((1L, "APPROVED")).toDF("id", "status"),
+        Seq("id"), matched =
+          Seq(MatchedUpdate(None, Map("status" -> expr("s.status")))))
+      assert(t.commitInfo(v).exists(_.contains("mergeSourceStrategy=shuffle")),
+        s"disabled session threshold must mean no forced broadcast: " +
+          s"${t.commitInfo(v)}")
+      assert(t.read().filter(col("id") === 1L).head.getString(1) == "APPROVED")
+      spark.conf.set("spark.graft.merge.broadcastThreshold",
+        (64L << 20).toString)
+      val v2 = t.mergeInto(Seq((2L, "SHIPPED")).toDF("id", "status"),
+        Seq("id"), matched =
+          Seq(MatchedUpdate(None, Map("status" -> expr("s.status")))))
+      assert(t.commitInfo(v2).exists(_.contains(
+        "mergeSourceStrategy=broadcast")),
+        "the explicit graft conf overrides the disabled session threshold")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.graft.merge.broadcastThreshold")
+    }
+    ()
+  }
+
+  test("writer-feature gate: a log naming an unknown w: feature refuses commits, keeps reads (round 18)") {
+    val root = fresh("graft_mi_wfeat")
+    val t = GraftTable.forPath(spark, root)
+    t.append(registry)                                        // v1
+    // a FUTURE writer's commit: activates a writer feature this
+    // binary has never heard of (hand-written log line, the Delta
+    // forward-compat drill)
+    val body = s"graft-commit\t2\tfuture:op\t${System.currentTimeMillis()}\n" +
+      "protocol\t[\"w:futureMagic\"]\n"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/_graft_log/v${"%012d".format(2)}.txt"),
+      body.getBytes("UTF-8"))
+    val t2 = GraftTable.forPath(spark, root)
+    assert(t2.read().count() == 5, "w: features must never gate reads")
+    val e = intercept[IllegalArgumentException] {
+      t2.append(Seq((9L, "NEW", 1.0)).toDF("id", "status", "price"))
+    }
+    assert(e.getMessage.contains("w:futureMagic") &&
+      e.getMessage.contains("writer features"), e.getMessage)
+    ()
+  }
+
+  test("ON pairing one source column with two target keys routes the second equality to residual (ADVICE r17); the verb refuses duplicates loudly") {
+    val root = fresh("graft_mi_dupkey")
+    val t = GraftTable.forPath(spark, root)
+    t.append(Seq((1L, 1L, "P", 10.0), (2L, 3L, "P", 20.0),
+      (4L, 4L, "P", 40.0)).toDF("id", "sid", "status", "price"))
+    spark.conf.set("spark.sql.catalog.gmdk",
+      classOf[graft.sources.GraftCatalog].getName)
+    Seq((1L, 111.0), (2L, 222.0), (4L, 444.0)).toDF("a", "price")
+      .createOrReplaceTempView("mi_dupkey_batch")
+    // Delta accepts this shape: matched ⇔ id = a AND sid = a
+    spark.sql(s"MERGE INTO gmdk.`$root` t USING mi_dupkey_batch s " +
+      "ON t.id = s.a AND t.sid = s.a " +
+      "WHEN MATCHED THEN UPDATE SET price = s.price")
+    assert(multiset(t.read()) == multiset(Seq(
+      (1L, 1L, "P", 111.0),   // both equalities hold → updated
+      (2L, 3L, "P", 20.0),    // sid ≠ a → residual fails → untouched
+      (4L, 4L, "P", 444.0))   // both hold → updated
+      .toDF("id", "sid", "status", "price")))
+    // the direct verb refuses the duplicate mapping with the recipe
+    val e = intercept[IllegalArgumentException] {
+      t.mergeInto(spark.table("mi_dupkey_batch"), Seq("id", "sid"),
+        sourceKeys = Seq("a", "a"), matched =
+          Seq(MatchedUpdate(None, Map("price" -> expr("s.price")))))
+    }
+    assert(e.getMessage.contains("multiple merge keys"), e.getMessage)
+    ()
+  }
 }
