@@ -57,6 +57,16 @@ class ImageIoDecoder(stripRows: Int = 16,
   require(stripRows > 0 && featureBins > 0 && 256 % featureBins == 0,
     "stripRows must be positive and featureBins a divisor of 256")
 
+  // ImageIO defaults to FILE-cached image streams (useCache=true):
+  // every read/createImageInputStream over an in-memory blob creates,
+  // fills and deletes a temp file — 3 temp files per m9 row, the
+  // dominant cost of the decode path at corpus scale (round 18,
+  // guide §1.2 "per-task work"). Memory-cached streams are
+  // bit-identical to the codec; blobs here are KB-sized. The flag is
+  // a JVM-wide static — setting it at decoder construction covers
+  // every executor thread that instantiates one (idempotent).
+  javax.imageio.ImageIO.setUseCache(false)
+
   private def decode(blob: Array[Byte]): java.awt.image.BufferedImage = {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(blob))

@@ -52,17 +52,32 @@ object Geometry {
 
   private val Cell = 16.0
 
+  /** g2's finer grid (round 18, guide §2.3 — shuffle/probe fewer
+    * rows): candidate pairs in a point↔box cell join number
+    * N_p·N_b·((w̄+C)/100)² for cell size C in the fixed [0,100)²
+    * space — C=16 gives 0.053·N_p·N_b probes vs the ~0.005 true-hit
+    * floor (w̄≈7). C=4 cuts candidates ~4.4× to 0.012·N_p·N_b for a
+    * ≤4×4-cell box explode (bounded: max side 12 ⇒ ⌈12/4⌉+1). Only
+    * g2 probes ONE cell per point, so only g2 can take the finer
+    * grid free; g3 NEEDS Cell > its 15-radius for 3×3 coverage, and
+    * the box↔box joins (g7/g11) re-pair across cells quadratically
+    * in cells-per-box (their optimum stays near 16). Correctness is
+    * cell-size-independent: a point inside a box always shares the
+    * box's covering cell at ANY common cell size.
+    */
+  private val CellG2 = 4.0
+
   /** Explode a box DF into every grid cell it overlaps (≤4 cells at
-    * this Cell size) — the shared candidate-generation step of
+    * the default Cell size) — the shared candidate-generation step of
     * g2/g5/g7. All three completeness arguments (a point inside a
     * box, an endpoint within Tol, two overlapping boxes) assume THIS
     * exact bucketing; keep it in one place.
     */
-  private def boxCells(b: DataFrame): DataFrame = b
+  private def boxCells(b: DataFrame, cell: Double = Cell): DataFrame = b
     .withColumn("cx", explode(expr(
-      s"sequence(cast(floor(x1 / $Cell) as int), cast(floor(x2 / $Cell) as int))")))
+      s"sequence(cast(floor(x1 / $cell) as int), cast(floor(x2 / $cell) as int))")))
     .withColumn("cy", explode(expr(
-      s"sequence(cast(floor(y1 / $Cell) as int), cast(floor(y2 / $Cell) as int))")))
+      s"sequence(cast(floor(y1 / $cell) as int), cast(floor(y2 / $cell) as int))")))
 
   // g2: point-in-box containment as a grid-bucketed equi-join. Each
   // box lands in every cell it overlaps; each point in exactly one
@@ -74,10 +89,19 @@ object Geometry {
   // keep their orderBy; this one's plan ends at the filter, the plan
   // you'd want at 100 TB.
   def g2PointInBox(s: SparkSession, d: String): DataFrame = {
-    val b = boxCells(boxes(s, d))
+    // stats-gated broadcast (the repo's footer-count idiom): the
+    // finer explode quadruples the box-cell row count, which can tip
+    // the planner's ESTIMATE past autoBroadcast and fall back to a
+    // sort-merge join on ~625 cell keys — strictly worse than
+    // broadcasting the ≤4×-exploded box side, which stays a few
+    // hundred MB up to ~10M boxes. Above that, leave the strategy to
+    // the planner (the cell-keyed shuffle join parallelizes 625 ways).
+    val bcOk = Tables.parquetRowCount(s, s"$d/part.parquet") <= 10000000L
+    val b0 = boxCells(boxes(s, d), CellG2)
+    val b = if (bcOk) broadcast(b0) else b0
     val p = points(s, d)
-      .withColumn("cx", expr(s"cast(floor(px / $Cell) as int)"))
-      .withColumn("cy", expr(s"cast(floor(py / $Cell) as int)"))
+      .withColumn("cx", expr(s"cast(floor(px / $CellG2) as int)"))
+      .withColumn("cy", expr(s"cast(floor(py / $CellG2) as int)"))
     p.join(b, Seq("cx", "cy"))
       .filter(col("px") >= col("x1") && col("px") <= col("x2") &&
               col("py") >= col("y1") && col("py") <= col("y2"))

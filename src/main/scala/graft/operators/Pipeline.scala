@@ -87,9 +87,20 @@ object Pipeline {
         TextOps.crawlEnvelope(col("doc_id"), col("text")))
       .select(col("doc_id"),
         TextOps.htmlStrip(col("html"), 25).as("main_text"))
+    // materialize the stripped+normalized corpus ONCE (round 18,
+    // guide §1.2/§2.3): dedupKeepFirst fans its input into THREE
+    // consumers (dup-hash agg, unique anti join, dup-winner window)
+    // and the quality filter inlines its references again — without
+    // a barrier the 12-regex strip tower re-runs per consumer (the
+    // r18 before-plan shows the tower in three Scan subtrees and ~5×
+    // inside the pushed filter condition). localCheckpoint is the
+    // repo's standing convention for a multiply-consumed expensive
+    // intermediate (d2 prefix plan, e11 adjacency); it is O(corpus)
+    // local blocks — the corpus text still never shuffles.
     val normed = stripped.withColumn("text",
       trim(regexp_replace(regexp_replace(lower(col("main_text")),
         lit("[^a-z0-9 ]"), lit("")), lit(" +"), lit(" "))))
+      .localCheckpoint()
     annotate(dedupKeepFirst(normed)
         .withColumn("n_chars", length(col("main_text")).cast("long")))
       .filter(col("quality") >= 2)

@@ -1454,7 +1454,12 @@ object Similarity {
           }
         }
       }(enc)
-    out.orderBy("doc_id", "bin")
+    // no final orderBy (g2's rule, round 18): the output is 16 rows
+    // per document — corpus-sized and growing linearly — so a global
+    // sort would add a full exchange purely for presentation. The
+    // oracle compare sorts rows on both sides; the histogram SET is
+    // the operator's contract.
+    out
   }
 
   // m5: exact MEDIA dedup — byte-identical blobs collapsed by SHA-256
