@@ -105,6 +105,50 @@ object Events {
   // pairs, tiny next to the data. The `prev.unpersist()` calls below
   // free the round-0 CACHED labels and are harmless no-ops afterward.
   def g1ConnectedComponents(graph: DataFrame, maxIter: Int = 20): DataFrame = {
+    // SMALL-GRAPH FAST PATH (round 18, guide §1.2 — the distributed
+    // algorithm first): the min-label loop costs ~6 jobs/round ×
+    // diameter rounds, which on the actual small membership sets the
+    // cluster callers feed it (near-dup pairs, snap-edge graphs —
+    // thousands of rows) is pure scheduling overhead, measured ~2.7 s
+    // of d36's 5.1 s at sf0.1. Below a bounded-collect cap the
+    // membership is pulled once (take(cap+1) — the same bounded-
+    // collect discipline as the merge verb's file lists) and labeled
+    // by driver union-find with union-by-min (the root of every set
+    // stays its minimum member, so find(u) IS the component's min —
+    // exactly the loop's fixpoint). Above the cap the distributed
+    // loop runs unchanged: the at-scale path, stats-gated like d2's
+    // plan switch. Labels are identical either way — EventsSpec and
+    // the g1/g8/g11/d18 oracles hold on both sides of the gate.
+    val cap = 1000000
+    val head = graph.select("user_id", "g").take(cap + 1)
+    if (head.length <= cap) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      def union(a: Long, b: Long): Unit = {
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val bucketRep = new java.util.HashMap[Any, Long]()
+      head.foreach { r =>
+        val u = r.getLong(0)
+        if (!parent.containsKey(u)) parent.put(u, u)
+        val g = r.get(1)
+        if (bucketRep.containsKey(g)) union(u, bucketRep.get(g))
+        else bucketRep.put(g, u)
+      }
+      val sess = graph.sparkSession
+      import sess.implicits._
+      val labels = head.iterator.map(_.getLong(0)).toArray.distinct
+        .map(u => (u, find(u))).toSeq
+      return labels.toDF("user_id", "component").orderBy("user_id")
+    }
     // cache the graph for the iteration ONLY if the caller hasn't: a
     // blanket unpersist at the end would otherwise evict the CALLER's
     // cache of the same plan (cache() is a no-op on an already-cached
@@ -693,6 +737,48 @@ object Events {
     */
   def kcorePeelFixpoint(symEdges: DataFrame, k: Int,
                         maxRounds: Int = 12): DataFrame = {
+    // SMALL-GRAPH FAST PATH (round 18 — g1's bounded-collect gate):
+    // each distributed round is a degree agg + two semi joins + a
+    // checkpoint/count job over an edge set that the co-purchase
+    // support cut keeps tiny at every bench SF; below the cap the
+    // edges are pulled once and peeled in driver arrays with the
+    // IDENTICAL round semantics — simultaneous removal of deg<k
+    // vertices per round, convergence when a round removes nothing,
+    // the same maxRounds bound refusing loudly (the oracle unrolls
+    // that same bound). Above the cap the distributed loop runs
+    // unchanged. KcoreSpec's cascade fixtures pass through the same
+    // gate, so both sides stay pinned.
+    val cap = 1000000
+    val head = symEdges.select("x", "y").take(cap + 1)
+    if (head.length <= cap) {
+      var edges = head.map(r => (r.getLong(0), r.getLong(1)))
+      var prevEdges = edges.length.toLong
+      var converged = prevEdges == 0L
+      var iter = 0
+      while (!converged && iter < maxRounds) {
+        val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+        edges.foreach { case (x, _) => deg(x) = deg.getOrElse(x, 0L) + 1 }
+        val next = edges.filter { case (x, y) =>
+          deg.getOrElse(x, 0L) >= k && deg.getOrElse(y, 0L) >= k
+        }
+        val nextEdges = next.length.toLong
+        converged = nextEdges == prevEdges
+        prevEdges = nextEdges
+        edges = next
+        iter += 1
+      }
+      require(converged || prevEdges == 0L,
+        s"k-core peel did not converge in $maxRounds rounds — raise " +
+          "maxRounds (the oracle unrolls this same bound)")
+      val coreDeg = scala.collection.mutable.HashMap.empty[Long, Long]
+      edges.foreach { case (x, _) =>
+        coreDeg(x) = coreDeg.getOrElse(x, 0L) + 1
+      }
+      val sess = symEdges.sparkSession
+      import sess.implicits._
+      return coreDeg.toSeq.toDF("p_partkey", "core_deg")
+        .orderBy("p_partkey")
+    }
     var cur = symEdges.localCheckpoint()
     var prevEdges = cur.count()
     var converged = prevEdges == 0L

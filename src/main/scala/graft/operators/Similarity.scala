@@ -380,7 +380,7 @@ object Similarity {
   /** The quantized, bucketed corpus e9/e11 share, with its adaptive
     * hyperplane width (footer-count sized, no job).
     */
-  private def e11Emb(s: SparkSession, d: String): (Int, DataFrame) = {
+  private[graft] def e11Emb(s: SparkSession, d: String): (Int, DataFrame) = {
     val bits = e9Bits(Tables.parquetRowCount(s, s"$d/embeddings.parquet"))
     (bits, bucketed(s, d, bits)
       .withColumn("q", expr(
@@ -438,6 +438,21 @@ object Similarity {
                         entryNodes: DataFrame,
                         expand: DataFrame => DataFrame,
                         k: Int, beam: Int, rounds: Int): DataFrame = {
+    // ANSWER-SIZED loop state as LOCAL data (round 18, guide §1.2):
+    // the frontier is ≤ Q·beam rows and the query set ≤ Q rows by
+    // construction, yet the old loop localCheckpointed the frontier
+    // (an extra eager job per round) and re-executed the qs lineage —
+    // an embeddings-corpus scan — under every per-round broadcast.
+    // Collecting both once (bounded collects, the e11FromIndex bucket
+    // list's own discipline) makes each round exactly ONE job: the
+    // adj ⋈ broadcast(frontier) expand + score + re-beam, collected
+    // straight back. Values are untouched — the same score/top-beam
+    // plans run, only the materialization boundary moves — so the
+    // stored-≡-inline equality (IndexExportSpec) holds unchanged.
+    import scala.jdk.CollectionConverters._
+    val qsProj = qs.select(col("qid"), col("qq"), col("qn"))
+    val qsDf = s.createDataFrame(
+      qsProj.collect().toSeq.asJava, qsProj.schema)
     def score(df: DataFrame): DataFrame = df
       .filter(col("nid") =!= col("qid"))
       .withColumn("dot", GraftFunctions.long_dot(col("q"), col("qq")))
@@ -445,24 +460,33 @@ object Similarity {
         col("dot").cast("double") /
           (sqrt(col("nrm").cast("double")) * sqrt(col("qn").cast("double"))))
       .select(col("qid"), col("nid"), col("cosine"))
-    def topBeam(scored: DataFrame): DataFrame = scored
-      .groupBy(col("qid"))
-      .agg(GraftFunctions.top_k(col("cosine"), col("nid"), beam).as("top"))
-      .select(col("qid"), explode(col("top")).as("t"))
-      .select(col("qid"), col("t.id").as("nid"), col("t.score").as("cosine"))
-    var frontier = topBeam(score(entryNodes.crossJoin(broadcast(qs))))
-      .localCheckpoint()
+    import s.implicits._
+    def collectScored(df: DataFrame): Seq[(Long, Long, Double)] =
+      df.select(col("qid"), col("nid"), col("cosine")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // driver top-beam: EXACTLY top_k's total order — score desc, id
+    // asc (TopKByScore sorts by (-score, id) and takes k) — applied
+    // after the same max-per-(qid, nid) combine the old per-round
+    // groupBy ran. ≤ Q·beam·deg rows per round, pure driver math on
+    // cosines Spark already computed.
+    def topBeam(rows: Seq[(Long, Long, Double)]): Seq[(Long, Long, Double)] =
+      rows.groupBy(t => (t._1, t._2))
+        .map { case ((q, n), g) => (q, n, g.map(_._3).max) }.toSeq
+        .groupBy(_._1).toSeq.flatMap { case (_, g) =>
+          g.sortBy(t => (-t._3, t._2)).take(beam)
+        }
+    def localBeam(rows: Seq[(Long, Long, Double)]): DataFrame =
+      rows.toDF("qid", "nid", "cosine")
+    var frontier =
+      topBeam(collectScored(score(entryNodes.crossJoin(broadcast(qsDf)))))
     for (_ <- 1 to rounds) {
+      val fDf = localBeam(frontier)
       val expanded = expand(
-        frontier.select(col("qid"), col("nid").as("src")))
-        .join(broadcast(qs), Seq("qid"))
-      val cand = score(expanded)
-        .unionByName(frontier)
-        .groupBy(col("qid"), col("nid"))
-        .agg(max(col("cosine")).as("cosine"))
-      frontier = topBeam(cand).localCheckpoint()
+        fDf.select(col("qid"), col("nid").as("src")))
+        .join(broadcast(qsDf), Seq("qid"))
+      frontier = topBeam(collectScored(score(expanded)) ++ frontier)
     }
-    topKPerQuery(frontier, k)
+    topKPerQuery(localBeam(frontier), k)
   }
 
   def e11GraphAnn(s: SparkSession, d: String, k: Int = 5, deg: Int = 8,
@@ -878,59 +902,71 @@ object Similarity {
   private def pqCodebooks(s: SparkSession, emb: DataFrame,
                           m: Int, ksub: Int, iters: Int,
                           sampleSize: Int): Array[Array[Array[Double]]] = {
-    import scala.jdk.CollectionConverters._
-    val dim = emb.select(size(col("q"))).head.getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val subDim = dim / m
-    val train = emb
+    // DRIVER-SIDE training (round 18, guide §1.2 per-task work): the
+    // sample is ≤ max(sampleSize, ksub) rows — 512 here — yet the old
+    // loop ran 2 + 2·iters Spark jobs over it (sample, init,
+    // assign+sum per iteration), pure scheduler overhead measured as
+    // the bulk of e7's in-session build. ONE bounded TakeOrdered
+    // collects the sample; the Lloyd iterations replay the identical
+    // arithmetic in driver loops — the same sequential-fold dot
+    // (CentroidDot's zip_with left fold), the same score = dot − h2,
+    // the same (score, −cid) argmax tie-break (ascending-cid scan
+    // with strict >), exact integer component sums / count means, and
+    // empty clusters keeping their previous centroid — so the books
+    // are BIT-IDENTICAL to the distributed loop's (stored-vs-inline
+    // index equality in IndexExportSpec keeps holding).
+    val trainRows = emb
       .select(col("vec_id"), col("q"), xxhash64(col("vec_id")).as("hk"))
       .orderBy("hk").limit(math.max(sampleSize, ksub))
-      .select(col("vec_id"), col("q"))
-      .cache()
-    val initRows = train.withColumn("hk", xxhash64(col("vec_id")))
-      .orderBy("hk").limit(ksub).collect()
+      .collect()
+    require(trainRows.nonEmpty, "empty embedding corpus")
+    val dim = trainRows.head.getSeq[Long](1).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    // sample arrives hk-ascending from TakeOrdered; the init set is
+    // the first ksub in that same order (the old second orderBy(hk))
+    val train: Array[Array[Long]] =
+      trainRows.map(_.getSeq[Long](1).toArray)
     var books: Array[Array[Array[Double]]] = Array.tabulate(m) { sub =>
-      initRows.map { r =>
-        r.getSeq[Long](1).slice(sub * subDim, (sub + 1) * subDim)
-          .map(_.toDouble).toArray
+      train.take(ksub).map(
+        _.slice(sub * subDim, (sub + 1) * subDim).map(_.toDouble))
+    }
+    (1 to iters).foreach { _ =>
+      // per (sub, cid): exact long component sums + member count
+      val sv = Array.fill(m, ksub)(new Array[Long](subDim))
+      val cnt = Array.fill(m, ksub)(0L)
+      train.foreach { q =>
+        var sub = 0
+        while (sub < m) {
+          val off = sub * subDim
+          // argmax over ascending cid with strict >: ties keep the
+          // smaller cid — max_by(struct(score, -cid)) exactly
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var cid = 0
+          while (cid < ksub) {
+            val c = books(sub)(cid)
+            val h2 = c.map(v => v * v).sum / 2.0
+            var acc = 0.0
+            var i = 0
+            while (i < subDim) { acc += q(off + i).toDouble * c(i); i += 1 }
+            val score = acc - h2
+            if (score > bestScore) { bestScore = score; best = cid }
+            cid += 1
+          }
+          var i = 0
+          while (i < subDim) { sv(sub)(best)(i) += q(off + i); i += 1 }
+          cnt(sub)(best) += 1
+          sub += 1
+        }
+      }
+      books = Array.tabulate(m) { sub =>
+        Array.tabulate(ksub) { cid =>
+          if (cnt(sub)(cid) == 0L) books(sub)(cid).clone()
+          else sv(sub)(cid).map(_.toDouble / cnt(sub)(cid))
+        }
       }
     }
-    def centDf(): DataFrame = {
-      val rows: java.util.List[Row] = (for {
-        sub <- books.indices; cid <- books(sub).indices
-      } yield Row(sub, cid.toLong, books(sub)(cid).toSeq,
-          books(sub)(cid).map(v => v * v).sum / 2.0)).asJava
-      s.createDataFrame(rows, StructType(Seq(
-        StructField("sub", IntegerType, nullable = false),
-        StructField("cid", LongType, nullable = false),
-        StructField("cvec", ArrayType(DoubleType, containsNull = false),
-          nullable = false),
-        StructField("h2", DoubleType, nullable = false))))
-    }
-    val slicedTrain = train
-      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
-      .withColumn("q", expr(s"slice(q, sub * $subDim + 1, $subDim)"))
-    (1 to iters).foreach { _ =>
-      val sums = slicedTrain.join(broadcast(centDf()), Seq("sub"))
-        .withColumn("score", expr(CentroidDot) - col("h2"))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(expr("max_by(struct(cid, q), struct(score, -cid))").as("mb"))
-        .select(col("sub"), col("mb.cid").as("cid"),
-          posexplode(col("mb.q")).as(Seq("pos", "v")))
-        .groupBy("sub", "cid", "pos")
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
-        .collect()
-      val next = books.map(_.map(_.clone()))
-      sums.groupBy(r => (r.getAs[Int]("sub"), r.getAs[Long]("cid")))
-        .foreach { case ((sub, cid), rs) =>
-          val arr = new Array[Double](subDim)
-          rs.foreach(r => arr(r.getAs[Int]("pos")) =
-            r.getAs[Long]("sv").toDouble / r.getAs[Long]("cnt"))
-          next(sub)(cid.toInt) = arr
-        }
-      books = next
-    }
-    train.unpersist()
     books
   }
 
@@ -974,24 +1010,48 @@ object Similarity {
     .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
     .withColumn("q", expr(s"slice(q, sub * $subDim + 1, $subDim)"))
 
-  /** ENCODE: broadcast-join argmax per (vector, subspace), then one
-    * vec_id-keyed assembly — two bounded exchanges of N·m tiny rows;
-    * output (vec_id, m codes, norm) is the 32×-compressed table. At
-    * 100 TB this is the one-time index-build job whose output is the
-    * stored codes column.
+  /** ENCODE as a PURE MAP (round 18, guide §2.4 — remove shuffles
+    * outright): the codebook is m·ksub tiny rows, so it rides into
+    * the scan as a LITERAL nested array and each vector computes all
+    * m argmax codes in one codegen'd expression — the old
+    * explode-to-N·m + broadcast-join + two-aggregate form paid two
+    * corpus-proportional exchanges for what is per-row arithmetic.
+    * Identical algebra: the same sequential-fold dot (CentroidDot's
+    * zip_with left fold), score = dot − h2 (h2 read from the same
+    * cents frame), and argmax by (score, −cid) via array_max over
+    * (sc, −cid) structs — ties still resolve to the smallest cid.
+    * Output (vec_id, m codes, norm) is unchanged — the stored-index
+    * round-trip (IndexExportSpec) and e8's routing join see the same
+    * rows. Works identically for in-session and STORED centroids
+    * (the cents collect is a bounded m·ksub-row read either way).
     */
   private def pqEncode(emb: DataFrame, cents: DataFrame,
-                       m: Int, subDim: Int): DataFrame =
-    pqSliced(emb.select(col("vec_id"), col("q"), col("nrm")), m, subDim)
-      .join(broadcast(cents), Seq("sub"))
-      .withColumn("score", expr(CentroidDot) - col("h2"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(expr("max_by(cid, struct(score, -cid))").as("cid"),
-           max(col("nrm")).as("nrm"))
-      .groupBy(col("vec_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(sub, cid))), " +
-          "x -> x.cid)").as("codes"),
-        max(col("nrm")).as("nrm"))
+                       m: Int, subDim: Int): DataFrame = {
+    val crows = cents.select(col("sub"), col("cid"), col("cvec"), col("h2"))
+      .collect()
+    val ksub = crows.map(_.getLong(1)).max.toInt + 1
+    val bArr = Array.fill(m, ksub)(Seq.empty[Double])
+    val hArr = Array.fill(m, ksub)(0.0)
+    crows.foreach { r =>
+      bArr(r.getInt(0))(r.getLong(1).toInt) = r.getSeq[Double](2)
+      hArr(r.getInt(0))(r.getLong(1).toInt) = r.getDouble(3)
+    }
+    val bLit = typedLit(bArr.map(_.toSeq).toSeq)
+    val hLit = typedLit(hArr.map(_.toSeq).toSeq)
+    val codes = transform(sequence(lit(0), lit(m - 1)), sub => {
+      val cb = bLit(sub)
+      val h2s = hLit(sub)
+      val qslice = slice(col("q"), sub * lit(subDim) + lit(1), lit(subDim))
+      val scored = transform(sequence(lit(0), lit(ksub - 1)), c =>
+        struct(
+          (aggregate(
+            zip_with(qslice, cb(c), (a, b) => a.cast("double") * b),
+            lit(0.0), (acc, v) => acc + v) - h2s(c)).as("sc"),
+          (-c).cast("long").as("ncid")))
+      -array_max(scored).getField("ncid")
+    })
+    emb.select(col("vec_id"), codes.as("codes"), col("nrm"))
+  }
 
   /** Query LUTs: dots of each query SUBVECTOR against every codebook
     * entry — Q·m·ksub rows total, assembled into a positional

@@ -1631,6 +1631,97 @@ object TextOps {
     * count tails (many ties) shrink them — the spec's corpus averages
     * >1, and `rounds` still bounds total merges exactly.
     */
+  /** UTF-8 binary string order — Spark's UTF8String comparison, so
+    * driver-side (l, r) tie-breaks replay orderBy(l, r) exactly.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The batched-greedy ACCEPTANCE rule shared by the Spark and
+    * driver trainer paths (see [[d33BpeTrainBatched]]): longest
+    * pairwise symbol-disjoint prefix capped at `want`, then the
+    * strict-count-gap trim at the cut.
+    */
+  private def bpeAcceptPrefix(
+      cands: Array[(String, String, Long)], want: Int)
+      : scala.collection.mutable.ArrayBuffer[(String, String, Long)] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val used = scala.collection.mutable.Set.empty[String]
+    var i = 0
+    var stopped = false
+    while (i < cands.length && acc.size < want && !stopped) {
+      val (l, r, _) = cands(i)
+      if (used.contains(l) || used.contains(r)) stopped = true
+      else { acc += cands(i); used += l; used += r; i += 1 }
+    }
+    if (i < cands.length) {
+      val nCut = cands(i)._3
+      while (acc.size > 1 && acc.last._3 == nCut) acc.remove(acc.size - 1)
+    }
+    acc
+  }
+
+  /** The greedy left-to-right batch apply shared by the driver paths
+    * — the 6-line SQL fold's exact twin: empty-acc seeds, a merged
+    * symbol replaces (last, x) when any accepted pair matches (at
+    * most one can — batch symbols are pairwise disjoint), else append.
+    */
+  private def bpeApplyBatch(syms: Array[String],
+                            batch: Seq[(String, String, String)])
+      : Array[String] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+    syms.foreach { x =>
+      val hit = acc.nonEmpty &&
+        batch.exists { case (l, r, _) => acc.last == l && x == r }
+      if (hit) {
+        val m = batch.find { case (l, r, _) => acc.last == l && x == r }.get._3
+        acc(acc.size - 1) = m
+      } else acc += x
+    }
+    acc.toArray
+  }
+
+  /** Driver-side pair count + top-(want+1) selection — the Spark
+    * candidate aggregate's exact twin: exact long sums, ordered by
+    * (n desc, l, r) in UTF-8 binary string order.
+    */
+  private def bpeTopPairs(lv: Array[(Array[String], Long)], topN: Int)
+      : Array[(String, String, Long)] = {
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    lv.foreach { case (syms, cnt) =>
+      var i = 1
+      while (i < syms.length) {
+        val k = (syms(i - 1), syms(i))
+        counts.update(k, counts.getOrElse(k, 0L) + cnt)
+        i += 1
+      }
+    }
+    counts.toArray.sortWith { case (((l1, r1), n1), ((l2, r2), n2)) =>
+      if (n1 != n2) n1 > n2
+      else if (l1 != l2) utf8Lt(l1, l2)
+      else utf8Lt(r1, r2)
+    }.take(topN).map { case ((l, r), n) => (l, r, n) }
+  }
+
+  /** Bounded-collect gate for the BPE driver paths: the checkpointed
+    * vocab pulled once when it fits (distinct words — small at any
+    * tested SF), None above the cap (the Spark loops run unchanged).
+    */
+  private def vocabLocal(vocab: DataFrame, cap: Int = 500000)
+      : Option[Array[org.apache.spark.sql.Row]] = {
+    val head = vocab.take(cap + 1)
+    if (head.length <= cap) Some(head) else None
+  }
+
   def d33BpeTrainBatched(s: SparkSession, d: String, rounds: Int = 8,
                          batchP: Int = 4,
                          batchTrace:
@@ -1644,6 +1735,37 @@ object TextOps {
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
     var dry = false
+    // DRIVER FAST PATH (round 18 — the bounded-collect gate g1/g13b
+    // use): below the cap every training round is pure driver work —
+    // same pair counts (exact long sums), same (n desc, l, r) UTF-8
+    // order, same acceptance prefix, same greedy fold — replacing
+    // 2 Spark jobs + one checkpoint per round. BpeSpec pins this
+    // path's output ≡ the UNTOUCHED Spark serial trainer bit-for-bit.
+    vocabLocal(vocab.select(col("syms"), col("cnt"))) match {
+      case Some(rows) =>
+        var lv: Array[(Array[String], Long)] =
+          rows.map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
+        while (merges.size < rounds && !dry) {
+          val want = math.min(batchP, rounds - merges.size)
+          val cands = bpeTopPairs(lv, want + 1)
+          if (cands.isEmpty) dry = true
+          else {
+            val acc = bpeAcceptPrefix(cands, want)
+            val base = merges.size.toLong
+            acc.zipWithIndex.foreach { case ((l, r, n), j) =>
+              merges += ((base + j + 1, l, r, l + r, n))
+            }
+            if (batchTrace != null) batchTrace += acc.size
+            val batch = acc.map { case (l, r, _) => (l, r, l + r) }.toSeq
+            lv = lv.map { case (syms, cnt) =>
+              (bpeApplyBatch(syms, batch), cnt) }
+          }
+        }
+        return merges.toSeq
+          .toDF("merge_round", "left_sym", "right_sym", "merged", "n")
+          .orderBy("merge_round")
+      case None => ()
+    }
     while (merges.size < rounds && !dry) {
       val want = math.min(batchP, rounds - merges.size)
       val cands = vocab.filter(size(col("syms")) >= 2)
@@ -1658,22 +1780,9 @@ object TextOps {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (cands.isEmpty) dry = true
       else {
-        // longest pairwise-disjoint prefix, capped at `want`
-        val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-        val used = scala.collection.mutable.Set.empty[String]
-        var i = 0
-        var stopped = false
-        while (i < cands.length && acc.size < want && !stopped) {
-          val (l, r, _) = cands(i)
-          if (used.contains(l) || used.contains(r)) stopped = true
-          else { acc += cands(i); used += l; used += r; i += 1 }
-        }
-        // strict count gap at the cut (ties could let a displaced or
-        // newly-created pair win the serial tie-break)
-        if (i < cands.length) {
-          val nCut = cands(i)._3
-          while (acc.size > 1 && acc.last._3 == nCut) acc.remove(acc.size - 1)
-        }
+        // longest pairwise-disjoint prefix + strict count gap — the
+        // shared acceptance rule (driver twin uses the same helper)
+        val acc = bpeAcceptPrefix(cands, want)
         val base = merges.size.toLong
         acc.zipWithIndex.foreach { case ((l, r, n), j) =>
           merges += ((base + j + 1, l, r, l + r, n))
@@ -1724,19 +1833,38 @@ object TextOps {
       .distinct()
       .select(col("word"), split(col("word"), "").as("syms"))
       .localCheckpoint()
-    merges.foreach { case (l, rt) =>
-      vocab = vocab.select(col("word"), aggregate(col("syms"),
-          expr("cast(array() as array<string>)"),
-          (acc, x) =>
-            when(size(acc) === 0, array(x))
-              .when(element_at(acc, -1) === lit(l) && x === lit(rt),
-                concat(slice(acc, lit(1), size(acc) - 1),
-                  array(lit(l + rt))))
-              .otherwise(concat(acc, array(x)))).as("syms"))
-        .localCheckpoint()
+    // DRIVER FAST PATH (round 18 — same gate as the trainer): each
+    // Spark round was an eager checkpoint over the distinct-word
+    // vocab; below the cap the R merges replay SEQUENTIALLY (merge k
+    // can feed merge k+1) over collected syms with the same greedy
+    // fold, and the (word → token count) table returns as a local
+    // relation for the corpus join. The corpus-side join + per-doc
+    // aggregate stay distributed.
+    val wtok = vocabLocal(vocab.select(col("word"), col("syms"))) match {
+      case Some(rows) =>
+        import s.implicits._
+        rows.map { r =>
+          var syms = r.getSeq[String](1).toArray
+          merges.foreach { case (l, rt) =>
+            syms = bpeApplyBatch(syms, Seq((l, rt, l + rt)))
+          }
+          (r.getString(0), syms.length.toLong)
+        }.toSeq.toDF("word", "w_tokens")
+      case None =>
+        merges.foreach { case (l, rt) =>
+          vocab = vocab.select(col("word"), aggregate(col("syms"),
+              expr("cast(array() as array<string>)"),
+              (acc, x) =>
+                when(size(acc) === 0, array(x))
+                  .when(element_at(acc, -1) === lit(l) && x === lit(rt),
+                    concat(slice(acc, lit(1), size(acc) - 1),
+                      array(lit(l + rt))))
+                  .otherwise(concat(acc, array(x)))).as("syms"))
+            .localCheckpoint()
+        }
+        vocab.select(col("word"),
+          size(col("syms")).cast("long").as("w_tokens"))
     }
-    val wtok = vocab.select(col("word"),
-      size(col("syms")).cast("long").as("w_tokens"))
     docs(s, d).select(col("doc_id"), explode(col("toks")).as("word"))
       .join(wtok, Seq("word"))
       .groupBy("doc_id")
