@@ -66,6 +66,57 @@ object Tables {
     * so a bounded sample of footers would also do — exactness here is
     * a convenience, not a requirement.
     */
+  /** Scan-parallelism floor for CPU-HEAVY per-row operators (round
+    * 18, guide §2.5 "input skew — one huge unsplittable file …
+    * repartition immediately after the read"): a small table lands as
+    * ONE parquet file under maxPartitionBytes, so a per-row codec /
+    * regex tower runs on a single core no matter how many the session
+    * has. When the NATURAL split count (bytes / maxPartitionBytes)
+    * is below the session's parallelism, round-robin repartition to
+    * min(defaultParallelism, rows/minRowsPerSlice) — sized by footer
+    * metadata, no job. At real scale the natural splits exceed the
+    * core count and this is the identity: no shuffle is ever added to
+    * a big scan. Row sets are unchanged (round-robin, not keyed).
+    */
+  def widen(s: SparkSession, d: String, name: String,
+            df: DataFrame, minRowsPerSlice: Long = 256L): DataFrame = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
+    val fs = path.getFileSystem(conf)
+    val bytes = fs.getContentSummary(path).getLength
+    val maxSplit = s.sessionState.conf.filesMaxPartitionBytes
+    val naturalSplits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    val par = s.sparkContext.defaultParallelism.toLong
+    if (naturalSplits >= par) df
+    else {
+      val rows = parquetRowCount(s, s"$d/$name.parquet")
+      val target = math.min(par, math.max(1L, rows / minRowsPerSlice)).toInt
+      if (target <= naturalSplits) df else df.repartition(target)
+    }
+  }
+
+  /** [[widen]]'s KEYED twin for scan→groupBy(key) shapes: when the
+    * gate fires, repartition BY THE GROUP KEY so the downstream
+    * aggregate reuses the partitioning (HashPartitioning(key, n)
+    * satisfies its clustering — one exchange total, with partial AND
+    * final agg running parallel behind it instead of a single-core
+    * partial in the unsplittable scan task). Identity at real scale
+    * like widen.
+    */
+  def widenBy(s: SparkSession, d: String, name: String,
+              df: DataFrame, keys: Seq[String]): DataFrame = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
+    val fs = path.getFileSystem(conf)
+    val bytes = fs.getContentSummary(path).getLength
+    val maxSplit = s.sessionState.conf.filesMaxPartitionBytes
+    val naturalSplits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    val par = s.sparkContext.defaultParallelism
+    if (naturalSplits >= par) df
+    else df.repartition(par,
+      keys.map(org.apache.spark.sql.functions.col): _*)
+  }
+
   def parquetRowCount(s: SparkSession, path: String): Long = {
     val conf = s.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)

@@ -552,7 +552,14 @@ object Events {
     */
   private def coPurchaseSymW(s: SparkSession, d: String,
                              minSup: Long = 2L): DataFrame =
-    coPurchasePairsFrom(Tables.lineitem(s, d), minSup)
+    // widenBy: the per-order aggregate's PARTIAL half otherwise runs
+    // inside the unsplittable single-file scan task at small SFs —
+    // keying the one exchange on l_orderkey up front lets partial AND
+    // final halves parallelize (round 18; identity at real scale; the
+    // BUCKETED landing path below is untouched — it already satisfies
+    // the clustering with no exchange at all)
+    coPurchasePairsFrom(Tables.widenBy(s, d, "lineitem",
+      Tables.lineitem(s, d), Seq("l_orderkey")), minSup)
 
   private def coPurchasePairsFrom(li: DataFrame,
                                   minSup: Long): DataFrame = {

@@ -23,9 +23,14 @@ import graft.Tables
   */
 object Geometry {
 
-  /** points: px,py in [0,100) derived from event ids. */
+  /** points: px,py in [0,100) derived from event ids. Widened: the
+    * cell-join probe stage (hash probe + containment + the pair
+    * emit) otherwise runs inside the unsplittable single-file events
+    * scan task at small SFs (round 18, Tables.widen — identity at
+    * real scale).
+    */
   private def points(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).select(
+    Tables.widen(s, d, "events", Tables.events(s, d)).select(
       col("event_id"),
       ((col("event_id") % 1000) / lit(10)).as("px"),
       (((col("event_id") * 7919) % 1000) / lit(10)).as("py"))

@@ -82,7 +82,9 @@ object Pipeline {
   // corpus-linear — the 100 TB web-crawl shape (strip/normalize
   // never widen rows; SCALE_r17 probes the decades).
   def p10WebCorpus(s: SparkSession, d: String): DataFrame = {
-    val stripped = Tables.documents(s, d)
+    // widen: the 12-regex strip tower is per-row CPU — a single-file
+    // landing would run it on ONE core (round 18; identity at scale)
+    val stripped = Tables.widen(s, d, "documents", Tables.documents(s, d))
       .withColumn("html",
         TextOps.crawlEnvelope(col("doc_id"), col("text")))
       .select(col("doc_id"),

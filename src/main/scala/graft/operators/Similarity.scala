@@ -1485,7 +1485,11 @@ object Similarity {
       StructField("bin", LongType, nullable = false),
       StructField("n_px", LongType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    val out = Tables.documents(s, d).select(col("doc_id"))
+    // widen: the codec pass is per-row CPU; a single-file landing
+    // otherwise pins the whole encode/decode sweep to ONE core
+    // (round 18 — identity at real scale, see Tables.widen)
+    val out = Tables.widen(s, d, "documents",
+        Tables.documents(s, d).select(col("doc_id")))
       .mapPartitions { rows =>
         val dec = new ImageIoDecoder(featureBins = 16)
         rows.flatMap { r =>
