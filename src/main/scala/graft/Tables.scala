@@ -76,10 +76,18 @@ object Tables {
     * min(defaultParallelism, rows/minRowsPerSlice) — sized by footer
     * metadata, no job. At real scale the natural splits exceed the
     * core count and this is the identity: no shuffle is ever added to
-    * a big scan. Row sets are unchanged (round-robin, not keyed).
+    * a big scan. The exchange HASHES on the table's unique key, NOT
+    * round-robin: a keyless repartition first pays a LOCAL SORT of
+    * its input inside the unsplittable scan task
+    * (spark.sql.execution.sortBeforeRepartition, SPARK-23207 — the
+    * sort is there so retried tasks reproduce their row assignment),
+    * which measured as a multi-second single-core penalty at ×10;
+    * hashing a unique key spreads identically with no sort and stays
+    * deterministic under retries. Row sets are unchanged.
     */
   def widen(s: SparkSession, d: String, name: String,
-            df: DataFrame, minRowsPerSlice: Long = 256L): DataFrame = {
+            df: DataFrame, key: String,
+            minRowsPerSlice: Long = 256L): DataFrame = {
     val conf = s.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
     val fs = path.getFileSystem(conf)
@@ -91,7 +99,8 @@ object Tables {
     else {
       val rows = parquetRowCount(s, s"$d/$name.parquet")
       val target = math.min(par, math.max(1L, rows / minRowsPerSlice)).toInt
-      if (target <= naturalSplits) df else df.repartition(target)
+      if (target <= naturalSplits) df
+      else df.repartition(target, org.apache.spark.sql.functions.col(key))
     }
   }
 

@@ -748,17 +748,24 @@ object Events {
     // each distributed round is a degree agg + two semi joins + a
     // checkpoint/count job over an edge set that the co-purchase
     // support cut keeps tiny at every bench SF; below the cap the
-    // edges are pulled once and peeled in driver arrays with the
-    // IDENTICAL round semantics — simultaneous removal of deg<k
-    // vertices per round, convergence when a round removes nothing,
-    // the same maxRounds bound refusing loudly (the oracle unrolls
-    // that same bound). Above the cap the distributed loop runs
-    // unchanged. KcoreSpec's cascade fixtures pass through the same
-    // gate, so both sides stay pinned.
+    // edges are peeled in driver arrays with the IDENTICAL round
+    // semantics — simultaneous removal of deg<k vertices per round,
+    // convergence when a round removes nothing, the same maxRounds
+    // bound refusing loudly (the oracle unrolls that same bound).
+    // The edge set is materialized ONCE via the loop's own
+    // localCheckpoint + count (both paths need them), and the driver
+    // copy collects from the checkpointed BLOCKS — an executeTake
+    // over the un-materialized plan measured slower at ×10 (its
+    // scaled attempts re-read the aggregate output). Above the cap
+    // the distributed loop runs unchanged from the same checkpoint.
+    // KcoreSpec's cascade fixtures pass through the same gate, so
+    // both sides stay pinned.
     val cap = 1000000
-    val head = symEdges.select("x", "y").take(cap + 1)
-    if (head.length <= cap) {
-      var edges = head.map(r => (r.getLong(0), r.getLong(1)))
+    val curCkpt = symEdges.localCheckpoint()
+    val totalEdges = curCkpt.count()
+    if (totalEdges <= cap) {
+      var edges = curCkpt.select("x", "y").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
       var prevEdges = edges.length.toLong
       var converged = prevEdges == 0L
       var iter = 0
@@ -786,8 +793,8 @@ object Events {
       return coreDeg.toSeq.toDF("p_partkey", "core_deg")
         .orderBy("p_partkey")
     }
-    var cur = symEdges.localCheckpoint()
-    var prevEdges = cur.count()
+    var cur = curCkpt
+    var prevEdges = totalEdges
     var converged = prevEdges == 0L
     var iter = 0
     while (!converged && iter < maxRounds) {

@@ -30,7 +30,7 @@ object Geometry {
     * real scale).
     */
   private def points(s: SparkSession, d: String): DataFrame =
-    Tables.widen(s, d, "events", Tables.events(s, d)).select(
+    Tables.widen(s, d, "events", Tables.events(s, d), "event_id").select(
       col("event_id"),
       ((col("event_id") % 1000) / lit(10)).as("px"),
       (((col("event_id") * 7919) % 1000) / lit(10)).as("py"))

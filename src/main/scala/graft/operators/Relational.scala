@@ -27,10 +27,7 @@ object Relational {
 
   // q1: TPC-H Q1 shape — grouped agg with derived expressions.
   def q1Agg(s: SparkSession, d: String): DataFrame =
-    // widen: the partial agg otherwise runs inside the unsplittable
-    // single-file scan task at small SFs (round 18, Tables.widen —
-    // identity at real scale)
-    Tables.widen(s, d, "lineitem", Tables.lineitem(s, d))
+    Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
@@ -53,8 +50,7 @@ object Relational {
 
   // q3: fact ⋈ fact ⋈ dim with the dim broadcast.
   def q3JoinAgg(s: SparkSession, d: String): DataFrame =
-    // widen: parallelize the probe+partial-agg map stage (round 18)
-    Tables.widen(s, d, "lineitem", Tables.lineitem(s, d))
+    Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
@@ -437,8 +433,7 @@ object Relational {
   // and broadcast; customer is small enough here that AQE broadcasts
   // it, at 100 TB it shuffles on the join key like the facts.
   def q16StarJoin(s: SparkSession, d: String): DataFrame =
-    // widen: parallelize the 4-probe + partial-agg map stage (round 18)
-    Tables.widen(s, d, "lineitem", Tables.lineitem(s, d))
+    Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))

@@ -1489,7 +1489,7 @@ object Similarity {
     // otherwise pins the whole encode/decode sweep to ONE core
     // (round 18 — identity at real scale, see Tables.widen)
     val out = Tables.widen(s, d, "documents",
-        Tables.documents(s, d).select(col("doc_id")))
+        Tables.documents(s, d).select(col("doc_id")), "doc_id")
       .mapPartitions { rows =>
         val dec = new ImageIoDecoder(featureBins = 16)
         rows.flatMap { r =>

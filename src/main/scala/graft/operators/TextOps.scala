@@ -17,12 +17,7 @@ object TextOps {
 
   /** documents + non-empty token array (split on single space). */
   private def docs(s: SparkSession, d: String): DataFrame =
-    // widen: tokenize/shingle/minhash are per-row CPU shared by the
-    // whole text family — a single-file landing pins them to one core
-    // (round 18; identity at real scale, see Tables.widen). The cheap
-    // byte passes (m5 SHA, m6 base64, m7 CDC) measured SLOWER with an
-    // extra exchange and stay on the plain loader.
-    Tables.widen(s, d, "documents", Tables.documents(s, d))
+    Tables.documents(s, d)
       .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
 
   /** distinct word-3-gram shingle HASHES per doc (docs with >= 3
@@ -771,8 +766,7 @@ object TextOps {
   private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val phonePat = "\\+1-[0-9]{3}-[0-9]{4}"
   def d12PiiRedact(s: SparkSession, d: String): DataFrame =
-    // widen: per-row regex CPU — see Tables.widen (round 18)
-    Tables.widen(s, d, "documents", Tables.documents(s, d))
+    Tables.documents(s, d)
       .withColumn("ct", concat(col("text"),
         lit(" reach user"), col("doc_id"), lit("@example.com or +1-555-"),
         lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
@@ -954,8 +948,7 @@ object TextOps {
       lit("<footer>(c) corp</footer></body></html>"))
 
   def d43HtmlStrip(s: SparkSession, d: String): DataFrame = {
-    // widen: per-row regex CPU — see Tables.widen (round 18)
-    Tables.widen(s, d, "documents", Tables.documents(s, d))
+    Tables.documents(s, d)
       .withColumn("html", crawlEnvelope(col("doc_id"), col("text")))
       .select(col("doc_id"),
         htmlStrip(col("html"), 25).as("main_text"),
