@@ -3162,6 +3162,17 @@ class GraftTable private (val s: SparkSession, val root: String) {
     }.getOrElse(latestVersion)
   }
 
+  /** Label the Spark jobs a verb phase submits (guide §1.5) so the
+    * UI / job listeners attribute each pass; restores the caller's
+    * description (foreachBatch threads set their own).
+    */
+  private def jobPhase[T](desc: String)(f: => T): T = {
+    val sc = s.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try f finally sc.setJobDescription(prev)
+  }
+
   private def mergeIntoBody(commitAction: String,
                             source: DataFrame, keys: Seq[String],
                             matched: Seq[MergeClauses.Matched],
@@ -3267,7 +3278,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
     // anti-join must know which source keys already live in the table
     val aggs = keys.flatMap(k =>
       Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
-    val range = src.agg(aggs.head, aggs.tail: _*).head
+    val range = jobPhase("merge: source pin + key range")(
+      src.agg(aggs.head, aggs.tail: _*).head)
     val srcEmpty = range.isNullAt(0)
     // size-aware SOURCE STRATEGY (round 17, Delta's merge planning):
     // an endpoint-sized batch BROADCASTS into every probe/rewrite
@@ -3360,9 +3372,10 @@ class GraftTable private (val s: SparkSession, val root: String) {
     // extra files rewrite as all-keep)
     val matchedKeyFiles =
       if (keyCandidates.isEmpty) Seq.empty[String]
-      else probeFiles(keyCandidates)
-        .join(bcast(srcKeys), keys)
-        .select("__fn").distinct().collect().map(_.getString(0))
+      else jobPhase("merge: matched-file key probe")(
+        probeFiles(keyCandidates)
+          .join(bcast(srcKeys), keys)
+          .select("__fn").distinct().collect()).map(_.getString(0))
         .toSeq.map(byName).sorted
     // 1b+2b. by-source side: prune on the OR of the clause conditions
     // where every clause HAS one (an unconditional clause forces the
@@ -3407,9 +3420,10 @@ class GraftTable private (val s: SparkSession, val root: String) {
                 .join(bcast(src.select(sCols.map(col): _*).alias("s")),
                   joinCond, "left_anti")
           }
-          (cands, unmatchedRows
-            .filter(eligible)
-            .select("__fn").distinct().collect().map(_.getString(0))
+          (cands, jobPhase("merge: by-source file probe")(
+            unmatchedRows
+              .filter(eligible)
+              .select("__fn").distinct().collect()).map(_.getString(0))
             .toSeq.map(byName).sorted)
         }
       }
@@ -3475,16 +3489,43 @@ class GraftTable private (val s: SparkSession, val root: String) {
       // Delta's multiple-match refusal: a target ROW (identified by
       // its (file, position)) hit by >1 source rows cannot
       // deterministically update/delete
-      if (matched.nonEmpty) {
-        val dup = joined.filter(isMatched)
-          .groupBy(col("t.__fn"), col("t.__ri"))
-          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-          .limit(1).count()
-        require(dup == 0L, "MERGE found a target row matched by " +
-          "multiple source rows — the update/delete outcome would be " +
-          "nondeterministic (Delta's multiple-match refusal); " +
-          "de-duplicate the source on the ON keys first")
-      }
+      // dup refusal + operation metrics FUSED into one pass (r18,
+      // guide §1.2 "don't compute things you throw away" — the old
+      // shape ran a dup-count job here and a separate per-action
+      // count job after staging, both full passes over the same
+      // cached frame). One two-level aggregation computes both: per
+      // target row (__fn,__ri) the matched-source multiplicity and
+      // its action, then per action the row count and the max
+      // multiplicity. Sound because the refusal fires before any
+      // file is staged (same point as before), and when it does NOT
+      // fire every (__fn,__ri) group holds exactly one row, so group
+      // counts ≡ the old per-row action counts.
+      val actionCounts: Map[String, Long] =
+        if (ordered.isEmpty) Map.empty
+        else if (matched.isEmpty)
+          // no matched clause: joined is already (__fn,__ri)-deduped
+          // and no refusal applies — a flat count per action suffices
+          jobPhase("merge: operation metrics")(
+            joined.groupBy("__action").count().collect())
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+        else {
+          val perAction = jobPhase("merge: dup refusal + metrics")(
+            joined.groupBy(col("t.__fn"), col("t.__ri"))
+              .agg(org.apache.spark.sql.functions.sum(
+                when(isMatched, lit(1L)).otherwise(lit(0L))).as("__nm"),
+                org.apache.spark.sql.functions.first(col("__action"))
+                  .as("__act"))
+              .groupBy(col("__act"))
+              .agg(count(lit(1)).as("n"),
+                org.apache.spark.sql.functions.max(col("__nm")).as("mx"))
+              .collect())
+          require(perAction.forall(_.getLong(2) <= 1L),
+            "MERGE found a target row matched by " +
+            "multiple source rows — the update/delete outcome would be " +
+            "nondeterministic (Delta's multiple-match refusal); " +
+            "de-duplicate the source on the ON keys first")
+          perAction.map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
       val updateTags = ordered.collect {
         case (tag, _, Some(_)) => tag }.toSet
       val deleteTags = ordered.collect {
@@ -3580,7 +3621,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
       // rows land back under their (possibly UPDATED) value-dir
       // chains, so pruned reads keep working and a SET on a partition
       // key moves the row — Delta's partitioned-merge semantics
-      val adds = dmlStage(outRows, pc)
+      val adds = jobPhase("merge: stage rewrite + inserts")(
+        dmlStage(outRows, pc))
       val st0 = statsOf(adds)
       // zero-row rewrite outputs drop (deleteWhere's rule); and an
       // insert-only merge that inserted nothing publishes no commit
@@ -3611,7 +3653,8 @@ class GraftTable private (val s: SparkSession, val root: String) {
                      else Seq.empty) ++
             (if (deleteTags.nonEmpty) Seq(del) else Seq.empty) ++ ins
           if (all.isEmpty) Seq.empty
-          else stageCdf(all.reduce(_ unionByName _))
+          else jobPhase("merge: stage CDF images")(
+            stageCdf(all.reduce(_ unionByName _)))
         }
       // the committed schema carries the evolved PAYLOAD (partition
       // keys stay path-borne, recorded via partMeta)
@@ -3620,17 +3663,13 @@ class GraftTable private (val s: SparkSession, val root: String) {
         else Some(org.apache.spark.sql.graft.shim.nullable(
           StructType(payload.fields ++ newFields)))
       // operation metrics (Delta's operationMetrics): per-outcome
-      // row counts from the CACHED frames — one tiny agg over the
-      // joined rewrite (its action column already encodes every
-      // outcome) and one count of the pinned insert frame. Recorded
+      // row counts — update/delete from the fused dup-refusal pass
+      // above, inserts counted off the pinned insert frame. Recorded
       // in the same commit info line as the source strategy.
-      val actionCounts: Map[String, Long] =
-        if (ordered.isEmpty) Map.empty
-        else joined.groupBy("__action").count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
       val nUpdated = updateTags.toSeq.map(actionCounts.getOrElse(_, 0L)).sum
       val nDeleted = deleteTags.toSeq.map(actionCounts.getOrElse(_, 0L)).sum
-      val nInserted = insertsSized.map(_.count()).getOrElse(0L)
+      val nInserted = insertsSized.map(i =>
+        jobPhase("merge: insert count")(i.count())).getOrElse(0L)
       commit(commitAction, kept, touched, basedOn = Some(base),
         stats = st0, schema = evolvedPayload, cdf = cdf,
         tolerateAppends = true,
