@@ -40,7 +40,8 @@ object Events {
         sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("user_id")
       .agg(max("sess_id").as("n_sessions"), count(lit(1)).as("n_events"))
-      .orderBy("user_id")
+    // user-grain output (linear in users): no presentation sort
+    // (g2's rule, r18)
   }
 
   // q22: tumbling-hour aggregation (batch twin of streaming s1).
@@ -50,7 +51,8 @@ object Events {
                col("event_type"))
       .agg(count(lit(1)).as("n"),
            sum(dec(col("value"))).cast("double").as("total_value"))
-      .orderBy("hour", "event_type")
+      // hour×type grain grows with the time span: no presentation
+      // sort (g2's rule, r18)
 
   // q23: JSON prop extraction + bucketed aggregation (reference
   // extract_components_from_json re-expressed).
@@ -938,7 +940,8 @@ object Events {
           col("click_s") < col("start_s") + windowS, "left")
       .groupBy("purchase_id", "start_s")
       .agg(count(col("click_s")).as("n_clicks"))
-      .orderBy("purchase_id")
+    // purchase-grain output (linear in events): no presentation sort
+    // (g2's rule, r18)
   }
 
   /** g9: PageRank over the user↔bucket bipartite graph (g1's edge

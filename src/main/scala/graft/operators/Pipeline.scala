@@ -108,7 +108,7 @@ object Pipeline {
       .filter(col("quality") >= 2)
       .select(col("doc_id"), col("n_tokens"), col("quality"),
         GraftFunctions.rolling_hash(col("text")).as("fingerprint"))
-      .orderBy("doc_id")
+    // corpus-sized output: no presentation sort (g2's rule, r18)
   }
 
   // p2: the fuller pretrain-data pass — dedup, language gate (d4's
@@ -244,7 +244,7 @@ object Pipeline {
         (col("n_bytes") % 48 + 12).as("height"),
         col("n_chunks"), col("owned_chunks"),
         col("n_bytes"), col("owned_bytes"))
-      .orderBy("doc_id")
+    // corpus-sized output: no presentation sort (g2's rule, r18)
   }
 
   // p7: the composed LAKEHOUSE corpus pipeline — the round-10 table

@@ -1561,7 +1561,7 @@ object Similarity {
       .withColumn("keeper_id", min(col("doc_id")).over(w))
       .withColumn("n_copies", count(lit(1)).over(w))
       .select(col("doc_id"), col("keeper_id"), col("n_copies"), col("n_bytes"))
-      .orderBy("doc_id")
+    // corpus-sized output: no presentation sort (g2's rule, r18)
   }
 
   // m6: blob ⇄ base64 column transforms — the reference serves stored
@@ -1630,7 +1630,8 @@ object Similarity {
     chunks.withColumn("n_copies", count(lit(1)).over(w))
       .select(col("doc_id"), col("chunk_idx"), col("off"), col("len"),
         lower(hex(col("sha"))).as("sha_hex"), col("n_copies"))
-      .orderBy("doc_id", "chunk_idx")
+    // chunk-grain (~6× corpus) output: no presentation sort (g2's
+    // rule, r18)
   }
 
   // d8: embedding-cosine near-dup pairs — candidates from the e2

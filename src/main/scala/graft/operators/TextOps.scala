@@ -69,7 +69,10 @@ object TextOps {
       .groupBy("h", "grp")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
-    single.unionByName(collided).orderBy("keep_id")
+    // no final orderBy (g2's standing rule, r18): the survivor list is
+    // corpus-sized, the oracle compare sorts rows on both sides, and a
+    // global sort here costs a range exchange purely for presentation
+    single.unionByName(collided)
   }
 
   // d2: n-gram Jaccard near-dup pairs via shared-shingle candidate
@@ -753,7 +756,7 @@ object TextOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") > 1).select("doc_id")
     quality.join(losers, Seq("doc_id"), "left_anti")
-      .orderBy("doc_id")
+    // corpus-sized output: no presentation sort (g2's rule, r18)
   }
 
   // d12: PII detection + redaction — the scrubbing pass every
@@ -864,7 +867,7 @@ object TextOps {
       .filter(GraftFunctions.bloom_contains(col("bits"), col("shh")))
       .groupBy("doc_id")
       .agg(countDistinct(col("shh")).as("n_flagged_shingles"))
-      .orderBy("doc_id")
+    // corpus-sized output: no presentation sort (g2's rule, r18)
   }
 
   // d17: text normalization — the canonicalization pass that runs
@@ -954,7 +957,9 @@ object TextOps {
         htmlStrip(col("html"), 25).as("main_text"),
         length(col("html")).cast("long").as("n_chars_html"))
       .withColumn("n_chars_main", length(col("main_text")).cast("long"))
-      .orderBy("doc_id")
+    // no presentation sort (g2's rule, r18): the output carries the
+    // full stripped text — range-exchanging the corpus payload for
+    // row order alone is exactly the scale cost the rule exists for
   }
 
   // d18: near-dup CLUSTERING — pairs are not an actionable dedup
@@ -1041,7 +1046,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"), sum(col("cf")).as("sum_cf"))
       .select(col("doc_id"), col("n_tokens"), col("sum_cf"),
         (col("sum_cf").cast("double") / col("n_tokens")).as("mean_cf"))
-      .orderBy("doc_id")
+    // corpus-sized output: no presentation sort (g2's rule, r18)
   }
 
   // d28: INCREMENTAL dedup — the shape a growing corpus actually
@@ -1255,7 +1260,7 @@ object TextOps {
       .select(col("doc_id"), col("n_bigrams"), col("sum_bf"), col("sum_uf"),
         ((col("sum_bf") * 10 + col("sum_uf")).cast("double") /
           col("n_bigrams")).as("interp_score"))
-      .orderBy("doc_id")
+    // corpus-sized output: no presentation sort (g2's rule, r18)
   }
 
   // d26: domain-mixture rebalancing — downsample every language to the
@@ -1398,7 +1403,7 @@ object TextOps {
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
         (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
           col("n_tokens")).as("dup_frac"))
-      .orderBy("doc_id")
+    // corpus-sized output: no presentation sort (g2's rule, r18)
   }
 
   /** Scale-safe EXCLUSIVE prefix sum of `valCol` in `keyCol` order
@@ -1869,7 +1874,7 @@ object TextOps {
       .join(wtok, Seq("word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("w_tokens")).as("n_tokens"))
-      .orderBy("doc_id")
+    // corpus-sized output: no presentation sort (g2's rule, r18)
   }
 
   /** d34's oracle: d33's unrolled training chain with the word key
