@@ -30,7 +30,6 @@ object Analytics {
       .withColumn("rolling_rev_7d", sum(col("rev")).over(w).cast("double"))
       .select(col("l_returnflag"), col("day"), col("rev").cast("double").as("rev"),
               col("rolling_rev_7d"))
-      .orderBy("l_returnflag", "day")
   }
 
   // q33: CUBE over two dimensions (rollup's big sibling).
@@ -53,7 +52,6 @@ object Analytics {
       .agg(concat_ws(",", array_sort(collect_list(col("o_orderkey"))))
              .as("orderkeys"),
            count(lit(1)).as("n"))
-      .orderBy("o_custkey")
 
   // q35: null semantics — NULLIF / COALESCE / null-safe counts (the
   // source tables are null-free, so nulls are manufactured).
@@ -85,7 +83,6 @@ object Analytics {
       .withColumn("dist", levenshtein(col("p_name"), lit("red widget")).cast("long"))
       .filter(col("dist") <= 4)
       .select(col("p_partkey"), col("p_name"), col("dist"))
-      .orderBy("p_partkey")
 
   // q38: sketches — approx distinct + approx quantiles, the documented
   // 100 TB variants of q27/q20. Rows-only: HLL/KLL internals differ
@@ -110,7 +107,6 @@ object Analytics {
       .withColumn("valid_to", lead(col("o_orderdate").cast("date"), 1).over(w))
       .select(col("o_custkey"), col("o_orderkey"), col("valid_from"),
               col("valid_to"), col("o_totalprice"))
-      .orderBy("o_custkey", "o_orderkey")
   }
 
   // q42: distribution windows — quartile bucket + percent_rank.
@@ -161,7 +157,6 @@ object Analytics {
       .withColumn("pr", expr(
         "IF(n_status = 1, CAST(0 AS DOUBLE), CAST(rnk - 1 AS DOUBLE) / CAST(n_status - 1 AS DOUBLE))"))
       .select(col("o_orderkey"), col("o_orderstatus"), col("quartile"), col("pr"))
-      .orderBy("o_orderkey")
   }
 
   /** The single-pass window form of q42 — the small-SF oracle twin the
@@ -175,7 +170,6 @@ object Analytics {
       .withColumn("quartile", ntile(4).over(w).cast("long"))
       .withColumn("pr", percent_rank().over(w))
       .select(col("o_orderkey"), col("o_orderstatus"), col("quartile"), col("pr"))
-      .orderBy("o_orderkey")
   }
 
   // q43: cohort retention — users bucketed by first-seen DAY, counted
@@ -190,7 +184,6 @@ object Analytics {
     ev.join(cohort, "user_id")
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(countDistinct("user_id").as("n_users"))
-      .orderBy("cohort_day", "day_offset")
   }
 
   // q64: calendar gap-fill / resampling — sparse facts (per-nation
@@ -230,7 +223,6 @@ object Analytics {
         last(col("rev").cast("double"), ignoreNulls = true).over(w))
       .select(col("n_name"), col("day"), col("revenue"),
         col("last_seen_revenue"))
-      .orderBy("n_name", "day")
   }
 
   // q60: equi-width value histogram per event type — the distribution
@@ -287,7 +279,6 @@ object Analytics {
     closedBase.unionByName(batchScd)
       .select(col("o_custkey"), col("o_orderkey"), col("valid_from"),
               col("valid_to"), col("o_totalprice"))
-      .orderBy("o_custkey", "o_orderkey")
   }
 
   // q55: explicit GROUPING SETS — the general form behind q14's ROLLUP
@@ -337,7 +328,6 @@ object Analytics {
       .agg(sum(col("streak")).as("n_active_days"),
            count(lit(1)).as("n_streaks"),
            max(col("streak")).as("longest_streak"))
-      .orderBy("user_id")
   }
 
   // q57: data-quality constraint suite (the Deequ/great-expectations

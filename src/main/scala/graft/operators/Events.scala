@@ -75,7 +75,6 @@ object Events {
         min(when(col("event_type") === "purchase", col("ts_s"))).as("first_purchase"))
       .filter(col("first_signup").isNotNull && col("first_purchase").isNotNull &&
               col("first_signup") < col("first_purchase"))
-      .orderBy("user_id")
 
   /** User ↔ prop-bucket bipartite membership, the g1 graph — the
     * full, unbounded graph (`user_id`, `g` bucket).
@@ -149,7 +148,7 @@ object Events {
       import sess.implicits._
       val labels = head.iterator.map(_.getLong(0)).toArray.distinct
         .map(u => (u, find(u))).toSeq
-      return labels.toDF("user_id", "component").orderBy("user_id")
+      return labels.toDF("user_id", "component")
     }
     // cache the graph for the iteration ONLY if the caller hasn't: a
     // blanket unpersist at the end would otherwise evict the CALLER's
@@ -189,7 +188,6 @@ object Events {
       s"connected components did not converge in $maxIter rounds — " +
         "graph diameter exceeds the cap; raise maxIter")
     labels.select(col("user_id"), col("comp").as("component"))
-      .orderBy("user_id")
   }
 
   // g6: linked-objects neighborhood (reference GetLinkedObjects,
@@ -222,7 +220,6 @@ object Events {
       .unionByName(h2.withColumn("hops", lit(2L)))
       .groupBy("seed", "linked").agg(min("hops").as("hops"))
       .filter(col("seed") =!= col("linked"))
-      .orderBy("seed", "linked")
   }
 
   // q59: ordered sequence-pattern matching (MATCH_RECOGNIZE-lite) —
@@ -263,7 +260,6 @@ object Events {
         sum(when(col("lc").isNotNull && col("lc.vts").isNotNull &&
           col("ts_us") - col("lc.vts") <= windowUs, 1L).otherwise(0L))
           .as("n_attributed"))
-      .orderBy("user_id")
   }
 
   // q72: HOPPING (sliding) window aggregation — the windowing family
@@ -283,7 +279,6 @@ object Events {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(expr("unix_seconds(window.start)").as("win_start_s"),
         col("event_type"), col("n"), col("total_value"))
-      .orderBy("win_start_s", "event_type")
 
   // q67: per-type value-outlier detection (3σ rule) with the whole
   // decision in EXACT integer arithmetic — the monitoring/DQ pass
@@ -341,7 +336,6 @@ object Events {
       .withColumn("is_outlier",
         abs(col("v6") * col("n") - col("s")) > col("r"))
       .select(col("event_id"), col("event_type"), col("value"), col("is_outlier"))
-      .orderBy("event_id")
   }
 
   // g16: common-neighbor link prediction — "which parts DON'T co-sell
@@ -464,6 +458,8 @@ object Events {
       .withColumn("jaccard", col("common").cast("double") /
         (col("deg_a") + col("deg_b") - col("common")).cast("double"))
       .select("part_a", "part_b", "common", "adamic_adar", "jaccard")
+      // the sort is SEMANTIC here — it feeds limit(k) (top-k by
+      // score); r18's presentation-sort sweep must not touch it
       .orderBy(col("adamic_adar").desc, col("part_a"), col("part_b"))
       .limit(k)
   }
@@ -499,7 +495,6 @@ object Events {
         "left")
       .select(col("purchase_id"), col("user_id"), col("purchase_ts_us"),
         col("status"), col("valid_from").as("status_since_us"))
-      .orderBy("purchase_id")
   }
 
   // g13: k-core peeling (fixed rounds) — "the parts that co-sell with
@@ -525,7 +520,6 @@ object Events {
     }
     sym.groupBy(col("x").as("p_partkey"))
       .agg(count(lit(1)).as("core_deg"))
-      .orderBy("p_partkey")
   }
 
   /** The support-≥2 symmetric co-purchase graph g13/g13b peel. */
@@ -721,7 +715,6 @@ object Events {
         .select(col("x"), (-col("m.nl")).as("lab"))
     }
     lab.select(col("x").as("p_partkey"), col("lab").as("community"))
-      .orderBy("p_partkey")
   }
 
   /** g13b: the FULL k-core — g13's peel run to FIXPOINT (the variant a
@@ -793,7 +786,6 @@ object Events {
       val sess = symEdges.sparkSession
       import sess.implicits._
       return coreDeg.toSeq.toDF("p_partkey", "core_deg")
-        .orderBy("p_partkey")
     }
     var cur = curCkpt
     var prevEdges = totalEdges
@@ -816,7 +808,6 @@ object Events {
         "maxRounds (the oracle unrolls this same bound)")
     cur.groupBy(col("x").as("p_partkey"))
       .agg(count(lit(1)).as("core_deg"))
-      .orderBy("p_partkey")
   }
 
   def g13bKcoreFixpoint(s: SparkSession, d: String, k: Int = 3): DataFrame =
@@ -854,7 +845,6 @@ object Events {
         .groupBy("seed", "node").agg(min("cost").as("cost"))
     }
     dist.filter(col("seed") =!= col("node"))
-      .orderBy("seed", "node")
   }
 
   /** The weighted symmetric user graph for g12: users sharing a prop
@@ -900,7 +890,6 @@ object Events {
       .filter(col("kind") === 1 && col("click_id").isNotNull)
       .select(col("event_id").as("purchase_id"), col("user_id"),
               col("ts_us").as("purchase_ts"), col("click_id"), col("click_ts"))
-      .orderBy("purchase_id")
   }
 
   // q50: interval/range join — for each purchase, the count of clicks
@@ -979,7 +968,7 @@ object Events {
           (expr(s"(($scale div n) * 15) div 100") +
             expr("(85 * sc) div 100")).as("rank"), col("n"))
     }
-    ranks.select(col("node"), col("rank").as("pagerank")).orderBy("node")
+    ranks.select(col("node"), col("rank").as("pagerank"))
   }
 
   /** g10: per-node triangle counting over the co-purchase graph
@@ -1039,7 +1028,6 @@ object Events {
       oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
     tris.select(explode(array(col("apex"), col("x"), col("y"))).as("p_partkey"))
       .groupBy("p_partkey").agg(count(lit(1)).as("n_triangles"))
-      .orderBy("p_partkey")
   }
 
   // q53: time-RANGE sliding window — per event, the user's trailing
@@ -1063,7 +1051,6 @@ object Events {
       .withColumn("v_1h", sum(col("vq")).over(w))
       .select(col("event_id"), col("user_id"), col("ts_s"),
               col("n_1h"), col("v_1h"))
-      .orderBy("event_id")
   }
 
   // q54: JSON document assembly (reference build_components_json /
@@ -1083,7 +1070,6 @@ object Events {
            sort_array(collect_set(col("event_type"))).as("types"))
       .select(col("user_id"),
         to_json(struct(col("user_id"), col("n"), col("types"))).as("doc"))
-      .orderBy("user_id")
 
   // q52: cumulative distinct users per day via MERGEABLE HLL sketches
   // — the sketch-reuse pattern that makes "distinct so far" tractable

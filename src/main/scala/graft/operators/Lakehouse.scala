@@ -165,14 +165,14 @@ object Lakehouse {
   // status. Full-row output: a merge that dropped, duplicated or
   // mis-resolved one row anywhere hash-fails.
   def q78MergeInto(s: SparkSession, d: String): DataFrame =
-    dmlLifecycle(s, d).readVersion(2).orderBy("o_orderkey")
+    dmlLifecycle(s, d).readVersion(2)
 
   // q79: DELETE WHERE — the current table after the copy-on-write
   // delete: exactly the merged state minus the predicate's rows,
   // read from the log (v3). GraftDmlSpec separately proves only
   // touched files were rewritten; this proves the surviving CONTENT.
   def q79DeleteWhere(s: SparkSession, d: String): DataFrame =
-    dmlLifecycle(s, d).read().orderBy("o_orderkey")
+    dmlLifecycle(s, d).read()
 
   // q80: the ROW-LEVEL change feed over the DML range (1, 3]:
   // update_preimage/update_postimage/insert images from the merge,
@@ -229,7 +229,7 @@ object Lakehouse {
           "o_orderstatus" -> lit("U")))                          // v2
       t0
     }) }
-    t.read().orderBy("o_orderkey")
+    t.read()
   }
 
   // q82: the log-level DATA-SKIPPING read — the post-DML table read
@@ -244,7 +244,6 @@ object Lakehouse {
     val keyMax = Tables.orders(s, d).agg(max("o_orderkey")).head.getLong(0)
     s.read.format("graft").load(t.root)
       .filter(col("o_orderkey") <= keyMax / 8)
-      .orderBy("o_orderkey")
   }
 
   // ---- merge-on-read DML: deletion vectors (q84/q85) ------------------
@@ -287,14 +286,14 @@ object Lakehouse {
     }) }
 
   def q84DeleteVectors(s: SparkSession, d: String): DataFrame =
-    morLifecycle(s, d, morT, "mor").read().orderBy("o_orderkey")
+    morLifecycle(s, d, morT, "mor").read()
 
   private val purged = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
 
   def q85ReorgPurge(s: SparkSession, d: String): DataFrame = {
     val t = morLifecycle(s, d, purged, "purge")
     if (t.hasDvAsOf(t.latestVersion)) t.purge()                   // v4
-    s.read.format("graft").load(t.root).orderBy("o_orderkey")
+    s.read.format("graft").load(t.root)
   }
 
   // q86: SQL `UPDATE` — the statement form of q83's verb, routed by
@@ -326,7 +325,7 @@ object Lakehouse {
     }
     s.conf.set("spark.sql.catalog.gsql",
       classOf[graft.sources.GraftCatalog].getName)
-    s.sql(s"SELECT * FROM gsql.`$root` ORDER BY o_orderkey")
+    s.sql(s"SELECT * FROM gsql.`$root`")
   }
 
   // q87: SQL `MERGE INTO` — the statement form of q78's verb (the
@@ -357,7 +356,7 @@ object Lakehouse {
     }
     s.conf.set("spark.sql.catalog.gsql",
       classOf[graft.sources.GraftCatalog].getName)
-    s.sql(s"SELECT * FROM gsql.`$root` ORDER BY o_orderkey")
+    s.sql(s"SELECT * FROM gsql.`$root`")
   }
 
   // q89: SHALLOW CLONE (Delta CLONE) — a zero-copy metadata-only
@@ -844,7 +843,7 @@ object Lakehouse {
       }) }
 
   def q101MergeEvolve(s: SparkSession, d: String): DataFrame =
-    evolveMergeTable(s, d).read().orderBy("o_orderkey")
+    evolveMergeTable(s, d).read()
 
   private val partMerged = scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -890,7 +889,6 @@ object Lakehouse {
 
   def q102PartitionedMerge(s: SparkSession, d: String): DataFrame =
     s.read.format("graft").load(partMergeTable(s, d))
-      .orderBy("o_orderkey")
 
   private val condMerged = scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -948,7 +946,6 @@ object Lakehouse {
 
   def q99ConditionalMerge(s: SparkSession, d: String): DataFrame =
     s.read.format("graft").load(condMergeTable(s, d))
-      .orderBy("o_orderkey")
 
   private val renamedMerged =
     scala.collection.concurrent.TrieMap.empty[String, String]
@@ -993,7 +990,6 @@ object Lakehouse {
 
   def q103RenamedMerge(s: SparkSession, d: String): DataFrame =
     s.read.format("graft").load(renamedMergeTable(s, d))
-      .orderBy("o_orderkey", "o_totalprice")
 
   private val fscked = scala.collection.concurrent.TrieMap.empty[String, GraftTable]
 

@@ -46,7 +46,6 @@ object Relational {
               col("l_discount") > 0.05)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
               col("l_shipdate").cast("date").as("ship_date"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   // q3: fact ⋈ fact ⋈ dim with the dim broadcast.
   def q3JoinAgg(s: SparkSession, d: String): DataFrame =
@@ -67,7 +66,6 @@ object Relational {
               .select("l_orderkey"),
             col("o_orderkey") === col("l_orderkey"), "left_semi")
       .select(col("o_orderkey"), col("o_orderstatus"))
-      .orderBy("o_orderkey")
 
   // q5: NOT EXISTS as left-anti (reference: tags absent from registry).
   def q5AntiJoin(s: SparkSession, d: String): DataFrame =
@@ -76,7 +74,6 @@ object Relational {
               .select("o_custkey"),
             col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy("c_custkey")
 
   // q6: global top-k — Spark plans TakeOrderedAndProject (per-partition
   // heaps, no full sort), which is the right plan at 100 TB.
@@ -95,7 +92,6 @@ object Relational {
       .filter(col("rn") <= 2)
       .select(col("o_custkey"), col("o_orderkey"),
               col("o_orderdate").cast("date").as("order_date"), col("rn"))
-      .orderBy("o_custkey", "rn")
   }
 
   // q8: reference pagination (`COUNT(*) OVER() … LIMIT/OFFSET`,
@@ -124,7 +120,6 @@ object Relational {
     Tables.part(s, d)
       .filter(lower(col("p_name")).contains("red"))
       .select(col("p_partkey"), col("p_name"))
-      .orderBy("p_partkey")
 
   // q11: regex CASE classification (reference classify_tag_type,
   // app.py:783-838). Plain rlike stays inside whole-stage codegen.
@@ -135,7 +130,6 @@ object Relational {
           .when(col("p_type").rlike("^(LARGE|MEDIUM|SMALL)"), "sized")
           .when(col("p_name").rlike("(widget|gizmo)$"), "gadget")
           .otherwise("other").as("category"))
-      .orderBy("p_partkey")
 
   // q45: tag-detail parsing to typed columns (reference
   // parse_tag_details, app.py:5552-5637, and build_tag_no_by_formula,
@@ -164,7 +158,6 @@ object Relational {
         regexp_extract(col("tag_no"), pat, 2).as("type_key"),
         regexp_extract(col("tag_no"), pat, 3).cast("long").as("seq"),
         regexp_extract(col("tag_no"), pat, 4).as("suffix"))
-      .orderBy("p_partkey")
   }
 
   // q46: keyset pagination — the scale-correct deep-paging variant of
@@ -282,7 +275,6 @@ object Relational {
         concat(col("asset"), lit("_"), col("prefix")),
         col("seq"), col("suffix1"), col("suffix2")))
       .as("tag_no"))
-      .orderBy("p_partkey")
   }
 
   // q49: incremental extract — the reference's scheduled sync
@@ -341,7 +333,7 @@ object Relational {
       when(pmod(col("event_id"), lit(11)) === 0,
         expr("ts div 1000") + usPerDay),
       evLo, evHi)
-    o.unionAll(l).unionAll(e).orderBy("entity", "entity_key")
+    o.unionAll(l).unionAll(e)
   }
 
   // q12: GROUP BY … HAVING.
@@ -350,7 +342,6 @@ object Relational {
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
       .filter(col("n_orders") >= 12)
-      .orderBy("o_custkey")
 
   // q13: pivot as conditional aggregation (Master_data.csv monthly
   // demand report shape). COUNT(CASE…) keeps both engines in BIGINT.
@@ -454,7 +445,6 @@ object Relational {
           count(lit(1)).over(w))
       .filter(col("p_retailprice") > col("brand_avg"))
       .select(col("p_partkey"), col("p_brand"), col("p_retailprice"), col("brand_avg"))
-      .orderBy("p_partkey")
   }
 
   // q18: UNION ALL of heterogeneous entities with a type tag.
@@ -466,7 +456,6 @@ object Relational {
         Tables.supplier(s, d)
           .select(col("s_name").as("name"), col("s_acctbal").as("acctbal"),
                   lit("supplier").as("kind")))
-      .orderBy("kind", "name")
 
   // q19: string function suite (length cast to long for oracle parity).
   def q19StringFuncs(s: SparkSession, d: String): DataFrame =
@@ -476,7 +465,6 @@ object Relational {
               substring(col("p_name"), 1, 4).as("name_prefix"),
               length(col("p_name")).cast("long").as("name_len"),
               concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"))
-      .orderBy("p_partkey")
 
   // q20: exact median per group. l_quantity is integral so the p=0.5
   // interpolation is exact in binary; at 100 TB the documented switch
@@ -528,7 +516,6 @@ object Relational {
       .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rnk"),
         col("t.id").as("o_orderkey"), col("t.score").as("o_totalprice"))
-      .orderBy("o_custkey", "rnk")
 
   // q27: multi-column COUNT(DISTINCT) (reference dashboard stats).
   // Exact here; at 100 TB the documented switch is
@@ -570,7 +557,6 @@ object Relational {
         coalesce(col("c_name"), lit("NEW")).as("name"),
         coalesce(col("u_bal"), col("c_acctbal")).as("acctbal"),
         coalesce(col("c_mktsegment"), lit("STAGED")).as("mktsegment"))
-      .orderBy("custkey")
   }
 
   // q25: bare COUNT(*) table stats (reference app.py:1242).
@@ -604,7 +590,7 @@ object Relational {
       .select(lit("click_and_purchase").as("cohort"), col("user_id"), col("day"))
     val only = userDays("click").except(userDays("purchase"))
       .select(lit("click_no_purchase").as("cohort"), col("user_id"), col("day"))
-    both.unionByName(only).orderBy("cohort", "user_id", "day")
+    both.unionByName(only)
   }
 
   // q63: scalar aggregate subquery — `WHERE price > (SELECT AVG …)`,
@@ -623,7 +609,6 @@ object Relational {
       .filter(col("p_retailprice") > col("avg_price"))
       .select(col("p_partkey"), col("p_retailprice"), col("avg_price"),
         (col("p_retailprice") - col("avg_price")).as("above_by"))
-      .orderBy("p_partkey")
   }
 
   // q65: the reference's hottest endpoint — registry listing with
@@ -667,7 +652,6 @@ object Relational {
       .unpivot(Array(col("p_partkey")),
         Array(col("p_brand"), col("p_type"), col("p_name")),
         "attr", "val")
-      .orderBy("p_partkey", "attr")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_unpivot" -> (q68Unpivot _),

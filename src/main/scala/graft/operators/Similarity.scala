@@ -54,7 +54,9 @@ object Similarity {
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("qid"), col("t.id").as("nid"), col("t.score").as("cosine"),
               (col("pos") + 1).cast("long").as("rnk"))
-      .orderBy("qid", "rnk")
+  // no trailing sort (g2's rule, r18): rnk already carries the rank;
+  // e9 feeds the whole CORPUS through this as qid, so the sort was a
+  // corpus-grain range exchange purely for presentation
 
   // e1: brute-force cosine top-k for a query set — the exactness
   // baseline. Queries broadcast; corpus scanned once; O(Q·N) fused
@@ -281,6 +283,78 @@ object Similarity {
   private[graft] def e9Bits(n: Long): Int =
     math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 64)))
 
+  /** Bounded-collect driver twin of the blocked kNN pass the e9 graph
+    * and e11's adjacency build share (round 18 — the components/
+    * k-core/BPE gate pattern). Below the cap the quantized+bucketed
+    * nodes collect ONCE (the quantize/bucket expressions still run
+    * distributed inside the collecting job — nothing is re-derived on
+    * the driver) and the Hamming≤1 candidate walk, the exact LongDot
+    * scoring and the (-score, id) top-k run as local parallel math:
+    * the same candidate set the bucket equi-join emits (a neighbor's
+    * bucket is within one sign-flip of the node's iff it appears in
+    * exactly one probe bucket), the same IEEE double cosine
+    * (dot / (sqrt(n_nrm) · sqrt(q_nrm)) — multiplication and sqrt are
+    * correctly-rounded, so driver ≡ codegen bit-for-bit), and
+    * TopKByScore's exact total order via the identical sortBy
+    * expression. Above the cap the bucket join runs unchanged — the
+    * at-scale path. Cap ≈ 200k rows × (64 quantized longs + norm)
+    * ≈ 100 MB of driver rows, the repo's standing ceiling.
+    */
+  private case class E9Node(id: Long, q: Array[Long], nrm: Long, bucket: Int)
+
+  private def e9NodesLocal(emb: DataFrame, cap: Int = 200000)
+      : Option[Array[E9Node]] = {
+    val head = emb.select(col("vec_id"), col("q"), col("nrm"), col("bucket"))
+      .take(cap + 1)
+    if (head.length > cap)
+      None
+    else Some(head.map(r => E9Node(r.getLong(0), r.getSeq[Long](1).toArray,
+      r.getLong(2), r.getInt(3))))
+  }
+
+  /** Per-node top-`k` under the multi-probe blocking rule, driver
+    * side: returns (qid, [(cosine, nid) …]) in node order, each list
+    * in TopKByScore's (score desc, id asc) order.
+    */
+  private def e9DriverTopK(nodes: Array[E9Node], bits: Int, k: Int)
+      : Array[(Long, Array[(Double, Long)])] = {
+    val byBucket = new java.util.HashMap[Integer, java.util.ArrayList[Integer]]
+    var i = 0
+    while (i < nodes.length) {
+      byBucket.computeIfAbsent(nodes(i).bucket,
+        _ => new java.util.ArrayList[Integer]).add(i)
+      i += 1
+    }
+    val out = new Array[(Long, Array[(Double, Long)])](nodes.length)
+    java.util.stream.IntStream.range(0, nodes.length).parallel().forEach { qi =>
+      val qn = nodes(qi)
+      val cands = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      var b = -1
+      while (b < bits) {
+        val bucket = if (b < 0) qn.bucket else qn.bucket ^ (1 << b)
+        val lst = byBucket.get(bucket)
+        if (lst != null) {
+          var j = 0
+          while (j < lst.size()) {
+            val n = nodes(lst.get(j))
+            if (n.id != qn.id) {
+              var dot = 0L
+              var t = 0
+              while (t < n.q.length) { dot += n.q(t) * qn.q(t); t += 1 }
+              cands += ((dot.toDouble /
+                (math.sqrt(n.nrm.toDouble) * math.sqrt(qn.nrm.toDouble)),
+                n.id))
+            }
+            j += 1
+          }
+        }
+        b += 1
+      }
+      out(qi) = (qn.id, cands.sortBy(t => (-t._1, t._2)).take(k).toArray)
+    }
+    out
+  }
+
   // Multi-probe: each query searches its own hyperplane bucket AND
   // the four buckets one sign-flip away — the vectors most likely to
   // be near-misses of the hash. 5/16 of the corpus probed instead of
@@ -330,6 +404,17 @@ object Similarity {
       .withColumn("q", expr(
         "transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))"))
       .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+    // driver fast path (round 18, [[e9NodesLocal]]): below the cap
+    // the whole graph is local parallel math off one bounded collect
+    e9NodesLocal(emb) match {
+      case Some(nodes) =>
+        import s.implicits._
+        return e9DriverTopK(nodes, bits, 3).iterator.flatMap {
+          case (qid, top) => top.iterator.zipWithIndex.map {
+            case ((sc, nid), i) => (qid, nid, sc, (i + 1).toLong) }
+        }.toSeq.toDF("qid", "nid", "cosine", "rnk")
+      case None => ()
+    }
     val flips = (0 until bits).map(k => s"bucket ^ ${1 << k}")
     val probes = emb
       .select(col("vec_id").as("qid"), col("q").as("qq"),
@@ -395,6 +480,30 @@ object Similarity {
     */
   private[graft] def e11BuildAdj(s: SparkSession, emb: DataFrame,
                                  bits: Int, deg: Int): DataFrame = {
+    // driver fast path (round 18, [[e9NodesLocal]]): the same local
+    // kNN as e9's, then symmetrize + attach neighbor payloads from
+    // the collected nodes — column order matches the join the
+    // distributed path ends with (dst, src, dq, dn). SMALLER cap
+    // than e9's: this twin's OUTPUT is ~2·N·deg edges each carrying
+    // a 64-long payload, and building that local relation is
+    // single-threaded row encoding — measured at the ×10 layout
+    // (20k nodes, ~150 MB of edge payloads) the twin runs 1.22× the
+    // distributed build, while at 2k nodes it is a 0.6× win; 4k
+    // nodes ≈ 34 MB of payload is the measured crossover region
+    e9NodesLocal(emb, cap = 4000) match {
+      case Some(nodes) =>
+        import s.implicits._
+        val edges = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+        e9DriverTopK(nodes, bits, deg).foreach { case (src, top) =>
+          top.foreach { case (_, dst) =>
+            edges += ((src, dst)); edges += ((dst, src)) }
+        }
+        val byId = nodes.iterator.map(n => n.id -> n).toMap
+        return edges.iterator.map { case (src, dst) =>
+          val n = byId(dst); (dst, src, n.q.toSeq, n.nrm)
+        }.toSeq.toDF("dst", "src", "dq", "dn")
+      case None => ()
+    }
     val flips = (0 until bits).map(kk => s"bucket ^ ${1 << kk}")
     val probes = emb
       .select(col("vec_id").as("qid"), col("q").as("qq"),
@@ -1461,7 +1570,7 @@ object Similarity {
         Row(id, blob.length.toLong, hex, w, h)
       }
     }(enc)
-    out.orderBy("doc_id")
+    out
   }
 
   // m9: the REAL codec inside an ORACLED path (VERDICT r13 item 5) —
@@ -1725,7 +1834,7 @@ object Similarity {
           Row(id, i.toLong, hex)
         }
       }
-    }(enc).orderBy("doc_id", "frame_idx")
+    }(enc)
   }
 
   // m3: multimodal feature extraction — a fixed-width feature vector
@@ -1753,7 +1862,7 @@ object Similarity {
             case (c, b) if c > 0 => Row(id, b.toLong, c)
           }
         }
-      }(enc).orderBy("doc_id", "bin")
+      }(enc)
   }
 
   // m8: perceptual-hash near-dup detection for blobs — the MEDIA
@@ -1860,7 +1969,6 @@ object Similarity {
         s"element_at(filter(sequence(0, 3), b -> " +
           s"(xr div shiftleft(1L, cast($bb * b as int))) % ${1L << bb} = 0), 1)"))
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy("doc_a", "doc_b")
   }
 
   // m4: multimodal resize — scale the decoder's (width, height) to
@@ -1896,7 +2004,7 @@ object Similarity {
           }
           Row(id, w * 32 / side, h * 32 / side, hash)
         }
-      }(enc).orderBy("doc_id")
+      }(enc)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

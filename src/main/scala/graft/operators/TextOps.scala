@@ -154,7 +154,6 @@ object TextOps {
         col("shared").cast("double") / (col("sa") + col("sb") - col("shared")))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** d6's banded-LSH candidates EXACTLY VERIFIED at Jaccard ≥ 0.8 —
@@ -302,7 +301,6 @@ object TextOps {
         col("shared").cast("double") / (col("sa") + col("sb") - col("shared")))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** The shared-shingle pair aggregate (doc_a < doc_b, shared count,
@@ -359,7 +357,6 @@ object TextOps {
         (col("shared").cast("double") / col("sb")).as("containment"))
     ab.unionByName(ba)
       .filter(col("containment") >= tau)
-      .orderBy("contained", "container")
   }
 
   // d3: per-doc quality stats (token count, stopword ratio, score).
@@ -376,7 +373,6 @@ object TextOps {
          when(col("n_chars") >= 200, 1).otherwise(0)).cast("long"))
       .select(col("doc_id"), col("n_tokens"), col("n_stop"),
               col("stop_ratio"), col("quality"))
-      .orderBy("doc_id")
 
   // d4: marker-word language-ID heuristic (n-gram profile degenerates
   // to marker counting on this synthetic corpus), scored against the
@@ -389,7 +385,6 @@ object TextOps {
         when(col("n_en") >= 2, "en").otherwise("unk"))
       .select(col("doc_id"), col("lang"), col("predicted"),
               (col("lang") === "en" && col("predicted") === "en").as("hit"))
-      .orderBy("doc_id")
 
   // d5: rolling-hash fingerprint via the custom codegen'd expression;
   // oracle reproduces the recurrence with DuckDB list_reduce.
@@ -397,7 +392,6 @@ object TextOps {
     Tables.documents(s, d)
       .select(col("doc_id"),
               GraftFunctions.rolling_hash(col("text")).as("fingerprint"))
-      .orderBy("doc_id")
 
   // d6: MinHash (64 perms via seeded xxhash64) + 16×4 banded LSH.
   // Linear fan-out: 16 bucket rows per doc; candidates only within
@@ -431,7 +425,6 @@ object TextOps {
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v) / 64.0"))
       .filter(col("est_jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   // d7: 64-bit SimHash + near-dup pairs within Hamming distance 7,
@@ -472,7 +465,6 @@ object TextOps {
               expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 7)
-      .orderBy("doc_a", "doc_b")
   }
 
   // d9: token counting beyond whitespace (the LLM-pipeline mandate's
@@ -490,7 +482,6 @@ object TextOps {
         "aggregate(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0), " +
           "0L, (acc, m) -> acc + (length(m) + 3) div 4)"))
       .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"))
-      .orderBy("doc_id")
 
   // d10: corpus vocabulary — top-100 tokens by frequency with a total
   // order (count desc, token asc). orderBy+limit plans as
@@ -520,7 +511,6 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("shh")).as("n_shared_shingles"),
            min(col("bench_id")).as("first_bench_hit"))
-      .orderBy("doc_id")
   }
 
   // d37: CONTAMINATION RATE — the graded form of d11's binary flag
@@ -644,7 +634,6 @@ object TextOps {
         count(when(col("df") === 1, 1)).as("n_novel"))
       .withColumn("novelty",
         col("n_novel").cast("double") / col("n_grams").cast("double"))
-      .orderBy("doc_id")
   }
 
   // d40: LEAKAGE-SAFE train/val/test split — the eval-hygiene rule
@@ -712,7 +701,6 @@ object TextOps {
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
         (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
           col("n_ngrams")).as("contamination_rate"))
-      .orderBy("doc_id")
   }
 
   // d36: QUALITY-KEEP near-dup dedup — p3 keeps each near-dup
@@ -780,7 +768,6 @@ object TextOps {
           .cast("long").as("n_phones"),
         regexp_replace(regexp_replace(col("ct"), lit(emailPat), lit("<EMAIL>")),
           lit(phonePat), lit("<PHONE>")).as("redacted"))
-      .orderBy("doc_id")
 
   // d13: context-window chunking — split each document into 32-token
   // chunks on a 24-token stride (8-token overlap), the RAG/pretraining
@@ -798,7 +785,6 @@ object TextOps {
         col("col").as("chunk_text"),
         expr("cast(size(filter(split(col, ' '), x -> x != '')) as bigint)")
           .as("n_chunk_tokens"))
-      .orderBy("doc_id", "chunk_idx")
 
   // d14: deterministic per-stratum quota sampling — the mixture
   // reweighting step of a pretraining data recipe: downsample the
@@ -812,7 +798,6 @@ object TextOps {
       .filter(pmod(col("doc_id"), lit(5)) < rate)
       .select(col("doc_id"), col("lang"), col("source"),
         (lit(5).cast("double") / rate).as("weight"))
-      .orderBy("doc_id")
   }
 
   // d15: repetition scoring (the Gopher/MassiveText repetition rules):
@@ -843,7 +828,6 @@ object TextOps {
         fracDup2g.as("frac_dup_2grams"),
         topFrac.as("top_token_frac"),
         (topFrac > 0.15 || fracDup2g > 0.2).as("repetitive"))
-      .orderBy("doc_id")
   }
 
   // d16: Bloom-filter decontamination — d11's semantics re-shaped for
@@ -883,7 +867,6 @@ object TextOps {
       .select(col("doc_id"), col("norm_text"),
         length(col("text")).cast("long").as("n_chars_raw"),
         length(col("norm_text")).cast("long").as("n_chars_norm"))
-      .orderBy("doc_id")
 
   /** HTML/markup boilerplate strip (round 16 — the missing FIRST step
     * of the cleaning family: every web-crawl corpus runs tag-strip /
@@ -988,7 +971,6 @@ object TextOps {
       .unionByName(pairs.select(col("doc_b").as("user_id"), pid.as("g")))
     Events.g1ConnectedComponents(memb)
       .select(col("user_id").as("doc_id"), col("component").as("cluster"))
-      .orderBy("doc_id")
   }
 
   // d19: deterministic train/val/test split — 80/10/10 by a keyed
@@ -1007,7 +989,6 @@ object TextOps {
       .select(col("doc_id"), col("lang"), bucket.as("bucket"),
         when(bucket < 800, "train").when(bucket < 900, "val")
           .otherwise("test").as("split"))
-      .orderBy("doc_id")
   }
 
   // d20: TF-IDF term weighting — per-(doc, token) term frequency,
@@ -1026,7 +1007,6 @@ object TextOps {
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         ((col("tf") * col("n")).cast("double") / col("df")).as("tfidf_ratio"))
-      .orderBy("doc_id", "token")
   }
 
   // d25: unigram-LM document scoring — the corpus-frequency quality
@@ -1104,7 +1084,6 @@ object TextOps {
       .select(col("doc_id").as("keep_id")).distinct()
     survivors.join(dropCross, Seq("keep_id"), "left_anti")
       .select(col("keep_id").as("doc_id"), col("n_copies"))
-      .orderBy("doc_id")
   }
 
   /** The oracled instance: the latest source (src19) arrives as the
@@ -1190,7 +1169,6 @@ object TextOps {
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of").isNull.as("admit"),
         col("dup_of"), col("est_jaccard"))
-      .orderBy("doc_id")
   }
 
   /** The declared instance: src19 arrives as the new batch (d28's
@@ -1292,7 +1270,6 @@ object TextOps {
               col("target_count") * lit(1000000L))
       .select(col("doc_id"), col("lang"), col("lang_count"),
               col("target_count"), col("bucket"))
-      .orderBy("doc_id")
   }
 
   // d21: Count-Min heavy hitters — d10's vocabulary question at the
@@ -1471,7 +1448,6 @@ object TextOps {
         pmod(col("start_off"), lit(budget)).as("pack_pos"),
         (expr(s"start_off div $budget") =!=
           expr(s"(start_off + n_tokens - 1) div $budget")).as("spans_packs"))
-      .orderBy("doc_id")
   }
 
   // e5: sparse retrieval (SURVEY §2.4) — the RAG / contamination-

@@ -1197,7 +1197,7 @@ object EventStream {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    t.read().orderBy("o_orderkey")
+    t.read()
   }
 
   def s15StreamTableIngest(s: SparkSession, d: String): DataFrame = {

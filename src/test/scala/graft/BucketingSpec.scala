@@ -65,8 +65,9 @@ class BucketingSpec extends SparkSpec {
     assert(plainPlan.contains("Exchange hashpartitioning"))
     // bucketing is layout, not semantics: identical rows, identical
     // doubles (same fixed-point arithmetic either way)
+    // row-SET equality (r18: g15/g16 no longer presentation-sort)
     def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(_.toSeq).toSeq
+      df.collect().map(_.toString).sorted.toSeq
     assert(rows(Events.g15LinkPredictBucketed(spark, sf)) ==
       rows(graft.operators.Events.g15LinkPredict(spark, sf)))
     assert(rows(Events.g16CommonNeighborsBucketed(spark, sf)) ==

@@ -425,9 +425,11 @@ class EventsSpec extends SparkSpec {
     // the scale control (top-cap strongest partners per node) must be
     // a provable NO-OP at oracle SFs — otherwise the DuckDB oracle,
     // which models the uncapped graph, would diverge
-    val capped = Events.g15LinkPredict(spark, sf).collect().map(_.toSeq)
+    // row-SET equality (r18: g15 no longer presentation-sorts)
+    val capped = Events.g15LinkPredict(spark, sf).collect()
+      .map(_.toString).sorted
     val uncapped = Events.g15LinkPredict(spark, sf, cap = Int.MaxValue)
-      .collect().map(_.toSeq)
+      .collect().map(_.toString).sorted
     assert(capped.toSeq == uncapped.toSeq,
       "g15's default cap binds at test SF — oracle exactness broken")
     assert(capped.nonEmpty)
